@@ -1,0 +1,117 @@
+package graft.sources.bi5
+
+import java.io.{DataInputStream, InputStream}
+import java.util.{Calendar, TimeZone}
+
+/**
+ * Pure (Spark-free) decoding core for Dukascopy `.bi5` tick files.
+ *
+ * Format (reference: spark-2.4/src/main/scala/be/salvania/BI5DataSource.scala:166-171,
+ * independently confirmed by scripts/bi5_to_csv.py:23 `struct.unpack('>3I2f')`):
+ * an LZMA-alone compressed stream of consecutive 20-byte big-endian records
+ * `(ms_offset: i32, ask_raw: i32, bid_raw: i32, ask_vol: f32, bid_vol: f32)`.
+ *
+ * Prices are fixed-point: `raw / 10^digits` (reference BI5DataSource.scala:100,168-169).
+ * Volumes are IEEE f32 read then widened to f64 — the widening artifacts
+ * (e.g. 0.19f -> 0.1899999976158142) are part of the observable contract
+ * (reference test suite BI5DataSourceTestSuite.scala:115).
+ */
+object Bi5Codec {
+
+  /** Width of one on-disk record after decompression. */
+  final val RecordBytes = 20
+
+  /** One decoded tick, still relative to its file's hour base. */
+  final case class Tick(msOffset: Int, askRaw: Int, bidRaw: Int, askVol: Float, bidVol: Float)
+
+  /**
+   * Streaming record decode over an (already decompression-wrapped) input stream.
+   *
+   * Fault model (must match reference BI5DataSource.scala:166-186):
+   *  - clean EOF at a record boundary ends the iterator;
+   *  - a trailing partial record is silently dropped;
+   *  - ANY exception mid-stream (LZMA corruption, truncation) ends the
+   *    iterator silently — records decoded before the fault are kept.
+   *
+   * O(1) memory: one 20-byte record of lookahead, no buffering of the file.
+   */
+  def ticks(in: InputStream): Iterator[Tick] = new Iterator[Tick] {
+    private[this] val data = new DataInputStream(in)
+    private[this] var lookahead: Tick = _
+    private[this] def advance(): Unit = {
+      lookahead =
+        try {
+          val ms = data.readInt()
+          val ask = data.readInt()
+          val bid = data.readInt()
+          val askV = data.readFloat()
+          val bidV = data.readFloat()
+          Tick(ms, ask, bid, askV, bidV)
+        } catch {
+          case _: Throwable => null // truncated/corrupt tail: swallow, end stream
+        }
+    }
+    advance()
+    override def hasNext: Boolean = lookahead != null
+    override def next(): Tick = {
+      val t = lookahead
+      advance()
+      t
+    }
+  }
+
+  /** `10^digits` divisor for fixed-point price scaling (reference BI5DataSource.scala:100). */
+  def priceDivisor(digits: Int): Double = math.pow(10, digits)
+}
+
+/**
+ * Path-derived metadata for one `.bi5` file:
+ * `<ticker>/<YYYY>/<mm>/<dd>/<hh>h_ticks.bi5` (reference README.md:19-23).
+ *
+ * @param ticker          path regex group 1
+ * @param baseEpochMicros UTC epoch microseconds of the file's hour start
+ */
+final case class Bi5PathMeta(ticker: String, baseEpochMicros: Long) {
+  /** Absolute timestamp of a record: hour base + in-record millisecond offset. */
+  def tsMicros(msOffset: Int): Long = baseEpochMicros + msOffset * 1000L
+}
+
+object Bi5PathMeta {
+
+  // Reference BI5DataSource.scala:95-98. The unescaped '.' before "bi5" is
+  // kept deliberately: it is part of the reference's observable matching.
+  private val PathPattern =
+    """/([a-zA-Z0-9]+)/(\d{4})/(\d{1,2})/(\d{1,2})/(\d{1,2})h_ticks.bi5$""".r
+
+  private val Utc = TimeZone.getTimeZone("UTC")
+
+  /**
+   * Parse a file path into tick metadata, or None when the layout doesn't match.
+   *
+   * `monthOffset` is the `january` option: directories number January as 0
+   * (Dukascopy convention, offset 0 = use the dir value as a 0-based month) or
+   * as 1 (offset 1 = subtract one first) — reference BI5DataSource.scala:127-129.
+   *
+   * Date arithmetic is deliberately LENIENT (java.util.Calendar): out-of-range
+   * month/day fields roll over, e.g. dir `2019/11/31` (0-based month 11 =
+   * December) -> 2019-12-31, and `2020/03/03` -> month 3 = April. The golden
+   * fixtures lock this in (reference BI5DataSourceTestSuite.scala:114-116);
+   * strict java.time parsing would reject these paths instead.
+   */
+  def parse(path: String, monthOffset: Int): Option[Bi5PathMeta] = {
+    val normalized = path.replace('\\', '/')
+    PathPattern.findFirstMatchIn(normalized).map { m =>
+      val year = m.group(2).toInt
+      val month = m.group(3).toInt - monthOffset // 0-based for Calendar
+      val day = m.group(4).toInt
+      val hour = m.group(5).toInt
+      val cal = Calendar.getInstance(Utc)
+      cal.clear()
+      cal.set(Calendar.YEAR, year)
+      cal.set(Calendar.MONTH, month)
+      cal.set(Calendar.DAY_OF_MONTH, day)
+      cal.set(Calendar.HOUR_OF_DAY, hour)
+      Bi5PathMeta(m.group(1), cal.getTimeInMillis * 1000L)
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.sources.bi5
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+
+/**
+ * Validated options of the `bi5` source.
+ *
+ * User surface (reference README.md:25-36):
+ * {{{
+ * spark.read.format("bi5")
+ *   .option("digits", 5)        // required, >= 0; decimal places of the pair
+ *   .option("january", 0|1)     // optional, default 0; month-dir convention
+ *   .load(pathToFileOrDir)
+ * }}}
+ *
+ * Scale extensions (this engine only, default-off so the reference's
+ * observable partitioning semantics stay intact):
+ *  - `split=files`   : plan one input partition per bin-packed group of files
+ *                      instead of one per immediate child directory — the mode
+ *                      to use on a real cluster where a load root has few
+ *                      children but millions of files.
+ *  - `maxPartitionBytes` : target compressed bytes per partition in
+ *                      `split=files` mode (default 128 MiB).
+ *
+ * Error messages are verbatim observable contract
+ * (reference BI5DataSource.scala:34-46, asserted at BI5DataSourceTestSuite.scala:164-214).
+ */
+final case class Bi5Options(
+    path: String,
+    digits: Int,
+    monthOffset: Int,
+    splitPerFile: Boolean,
+    maxPartitionBytes: Long) {
+  def priceDivisor: Double = Bi5Codec.priceDivisor(digits)
+}
+
+object Bi5Options {
+
+  final val DefaultMaxPartitionBytes: Long = 128L * 1024 * 1024
+
+  /** Parse + validate from a case-insensitive key lookup; throws the exact
+    * reference IllegalArgumentExceptions. Called eagerly at `load()` time. */
+  def from(get: String => Option[String]): Bi5Options = {
+    val path = get("path").getOrElse(
+      throw new IllegalArgumentException("'path' must be specified for BI5 data."))
+    if (!Files.exists(Paths.get(path))) {
+      throw new IllegalArgumentException("Invalid path")
+    }
+    val digits = get("digits").getOrElse(
+      throw new IllegalArgumentException("'digits' should be the digits for the currency")).toInt
+    if (digits < 0) {
+      throw new IllegalArgumentException("digits cannot be smaller than 0")
+    }
+    val january = get("january").getOrElse("0").toInt
+    if (january < 0 || january > 1) {
+      throw new IllegalArgumentException("january can only be 0 or 1")
+    }
+    val splitPerFile = get("split").map(_.trim.toLowerCase).getOrElse("children") match {
+      case "files" => true
+      case _       => false
+    }
+    val maxBytes = get("maxpartitionbytes").map(_.toLong).getOrElse(DefaultMaxPartitionBytes)
+    Bi5Options(path, digits, january, splitPerFile, maxBytes)
+  }
+}
+
+/** The fixed 6-column tick schema (reference BI5DataSource.scala:57-66). */
+object Bi5Schema {
+  val schema: StructType = StructType(Seq(
+    StructField("ticker", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("ask", DoubleType, nullable = false),
+    StructField("bid", DoubleType, nullable = false),
+    StructField("ask_volume", DoubleType, nullable = false),
+    StructField("bid_volume", DoubleType, nullable = false)
+  ))
+}

@@ -1,0 +1,309 @@
+package graft.sources.bi5
+
+import java.io.{File, FileInputStream}
+import java.nio.file.{FileVisitOption, Files, Path, Paths}
+import java.util.OptionalLong
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import org.tukaani.xz.LZMAInputStream
+
+/**
+ * Scan pipeline of the bi5 source: ScanBuilder -> Scan/Batch -> InputPartition
+ * -> PartitionReader.
+ *
+ * Design notes vs the reference (BI5DataSource.scala:54-202):
+ *  - Default partitioning reproduces the reference's observable rule — one
+ *    input partition per immediate child of the load root, one for a plain
+ *    file (reference :68-79; partition counts are asserted by its tests).
+ *  - `split=files` opts into scale-friendly planning: a driver-side recursive
+ *    listing bin-packed into ~maxPartitionBytes partitions, so a root with 2
+ *    year-dirs but millions of hour files fans out over the whole cluster
+ *    instead of 2 tasks.
+ *  - Column pruning (SupportsPushDownRequiredColumns) and file-level filter
+ *    pushdown (SupportsPushDownFilters on `ticker`/`ts` against path-derived
+ *    metadata — the moral equivalent of Hive partition pruning) are new; the
+ *    reference decodes all 6 columns of every file unconditionally.
+ *  - Skip-corrupt semantics are preserved exactly: any failure opening or
+ *    mid-file silently truncates that file's contribution
+ *    (reference :149-186, asserted by its tests on garbage/empty fixtures).
+ */
+class Bi5ScanBuilder(opts: Bi5Options)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = Bi5Schema.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Spark hands us the subset of columns the query actually reads; empty
+    // for pure count(*) shapes — the reader then emits zero-field rows.
+    required = requiredSchema
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(Bi5FilePruner.supported)
+    // Return everything: pruning is file-granular and advisory; Spark keeps
+    // evaluating all predicates row-level, so exactness is never at risk.
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Bi5Scan(opts, required, pushed)
+}
+
+class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
+    extends Scan
+    with Batch
+    with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"bi5 path=${opts.path} digits=${opts.digits} pushed=[${filters.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = Paths.get(opts.path)
+    if (opts.splitPerFile) {
+      planFileBins(root)
+    } else if (Files.isDirectory(root)) {
+      // Reference rule: one partition per immediate child (dirs AND stray
+      // files alike), recursion happens executor-side in the reader.
+      val children = Option(new File(opts.path).list()).getOrElse(Array.empty).sorted
+      children.map(c => Bi5Partition(Array(root.resolve(c).toString), walk = true): InputPartition)
+    } else {
+      Array(Bi5Partition(Array(opts.path), walk = true))
+    }
+  }
+
+  /** Scale mode: list all files on the driver, prune by pushed filters, then
+    * first-fit-decreasing bin-pack by compressed size. */
+  private def planFileBins(root: Path): Array[InputPartition] = {
+    val files = Bi5FileLister.listBi5Files(root)
+      .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, filters) }
+      .sortBy { case (_, size) => -size }
+    val bins = ArrayBuffer.empty[(ArrayBuffer[String], Long)]
+    files.foreach { case (path, size) =>
+      bins.indexWhere { case (_, used) => used + size <= opts.maxPartitionBytes } match {
+        case -1 => bins += ((ArrayBuffer(path), size))
+        case i  => val (b, used) = bins(i); b += path; bins(i) = (b, used + size)
+      }
+    }
+    if (bins.isEmpty) Array(Bi5Partition(Array.empty, walk = false))
+    else bins.map { case (b, _) => Bi5Partition(b.toArray, walk = false): InputPartition }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Bi5PartitionReaderFactory(opts, required, filters)
+
+  override def estimateStatistics(): Statistics = {
+    // No footer/stats exist in bi5 files; estimate from compressed bytes with
+    // the ~4.2x LZMA ratio observed on the reference fixtures, 20 B/record.
+    val compressed = Bi5FileLister.listBi5Files(Paths.get(opts.path)).map(_._2).sum
+    val rows = (compressed * 4.2 / Bi5Codec.RecordBytes).toLong
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(rows * 48L, 1L))
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+}
+
+/** Serializable partition descriptor: either recursive-walk roots (default
+  * mode) or an explicit pre-planned file list (`split=files` mode). */
+case class Bi5Partition(roots: Array[String], walk: Boolean) extends InputPartition
+
+class Bi5PartitionReaderFactory(opts: Bi5Options, required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new Bi5PartitionReader(partition.asInstanceOf[Bi5Partition], opts, required, filters)
+}
+
+/**
+ * Executor-side reader: walks/iterates candidate files, prunes by path
+ * metadata, LZMA-decompresses, decodes 20-byte records, and projects into
+ * pruned InternalRows. O(1) memory per task: one decompressor + one record.
+ */
+class Bi5PartitionReader(
+    partition: Bi5Partition,
+    opts: Bi5Options,
+    required: StructType,
+    filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  // Map each required output field to a writer against the decoded record.
+  // Field order follows the pruned schema Spark asked for.
+  private[this] val fieldWriters: Array[(GenericInternalRow, Int, Bi5PathMeta, Bi5Codec.Tick) => Unit] =
+    required.fields.map { f =>
+      f.name match {
+        case "ticker" =>
+          (row, i, meta, _: Bi5Codec.Tick) => row.update(i, UTF8String.fromString(meta.ticker))
+        case "ts" =>
+          (row, i, meta, t: Bi5Codec.Tick) => row.setLong(i, meta.tsMicros(t.msOffset))
+        case "ask" =>
+          (row, i, _, t: Bi5Codec.Tick) => row.setDouble(i, t.askRaw / divisor)
+        case "bid" =>
+          (row, i, _, t: Bi5Codec.Tick) => row.setDouble(i, t.bidRaw / divisor)
+        case "ask_volume" =>
+          (row, i, _, t: Bi5Codec.Tick) => row.setDouble(i, t.askVol.toDouble)
+        case "bid_volume" =>
+          (row, i, _, t: Bi5Codec.Tick) => row.setDouble(i, t.bidVol.toDouble)
+        case other =>
+          throw new IllegalArgumentException(s"Unknown bi5 column: $other")
+      }
+    }
+  private[this] val divisor = opts.priceDivisor
+  private[this] val numFields = required.fields.length
+
+  private[this] val files: Iterator[String] =
+    if (partition.walk) {
+      partition.roots.iterator.flatMap { root =>
+        val p = Paths.get(root)
+        if (Files.exists(p)) {
+          Files.walk(p, FileVisitOption.FOLLOW_LINKS).iterator().asScala
+            .map(_.toString)
+            .filter(_.toLowerCase.endsWith(".bi5"))
+        } else Iterator.empty
+      }
+    } else {
+      partition.roots.iterator
+    }
+
+  private[this] var currentMeta: Bi5PathMeta = _
+  private[this] var currentIn: java.io.InputStream = _
+  private[this] var currentTicks: Iterator[Bi5Codec.Tick] = Iterator.empty
+  private[this] var row: InternalRow = _
+
+  /** Open the next decodable file; skips silently on any failure
+    * (reference BI5DataSource.scala:149-159 semantics). */
+  private[this] def openNextFile(): Boolean = {
+    closeCurrent()
+    while (files.hasNext) {
+      val path = files.next()
+      Bi5PathMeta.parse(path, opts.monthOffset) match {
+        case Some(meta) if Bi5FilePruner.mayMatchMeta(meta, filters) =>
+          try {
+            val in = new LZMAInputStream(new FileInputStream(path))
+            currentMeta = meta
+            currentIn = in
+            currentTicks = Bi5Codec.ticks(in)
+            return true
+          } catch {
+            case _: Throwable => closeCurrent() // bad LZMA header, empty file, ...
+          }
+        case _ => // non-matching layout (reference throws+swallows) or pruned
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (!currentTicks.hasNext) {
+      if (!openNextFile()) return false
+    }
+    val t = currentTicks.next()
+    val r = new GenericInternalRow(numFields)
+    var i = 0
+    while (i < numFields) {
+      fieldWriters(i)(r, i, currentMeta, t)
+      i += 1
+    }
+    row = r
+    true
+  }
+
+  override def get(): InternalRow = row
+
+  private[this] def closeCurrent(): Unit = {
+    if (currentIn != null) {
+      try currentIn.close() catch { case _: Throwable => }
+      currentIn = null
+    }
+    currentTicks = Iterator.empty
+  }
+
+  override def close(): Unit = closeCurrent()
+}
+
+/** Driver-side recursive listing used by `split=files` planning and stats. */
+object Bi5FileLister {
+  def listBi5Files(root: Path): Seq[(String, Long)] = {
+    if (!Files.exists(root)) return Seq.empty
+    val stream = Files.walk(root, FileVisitOption.FOLLOW_LINKS)
+    try {
+      stream.iterator().asScala
+        .filter(p => p.toString.toLowerCase.endsWith(".bi5") && Files.isRegularFile(p))
+        .map(p => (p.toString, Files.size(p)))
+        .toVector
+    } finally stream.close()
+  }
+}
+
+/**
+ * File-granularity pruning with pushed source filters, evaluated against
+ * path-derived metadata: `ticker` equals the path's ticker exactly, and a
+ * file's rows span `[base, base + 1h)` (offsets are milliseconds within the
+ * named hour). Conservative: returns true unless a filter PROVES no row in
+ * the file can match.
+ */
+object Bi5FilePruner {
+
+  private final val HourMicros = 3600L * 1000 * 1000
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => a == "ticker" || a == "ts"
+    case In(a, _)                 => a == "ticker"
+    case GreaterThan(a, _)        => a == "ts"
+    case GreaterThanOrEqual(a, _) => a == "ts"
+    case LessThan(a, _)           => a == "ts"
+    case LessThanOrEqual(a, _)    => a == "ts"
+    case And(l, r)                => supported(l) && supported(r)
+    case Or(l, r)                 => supported(l) && supported(r)
+    case _                        => false
+  }
+
+  def mayMatch(path: String, monthOffset: Int, filters: Array[Filter]): Boolean =
+    Bi5PathMeta.parse(path, monthOffset) match {
+      case Some(meta) => mayMatchMeta(meta, filters)
+      case None       => true // undecodable path: let the reader's own skip logic decide
+    }
+
+  def mayMatchMeta(meta: Bi5PathMeta, filters: Array[Filter]): Boolean =
+    filters.forall(f => eval(meta, f))
+
+  private def toMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp  => Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+    case i: java.time.Instant   => Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case l: java.time.LocalDateTime =>
+      Some(l.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + l.getNano / 1000)
+    case _ => None
+  }
+
+  /** true = some row of the file may satisfy the filter. */
+  private def eval(meta: Bi5PathMeta, f: Filter): Boolean = {
+    val lo = meta.baseEpochMicros
+    val hi = meta.baseEpochMicros + HourMicros - 1
+    f match {
+      case EqualTo("ticker", v)     => v == meta.ticker
+      case In("ticker", vs)         => vs.contains(meta.ticker)
+      case EqualTo("ts", v)         => toMicros(v).forall(m => m >= lo && m <= hi)
+      case GreaterThan("ts", v)     => toMicros(v).forall(m => hi > m)
+      case GreaterThanOrEqual("ts", v) => toMicros(v).forall(m => hi >= m)
+      case LessThan("ts", v)        => toMicros(v).forall(m => lo < m)
+      case LessThanOrEqual("ts", v) => toMicros(v).forall(m => lo <= m)
+      case And(l, r)                => eval(meta, l) && eval(meta, r)
+      case Or(l, r)                 => eval(meta, l) || eval(meta, r)
+      case _                        => true
+    }
+  }
+}

@@ -1,0 +1,203 @@
+package graft.sources.bi5
+
+import java.text.SimpleDateFormat
+import java.util.TimeZone
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.desc
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Port of the reference's 13-test suite
+ * (reference spark-2.4/src/test/scala/be/salvania/BI5DataSourceTestSuite.scala:164-234)
+ * against the read-only golden fixtures shipped with the reference repo.
+ */
+class Bi5DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val Fixtures = "/root/reference/spark-2.4/src/test/resources"
+  private val TestFile = s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"
+  private val WrongExtension = s"$Fixtures/EURUSD/2019/11/31/test.document.txt"
+  private val GarbageBi5 = s"$Fixtures/EURUSD/2019/11/31/01h_ticks.bi5"
+  private val DigitsEur = 5
+  private val DigitsJpy = 3
+
+  private var savedTz: TimeZone = _
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("Bi5DataSourceSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    savedTz = TimeZone.getDefault
+    TimeZone.setDefault(TimeZone.getTimeZone("UTC"))
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = TimeZone.setDefault(savedTz)
+
+  private def readBi5(digits: Int, path: String, january: Option[Int] = None): DataFrame = {
+    val r = spark.read.format("bi5").option("digits", digits)
+    january.fold(r)(j => r.option("january", j)).load(path)
+  }
+
+  private def tsMillis(s: String): Long = {
+    val fmt = new SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(TimeZone.getTimeZone("UTC"))
+    fmt.parse(s).getTime
+  }
+
+  private def assertRecord(
+      row: Row, ticker: String, ts: String, ask: Double, bid: Double, askV: Double, bidV: Double): Unit = {
+    assert(row.getString(0) === ticker)
+    assert(row.getTimestamp(1).getTime === tsMillis(ts))
+    assert(row.getDouble(2) === ask)
+    assert(row.getDouble(3) === bid)
+    assert(row.getDouble(4) === askV)
+    assert(row.getDouble(5) === bidV)
+  }
+
+  private def checkDf(
+      df: DataFrame,
+      rows: Long = 0,
+      partitions: Int = 1,
+      first: Option[Row => Unit] = None,
+      last: Option[Row => Unit] = None): Unit = {
+    df.cache()
+    try {
+      assert(df.count() === rows)
+      assert(df.rdd.getNumPartitions === partitions)
+      first.foreach(check => check(df.orderBy("ts").limit(1).collect().head))
+      last.foreach(check => check(df.orderBy(desc("ts")).limit(1).collect().head))
+    } finally df.unpersist()
+  }
+
+  // --- option validation (messages are verbatim contract, reference tests :164-214)
+
+  test("load without a path") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("bi5").load().count()
+    }
+    assert(e.getMessage === "'path' must be specified for BI5 data.")
+  }
+
+  test("load with wrong path") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("bi5").option("digits", 1).load("bumba").count()
+    }
+    assert(e.getMessage === "Invalid path")
+  }
+
+  test("load without digits") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("bi5").load(TestFile).count()
+    }
+    assert(e.getMessage === "'digits' should be the digits for the currency")
+  }
+
+  test("load with negative digits") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("bi5").option("digits", -1).load(TestFile).count()
+    }
+    assert(e.getMessage === "digits cannot be smaller than 0")
+  }
+
+  test("load with january too low") {
+    val e = intercept[IllegalArgumentException] {
+      readBi5(DigitsEur, TestFile, january = Some(-1)).count()
+    }
+    assert(e.getMessage === "january can only be 0 or 1")
+  }
+
+  test("load with january too high") {
+    val e = intercept[IllegalArgumentException] {
+      readBi5(DigitsEur, TestFile, january = Some(2)).count()
+    }
+    assert(e.getMessage === "january can only be 0 or 1")
+  }
+
+  // --- corrupt-input tolerance (reference tests :178-186)
+
+  test("wrong file extension yields empty frame") {
+    checkDf(readBi5(1, WrongExtension))
+  }
+
+  test("garbage bi5 file yields empty frame") {
+    checkDf(readBi5(1, GarbageBi5))
+  }
+
+  // --- golden values (reference tests :216-229, goldens :114-118)
+
+  test("single file loads 8816 rows with golden first/last records") {
+    checkDf(
+      readBi5(DigitsEur, TestFile),
+      rows = 8816,
+      partitions = 1,
+      first = Some(assertRecord(_, "EURUSD", "2019-12-31 15:00:00.090", 1.12207, 1.12198, 1.5, 2.25)),
+      last = Some(assertRecord(_, "EURUSD", "2019-12-31 15:59:59.395", 1.12240, 1.12238, 0.75, 0.1899999976158142)))
+  }
+
+  test("directory load: 27521 rows, 2 partitions, lenient-date roll-over") {
+    checkDf(
+      readBi5(DigitsEur, s"$Fixtures/EURUSD/"),
+      rows = 27521,
+      partitions = 2,
+      first = Some(assertRecord(_, "EURUSD", "2019-12-31 15:00:00.090", 1.12207, 1.12198, 1.5, 2.25)),
+      // month dir 03 under january=0 => April (lenient Calendar roll-over)
+      last = Some(assertRecord(_, "EURUSD", "2020-04-03 00:59:59.036", 1.08429, 1.08423, 3.0, 3.369999885559082)))
+  }
+
+  test("january=1 dataset: 1454 rows, 1 partition") {
+    checkDf(
+      readBi5(DigitsJpy, s"$Fixtures/USDJPY/", january = Some(1)),
+      rows = 1454,
+      partitions = 1,
+      first = Some(assertRecord(_, "USDJPY", "2020-12-01 23:00:00.219", 108.705, 108.677, 1.0, 1.0299999713897705)),
+      last = Some(assertRecord(_, "USDJPY", "2020-12-01 23:59:59.213", 108.727, 108.723, 3.25, 1.5)))
+  }
+
+  test("read then write back to parquet") {
+    val out = java.nio.file.Files.createTempDirectory("bi5_out").toString
+    readBi5(DigitsEur, s"$Fixtures/EURUSD/").write.mode("overwrite").parquet(s"$out/ticks.parquet")
+    assert(spark.read.parquet(s"$out/ticks.parquet").count() === 27521)
+  }
+
+  test("schema is the fixed 6-column tick schema") {
+    val df = readBi5(DigitsEur, TestFile)
+    assert(df.schema === Bi5Schema.schema)
+  }
+
+  // --- engine extensions beyond the reference surface
+
+  test("column pruning reaches the scan") {
+    val df = readBi5(DigitsEur, TestFile).select("ask")
+    assert(df.count() === 8816)
+    val scanLine = df.queryExecution.executedPlan.toString()
+    assert(scanLine.contains("ReadSchema") || df.schema.fieldNames.sameElements(Array("ask")))
+  }
+
+  test("ticker filter pushdown prunes files (USDJPY filter over EURUSD tree)") {
+    val df = readBi5(DigitsEur, s"$Fixtures/EURUSD/").filter("ticker = 'USDJPY'")
+    assert(df.count() === 0)
+  }
+
+  test("ts range filter keeps correct rows") {
+    val df = readBi5(DigitsEur, s"$Fixtures/EURUSD/")
+      .filter("ts >= timestamp'2020-01-01 00:00:00' and ts < timestamp'2020-05-01 00:00:00'")
+    assert(df.count() === 13809 + 4896)
+  }
+
+  test("split=files mode returns same data with file-granular partitions") {
+    val df = spark.read.format("bi5")
+      .option("digits", DigitsEur)
+      .option("split", "files")
+      .option("maxPartitionBytes", 50000)
+      .load(s"$Fixtures/EURUSD/")
+    assert(df.count() === 27521)
+    assert(df.rdd.getNumPartitions >= 2) // 3 decodable files bin-packed at 50 kB
+  }
+}
