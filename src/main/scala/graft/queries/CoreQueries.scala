@@ -1,0 +1,530 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Core relational query surface (SURVEY.md §2.3): scans, projection/filter,
+ * the join family (shuffle, broadcast, semi, anti, theta, as-of), hash/sort
+ * aggregation, rollup/cube, distinct aggregation, windows, set ops, top-k,
+ * and the scalar-function families (string/date/json/math/array).
+ *
+ * Everything is built with `org.apache.spark.sql.functions` so Catalyst can
+ * push filters/projections into the parquet scans and keep the whole pipeline
+ * inside whole-stage codegen; `broadcast()` hints mark the genuinely small
+ * dimension sides so no shuffle happens for them at any scale factor.
+ */
+object CoreQueries {
+
+  import Tables.table
+
+  private val Dec2 = "decimal(18,2)"
+  private val Dec4 = "decimal(18,4)"
+
+  /** Exact sum of a 2-decimal money column, returned as double. */
+  private def msum(c: org.apache.spark.sql.Column) = c.cast(Dec2)
+  private def psum(c: org.apache.spark.sql.Column) = c.cast(Dec4)
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    Q(
+      "q01_pricing_summary",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1999-12-31").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(msum(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(msum(col("l_extendedprice"))).cast("double").as("sum_base"),
+            sum(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .cast("double").as("sum_disc"),
+            count(lit(1)).as("n"))
+          .withColumn("avg_qty", col("sum_qty") / col("n"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      "TPC-H Q1 shape: partial+final hash aggregation with decimal-exact measures."),
+
+    // ---------------------------------------------------------------- q02
+    Q(
+      "q02_filter_project",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount") >= lit(0.06) && col("l_quantity") < lit(10.0))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount >= 0.06 AND l_quantity < 10.0
+        ORDER BY l_orderkey, l_linenumber"""),
+      "Selective filter + narrow projection; both must reach the parquet scan as PushedFilters/ReadSchema."),
+
+    // ---------------------------------------------------------------- q03
+    Q(
+      "q03_revenue_by_nation",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            sum(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name"""),
+      "Star join: two big-side shuffle joins + broadcast dims (nation/region never shuffle)."),
+
+    // ---------------------------------------------------------------- q04
+    Q(
+      "q04_brand_volume",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val p = table(s, dir, "part")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            sum(msum(col("l_quantity"))).cast("double").as("total_qty"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand"""),
+      "Broadcast hash join against the part dimension (no shuffle of the fact side)."),
+
+    // ---------------------------------------------------------------- q05
+    Q(
+      "q05_semi_join_segments",
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      "Left-semi join (EXISTS): customers holding at least one finished order."),
+
+    // ---------------------------------------------------------------- q06
+    Q(
+      "q06_anti_join_idle_parts",
+      (s, dir) => {
+        val p = table(s, dir, "part")
+        val li = table(s, dir, "lineitem")
+          .filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        p.join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_idle"), min("p_partkey").as("first_partkey"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_idle, MIN(p_partkey) AS first_partkey
+        FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey
+                            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+        GROUP BY p_brand ORDER BY p_brand"""),
+      "Left-anti join (NOT EXISTS): parts with no 1997 shipment."),
+
+    // ---------------------------------------------------------------- q07
+    Q(
+      "q07_theta_join_late_ship",
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        li.join(
+            o,
+            col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_late"),
+            sum(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .cast("double").as("late_revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_late,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS late_revenue
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "Equi join with an extra theta (range) condition: lines shipped >60 days after ordering."),
+
+    // ---------------------------------------------------------------- q08
+    Q(
+      "q08_asof_last_order",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val ev = table(s, dir, "events")
+        val users = ev.agg((max(col("user_id")) + lit(1)).as("u"))
+        // As-of: for each event, the single most recent order (per derived
+        // user key) whose date is at-or-before the event timestamp.
+        // o_orderdate is TIMESTAMP_NTZ from parquet; session TZ is UTC so the
+        // cast to TIMESTAMP is value-preserving and unix_millis applies.
+        val joined = ev.crossJoin(broadcast(users))
+          .join(
+            o,
+            col("user_id") === col("o_custkey") % col("u") &&
+            unix_millis(col("o_orderdate").cast("timestamp")) <= unix_millis(col("ts")))
+        val w = Window.partitionBy("event_id")
+          .orderBy(
+            unix_millis(col("o_orderdate").cast("timestamp")).desc,
+            col("o_orderkey").desc)
+        joined
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("event_id"), col("o_orderkey"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
+            col("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH u AS (SELECT MAX(user_id) + 1 AS u FROM events),
+        j AS (
+          SELECT e.event_id, o.o_orderkey, epoch_ms(o.o_orderdate) AS ord_ms, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY epoch_ms(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+          FROM events e CROSS JOIN u
+          JOIN orders o
+            ON o.o_custkey % u.u = e.user_id
+           AND epoch_ms(o.o_orderdate) <= epoch_ms(e.ts)
+        )
+        SELECT event_id, o_orderkey, ord_ms, o_totalprice FROM j WHERE rn = 1
+        ORDER BY event_id"""),
+      "As-of join: latest event at-or-before each order's date (tick-data style nearest-earlier match), " +
+        "composed as equi-join on a derived key + window top-1. Millisecond-epoch comparisons keep " +
+        "Spark (micros) and DuckDB (nanos) timestamp precision in agreement."),
+
+    // ---------------------------------------------------------------- q09
+    Q(
+      "q09_window_topn_orders",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+        SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+        WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      "Per-group top-N via ranking window."),
+
+    // ---------------------------------------------------------------- q10
+    Q(
+      "q10_window_lag_delta",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(unix_millis(col("ts")), col("event_id"))
+        ev.withColumn("delta", col("value") - lag("value", 1).over(w))
+          .select("event_id", "user_id", "value", "delta")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, value,
+               value - lag(value, 1) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_ms(ts), event_id) AS delta
+        FROM events ORDER BY event_id"""),
+      "lag() deltas per user; raw double subtraction is bit-identical across engines."),
+
+    // ---------------------------------------------------------------- q11
+    Q(
+      "q11_window_moving_sum",
+      (s, dir) => {
+        val ev = table(s, dir, "events")
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+          .rowsBetween(-2, 0)
+        ev.withColumn("mov_sum", sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+          .withColumn("mov_n", count(lit(1)).over(w))
+          .select("event_id", "user_id", "mov_sum", "mov_n")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+        FROM events ORDER BY event_id"""),
+      "Sliding-frame aggregation (3-row moving sum), decimal-exact inside the frame."),
+
+    // ---------------------------------------------------------------- q12
+    Q(
+      "q12_rollup_lineitem",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(msum(col("l_quantity"))).cast("double").as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+            col("n"), col("sum_qty"))
+          .orderBy("rf", "ls"),
+      Some("""
+        SELECT COALESCE(l_returnflag, '(all)') AS rf,
+               COALESCE(l_linestatus, '(all)') AS ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls"""),
+      "ROLLUP hierarchy totals; grouping nulls canonicalized to '(all)'."),
+
+    // ---------------------------------------------------------------- q13
+    Q(
+      "q13_cube_orders",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(msum(col("o_totalprice"))).cast("double").as("sum_price"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+            coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+            col("n"), col("sum_price"))
+          .orderBy("status", "priority"),
+      Some("""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority"""),
+      "CUBE over two dimensions."),
+
+    // ---------------------------------------------------------------- q14
+    Q(
+      "q14_distinct_agg",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "Distinct aggregation incl. multi-column distinct (expand + two-phase agg in Spark)."),
+
+    // ---------------------------------------------------------------- q15
+    Q(
+      "q15_setop_intersect",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+      },
+      Some("""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY custkey"""),
+      "INTERSECT (distinct-based): customers holding both open and finished orders."),
+
+    // ---------------------------------------------------------------- q16
+    Q(
+      "q16_setop_symdiff",
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+        val b = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+        a.except(b).union(b.except(a)).distinct().orderBy("custkey")
+      },
+      Some("""
+        SELECT DISTINCT custkey FROM (
+          (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+           EXCEPT
+           SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P')
+          UNION
+          (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+           EXCEPT
+           SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'))
+        ORDER BY custkey"""),
+      "EXCEPT + UNION composed into a symmetric difference."),
+
+    // ---------------------------------------------------------------- q17
+    Q(
+      "q17_global_topk",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(15)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15"""),
+      "Global top-k: Spark plans TakeOrderedAndProject (per-partition top-k, driver merge — no full sort)."),
+
+    // ---------------------------------------------------------------- q18
+    Q(
+      "q18_string_funcs",
+      (s, dir) =>
+        table(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_name")).as("name_upper"),
+            substring(col("p_type"), 1, 5).as("type_prefix"),
+            length(col("p_name")).as("name_len"),
+            concat(col("p_brand"), lit("::"), col("p_type")).as("brand_type"),
+            levenshtein(col("p_brand"), lit("Brand#13")).as("brand_dist"))
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               SUBSTRING(p_type, 1, 5) AS type_prefix,
+               LENGTH(p_name) AS name_len,
+               p_brand || '::' || p_type AS brand_type,
+               LEVENSHTEIN(p_brand, 'Brand#13') AS brand_dist
+        FROM part ORDER BY p_partkey"""),
+      "String scalar family: case, substring, length, concat, edit distance."),
+
+    // ---------------------------------------------------------------- q19
+    Q(
+      "q19_date_agg",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(msum(col("o_totalprice"))).cast("double").as("sum_price"))
+          .orderBy("y", "m"),
+      Some("""
+        SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+        ORDER BY y, m"""),
+      "Date-part extraction + monthly aggregation."),
+
+    // ---------------------------------------------------------------- q20
+    Q(
+      "q20_json_extract",
+      (s, dir) =>
+        table(s, dir, "events")
+          .select(
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      "JSON field extraction from the events props column + exact integer aggregation."),
+
+    // ---------------------------------------------------------------- q21
+    Q(
+      "q21_math_funcs",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 100 === 0)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            sqrt(col("l_quantity")).as("sqrt_qty"),
+            floor(col("l_extendedprice") / 1000.0).as("price_k"),
+            abs(col("l_discount") - col("l_tax")).as("disc_tax_gap"),
+            (col("l_quantity") % 7.0).as("qty_mod7"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               SQRT(l_quantity) AS sqrt_qty,
+               FLOOR(l_extendedprice / 1000.0) AS price_k,
+               ABS(l_discount - l_tax) AS disc_tax_gap,
+               FMOD(l_quantity, 7.0) AS qty_mod7
+        FROM lineitem WHERE l_orderkey % 100 = 0
+        ORDER BY l_orderkey, l_linenumber"""),
+      "Deterministic math scalars (sqrt/floor/abs/fmod are IEEE-exact; no libm-divergent fns)."),
+
+    // ---------------------------------------------------------------- q22
+    Q(
+      "q22_array_norms",
+      (s, dir) =>
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), explode(col("embedding")).as("x"))
+          .groupBy("vec_id")
+          .agg(
+            count(lit(1)).as("dim"),
+            sum((col("x").cast("double") * col("x").cast("double")).cast("decimal(28,12)"))
+              .cast("double").as("norm2"))
+          .orderBy("vec_id"),
+      Some("""
+        SELECT vec_id, COUNT(*) AS dim,
+               CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS norm2
+        FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
+        GROUP BY vec_id ORDER BY vec_id"""),
+      "Array processing over embeddings: explode + decimal-exact squared-norm aggregation.")
+  )
+}

@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * One library query: a Spark-first build function over the driver's parquet
+ * test tables plus (when expressible) an equivalent ANSI-ish SQL text for the
+ * DuckDB oracle.
+ *
+ * Oracle-parity conventions used across every query (these make the driver's
+ * value-hash compare deterministic between Spark and DuckDB):
+ *  - Sums of doubles go through an exact DECIMAL cast and come back as DOUBLE:
+ *    `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)` — double summation order
+ *    differs between engines, decimal summation is exact in both.
+ *  - Elementwise doubles (a-b, sqrt(x), x/y) are emitted RAW: IEEE semantics
+ *    make them bit-identical given identical inputs; rounding them would only
+ *    add a cross-engine rounding-mode risk.
+ *  - `events.ts` is nanosecond-precision parquet: Spark truncates to micros
+ *    on read, DuckDB keeps nanos. All comparisons/outputs on it use epoch
+ *    milliseconds (`unix_millis` / `epoch_ms`), identical in both.
+ *  - Every result has a deterministic total order (ORDER BY includes a unique
+ *    key) and every computed column is aliased identically on both sides.
+ */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Tables {
+  /**
+   * Load one driver test table. `events.ts` is TIMESTAMP(NANOS) parquet,
+   * which Spark 4 refuses outright (PARQUET_TYPE_ILLEGAL); read it as a raw
+   * nanosecond long (legacy nanosAsLong) and rebuild the micros-precision
+   * TimestampType column — the same truncation DuckDB's `ts::TIMESTAMP`
+   * performs, so oracle comparisons agree.
+   */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+}
