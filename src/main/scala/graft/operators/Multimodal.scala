@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column plumbing: treat image/audio/video payloads as opaque
+ * `binary` columns with typed metadata, and run decode / feature-extraction
+ * as a partition-local batch transform.
+ *
+ * The Spark side is real and tested — schema handling, per-partition batch
+ * iteration (no full-partition materialization), output row shape. The
+ * actual media decoding is a pluggable [[MediaDecoder]]; the container has
+ * no image/audio libraries, so [[RealMediaDecoder]] is an explicit stub and
+ * [[FakeMediaDecoder]] provides a deterministic byte-derived feature vector
+ * so the pipeline is end-to-end testable.
+ *
+ * At 100 TB this is the right execution shape: decoding is embarrassingly
+ * parallel, CPU-bound, and must stream — one payload in flight per core,
+ * features (small) retained, payloads (large) dropped immediately after
+ * decode so executor memory stays O(batch), never O(partition).
+ */
+object Multimodal {
+
+  /** Pluggable payload -> feature-vector decoder. */
+  trait MediaDecoder extends Serializable {
+    def dim: Int
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
+  /**
+   * STUB: real image/audio decode (JPEG -> pixels -> embedding, PCM ->
+   * mel-spectrogram, ...). The required native/media libraries are not
+   * available in this environment; wire a real implementation here when they
+   * are. Everything around it (schema, partitioning, batching) is live.
+   */
+  final class RealMediaDecoder(val dim: Int) extends MediaDecoder {
+    def decode(payload: Array[Byte]): Array[Float] =
+      throw new UnsupportedOperationException(
+        "Real media decoding is stubbed in this environment; use FakeMediaDecoder")
+  }
+
+  /**
+   * Deterministic stand-in decoder: `dim` banded rolling-hash statistics of
+   * the payload bytes, scaled to [0, 1). Stable across JVMs and runs.
+   */
+  final class FakeMediaDecoder(val dim: Int) extends MediaDecoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val acc = new Array[Long](dim)
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        acc(i % dim) = (acc(i % dim) * 31 + b) & 0xffffffffL
+        i += 1
+      }
+      acc.map(v => (v.toDouble / 4294967296.0).toFloat)
+    }
+  }
+
+  /**
+   * Decode an opaque binary column into metadata + feature vector.
+   *
+   * Input: any DataFrame with (`idCol`: long, `payloadCol`: binary).
+   * Output: (`idCol`, n_bytes: long, features: array<float>) — payload
+   * dropped, so only small rows survive the transform.
+   */
+  def extractFeatures(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      decoder: MediaDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // Streaming per-row decode: one payload resident at a time.
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row(r.getLong(idIdx), payload.length.toLong, decoder.decode(payload).toSeq)
+      }
+    }
+  }
+}

@@ -204,29 +204,52 @@ object CoreQueries {
     Q(
       "q08_asof_last_order",
       (s, dir) => {
+        // As-of join: for each event, the single most recent order (per
+        // derived user key) dated at-or-before the event timestamp.
+        //
+        // Scalable formulation: instead of joining every event to every
+        // earlier order of its user (quadratic blowup per user) and ranking,
+        // union both streams on a common (user, time) axis and carry the
+        // latest order forward with last(ignoreNulls) — ONE shuffle by user
+        // key, one sort, O(rows) total. This is the shape that survives
+        // 100 TB; the DuckDB oracle keeps the naive join+rank spelling,
+        // which is result-equivalent.
+        //
+        // o_orderdate is TIMESTAMP_NTZ from parquet; session TZ is UTC so the
+        // cast to TIMESTAMP is value-preserving and unix_millis applies.
         val o = table(s, dir, "orders")
         val ev = table(s, dir, "events")
         val users = ev.agg((max(col("user_id")) + lit(1)).as("u"))
-        // As-of: for each event, the single most recent order (per derived
-        // user key) whose date is at-or-before the event timestamp.
-        // o_orderdate is TIMESTAMP_NTZ from parquet; session TZ is UTC so the
-        // cast to TIMESTAMP is value-preserving and unix_millis applies.
-        val joined = ev.crossJoin(broadcast(users))
-          .join(
-            o,
-            col("user_id") === col("o_custkey") % col("u") &&
-            unix_millis(col("o_orderdate").cast("timestamp")) <= unix_millis(col("ts")))
-        val w = Window.partitionBy("event_id")
-          .orderBy(
-            unix_millis(col("o_orderdate").cast("timestamp")).desc,
-            col("o_orderkey").desc)
-        joined
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(
-            col("event_id"), col("o_orderkey"),
+        val orderSide = o.crossJoin(broadcast(users)).select(
+          (col("o_custkey") % col("u")).as("ukey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
+          lit(0).as("kind"),
+          struct(
             unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
-            col("o_totalprice"))
+            col("o_orderkey"), col("o_totalprice")).as("ord"),
+          lit(null).cast("long").as("event_id"))
+        val eventSide = ev.select(
+          col("user_id").cast("long").as("ukey"),
+          unix_millis(col("ts")).as("t"),
+          lit(1).as("kind"),
+          lit(null).cast(
+            "struct<ord_ms:bigint,o_orderkey:bigint,o_totalprice:double>").as("ord"),
+          col("event_id"))
+        // Order rows sort before event rows at equal t (kind 0 < 1), so an
+        // order dated exactly at the event instant is visible (<= semantics);
+        // ties among orders resolve to the greatest o_orderkey, matching the
+        // oracle's ORDER BY ord_ms DESC, o_orderkey DESC rank.
+        val w = Window.partitionBy("ukey")
+          .orderBy(col("t"), col("kind"), col("ord.o_orderkey").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orderSide.union(eventSide)
+          .withColumn("last_ord", last(col("ord"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1 && col("last_ord").isNotNull)
+          .select(
+            col("event_id"),
+            col("last_ord.o_orderkey").as("o_orderkey"),
+            col("last_ord.ord_ms").as("ord_ms"),
+            col("last_ord.o_totalprice").as("o_totalprice"))
           .orderBy("event_id")
       },
       Some("""

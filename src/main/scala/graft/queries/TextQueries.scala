@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-training-pipeline text operators over the `documents` table:
+ * exact dedup, MinHash signatures + LSH bucketing, SimHash, n-gram Jaccard,
+ * language-ID heuristic, quality scoring, token statistics, and document
+ * fingerprinting. All are pure Catalyst expression pipelines (no UDFs), so
+ * they stay inside whole-stage codegen and scale linearly with documents.
+ *
+ * Cross-engine hash convention (identical in Spark and DuckDB, so every
+ * operator here is DuckDB-oracle-checkable): h(s) = first 12 hex chars of
+ * md5(s) as a bigint (48 bits). MinHash permutations are (a*h + b) mod P
+ * over that value with P = 1e9+7; all arithmetic stays below 2^63.
+ */
+object TextQueries {
+
+  import Tables.table
+
+  /** Spark SQL fragment: 48-bit md5-prefix hash of a string expression. */
+  private def md5long(e: String) = s"cast(conv(substr(md5($e), 1, 12), 16, 10) as bigint)"
+  /** DuckDB fragment of the same hash. */
+  private def duckMd5long(e: String) = s"cast('0x' || substr(md5($e), 1, 12) as bigint)"
+
+  // Word-3-gram shingles over the whitespace tokenization.
+  private val sparkShingles =
+    "transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+  private val duckShingles =
+    "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+
+  // MinHash permutation constants; a * (h % P) + b stays < 2^63.
+  private val P = 1000000007L
+  private val perms = Seq((131L, 7L), (191L, 411L), (397L, 1229L), (557L, 3571L))
+
+  private def sparkMinhashSelect: Seq[String] = {
+    val hashes = s"transform($sparkShingles, s -> ${md5long("s")})"
+    perms.zipWithIndex.map { case ((a, b), i) =>
+      s"array_min(transform($hashes, h -> ($a * (h % $P) + $b) % $P)) as minh$i"
+    }
+  }
+
+  private def duckMinhashSelect: Seq[String] = {
+    val hashes = s"list_transform($duckShingles, s -> ${duckMd5long("s")})"
+    perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform($hashes, h -> ($a * (h % $P) + $b) % $P)) as minh$i"
+    }
+  }
+
+  private val langWords: Seq[(String, String)] = Seq(
+    "de" -> "'der','die','das','und','ein'",
+    "en" -> "'the','a','of','and','to'",
+    "es" -> "'el','la','los','de','y'",
+    "fr" -> "'le','les','des','et','un'",
+    "zh" -> "'de','le','he','shi','zai'")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q23
+    Q(
+      "q23_dedup_exact",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            expr("md5(text)").as("content_hash"),
+            expr("count(1) over (partition by md5(text))").as("n_copies"),
+            expr("min(doc_id) over (partition by md5(text))").as("canonical_id"))
+          .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, md5(text) AS content_hash,
+               COUNT(1) OVER (PARTITION BY md5(text)) AS n_copies,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        FROM documents ORDER BY doc_id"""),
+      "Exact dedup: content-hash grouping with canonical-representative election. " +
+        "At 100 TB this is one hash-shuffle; the window could be a groupBy+join but stays one pass here."),
+
+    // ---------------------------------------------------------------- q24
+    Q(
+      "q24_minhash_signatures",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr(Seq("doc_id") ++ sparkMinhashSelect: _*)
+          .withColumn("band0", concat_ws("_", col("minh0"), col("minh1")))
+          .withColumn("band1", concat_ws("_", col("minh2"), col("minh3")))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id, ${duckMinhashSelect.mkString(", ")},
+               minh0::VARCHAR || '_' || minh1::VARCHAR AS band0,
+               minh2::VARCHAR || '_' || minh3::VARCHAR AS band1
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+        ORDER BY doc_id"""),
+      "MinHash: 4 permutation-min signatures over word-3-gram shingles, banded 2x2 for LSH."),
+
+    // ---------------------------------------------------------------- q25
+    Q(
+      "q25_lsh_buckets",
+      (s, dir) => {
+        val sigs = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr(Seq("doc_id") ++ sparkMinhashSelect: _*)
+          .withColumn("band0", concat_ws("_", col("minh0"), col("minh1")))
+          .withColumn("band1", concat_ws("_", col("minh2"), col("minh3")))
+        val b0 = sigs.select(lit(0).as("band_no"), col("band0").as("band_key"), col("doc_id"))
+        val b1 = sigs.select(lit(1).as("band_no"), col("band1").as("band_key"), col("doc_id"))
+        b0.union(b1)
+          .groupBy("band_no", "band_key")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("band_no", "band_key")
+      },
+      Some(s"""
+        WITH sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs)
+        SELECT band_no, band_key, COUNT(1) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM banded GROUP BY band_no, band_key HAVING COUNT(1) >= 2
+        ORDER BY band_no, band_key"""),
+      "LSH candidate buckets: near-duplicate groups = bands shared by >=2 docs. " +
+        "Bucket-join beats the quadratic all-pairs compare at scale."),
+
+    // ---------------------------------------------------------------- q26
+    Q(
+      "q26_simhash",
+      (s, dir) => {
+        val hs = s"transform(toks, s -> ${md5long("s")})"
+        val bitsum = s"""aggregate(
+          transform(sequence(0, 15), j -> cast(
+            case when 2 * size(filter($hs, h -> (shiftright(h, j) & 1) = 1)) >= size(toks)
+                 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
+          cast(0 as bigint), (acc, x) -> acc + x)"""
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 1)
+          .selectExpr("doc_id", s"$bitsum as simhash16", "size(toks) as n_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val hs = s"list_transform(toks, s -> ${duckMd5long("s")})"
+        s"""
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16), j ->
+                 CASE WHEN 2 * len(list_filter($hs, h -> ((h >> j) & 1) = 1)) >= len(toks)
+                      THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS simhash16,
+               len(toks) AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 1
+        ORDER BY doc_id"""
+      },
+      "SimHash: 16-bit majority-vote fingerprint over token hashes (near-dup by Hamming distance)."),
+
+    // ---------------------------------------------------------------- q27
+    Q(
+      "q27_jaccard_consecutive",
+      (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("doc_id", s"$sparkShingles as sh")
+        val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, col("doc_b") === col("doc_a") + 1)
+          .selectExpr(
+            "doc_a", "doc_b",
+            "size(array_intersect(sh_a, sh_b)) as n_common",
+            "size(array_union(sh_a, sh_b)) as n_union",
+            "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b)) as jaccard")
+          .orderBy("doc_a")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, $duckShingles AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh)) AS n_common,
+               len(list_distinct(list_concat(a.sh, b.sh))) AS n_union,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        ORDER BY doc_a"""),
+      "Exact n-gram Jaccard similarity on consecutive doc pairs (set semantics on shingles)."),
+
+    // ---------------------------------------------------------------- q28
+    Q(
+      "q28_langid",
+      (s, dir) => {
+        val scores = langWords.map { case (l, ws) =>
+          s"size(array_intersect(toks, array($ws))) as s_$l"
+        }
+        val caseChain = langWords.map(_._1).map { l =>
+          val geAll = langWords.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" and ")
+          s"when $geAll then '$l'"
+        }.mkString(" ")
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .selectExpr(Seq("doc_id", "lang") ++ scores: _*)
+          .selectExpr(
+            "doc_id", "lang", "s_de", "s_en", "s_es", "s_fr", "s_zh",
+            s"case $caseChain end as predicted")
+          .withColumn("hit", col("predicted") === col("lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = langWords.map { case (l, ws) =>
+          s"len(list_intersect(toks, [$ws])) AS s_$l"
+        }
+        val caseChain = langWords.map(_._1).map { l =>
+          val geAll = langWords.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString(" ")
+        s"""
+        SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+               CASE $caseChain END AS predicted,
+               (CASE $caseChain END) = lang AS hit
+        FROM (
+          SELECT doc_id, lang, ${scores.mkString(", ")}
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))
+        ORDER BY doc_id"""
+      },
+      "Language-ID heuristic: distinct stopword-overlap score per language, deterministic argmax."),
+
+    // ---------------------------------------------------------------- q29
+    Q(
+      "q29_quality_score",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .selectExpr(
+            "doc_id",
+            "length(text) as n_chars_actual",
+            "n_chars as n_chars_meta",
+            "size(toks) as n_tokens",
+            "cast(length(text) - (size(toks) - 1) as double) / size(toks) as avg_token_len",
+            "cast(size(filter(toks, x -> x in ('the', 'a', 'of', 'and', 'to'))) as double) / size(toks) as stop_ratio",
+            "cast(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) as double) / length(text) as punct_ratio")
+          .withColumn(
+            "quality",
+            expr("case when n_tokens >= 20 and avg_token_len between 2.0 and 8.0 then 'ok' else 'low' end"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_actual,
+               n_chars AS n_chars_meta,
+               len(toks) AS n_tokens,
+               CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len,
+               CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len(toks) AS stop_ratio,
+               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+               CASE WHEN len(toks) >= 20 AND CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 8.0
+                    THEN 'ok' ELSE 'low' END AS quality
+        FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks FROM documents)
+        ORDER BY doc_id"""),
+      "Document quality scoring: length agreement, token stats, stopword + punctuation ratios."),
+
+    // ---------------------------------------------------------------- q30
+    Q(
+      "q30_token_stats",
+      (s, dir) =>
+        table(s, dir, "documents")
+          .selectExpr(
+            "doc_id",
+            "size(split(text, ' ')) as n_ws_tokens",
+            "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as n_re_tokens",
+            "size(filter(split(text, ' '), t -> length(t) > 5)) as n_long_tokens",
+            "size(array_distinct(split(text, ' '))) as n_distinct_tokens")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+               len(list_filter(string_split(text, ' '), t -> LENGTH(t) > 5)) AS n_long_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+        FROM documents ORDER BY doc_id"""),
+      "Token counting: whitespace vs regex (BPE-ish pre-tokenizer) vs distinct vocabulary."),
+
+    // ---------------------------------------------------------------- q31
+    Q(
+      "q31_fingerprint",
+      (s, dir) => {
+        val hs = s"transform($sparkShingles, s -> ${md5long("s")})"
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr(
+            "doc_id",
+            s"array_min($hs) as fp_min",
+            s"array_max($hs) as fp_max",
+            s"size(array_distinct($hs)) as n_distinct_shingles",
+            s"size($hs) as n_shingles")
+          .orderBy("doc_id")
+      },
+      Some {
+        val hs = s"list_transform($duckShingles, s -> ${duckMd5long("s")})"
+        s"""
+        SELECT doc_id,
+               list_min($hs) AS fp_min,
+               list_max($hs) AS fp_max,
+               len(list_distinct($hs)) AS n_distinct_shingles,
+               len($hs) AS n_shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+        ORDER BY doc_id"""
+      },
+      "Rolling-hash document fingerprint: min/max shingle hash (winnowing-style) + shingle diversity."),
+
+    // ---------------------------------------------------------------- q32
+    Q(
+      "q32_multimodal_binary",
+      (s, dir) =>
+        table(s, dir, "documents")
+          // The opaque-binary path a media pipeline would use: payload bytes +
+          // typed metadata columns; decode/feature-extract happens downstream
+          // (see graft.operators.Multimodal for the stubbed decode plumbing).
+          .selectExpr(
+            "doc_id",
+            "cast(text as binary) as payload",
+            "source")
+          .selectExpr(
+            "doc_id",
+            "octet_length(payload) as n_bytes",
+            "substr(hex(payload), 1, 16) as header_hex",
+            "md5(payload) as checksum",
+            "source")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               substr(hex(encode(text)), 1, 16) AS header_hex,
+               md5(text) AS checksum,
+               source
+        FROM documents ORDER BY doc_id"""),
+      "Multimodal plumbing: opaque binary payload column with metadata extraction " +
+        "(byte length, magic-header hex, checksum) — the schema shape for image/audio blobs.")
+  )
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity-search operators over the `embeddings` table (64-dim float
+ * vectors).
+ *
+ * Numeric convention: dot products and squared norms are computed by
+ * exploding the vectors and summing DECIMAL-cast per-dimension products —
+ * exact in both engines, so cosine values are bit-identical doubles and the
+ * top-k ranking order is deterministic (ties broken by vector id).
+ *
+ * Scale design: the brute-force probe scan is the correctness baseline
+ * (probe-set x corpus is embarrassingly parallel, no shuffle until the
+ * per-probe top-k); the IVF variant shows the 100 TB path — a tiny broadcast
+ * centroid table assigns every vector to a cluster, and probes then search
+ * only their cluster's members instead of the full corpus.
+ */
+object VectorQueries {
+
+  import Tables.table
+
+  /**
+   * Spark SQL fragment: dot product of two float arrays via a higher-order
+   * left fold — per-row, no explode/shuffle, stays in codegen.
+   *
+   * Cross-engine exactness: each term is an EXACT double (24-bit x 24-bit
+   * float product fits a 53-bit significand), and both engines fold the term
+   * list strictly left-to-right, so the double sums are bit-identical.
+   * (A DECIMAL cast is NOT safe here: float products can terminate exactly
+   * at an odd decimal digit, creating round-half ties that Spark [HALF_UP]
+   * and DuckDB [HALF_EVEN] resolve differently.)
+   */
+  private def sparkDot(a: String, b: String): String =
+    s"""aggregate(
+          zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+          cast(0 as double),
+          (acc, v) -> acc + v)"""
+
+  /** DuckDB fragment of the same left-fold dot product (list_reduce folds
+    * left-to-right; seeding differs from Spark's 0-init but 0 + x == x
+    * exactly in IEEE, so results are bit-identical). */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q33
+    Q(
+      "q33_ann_topk",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        // Per-vector decimal-exact squared norm computed inline (HOF fold, no
+        // shuffle); the probe x corpus join is broadcast (probe side tiny).
+        val withNorm = e.selectExpr(
+          "vec_id", "embedding",
+          s"${sparkDot("embedding", "embedding")} as n2")
+        val probes = withNorm.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("n2").as("pn2"))
+        val cands = withNorm
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+        cands.join(broadcast(probes), col("cid") =!= col("pid"))
+          .selectExpr("pid", "cid", s"${sparkDot("pe", "ce")} as dot", "pn2", "cn2")
+          .withColumn("sim", col("dot") / (sqrt(col("pn2")) * sqrt(col("cn2"))))
+          .withColumn(
+            "rank",
+            expr("row_number() over (partition by pid order by sim desc, cid asc)"))
+          .filter(col("rank") <= 5)
+          .select("pid", "rank", "cid", "dot", "sim")
+          .orderBy("pid", "rank")
+      },
+      Some(s"""
+        WITH withnorm AS (
+          SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2
+          FROM embeddings),
+        sims AS (
+          SELECT p.vec_id AS pid, c.vec_id AS cid,
+                 ${duckDot("p.embedding", "c.embedding")} AS dot,
+                 ${duckDot("p.embedding", "c.embedding")} / (SQRT(p.n2) * SQRT(c.n2)) AS sim
+          FROM withnorm p JOIN withnorm c ON p.vec_id % 20 = 0 AND c.vec_id <> p.vec_id),
+        ranked AS (
+          SELECT pid, cid, dot, sim,
+                 row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid ASC) AS rank
+          FROM sims)
+        SELECT pid, rank, cid, dot, sim FROM ranked WHERE rank <= 5
+        ORDER BY pid, rank"""),
+      "Brute-force cosine top-5 for a deterministic probe subset (vec_id % 20 = 0): " +
+        "the exact baseline an ANN index must match."),
+
+    // ---------------------------------------------------------------- q34
+    Q(
+      "q34_ivf_assign",
+      (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        e.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "centroid_id", s"${sparkDot("embedding", "ce")} as dot")
+          .withColumn(
+            "rn",
+            expr("row_number() over (partition by vec_id order by dot desc, centroid_id asc)"))
+          .filter(col("rn") === 1)
+          .groupBy("centroid_id")
+          .agg(
+            count(lit(1)).as("n_members"),
+            min("vec_id").as("min_member"),
+            max("vec_id").as("max_member"))
+          .orderBy("centroid_id")
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        dots AS (
+          SELECT e.vec_id, c.centroid_id, ${duckDot("e.embedding", "c.ce")} AS dot
+          FROM embeddings e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, centroid_id ASC) AS rn
+          FROM dots)
+        SELECT centroid_id, COUNT(1) AS n_members, MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
+        FROM assigned WHERE rn = 1
+        GROUP BY centroid_id ORDER BY centroid_id"""),
+      "IVF-style coarse quantization: broadcast 8 centroids, assign every vector to its max-dot " +
+        "cluster — the partition-pruning layer that makes ANN sub-linear at 100 TB.")
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/**
+ * Sanity layer over the query library: every declared query runs at sf0.001
+ * and returns a well-formed result; oracle VALUE parity is checked by the
+ * driver's DuckDB gate (replicated locally by tools/check_oracle.py).
+ */
+class QueriesSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("QueriesSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or a documented reason") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
+  }
+
+  for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    test(s"$name runs and returns a schema'd result") {
+      val df = SparkEntry.queries(name)(spark, Sf)
+      assert(df.schema.fields.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("selected golden spot checks") {
+    // exact dedup: all sf0.001 docs are unique -> every doc canonical
+    val dedup = SparkEntry.queries("q23_dedup_exact")(spark, Sf)
+    assert(dedup.filter(col("is_canonical") === false).count() === 0)
+    // ann: 25 probes x top-5, self excluded, sim within [-1, 1]
+    val ann = SparkEntry.queries("q33_ann_topk")(spark, Sf)
+    assert(ann.count() === 125)
+    assert(ann.filter(col("pid") === col("cid")).count() === 0)
+    assert(ann.filter(abs(col("sim")) > 1.0000001).count() === 0)
+    // ivf: every one of the 500 vectors lands in exactly one of 8 clusters
+    val ivf = SparkEntry.queries("q34_ivf_assign")(spark, Sf)
+    assert(ivf.agg(sum("n_members")).head.getLong(0) === 500)
+  }
+
+  test("multimodal feature extraction is deterministic and streams") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .selectExpr("doc_id", "cast(text as binary) as payload")
+    val dec = new Multimodal.FakeMediaDecoder(8)
+    val f1 = Multimodal.extractFeatures(docs, "doc_id", "payload", dec)
+    assert(f1.schema.fieldNames.toSeq === Seq("doc_id", "n_bytes", "features"))
+    val rows = f1.orderBy("doc_id").limit(3).collect()
+    assert(rows.forall(_.getSeq[Float](2).length === 8))
+    val f2 = Multimodal.extractFeatures(docs, "doc_id", "payload", dec)
+      .orderBy("doc_id").limit(3).collect()
+    assert(rows.map(_.toString).sameElements(f2.map(_.toString)))
+    // real decoder is an explicit stub
+    intercept[UnsupportedOperationException] {
+      new Multimodal.RealMediaDecoder(8).decode(Array[Byte](1, 2))
+    }
+  }
+}
