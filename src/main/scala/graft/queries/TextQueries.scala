@@ -341,6 +341,61 @@ object TextQueries {
                source
         FROM documents ORDER BY doc_id"""),
       "Multimodal plumbing: opaque binary payload column with metadata extraction " +
-        "(byte length, magic-header hex, checksum) — the schema shape for image/audio blobs.")
+        "(byte length, magic-header hex, checksum) — the schema shape for image/audio blobs."),
+
+    // ---------------------------------------------------------------- q35
+    Q(
+      "q35_simhash_hamming",
+      (s, dir) => {
+        val hs = s"transform(toks, s -> ${md5long("s")})"
+        val bitsum = s"""aggregate(
+          transform(sequence(0, 15), j -> cast(
+            case when 2 * size(filter($hs, h -> (shiftright(h, j) & 1) = 1)) >= size(toks)
+                 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
+          cast(0 as bigint), (acc, x) -> acc + x)"""
+        val sigs = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 1)
+          .selectExpr("doc_id", s"$bitsum as sh")
+        val a = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, col("doc_b") === col("doc_a") + 1)
+          .selectExpr(
+            "doc_a", "doc_b", "sh_a", "sh_b",
+            "cast(bit_count(sh_a ^ sh_b) as integer) as hamming")
+          .orderBy("doc_a")
+      },
+      Some {
+        val hs = s"list_transform(toks, s -> ${duckMd5long("s")})"
+        val bitsum = s"""CAST(list_sum(list_transform(range(0, 16), j ->
+          CASE WHEN 2 * len(list_filter($hs, h -> ((h >> j) & 1) = 1)) >= len(toks)
+               THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)"""
+        s"""
+        WITH sigs AS (
+          SELECT doc_id, $bitsum AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 1)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1
+        ORDER BY doc_a"""
+      },
+      "SimHash near-dup scoring: Hamming distance between consecutive docs' signatures " +
+        "(bit_count of xor — low distance = near-duplicate candidate)."),
+
+    // ---------------------------------------------------------------- q36
+    Q(
+      "q36_approx_distinct",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .orderBy("l_returnflag"),
+      None, // HLL sketches are engine-specific; driver records rows-only check
+      "approx_count_distinct (HyperLogLog++) next to the exact count — the sketch " +
+        "path that replaces exact distinct at 100 TB. No oracle: sketch estimates " +
+        "are engine-specific by construction.")
   )
 }

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming surface over the `events` table shape.
+ *
+ * The reference is batch-only (no MicroBatchReadSupport anywhere — SURVEY.md
+ * §2.3), so this module is a capability extension: the same event schema
+ * processed as an unbounded stream with event-time semantics. Patterns
+ * covered: file-source micro-batching, watermarked tumbling-window
+ * aggregation (late data dropped deterministically), streaming
+ * deduplication, and arbitrary stateful processing with
+ * flatMapGroupsWithState.
+ *
+ * At scale these run identically on a real cluster: the file source lists
+ * new files per micro-batch, state lives in the state store keyed by the
+ * shuffle partitioning, and watermarks bound state size.
+ */
+object EventStreams {
+
+  /** events.parquet file schema with the nanosecond timestamp read raw. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events directory as a micro-batched stream. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // the test tables are single parquet FILES; a file stream wants a
+      // directory, so stream the sf dir filtered to the events file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked 5-minute tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+
+  /** Streaming dedup: first event per (user_id, event_type) within the
+    * watermark horizon survives; replays/duplicates are dropped. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Arbitrary stateful aggregation: per-user running count + value total,
+    * maintained in the state store across micro-batches. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserRunning(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

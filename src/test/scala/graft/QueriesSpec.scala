@@ -32,8 +32,10 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or a documented reason") {
+    // q36: HLL sketch estimates are engine-specific — no cross-engine oracle.
+    val allowedNoOracle = Set("q36_approx_distinct")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
+    assert(noOracle === allowedNoOracle, s"queries without oracle SQL: $noOracle")
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
