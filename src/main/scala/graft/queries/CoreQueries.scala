@@ -548,6 +548,37 @@ object CoreQueries {
                CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS norm2
         FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings)
         GROUP BY vec_id ORDER BY vec_id"""),
-      "Array processing over embeddings: explode + decimal-exact squared-norm aggregation.")
+      "Array processing over embeddings: explode + decimal-exact squared-norm aggregation."),
+
+    // ---------------------------------------------------------------- q37
+    Q(
+      "q37_map_funcs",
+      (s, dir) =>
+        table(s, dir, "events")
+          .filter(col("event_id") % 10 === 0)
+          .withColumn(
+            "m",
+            map_from_arrays(
+              array(lit("type"), lit("k")),
+              array(col("event_type"), get_json_object(col("props"), "$.k"))))
+          .select(
+            col("event_id"),
+            element_at(col("m"), "type").as("mtype"),
+            element_at(col("m"), "k").cast("long").as("mk"),
+            size(col("m")).as("m_size"),
+            concat_ws(",", map_keys(col("m"))).as("m_keys"))
+          .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+               m['type'][1] AS mtype,
+               CAST(m['k'][1] AS BIGINT) AS mk,
+               CAST(cardinality(m) AS INTEGER) AS m_size,
+               array_to_string(map_keys(m), ',') AS m_keys
+        FROM (SELECT event_id,
+                     map(['type', 'k'], [event_type, json_extract_string(props, '$.k')]) AS m
+              FROM events)
+        WHERE event_id % 10 = 0
+        ORDER BY event_id"""),
+      "Map scalar family: construction from arrays, key extraction, cardinality, key listing.")
   )
 }
