@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One-time session warmup (codegen compiler, parquet reader, shuffle
+    // machinery) so the first measured query isn't billed ~5s of JVM setup.
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .selectExpr("count(*)", "max(r_name)").collect()
+    spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

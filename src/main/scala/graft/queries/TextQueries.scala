@@ -33,12 +33,22 @@ object TextQueries {
   private val P = 1000000007L
   private val perms = Seq((131L, 7L), (191L, 411L), (397L, 1229L), (557L, 3571L))
 
-  private def sparkMinhashSelect: Seq[String] = {
-    val hashes = s"transform($sparkShingles, s -> ${md5long("s")})"
+  // 16-bit majority-vote SimHash over a precomputed token-hash column `hs`.
+  private val sparkSimhash =
+    """aggregate(
+      transform(sequence(0, 15), j -> cast(
+        case when 2 * size(filter(hs, h -> (shiftright(h, j) & 1) = 1)) >= size(hs)
+             then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
+      cast(0 as bigint), (acc, x) -> acc + x)"""
+
+  // The md5 hashing dominates cost, so it runs ONCE into an `hs` column;
+  // each permutation is then a cheap arithmetic transform over it.
+  // (Catalyst does not share subexpressions across lambda bodies — inlining
+  // the hash array into all four permutations would hash every shingle 4x.)
+  private def sparkMinhashSelect: Seq[String] =
     perms.zipWithIndex.map { case ((a, b), i) =>
-      s"array_min(transform($hashes, h -> ($a * (h % $P) + $b) % $P)) as minh$i"
+      s"array_min(transform(hs, h -> ($a * (h % $P) + $b) % $P)) as minh$i"
     }
-  }
 
   private def duckMinhashSelect: Seq[String] = {
     val hashes = s"list_transform($duckShingles, s -> ${duckMd5long("s")})"
@@ -84,6 +94,7 @@ object TextQueries {
         table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
+          .withColumn("hs", expr(s"transform($sparkShingles, s -> ${md5long("s")})"))
           .selectExpr(Seq("doc_id") ++ sparkMinhashSelect: _*)
           .withColumn("band0", concat_ws("_", col("minh0"), col("minh1")))
           .withColumn("band1", concat_ws("_", col("minh2"), col("minh3")))
@@ -133,19 +144,15 @@ object TextQueries {
     // ---------------------------------------------------------------- q26
     Q(
       "q26_simhash",
-      (s, dir) => {
-        val hs = s"transform(toks, s -> ${md5long("s")})"
-        val bitsum = s"""aggregate(
-          transform(sequence(0, 15), j -> cast(
-            case when 2 * size(filter($hs, h -> (shiftright(h, j) & 1) = 1)) >= size(toks)
-                 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
-          cast(0 as bigint), (acc, x) -> acc + x)"""
+      (s, dir) =>
         table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 1)
-          .selectExpr("doc_id", s"$bitsum as simhash16", "size(toks) as n_tokens")
-          .orderBy("doc_id")
-      },
+          // hash each token ONCE; the 16 bit-majority votes then scan the
+          // precomputed hash array instead of re-hashing per bit
+          .withColumn("hs", expr(s"transform(toks, s -> ${md5long("s")})"))
+          .selectExpr("doc_id", s"$sparkSimhash as simhash16", "size(toks) as n_tokens")
+          .orderBy("doc_id"),
       Some {
         val hs = s"list_transform(toks, s -> ${duckMd5long("s")})"
         s"""
@@ -347,16 +354,11 @@ object TextQueries {
     Q(
       "q35_simhash_hamming",
       (s, dir) => {
-        val hs = s"transform(toks, s -> ${md5long("s")})"
-        val bitsum = s"""aggregate(
-          transform(sequence(0, 15), j -> cast(
-            case when 2 * size(filter($hs, h -> (shiftright(h, j) & 1) = 1)) >= size(toks)
-                 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
-          cast(0 as bigint), (acc, x) -> acc + x)"""
         val sigs = table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 1)
-          .selectExpr("doc_id", s"$bitsum as sh")
+          .withColumn("hs", expr(s"transform(toks, s -> ${md5long("s")})"))
+          .selectExpr("doc_id", s"$sparkSimhash as sh")
         val a = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val b = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         a.join(b, col("doc_b") === col("doc_a") + 1)

@@ -22,8 +22,10 @@ object VectorQueries {
   import Tables.table
 
   /**
-   * Spark SQL fragment: dot product of two float arrays via a higher-order
-   * left fold — per-row, no explode/shuffle, stays in codegen.
+   * Spark SQL fragment: dot product of two float arrays via the native
+   * codegen expression [[graft.functions.FloatVecDot]] — per-row, no
+   * explode/shuffle, compiled into the surrounding codegen stage (the HOF
+   * `aggregate(zip_with(...))` spelling is interpreted and ~100x slower).
    *
    * Cross-engine exactness: each term is an EXACT double (24-bit x 24-bit
    * float product fits a 53-bit significand), and both engines fold the term
@@ -32,11 +34,7 @@ object VectorQueries {
    * at an odd decimal digit, creating round-half ties that Spark [HALF_UP]
    * and DuckDB [HALF_EVEN] resolve differently.)
    */
-  private def sparkDot(a: String, b: String): String =
-    s"""aggregate(
-          zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-          cast(0 as double),
-          (acc, v) -> acc + v)"""
+  private def sparkDot(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** DuckDB fragment of the same left-fold dot product (list_reduce folds
     * left-to-right; seeding differs from Spark's 0-init but 0 + x == x
@@ -51,8 +49,9 @@ object VectorQueries {
     Q(
       "q33_ann_topk",
       (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
         val e = table(s, dir, "embeddings")
-        // Per-vector decimal-exact squared norm computed inline (HOF fold, no
+        // Per-vector squared norm computed inline (native codegen dot, no
         // shuffle); the probe x corpus join is broadcast (probe side tiny).
         val withNorm = e.selectExpr(
           "vec_id", "embedding",
@@ -93,6 +92,7 @@ object VectorQueries {
     Q(
       "q34_ivf_assign",
       (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
         val e = table(s, dir, "embeddings")
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
