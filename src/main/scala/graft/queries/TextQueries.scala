@@ -115,6 +115,7 @@ object TextQueries {
         val sigs = table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
+          .withColumn("hs", expr(s"transform($sparkShingles, s -> ${md5long("s")})"))
           .selectExpr(Seq("doc_id") ++ sparkMinhashSelect: _*)
           .withColumn("band0", concat_ws("_", col("minh0"), col("minh1")))
           .withColumn("band1", concat_ws("_", col("minh2"), col("minh3")))

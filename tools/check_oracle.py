@@ -26,6 +26,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def run_spark():
+    # wipe stale outputs: Verify catches per-query failures, and a leftover
+    # parquet from a previous run would otherwise compare (and pass) silently
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
         cwd="/root/repo", check=True, capture_output=True, text=True)
