@@ -53,9 +53,15 @@ object Bi5Codec {
       len = rem
       pos = 0
       try {
+        // Read in 4 KiB slices: when LZMA hits corruption mid-read() it
+        // discards bytes decoded within THAT call, so the slice size bounds
+        // how many records a corrupt tail can lose (~200 here vs ~3275 for
+        // whole-buffer reads; the reference's field-at-a-time reads lose at
+        // most one record, at a 25x throughput cost). Slicing is free: the
+        // decoder amortizes internally, only the call count changes.
         var n = 0
         while (len < buf.length &&
-          { n = in.read(buf, len, buf.length - len); n > 0 }) {
+          { n = in.read(buf, len, math.min(4096, buf.length - len)); n > 0 }) {
           len += n
         }
       } catch {

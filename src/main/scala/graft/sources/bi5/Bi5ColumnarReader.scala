@@ -1,17 +1,10 @@
 package graft.sources.bi5
 
-import java.io.{BufferedInputStream, FileInputStream}
-import java.nio.file.{FileVisitOption, Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.vectorized.ColumnarBatch
-import org.apache.spark.unsafe.types.UTF8String
-import org.tukaani.xz.LZMAInputStream
 
 /**
  * Vectorized bi5 reader: decodes up to [[Bi5ColumnarReader.BatchRows]]
@@ -37,17 +30,7 @@ class Bi5ColumnarReader(
 
   import Bi5ColumnarReader.BatchRows
 
-  private[this] val colIds: Array[Int] = required.fields.map { f =>
-    f.name match {
-      case "ticker"     => 0
-      case "ts"         => 1
-      case "ask"        => 2
-      case "bid"        => 3
-      case "ask_volume" => 4
-      case "bid_volume" => 5
-      case other => throw new IllegalArgumentException(s"Unknown bi5 column: $other")
-    }
-  }
+  private[this] val colIds = Bi5FileCursor.columnIds(required)
   private[this] val divisor = opts.priceDivisor
   private[this] val numFields = colIds.length
 
@@ -56,64 +39,32 @@ class Bi5ColumnarReader(
       .map(_.asInstanceOf[OnHeapColumnVector])
   private[this] val batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
 
-  private[this] val files: Iterator[String] =
-    if (partition.walk) {
-      partition.roots.iterator.flatMap { root =>
-        val p = Paths.get(root)
-        if (Files.exists(p)) {
-          Files.walk(p, FileVisitOption.FOLLOW_LINKS).iterator().asScala
-            .map(_.toString)
-            .filter(_.toLowerCase.endsWith(".bi5"))
-        } else Iterator.empty
-      }
-    } else {
-      partition.roots.iterator
-    }
-
-  private[this] var currentMeta: Bi5PathMeta = _
-  private[this] var currentTickerBytes: Array[Byte] = _
-  private[this] var currentIn: java.io.InputStream = _
-  private[this] var currentTicks: Iterator[Bi5Codec.Tick] = Iterator.empty
-
-  private[this] def openNextFile(): Boolean = {
-    closeCurrent()
-    while (files.hasNext) {
-      val path = files.next()
-      Bi5PathMeta.parse(path, opts.monthOffset) match {
-        case Some(meta) if Bi5FilePruner.mayMatchMeta(meta, filters) =>
-          try {
-            val in = new LZMAInputStream(
-              new BufferedInputStream(new FileInputStream(path), 1 << 16))
-            currentMeta = meta
-            currentTickerBytes = UTF8String.fromString(meta.ticker).getBytes
-            currentIn = in
-            currentTicks = Bi5Codec.ticks(in)
-            return true
-          } catch {
-            case _: Throwable => closeCurrent()
-          }
-        case _ =>
-      }
-    }
-    false
-  }
+  private[this] val cursor = new Bi5FileCursor(partition, opts, filters)
+  private[this] var current: Bi5FileCursor.OpenFile = _
+  private[this] var tickerBytes: Array[Byte] = _ // cached per file, not per row
 
   override def next(): Boolean = {
     var row = 0
     var i = 0
     while (i < numFields) { vectors(i).reset(); i += 1 }
     while (row < BatchRows) {
-      if (!currentTicks.hasNext && !openNextFile()) {
-        batch.setNumRows(row)
-        return row > 0
+      if (current == null || !current.ticks.hasNext) {
+        cursor.nextFile() match {
+          case Some(f) =>
+            current = f
+            tickerBytes = f.tickerUtf8.getBytes
+          case None =>
+            batch.setNumRows(row)
+            return row > 0
+        }
       }
-      while (row < BatchRows && currentTicks.hasNext) {
-        val t = currentTicks.next()
+      while (row < BatchRows && current.ticks.hasNext) {
+        val t = current.ticks.next()
         var c = 0
         while (c < numFields) {
           colIds(c) match {
-            case 0 => vectors(c).putByteArray(row, currentTickerBytes)
-            case 1 => vectors(c).putLong(row, currentMeta.tsMicros(t.msOffset))
+            case 0 => vectors(c).putByteArray(row, tickerBytes)
+            case 1 => vectors(c).putLong(row, current.meta.tsMicros(t.msOffset))
             case 2 => vectors(c).putDouble(row, t.askRaw / divisor)
             case 3 => vectors(c).putDouble(row, t.bidRaw / divisor)
             case 4 => vectors(c).putDouble(row, t.askVol.toDouble)
@@ -130,16 +81,8 @@ class Bi5ColumnarReader(
 
   override def get(): ColumnarBatch = batch
 
-  private[this] def closeCurrent(): Unit = {
-    if (currentIn != null) {
-      try currentIn.close() catch { case _: Throwable => }
-      currentIn = null
-    }
-    currentTicks = Iterator.empty
-  }
-
   override def close(): Unit = {
-    closeCurrent()
+    cursor.close()
     batch.close()
   }
 }

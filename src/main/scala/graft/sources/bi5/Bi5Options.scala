@@ -22,7 +22,10 @@ import org.apache.spark.sql.types._
  *                      to use on a real cluster where a load root has few
  *                      children but millions of files.
  *  - `maxPartitionBytes` : target compressed bytes per partition in
- *                      `split=files` mode (default 128 MiB).
+ *                      `split=files` mode. When set explicitly it is honored
+ *                      exactly; when defaulted (128 MiB) the planner also
+ *                      shrinks the target to totalBytes / (2 x parallelism)
+ *                      so small datasets still fan out across all cores.
  *
  * Error messages are verbatim observable contract
  * (reference BI5DataSource.scala:34-46, asserted at BI5DataSourceTestSuite.scala:164-214).
@@ -32,7 +35,8 @@ final case class Bi5Options(
     digits: Int,
     monthOffset: Int,
     splitPerFile: Boolean,
-    maxPartitionBytes: Long) {
+    maxPartitionBytes: Long,
+    maxPartitionBytesExplicit: Boolean) {
   def priceDivisor: Double = Bi5Codec.priceDivisor(digits)
 }
 
@@ -61,8 +65,11 @@ object Bi5Options {
       case "files" => true
       case _       => false
     }
-    val maxBytes = get("maxpartitionbytes").map(_.toLong).getOrElse(DefaultMaxPartitionBytes)
-    Bi5Options(path, digits, january, splitPerFile, maxBytes)
+    val maxBytesOpt = get("maxpartitionbytes").map(_.toLong)
+    Bi5Options(
+      path, digits, january, splitPerFile,
+      maxBytesOpt.getOrElse(DefaultMaxPartitionBytes),
+      maxPartitionBytesExplicit = maxBytesOpt.isDefined)
   }
 }
 

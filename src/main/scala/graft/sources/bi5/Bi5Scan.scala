@@ -1,6 +1,6 @@
 package graft.sources.bi5
 
-import java.io.{BufferedInputStream, File, FileInputStream}
+import java.io.File
 import java.nio.file.{FileVisitOption, Files, Path, Paths}
 import java.util.OptionalLong
 
@@ -12,8 +12,6 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.unsafe.types.UTF8String
-import org.tukaani.xz.LZMAInputStream
 
 /**
  * Scan pipeline of the bi5 source: ScanBuilder -> Scan/Batch -> InputPartition
@@ -88,14 +86,11 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
   }
 
   /** Scale mode: list all files on the driver, prune by pushed filters, then
-    * first-fit-decreasing bin-pack by compressed size.
-    *
-    * The bin target is the SMALLER of maxPartitionBytes and
-    * totalBytes / (2 * defaultParallelism): a byte cap alone would collapse a
-    * dataset smaller than one cap into a single partition and run the whole
-    * scan on one core (observed: a 53 MB tree decoding single-threaded under
-    * the 128 MB default). Every core gets ~2 waves of work; the byte cap
-    * still bounds memory/straggler size on huge trees. */
+    * first-fit-decreasing bin-pack by compressed size. With the DEFAULT byte
+    * cap the bin target also shrinks to totalBytes / (2 * defaultParallelism):
+    * a byte cap alone would collapse any dataset smaller than one cap into a
+    * single partition and run the whole scan on one core (observed: a 53 MB
+    * tree decoding single-threaded under the 128 MiB default). */
   private def planFileBins(root: Path): Array[InputPartition] = {
     val files = Bi5FileLister.listBi5Files(root)
       .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, filters) }
@@ -104,11 +99,15 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
     val parallelism =
       try org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism
       catch { case _: Throwable => 8 }
-    // Respect an explicit (even tiny) maxPartitionBytes; the 1 MB floor only
-    // stops the parallelism heuristic from shattering small datasets.
-    val targetBytes = math.min(
-      opts.maxPartitionBytes,
-      math.max(1L << 20, totalBytes / math.max(1, 2 * parallelism) + 1))
+    // An explicitly-set maxPartitionBytes is the user's tuning decision —
+    // honor it exactly in either direction. Only the DEFAULT engages the
+    // parallelism heuristic (with a 1 MB floor so small datasets fan out
+    // without shattering into confetti).
+    val targetBytes =
+      if (opts.maxPartitionBytesExplicit) opts.maxPartitionBytes
+      else math.min(
+        opts.maxPartitionBytes,
+        math.max(1L << 20, totalBytes / math.max(1, 2 * parallelism) + 1))
     val bins = ArrayBuffer.empty[(ArrayBuffer[String], Long)]
     files.foreach { case (path, size) =>
       bins.indexWhere { case (_, used) => used + size <= targetBytes } match {
@@ -156,9 +155,11 @@ class Bi5PartitionReaderFactory(opts: Bi5Options, required: StructType, filters:
 }
 
 /**
- * Executor-side reader: walks/iterates candidate files, prunes by path
- * metadata, LZMA-decompresses, decodes 20-byte records, and projects into
- * pruned InternalRows. O(1) memory per task: one decompressor + one record.
+ * Executor-side row reader (the columnar reader handles the default path;
+ * this one serves engines/paths that ask for row output). Shares the file
+ * walk/prune/open/skip-corrupt logic with the columnar reader via
+ * [[Bi5FileCursor]]. Memory per task: the cursor's one decompressor plus the
+ * codec's ~64 KiB chunk buffer.
  */
 class Bi5PartitionReader(
     partition: Bi5Partition,
@@ -167,81 +168,28 @@ class Bi5PartitionReader(
     filters: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  // Map each required output field to a column ordinal (pruned schema order);
-  // the hot loop switches on small ints instead of dispatching lambdas.
-  private[this] val colIds: Array[Int] = required.fields.map { f =>
-    f.name match {
-      case "ticker"     => 0
-      case "ts"         => 1
-      case "ask"        => 2
-      case "bid"        => 3
-      case "ask_volume" => 4
-      case "bid_volume" => 5
-      case other => throw new IllegalArgumentException(s"Unknown bi5 column: $other")
-    }
-  }
+  private[this] val colIds = Bi5FileCursor.columnIds(required)
   private[this] val divisor = opts.priceDivisor
-  private[this] val numFields = required.fields.length
+  private[this] val numFields = colIds.length
 
-  private[this] val files: Iterator[String] =
-    if (partition.walk) {
-      partition.roots.iterator.flatMap { root =>
-        val p = Paths.get(root)
-        if (Files.exists(p)) {
-          Files.walk(p, FileVisitOption.FOLLOW_LINKS).iterator().asScala
-            .map(_.toString)
-            .filter(_.toLowerCase.endsWith(".bi5"))
-        } else Iterator.empty
-      }
-    } else {
-      partition.roots.iterator
-    }
-
-  private[this] var currentMeta: Bi5PathMeta = _
-  private[this] var currentTicker: UTF8String = _ // cached per file, not per row
-  private[this] var currentIn: java.io.InputStream = _
-  private[this] var currentTicks: Iterator[Bi5Codec.Tick] = Iterator.empty
+  private[this] val cursor = new Bi5FileCursor(partition, opts, filters)
+  private[this] var current: Bi5FileCursor.OpenFile = _
   private[this] var row: InternalRow = _
 
-  /** Open the next decodable file; skips silently on any failure
-    * (reference BI5DataSource.scala:149-159 semantics). */
-  private[this] def openNextFile(): Boolean = {
-    closeCurrent()
-    while (files.hasNext) {
-      val path = files.next()
-      Bi5PathMeta.parse(path, opts.monthOffset) match {
-        case Some(meta) if Bi5FilePruner.mayMatchMeta(meta, filters) =>
-          try {
-            // Buffer the COMPRESSED input: LZMAInputStream issues many small
-            // reads against its source; unbuffered FileInputStream turns each
-            // into a syscall (~3x slower decompression end to end).
-            val in = new LZMAInputStream(
-              new BufferedInputStream(new FileInputStream(path), 1 << 16))
-            currentMeta = meta
-            currentTicker = UTF8String.fromString(meta.ticker)
-            currentIn = in
-            currentTicks = Bi5Codec.ticks(in)
-            return true
-          } catch {
-            case _: Throwable => closeCurrent() // bad LZMA header, empty file, ...
-          }
-        case _ => // non-matching layout (reference throws+swallows) or pruned
+  override def next(): Boolean = {
+    while (current == null || !current.ticks.hasNext) {
+      cursor.nextFile() match {
+        case Some(f) => current = f
+        case None    => return false
       }
     }
-    false
-  }
-
-  override def next(): Boolean = {
-    while (!currentTicks.hasNext) {
-      if (!openNextFile()) return false
-    }
-    val t = currentTicks.next()
+    val t = current.ticks.next()
     val r = new GenericInternalRow(numFields)
     var i = 0
     while (i < numFields) {
       colIds(i) match {
-        case 0 => r.update(i, currentTicker)
-        case 1 => r.setLong(i, currentMeta.tsMicros(t.msOffset))
+        case 0 => r.update(i, current.tickerUtf8)
+        case 1 => r.setLong(i, current.meta.tsMicros(t.msOffset))
         case 2 => r.setDouble(i, t.askRaw / divisor)
         case 3 => r.setDouble(i, t.bidRaw / divisor)
         case 4 => r.setDouble(i, t.askVol.toDouble)
@@ -255,15 +203,7 @@ class Bi5PartitionReader(
 
   override def get(): InternalRow = row
 
-  private[this] def closeCurrent(): Unit = {
-    if (currentIn != null) {
-      try currentIn.close() catch { case _: Throwable => }
-      currentIn = null
-    }
-    currentTicks = Iterator.empty
-  }
-
-  override def close(): Unit = closeCurrent()
+  override def close(): Unit = cursor.close()
 }
 
 /** Driver-side recursive listing used by `split=files` planning and stats. */
