@@ -49,7 +49,7 @@ class Bi5Table(opts: Bi5Options) extends Table with SupportsRead {
   override def schema(): StructType = Bi5Schema.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Bi5ScanBuilder(opts)

@@ -68,6 +68,10 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new Bi5MicroBatchStream(opts, required, filters, checkpointLocation)
+
   override def description(): String =
     s"bi5 path=${opts.path} digits=${opts.digits} pushed=[${filters.mkString(", ")}]"
 

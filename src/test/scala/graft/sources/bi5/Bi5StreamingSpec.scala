@@ -1,0 +1,55 @@
+package graft.sources.bi5
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming tail of a growing bi5 tree: files copied in between triggers
+  * must appear incrementally, exactly once. */
+class Bi5StreamingSpec extends AnyFunSuite {
+
+  private val Fixtures = "/root/reference/spark-2.4/src/test/resources"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("Bi5StreamingSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("micro-batch stream picks up arriving hour files incrementally") {
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("bi5stream")
+    def installFile(rel: String): Unit = {
+      val src = Paths.get(s"$Fixtures/$rel")
+      val dst = root.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    installFile("EURUSD/2019/11/31/15h_ticks.bi5") // 8816 rows
+
+    val stream = spark.readStream.format("bi5")
+      .option("digits", 5)
+      .load(root.toString)
+    val q = stream.writeStream
+      .format("memory").queryName("bi5_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_tail").head.getLong(0) === 8816)
+
+      // a new hour file "arrives"
+      installFile("EURUSD/2020/03/02/12h_ticks.bi5") // 13809 rows
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_tail").head.getLong(0) === 8816 + 13809)
+
+      // no duplicates: re-trigger without new files
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_tail").head.getLong(0) === 8816 + 13809)
+      // per-ticker integrity
+      assert(spark.sql("select count(distinct ticker) from bi5_tail").head.getLong(0) === 1)
+    } finally q.stop()
+  }
+}
