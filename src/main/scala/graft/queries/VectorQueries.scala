@@ -124,6 +124,60 @@ object VectorQueries {
         FROM assigned WHERE rn = 1
         GROUP BY centroid_id ORDER BY centroid_id"""),
       "IVF-style coarse quantization: broadcast 8 centroids, assign every vector to its max-dot " +
-        "cluster — the partition-pruning layer that makes ANN sub-linear at 100 TB.")
+        "cluster — the partition-pruning layer that makes ANN sub-linear at 100 TB."),
+
+    // ---------------------------------------------------------------- q38
+    Q(
+      "q38_embed_neardup_lsh",
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        // 8 deterministic pseudo-random hyperplanes; plane value for (plane i,
+        // dim j) is an LCG step mapped to [-0.5, 0.5). Same integer arithmetic
+        // in both engines -> identical buckets.
+        val planeDot =
+          """aggregate(sequence(1, 64), cast(0 as double), (acc, j) ->
+               acc + cast(element_at(embedding, j) as double) *
+                 (cast((1103515245 * cast(i * 64 + (j - 1) as bigint) + 12345) % 2147483648 as double)
+                  / 2147483648.0 - 0.5))"""
+        val bucketExpr =
+          s"""aggregate(transform(sequence(0, 7), i ->
+                cast(case when $planeDot >= 0 then shiftleft(1, i) else 0 end as bigint)),
+              cast(0 as bigint), (acc, x) -> acc + x)"""
+        val e = table(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"$bucketExpr as bucket",
+            "vec_dot(embedding, embedding) as n2")
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("bucket").as("bucket"), col("n2").as("n2a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("bucket").as("bucket"), col("n2").as("n2b"))
+        a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .selectExpr("bucket", "id_a", "id_b",
+            "vec_dot(ea, eb) / (sqrt(n2a) * sqrt(n2b)) as sim")
+          .withColumn("near_dup", col("sim") >= 0.95)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val planeDot =
+          """list_reduce(list_transform(range(1, 65), j ->
+               CAST(embedding[j] AS DOUBLE) *
+                 (CAST((1103515245 * CAST(i * 64 + (j - 1) AS BIGINT) + 12345) % 2147483648 AS DOUBLE)
+                  / 2147483648.0 - 0.5)), (a, b) -> a + b)"""
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 CAST(list_sum(list_transform(range(0, 8), i ->
+                   CASE WHEN $planeDot >= 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS bucket,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM embeddings)
+        SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+               ${duckDot("a.embedding", "b.embedding")} / (SQRT(a.n2) * SQRT(b.n2)) AS sim,
+               ${duckDot("a.embedding", "b.embedding")} / (SQRT(a.n2) * SQRT(b.n2)) >= 0.95 AS near_dup
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ORDER BY id_a, id_b"""
+      },
+      "Embedding near-dup via random-hyperplane LSH: 8 sign-bits bucket the corpus, exact cosine " +
+        "runs only within buckets — candidate pairs shrink ~256x vs all-pairs, the scale path for " +
+        "dedup over billions of vectors.")
   )
 }
