@@ -579,6 +579,40 @@ object CoreQueries {
               FROM events)
         WHERE event_id % 10 = 0
         ORDER BY event_id"""),
-      "Map scalar family: construction from arrays, key extraction, cardinality, key listing.")
+      "Map scalar family: construction from arrays, key extraction, cardinality, key listing."),
+
+    // ---------------------------------------------------------------- q39
+    Q(
+      "q39_topk_per_group_agg",
+      (s, dir) => {
+        import s.implicits._
+        // Custom typed Aggregator (UDAF): top-3 events by value per type via
+        // a k-bounded buffer — shuffle volume O(groups x k), not O(rows) like
+        // the ranking-window spelling (the DuckDB oracle uses the window
+        // spelling; both must agree exactly).
+        val typed = table(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value"))
+          .as[(String, Long, Double)]
+        typed
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(new graft.operators.TopKByValue(3).toColumn.name("top"))
+          .flatMap { case (eventType, top) =>
+            top.iterator.zipWithIndex.map { case ((id, v), i) =>
+              (eventType, i + 1, id, v)
+            }
+          }
+          .toDF("event_type", "rank", "event_id", "value")
+          .orderBy("event_type", "rank")
+      },
+      Some("""
+        SELECT event_type, rank, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id ASC) AS rank
+          FROM events)
+        WHERE rank <= 3 ORDER BY event_type, rank"""),
+      "Per-group exact top-k via a custom typed Aggregator (k-bounded buffer with " +
+        "map-side combine) — the scale-friendly alternative to a ranking window.")
   )
 }

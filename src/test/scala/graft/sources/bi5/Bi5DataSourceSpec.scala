@@ -191,6 +191,31 @@ class Bi5DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 13809 + 4896)
   }
 
+  test("ts pruning boundaries: exact hour-start and hour-end filters keep correct rows") {
+    val df = readBi5(DigitsEur, s"$Fixtures/EURUSD/")
+    // >= exact hour start of the first file: all 27521 rows qualify
+    assert(df.filter("ts >= timestamp'2019-12-31 15:00:00'").count() === 27521)
+    // > last tick of the 2019 file: only the two 2020 files remain
+    assert(df.filter("ts > timestamp'2019-12-31 15:59:59.395'").count() === 13809 + 4896)
+    // <= a ts inside the first file's hour: only its early rows qualify,
+    // and the 2020 files must be pruned without losing these rows
+    assert(df.filter("ts <= timestamp'2019-12-31 15:00:00.09'").count() === 1)
+    // window fully between files -> zero rows, no error
+    assert(df.filter(
+      "ts > timestamp'2019-12-31 16:00:00' and ts < timestamp'2020-04-02 12:00:00'").count() === 0)
+  }
+
+  test("ticker OR filter and january=1 pruning") {
+    val df = readBi5(DigitsEur, s"$Fixtures/EURUSD/")
+    assert(df.filter("ticker = 'EURUSD' or ticker = 'USDJPY'").count() === 27521)
+    assert(df.filter("ticker in ('USDJPY', 'GBPUSD')").count() === 0)
+    val jpy = readBi5(DigitsJpy, s"$Fixtures/USDJPY/", january = Some(1))
+    // january=1 shifts the month used for the hour base; pruning must use
+    // the shifted date (2020-12-01 23h), not the raw dir value
+    assert(jpy.filter("ts >= timestamp'2020-12-01 23:00:00'").count() === 1454)
+    assert(jpy.filter("ts < timestamp'2020-12-01 23:00:00'").count() === 0)
+  }
+
   test("split=files mode returns same data with file-granular partitions") {
     val df = spark.read.format("bi5")
       .option("digits", DigitsEur)
