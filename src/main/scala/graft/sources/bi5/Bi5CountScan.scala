@@ -1,0 +1,116 @@
+package graft.sources.bi5
+
+import java.io.{DataInputStream, FileInputStream}
+import java.nio.file.Paths
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Metadata-only COUNT(*) scan: the `.lzma`-alone header of every `.bi5` file
+ * carries the uncompressed size (bytes 5-12, little-endian), so the record
+ * count is `size / 20` without decompressing anything — verified exact
+ * against all golden fixtures (real Dukascopy files write the size field).
+ *
+ * Gated behind `.option("trustHeaders", true)`: a file whose header promises
+ * more data than its (corrupt) body actually decodes would over-count
+ * relative to the reference's decode-everything semantics, so the default
+ * stays decode-exact. Files with the size marked unknown (-1) or an
+ * unreadable header fall back to decode-counting just that file.
+ *
+ * At 100 TB this turns `SELECT count(*)` from a full-corpus decompression
+ * (~2M core-seconds) into a header read per file.
+ */
+class Bi5CountScan(opts: Bi5Options) extends Scan with Batch {
+
+  // Partial-aggregate contract: one LongType column; Spark sums the
+  // per-partition partial counts in its final aggregation.
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"bi5 path=${opts.path} pushedAggregate=[COUNT(*) via lzma headers]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // header reads are cheap; a single partition per immediate child keeps
+    // planning identical to the data scan without mattering for cost
+    val root = Paths.get(opts.path)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val children = Option(new java.io.File(opts.path).list()).getOrElse(Array.empty).sorted
+      children.map(c => Bi5Partition(Array(root.resolve(c).toString), walk = true): InputPartition)
+    } else {
+      Array(Bi5Partition(Array(opts.path), walk = true))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Bi5CountReaderFactory(opts)
+}
+
+class Bi5CountReaderFactory(opts: Bi5Options) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new Bi5CountReader(partition.asInstanceOf[Bi5Partition], opts)
+}
+
+class Bi5CountReader(partition: Bi5Partition, opts: Bi5Options)
+    extends PartitionReader[InternalRow] {
+
+  private[this] var emitted = false
+
+  /** Uncompressed size from the 13-byte lzma-alone header, or -1 when the
+    * header is implausible (garbage bytes would otherwise parse as a huge
+    * bogus size — e.g. ASCII text yields ~4e17). Sanity gates: valid lzma
+    * props byte, whole 20-byte records, and a sane compression ratio. */
+  private def headerSize(path: String): Long = {
+    val in = new DataInputStream(new FileInputStream(path))
+    try {
+      val header = new Array[Byte](13)
+      in.readFully(header)
+      if ((header(0) & 0xff) >= 225) return -1L // props = lc + lp*9 + pb*45 < 225
+      var size = 0L
+      var i = 12
+      while (i >= 5) { size = (size << 8) | (header(i) & 0xffL); i -= 1 }
+      val compressed = new java.io.File(path).length()
+      val plausible = size >= 0 &&
+        size % Bi5Codec.RecordBytes == 0 &&
+        size <= compressed * 2000 // LZMA ratios stay far below this
+      if (plausible) size else -1L
+    } finally in.close()
+  }
+
+  private def countFiles(): Long = {
+    var total = 0L
+    val files = Bi5FileLister.partitionFiles(partition)
+    files.foreach { path =>
+      if (Bi5PathMeta.parse(path, opts.monthOffset).isDefined) {
+        val size = try headerSize(path) catch { case _: Throwable => -1L }
+        if (size >= 0) {
+          total += size / Bi5Codec.RecordBytes
+        } else {
+          // unknown/unreadable size: decode-count this one file exactly
+          try {
+            val in = new org.tukaani.xz.LZMAInputStream(
+              new java.io.BufferedInputStream(new FileInputStream(path), 1 << 16))
+            try total += Bi5Codec.ticks(in).size
+            finally in.close()
+          } catch { case _: Throwable => /* corrupt: contributes 0 */ }
+        }
+      }
+    }
+    total
+  }
+
+  override def next(): Boolean = !emitted && { emitted = true; true }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(1)
+    row.setLong(0, countFiles())
+    row
+  }
+
+  override def close(): Unit = ()
+}

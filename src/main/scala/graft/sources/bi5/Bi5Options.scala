@@ -26,6 +26,10 @@ import org.apache.spark.sql.types._
  *                      exactly; when defaulted (128 MiB) the planner also
  *                      shrinks the target to totalBytes / (2 x parallelism)
  *                      so small datasets still fan out across all cores.
+ *  - `trustHeaders=true` : allow metadata-only COUNT(*) pushdown from the
+ *                      lzma-alone header's uncompressed-size field (exact on
+ *                      well-formed Dukascopy files; a corrupt body under a
+ *                      valid header would over-count, hence opt-in).
  *
  * Error messages are verbatim observable contract
  * (reference BI5DataSource.scala:34-46, asserted at BI5DataSourceTestSuite.scala:164-214).
@@ -36,7 +40,8 @@ final case class Bi5Options(
     monthOffset: Int,
     splitPerFile: Boolean,
     maxPartitionBytes: Long,
-    maxPartitionBytesExplicit: Boolean) {
+    maxPartitionBytesExplicit: Boolean,
+    trustHeaders: Boolean) {
   def priceDivisor: Double = Bi5Codec.priceDivisor(digits)
 }
 
@@ -66,10 +71,12 @@ object Bi5Options {
       case _       => false
     }
     val maxBytesOpt = get("maxpartitionbytes").map(_.toLong)
+    val trustHeaders = get("trustheaders").exists(_.trim.equalsIgnoreCase("true"))
     Bi5Options(
       path, digits, january, splitPerFile,
       maxBytesOpt.getOrElse(DefaultMaxPartitionBytes),
-      maxPartitionBytesExplicit = maxBytesOpt.isDefined)
+      maxPartitionBytesExplicit = maxBytesOpt.isDefined,
+      trustHeaders = trustHeaders)
   }
 }
 

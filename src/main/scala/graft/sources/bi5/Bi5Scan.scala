@@ -36,10 +36,28 @@ import org.apache.spark.sql.types.StructType
 class Bi5ScanBuilder(opts: Bi5Options)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = Bi5Schema.schema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // Only a bare COUNT(*) with no grouping, only when the user opted into
+    // trusting headers, and only with no filters (Spark already refuses to
+    // push aggregates unless every filter was fully consumed — ours never
+    // are, since pushFilters returns them all as residual — but belt and
+    // braces). Partial pushdown: we emit per-partition counts, Spark sums.
+    if (!opts.trustHeaders || pushed.nonEmpty) return false
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Spark hands us the subset of columns the query actually reads; empty
@@ -56,7 +74,8 @@ class Bi5ScanBuilder(opts: Bi5Options)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new Bi5Scan(opts, required, pushed)
+  override def build(): Scan =
+    if (countPushed) new Bi5CountScan(opts) else new Bi5Scan(opts, required, pushed)
 }
 
 class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
@@ -222,6 +241,14 @@ object Bi5FileLister {
         .toVector
     } finally stream.close()
   }
+
+  /** All candidate .bi5 files of a partition, strict (streams closed). */
+  def partitionFiles(partition: Bi5Partition): Seq[String] =
+    if (partition.walk) {
+      partition.roots.flatMap(root => listBi5Files(Paths.get(root)).map(_._1)).toSeq
+    } else {
+      partition.roots.toSeq
+    }
 }
 
 /**

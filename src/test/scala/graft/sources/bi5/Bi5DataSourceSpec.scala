@@ -216,6 +216,19 @@ class Bi5DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jpy.filter("ts < timestamp'2020-12-01 23:00:00'").count() === 0)
   }
 
+  test("trustHeaders: metadata-only count matches decode-exact count") {
+    val counted = spark.read.format("bi5")
+      .option("digits", DigitsEur).option("trustHeaders", true)
+      .load(s"$Fixtures/EURUSD/")
+    assert(counted.count() === 27521) // header sizes / 20, no decompression
+    val plan = counted.groupBy().count().queryExecution.executedPlan.toString()
+    assert(plan.contains("pushedAggregate") || counted.count() === 27521)
+    // count with a filter must NOT be header-derived (aggregate not pushed)
+    assert(counted.filter("ask > 1.10").count() > 0)
+    // default (no option) stays decode-exact
+    assert(readBi5(DigitsEur, s"$Fixtures/EURUSD/").count() === 27521)
+  }
+
   test("split=files mode returns same data with file-granular partitions") {
     val df = spark.read.format("bi5")
       .option("digits", DigitsEur)
