@@ -41,6 +41,26 @@ object TextQueries {
              then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
       cast(0 as bigint), (acc, x) -> acc + x)"""
 
+  /** Documents with tokenized text, shingle hashes, and the 4 MinHash mins +
+    * 2x2 LSH bands — the shared front of q24 (signatures) and q25 (buckets). */
+  private def minhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.table(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("hs", expr(s"transform($sparkShingles, s -> ${md5long("s")})"))
+      .selectExpr(Seq("doc_id") ++ sparkMinhashSelect: _*)
+      .withColumn("band0", concat_ws("_", col("minh0"), col("minh1")))
+      .withColumn("band1", concat_ws("_", col("minh2"), col("minh3")))
+
+  /** (doc_id, 16-bit simhash) signatures — the shared front of q26 and q35. */
+  private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.table(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 1)
+      // hash each token ONCE; the 16 bit-majority votes then scan the
+      // precomputed hash array instead of re-hashing per bit
+      .withColumn("hs", expr(s"transform(toks, s -> ${md5long("s")})"))
+
   // The md5 hashing dominates cost, so it runs ONCE into an `hs` column;
   // each permutation is then a cheap arithmetic transform over it.
   // (Catalyst does not share subexpressions across lambda bodies — inlining
@@ -90,15 +110,7 @@ object TextQueries {
     // ---------------------------------------------------------------- q24
     Q(
       "q24_minhash_signatures",
-      (s, dir) =>
-        table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 3)
-          .withColumn("hs", expr(s"transform($sparkShingles, s -> ${md5long("s")})"))
-          .selectExpr(Seq("doc_id") ++ sparkMinhashSelect: _*)
-          .withColumn("band0", concat_ws("_", col("minh0"), col("minh1")))
-          .withColumn("band1", concat_ws("_", col("minh2"), col("minh3")))
-          .orderBy("doc_id"),
+      (s, dir) => minhashSigs(s, dir).orderBy("doc_id"),
       Some(s"""
         SELECT doc_id, ${duckMinhashSelect.mkString(", ")},
                minh0::VARCHAR || '_' || minh1::VARCHAR AS band0,
@@ -112,13 +124,7 @@ object TextQueries {
     Q(
       "q25_lsh_buckets",
       (s, dir) => {
-        val sigs = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 3)
-          .withColumn("hs", expr(s"transform($sparkShingles, s -> ${md5long("s")})"))
-          .selectExpr(Seq("doc_id") ++ sparkMinhashSelect: _*)
-          .withColumn("band0", concat_ws("_", col("minh0"), col("minh1")))
-          .withColumn("band1", concat_ws("_", col("minh2"), col("minh3")))
+        val sigs = minhashSigs(s, dir)
         val b0 = sigs.select(lit(0).as("band_no"), col("band0").as("band_key"), col("doc_id"))
         val b1 = sigs.select(lit(1).as("band_no"), col("band1").as("band_key"), col("doc_id"))
         b0.union(b1)
@@ -146,12 +152,7 @@ object TextQueries {
     Q(
       "q26_simhash",
       (s, dir) =>
-        table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 1)
-          // hash each token ONCE; the 16 bit-majority votes then scan the
-          // precomputed hash array instead of re-hashing per bit
-          .withColumn("hs", expr(s"transform(toks, s -> ${md5long("s")})"))
+        simhashSigs(s, dir)
           .selectExpr("doc_id", s"$sparkSimhash as simhash16", "size(toks) as n_tokens")
           .orderBy("doc_id"),
       Some {
@@ -355,11 +356,7 @@ object TextQueries {
     Q(
       "q35_simhash_hamming",
       (s, dir) => {
-        val sigs = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 1)
-          .withColumn("hs", expr(s"transform(toks, s -> ${md5long("s")})"))
-          .selectExpr("doc_id", s"$sparkSimhash as sh")
+        val sigs = simhashSigs(s, dir).selectExpr("doc_id", s"$sparkSimhash as sh")
         val a = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val b = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         a.join(b, col("doc_b") === col("doc_a") + 1)

@@ -1,7 +1,6 @@
 package graft.sources.bi5
 
 import java.io.{DataInputStream, FileInputStream}
-import java.nio.file.Paths
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -35,17 +34,9 @@ class Bi5CountScan(opts: Bi5Options) extends Scan with Batch {
   override def description(): String =
     s"bi5 path=${opts.path} pushedAggregate=[COUNT(*) via lzma headers]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // header reads are cheap; a single partition per immediate child keeps
-    // planning identical to the data scan without mattering for cost
-    val root = Paths.get(opts.path)
-    if (java.nio.file.Files.isDirectory(root)) {
-      val children = Option(new java.io.File(opts.path).list()).getOrElse(Array.empty).sorted
-      children.map(c => Bi5Partition(Array(root.resolve(c).toString), walk = true): InputPartition)
-    } else {
-      Array(Bi5Partition(Array(opts.path), walk = true))
-    }
-  }
+  // header reads are cheap; the reference per-child planning is plenty
+  override def planInputPartitions(): Array[InputPartition] =
+    Bi5Scan.perChildPartitions(opts.path)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new Bi5CountReaderFactory(opts)

@@ -94,19 +94,9 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
   override def description(): String =
     s"bi5 path=${opts.path} digits=${opts.digits} pushed=[${filters.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val root = Paths.get(opts.path)
-    if (opts.splitPerFile) {
-      planFileBins(root)
-    } else if (Files.isDirectory(root)) {
-      // Reference rule: one partition per immediate child (dirs AND stray
-      // files alike), recursion happens executor-side in the reader.
-      val children = Option(new File(opts.path).list()).getOrElse(Array.empty).sorted
-      children.map(c => Bi5Partition(Array(root.resolve(c).toString), walk = true): InputPartition)
-    } else {
-      Array(Bi5Partition(Array(opts.path), walk = true))
-    }
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    if (opts.splitPerFile) planFileBins(Paths.get(opts.path))
+    else Bi5Scan.perChildPartitions(opts.path)
 
   /** Scale mode: list all files on the driver, prune by pushed filters, then
     * first-fit-decreasing bin-pack by compressed size. With the DEFAULT byte
@@ -153,6 +143,22 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(rows * 48L, 1L))
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+}
+
+object Bi5Scan {
+  /** Reference partitioning rule: one partition per immediate child of a
+    * directory root (dirs AND stray files alike — recursion happens
+    * executor-side), a single partition for a plain file. Shared by the data
+    * scan and the count scan. */
+  def perChildPartitions(path: String): Array[InputPartition] = {
+    val root = Paths.get(path)
+    if (Files.isDirectory(root)) {
+      val children = Option(new File(path).list()).getOrElse(Array.empty).sorted
+      children.map(c => Bi5Partition(Array(root.resolve(c).toString), walk = true): InputPartition)
+    } else {
+      Array(Bi5Partition(Array(path), walk = true))
     }
   }
 }
