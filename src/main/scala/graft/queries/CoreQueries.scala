@@ -613,6 +613,77 @@ object CoreQueries {
           FROM events)
         WHERE rank <= 3 ORDER BY event_type, rank"""),
       "Per-group exact top-k via a custom typed Aggregator (k-bounded buffer with " +
-        "map-side combine) — the scale-friendly alternative to a ranking window.")
+        "map-side combine) — the scale-friendly alternative to a ranking window."),
+
+    // ---------------------------------------------------------------- q40
+    Q(
+      "q40_sessionize",
+      (s, dir) => {
+        // Gap-based sessionization (the conversation-splitting op of a
+        // training-data pipeline): a new session starts when a user is idle
+        // > 30 minutes. Two stacked windows: lag -> boundary flag, then a
+        // running sum of flags numbers the sessions. All integer-ms
+        // arithmetic, so cross-engine exact.
+        val ev = table(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(unix_millis(col("ts")), col("event_id"))
+        ev.withColumn("ms", unix_millis(col("ts")))
+          .withColumn(
+            "new_session",
+            when(col("ms") - lag("ms", 1).over(w) > 30L * 60 * 1000 ||
+              lag("ms", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("session_no", sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_no")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min("ms").as("start_ms"),
+            max("ms").as("end_ms"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+          .orderBy("user_id", "session_no")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+                 CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1)
+                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 30 * 60 * 1000
+                      OR lag(epoch_ms(ts), 1)
+                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, value, ms,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM flagged)
+        SELECT user_id, session_no, COUNT(1) AS n_events,
+               MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        FROM sessions GROUP BY user_id, session_no
+        ORDER BY user_id, session_no"""),
+      "Gap-based sessionization (30-min idle threshold) via stacked windows + aggregation — " +
+        "one shuffle by user, integer-ms exact across engines."),
+
+    // ---------------------------------------------------------------- q41
+    Q(
+      "q41_percentiles",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+            expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
+            expr("round(percentile(o_totalprice, 0.99), 4)").as("p99"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus"),
+      Some("""
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      "Exact linear-interpolated percentiles per group (Spark percentile = DuckDB " +
+        "quantile_cont; both interpolate on the sorted values, rounded to dodge last-bit " +
+        "interpolation arithmetic differences).")
   )
 }
