@@ -81,7 +81,28 @@ class Bi5ScanBuilder(opts: Bi5Options)
 class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
     extends Scan
     with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // Runtime (DPP-style) filters delivered after planning but before
+  // execution — e.g. the ticker IN (...) set from a broadcast join's build
+  // side. Merged into the same file-pruning machinery as planning-time
+  // filters, so a join against a small filtered dimension skips whole
+  // subtrees of hour files at run time.
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  private def allFilters: Array[Filter] = filters ++ runtimeFilters
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns that survived pruning: Spark resolves these against the
+    // scan OUTPUT, so advertising a pruned-away column fails analysis
+    required.fieldNames
+      .filter(n => n == "ticker" || n == "ts")
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(newFilters: Array[Filter]): Unit = {
+    runtimeFilters = newFilters.filter(Bi5FilePruner.supported)
+  }
 
   override def readSchema(): StructType = required
 
@@ -92,7 +113,7 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
     new Bi5MicroBatchStream(opts, required, filters, checkpointLocation)
 
   override def description(): String =
-    s"bi5 path=${opts.path} digits=${opts.digits} pushed=[${filters.mkString(", ")}]"
+    s"bi5 path=${opts.path} digits=${opts.digits} pushed=[${allFilters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     if (opts.splitPerFile) planFileBins(Paths.get(opts.path))
@@ -106,7 +127,7 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
     * tree decoding single-threaded under the 128 MiB default). */
   private def planFileBins(root: Path): Array[InputPartition] = {
     val files = Bi5FileLister.listBi5Files(root)
-      .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, filters) }
+      .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, allFilters) }
       .sortBy { case (_, size) => -size }
     val totalBytes = files.map(_._2).sum
     val parallelism =
@@ -133,7 +154,7 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Bi5PartitionReaderFactory(opts, required, filters)
+    new Bi5PartitionReaderFactory(opts, required, allFilters)
 
   override def estimateStatistics(): Statistics = {
     // No footer/stats exist in bi5 files; estimate from compressed bytes with

@@ -216,6 +216,21 @@ class Bi5DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(jpy.filter("ts < timestamp'2020-12-01 23:00:00'").count() === 0)
   }
 
+  test("runtime filtering (DPP-style) prunes planned files") {
+    import org.apache.spark.sql.sources.EqualTo
+    val optMap = Map("path" -> Fixtures, "digits" -> "5", "split" -> "files")
+    val opts = Bi5Options.from(k => optMap.get(k))
+    val scan = new Bi5ScanBuilder(opts).build().asInstanceOf[Bi5Scan]
+    def plannedFiles(s: Bi5Scan): Int =
+      s.toBatch.planInputPartitions().map(_.asInstanceOf[Bi5Partition].roots.length).sum
+    val before = plannedFiles(scan)
+    assert(before === 6) // 4 EURUSD + 2 USDJPY .bi5 files under the fixture root
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("ticker", "USDJPY")))
+    assert(plannedFiles(scan) === 2)
+    // runtime attributes advertised for join-side filtering
+    assert(scan.filterAttributes().map(_.describe()).toSet === Set("ticker", "ts"))
+  }
+
   test("trustHeaders: metadata-only count matches decode-exact count") {
     val counted = spark.read.format("bi5")
       .option("digits", DigitsEur).option("trustHeaders", true)
