@@ -37,13 +37,21 @@ case class FloatVecDot(left: Expression, right: Expression)
     }
   }
 
+  // NULL contract mirrors the HOF spelling exactly: null input array,
+  // mismatched lengths (zip_with pads with null), or any null element all
+  // yield NULL — a ragged/corrupt embedding surfaces as a detectable NULL,
+  // never a silently-partial dot product.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       acc += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
       i += 1
     }
@@ -56,12 +64,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
         }
-        ${ev.value} = $acc;
       """
     })
 

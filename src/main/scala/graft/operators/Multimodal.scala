@@ -72,16 +72,19 @@ object Multimodal {
       decoder: MediaDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
-      StructField("n_bytes", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
     val idIdx = df.schema.fieldIndex(idCol)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // Streaming per-row decode: one payload resident at a time.
+      // Streaming per-row decode: one payload resident at a time. A null
+      // payload (nullable binary columns are the parquet norm) propagates as
+      // null metadata/features instead of failing the task.
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        Row(r.getLong(idIdx), payload.length.toLong, decoder.decode(payload).toSeq)
+        if (payload == null) Row(r.getLong(idIdx), null, null)
+        else Row(r.getLong(idIdx), payload.length.toLong, decoder.decode(payload).toSeq)
       }
     }
   }

@@ -15,8 +15,15 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKByValue(k: Int)
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
 
-  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  // Total order even for NaN (java compare ranks NaN above all values — the
+  // same rank ORDER BY value DESC gives it in Spark and DuckDB windows; a
+  // plain `>` would make every NaN comparison false and silently corrupt the
+  // buffer). `+ 0.0` collapses -0.0 to 0.0 so the tie-break matches the
+  // windows' equality semantics.
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean = {
+    val c = java.lang.Double.compare(a._2 + 0.0, b._2 + 0.0)
+    c > 0 || (c == 0 && a._1 < b._1)
+  }
 
   private def insert(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] = {
     // buf is kept sorted best-first and at most k long; k is small, so a

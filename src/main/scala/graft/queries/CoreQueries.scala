@@ -265,8 +265,8 @@ object CoreQueries {
         )
         SELECT event_id, o_orderkey, ord_ms, o_totalprice FROM j WHERE rn = 1
         ORDER BY event_id"""),
-      "As-of join: latest event at-or-before each order's date (tick-data style nearest-earlier match), " +
-        "composed as equi-join on a derived key + window top-1. Millisecond-epoch comparisons keep " +
+      "As-of join: latest order at-or-before each event's timestamp (tick-data style " +
+        "nearest-earlier match), one row per event. Millisecond-epoch comparisons keep " +
         "Spark (micros) and DuckDB (nanos) timestamp precision in agreement."),
 
     // ---------------------------------------------------------------- q09
@@ -420,7 +420,9 @@ object CoreQueries {
         val o = table(s, dir, "orders")
         val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
         val b = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
-        a.except(b).union(b.except(a)).distinct().orderBy("custkey")
+        // except() outputs are distinct and provably disjoint, so the union
+        // needs no extra dedup pass
+        a.except(b).union(b.except(a)).orderBy("custkey")
       },
       Some("""
         SELECT DISTINCT custkey FROM (

@@ -253,7 +253,8 @@ object TextQueries {
             "size(toks) as n_tokens",
             "cast(length(text) - (size(toks) - 1) as double) / size(toks) as avg_token_len",
             "cast(size(filter(toks, x -> x in ('the', 'a', 'of', 'and', 'to'))) as double) / size(toks) as stop_ratio",
-            "cast(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) as double) / length(text) as punct_ratio")
+            // empty-doc guard: /0 throws under Spark's default ANSI mode
+            "case when length(text) = 0 then cast(0.0 as double) else cast(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) as double) / length(text) end as punct_ratio")
           .withColumn(
             "quality",
             expr("case when n_tokens >= 20 and avg_token_len between 2.0 and 8.0 then 'ok' else 'low' end"))
@@ -265,7 +266,8 @@ object TextQueries {
                len(toks) AS n_tokens,
                CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len,
                CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len(toks) AS stop_ratio,
-               CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+               CASE WHEN LENGTH(text) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) END AS punct_ratio,
                CASE WHEN len(toks) >= 20 AND CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 8.0
                     THEN 'ok' ELSE 'low' END AS quality
         FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks FROM documents)
@@ -296,19 +298,20 @@ object TextQueries {
     // ---------------------------------------------------------------- q31
     Q(
       "q31_fingerprint",
-      (s, dir) => {
-        val hs = s"transform($sparkShingles, s -> ${md5long("s")})"
+      (s, dir) =>
         table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
+          // hash shingles once; inlining $hs into all four outputs would
+          // re-run the md5 pass per column (no cross-expression sharing)
+          .withColumn("hs", expr(s"transform($sparkShingles, s -> ${md5long("s")})"))
           .selectExpr(
             "doc_id",
-            s"array_min($hs) as fp_min",
-            s"array_max($hs) as fp_max",
-            s"size(array_distinct($hs)) as n_distinct_shingles",
-            s"size($hs) as n_shingles")
-          .orderBy("doc_id")
-      },
+            "array_min(hs) as fp_min",
+            "array_max(hs) as fp_max",
+            "size(array_distinct(hs)) as n_distinct_shingles",
+            "size(hs) as n_shingles")
+          .orderBy("doc_id"),
       Some {
         val hs = s"list_transform($duckShingles, s -> ${duckMd5long("s")})"
         s"""

@@ -40,11 +40,17 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val n = spark.sql(
       "select vec_dot(cast(null as array<float>), array(cast(1.0 as float)))").head
     assert(n.isNullAt(0))
-    // length mismatch: min-length semantics
+    // length mismatch -> NULL (matches zip_with's null padding semantics:
+    // a ragged embedding must surface as detectable null, not a partial dot)
     val m = spark.sql(
       "select vec_dot(array(cast(2.0 as float)), " +
         "array(cast(3.0 as float), cast(9.0 as float)))").head
-    assert(m.getDouble(0) === 6.0)
+    assert(m.isNullAt(0))
+    // null element -> NULL
+    val ne = spark.sql(
+      "select vec_dot(array(cast(1.0 as float), cast(null as float)), " +
+        "array(cast(1.0 as float), cast(1.0 as float)))").head
+    assert(ne.isNullAt(0))
   }
 
   test("vec_dot rejects wrong argument types") {
