@@ -82,13 +82,19 @@ class Bi5CountReader(partition: Bi5Partition, opts: Bi5Options)
         if (size >= 0) {
           total += size / Bi5Codec.RecordBytes
         } else {
-          // unknown/unreadable size: decode-count this one file exactly
+          // unknown/unreadable size: decode-count this one file exactly.
+          // Close the raw stream if the LZMA ctor throws (else the fd leaks).
+          var fis: FileInputStream = null
           try {
+            fis = new FileInputStream(path)
             val in = new org.tukaani.xz.LZMAInputStream(
-              new java.io.BufferedInputStream(new FileInputStream(path), 1 << 16))
+              new java.io.BufferedInputStream(fis, 1 << 16))
             try total += Bi5Codec.ticks(in).size
             finally in.close()
-          } catch { case _: Throwable => /* corrupt: contributes 0 */ }
+          } catch {
+            case _: Throwable => // corrupt: contributes 0
+              if (fis != null) { try fis.close() catch { case _: Throwable => } }
+          }
         }
       }
     }

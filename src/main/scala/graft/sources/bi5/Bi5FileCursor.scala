@@ -48,23 +48,36 @@ final class Bi5FileCursor(partition: Bi5Partition, opts: Bi5Options, filters: Ar
   /** Advance to the next decodable file, or None when exhausted. */
   def nextFile(): Option[OpenFile] = {
     closeCurrent()
-    while (files.hasNext) {
+    while (hasMoreFiles) {
       val path = files.next()
       Bi5PathMeta.parse(path, opts.monthOffset) match {
         case Some(meta) if Bi5FilePruner.mayMatchMeta(meta, filters) =>
+          var fis: FileInputStream = null
           try {
-            val in = new org.tukaani.xz.LZMAInputStream(
-              new BufferedInputStream(new FileInputStream(path), 1 << 16))
+            fis = new FileInputStream(path)
+            val in = new org.tukaani.xz.LZMAInputStream(new BufferedInputStream(fis, 1 << 16))
             currentIn = in
             return Some(OpenFile(meta, UTF8String.fromString(meta.ticker), Bi5Codec.ticks(in)))
           } catch {
-            case _: Throwable => closeCurrent() // bad LZMA header, empty file, ...
+            case _: Throwable =>
+              // bad LZMA header, empty file, ... — the LZMAInputStream ctor
+              // throws BEFORE currentIn is assigned, so close the raw stream
+              // explicitly or its descriptor leaks until GC
+              if (fis != null) { try fis.close() catch { case _: Throwable => } }
+              closeCurrent()
           }
         case _ => // non-matching layout (reference throws+swallows) or pruned
       }
     }
     None
   }
+
+  /** Walk traversal can itself throw (file deleted mid-walk, unreadable dir,
+    * symlink loop). Skip-corrupt extends to the traversal: a failing walk
+    * ends this partition's file supply instead of failing the task. */
+  private[this] def hasMoreFiles: Boolean =
+    try files.hasNext
+    catch { case _: Throwable => false }
 
   private[this] def closeCurrent(): Unit = {
     if (currentIn != null) {

@@ -41,7 +41,8 @@ final case class Bi5Options(
     splitPerFile: Boolean,
     maxPartitionBytes: Long,
     maxPartitionBytesExplicit: Boolean,
-    trustHeaders: Boolean) {
+    trustHeaders: Boolean,
+    maxFilesPerTrigger: Int) {
   def priceDivisor: Double = Bi5Codec.priceDivisor(digits)
 }
 
@@ -67,16 +68,26 @@ object Bi5Options {
       throw new IllegalArgumentException("january can only be 0 or 1")
     }
     val splitPerFile = get("split").map(_.trim.toLowerCase).getOrElse("children") match {
-      case "files" => true
-      case _       => false
+      case "files"    => true
+      case "children" => false
+      case other =>
+        throw new IllegalArgumentException(s"split must be 'children' or 'files', got '$other'")
     }
     val maxBytesOpt = get("maxpartitionbytes").map(_.toLong)
+    maxBytesOpt.foreach { b =>
+      if (b <= 0) throw new IllegalArgumentException("maxPartitionBytes must be positive")
+    }
     val trustHeaders = get("trustheaders").exists(_.trim.equalsIgnoreCase("true"))
+    val maxFilesPerTrigger = get("maxfilespertrigger").map(_.toInt).getOrElse(0)
+    if (maxFilesPerTrigger < 0) {
+      throw new IllegalArgumentException("maxFilesPerTrigger must be positive")
+    }
     Bi5Options(
       path, digits, january, splitPerFile,
       maxBytesOpt.getOrElse(DefaultMaxPartitionBytes),
       maxPartitionBytesExplicit = maxBytesOpt.isDefined,
-      trustHeaders = trustHeaders)
+      trustHeaders = trustHeaders,
+      maxFilesPerTrigger = maxFilesPerTrigger)
   }
 }
 

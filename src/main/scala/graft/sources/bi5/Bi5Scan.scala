@@ -67,8 +67,11 @@ class Bi5ScanBuilder(opts: Bi5Options)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(Bi5FilePruner.supported)
-    // Return everything: pruning is file-granular and advisory; Spark keeps
-    // evaluating all predicates row-level, so exactness is never at risk.
+    // Return everything: Spark re-evaluates all predicates row-level. File
+    // pruning itself rests on the layout invariant that a file's rows fall
+    // in its path-derived hour window (msOffset in [0, 1h)) — see
+    // Bi5FilePruner's scaladoc; rows of a malformed file violating that
+    // invariant could be pruned away with a ts filter present.
     filters
   }
 
@@ -142,24 +145,42 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
       else math.min(
         opts.maxPartitionBytes,
         math.max(1L << 20, totalBytes / math.max(1, 2 * parallelism) + 1))
-    val bins = ArrayBuffer.empty[(ArrayBuffer[String], Long)]
+    // Sequential packing over the size-sorted listing: O(files). First-fit
+    // against all open bins would be O(files x bins) — hours of driver time
+    // at the million-file scale this mode exists for, for near-identical
+    // partition quality on size-sorted input.
+    val bins = ArrayBuffer.empty[Array[String]]
+    val bin = ArrayBuffer.empty[String]
+    var used = 0L
     files.foreach { case (path, size) =>
-      bins.indexWhere { case (_, used) => used + size <= targetBytes } match {
-        case -1 => bins += ((ArrayBuffer(path), size))
-        case i  => val (b, used) = bins(i); b += path; bins(i) = (b, used + size)
+      if (bin.nonEmpty && used + size > targetBytes) {
+        bins += bin.toArray
+        bin.clear()
+        used = 0L
       }
+      bin += path
+      used += size
     }
+    if (bin.nonEmpty) bins += bin.toArray
     if (bins.isEmpty) Array(Bi5Partition(Array.empty, walk = false))
-    else bins.map { case (b, _) => Bi5Partition(b.toArray, walk = false): InputPartition }.toArray
+    else bins.map(b => Bi5Partition(b, walk = false): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new Bi5PartitionReaderFactory(opts, required, allFilters)
 
+  // One listing per scan, reused by stats (and cheap relative to planning).
+  private lazy val listedFiles: Seq[(String, Long)] =
+    Bi5FileLister.listBi5Files(Paths.get(opts.path))
+
   override def estimateStatistics(): Statistics = {
     // No footer/stats exist in bi5 files; estimate from compressed bytes with
     // the ~4.2x LZMA ratio observed on the reference fixtures, 20 B/record.
-    val compressed = Bi5FileLister.listBi5Files(Paths.get(opts.path)).map(_._2).sum
+    // Pushed filters prune the listing first so a ticker/ts-restricted scan
+    // reports its actual magnitude (broadcast decisions depend on this).
+    val compressed = listedFiles
+      .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, filters) }
+      .map(_._2).sum
     val rows = (compressed * 4.2 / Bi5Codec.RecordBytes).toLong
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(rows * 48L, 1L))

@@ -52,4 +52,25 @@ class Bi5StreamingSpec extends AnyFunSuite {
       assert(spark.sql("select count(distinct ticker) from bi5_tail").head.getLong(0) === 1)
     } finally q.stop()
   }
+
+  test("maxFilesPerTrigger paces the backlog without losing data") {
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("bi5paced")
+    for (rel <- Seq("EURUSD/2019/11/31/15h_ticks.bi5", "EURUSD/2020/03/02/12h_ticks.bi5")) {
+      val dst = root.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(s"$Fixtures/$rel"), dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = spark.readStream.format("bi5")
+      .option("digits", 5)
+      .option("maxFilesPerTrigger", 1) // backlog of 2 files -> 2 micro-batches
+      .load(root.toString)
+      .writeStream.format("memory").queryName("bi5_paced").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_paced").head.getLong(0) === 8816 + 13809)
+      // admission control actually split the backlog into multiple batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
+  }
 }
