@@ -686,6 +686,205 @@ object CoreQueries {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
       "Exact linear-interpolated percentiles per group (Spark percentile = DuckDB " +
         "quantile_cont; both interpolate on the sorted values, rounded to dodge last-bit " +
-        "interpolation arithmetic differences).")
+        "interpolation arithmetic differences)."),
+
+    // ---------------------------------------------------------------- q42
+    Q(
+      "q42_pivot_status",
+      (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(msum(col("o_totalprice"))).cast("double"))
+          .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "Pivot (long->wide conditional aggregation) with explicit value list — with values " +
+        "supplied, Spark skips the extra distinct-values job, so it stays one shuffle."),
+
+    // ---------------------------------------------------------------- q43
+    Q(
+      "q43_rank_distribution",
+      (s, dir) => {
+        // Distribution-style window functions over a tie-broken total order
+        // (c_acctbal, c_custkey): percent_rank/cume_dist are pure rank/count
+        // arithmetic and ntile's larger-first-groups rule is shared by both
+        // engines, so every value is cross-engine exact.
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        table(s, dir, "customer")
+          .select(
+            col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            row_number().over(w).as("rn"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               row_number() OVER w AS rn,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey"""),
+      "Rank-distribution windows (row_number/ntile/percent_rank/cume_dist) — one shuffle " +
+        "by segment; per-partition sort is the only cost at scale."),
+
+    // ---------------------------------------------------------------- q44
+    Q(
+      "q44_corr_stats",
+      (s, dir) => {
+        // Correlation/covariance/stddev per group WITHOUT the built-in corr():
+        // the moments (n, Σx, Σy, Σx², Σy², Σxy) are summed exactly in
+        // DECIMAL (inputs have 2 decimals, so squares/products terminate at
+        // 4), then the textbook formulas run in double with the identical
+        // expression shape on both engines — deterministic to the last bit.
+        // Built-in corr() would stream doubles in engine-specific order and
+        // drift in the low bits.
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("l_quantity").cast(Dec2)).cast("double").as("sx"),
+            sum(col("l_extendedprice").cast(Dec2)).cast("double").as("sy"),
+            sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,4)"))
+              .cast("double").as("sxx"),
+            sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(28,4)"))
+              .cast("double").as("syy"),
+            sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,4)"))
+              .cast("double").as("sxy"))
+          .withColumn("covar_samp", expr("(sxy - sx * sy / n) / (n - 1)"))
+          .withColumn("stddev_x", expr("sqrt((sxx - sx * sx / n) / (n - 1))"))
+          .withColumn("stddev_y", expr("sqrt((syy - sy * sy / n) / (n - 1))"))
+          .withColumn("corr_xy", expr("((sxy - sx * sy / n) / (n - 1)) / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1)))"))
+          .select("l_returnflag", "n", "covar_samp", "stddev_x", "stddev_y", "corr_xy")
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (sxy - sx * sy / n) / (n - 1) AS covar_samp,
+               sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_x,
+               sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_y,
+               ((sxy - sx * sy / n) / (n - 1)) / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_xy
+        FROM m ORDER BY l_returnflag"""),
+      "Correlation/covariance/stddev per group from exact decimal moments + identical " +
+        "double formulas — map-side-combinable (6 sums), unlike a naive two-pass variance."),
+
+    // ---------------------------------------------------------------- q45
+    Q(
+      "q45_range_join_events",
+      (s, dir) => {
+        // Equi + range join: per purchase event, the same user's activity in
+        // the following 24 hours. The user-key equality keeps this a plain
+        // shuffle join with the time range as a residual predicate — the
+        // formulation that scales; a pure interval join (no equality key)
+        // would need time-bucket blocking (see SCALE.md).
+        val ev = table(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase").select(
+          col("event_id").as("anchor_id"),
+          col("user_id").as("ukey"),
+          unix_millis(col("ts")).as("start_ms"))
+        val activity = ev.select(
+          col("user_id").as("ukey"),
+          col("event_id"),
+          unix_millis(col("ts")).as("ev_ms"),
+          col("value"))
+        purchases.join(
+            activity,
+            purchases("ukey") === activity("ukey") &&
+              col("ev_ms") > col("start_ms") &&
+              col("ev_ms") <= col("start_ms") + lit(24L * 3600 * 1000))
+          .groupBy("anchor_id", "start_ms")
+          .agg(
+            count(lit(1)).as("n_follow"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("follow_value"))
+          .orderBy("anchor_id")
+      },
+      Some("""
+        SELECT p.event_id AS anchor_id, epoch_ms(p.ts) AS start_ms,
+               COUNT(1) AS n_follow,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS follow_value
+        FROM events p
+        JOIN events e
+          ON e.user_id = p.user_id
+         AND epoch_ms(e.ts) > epoch_ms(p.ts)
+         AND epoch_ms(e.ts) <= epoch_ms(p.ts) + 24 * 3600 * 1000
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, epoch_ms(p.ts)
+        ORDER BY p.event_id"""),
+      "Equi+range join (purchase -> same user's events in the next 24 h) with decimal-" +
+        "exact value sums; the equality key avoids the quadratic interval-join plan."),
+
+    // ---------------------------------------------------------------- q46
+    Q(
+      "q46_salted_join",
+      (s, dir) => {
+        // Skew-mitigation pattern, verifiable: the fact side gets a
+        // deterministic salt (l_linenumber % 8), the dimension side is
+        // replicated across all 8 salt values, and the join key becomes
+        // (orderkey, salt) — a hot orderkey now spreads over 8 reducers.
+        // The result is provably identical to the unsalted join, which is
+        // exactly what the oracle runs.
+        val salts = explode(sequence(lit(0), lit(7))).as("salt")
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), salts)
+        val li = table(s, dir, "lineitem")
+          .withColumn("salt", pmod(col("l_linenumber"), lit(8)))
+        li.join(o, li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(psum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(1) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
+      "Salted join: deterministic 8-way key salting (replicate dim x salt, spread fact) — " +
+        "the manual hot-key remedy AQE skew-join automates; result provably equals the plain join."),
+
+    // ---------------------------------------------------------------- q47
+    Q(
+      "q47_unpivot",
+      (s, dir) =>
+        table(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(msum(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(msum(col("l_extendedprice"))).cast("double").as("sum_base"))
+          .select(
+            col("l_returnflag"),
+            expr("stack(2, 'sum_qty', sum_qty, 'sum_base', sum_base) as (measure, value)"))
+          .orderBy("l_returnflag", "measure"),
+      Some("""
+        WITH agg AS (
+          SELECT l_returnflag,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, m.measure, m.value
+        FROM agg, LATERAL (VALUES ('sum_qty', sum_qty), ('sum_base', sum_base)) AS m(measure, value)
+        ORDER BY l_returnflag, m.measure"""),
+      "Unpivot (wide->long) via stack() — a generator projection, no extra shuffle beyond " +
+        "the feeding aggregation.")
   )
 }

@@ -60,6 +60,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(ivf.agg(sum("n_members")).head.getLong(0) === 500)
   }
 
+  test("salted join result is identical to the plain join (q46)") {
+    val salted = SparkEntry.queries("q46_salted_join")(spark, Sf)
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+    assert(salted.except(plain).count() === 0 && plain.except(salted).count() === 0)
+  }
+
+  test("new relational/dedup operators hold their invariants (q42-q48)") {
+    // pivot: one row per priority, all three status columns present
+    val piv = SparkEntry.queries("q42_pivot_status")(spark, Sf)
+    assert(piv.columns.toSet === Set("o_orderpriority", "F", "O", "P"))
+    assert(piv.count() === 5)
+    // distribution windows: pr/cd bounded, quartile in 1..4
+    val rd = SparkEntry.queries("q43_rank_distribution")(spark, Sf)
+    assert(rd.filter(col("pr") < 0 || col("pr") > 1 || col("cd") <= 0 || col("cd") > 1
+      || col("quartile") < 1 || col("quartile") > 4).count() === 0)
+    // moments-based correlation is a true correlation
+    val cs = SparkEntry.queries("q44_corr_stats")(spark, Sf)
+    assert(cs.filter(abs(col("corr_xy")) > 1.0000001).count() === 0)
+    assert(cs.filter(col("stddev_x") < 0 || col("stddev_y") < 0).count() === 0)
+    // range join: follow-window strictly after the anchor
+    val rj = SparkEntry.queries("q45_range_join_events")(spark, Sf)
+    assert(rj.filter(col("n_follow") <= 0).count() === 0)
+    // candidate pairs: ordered, jaccard in (0, 1], overlap >= threshold
+    val sp = SparkEntry.queries("q48_shingle_pairs")(spark, Sf)
+    assert(sp.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(sp.filter(col("n_common") < 2).count() === 0)
+    assert(sp.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
+  }
+
   test("multimodal feature extraction is deterministic and streams") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .selectExpr("doc_id", "cast(text as binary) as payload")

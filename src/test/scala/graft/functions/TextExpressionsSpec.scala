@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics lock for the native word_ngrams expression: it must match the
+  * HOF spelling it replaced byte-for-byte (the DuckDB oracles depend on it).
+  */
+class TextExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("TextExpressionsSpec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    TextExpressions.register(s)
+    s
+  }
+
+  private val hof3 =
+    "transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+
+  test("word_ngrams(_, 3) equals the interpreted HOF spelling on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .filter("size(toks) >= 3")
+    val diff = docs
+      .selectExpr("doc_id", s"word_ngrams(toks, 3) as a", s"$hof3 as b")
+      .filter("a != b")
+    assert(diff.count() === 0)
+  }
+
+  test("edge cases: short inputs, empty, null tokens, n=1") {
+    val rows = spark.sql(
+      """select
+           word_ngrams(array('a','b'), 3) as short,
+           word_ngrams(cast(array() as array<string>), 3) as empty,
+           word_ngrams(array('a','b','c','d'), 3) as ok,
+           word_ngrams(array('a', cast(null as string), 'c', 'd'), 3) as withnull,
+           word_ngrams(array('x','y'), 1) as unigrams,
+           word_ngrams(cast(null as array<string>), 3) as nullarr
+      """).head()
+    assert(rows.getSeq[String](0) === Seq.empty)
+    assert(rows.getSeq[String](1) === Seq.empty)
+    assert(rows.getSeq[String](2) === Seq("a b c", "b c d"))
+    // windows: (a,null,c) -> null, (null,c,d) -> null
+    assert(rows.getSeq[String](3) === Seq(null, null))
+    assert(rows.getSeq[String](4) === Seq("x", "y"))
+    assert(rows.isNullAt(5))
+  }
+
+  test("null-token windows null their shingles, others survive") {
+    val r = spark.sql(
+      "select word_ngrams(array('a', cast(null as string), 'c', 'd', 'e'), 3) as s").head()
+    // windows: (a,_,c)=null, (_,c,d)=null, (c,d,e)='c d e'
+    assert(r.getSeq[String](0) === Seq(null, null, "c d e"))
+  }
+}
