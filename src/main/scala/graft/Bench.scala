@@ -18,7 +18,10 @@ object Bench {
     // sorted order: stable timings across rounds (Map order is hash-random)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: executes the COMPLETE plan (count() would let Catalyst
+      // prune output columns and eliminate final sorts — under-measuring)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
