@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{FloatVecDot, WordNgrams}
+
+/**
+ * Session-extensions entry point: makes the library's native expressions
+ * available to every session (including pure-SQL users) via standard Spark
+ * configuration, with no imperative register() call:
+ *
+ * {{{
+ *   spark.sql.extensions=graft.GraftExtensions
+ * }}}
+ *
+ * Injected functions:
+ *  - `vec_dot(array<float>, array<float>)` — codegen dot product
+ *    (graft.functions.FloatVecDot)
+ *  - `word_ngrams(array<string>, n)` — compiled word n-gram shingling
+ *    (graft.functions.WordNgrams)
+ *
+ * The imperative `VectorExpressions.register` / `TextExpressions.register`
+ * remain for sessions created without the extension (the query library calls
+ * them defensively); both paths bind the same Expression classes.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other              => other.eval(null).asInstanceOf[Int]
+        }
+        WordNgrams(exprs(0), n)
+      }))
+  }
+}

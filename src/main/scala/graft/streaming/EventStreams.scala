@@ -59,6 +59,34 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: each purchase joined to the SAME user's
+    * follow-up events within 30 minutes after it. Both sides carry
+    * watermarks and the join condition bounds event time in both directions,
+    * so Spark can expire buffered rows — state stays proportional to the
+    * 30-minute window, never to the stream's history. This is the streaming
+    * twin of the batch equi+range join (q45). */
+  def purchaseFollowups(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_event_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val follows = events
+      .select(
+        col("event_id").as("f_event_id"),
+        col("user_id").as("f_user_id"),
+        col("ts").as("f_ts"),
+        col("event_type").as("f_type"))
+      .withWatermark("f_ts", "10 minutes")
+    purchases.join(
+      follows,
+      col("p_user_id") === col("f_user_id") &&
+        col("f_ts") > col("p_ts") &&
+        col("f_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** Arbitrary stateful aggregation: per-user running count + value total,

@@ -57,4 +57,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(last.count() === 15)
     assert(last.agg(sum("n")).head.getLong(0) === 1000)
   }
+
+  test("stream-stream interval join matches the batch join on emitted pairs") {
+    runToMemory(
+      EventStreams.purchaseFollowups(EventStreams.readEvents(spark, Sf)),
+      "follow_join", "append")
+    val streamed = spark.sql("select p_event_id, f_event_id from follow_join")
+    // batch oracle: identical join over the same static events table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.schema(EventStreams.rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(Sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("pu"), col("ts").as("p_ts"))
+    val f = ev.select(col("event_id").as("f_event_id"), col("user_id").as("fu"), col("ts").as("f_ts"))
+    val batch = p.join(f,
+      col("pu") === col("fu") &&
+        col("f_ts") > col("p_ts") &&
+        col("f_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("p_event_id", "f_event_id")
+    // watermark semantics can hold back pairs near the stream's end, but a
+    // single-batch processAllAvailable over static data emits everything
+    // except possibly the tail horizon; require full equality minus nothing:
+    assert(streamed.except(batch).count() === 0)
+    val missing = batch.except(streamed).count()
+    assert(missing === 0, s"stream withheld $missing pairs")
+    assert(batch.count() > 0)
+  }
 }
