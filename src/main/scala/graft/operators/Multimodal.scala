@@ -65,6 +65,63 @@ object Multimodal {
    * Output: (`idCol`, n_bytes: long, features: array<float>) — payload
    * dropped, so only small rows survive the transform.
    */
+  /**
+   * Frame sampling: treat the payload as a sequence of fixed-size frames
+   * and keep every `stride`-th one (video keyframe extraction's execution
+   * shape). The byte-level slicing is the REAL partition/batch plumbing; a
+   * codec would only change how frame boundaries are found. Output:
+   * (`idCol`, n_frames: int, frames: array<binary>) — sampled frames only,
+   * so output rows shrink by ~`stride`x.
+   */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      frameBytes: Int,
+      stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("frames", ArrayType(BinaryType, containsNull = false), nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) Row(r.getLong(idIdx), null, null)
+        else {
+          val total = payload.length / frameBytes // trailing partial dropped
+          val sampled = (0 until total by stride).map { f =>
+            java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes)
+          }
+          Row(r.getLong(idIdx), total, sampled)
+        }
+      }
+    }
+  }
+
+  /** Feature resize: shrink a feature vector to `newDim` by averaging equal
+    * buckets (image thumbnail / embedding truncation shape). Pure
+    * arithmetic — nothing to stub. Expressed as a column op so it stays in
+    * whole-stage codegen next to the similarity operators. */
+  def resizeFeatures(features: org.apache.spark.sql.Column, newDim: Int): org.apache.spark.sql.Column = {
+    require(newDim > 0, "newDim must be positive")
+    import org.apache.spark.sql.functions._
+    val n = size(features)
+    // bucket b averages elements [b*n/newDim, (b+1)*n/newDim)
+    transform(sequence(lit(0), lit(newDim - 1)), b => {
+      val from = (b * n) / newDim
+      val until = ((b + lit(1)) * n) / newDim
+      val len = greatest(until - from, lit(1))
+      aggregate(
+        slice(features, from + 1, len),
+        lit(0.0d),
+        (acc, x) => acc + x.cast("double")) / len.cast("double")
+    })
+  }
+
   def extractFeatures(
       df: DataFrame,
       idCol: String,

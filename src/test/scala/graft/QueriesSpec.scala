@@ -112,4 +112,28 @@ class QueriesSpec extends AnyFunSuite {
       new Multimodal.RealMediaDecoder(8).decode(Array[Byte](1, 2))
     }
   }
+
+  test("multimodal frame sampling and feature resize") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .selectExpr("doc_id", "cast(text as binary) as payload")
+    // frame-sample: every 3rd 16-byte frame
+    val fs = Multimodal.sampleFrames(docs, "doc_id", "payload", 16, 3)
+    assert(fs.schema.fieldNames.toSeq === Seq("doc_id", "n_frames", "frames"))
+    val row = fs.orderBy("doc_id").first()
+    val nFrames = row.getInt(1)
+    val kept = row.getSeq[Array[Byte]](2)
+    assert(kept.length === (nFrames + 2) / 3)
+    assert(kept.forall(_.length === 16))
+    // resize: 8-dim fake features -> 4 bucket means, bit-exact check
+    val dec = new Multimodal.FakeMediaDecoder(8)
+    val feats = Multimodal.extractFeatures(docs, "doc_id", "payload", dec)
+    val resized = feats.select(col("doc_id"), col("features"),
+      Multimodal.resizeFeatures(col("features"), 4).as("small"))
+    val r = resized.orderBy("doc_id").first()
+    val f = r.getSeq[Float](1)
+    val sm = r.getSeq[Double](2)
+    assert(sm.length === 4)
+    assert(sm(0) === (f(0).toDouble + f(1).toDouble) / 2.0)
+    assert(sm(3) === (f(6).toDouble + f(7).toDouble) / 2.0)
+  }
 }
