@@ -41,22 +41,35 @@ class Bi5ScanBuilder(opts: Bi5Options)
 
   private var required: StructType = Bi5Schema.schema
   private var pushed: Array[Filter] = Array.empty
-  private var countPushed = false
+  private var aggsPushed: Seq[Bi5Agg] = Nil
 
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    // Only a bare COUNT(*) with no grouping, only when the user opted into
-    // trusting headers, and only with no filters (Spark already refuses to
-    // push aggregates unless every filter was fully consumed — ours never
-    // are, since pushFilters returns them all as residual — but belt and
-    // braces). Partial pushdown: we emit per-partition counts, Spark sums.
+    // Metadata-answerable aggregates only — COUNT(*) (lzma headers) and
+    // MIN/MAX(ts) (boundary-hour decode) — with no grouping, only when the
+    // user opted into trusting file metadata, and only with no filters
+    // (Spark already refuses to push aggregates unless every filter was
+    // fully consumed — ours never are, since pushFilters returns them all
+    // as residual — but belt and braces). Partial pushdown: each partition
+    // emits one row of partials; Spark runs the final aggregation.
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
     if (!opts.trustHeaders || pushed.nonEmpty) return false
-    val ok = aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (ok) countPushed = true
-    ok
+    if (!aggregation.groupByExpressions().isEmpty) return false
+    def tsColumn(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("ts"))
+        case _                 => false
+      }
+    val mapped = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar              => Some(Bi5Agg.Count)
+      case m: Min if tsColumn(m.column) => Some(Bi5Agg.MinTs)
+      case m: Max if tsColumn(m.column) => Some(Bi5Agg.MaxTs)
+      case _                         => None
+    }
+    if (mapped.isEmpty || mapped.exists(_.isEmpty)) return false
+    aggsPushed = mapped.flatten
+    true
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -78,7 +91,8 @@ class Bi5ScanBuilder(opts: Bi5Options)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    if (countPushed) new Bi5CountScan(opts) else new Bi5Scan(opts, required, pushed)
+    if (aggsPushed.nonEmpty) new Bi5AggScan(opts, aggsPushed)
+    else new Bi5Scan(opts, required, pushed)
 }
 
 class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Locks the SCALE-critical physical-plan shapes: these assertions fail if a
+ * future edit silently turns a broadcast join into a shuffle join, drops a
+ * pushed filter, or degrades top-k into a global sort. The plan text is the
+ * same evidence `.explain("formatted")` shows a user.
+ */
+class PlanShapesSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("PlanShapesSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("star join broadcasts the dimension sides (q03)") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("filter and projection reach the parquet scan (q02)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("PushedFilters:"),
+      "filter not pushed to parquet:\n" + p)
+    // pruned read schema: only the referenced columns are scanned
+    assert(!p.contains("l_comment") && !p.contains("l_tax"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort (q17)") {
+    val p = plan("q17_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregations are partial+final (map-side combine) (q01)") {
+    val p = plan("q01_pricing_summary")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline (q02)") {
+    // AQE hides codegen spans until the plan is final — execute first
+    val df = SparkEntry.queries("q02_filter_project")(spark, Sf)
+    df.collect()
+    // formatted mode stars codegen'd operators: "* Filter", "* Project"
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("* Filter") && p.contains("* Project"), p)
+  }
+
+  test("as-of join is one window pass, not a join+rank blowup (q08)") {
+    val p = plan("q08_asof_last_order")
+    assert(p.contains("Window"), p)
+    // the scalable spelling has NO join between orders and events (only the
+    // tiny broadcast of the max-user scalar) and no row_number ranking
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("salted join spreads the key space (q46): join key includes the salt") {
+    val p = plan("q46_salted_join")
+    assert(p.contains("salt"), p)
+  }
+
+  test("bi5 scan prunes columns and pushes ticker/ts filters") {
+    val fixtures = "/root/reference/spark-2.4/src/test/resources"
+    val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")
+      .filter("ticker = 'EURUSD'")
+      .select("ts", "ask")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BatchScan bi5"), p)
+    assert(p.contains("pushed=[EqualTo(ticker,EURUSD)]"), p)
+    // pruned output: volumes not materialized by the scan
+    assert(!p.contains("ask_volume"), p)
+  }
+}

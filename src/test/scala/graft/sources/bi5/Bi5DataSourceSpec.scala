@@ -244,6 +244,34 @@ class Bi5DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readBi5(DigitsEur, s"$Fixtures/EURUSD/").count() === 27521)
   }
 
+  test("trustHeaders: MIN/MAX(ts) from boundary-hour decode match full-scan values") {
+    import org.apache.spark.sql.functions.{count => fcount, max, min}
+    val df = spark.read.format("bi5")
+      .option("digits", DigitsEur).option("trustHeaders", true)
+      .load(s"$Fixtures/EURUSD/")
+    val full = readBi5(DigitsEur, s"$Fixtures/EURUSD/")
+      .agg(min("ts"), max("ts")).head
+    // mixed pushdown: count + min + max in one aggregation
+    val pushed = df.agg(fcount("*"), min("ts"), max("ts"))
+    val plan = pushed.queryExecution.executedPlan.toString()
+    assert(plan.contains("MIN(ts)") && plan.contains("MAX(ts)"), plan)
+    val r = pushed.head
+    assert(r.getLong(0) === 27521)
+    assert(r.getTimestamp(1) === full.getTimestamp(0)) // 2019-12-31 15:00:00.09
+    assert(r.getTimestamp(2) === full.getTimestamp(1)) // 2020-04-03 00:59:59.036 (lenient roll-over)
+    // garbage/empty fixture files under the full root must not poison bounds
+    val all = spark.read.format("bi5")
+      .option("digits", DigitsEur).option("trustHeaders", true)
+      .load(Fixtures)
+      .agg(min("ts"), max("ts")).head
+    val allFull = readBi5(DigitsEur, Fixtures).agg(min("ts"), max("ts")).head
+    assert(all.getTimestamp(0) === allFull.getTimestamp(0))
+    assert(all.getTimestamp(1) === allFull.getTimestamp(1))
+    // min/max on a non-ts column must NOT be pushed (stays decode-exact)
+    val askMax = df.agg(max("ask")).head.getDouble(0)
+    assert(askMax === readBi5(DigitsEur, s"$Fixtures/EURUSD/").agg(max("ask")).head.getDouble(0))
+  }
+
   test("split=files mode returns same data with file-granular partitions") {
     val df = spark.read.format("bi5")
       .option("digits", DigitsEur)
