@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -457,6 +458,78 @@ object TextQueries {
         ORDER BY p.doc_a, p.doc_b"""),
       "Inverted-index near-dup candidate pairs (docs sharing >= 2 shingles) scored with " +
         "exact Jaccard — the exact counterpart LSH approximates; cost bounded by posting-" +
-        "list sizes, not doc-pair count.")
+        "list sizes, not doc-pair count."),
+
+    // ---------------------------------------------------------------- q49
+    Q(
+      "q49_tfidf_top_terms",
+      (s, dir) => {
+        // TF-IDF top-3 terms per document. Ranking is INTEGER-deterministic
+        // (tf desc, df asc, term asc) so the top-k selection can never hinge
+        // on a last-bit log() difference between engines; the tfidf score
+        // itself is emitted rounded (both engines' log are within 1 ulp).
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .withColumn("tfidf",
+            round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+          .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(1) AS n_docs FROM documents),
+        ranked AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 row_number() OVER (PARTITION BY t.doc_id
+                                    ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+          FROM tf t JOIN df d USING (term))
+        SELECT doc_id, rank, term, tf, df,
+               ROUND(tf * LN((n.n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM ranked CROSS JOIN n
+        WHERE rank <= 3 ORDER BY doc_id, rank"""),
+      "TF-IDF top terms per document: two-level aggregation (term frequency, document " +
+        "frequency) + broadcast corpus size + per-doc ranking window. Integer-deterministic " +
+        "rank keeps the top-k stable across engines."),
+
+    // ---------------------------------------------------------------- q50
+    Q(
+      "q50_stratified_sample",
+      (s, dir) => {
+        // Deterministic hash-based stratified sampling — the reproducible
+        // downsampling step of a training-data pipeline: each language gets
+        // its own keep-rate, membership is a pure function of doc_id (48-bit
+        // md5 bucket), so the sample is stable across runs, engines, and
+        // partitionings. Map-only: no shuffle at any scale.
+        table(s, dir, "documents")
+          .withColumn("bucket", expr(s"${md5long("cast(doc_id as string)")} % 100"))
+          .withColumn("keep_rate",
+            when(col("lang") === "en", 20).otherwise(50))
+          .filter(col("bucket") < col("keep_rate"))
+          .select("doc_id", "lang", "bucket", "keep_rate", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, lang,
+               ${duckMd5long("cast(doc_id as varchar)")} % 100 AS bucket,
+               CASE WHEN lang = 'en' THEN 20 ELSE 50 END AS keep_rate,
+               n_chars
+        FROM documents
+        WHERE ${duckMd5long("cast(doc_id as varchar)")} % 100
+              < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+        ORDER BY doc_id"""),
+      "Stratified deterministic sampling: per-stratum keep-rates with hash-bucket " +
+        "membership — reproducible across runs/engines/partitionings, map-only at scale.")
   )
 }
