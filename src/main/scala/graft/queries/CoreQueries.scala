@@ -759,10 +759,14 @@ object CoreQueries {
               .cast("double").as("syy"),
             sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,4)"))
               .cast("double").as("sxy"))
-          .withColumn("covar_samp", expr("(sxy - sx * sy / n) / (n - 1)"))
-          .withColumn("stddev_x", expr("sqrt((sxx - sx * sx / n) / (n - 1))"))
-          .withColumn("stddev_y", expr("sqrt((syy - sy * sy / n) / (n - 1))"))
-          .withColumn("corr_xy", expr("((sxy - sx * sy / n) / (n - 1)) / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1)))"))
+          // round(…, 6): the DECIMAL->DOUBLE conversion of the moments can
+          // land 1 ulp apart between engines (Spark converts via BigDecimal,
+          // DuckDB via scaled-int128 arithmetic), so the derived doubles are
+          // emitted at 6 decimals; the moments themselves stay exact.
+          .withColumn("covar_samp", expr("round((sxy - sx * sy / n) / (n - 1), 6)"))
+          .withColumn("stddev_x", expr("round(sqrt((sxx - sx * sx / n) / (n - 1)), 6)"))
+          .withColumn("stddev_y", expr("round(sqrt((syy - sy * sy / n) / (n - 1)), 6)"))
+          .withColumn("corr_xy", expr("round(((sxy - sx * sy / n) / (n - 1)) / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))), 6)"))
           .select("l_returnflag", "n", "covar_samp", "stddev_x", "stddev_y", "corr_xy")
           .orderBy("l_returnflag")
       },
@@ -777,10 +781,10 @@ object CoreQueries {
                  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n,
-               (sxy - sx * sy / n) / (n - 1) AS covar_samp,
-               sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_x,
-               sqrt((syy - sy * sy / n) / (n - 1)) AS stddev_y,
-               ((sxy - sx * sy / n) / (n - 1)) / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_xy
+               ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+               ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_x,
+               ROUND(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_y,
+               ROUND(((sxy - sx * sy / n) / (n - 1)) / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))), 6) AS corr_xy
         FROM m ORDER BY l_returnflag"""),
       "Correlation/covariance/stddev per group from exact decimal moments + identical " +
         "double formulas — map-side-combinable (6 sums), unlike a naive two-pass variance."),
