@@ -889,6 +889,90 @@ object CoreQueries {
         FROM agg, LATERAL (VALUES ('sum_qty', sum_qty), ('sum_base', sum_base)) AS m(measure, value)
         ORDER BY l_returnflag, m.measure"""),
       "Unpivot (wide->long) via stack() — a generator projection, no extra shuffle beyond " +
-        "the feeding aggregation.")
+        "the feeding aggregation."),
+
+    // ---------------------------------------------------------------- q51
+    Q(
+      "q51_ohlc_resample",
+      (s, dir) => {
+        // Time-bucket resampling (tick-data OHLC bars): 15-minute buckets per
+        // event type; open/close are the first/last values by a UNIQUE
+        // (ms, event_id) order, so ties at the same millisecond can never
+        // pick different rows across engines. Two stacked passes, one
+        // shuffle: ranking window by (type, bucket), then the bar aggregate.
+        val ev = table(s, dir, "events")
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("bucket_ms", (col("ms") / lit(900000L)).cast("long") * lit(900000L))
+        val w = Window.partitionBy("event_type", "bucket_ms")
+        val asc = w.orderBy(col("ms").asc, col("event_id").asc)
+        val desc = w.orderBy(col("ms").desc, col("event_id").desc)
+        ev.withColumn("rn_open", row_number().over(asc))
+          .withColumn("rn_close", row_number().over(desc))
+          .groupBy("event_type", "bucket_ms")
+          .agg(
+            max(when(col("rn_open") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rn_close") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n_ticks"))
+          .orderBy("event_type", "bucket_ms")
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type, value, event_id, epoch_ms(ts) AS ms,
+                 (epoch_ms(ts) // 900000) * 900000 AS bucket_ms
+          FROM events),
+        ranked AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY event_type, bucket_ms
+                               ORDER BY ms ASC, event_id ASC) AS rn_open,
+            row_number() OVER (PARTITION BY event_type, bucket_ms
+                               ORDER BY ms DESC, event_id DESC) AS rn_close
+          FROM t)
+        SELECT event_type, bucket_ms,
+               MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+               COUNT(1) AS n_ticks
+        FROM ranked GROUP BY event_type, bucket_ms
+        ORDER BY event_type, bucket_ms"""),
+      "Time-bucket resampling to OHLC bars (the tick-data downsampling op): unique " +
+        "(ms, id) first/last election + min/max/count per 15-minute bucket."),
+
+    // ---------------------------------------------------------------- q52
+    Q(
+      "q52_histogram",
+      (s, dir) => {
+        // Equal-width histogram of order totals: bounds come from one tiny
+        // broadcast aggregate; bin membership is integer arithmetic on the
+        // raw doubles (identical in both engines), clamped so max lands in
+        // the last bin. Map-only + one #bins-sized aggregation.
+        val o = table(s, dir, "orders")
+        val bounds = o.agg(
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))
+        o.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            least(
+              floor((col("o_totalprice") - col("lo")) / ((col("hi") - col("lo")) / lit(20))),
+              lit(19L)).cast("long"))
+          .groupBy("bin")
+          .agg(
+            count(lit(1)).as("n"),
+            round(min("o_totalprice"), 2).as("bin_min"),
+            round(max("o_totalprice"), 2).as("bin_max"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+        SELECT LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19)::BIGINT AS bin,
+               COUNT(1) AS n,
+               ROUND(MIN(o_totalprice), 2) AS bin_min,
+               ROUND(MAX(o_totalprice), 2) AS bin_max
+        FROM orders CROSS JOIN b
+        GROUP BY 1 ORDER BY 1"""),
+      "Equal-width 20-bin histogram: broadcast bounds + integer bin arithmetic — " +
+        "map-only binning, aggregation output is #bins rows at any scale.")
   )
 }
