@@ -58,4 +58,33 @@ class TextExpressionsSpec extends AnyFunSuite {
     // windows: (a,_,c)=null, (_,c,d)=null, (c,d,e)='c d e'
     assert(r.getSeq[String](0) === Seq(null, null, "c d e"))
   }
+
+  test("property: word_ngrams(_, 3) equals the HOF on arbitrary token arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import scala.jdk.CollectionConverters._
+    // tokens including unicode, empties, and space-inside-token edge cases
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const(""),
+      Gen.oneOf("héllo", "日本語", "a b", "💡", "x"))
+    // >= 3 tokens: the HOF spelling is UNDEFINED below that (sequence(1, n-2)
+    // turns descending for n < 3 and element_at throws) — which is why every
+    // call site filters size >= 3; word_ngrams' own short-input behavior
+    // (empty array) is covered by the edge-case test above.
+    val toksGen = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, token))
+    val cases = (0 until 80).map { i =>
+      toksGen.apply(Gen.Parameters.default, Seed(4242L + i)).get
+    }
+    val df = spark.createDataFrame(
+      cases.map(ts => org.apache.spark.sql.Row(ts)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("toks",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    val rows = df.selectExpr("word_ngrams(toks, 3) as a", s"$hof3 as b").collect()
+    rows.zip(cases).foreach { case (r, input) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"input=$input")
+    }
+  }
 }
