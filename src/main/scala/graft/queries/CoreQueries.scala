@@ -973,6 +973,37 @@ object CoreQueries {
         FROM orders CROSS JOIN b
         GROUP BY 1 ORDER BY 1"""),
       "Equal-width 20-bin histogram: broadcast bounds + integer bin arithmetic — " +
-        "map-only binning, aggregation output is #bins rows at any scale.")
+        "map-only binning, aggregation output is #bins rows at any scale."),
+
+    // ---------------------------------------------------------------- q53
+    Q(
+      "q53_grouping_sets",
+      (s, dir) => {
+        // Arbitrary GROUPING SETS (not the rollup/cube lattices of q12/q13):
+        // exactly {(status, priority), (status), (priority)} — via the SQL
+        // entry path, exercising spark.sql() over a registered view. Same
+        // one-shuffle Expand-based plan as rollup/cube.
+        table(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, '(all)') AS status,
+                 coalesce(o_orderpriority, '(all)') AS priority,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                 COUNT(1) AS n
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                  (o_orderstatus), (o_orderpriority))
+          ORDER BY status, priority""")
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(1) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority"""),
+      "Arbitrary GROUPING SETS through the spark.sql entry path — the Expand-based " +
+        "multi-grouping plan with exact decimal measures, group-key NULLs coalesced.")
   )
 }
