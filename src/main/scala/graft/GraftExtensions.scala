@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, WordNgrams}
+import graft.functions.{FloatVecDot, TextExpressions, WordNgrams}
 
 /**
  * Session-extensions entry point: makes the library's native expressions
@@ -35,12 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
-      (exprs: Seq[Expression]) => {
-        val n = exprs(1) match {
-          case Literal(v: Int, _) => v
-          case other              => other.eval(null).asInstanceOf[Int]
-        }
-        WordNgrams(exprs(0), n)
-      }))
+      TextExpressions.wordNgramsBuilder))
   }
 }

@@ -91,22 +91,29 @@ object WordNgrams {
 }
 
 object TextExpressions {
+
+  /** Shared expression builder (used by both the imperative register and the
+    * GraftExtensions injection): the window size must be a foldable integer
+    * expression — int or long literals both accepted. */
+  val wordNgramsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"word_ngrams expects 2 arguments, got ${exprs.length}")
+    val n = exprs(1).eval(null) match {
+      case i: Int  => i
+      case l: Long => math.toIntExact(l)
+      case other =>
+        throw new IllegalArgumentException(
+          s"word_ngrams window must be a foldable integer, got $other")
+    }
+    WordNgrams(exprs(0), n)
+  }
+
   /** Register `word_ngrams` in the session's function registry (idempotent,
     * skip-if-present), so it is usable from selectExpr / spark.sql. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")
     if (!reg.functionExists(id)) {
-      reg.createOrReplaceTempFunction(
-        "word_ngrams",
-        exprs => {
-          val n = exprs(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-            case other => other.eval(null).asInstanceOf[Int]
-          }
-          WordNgrams(exprs(0), n)
-        },
-        "built-in")
+      reg.createOrReplaceTempFunction("word_ngrams", wordNgramsBuilder, "built-in")
     }
   }
 }

@@ -59,13 +59,6 @@ object Multimodal {
   }
 
   /**
-   * Decode an opaque binary column into metadata + feature vector.
-   *
-   * Input: any DataFrame with (`idCol`: long, `payloadCol`: binary).
-   * Output: (`idCol`, n_bytes: long, features: array<float>) — payload
-   * dropped, so only small rows survive the transform.
-   */
-  /**
    * Frame sampling: treat the payload as a sequence of fixed-size frames
    * and keep every `stride`-th one (video keyframe extraction's execution
    * shape). The byte-level slicing is the REAL partition/batch plumbing; a
@@ -110,10 +103,13 @@ object Multimodal {
     require(newDim > 0, "newDim must be positive")
     import org.apache.spark.sql.functions._
     val n = size(features)
-    // bucket b averages elements [b*n/newDim, (b+1)*n/newDim)
+    // bucket b averages elements [floor(b*n/newDim), floor((b+1)*n/newDim)).
+    // Column '/' is DOUBLE division, so the boundaries must be floored to
+    // ints EXPLICITLY: letting slice() truncate the fractions while the mean
+    // divisor stayed fractional skewed every bucket whenever n % newDim != 0.
     transform(sequence(lit(0), lit(newDim - 1)), b => {
-      val from = (b * n) / newDim
-      val until = ((b + lit(1)) * n) / newDim
+      val from = floor((b * n) / lit(newDim)).cast("int")
+      val until = floor(((b + lit(1)) * n) / lit(newDim)).cast("int")
       val len = greatest(until - from, lit(1))
       aggregate(
         slice(features, from + 1, len),
@@ -122,6 +118,13 @@ object Multimodal {
     })
   }
 
+  /**
+   * Decode an opaque binary column into metadata + feature vector.
+   *
+   * Input: any DataFrame with (`idCol`: long, `payloadCol`: binary).
+   * Output: (`idCol`, n_bytes: long, features: array<float>) — payload
+   * dropped, so only small rows survive the transform.
+   */
   def extractFeatures(
       df: DataFrame,
       idCol: String,

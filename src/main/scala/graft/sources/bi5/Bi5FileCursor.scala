@@ -74,10 +74,12 @@ final class Bi5FileCursor(partition: Bi5Partition, opts: Bi5Options, filters: Ar
 
   /** Walk traversal can itself throw (file deleted mid-walk, unreadable dir,
     * symlink loop). Skip-corrupt extends to the traversal: a failing walk
-    * ends this partition's file supply instead of failing the task. */
+    * ends this partition's file supply instead of failing the task. Only
+    * NonFatal — an OutOfMemoryError or interrupt must kill the task, not
+    * masquerade as end-of-data. */
   private[this] def hasMoreFiles: Boolean =
     try files.hasNext
-    catch { case _: Throwable => false }
+    catch { case scala.util.control.NonFatal(_) => false }
 
   private[this] def closeCurrent(): Unit = {
     if (currentIn != null) {

@@ -78,10 +78,13 @@ object Bi5Options {
       if (b <= 0) throw new IllegalArgumentException("maxPartitionBytes must be positive")
     }
     val trustHeaders = get("trustheaders").exists(_.trim.equalsIgnoreCase("true"))
-    val maxFilesPerTrigger = get("maxfilespertrigger").map(_.toInt).getOrElse(0)
-    if (maxFilesPerTrigger < 0) {
-      throw new IllegalArgumentException("maxFilesPerTrigger must be positive")
+    // 0 internally means "no limit" (the unset default); an EXPLICIT 0 is
+    // rejected — a user writing 0 expects throttling, not an unpaced batch
+    val maxFilesPerTriggerOpt = get("maxfilespertrigger").map(_.toInt)
+    maxFilesPerTriggerOpt.foreach { v =>
+      if (v <= 0) throw new IllegalArgumentException("maxFilesPerTrigger must be positive")
     }
+    val maxFilesPerTrigger = maxFilesPerTriggerOpt.getOrElse(0)
     Bi5Options(
       path, digits, january, splitPerFile,
       maxBytesOpt.getOrElse(DefaultMaxPartitionBytes),

@@ -143,7 +143,7 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
     * single partition and run the whole scan on one core (observed: a 53 MB
     * tree decoding single-threaded under the 128 MiB default). */
   private def planFileBins(root: Path): Array[InputPartition] = {
-    val files = Bi5FileLister.listBi5Files(root)
+    val files = listedFiles
       .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, allFilters) }
       .sortBy { case (_, size) => -size }
     val totalBytes = files.map(_._2).sum
@@ -183,7 +183,9 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
   override def createReaderFactory(): PartitionReaderFactory =
     new Bi5PartitionReaderFactory(opts, required, allFilters)
 
-  // One listing per scan, reused by stats (and cheap relative to planning).
+  // ONE listing per scan, shared by stats and split=files planning (pruned
+  // per use: runtime filters can arrive between the two). Matches the stock
+  // file source's load()-time index snapshot semantics.
   private lazy val listedFiles: Seq[(String, Long)] =
     Bi5FileLister.listBi5Files(Paths.get(opts.path))
 

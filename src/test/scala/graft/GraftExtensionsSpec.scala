@@ -9,6 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = {
+    // getOrCreate() silently IGNORES spark.sql.extensions when a default
+    // session already exists (any earlier suite in this JVM) — and the query
+    // library registers the functions imperatively, which would make this
+    // test pass without the extension ever running. Stop any pre-existing
+    // session so the config path is genuinely exercised; suites run
+    // sequentially, and later ones getOrCreate a fresh session.
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("GraftExtensionsSpec")

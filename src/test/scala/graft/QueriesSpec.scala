@@ -135,5 +135,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(sm.length === 4)
     assert(sm(0) === (f(0).toDouble + f(1).toDouble) / 2.0)
     assert(sm(3) === (f(6).toDouble + f(7).toDouble) / 2.0)
+    // non-divisible resize (8 -> 3): buckets [0,2) [2,5) [5,8) — floored
+    // boundaries with the TRUE bucket length as divisor
+    val r3 = feats.select(col("doc_id"), col("features"),
+      Multimodal.resizeFeatures(col("features"), 3).as("s3"))
+      .orderBy("doc_id").first()
+    val f3 = r3.getSeq[Float](1)
+    val s3 = r3.getSeq[Double](2)
+    assert(s3.length === 3)
+    assert(s3(0) === (f3(0).toDouble + f3(1).toDouble) / 2.0)
+    assert(s3(1) === (f3(2).toDouble + f3(3).toDouble + f3(4).toDouble) / 3.0)
+    assert(s3(2) === (f3(5).toDouble + f3(6).toDouble + f3(7).toDouble) / 3.0)
   }
 }

@@ -53,6 +53,39 @@ class Bi5StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("unpadded hour components stream in event-time order, not path order") {
+    // layout regex admits '9h_ticks.bi5'; '10h...' sorts BEFORE '9h...'
+    // lexicographically, so a raw-path offset would drop hour 10 forever
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("bi5unpadded")
+    def copyAs(src: String, rel: String): Unit = {
+      val dst = root.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(s"$Fixtures/$src"), dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+    copyAs("EURUSD/2019/11/31/15h_ticks.bi5", "EURUSD/2020/03/02/9h_ticks.bi5") // 8816 rows
+    val q = spark.readStream.format("bi5")
+      .option("digits", 5)
+      .load(root.toString)
+      .writeStream.format("memory").queryName("bi5_unpadded").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_unpadded").head.getLong(0) === 8816)
+      // hour 10 arrives AFTER hour 9 was committed; must not be skipped
+      copyAs("EURUSD/2020/03/02/12h_ticks.bi5", "EURUSD/2020/03/02/10h_ticks.bi5") // 13809 rows
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_unpadded").head.getLong(0) === 8816 + 13809)
+    } finally q.stop()
+  }
+
+  test("offset deserialization is strict: legacy/foreign checkpoints fail loudly") {
+    assert(Bi5StreamOffset.fromJson("") === Bi5StreamOffset.Initial)
+    val rt = Bi5StreamOffset(1583143200000000L, "/data/EURUSD/2020/03/02/10h_ticks.bi5")
+    assert(Bi5StreamOffset.fromJson(rt.json()) === rt)
+    intercept[IllegalStateException] { Bi5StreamOffset.fromJson("5") } // old count format
+    intercept[IllegalStateException] { Bi5StreamOffset.fromJson("/just/a/path") }
+  }
+
   test("maxFilesPerTrigger paces the backlog without losing data") {
     spark.sparkContext.setLogLevel("WARN")
     val root = Files.createTempDirectory("bi5paced")
