@@ -505,7 +505,7 @@ object CoreQueries {
           .orderBy("event_type"),
       Some("""
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type"""),
       "JSON field extraction from the events props column + exact integer aggregation."),
@@ -526,7 +526,7 @@ object CoreQueries {
       Some("""
         SELECT l_orderkey, l_linenumber,
                SQRT(l_quantity) AS sqrt_qty,
-               FLOOR(l_extendedprice / 1000.0) AS price_k,
+               CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
                ABS(l_discount - l_tax) AS disc_tax_gap,
                FMOD(l_quantity, 7.0) AS qty_mod7
         FROM lineitem WHERE l_orderkey % 100 = 0
@@ -654,8 +654,8 @@ object CoreQueries {
           FROM events),
         sessions AS (
           SELECT user_id, value, ms,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
-                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
           FROM flagged)
         SELECT user_id, session_no, COUNT(1) AS n_events,
                MIN(ms) AS start_ms, MAX(ms) AS end_ms,

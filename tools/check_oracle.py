@@ -10,6 +10,7 @@ Usage: python3 tools/check_oracle.py [sfdir] [--only q01,q02] [--skip-spark]
 """
 import json
 import math
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -38,7 +39,11 @@ def run_spark():
 def cmp_cell(a, b):
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
+    # Typed compare: the driver hashes typed values, so 1 (BIGINT) != 1.0
+    # (DOUBLE) there even though Python's == says otherwise. Mirror that.
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, float):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b  # exact: our conventions should give bit-identical doubles
@@ -73,6 +78,23 @@ def main():
             continue
         if spark_cols != duck_cols:
             print(f"FAIL {name}: columns {spark_cols} vs {duck_cols}")
+            n_fail += 1
+            continue
+        # Declared-type compare: DuckDB fetches HUGEINT and BIGINT both as
+        # Python int, so cell compares alone can't see a SUM()->HUGEINT
+        # promotion that the driver's typed hash WILL flag. Compare the
+        # relations' declared column types per (sorted) column. Integer
+        # WIDTHS are normalized (int32 vs int64 passed the round-1 driver
+        # hash; HUGEINT and DOUBLE-vs-BIGINT failed it).
+        def norm_type(t):
+            return re.sub(r"\b(TINYINT|SMALLINT|INTEGER|BIGINT)\b", "INT", str(t))
+        spark_types = {c: norm_type(t) for c, t in zip(spark_rel.columns, spark_rel.types)}
+        duck_types = {c: norm_type(t) for c, t in zip(duck_rel.columns, duck_rel.types)}
+        type_bad = [(c, spark_types[c], duck_types[c])
+                    for c in spark_cols if spark_types[c] != duck_types[c]]
+        if type_bad:
+            c, ts, td = type_bad[0]
+            print(f"FAIL {name}: col {c} type spark={ts} duck={td}")
             n_fail += 1
             continue
         if len(spark_rows) != len(duck_rows):
