@@ -56,7 +56,11 @@ object VectorQueries {
         val withNorm = e.selectExpr(
           "vec_id", "embedding",
           s"${sparkDot("embedding", "embedding")} as n2")
-        val probes = withNorm.filter(col("vec_id") % 20 === 0)
+        // CONSTANT probe set (50 ids), not a corpus fraction: the broadcast
+        // side must stay bounded as the corpus grows, or the probe x corpus
+        // product reverts to O(n^2). The sub-linear scale path is q54 (IVF-
+        // routed search); this query is the exact-recall baseline.
+        val probes = withNorm.filter(col("vec_id") < 50)
           .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("n2").as("pn2"))
         val cands = withNorm
           .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
@@ -78,15 +82,15 @@ object VectorQueries {
           SELECT p.vec_id AS pid, c.vec_id AS cid,
                  ${duckDot("p.embedding", "c.embedding")} AS dot,
                  ${duckDot("p.embedding", "c.embedding")} / (SQRT(p.n2) * SQRT(c.n2)) AS sim
-          FROM withnorm p JOIN withnorm c ON p.vec_id % 20 = 0 AND c.vec_id <> p.vec_id),
+          FROM withnorm p JOIN withnorm c ON p.vec_id < 50 AND c.vec_id <> p.vec_id),
         ranked AS (
           SELECT pid, cid, dot, sim,
                  row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid ASC) AS rank
           FROM sims)
         SELECT pid, rank, cid, dot, sim FROM ranked WHERE rank <= 5
         ORDER BY pid, rank"""),
-      "Brute-force cosine top-5 for a deterministic probe subset (vec_id % 20 = 0): " +
-        "the exact baseline an ANN index must match."),
+      "Brute-force cosine top-5 for a CONSTANT probe set (vec_id < 50): the exact " +
+        "baseline an ANN index must match; probe count does not grow with the corpus."),
 
     // ---------------------------------------------------------------- q34
     Q(
@@ -178,6 +182,77 @@ object VectorQueries {
       },
       "Embedding near-dup via random-hyperplane LSH: 8 sign-bits bucket the corpus, exact cosine " +
         "runs only within buckets — candidate pairs shrink ~256x vs all-pairs, the scale path for " +
-        "dedup over billions of vectors.")
+        "dedup over billions of vectors."),
+
+    // ---------------------------------------------------------------- q54
+    Q(
+      "q54_ivf_search",
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        // The sub-linear ANN shape for 100 TB: every vector is assigned to
+        // its nearest of 8 broadcast centroids (one map-side pass, as q34),
+        // and each probe then searches ONLY its own cluster via an equi-join
+        // on cluster_id. Work is O(n * k_centroids) assignment + O(probes *
+        // cluster_size) search, the candidate join is a hash-partitionable
+        // equi-join (no corpus-sized broadcast, no all-pairs product), and
+        // cluster skew is AQE-splittable because the join key cardinality
+        // grows with the centroid count in production.
+        val e = table(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        val assigned = e
+          .select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "embedding", "centroid_id",
+            s"${sparkDot("embedding", "ce")} as cdot")
+          .withColumn(
+            "rn",
+            expr("row_number() over (partition by vec_id order by cdot desc, centroid_id asc)"))
+          .filter(col("rn") === 1)
+          .selectExpr("vec_id", "embedding", "centroid_id as cluster_id",
+            s"${sparkDot("embedding", "embedding")} as n2")
+        val probes = assigned.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+            col("cluster_id"), col("n2").as("pn2"))
+        val cands = assigned
+          .select(col("vec_id").as("cid"), col("embedding").as("ce2"),
+            col("cluster_id"), col("n2").as("cn2"))
+        cands.join(probes, Seq("cluster_id"))
+          .filter(col("cid") =!= col("pid"))
+          .selectExpr("pid", "cluster_id", "cid", s"${sparkDot("pe", "ce2")} as dot", "pn2", "cn2")
+          .withColumn("sim", col("dot") / (sqrt(col("pn2")) * sqrt(col("cn2"))))
+          .withColumn(
+            "rank",
+            expr("row_number() over (partition by pid order by sim desc, cid asc)"))
+          .filter(col("rank") <= 3)
+          .select("pid", "rank", "cluster_id", "cid", "sim")
+          .orderBy("pid", "rank")
+      },
+      Some(s"""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        dots AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id, ${duckDot("e.embedding", "c.ce")} AS cdot
+          FROM embeddings e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id AS cluster_id,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
+          WHERE rn = 1),
+        sims AS (
+          SELECT p.vec_id AS pid, p.cluster_id, c.vec_id AS cid,
+                 ${duckDot("p.embedding", "c.embedding")} / (SQRT(p.n2) * SQRT(c.n2)) AS sim
+          FROM assigned p JOIN assigned c
+            ON p.cluster_id = c.cluster_id AND p.vec_id < 20 AND c.vec_id <> p.vec_id),
+        ranked AS (
+          SELECT pid, cluster_id, cid, sim,
+                 row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid ASC) AS rank
+          FROM sims)
+        SELECT pid, rank, cluster_id, cid, sim FROM ranked WHERE rank <= 3
+        ORDER BY pid, rank"""),
+      "IVF-routed ANN search: probes look only inside their own coarse cluster — " +
+        "assignment is one broadcast pass, search is a hash-partitionable equi-join, " +
+        "total work sub-linear in the corpus. The 100 TB path q33 baselines against.")
   )
 }
