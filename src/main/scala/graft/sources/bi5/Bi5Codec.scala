@@ -133,17 +133,26 @@ object Bi5PathMeta {
   def parse(path: String, monthOffset: Int): Option[Bi5PathMeta] = {
     val normalized = path.replace('\\', '/')
     PathPattern.findFirstMatchIn(normalized).map { m =>
-      val year = m.group(2).toInt
-      val month = m.group(3).toInt - monthOffset // 0-based for Calendar
-      val day = m.group(4).toInt
-      val hour = m.group(5).toInt
-      val cal = Calendar.getInstance(Utc)
-      cal.clear()
-      cal.set(Calendar.YEAR, year)
-      cal.set(Calendar.MONTH, month)
-      cal.set(Calendar.DAY_OF_MONTH, day)
-      cal.set(Calendar.HOUR_OF_DAY, hour)
-      Bi5PathMeta(m.group(1), cal.getTimeInMillis * 1000L)
+      Bi5PathMeta(
+        m.group(1),
+        lenientBaseMicros(
+          m.group(2).toInt,
+          m.group(3).toInt - monthOffset, // 0-based for Calendar
+          m.group(4).toInt,
+          m.group(5).toInt))
     }
+  }
+
+  /** The lenient-Calendar hour base for raw (possibly out-of-range) date
+    * components — monotone in each field, which is what lets the streaming
+    * lister compute exact subtree time bounds from directory names alone. */
+  def lenientBaseMicros(year: Int, month0: Int, day: Int, hour: Int): Long = {
+    val cal = Calendar.getInstance(Utc)
+    cal.clear()
+    cal.set(Calendar.YEAR, year)
+    cal.set(Calendar.MONTH, month0)
+    cal.set(Calendar.DAY_OF_MONTH, day)
+    cal.set(Calendar.HOUR_OF_DAY, hour)
+    cal.getTimeInMillis * 1000L
   }
 }

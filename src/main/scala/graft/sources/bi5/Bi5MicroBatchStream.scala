@@ -46,11 +46,15 @@ class Bi5MicroBatchStream(
     extends MicroBatchStream
     with SupportsAdmissionControl {
 
-  /** All decodable-layout files keyed by (hour base micros, path), sorted.
-    * Files whose path doesn't parse can't produce rows (skip-corrupt) and
-    * carry no event time, so they are excluded from the stream. */
-  private def listSorted(): Vector[(Long, String)] =
-    Bi5FileLister.listBi5Files(Paths.get(opts.path))
+  /** All decodable-layout files keyed by (hour base micros, path) at or after
+    * the given hour base, sorted. The listing itself is PRUNED by the
+    * committed hour: day/month/year directories whose names prove every file
+    * inside sorts before `minBaseMicros` are never enumerated, so an idle
+    * tail re-lists the frontier, not the archive. Files whose path doesn't
+    * parse can't produce rows (skip-corrupt) and carry no event time, so
+    * they are excluded from the stream. */
+  private def listSorted(minBaseMicros: Long): Vector[(Long, String)] =
+    Bi5FileLister.listBi5FilesSince(Paths.get(opts.path), minBaseMicros, opts.monthOffset)
       .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, filters) }
       .flatMap { case (p, _) =>
         Bi5PathMeta.parse(p, opts.monthOffset).map(m => (m.baseEpochMicros, p))
@@ -78,7 +82,7 @@ class Bi5MicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = key(start)
-    val pending = listSorted().filter(gt(_, from))
+    val pending = listSorted(from._1).filter(gt(_, from))
     val capped = limit match {
       case m: ReadMaxFiles => pending.take(m.maxFiles())
       case _               => pending
@@ -92,7 +96,7 @@ class Bi5MicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = key(start)
     val to = key(end)
-    val newFiles = listSorted().filter(k => gt(k, from) && !gt(k, to))
+    val newFiles = listSorted(from._1).filter(k => gt(k, from) && !gt(k, to))
     // one partition per arriving hour file: hour files are small (a few MB
     // compressed), and per-file tasks keep latency low per trigger
     newFiles.map { case (_, f) => Bi5Partition(Array(f), walk = false): InputPartition }.toArray

@@ -306,6 +306,83 @@ object Bi5FileLister {
     } finally stream.close()
   }
 
+  // Directory tails of the layout `<ticker>/<YYYY>/<mm>/<dd>/<hh>h_ticks.bi5`,
+  // matched against a directory PATH during the pruned descent. Mutually
+  // exclusive: the year component's fixed 4 digits anchors the depth.
+  private val DayDirTail = """/[a-zA-Z0-9]+/(\d{4})/(\d{1,2})/(\d{1,2})$""".r
+  private val MonthDirTail = """/[a-zA-Z0-9]+/(\d{4})/(\d{1,2})$""".r
+  private val YearDirTail = """/[a-zA-Z0-9]+/(\d{4})$""".r
+
+  /**
+   * Latest hour base any file under `dir` can carry, from the directory name
+   * alone, or None when the tail doesn't look like a date level. EXACT, not
+   * heuristic: path components are `\d{1,2}` (so at most 99), the lenient
+   * Calendar is monotone in each field, and unparsed deeper levels can only
+   * produce files the layout regex rejects — so plugging the max component
+   * value (99) into the same Calendar the row path uses yields a true upper
+   * bound. (The one shape outside the bound is a FULL new ticker hierarchy
+   * nested inside a date directory — outside the layout contract, documented
+   * on listBi5FilesSince.)
+   */
+  private def subtreeMaxBaseMicros(dirPath: String, monthOffset: Int): Option[Long] = {
+    val normalized = dirPath.replace('\\', '/')
+    DayDirTail.findFirstMatchIn(normalized).map { m =>
+      Bi5PathMeta.lenientBaseMicros(
+        m.group(1).toInt, m.group(2).toInt - monthOffset, m.group(3).toInt, 99)
+    }.orElse(MonthDirTail.findFirstMatchIn(normalized).map { m =>
+      Bi5PathMeta.lenientBaseMicros(m.group(1).toInt, m.group(2).toInt - monthOffset, 99, 99)
+    }).orElse(YearDirTail.findFirstMatchIn(normalized).map { m =>
+      Bi5PathMeta.lenientBaseMicros(m.group(1).toInt, 99, 99, 99)
+    })
+  }
+
+  /**
+   * Streaming-tail listing: like [[listBi5Files]] but skips (never even
+   * enumerates) directories whose EVERY possible file sorts strictly before
+   * hour base `minBaseMicros` — the committed offset's hour. An idle tail
+   * over years of history then re-lists only the frontier day/month dirs
+   * instead of re-walking the whole archive every trigger: O(new + frontier)
+   * driver work per micro-batch, not O(corpus).
+   *
+   * Files AT `minBaseMicros` are still listed (the caller's exact
+   * (base, path) key filter owns the tiebreak), so nothing the full walk
+   * would admit is lost. Caveat, documented deliberately: a complete ticker
+   * hierarchy nested INSIDE a date directory (e.g.
+   * `…/EURUSD/2020/1/2/GBPUSD/2024/…`) violates the layout contract and may
+   * be pruned here even though the batch scan would read it.
+   *
+   * `onDirEnumerated` is a test seam: invoked once per directory whose
+   * children this walk actually reads.
+   */
+  def listBi5FilesSince(
+      root: Path,
+      minBaseMicros: Long,
+      monthOffset: Int,
+      onDirEnumerated: String => Unit = _ => ()): Seq[(String, Long)] = {
+    val out = Vector.newBuilder[(String, Long)]
+    def descend(dir: Path): Unit = {
+      onDirEnumerated(dir.toString)
+      val children =
+        try {
+          val s = Files.list(dir)
+          try s.iterator().asScala.toVector
+          finally s.close()
+        } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+      children.foreach { child =>
+        if (Files.isDirectory(child)) { // follows symlinks, as Files.walk did
+          val skip = subtreeMaxBaseMicros(child.toString, monthOffset)
+            .exists(_ < minBaseMicros)
+          if (!skip) descend(child)
+        } else if (child.toString.toLowerCase.endsWith(".bi5") && Files.isRegularFile(child)) {
+          out += ((child.toString, try Files.size(child) catch { case _: Throwable => 0L }))
+        }
+      }
+    }
+    if (Files.isDirectory(root)) descend(root)
+    else if (Files.exists(root)) out += ((root.toString, try Files.size(root) catch { case _: Throwable => 0L }))
+    out.result()
+  }
+
   /** All candidate .bi5 files of a partition, strict (streams closed). */
   def partitionFiles(partition: Bi5Partition): Seq[String] =
     if (partition.walk) {

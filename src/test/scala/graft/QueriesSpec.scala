@@ -50,9 +50,9 @@ class QueriesSpec extends AnyFunSuite {
     // exact dedup: all sf0.001 docs are unique -> every doc canonical
     val dedup = SparkEntry.queries("q23_dedup_exact")(spark, Sf)
     assert(dedup.filter(col("is_canonical") === false).count() === 0)
-    // ann: 25 probes x top-5, self excluded, sim within [-1, 1]
+    // ann: constant 50-probe set x top-5, self excluded, sim within [-1, 1]
     val ann = SparkEntry.queries("q33_ann_topk")(spark, Sf)
-    assert(ann.count() === 125)
+    assert(ann.count() === 250)
     assert(ann.filter(col("pid") === col("cid")).count() === 0)
     assert(ann.filter(abs(col("sim")) > 1.0000001).count() === 0)
     // ivf: every one of the 500 vectors lands in exactly one of 8 clusters

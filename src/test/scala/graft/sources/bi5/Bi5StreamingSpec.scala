@@ -86,6 +86,61 @@ class Bi5StreamingSpec extends AnyFunSuite {
     intercept[IllegalStateException] { Bi5StreamOffset.fromJson("/just/a/path") }
   }
 
+  test("pruned relist never re-enumerates committed day directories") {
+    val root = Files.createTempDirectory("bi5prune")
+    def install(rel: String): Unit = {
+      val dst = root.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(
+        Paths.get(s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // an "archive" of old day dirs plus one frontier day
+    for (d <- 1 to 5) install(s"EURUSD/2020/01/0$d/3h_ticks.bi5")
+    install("EURUSD/2020/03/02/9h_ticks.bi5")
+
+    // committed offset = the frontier day's 9h file
+    val committed = Bi5PathMeta
+      .parse(root.resolve("EURUSD/2020/03/02/9h_ticks.bi5").toString, 0).get.baseEpochMicros
+
+    val enumerated = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listed = Bi5FileLister.listBi5FilesSince(root, committed, 0, enumerated += _)
+
+    // every archive DAY dir was skipped, never enumerated (the month dir
+    // itself is visited — its bound carries the lenient 99-day slack)
+    assert(!enumerated.exists(_.contains("2020/01/")), s"re-enumerated archive: $enumerated")
+    // … the frontier day was still listed, including the AT-offset file
+    // (the exact (base, path) key filter owns that tiebreak downstream)
+    assert(listed.map(_._1).exists(_.endsWith("2020/03/02/9h_ticks.bi5")))
+    // and a file arriving in a NEW hour dir is picked up by the same walk
+    install("EURUSD/2020/03/02/10h_ticks.bi5")
+    val listed2 = Bi5FileLister.listBi5FilesSince(root, committed, 0)
+    assert(listed2.map(_._1).exists(_.endsWith("10h_ticks.bi5")))
+  }
+
+  test("pruned relist respects lenient calendar roll-over bounds") {
+    val root = Files.createTempDirectory("bi5prunelenient")
+    // dir 2019/11/31 with january=0 is REALLY 2019-12-31 (month 11 = December,
+    // lenient): a naive strict-date bound would prune it against a
+    // committed offset of 2019-12-15, losing the file
+    val dst = root.resolve("EURUSD/2019/11/31/15h_ticks.bi5")
+    Files.createDirectories(dst.getParent)
+    Files.copy(Paths.get(s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"), dst,
+      StandardCopyOption.REPLACE_EXISTING)
+    val committed = Bi5PathMeta.lenientBaseMicros(2019, 11, 15, 0) // 2019-12-15
+    val listed = Bi5FileLister.listBi5FilesSince(root, committed, 0)
+    assert(listed.map(_._1).exists(_.endsWith("15h_ticks.bi5")),
+      "lenient roll-over file must survive the pruned walk")
+    // while a genuinely old month dir IS pruned
+    val old = root.resolve("EURUSD/2019/05/01/3h_ticks.bi5")
+    Files.createDirectories(old.getParent)
+    Files.copy(Paths.get(s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"), old,
+      StandardCopyOption.REPLACE_EXISTING)
+    val enumerated = scala.collection.mutable.ArrayBuffer.empty[String]
+    Bi5FileLister.listBi5FilesSince(root, committed, 0, enumerated += _)
+    assert(!enumerated.exists(_.contains("2019/05")), "old month dir must not be enumerated")
+  }
+
   test("maxFilesPerTrigger paces the backlog without losing data") {
     spark.sparkContext.setLogLevel("WARN")
     val root = Files.createTempDirectory("bi5paced")
