@@ -35,6 +35,14 @@ object TextQueries {
   private val P = 1000000007L
   private val perms = Seq((131L, 7L), (191L, 411L), (397L, 1229L), (557L, 3571L))
 
+  // q48 stop-shingle doc-frequency cutoff: a shingle appearing in more docs
+  // than this is boilerplate, not a dedup signal, and its df² term would
+  // dominate the posting-list self-join (a df-in-the-millions shingle alone
+  // would generate ~df²/2 candidate pairs at 100 TB). Low enough to actually
+  // engage on the test corpus (max df there ≈ 25), high enough to keep real
+  // near-dup pairs: true near-dups share many RARE shingles.
+  private val StopShingleDf = 20
+
   // 16-bit majority-vote SimHash over a precomputed token-hash column `hs`.
   private val sparkSimhash =
     """aggregate(
@@ -411,22 +419,31 @@ object TextQueries {
         // DISTINCT shingles, self-join on the shingle (the "posting list"),
         // and keep pairs sharing >= 2 shingles — then score those candidates
         // with exact Jaccard. This is the all-pairs near-dup search that LSH
-        // (q25/q38) approximates: cost is Σ df² over shingles, not n² over
-        // docs, so it stays tractable while shingle doc-frequency is bounded
-        // (max df 25 on this corpus; production adds a stop-shingle cutoff).
-        // The set size rides along through the explode, so Jaccard needs no
-        // back-join against a per-doc sizes table — the pair aggregation's
-        // group key carries everything.
-        val posts = table(s, dir, "documents")
+        // (q25/q38) approximates: cost is Σ df² over surviving shingles, not
+        // n² over docs. The Σ df² bound only holds if no shingle's posting
+        // list explodes, so STOP SHINGLES (df > cutoff) are removed before
+        // the self-join: the hot set is tiny by Zipf, so it rides a
+        // broadcast anti-join rather than shuffling the posting lists again.
+        // Set sizes are recomputed over SURVIVING shingles, keeping
+        // n_common/n_a/n_b mutually consistent (the standard near-dup
+        // representation: stop shingles carry no signal and are excluded
+        // from the set, exactly as stopwords are from bag-of-words models).
+        val rawPosts = table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"array_distinct($sparkShingles) as sh")
-          // n_sh is computed in its OWN projection before the explode: put in
-          // the same select, Spark plans Generate first and evaluates
-          // size(sh) per exploded row — carrying (and copying) the whole
-          // shingle array through the Generate instead of two scalars.
-          .select(col("doc_id"), size(col("sh")).as("n_sh"), col("sh"))
-          .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val hot = rawPosts.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > StopShingleDf)
+          .select("shingle")
+        // n_sh is computed in its own windowed projection AFTER the cutoff:
+        // Jaccard denominators must describe the same sets the intersection
+        // counts, and a window over doc_id costs one shuffle that the
+        // downstream orderBy largely reuses.
+        val posts = rawPosts.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .withColumn("n_sh",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
         val a = posts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("shingle"))
         val b = posts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("shingle"))
         a.join(b, Seq("shingle"))
@@ -444,21 +461,25 @@ object TextQueries {
           SELECT doc_id, list_distinct($duckShingles) AS sh
           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
           WHERE len(toks) >= 3),
-        posts AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        rawposts AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        hot AS (SELECT shingle FROM rawposts GROUP BY shingle HAVING COUNT(1) > $StopShingleDf),
+        posts AS (
+          SELECT doc_id, shingle,
+                 COUNT(1) OVER (PARTITION BY doc_id) AS n_sh
+          FROM rawposts WHERE shingle NOT IN (SELECT shingle FROM hot)),
         pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS n_common
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS n_a, b.n_sh AS n_b, COUNT(1) AS n_common
           FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id HAVING COUNT(1) >= 2)
-        SELECT p.doc_a, p.doc_b, p.n_common,
-               len(da.sh) AS n_a, len(db.sh) AS n_b,
-               CAST(p.n_common AS DOUBLE) / (len(da.sh) + len(db.sh) - p.n_common) AS jaccard
-        FROM pairs p
-        JOIN d da ON da.doc_id = p.doc_a
-        JOIN d db ON db.doc_id = p.doc_b
-        ORDER BY p.doc_a, p.doc_b"""),
-      "Inverted-index near-dup candidate pairs (docs sharing >= 2 shingles) scored with " +
-        "exact Jaccard — the exact counterpart LSH approximates; cost bounded by posting-" +
-        "list sizes, not doc-pair count."),
+          GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh HAVING COUNT(1) >= 2)
+        SELECT doc_a, doc_b, n_common, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        FROM pairs
+        ORDER BY doc_a, doc_b"""),
+      "Inverted-index near-dup candidate pairs (docs sharing >= 2 shingles, stop shingles " +
+        s"with df > $StopShingleDf removed via broadcast anti-join) scored with exact " +
+        "Jaccard — the exact counterpart LSH approximates; cost bounded by Σ df² over " +
+        "surviving posting lists, not doc-pair count."),
 
     // ---------------------------------------------------------------- q49
     Q(

@@ -96,6 +96,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(sp.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
   }
 
+  test("q48 stop-shingle cutoff drops boilerplate-only pairs, keeps true near-dups") {
+    // 22 docs share only a boilerplate prefix (its shingles hit df=22 > 20,
+    // the stop cutoff) plus per-doc unique tails; without the cutoff every
+    // one of the 231 pairs would share >= 2 shingles. Docs 100/101 are true
+    // near-dups via RARE shingles (df=2) and must survive.
+    val dir = java.nio.file.Files.createTempDirectory("q48cutoff").toString
+    val boiler = (0 until 22).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon uq${i}a uq${i}b uq${i}c", "en", "synth", 40L)
+    }
+    val dups = Seq(
+      (100L, "red green blue yellow purple orange", "en", "synth", 35L),
+      (101L, "red green blue yellow purple orange extra", "en", "synth", 41L))
+    spark.createDataFrame(boiler ++ dups)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q48_shingle_pairs")(spark, dir).collect()
+    assert(out.length === 1, s"expected only the rare-shingle pair, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 100L && r.getAs[Long]("doc_b") === 101L)
+    // doc 100: 4 shingles, doc 101: 5, all rare; 4 common -> jaccard 4/5
+    assert(r.getAs[Long]("n_common") === 4L)
+    assert(r.getAs[Double]("jaccard") === 0.8)
+  }
+
   test("multimodal feature extraction is deterministic and streams") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .selectExpr("doc_id", "cast(text as binary) as payload")
