@@ -405,11 +405,28 @@ object TextQueries {
           .agg(
             approx_count_distinct(col("l_partkey")).as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts"))
+          // The sketch VALUE is engine-specific, so it can't be hashed
+          // against DuckDB — but its accuracy contract can: emit the exact
+          // count plus a boolean asserting the HLL++ estimate landed within
+          // 3x the default relative standard deviation (0.05). The oracle
+          // asserts literal TRUE, so a sketch regression (or an estimate
+          // drifting outside tolerance on this fixed corpus) breaks the hash
+          // instead of hiding behind a rows-only check.
+          .select(
+            col("l_returnflag"),
+            col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts"))
+              <= col("exact_parts") * 0.15).as("approx_within_tol"))
           .orderBy("l_returnflag"),
-      None, // HLL sketches are engine-specific; driver records rows-only check
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_within_tol
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       "approx_count_distinct (HyperLogLog++) next to the exact count — the sketch " +
-        "path that replaces exact distinct at 100 TB. No oracle: sketch estimates " +
-        "are engine-specific by construction."),
+        "path that replaces exact distinct at 100 TB. Oracle-checked via the exact " +
+        "count and the sketch's 3-sigma accuracy contract (engine-specific estimate " +
+        "values can't hash-match across engines, their error bound can)."),
 
     // ---------------------------------------------------------------- q48
     Q(
