@@ -87,4 +87,48 @@ class Bi5CodecSpec extends AnyFunSuite {
     val meta = Bi5PathMeta.parse("/d/EURUSD/2019/0/1/0h_ticks.bi5", 0).get
     assert(meta.tsMicros(90) === meta.baseEpochMicros + 90000L)
   }
+
+  test("byte-level agreement with the reference's own Python decoder") {
+    // The reference ships scripts/bi5_to_csv.py (struct.unpack('>3I2f') over
+    // lzma) — an independent implementation of the record format. Running it
+    // over the golden fixture and comparing raw tuples closes the loop the
+    // ScalaCheck roundtrips can't: they test our encoder against our decoder.
+    val script = java.nio.file.Paths.get("/root/reference/scripts/bi5_to_csv.py")
+    val fixture = java.nio.file.Paths.get(
+      "/root/reference/spark-2.4/src/test/resources/EURUSD/2019/11/31/15h_ticks.bi5")
+    assume(java.nio.file.Files.exists(script) && java.nio.file.Files.exists(fixture),
+      "reference script/fixture not present")
+    val python = Seq("/usr/bin/env", "python3")
+    // the script writes `<input>.csv` NEXT TO the input; the reference tree
+    // is read-only, so run it on a temp copy
+    val tmp = java.nio.file.Files.createTempDirectory("bi5xcheck")
+    val copy = tmp.resolve("15h_ticks.bi5")
+    java.nio.file.Files.copy(fixture, copy)
+    val proc = new ProcessBuilder((python :+ script.toString :+ copy.toString): _*)
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    assume(proc.waitFor() == 0, s"python3 unavailable or script failed: $out")
+
+    val csv = scala.io.Source.fromFile(copy.toString + ".csv")
+    val pyTicks =
+      try csv.getLines().drop(1).map { line => // header: ,0,1,2,3,4
+        val f = line.split(",")
+        (f(1).toLong, f(2).toLong, f(3).toLong, f(4).toFloat, f(5).toFloat)
+      }.toVector
+      finally csv.close()
+
+    val in = new LZMAInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(copy.toFile)))
+    val ours = try Bi5Codec.ticks(in).toVector finally in.close()
+
+    assert(ours.length === pyTicks.length)
+    ours.zip(pyTicks).foreach { case (t, (ms, ask, bid, av, bv)) =>
+      // the script unpacks unsigned ints ('>3I'); our raw fields are JVM
+      // signed ints — identical bits, so compare through the unsigned view
+      assert((t.msOffset & 0xffffffffL) === ms)
+      assert((t.askRaw & 0xffffffffL) === ask)
+      assert((t.bidRaw & 0xffffffffL) === bid)
+      assert(t.askVol === av && t.bidVol === bv)
+    }
+  }
 }
