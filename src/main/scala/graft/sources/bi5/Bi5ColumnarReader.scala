@@ -25,7 +25,8 @@ class Bi5ColumnarReader(
     partition: Bi5Partition,
     opts: Bi5Options,
     required: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter],
+    store: Bi5Store)
     extends PartitionReader[ColumnarBatch] {
 
   import Bi5ColumnarReader.BatchRows
@@ -39,7 +40,7 @@ class Bi5ColumnarReader(
       .map(_.asInstanceOf[OnHeapColumnVector])
   private[this] val batch = new ColumnarBatch(vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
 
-  private[this] val cursor = new Bi5FileCursor(partition, opts, filters)
+  private[this] val cursor = new Bi5FileCursor(partition, opts, filters, store)
   private[this] var current: Bi5FileCursor.OpenFile = _
   private[this] var tickerBytes: Array[Byte] = _ // cached per file, not per row
 

@@ -1,6 +1,6 @@
 package graft.sources.bi5
 
-import java.io.{DataInputStream, FileInputStream}
+import java.io.{DataInputStream, InputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -44,7 +44,7 @@ object Bi5Agg {
  * results in the pushed aggregation's column order; Spark's final
  * aggregation sums the counts and min/maxes the bounds.
  */
-class Bi5AggScan(opts: Bi5Options, aggs: Seq[Bi5Agg]) extends Scan with Batch {
+class Bi5AggScan(opts: Bi5Options, aggs: Seq[Bi5Agg], store: Bi5Store) extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(aggs.map {
     case Bi5Agg.Count => StructField("count(*)", LongType, nullable = false)
@@ -65,19 +65,19 @@ class Bi5AggScan(opts: Bi5Options, aggs: Seq[Bi5Agg]) extends Scan with Batch {
 
   // header reads / boundary decodes are cheap; per-child planning is plenty
   override def planInputPartitions(): Array[InputPartition] =
-    Bi5Scan.perChildPartitions(opts.path)
+    Bi5Scan.perChildPartitions(opts.path, store)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Bi5AggReaderFactory(opts, aggs)
+    new Bi5AggReaderFactory(opts, aggs, store)
 }
 
-class Bi5AggReaderFactory(opts: Bi5Options, aggs: Seq[Bi5Agg])
+class Bi5AggReaderFactory(opts: Bi5Options, aggs: Seq[Bi5Agg], store: Bi5Store)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new Bi5AggReader(partition.asInstanceOf[Bi5Partition], opts, aggs)
+    new Bi5AggReader(partition.asInstanceOf[Bi5Partition], opts, aggs, store)
 }
 
-class Bi5AggReader(partition: Bi5Partition, opts: Bi5Options, aggs: Seq[Bi5Agg])
+class Bi5AggReader(partition: Bi5Partition, opts: Bi5Options, aggs: Seq[Bi5Agg], store: Bi5Store)
     extends PartitionReader[InternalRow] {
 
   private[this] var emitted = false
@@ -87,7 +87,7 @@ class Bi5AggReader(partition: Bi5Partition, opts: Bi5Options, aggs: Seq[Bi5Agg])
     * bogus size — e.g. ASCII text yields ~4e17). Sanity gates: valid lzma
     * props byte, whole 20-byte records, and a sane compression ratio. */
   private def headerSize(path: String): Long = {
-    val in = new DataInputStream(new FileInputStream(path))
+    val in = new DataInputStream(store.open(path))
     try {
       val header = new Array[Byte](13)
       in.readFully(header)
@@ -95,7 +95,7 @@ class Bi5AggReader(partition: Bi5Partition, opts: Bi5Options, aggs: Seq[Bi5Agg])
       var size = 0L
       var i = 12
       while (i >= 5) { size = (size << 8) | (header(i) & 0xffL); i -= 1 }
-      val compressed = new java.io.File(path).length()
+      val compressed = store.fileSize(path)
       val plausible = size >= 0 &&
         size % Bi5Codec.RecordBytes == 0 &&
         size <= compressed * 2000 // LZMA ratios stay far below this
@@ -105,24 +105,24 @@ class Bi5AggReader(partition: Bi5Partition, opts: Bi5Options, aggs: Seq[Bi5Agg])
 
   /** Decode one file's tick timestamps (micros); empty on any corruption. */
   private def decodeTs(path: String, meta: Bi5PathMeta): Iterator[Long] = {
-    var fis: FileInputStream = null
+    var raw: InputStream = null
     try {
-      fis = new FileInputStream(path)
+      raw = store.open(path)
       val in = new org.tukaani.xz.LZMAInputStream(
-        new java.io.BufferedInputStream(fis, 1 << 16))
+        new java.io.BufferedInputStream(raw, 1 << 16))
       // materialize so the stream can close here (boundary files are small)
       val out = Bi5Codec.ticks(in).map(t => meta.baseEpochMicros + t.msOffset * 1000L).toArray
       in.close()
       out.iterator
     } catch {
       case _: Throwable =>
-        if (fis != null) { try fis.close() catch { case _: Throwable => } }
+        if (raw != null) { try raw.close() catch { case _: Throwable => } }
         Iterator.empty
     }
   }
 
   private lazy val metaFiles: Seq[(String, Bi5PathMeta)] =
-    Bi5FileLister.partitionFiles(partition)
+    Bi5FileLister.partitionFiles(partition, store)
       .flatMap(p => Bi5PathMeta.parse(p, opts.monthOffset).map(p -> _))
 
   private def countFiles(): Long = {
@@ -134,16 +134,16 @@ class Bi5AggReader(partition: Bi5Partition, opts: Bi5Options, aggs: Seq[Bi5Agg])
       } else {
         // unknown/unreadable size: decode-count this one file exactly.
         // Close the raw stream if the LZMA ctor throws (else the fd leaks).
-        var fis: FileInputStream = null
+        var raw: InputStream = null
         try {
-          fis = new FileInputStream(path)
+          raw = store.open(path)
           val in = new org.tukaani.xz.LZMAInputStream(
-            new java.io.BufferedInputStream(fis, 1 << 16))
+            new java.io.BufferedInputStream(raw, 1 << 16))
           try total += Bi5Codec.ticks(in).size
           finally in.close()
         } catch {
           case _: Throwable => // corrupt: contributes 0
-            if (fis != null) { try fis.close() catch { case _: Throwable => } }
+            if (raw != null) { try raw.close() catch { case _: Throwable => } }
         }
       }
     }

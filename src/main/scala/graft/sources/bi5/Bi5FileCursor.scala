@@ -1,10 +1,6 @@
 package graft.sources.bi5
 
-import java.io.{BufferedInputStream, FileInputStream, InputStream}
-import java.nio.file.{FileVisitOption, Files, Paths}
-
-import scala.collection.mutable.ArrayBuffer
-import scala.jdk.CollectionConverters._
+import java.io.{BufferedInputStream, InputStream}
 
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,28 +13,23 @@ import org.apache.spark.unsafe.types.UTF8String
  * failure opening a file silently advances to the next
  * (reference BI5DataSource.scala:149-159).
  *
- * Owns every resource it opens: the current decompression stream AND the
- * underlying Files.walk directory streams (which otherwise hold descriptors
- * until GC), all released by [[close]].
+ * All filesystem access goes through the partition's [[Bi5Store]] — local
+ * java.nio or Hadoop FileSystem, decided by the load path's scheme. Owns the
+ * current decompression stream, released by [[close]]; walk-mode listings
+ * are strict (the store closes its own handles per call), and a traversal
+ * fault yields the partial listing — skip-corrupt extends to the walk.
  */
-final class Bi5FileCursor(partition: Bi5Partition, opts: Bi5Options, filters: Array[Filter]) {
+final class Bi5FileCursor(
+    partition: Bi5Partition,
+    opts: Bi5Options,
+    filters: Array[Filter],
+    store: Bi5Store) {
 
   import Bi5FileCursor.OpenFile
 
-  private[this] val walkStreams = ArrayBuffer.empty[java.util.stream.Stream[java.nio.file.Path]]
-
   private[this] val files: Iterator[String] =
     if (partition.walk) {
-      partition.roots.iterator.flatMap { root =>
-        val p = Paths.get(root)
-        if (Files.exists(p)) {
-          val stream = Files.walk(p, FileVisitOption.FOLLOW_LINKS)
-          walkStreams += stream
-          stream.iterator().asScala
-            .map(_.toString)
-            .filter(_.toLowerCase.endsWith(".bi5"))
-        } else Iterator.empty
-      }
+      partition.roots.iterator.flatMap(root => store.listBi5Files(root).iterator.map(_._1))
     } else {
       partition.roots.iterator
     }
@@ -48,14 +39,14 @@ final class Bi5FileCursor(partition: Bi5Partition, opts: Bi5Options, filters: Ar
   /** Advance to the next decodable file, or None when exhausted. */
   def nextFile(): Option[OpenFile] = {
     closeCurrent()
-    while (hasMoreFiles) {
+    while (files.hasNext) {
       val path = files.next()
       Bi5PathMeta.parse(path, opts.monthOffset) match {
         case Some(meta) if Bi5FilePruner.mayMatchMeta(meta, filters) =>
-          var fis: FileInputStream = null
+          var raw: InputStream = null
           try {
-            fis = new FileInputStream(path)
-            val in = new org.tukaani.xz.LZMAInputStream(new BufferedInputStream(fis, 1 << 16))
+            raw = store.open(path)
+            val in = new org.tukaani.xz.LZMAInputStream(new BufferedInputStream(raw, 1 << 16))
             currentIn = in
             return Some(OpenFile(meta, UTF8String.fromString(meta.ticker), Bi5Codec.ticks(in)))
           } catch {
@@ -63,7 +54,7 @@ final class Bi5FileCursor(partition: Bi5Partition, opts: Bi5Options, filters: Ar
               // bad LZMA header, empty file, ... — the LZMAInputStream ctor
               // throws BEFORE currentIn is assigned, so close the raw stream
               // explicitly or its descriptor leaks until GC
-              if (fis != null) { try fis.close() catch { case _: Throwable => } }
+              if (raw != null) { try raw.close() catch { case _: Throwable => } }
               closeCurrent()
           }
         case _ => // non-matching layout (reference throws+swallows) or pruned
@@ -72,15 +63,6 @@ final class Bi5FileCursor(partition: Bi5Partition, opts: Bi5Options, filters: Ar
     None
   }
 
-  /** Walk traversal can itself throw (file deleted mid-walk, unreadable dir,
-    * symlink loop). Skip-corrupt extends to the traversal: a failing walk
-    * ends this partition's file supply instead of failing the task. Only
-    * NonFatal — an OutOfMemoryError or interrupt must kill the task, not
-    * masquerade as end-of-data. */
-  private[this] def hasMoreFiles: Boolean =
-    try files.hasNext
-    catch { case scala.util.control.NonFatal(_) => false }
-
   private[this] def closeCurrent(): Unit = {
     if (currentIn != null) {
       try currentIn.close() catch { case _: Throwable => }
@@ -88,11 +70,7 @@ final class Bi5FileCursor(partition: Bi5Partition, opts: Bi5Options, filters: Ar
     }
   }
 
-  def close(): Unit = {
-    closeCurrent()
-    walkStreams.foreach(s => try s.close() catch { case _: Throwable => })
-    walkStreams.clear()
-  }
+  def close(): Unit = closeCurrent()
 }
 
 object Bi5FileCursor {

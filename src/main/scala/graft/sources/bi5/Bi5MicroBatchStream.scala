@@ -1,7 +1,5 @@
 package graft.sources.bi5
 
-import java.nio.file.Paths
-
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.Filter
@@ -42,7 +40,8 @@ class Bi5MicroBatchStream(
     opts: Bi5Options,
     required: StructType,
     filters: Array[Filter],
-    checkpointLocation: String)
+    checkpointLocation: String,
+    store: Bi5Store)
     extends MicroBatchStream
     with SupportsAdmissionControl {
 
@@ -54,7 +53,7 @@ class Bi5MicroBatchStream(
     * parse can't produce rows (skip-corrupt) and carry no event time, so
     * they are excluded from the stream. */
   private def listSorted(minBaseMicros: Long): Vector[(Long, String)] =
-    Bi5FileLister.listBi5FilesSince(Paths.get(opts.path), minBaseMicros, opts.monthOffset)
+    Bi5FileLister.listBi5FilesSince(store, opts.path, minBaseMicros, opts.monthOffset)
       .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, filters) }
       .flatMap { case (p, _) =>
         Bi5PathMeta.parse(p, opts.monthOffset).map(m => (m.baseEpochMicros, p))
@@ -103,7 +102,7 @@ class Bi5MicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Bi5PartitionReaderFactory(opts, required, filters)
+    new Bi5PartitionReaderFactory(opts, required, filters, store)
 
   override def commit(end: Offset): Unit = ()
 

@@ -1,7 +1,5 @@
 package graft.sources.bi5
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.types._
 
 /**
@@ -55,7 +53,9 @@ object Bi5Options {
   def from(get: String => Option[String]): Bi5Options = {
     val path = get("path").getOrElse(
       throw new IllegalArgumentException("'path' must be specified for BI5 data."))
-    if (!Files.exists(Paths.get(path))) {
+    // Existence checked through the path's store, so `file://`/`hdfs://`/
+    // `s3a://` roots validate at load() exactly like bare local paths
+    if (!Bi5Store.forPath(path).exists(path)) {
       throw new IllegalArgumentException("Invalid path")
     }
     val digits = get("digits").getOrElse(

@@ -43,6 +43,10 @@ class Bi5ScanBuilder(opts: Bi5Options)
   private var pushed: Array[Filter] = Array.empty
   private var aggsPushed: Seq[Bi5Agg] = Nil
 
+  // Resolved once, driver-side (needs the session's Hadoop conf in scope);
+  // serialized into every reader factory so executors use the same store.
+  private val store: Bi5Store = Bi5Store.forPath(opts.path)
+
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     // Metadata-answerable aggregates only — COUNT(*) (lzma headers) and
@@ -91,11 +95,11 @@ class Bi5ScanBuilder(opts: Bi5Options)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    if (aggsPushed.nonEmpty) new Bi5AggScan(opts, aggsPushed)
-    else new Bi5Scan(opts, required, pushed)
+    if (aggsPushed.nonEmpty) new Bi5AggScan(opts, aggsPushed, store)
+    else new Bi5Scan(opts, required, pushed, store)
 }
 
-class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
+class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter], store: Bi5Store)
     extends Scan
     with Batch
     with SupportsReportStatistics
@@ -127,14 +131,14 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new Bi5MicroBatchStream(opts, required, filters, checkpointLocation)
+    new Bi5MicroBatchStream(opts, required, filters, checkpointLocation, store)
 
   override def description(): String =
     s"bi5 path=${opts.path} digits=${opts.digits} pushed=[${allFilters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (opts.splitPerFile) planFileBins(Paths.get(opts.path))
-    else Bi5Scan.perChildPartitions(opts.path)
+    if (opts.splitPerFile) planFileBins()
+    else Bi5Scan.perChildPartitions(opts.path, store)
 
   /** Scale mode: list all files on the driver, prune by pushed filters, then
     * first-fit-decreasing bin-pack by compressed size. With the DEFAULT byte
@@ -142,7 +146,7 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
     * a byte cap alone would collapse any dataset smaller than one cap into a
     * single partition and run the whole scan on one core (observed: a 53 MB
     * tree decoding single-threaded under the 128 MiB default). */
-  private def planFileBins(root: Path): Array[InputPartition] = {
+  private def planFileBins(): Array[InputPartition] = {
     val files = listedFiles
       .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, allFilters) }
       .sortBy { case (_, size) => -size }
@@ -181,13 +185,13 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Bi5PartitionReaderFactory(opts, required, allFilters)
+    new Bi5PartitionReaderFactory(opts, required, allFilters, store)
 
   // ONE listing per scan, shared by stats and split=files planning (pruned
   // per use: runtime filters can arrive between the two). Matches the stock
   // file source's load()-time index snapshot semantics.
   private lazy val listedFiles: Seq[(String, Long)] =
-    Bi5FileLister.listBi5Files(Paths.get(opts.path))
+    store.listBi5Files(opts.path)
 
   override def estimateStatistics(): Statistics = {
     // No footer/stats exist in bi5 files; estimate from compressed bytes with
@@ -210,11 +214,11 @@ object Bi5Scan {
     * directory root (dirs AND stray files alike — recursion happens
     * executor-side), a single partition for a plain file. Shared by the data
     * scan and the count scan. */
-  def perChildPartitions(path: String): Array[InputPartition] = {
-    val root = Paths.get(path)
-    if (Files.isDirectory(root)) {
-      val children = Option(new File(path).list()).getOrElse(Array.empty).sorted
-      children.map(c => Bi5Partition(Array(root.resolve(c).toString), walk = true): InputPartition)
+  def perChildPartitions(path: String, store: Bi5Store): Array[InputPartition] = {
+    if (store.isDirectory(path)) {
+      store.children(path).map(_.path).sorted
+        .map(c => Bi5Partition(Array(c), walk = true): InputPartition)
+        .toArray
     } else {
       Array(Bi5Partition(Array(path), walk = true))
     }
@@ -225,11 +229,15 @@ object Bi5Scan {
   * mode) or an explicit pre-planned file list (`split=files` mode). */
 case class Bi5Partition(roots: Array[String], walk: Boolean) extends InputPartition
 
-class Bi5PartitionReaderFactory(opts: Bi5Options, required: StructType, filters: Array[Filter])
+class Bi5PartitionReaderFactory(
+    opts: Bi5Options,
+    required: StructType,
+    filters: Array[Filter],
+    store: Bi5Store)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new Bi5PartitionReader(partition.asInstanceOf[Bi5Partition], opts, required, filters)
+    new Bi5PartitionReader(partition.asInstanceOf[Bi5Partition], opts, required, filters, store)
 
   // Emit ColumnarBatches: downstream operators consume vectors directly and
   // Spark's per-row reader pipeline (iterator + unsafe projection per record)
@@ -238,7 +246,7 @@ class Bi5PartitionReaderFactory(opts: Bi5Options, required: StructType, filters:
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new Bi5ColumnarReader(partition.asInstanceOf[Bi5Partition], opts, required, filters)
+    new Bi5ColumnarReader(partition.asInstanceOf[Bi5Partition], opts, required, filters, store)
 }
 
 /**
@@ -252,14 +260,15 @@ class Bi5PartitionReader(
     partition: Bi5Partition,
     opts: Bi5Options,
     required: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter],
+    store: Bi5Store)
     extends PartitionReader[InternalRow] {
 
   private[this] val colIds = Bi5FileCursor.columnIds(required)
   private[this] val divisor = opts.priceDivisor
   private[this] val numFields = colIds.length
 
-  private[this] val cursor = new Bi5FileCursor(partition, opts, filters)
+  private[this] val cursor = new Bi5FileCursor(partition, opts, filters, store)
   private[this] var current: Bi5FileCursor.OpenFile = _
   private[this] var row: InternalRow = _
 
@@ -355,38 +364,33 @@ object Bi5FileLister {
    * children this walk actually reads.
    */
   def listBi5FilesSince(
-      root: Path,
+      store: Bi5Store,
+      root: String,
       minBaseMicros: Long,
       monthOffset: Int,
       onDirEnumerated: String => Unit = _ => ()): Seq[(String, Long)] = {
     val out = Vector.newBuilder[(String, Long)]
-    def descend(dir: Path): Unit = {
-      onDirEnumerated(dir.toString)
-      val children =
-        try {
-          val s = Files.list(dir)
-          try s.iterator().asScala.toVector
-          finally s.close()
-        } catch { case scala.util.control.NonFatal(_) => Vector.empty }
-      children.foreach { child =>
-        if (Files.isDirectory(child)) { // follows symlinks, as Files.walk did
-          val skip = subtreeMaxBaseMicros(child.toString, monthOffset)
+    def descend(dir: String): Unit = {
+      onDirEnumerated(dir)
+      store.children(dir).foreach { child =>
+        if (child.isDir) {
+          val skip = subtreeMaxBaseMicros(child.path, monthOffset)
             .exists(_ < minBaseMicros)
-          if (!skip) descend(child)
-        } else if (child.toString.toLowerCase.endsWith(".bi5") && Files.isRegularFile(child)) {
-          out += ((child.toString, try Files.size(child) catch { case _: Throwable => 0L }))
+          if (!skip) descend(child.path)
+        } else if (child.path.toLowerCase.endsWith(".bi5")) {
+          out += ((child.path, child.size))
         }
       }
     }
-    if (Files.isDirectory(root)) descend(root)
-    else if (Files.exists(root)) out += ((root.toString, try Files.size(root) catch { case _: Throwable => 0L }))
+    if (store.isDirectory(root)) descend(root)
+    else if (store.exists(root)) out += ((root, store.fileSize(root)))
     out.result()
   }
 
   /** All candidate .bi5 files of a partition, strict (streams closed). */
-  def partitionFiles(partition: Bi5Partition): Seq[String] =
+  def partitionFiles(partition: Bi5Partition, store: Bi5Store): Seq[String] =
     if (partition.walk) {
-      partition.roots.flatMap(root => listBi5Files(Paths.get(root)).map(_._1)).toSeq
+      partition.roots.flatMap(root => store.listBi5Files(root).map(_._1)).toSeq
     } else {
       partition.roots.toSeq
     }

@@ -31,11 +31,11 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or a documented reason") {
-    // q36: HLL sketch estimates are engine-specific — no cross-engine oracle.
-    val allowedNoOracle = Set("q36_approx_distinct")
+  test("every query has an oracle") {
+    // Even the HLL query (q36) is oracle-checked now, via its exact column
+    // plus the sketch's accuracy-contract boolean.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === allowedNoOracle, s"queries without oracle SQL: $noOracle")
+    assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {

@@ -104,7 +104,7 @@ class Bi5StreamingSpec extends AnyFunSuite {
       .parse(root.resolve("EURUSD/2020/03/02/9h_ticks.bi5").toString, 0).get.baseEpochMicros
 
     val enumerated = scala.collection.mutable.ArrayBuffer.empty[String]
-    val listed = Bi5FileLister.listBi5FilesSince(root, committed, 0, enumerated += _)
+    val listed = Bi5FileLister.listBi5FilesSince(NioBi5Store, root.toString, committed, 0, enumerated += _)
 
     // every archive DAY dir was skipped, never enumerated (the month dir
     // itself is visited — its bound carries the lenient 99-day slack)
@@ -114,7 +114,7 @@ class Bi5StreamingSpec extends AnyFunSuite {
     assert(listed.map(_._1).exists(_.endsWith("2020/03/02/9h_ticks.bi5")))
     // and a file arriving in a NEW hour dir is picked up by the same walk
     install("EURUSD/2020/03/02/10h_ticks.bi5")
-    val listed2 = Bi5FileLister.listBi5FilesSince(root, committed, 0)
+    val listed2 = Bi5FileLister.listBi5FilesSince(NioBi5Store, root.toString, committed, 0)
     assert(listed2.map(_._1).exists(_.endsWith("10h_ticks.bi5")))
   }
 
@@ -128,7 +128,7 @@ class Bi5StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get(s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"), dst,
       StandardCopyOption.REPLACE_EXISTING)
     val committed = Bi5PathMeta.lenientBaseMicros(2019, 11, 15, 0) // 2019-12-15
-    val listed = Bi5FileLister.listBi5FilesSince(root, committed, 0)
+    val listed = Bi5FileLister.listBi5FilesSince(NioBi5Store, root.toString, committed, 0)
     assert(listed.map(_._1).exists(_.endsWith("15h_ticks.bi5")),
       "lenient roll-over file must survive the pruned walk")
     // while a genuinely old month dir IS pruned
@@ -137,7 +137,7 @@ class Bi5StreamingSpec extends AnyFunSuite {
     Files.copy(Paths.get(s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"), old,
       StandardCopyOption.REPLACE_EXISTING)
     val enumerated = scala.collection.mutable.ArrayBuffer.empty[String]
-    Bi5FileLister.listBi5FilesSince(root, committed, 0, enumerated += _)
+    Bi5FileLister.listBi5FilesSince(NioBi5Store, root.toString, committed, 0, enumerated += _)
     assert(!enumerated.exists(_.contains("2019/05")), "old month dir must not be enumerated")
   }
 
