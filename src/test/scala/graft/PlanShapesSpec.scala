@@ -78,6 +78,26 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(p.contains("salt"), p)
   }
 
+  test("IVF search routes probes through an equi-join, no corpus broadcast (q54)") {
+    val p = plan("q54_ivf_search")
+    // centroid assignment: the 8-row centroid table broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // probe-candidate search: an equi-join keyed on cluster_id, never a
+    // cartesian product over the corpus
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q48 stop-shingle cutoff is a broadcast anti-join, not a second shuffle") {
+    val p = plan("q48_shingle_pairs")
+    // the hot-shingle removal must ride a broadcast (tiny hot set), keeping
+    // the posting lists from shuffling twice
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // df computation is an aggregation (map-side combinable), not a window
+    // over shingle partitions (which would single-task the hottest shingle)
+    val aggCount = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggCount >= 2, p)
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")
