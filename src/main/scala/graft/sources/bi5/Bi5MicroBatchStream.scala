@@ -29,6 +29,15 @@ import org.apache.spark.sql.types.StructType
  *    committed offset are skipped (same contract as Spark's file source
  *    without `latestFirst`).
  *
+ * `backfillLookbackHours = N` upgrades that skip contract: the offset then
+ * also carries the set of processed paths whose hour is within N hours of
+ * the frontier, and a file published out of order inside that window is
+ * picked up exactly once (outside it, the skip rule stands — the window is
+ * what bounds offset size). Pair with `maxFilesPerTrigger` when starting
+ * over a large backlog, since the first batch's manifest rides in the
+ * offset. Enabling it on an existing default-mode checkpoint may reprocess
+ * the trailing window once (those files were never recorded as seen).
+ *
  * Admission control: `maxFilesPerTrigger` bounds each batch, so starting a
  * stream over years of history progresses in resumable increments instead of
  * one giant batch 0.
@@ -69,6 +78,14 @@ class Bi5MicroBatchStream(
   private def gt(a: (Long, String), b: (Long, String)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
 
+  private val lookbackMicros: Long = opts.backfillLookbackHours.toLong * 3600L * 1000000L
+
+  /** Listing floor for a frontier: lookback mode must also see the trailing
+    * window behind the committed hour. MinValue (initial) stays MinValue. */
+  private def windowFloor(baseMicros: Long): Long =
+    if (lookbackMicros == 0 || baseMicros == Long.MinValue) baseMicros
+    else baseMicros - lookbackMicros
+
   override def initialOffset(): Offset = Bi5StreamOffset.Initial
 
   override def latestOffset(): Offset =
@@ -80,22 +97,59 @@ class Bi5MicroBatchStream(
     else ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = key(start)
-    val pending = listSorted(from._1).filter(gt(_, from))
+    val so = start.asInstanceOf[Bi5StreamOffset]
+    val from = key(so)
+    val listing = listSorted(windowFloor(so.baseMicros))
+    // Back-fill (lookback mode only): files at-or-before the frontier whose
+    // hour lies within the window and that were never processed. They sort
+    // ahead of the new-file range, so admission control drains the past
+    // before the present.
+    val backfill =
+      if (lookbackMicros == 0 || so.baseMicros == Long.MinValue) Vector.empty
+      else listing.filter(k =>
+        !gt(k, from) && k._1 >= so.baseMicros - lookbackMicros && !so.seen.contains(k._2))
+    val pending = backfill ++ listing.filter(gt(_, from))
     val capped = limit match {
       case m: ReadMaxFiles => pending.take(m.maxFiles())
       case _               => pending
     }
-    if (capped.isEmpty) start
-    else Bi5StreamOffset(capped.last._1, capped.last._2)
+    if (capped.isEmpty) return start
+    val advancing = capped.filter(gt(_, from))
+    val (newBase, newPath) = if (advancing.isEmpty) from else advancing.last
+    // Lookback mode keeps the offset's seen-set = this batch's files plus
+    // prior entries still inside the window of the NEW frontier. Batch files
+    // are always retained (they are the plan-time manifest — see
+    // planInputPartitions) and age out on the next advance.
+    val newSeen =
+      if (lookbackMicros == 0) Set.empty[String]
+      else {
+        val cappedPaths = capped.map(_._2).toSet
+        val floor = newBase - lookbackMicros
+        (so.seen ++ cappedPaths).filter { p =>
+          cappedPaths.contains(p) ||
+            Bi5PathMeta.parse(p, opts.monthOffset).exists(_.baseEpochMicros >= floor)
+        }
+      }
+    Bi5StreamOffset(newBase, newPath, newSeen)
   }
 
   override def deserializeOffset(json: String): Offset = Bi5StreamOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = key(start)
-    val to = key(end)
-    val newFiles = listSorted(from._1).filter(k => gt(k, from) && !gt(k, to))
+    val so = start.asInstanceOf[Bi5StreamOffset]
+    val eo = end.asInstanceOf[Bi5StreamOffset]
+    val from = key(so)
+    val to = key(eo)
+    val listing = listSorted(windowFloor(so.baseMicros))
+    // Lookback mode: the end offset's seen-set IS the batch manifest (range
+    // files and back-fills alike enter it at latestOffset time), so batch
+    // membership never depends on a listing taken later — a file appearing
+    // between latestOffset and here waits for the next trigger instead of
+    // slipping into this batch unrecorded (which would double-read it as
+    // back-fill later). Default mode keeps the pure key-range predicate.
+    val newFiles =
+      if (lookbackMicros == 0) listing.filter(k => gt(k, from) && !gt(k, to))
+      else listing.filter(k => eo.seen.contains(k._2) && !so.seen.contains(k._2))
     // one partition per arriving hour file: hour files are small (a few MB
     // compressed), and per-file tasks keep latency low per trigger
     newFiles.map { case (_, f) => Bi5Partition(Array(f), walk = false): InputPartition }.toArray
@@ -109,14 +163,31 @@ class Bi5MicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** Checkpoint offset: `<hourBaseMicros>|<path>` of the last processed file
-  * (empty string = nothing processed yet). */
-case class Bi5StreamOffset(baseMicros: Long, lastPath: String) extends Offset {
-  // NB: the Offset base class implements equals() by comparing json()
-  // strings, so json() must never itself compare offsets (infinite mutual
-  // recursion) — test the sentinel FIELDS directly.
+/** Checkpoint offset: the frontier `<hourBaseMicros>|<path>` of the last
+  * processed file (empty string = nothing processed yet), plus — only when
+  * `backfillLookbackHours` is on — the bounded set of processed paths whose
+  * hour base lies within the lookback window of the frontier. With the set
+  * empty the legacy v1 string is emitted, so default-config checkpoints stay
+  * byte-compatible across versions.
+  *
+  * NB: the Offset base class implements equals() by comparing json()
+  * strings, so json() must never itself compare offsets (infinite mutual
+  * recursion) — and `seen` serializes SORTED so equal sets render equal. */
+case class Bi5StreamOffset(baseMicros: Long, lastPath: String, seen: Set[String] = Set.empty)
+    extends Offset {
   override def json(): String =
-    if (baseMicros == Long.MinValue && lastPath.isEmpty) "" else s"$baseMicros|$lastPath"
+    if (seen.isEmpty) {
+      if (baseMicros == Long.MinValue && lastPath.isEmpty) "" else s"$baseMicros|$lastPath"
+    } else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      node.put("v", 2)
+      node.put("base", baseMicros)
+      node.put("path", lastPath)
+      val arr = node.putArray("seen")
+      seen.toSeq.sorted.foreach(arr.add)
+      m.writeValueAsString(node)
+    }
 }
 
 object Bi5StreamOffset {
@@ -127,14 +198,25 @@ object Bi5StreamOffset {
     * as a path would silently stall or re-read the stream forever. */
   def fromJson(json: String): Bi5StreamOffset = {
     if (json.isEmpty) return Initial
-    val sep = json.indexOf('|')
-    if (sep > 0) {
-      try return Bi5StreamOffset(json.substring(0, sep).toLong, json.substring(sep + 1))
-      catch { case _: NumberFormatException => }
+    if (json.startsWith("{")) {
+      try {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        if (n.path("v").asInt() == 2 && n.hasNonNull("base") && n.hasNonNull("path")) {
+          val seen = Set.newBuilder[String]
+          n.path("seen").forEach(e => seen += e.asText())
+          return Bi5StreamOffset(n.get("base").asLong(), n.get("path").asText(), seen.result())
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
+    } else {
+      val sep = json.indexOf('|')
+      if (sep > 0) {
+        try return Bi5StreamOffset(json.substring(0, sep).toLong, json.substring(sep + 1))
+        catch { case _: NumberFormatException => }
+      }
     }
     throw new IllegalStateException(
-      s"Unrecognized bi5 streaming offset '$json' (expected '<epochMicros>|<path>'); " +
-        "the checkpoint was written by an incompatible version — restart the query " +
-        "with a fresh checkpointLocation.")
+      s"Unrecognized bi5 streaming offset '$json' (expected '<epochMicros>|<path>' or " +
+        "the v2 JSON form); the checkpoint was written by an incompatible version — " +
+        "restart the query with a fresh checkpointLocation.")
   }
 }

@@ -40,7 +40,8 @@ final case class Bi5Options(
     maxPartitionBytes: Long,
     maxPartitionBytesExplicit: Boolean,
     trustHeaders: Boolean,
-    maxFilesPerTrigger: Int) {
+    maxFilesPerTrigger: Int,
+    backfillLookbackHours: Int = 0) {
   def priceDivisor: Double = Bi5Codec.priceDivisor(digits)
 }
 
@@ -85,12 +86,21 @@ object Bi5Options {
       if (v <= 0) throw new IllegalArgumentException("maxFilesPerTrigger must be positive")
     }
     val maxFilesPerTrigger = maxFilesPerTriggerOpt.getOrElse(0)
+    // 0 (default) keeps the Spark-file-source contract: a file landing
+    // at-or-before the committed offset is skipped. N > 0 opts the stream
+    // into exactly-once pickup of files published out of order up to N hours
+    // behind the frontier (the offset then carries a bounded seen-set).
+    val backfill = get("backfilllookbackhours").map(_.toInt).getOrElse(0)
+    if (backfill < 0) {
+      throw new IllegalArgumentException("backfillLookbackHours cannot be negative")
+    }
     Bi5Options(
       path, digits, january, splitPerFile,
       maxBytesOpt.getOrElse(DefaultMaxPartitionBytes),
       maxPartitionBytesExplicit = maxBytesOpt.isDefined,
       trustHeaders = trustHeaders,
-      maxFilesPerTrigger = maxFilesPerTrigger)
+      maxFilesPerTrigger = maxFilesPerTrigger,
+      backfillLookbackHours = backfill)
   }
 }
 

@@ -82,8 +82,116 @@ class Bi5StreamingSpec extends AnyFunSuite {
     assert(Bi5StreamOffset.fromJson("") === Bi5StreamOffset.Initial)
     val rt = Bi5StreamOffset(1583143200000000L, "/data/EURUSD/2020/03/02/10h_ticks.bi5")
     assert(Bi5StreamOffset.fromJson(rt.json()) === rt)
+    // v2 (seen-set) roundtrip; legacy v1 string stays emitted when seen empty
+    val v2 = Bi5StreamOffset(1583143200000000L, "/d/EURUSD/2020/03/02/10h_ticks.bi5",
+      Set("/d/EURUSD/2020/03/02/9h_ticks.bi5", "/d/EURUSD/2020/03/02/8h_ticks.bi5"))
+    assert(v2.json().startsWith("{"))
+    assert(Bi5StreamOffset.fromJson(v2.json()) === v2)
+    assert(!rt.json().startsWith("{"), "empty seen-set must keep the v1 format")
     intercept[IllegalStateException] { Bi5StreamOffset.fromJson("5") } // old count format
     intercept[IllegalStateException] { Bi5StreamOffset.fromJson("/just/a/path") }
+    intercept[IllegalStateException] { Bi5StreamOffset.fromJson("""{"foreign":1}""") }
+  }
+
+  test("backfill lookback picks up late files behind the frontier exactly once") {
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("bi5backfill")
+    def copyAs(rel: String): Unit = {
+      val dst = root.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    copyAs("EURUSD/2020/03/02/12h_ticks.bi5") // frontier: hour 12 (8816 rows)
+    val q = spark.readStream.format("bi5")
+      .option("digits", 5)
+      .option("backfillLookbackHours", 6)
+      .load(root.toString)
+      .writeStream.format("memory").queryName("bi5_backfill").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_backfill").head.getLong(0) === 8816)
+      // hour 10 lands AFTER hour 12 committed — within the 6h window
+      copyAs("EURUSD/2020/03/02/10h_ticks.bi5")
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_backfill").head.getLong(0) === 2 * 8816,
+        "late file within the lookback window must be picked up")
+      // exactly once: idle re-trigger adds nothing
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_backfill").head.getLong(0) === 2 * 8816)
+      // hour 2 lands too — OUTSIDE the 6h window behind frontier hour 12
+      copyAs("EURUSD/2020/03/02/2h_ticks.bi5")
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_backfill").head.getLong(0) === 2 * 8816,
+        "file beyond the lookback window keeps the skip contract")
+      // and new files ahead of the frontier still flow
+      copyAs("EURUSD/2020/03/02/14h_ticks.bi5")
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_backfill").head.getLong(0) === 3 * 8816)
+    } finally q.stop()
+  }
+
+  test("backfill survives a restart: late file landing while stopped is recovered") {
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("bi5backfillrestart")
+    val ckpt = Files.createTempDirectory("bi5backfillckpt").toString
+    val outDir = Files.createTempDirectory("bi5backfillout").toString
+    def copyAs(rel: String): Unit = {
+      val dst = root.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // parquet sink: the memory sink refuses checkpoint recovery
+    def start() = spark.readStream.format("bi5")
+      .option("digits", 5).option("backfillLookbackHours", 6)
+      .load(root.toString)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def sunk(): Long = spark.read.parquet(outDir).count()
+
+    copyAs("EURUSD/2020/03/02/12h_ticks.bi5")
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(sunk() === 8816)
+
+    // while the query is DOWN: one late file in-window, one new file ahead
+    copyAs("EURUSD/2020/03/02/11h_ticks.bi5")
+    copyAs("EURUSD/2020/03/02/13h_ticks.bi5")
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the restarted run must deliver exactly the two files that landed
+      // while stopped (the v2 seen-set offset read back from the checkpoint)
+      assert(sunk() === 3 * 8816)
+      q2.processAllAvailable() // and nothing twice
+      assert(sunk() === 3 * 8816)
+    } finally q2.stop()
+  }
+
+  test("default mode (no lookback) keeps the skip-behind contract") {
+    spark.sparkContext.setLogLevel("WARN")
+    val root = Files.createTempDirectory("bi5skipdefault")
+    def copyAs(rel: String): Unit = {
+      val dst = root.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    copyAs("EURUSD/2020/03/02/12h_ticks.bi5")
+    val q = spark.readStream.format("bi5").option("digits", 5)
+      .load(root.toString)
+      .writeStream.format("memory").queryName("bi5_skip").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_skip").head.getLong(0) === 8816)
+      copyAs("EURUSD/2020/03/02/10h_ticks.bi5") // behind the committed hour
+      q.processAllAvailable()
+      assert(spark.sql("select count(*) from bi5_skip").head.getLong(0) === 8816,
+        "default contract: a file behind the committed offset is skipped")
+    } finally q.stop()
   }
 
   test("pruned relist never re-enumerates committed day directories") {
