@@ -43,6 +43,40 @@ object VectorQueries {
     s"""list_reduce(list_transform(range(1, len($a) + 1),
           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"""
 
+  /** IVF coarse quantization, shared by q34 (the assignment layer) and q54
+    * (the search that routes through it): broadcast the 8 centroid vectors,
+    * assign every vector to its max-dot centroid (ties to the lowest id).
+    * One map-side pass over the corpus — the partition-pruning layer that
+    * makes ANN sub-linear. Returns (vec_id, embedding, cluster_id, cdot). */
+  private def assignedClusters(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.VectorExpressions.register(s)
+    val e = table(s, dir, "embeddings")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "embedding", "centroid_id", s"${sparkDot("embedding", "ce")} as cdot")
+      .withColumn(
+        "rn",
+        expr("row_number() over (partition by vec_id order by cdot desc, centroid_id asc)"))
+      .filter(col("rn") === 1)
+      .selectExpr("vec_id", "embedding", "centroid_id as cluster_id", "cdot")
+  }
+
+  /** The DuckDB CTE chain mirroring [[assignedClusters]]; yields a relation
+    * named `assigned(vec_id, embedding, cluster_id)`. */
+  private def duckAssigned: String =
+    s"""cents AS (
+          SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        dots AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id, ${duckDot("e.embedding", "c.ce")} AS cdot
+          FROM embeddings e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id AS cluster_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
+          WHERE rn = 1)"""
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q33
@@ -95,38 +129,20 @@ object VectorQueries {
     // ---------------------------------------------------------------- q34
     Q(
       "q34_ivf_assign",
-      (s, dir) => {
-        graft.functions.VectorExpressions.register(s)
-        val e = table(s, dir, "embeddings")
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-        e.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "centroid_id", s"${sparkDot("embedding", "ce")} as dot")
-          .withColumn(
-            "rn",
-            expr("row_number() over (partition by vec_id order by dot desc, centroid_id asc)"))
-          .filter(col("rn") === 1)
-          .groupBy("centroid_id")
+      (s, dir) =>
+        assignedClusters(s, dir)
+          .groupBy(col("cluster_id").as("centroid_id"))
           .agg(
             count(lit(1)).as("n_members"),
             min("vec_id").as("min_member"),
             max("vec_id").as("max_member"))
-          .orderBy("centroid_id")
-      },
+          .orderBy("centroid_id"),
       Some(s"""
-        WITH cents AS (
-          SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
-        dots AS (
-          SELECT e.vec_id, c.centroid_id, ${duckDot("e.embedding", "c.ce")} AS dot
-          FROM embeddings e CROSS JOIN cents c),
-        assigned AS (
-          SELECT vec_id, centroid_id,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, centroid_id ASC) AS rn
-          FROM dots)
-        SELECT centroid_id, COUNT(1) AS n_members, MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
-        FROM assigned WHERE rn = 1
-        GROUP BY centroid_id ORDER BY centroid_id"""),
+        WITH $duckAssigned
+        SELECT cluster_id AS centroid_id, COUNT(1) AS n_members,
+               MIN(vec_id) AS min_member, MAX(vec_id) AS max_member
+        FROM assigned
+        GROUP BY cluster_id ORDER BY centroid_id"""),
       "IVF-style coarse quantization: broadcast 8 centroids, assign every vector to its max-dot " +
         "cluster — the partition-pruning layer that makes ANN sub-linear at 100 TB."),
 
@@ -188,28 +204,16 @@ object VectorQueries {
     Q(
       "q54_ivf_search",
       (s, dir) => {
-        graft.functions.VectorExpressions.register(s)
         // The sub-linear ANN shape for 100 TB: every vector is assigned to
-        // its nearest of 8 broadcast centroids (one map-side pass, as q34),
-        // and each probe then searches ONLY its own cluster via an equi-join
-        // on cluster_id. Work is O(n * k_centroids) assignment + O(probes *
+        // its nearest coarse centroid (the shared q34 assignment layer), and
+        // each probe then searches ONLY its own cluster via an equi-join on
+        // cluster_id. Work is O(n * k_centroids) assignment + O(probes *
         // cluster_size) search, the candidate join is a hash-partitionable
         // equi-join (no corpus-sized broadcast, no all-pairs product), and
         // cluster skew is AQE-splittable because the join key cardinality
         // grows with the centroid count in production.
-        val e = table(s, dir, "embeddings")
-        val cents = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-        val assigned = e
-          .select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "embedding", "centroid_id",
-            s"${sparkDot("embedding", "ce")} as cdot")
-          .withColumn(
-            "rn",
-            expr("row_number() over (partition by vec_id order by cdot desc, centroid_id asc)"))
-          .filter(col("rn") === 1)
-          .selectExpr("vec_id", "embedding", "centroid_id as cluster_id",
+        val assigned = assignedClusters(s, dir)
+          .selectExpr("vec_id", "embedding", "cluster_id",
             s"${sparkDot("embedding", "embedding")} as n2")
         val probes = assigned.filter(col("vec_id") < 20)
           .select(col("vec_id").as("pid"), col("embedding").as("pe"),
@@ -229,21 +233,14 @@ object VectorQueries {
           .orderBy("pid", "rank")
       },
       Some(s"""
-        WITH cents AS (
-          SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
-        dots AS (
-          SELECT e.vec_id, e.embedding, c.centroid_id, ${duckDot("e.embedding", "c.ce")} AS cdot
-          FROM embeddings e CROSS JOIN cents c),
-        assigned AS (
-          SELECT vec_id, embedding, centroid_id AS cluster_id,
-                 ${duckDot("embedding", "embedding")} AS n2
-          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
-          WHERE rn = 1),
+        WITH $duckAssigned,
+        sized AS (
+          SELECT vec_id, embedding, cluster_id, ${duckDot("embedding", "embedding")} AS n2
+          FROM assigned),
         sims AS (
           SELECT p.vec_id AS pid, p.cluster_id, c.vec_id AS cid,
                  ${duckDot("p.embedding", "c.embedding")} / (SQRT(p.n2) * SQRT(c.n2)) AS sim
-          FROM assigned p JOIN assigned c
+          FROM sized p JOIN sized c
             ON p.cluster_id = c.cluster_id AND p.vec_id < 20 AND c.vec_id <> p.vec_id),
         ranked AS (
           SELECT pid, cluster_id, cid, sim,

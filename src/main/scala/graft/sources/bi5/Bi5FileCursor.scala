@@ -14,10 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * (reference BI5DataSource.scala:149-159).
  *
  * All filesystem access goes through the partition's [[Bi5Store]] — local
- * java.nio or Hadoop FileSystem, decided by the load path's scheme. Owns the
- * current decompression stream, released by [[close]]; walk-mode listings
- * are strict (the store closes its own handles per call), and a traversal
- * fault yields the partial listing — skip-corrupt extends to the walk.
+ * java.nio or Hadoop FileSystem, decided by the load path's scheme. Walk
+ * mode streams paths LAZILY from the store (no subtree-sized list in task
+ * memory; the first record decodes before the traversal finishes), and each
+ * store's walk embeds its own fault contract (nio: a traversal fault ends
+ * the supply — local skip-corrupt; Hadoop: FileNotFound ends the supply,
+ * transient faults fail the retryable task). Owns the current decompression
+ * stream AND the open walks, all released by [[close]].
  */
 final class Bi5FileCursor(
     partition: Bi5Partition,
@@ -27,9 +30,15 @@ final class Bi5FileCursor(
 
   import Bi5FileCursor.OpenFile
 
+  private[this] val walks = scala.collection.mutable.ArrayBuffer.empty[Bi5Store.FileWalk]
+
   private[this] val files: Iterator[String] =
     if (partition.walk) {
-      partition.roots.iterator.flatMap(root => store.listBi5Files(root).iterator.map(_._1))
+      partition.roots.iterator.flatMap { root =>
+        val w = store.walkBi5Files(root)
+        walks += w
+        w.files
+      }
     } else {
       partition.roots.iterator
     }
@@ -70,7 +79,11 @@ final class Bi5FileCursor(
     }
   }
 
-  def close(): Unit = closeCurrent()
+  def close(): Unit = {
+    closeCurrent()
+    walks.foreach(w => try w.close() catch { case _: Throwable => })
+    walks.clear()
+  }
 }
 
 object Bi5FileCursor {

@@ -36,7 +36,9 @@ import org.apache.spark.sql.types.StructType
  * what bounds offset size). Pair with `maxFilesPerTrigger` when starting
  * over a large backlog, since the first batch's manifest rides in the
  * offset. Enabling it on an existing default-mode checkpoint may reprocess
- * the trailing window once (those files were never recorded as seen).
+ * the trailing window once (those files were never recorded as seen);
+ * replays of a batch pending across the toggle are safe either way, because
+ * planInputPartitions derives membership from the offsets' own content.
  *
  * Admission control: `maxFilesPerTrigger` bounds each batch, so starting a
  * stream over years of history progresses in resumable increments instead of
@@ -140,19 +142,34 @@ class Bi5MicroBatchStream(
     val eo = end.asInstanceOf[Bi5StreamOffset]
     val from = key(so)
     val to = key(eo)
-    val listing = listSorted(windowFloor(so.baseMicros))
-    // Lookback mode: the end offset's seen-set IS the batch manifest (range
-    // files and back-fills alike enter it at latestOffset time), so batch
-    // membership never depends on a listing taken later — a file appearing
-    // between latestOffset and here waits for the next trigger instead of
-    // slipping into this batch unrecorded (which would double-read it as
-    // back-fill later). Default mode keeps the pure key-range predicate.
-    val newFiles =
-      if (lookbackMicros == 0) listing.filter(k => gt(k, from) && !gt(k, to))
-      else listing.filter(k => eo.seen.contains(k._2) && !so.seen.contains(k._2))
-    // one partition per arriving hour file: hour files are small (a few MB
-    // compressed), and per-file tasks keep latency low per trigger
-    newFiles.map { case (_, f) => Bi5Partition(Array(f), walk = false): InputPartition }.toArray
+    // Batch membership derives from the OFFSET CONTENT, not the current
+    // option value: a pending batch replayed after the user toggles
+    // backfillLookbackHours must plan the same files its end offset
+    // described, or the replay silently reads nothing (toggle-on) or drops
+    // the batch's back-fill files (toggle-off).
+    //  - end offset carries a seen-set → it IS the batch manifest (range
+    //    files and back-fills alike entered it at latestOffset time), so
+    //    membership never depends on a listing taken later — a file
+    //    appearing between latestOffset and here waits for the next trigger
+    //    instead of slipping into this batch unrecorded (which would
+    //    double-read it as back-fill later);
+    //  - no seen-set → the legacy pure key-range predicate.
+    if (eo.seen.nonEmpty) {
+      val manifest = eo.seen -- so.seen
+      // listing floor from the manifest itself, so replays see the batch's
+      // back-fill hours even if the lookback option is now smaller/off
+      val floor = manifest.iterator
+        .flatMap(p => Bi5PathMeta.parse(p, opts.monthOffset))
+        .map(_.baseEpochMicros)
+        .foldLeft(windowFloor(so.baseMicros))(math.min)
+      val files = listSorted(floor).filter(k => manifest.contains(k._2))
+      files.map { case (_, f) => Bi5Partition(Array(f), walk = false): InputPartition }.toArray
+    } else {
+      val newFiles = listSorted(so.baseMicros).filter(k => gt(k, from) && !gt(k, to))
+      // one partition per arriving hour file: hour files are small (a few MB
+      // compressed), and per-file tasks keep latency low per trigger
+      newFiles.map { case (_, f) => Bi5Partition(Array(f), walk = false): InputPartition }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -179,7 +196,7 @@ case class Bi5StreamOffset(baseMicros: Long, lastPath: String, seen: Set[String]
     if (seen.isEmpty) {
       if (baseMicros == Long.MinValue && lastPath.isEmpty) "" else s"$baseMicros|$lastPath"
     } else {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val m = Bi5StreamOffset.mapper
       val node = m.createObjectNode()
       node.put("v", 2)
       node.put("base", baseMicros)
@@ -193,6 +210,11 @@ case class Bi5StreamOffset(baseMicros: Long, lastPath: String, seen: Set[String]
 object Bi5StreamOffset {
   val Initial: Bi5StreamOffset = Bi5StreamOffset(Long.MinValue, "")
 
+  // Offset.equals compares json() strings, so json() runs several times per
+  // trigger; ObjectMapper construction is expensive and the instance is
+  // thread-safe after configuration — share one.
+  private[bi5] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Strict parse: an unrecognized offset (e.g. a checkpoint written by a
     * different source or format revision) must fail LOUDLY — accepting it
     * as a path would silently stall or re-read the stream forever. */
@@ -200,7 +222,7 @@ object Bi5StreamOffset {
     if (json.isEmpty) return Initial
     if (json.startsWith("{")) {
       try {
-        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        val n = mapper.readTree(json)
         if (n.path("v").asInt() == 2 && n.hasNonNull("base") && n.hasNonNull("path")) {
           val seen = Set.newBuilder[String]
           n.path("seen").forEach(e => seen += e.asText())

@@ -302,18 +302,8 @@ class Bi5PartitionReader(
   override def close(): Unit = cursor.close()
 }
 
-/** Driver-side recursive listing used by `split=files` planning and stats. */
+/** Driver-side listing helpers shared by planning, stats, and streaming. */
 object Bi5FileLister {
-  def listBi5Files(root: Path): Seq[(String, Long)] = {
-    if (!Files.exists(root)) return Seq.empty
-    val stream = Files.walk(root, FileVisitOption.FOLLOW_LINKS)
-    try {
-      stream.iterator().asScala
-        .filter(p => p.toString.toLowerCase.endsWith(".bi5") && Files.isRegularFile(p))
-        .map(p => (p.toString, Files.size(p)))
-        .toVector
-    } finally stream.close()
-  }
 
   // Directory tails of the layout `<ticker>/<YYYY>/<mm>/<dd>/<hh>h_ticks.bi5`,
   // matched against a directory PATH during the pruned descent. Mutually

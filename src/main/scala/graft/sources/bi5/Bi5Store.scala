@@ -29,10 +29,23 @@ trait Bi5Store extends Serializable {
   /** Immediate children of a directory (files and dirs), unsorted. */
   def children(path: String): Seq[Bi5Store.Entry]
 
-  /** All regular `.bi5` files under root recursively, (path, size); the root
-    * itself when it is a plain `.bi5` file. Best-effort: traversal faults
-    * yield what was accumulated (skip-corrupt extends to listing). */
+  /**
+   * All regular `.bi5` files under root recursively, (path, size); the root
+   * itself when it is a plain `.bi5` file. STRICT — used by driver-side
+   * planning and listing. Fault contract differs by store:
+   * [[NioBi5Store]] returns the partial accumulation on any traversal fault
+   * (the reference's local skip-corrupt contract — a dir deleted mid-walk is
+   * retention, not an error); [[HadoopBi5Store]] tolerates only
+   * FileNotFound (deleted-while-listing) and PROPAGATES transient faults
+   * (throttling, auth, network), because silently truncating an object-store
+   * listing turns a retryable RPC failure into missing data.
+   */
   def listBi5Files(root: String): Seq[(String, Long)]
+
+  /** LAZY recursive walk for the executor read path: files stream out as
+    * the traversal advances (no subtree-sized materialization, first row
+    * decodes before the listing completes). The caller owns [[Bi5Store.FileWalk.close]]. */
+  def walkBi5Files(root: String): Bi5Store.FileWalk
 
   def open(path: String): InputStream
 
@@ -42,6 +55,12 @@ trait Bi5Store extends Serializable {
 object Bi5Store {
 
   final case class Entry(path: String, isDir: Boolean, size: Long)
+
+  /** A lazy file traversal plus the handle to release its resources. */
+  trait FileWalk extends AutoCloseable {
+    def files: Iterator[String]
+    override def close(): Unit
+  }
 
   private val SchemePrefix = "^[a-zA-Z][a-zA-Z0-9+.\\-]*://".r
 
@@ -81,8 +100,49 @@ object NioBi5Store extends Bi5Store {
     } finally s.close()
   }
 
-  override def listBi5Files(root: String): Seq[(String, Long)] =
-    Bi5FileLister.listBi5Files(Paths.get(root))
+  override def listBi5Files(root: String): Seq[(String, Long)] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) return Seq.empty
+    val out = Vector.newBuilder[(String, Long)]
+    val stream =
+      try Files.walk(p, java.nio.file.FileVisitOption.FOLLOW_LINKS)
+      catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+    try {
+      val it = stream.iterator()
+      // manual loop so a mid-walk fault (dir deleted by retention, symlink
+      // loop, permission change) yields the partial accumulation — the
+      // reference's local skip-corrupt contract extends to traversal
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.toString.toLowerCase.endsWith(".bi5") && Files.isRegularFile(f)) {
+          out += ((f.toString, try Files.size(f) catch { case _: Throwable => 0L }))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => } // partial listing
+    finally stream.close()
+    out.result()
+  }
+
+  override def walkBi5Files(root: String): Bi5Store.FileWalk = new Bi5Store.FileWalk {
+    private val p = Paths.get(root)
+    private var stream: java.util.stream.Stream[java.nio.file.Path] = _
+    override val files: Iterator[String] =
+      if (!Files.exists(p)) Iterator.empty
+      else {
+        stream = Files.walk(p, java.nio.file.FileVisitOption.FOLLOW_LINKS)
+        val it = stream.iterator()
+        // a traversal fault (dir deleted mid-walk, unreadable dir, symlink
+        // loop) ends this supply instead of failing the task — the local
+        // skip-corrupt contract; only NonFatal, an OOM/interrupt must kill
+        new Iterator[String] {
+          override def hasNext: Boolean =
+            try it.hasNext catch { case scala.util.control.NonFatal(_) => false }
+          override def next(): String = it.next().toString
+        }.filter(_.toLowerCase.endsWith(".bi5"))
+      }
+    override def close(): Unit =
+      if (stream != null) { try stream.close() catch { case _: Throwable => } }
+  }
 
   override def open(path: String): InputStream = new java.io.FileInputStream(path)
 
@@ -101,27 +161,35 @@ object NioBi5Store extends Bi5Store {
  */
 class HadoopBi5Store(conf: SerializableHadoopConf) extends Bi5Store {
 
+  import java.io.FileNotFoundException
+
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
   private def fsOf(p: HPath): FileSystem = p.getFileSystem(conf.value)
 
+  // Fault contract (deliberately NOT the nio store's swallow-everything):
+  // FileNotFound means the path/subtree vanished — tolerated, it's retention
+  // or a bad user path. Anything else (credential, throttling, network) is a
+  // REAL error and propagates: a load() over s3a with broken credentials
+  // must say so, not report "Invalid path", and a transient LIST failure
+  // must fail the (retryable) job, not silently shrink its input.
+
   override def exists(path: String): Boolean = {
     val p = new HPath(path)
-    try fsOf(p).exists(p)
-    catch { case scala.util.control.NonFatal(_) => false }
+    fsOf(p).exists(p) // internally FNF -> false; other faults propagate
   }
 
   override def isDirectory(path: String): Boolean = {
     val p = new HPath(path)
     try fsOf(p).getFileStatus(p).isDirectory
-    catch { case scala.util.control.NonFatal(_) => false }
+    catch { case _: FileNotFoundException => false }
   }
 
   override def children(path: String): Seq[Bi5Store.Entry] = {
     val p = new HPath(path)
     try fsOf(p).listStatus(p).toSeq.map { st =>
       Bi5Store.Entry(st.getPath.toString, st.isDirectory, if (st.isDirectory) 0L else st.getLen)
-    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    } catch { case _: FileNotFoundException => Seq.empty }
   }
 
   override def listBi5Files(root: String): Seq[(String, Long)] = {
@@ -129,7 +197,7 @@ class HadoopBi5Store(conf: SerializableHadoopConf) extends Bi5Store {
     val out = Vector.newBuilder[(String, Long)]
     try {
       val fs = fsOf(p)
-      val st = fs.getFileStatus(p) // throws FileNotFoundException -> empty
+      val st = fs.getFileStatus(p) // FileNotFoundException -> empty
       if (!st.isDirectory) {
         if (st.getPath.toString.toLowerCase.endsWith(".bi5")) out += ((st.getPath.toString, st.getLen))
       } else {
@@ -141,8 +209,34 @@ class HadoopBi5Store(conf: SerializableHadoopConf) extends Bi5Store {
           }
         }
       }
-    } catch { case scala.util.control.NonFatal(_) => } // partial listing on fault
+    } catch { case _: FileNotFoundException => } // subtree deleted mid-listing: partial
     out.result()
+  }
+
+  override def walkBi5Files(root: String): Bi5Store.FileWalk = new Bi5Store.FileWalk {
+    // listFiles(recursive) pages lazily (RemoteIterator); nothing to close
+    override val files: Iterator[String] = {
+      val p = new HPath(root)
+      try {
+        val fs = fsOf(p)
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) {
+          if (st.getPath.toString.toLowerCase.endsWith(".bi5")) Iterator.single(st.getPath.toString)
+          else Iterator.empty
+        } else {
+          val it = fs.listFiles(p, true)
+          new Iterator[String] {
+            // FNF mid-paging = subtree deleted: supply ends. Transient RPC
+            // faults propagate — the task fails and Spark retries it, which
+            // beats silently truncating an object-store read
+            override def hasNext: Boolean =
+              try it.hasNext catch { case _: FileNotFoundException => false }
+            override def next(): String = it.next().getPath.toString
+          }.filter(_.toLowerCase.endsWith(".bi5"))
+        }
+      } catch { case _: FileNotFoundException => Iterator.empty }
+    }
+    override def close(): Unit = ()
   }
 
   override def open(path: String): InputStream = {
@@ -153,7 +247,7 @@ class HadoopBi5Store(conf: SerializableHadoopConf) extends Bi5Store {
   override def fileSize(path: String): Long = {
     val p = new HPath(path)
     try fsOf(p).getFileStatus(p).getLen
-    catch { case scala.util.control.NonFatal(_) => 0L }
+    catch { case _: FileNotFoundException => 0L }
   }
 }
 

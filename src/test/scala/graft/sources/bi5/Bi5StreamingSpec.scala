@@ -171,6 +171,44 @@ class Bi5StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("pending-batch replay is toggle-safe: membership derives from offset content") {
+    // A batch whose offsets are already in the WAL must replay the same
+    // files even if backfillLookbackHours was toggled between stop and
+    // restart — membership comes from the offsets, not the current option.
+    val root = Files.createTempDirectory("bi5toggle")
+    def install(rel: String): String = {
+      val dst = root.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(s"$Fixtures/EURUSD/2019/11/31/15h_ticks.bi5"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.toString
+    }
+    val f12 = install("EURUSD/2020/03/02/12h_ticks.bi5")
+    val f10 = install("EURUSD/2020/03/02/10h_ticks.bi5")
+    val base12 = Bi5PathMeta.parse(f12, 0).get.baseEpochMicros
+    val base10 = Bi5PathMeta.parse(f10, 0).get.baseEpochMicros
+    def opts(lookback: Int) = Bi5Options(root.toString, 5, 0, splitPerFile = false,
+      Bi5Options.DefaultMaxPartitionBytes, maxPartitionBytesExplicit = false,
+      trustHeaders = false, maxFilesPerTrigger = 0, backfillLookbackHours = lookback)
+    def stream(lookback: Int) = new Bi5MicroBatchStream(
+      opts(lookback), Bi5Schema.schema, Array.empty, "/tmp/ckpt-unused", NioBi5Store)
+    def planned(s: Bi5MicroBatchStream, a: Bi5StreamOffset, b: Bi5StreamOffset): Seq[String] =
+      s.planInputPartitions(a, b).map(_.asInstanceOf[Bi5Partition].roots.head).toSeq
+
+    // v1 offsets (no seen-set) replayed under lookback-ON: key-range batch
+    val v1Start = Bi5StreamOffset(base10, f10)
+    val v1End = Bi5StreamOffset(base12, f12)
+    assert(planned(stream(6), v1Start, v1End) === Seq(f12),
+      "v1 range batch must replay by key range even with lookback enabled")
+
+    // v2 offsets (seen-set manifest incl. a back-fill) replayed under
+    // lookback-OFF: the manifest still drives the batch, back-fill included
+    val v2Start = Bi5StreamOffset(base12, f12, Set(f12))
+    val v2End = Bi5StreamOffset(base12, f12, Set(f12, f10))
+    assert(planned(stream(0), v2Start, v2End) === Seq(f10),
+      "v2 manifest batch must replay its back-fill file even with lookback disabled")
+  }
+
   test("default mode (no lookback) keeps the skip-behind contract") {
     spark.sparkContext.setLogLevel("WARN")
     val root = Files.createTempDirectory("bi5skipdefault")
