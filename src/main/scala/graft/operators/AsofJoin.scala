@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Generic backward as-of join — the tick-data primitive behind query
+ * `q08_asof_last_order`, packaged as a reusable operator: for every left row,
+ * attach the single latest right row whose time is at-or-before the left
+ * row's time, within the same equi-key group.
+ *
+ * Scalable formulation (the one that survives 100 TB): instead of joining
+ * every left row to every earlier right row of its key (quadratic per key)
+ * and ranking, both inputs are UNIONED onto a common (key, time) axis and
+ * the latest right payload is carried forward with `last(ignoreNulls)` over
+ * one key-partitioned window — ONE shuffle on the key, one sort, O(rows)
+ * total work. Catalyst plans the union map-side; no join appears in the
+ * physical plan at all.
+ *
+ * Semantics:
+ *  - "at-or-before": a right row timed exactly at a left row's instant IS
+ *    visible to it (right rows sort before left rows at equal time).
+ *  - Ties among right rows at the same instant resolve to the LARGEST
+ *    `tieBreak` column values (mirroring `ORDER BY t DESC, tb DESC` rank-1
+ *    in the naive spelling); pass the right-side unique id for determinism.
+ *  - Left rows with no earlier right row keep a null `asof` struct (left
+ *    outer); `dropUnmatched = true` makes it inner.
+ *
+ * Reference behavior context: svaningelgem/spark_bi5_datasource exposes tick
+ * streams where "price as of event time" is the natural query; the reference
+ * itself delegates all relational work to stock Spark (README.md:17).
+ */
+object AsofJoin {
+
+  /**
+   * @param left      probe side; every row is preserved (unless dropUnmatched)
+   * @param right     the side to look up "latest at-or-before" rows from
+   * @param on        equi-key column names, present in BOTH inputs with
+   *                  identical types
+   * @param leftTime  left event-time column (same type as rightTime)
+   * @param rightTime right event-time column
+   * @param tieBreak  right-side columns breaking equal-time ties (largest
+   *                  wins); pass a unique id for full determinism
+   * @param dropUnmatched drop left rows with no matching right row
+   * @return left's columns, plus one `asof` struct column holding the
+   *         matched right row (null when unmatched and not dropped)
+   */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: Seq[String] = Nil,
+      dropUnmatched: Boolean = false): DataFrame = {
+    require(on.nonEmpty, "as-of join needs at least one equi-key column")
+    val lt = left.schema(leftTime).dataType
+    val rt = right.schema(rightTime).dataType
+    require(lt == rt, s"time columns must share a type; got $lt vs $rt")
+
+    val leftStructT = StructType(left.schema.fields)
+    val rightStructT = StructType(right.schema.fields)
+    val keyCols: Seq[Column] = on.map(col)
+
+    val rSide = right.select(
+      keyCols ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__kind"), // rights sort first at equal time: <= visibility
+        struct(right.columns.toIndexedSeq.map(col): _*).as("__r"),
+        lit(null).cast(leftStructT).as("__l")): _*)
+    val lSide = left.select(
+      keyCols ++ Seq(
+        col(leftTime).as("__t"),
+        lit(1).as("__kind"),
+        lit(null).cast(rightStructT).as("__r"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l")): _*)
+
+    // Tie-break columns ascending with nulls FIRST: among right rows at one
+    // instant the largest tie-break value ends up last in window order, so
+    // last(ignoreNulls) picks it; left rows (null __r) sort before any
+    // same-instant right rows only via __kind, which already orders them.
+    val w = Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(
+        (Seq(col("__t").asc, col("__kind").asc) ++
+          tieBreak.map(c => col(s"__r.$c").asc_nulls_first)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = rSide.union(lSide)
+      .withColumn("asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+    val filtered = if (dropUnmatched) joined.filter(col("asof").isNotNull) else joined
+    filtered.select(
+      left.columns.toIndexedSeq.map(c => col(s"__l.`$c`").as(c)) :+ col("asof"): _*)
+  }
+}

@@ -220,36 +220,26 @@ object CoreQueries {
         val o = table(s, dir, "orders")
         val ev = table(s, dir, "events")
         val users = ev.agg((max(col("user_id")) + lit(1)).as("u"))
+        // The union+carry-forward machinery lives in the reusable operator
+        // (graft.operators.AsofJoin) — this query is its library use-site.
+        // "<=" visibility and greatest-o_orderkey ties match the oracle's
+        // ORDER BY ord_ms DESC, o_orderkey DESC rank.
         val orderSide = o.crossJoin(broadcast(users)).select(
           (col("o_custkey") % col("u")).as("ukey"),
-          unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
-          lit(0).as("kind"),
-          struct(
-            unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
-            col("o_orderkey"), col("o_totalprice")).as("ord"),
-          lit(null).cast("long").as("event_id"))
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
+          col("o_orderkey"), col("o_totalprice"))
         val eventSide = ev.select(
           col("user_id").cast("long").as("ukey"),
-          unix_millis(col("ts")).as("t"),
-          lit(1).as("kind"),
-          lit(null).cast(
-            "struct<ord_ms:bigint,o_orderkey:bigint,o_totalprice:double>").as("ord"),
+          unix_millis(col("ts")).as("ev_ms"),
           col("event_id"))
-        // Order rows sort before event rows at equal t (kind 0 < 1), so an
-        // order dated exactly at the event instant is visible (<= semantics);
-        // ties among orders resolve to the greatest o_orderkey, matching the
-        // oracle's ORDER BY ord_ms DESC, o_orderkey DESC rank.
-        val w = Window.partitionBy("ukey")
-          .orderBy(col("t"), col("kind"), col("ord.o_orderkey").asc_nulls_first)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        orderSide.union(eventSide)
-          .withColumn("last_ord", last(col("ord"), ignoreNulls = true).over(w))
-          .filter(col("kind") === 1 && col("last_ord").isNotNull)
+        graft.operators.AsofJoin
+          .backward(eventSide, orderSide, Seq("ukey"), "ev_ms", "ord_ms",
+            tieBreak = Seq("o_orderkey"), dropUnmatched = true)
           .select(
             col("event_id"),
-            col("last_ord.o_orderkey").as("o_orderkey"),
-            col("last_ord.ord_ms").as("ord_ms"),
-            col("last_ord.o_totalprice").as("o_totalprice"))
+            col("asof.o_orderkey").as("o_orderkey"),
+            col("asof.ord_ms").as("ord_ms"),
+            col("asof.o_totalprice").as("o_totalprice"))
           .orderBy("event_id")
       },
       Some("""

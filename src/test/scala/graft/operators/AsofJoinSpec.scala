@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The generic as-of operator must be result-identical to the naive
+  * join+rank spelling — on real test data and on crafted edge cases. */
+class AsofJoinSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("AsofJoinSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Naive reference: join all earlier rights, rank, keep rank 1. */
+  private def naive(left: DataFrame, right: DataFrame): DataFrame = {
+    val w = Window.partitionBy("eid")
+      .orderBy(col("rts").desc, col("rid").desc)
+    left.join(right, Seq("k"), "left")
+      .filter(col("rts").isNull || col("rts") <= col("lts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eid"), col("rid"), col("rts"), col("rv"))
+  }
+
+  test("matches the naive join+rank on real orders/events data") {
+    val evFixed = graft.queries.Tables.table(spark, Sf, "events")
+    val users = evFixed.agg((max(col("user_id")) + lit(1)).as("u")).head.getLong(0)
+    val left = evFixed.select(
+      col("user_id").cast("long").as("k"),
+      unix_millis(col("ts")).as("lts"),
+      col("event_id").as("eid"))
+    val right = spark.read.parquet(s"$Sf/orders.parquet").select(
+      (col("o_custkey") % users).as("k"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("rts"),
+      col("o_orderkey").as("rid"),
+      col("o_totalprice").as("rv"))
+
+    val got = AsofJoin.backward(left, right, Seq("k"), "lts", "rts", tieBreak = Seq("rid"))
+      .select(col("eid"), col("asof.rid").as("rid"), col("asof.rts").as("rts"),
+        col("asof.rv").as("rv"))
+    val want = naive(left, right)
+
+    assert(got.count() === left.count(), "left outer: every left row survives")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "operator must equal the naive join+rank spelling")
+  }
+
+  test("edge semantics: <= visibility, tie-break to largest id, unmatched null") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1"), (1L, 50L, "e2"), (2L, 10L, "e3"))
+      .toDF("k", "lts", "eid")
+    val right = Seq(
+      (1L, 100L, 7L, "exact"),   // exactly at e1's time -> visible to e1
+      (1L, 100L, 9L, "exact2"),  // same instant, larger id -> wins the tie
+      (1L, 40L, 1L, "early"))    // latest at-or-before e2
+      .toDF("k", "rts", "rid", "rv")
+    val out = AsofJoin
+      .backward(left, right, Seq("k"), "lts", "rts", tieBreak = Seq("rid"))
+      .select("eid", "asof.rid", "asof.rv")
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out("e1") === ((Some(9L), Some("exact2")))) // <= visible, tie -> id 9
+    assert(out("e2") === ((Some(1L), Some("early"))))
+    assert(out("e3") === ((None, None))) // no right rows for k=2 -> null struct
+    // inner variant drops the unmatched row
+    val inner = AsofJoin.backward(left, right, Seq("k"), "lts", "rts",
+      tieBreak = Seq("rid"), dropUnmatched = true)
+    assert(inner.count() === 2)
+  }
+
+  test("plan shape: one window pass, no join operator at all") {
+    import spark.implicits._
+    val left = (1 to 1000).map(i => (i % 7L, i.toLong, i)).toDF("k", "lts", "eid")
+    val right = (1 to 500).map(i => (i % 7L, i.toLong, i)).toDF("k", "rts", "rid")
+    val out = AsofJoin.backward(left, right, Seq("k"), "lts", "rts", tieBreak = Seq("rid"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("CartesianProduct"), "the as-of operator must not plan a join:\n" + p)
+  }
+}
