@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library operators (Dedup, Sessionize) against naive reference
+  * implementations and crafted edge cases. */
+class DedupSessionizeSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("DedupSessionizeSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("Dedup.exact elects one canonical per content group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the same text"), (2L, "the same text"), (5L, "the same text"),
+      (3L, "unique text a"), (4L, "unique text b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("group_size"), r.getAs[Boolean]("is_canonical")))).toMap
+    assert(byId(1L) === ((3L, true)))  // smallest id of the triple
+    assert(byId(2L) === ((3L, false)))
+    assert(byId(5L) === ((3L, false)))
+    assert(byId(3L) === ((1L, true)))
+    assert(byId(4L) === ((1L, true)))
+    // real corpus: sf0.001 documents are all unique -> every doc canonical
+    val real = Dedup.exact(
+      spark.read.parquet(s"$Sf/documents.parquet"), "doc_id", "text")
+    assert(real.filter(!col("is_canonical")).count() === 0)
+  }
+
+  test("Dedup.minhashLshCandidates: exact dups always pair, disjoint texts never") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),    // identical to 1
+      (3L, "one two three four five six seven"),      // disjoint
+      (4L, "totally different words entirely here now"),
+      (10L, "alpha beta gamma delta epsilon zeta eta")) // near-dup of 1
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshCandidates(spark, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs have identical signatures -> guaranteed candidates
+    assert(pairs.contains((1L, 2L)))
+    // disjoint shingle sets share no minima with overwhelming margin; with
+    // these fixed permutations the buckets are deterministic - assert none
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // symmetry/dedup: every pair ordered and unique
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("Dedup.minhashLshCandidates agrees with the q25 bucket formulation on real data") {
+    // q25 buckets the same 4-perm/2-band scheme; every multi-doc bucket there
+    // must yield candidate pairs here
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val pairs = Dedup.minhashLshCandidates(spark, docs, "doc_id", "text")
+    val q25 = graft.SparkEntry.queries("q25_lsh_buckets")(spark, Sf)
+    val bucketed = q25.agg(sum(expr("n_docs * (n_docs - 1) / 2"))).head.getAs[Any](0)
+    val expectedMin = bucketed match {
+      case null => 0L
+      case d: java.math.BigDecimal => d.longValue()
+      case l: java.lang.Long => l.longValue()
+      case d: java.lang.Double => d.toLong
+    }
+    // distinct() collapses pairs colliding in both bands, so pairs <= sum;
+    // and every bucketed pair is present: pairs >= ... cannot exceed either
+    assert(pairs.count() <= expectedMin)
+    assert(pairs.count() > 0 === (expectedMin > 0))
+  }
+
+  test("Sessionize.byGap matches the q40 sessionization on real events") {
+    val ev = graft.queries.Tables.table(spark, Sf, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+    val got = Sessionize.byGap(ev, Seq("user_id"), "ms", 30L * 60 * 1000,
+        tieBreak = Seq("event_id"))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"), min("ms").as("start_ms"), max("ms").as("end_ms"))
+    val want = graft.SparkEntry.queries("q40_sessionize")(spark, Sf)
+      .select("user_id", "session_no", "n_events", "start_ms", "end_ms")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "operator must reproduce q40's session assignment")
+  }
+
+  test("Sessionize.byGap edge: boundary-exact gaps stay in one session") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L, 1L), (1L, 1000L, 2L),  // 1000 == gap -> same session
+      (1L, 2001L, 3L),                 // 1001 > gap -> new session
+      (2L, 0L, 4L))
+      .toDF("k", "t", "id")
+    val out = Sessionize.byGap(rows, Seq("k"), "t", 1000L, tieBreak = Seq("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("session_no")).toMap
+    assert(out(1L) === 1L && out(2L) === 1L, "gap == threshold is within-session")
+    assert(out(3L) === 2L, "gap > threshold starts a session")
+    assert(out(4L) === 1L, "numbering restarts per key")
+  }
+}
