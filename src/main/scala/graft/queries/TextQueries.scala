@@ -568,6 +568,85 @@ object TextQueries {
               < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
         ORDER BY doc_id"""),
       "Stratified deterministic sampling: per-stratum keep-rates with hash-bucket " +
-        "membership — reproducible across runs/engines/partitionings, map-only at scale.")
+        "membership — reproducible across runs/engines/partitionings, map-only at scale."),
+
+    // ---------------------------------------------------------------- q55
+    Q(
+      "q55_repetition",
+      (s, dir) =>
+        // Intra-document repetition — the classic "duplicate n-gram
+        // fraction" quality filter (high values flag boilerplate/spam in a
+        // training corpus). Map-only: every metric derives from the doc's
+        // own 5-gram multiset, no shuffle at any scale; the dup fraction is
+        // an exact integer ratio, so it hashes identically cross-engine.
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .selectExpr("doc_id", "word_ngrams(toks, 5) as g5")
+          .select(
+            col("doc_id"),
+            size(col("g5")).as("n_grams"),
+            size(array_distinct(col("g5"))).as("n_distinct"))
+          .withColumn(
+            "dup_frac",
+            (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                        toks[i+3] || ' ' || toks[i+4]) AS g5
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 5)
+        SELECT doc_id, len(g5) AS n_grams, len(list_distinct(g5)) AS n_distinct,
+               CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5) AS dup_frac
+        FROM g ORDER BY doc_id"""),
+      "Duplicate 5-gram fraction per document — the standard intra-doc repetition " +
+        "quality filter; map-only, exact integer ratios."),
+
+    // ---------------------------------------------------------------- q56
+    Q(
+      "q56_decontam",
+      (s, dir) => {
+        // Benchmark decontamination: fraction of each document's distinct
+        // 3-grams that also appear in a held-out eval set (docs 0-9 here).
+        // The eval shingle set is tiny and broadcasts; the corpus side is
+        // one explode + one broadcast left join + one per-doc aggregation —
+        // no corpus-sized shuffle beyond the doc_id agg, the shape that
+        // screens a 100 TB training corpus against a fixed benchmark.
+        val docs = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("doc_id", s"array_distinct($sparkShingles) as sh")
+        val posts = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val evalSet = posts.filter(col("doc_id") < 10)
+          .select("shingle").distinct()
+          .withColumn("hit", lit(1L))
+        posts.filter(col("doc_id") >= 10)
+          .join(broadcast(evalSet), Seq("shingle"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_sh"),
+            coalesce(sum("hit"), lit(0L)).as("n_overlap"))
+          .withColumn("contam_frac", col("n_overlap").cast("double") / col("n_sh"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, list_distinct($duckShingles) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        posts AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+        eval AS (SELECT DISTINCT shingle FROM posts WHERE doc_id < 10)
+        SELECT p.doc_id, COUNT(1) AS n_sh,
+               CAST(COUNT(e.shingle) AS BIGINT) AS n_overlap,
+               CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(1) AS contam_frac
+        FROM posts p LEFT JOIN eval e ON p.shingle = e.shingle
+        WHERE p.doc_id >= 10
+        GROUP BY p.doc_id ORDER BY p.doc_id"""),
+      "Eval-set decontamination: per-doc fraction of distinct 3-grams shared with a " +
+        "held-out benchmark set — broadcast the (tiny) eval shingles, screen the corpus " +
+        "with one map-side join + per-doc aggregation.")
   )
 }
