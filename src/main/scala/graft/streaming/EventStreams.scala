@@ -87,6 +87,31 @@ object EventStreams {
         col("f_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
+  /**
+   * Streaming gap-based sessionization — the live twin of
+   * [[graft.operators.Sessionize.byGap]] (and batch q40): per-user sessions
+   * close when the user is idle longer than `gap`, emitted once the
+   * watermark passes the session's end. Spark-first: the native
+   * `session_window` grouping (merging session state in the state store)
+   * rather than hand-rolled flatMapGroupsWithState — watermarks bound state,
+   * and the aggregation is the stock streaming hash aggregate.
+   *
+   * Output: one row per CLOSED session with `start_ms` = first event,
+   * `last_ms` = last event (window end minus the gap), `n_events`, and the
+   * exact decimal-summed `session_value` (matching q40's numeric
+   * convention).
+   */
+  def gapSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("last_ms"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+      .select("user_id", "start_ms", "last_ms", "n_events", "session_value")
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** Arbitrary stateful aggregation: per-user running count + value total,

@@ -58,6 +58,29 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(last.agg(sum("n")).head.getLong(0) === 1000)
   }
 
+  test("streaming session windows match the batch Sessionize operator") {
+    runToMemory(
+      EventStreams.gapSessions(EventStreams.readEvents(spark, Sf)), "sessions", "append")
+    val streamed = spark.sql("select user_id, start_ms, last_ms, n_events from sessions")
+    // batch oracle: the generic gap operator over the same static events
+    val ev = graft.queries.Tables.table(spark, Sf, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+    val batch = graft.operators.Sessionize
+      .byGap(ev, Seq("user_id"), "ms", 30L * 60 * 1000, tieBreak = Seq("event_id"))
+      .groupBy("user_id", "session_no")
+      .agg(min("ms").as("start_ms"), max("ms").as("last_ms"), count(lit(1)).as("n_events"))
+      .select("user_id", "start_ms", "last_ms", "n_events")
+    // append mode emits only watermark-closed sessions: everything the
+    // stream emitted must be a real batch session, and it must have emitted
+    // nearly all of them (only the per-user tail can stay open)
+    assert(streamed.except(batch).count() === 0,
+      "every emitted session must match the batch operator exactly")
+    val total = batch.count()
+    val emitted = streamed.count()
+    assert(emitted > 0 && total - emitted <= 15,
+      s"stream emitted $emitted of $total sessions (max 15 open tails allowed)")
+  }
+
   test("stream-stream interval join matches the batch join on emitted pairs") {
     runToMemory(
       EventStreams.purchaseFollowups(EventStreams.readEvents(spark, Sf)),
