@@ -98,6 +98,21 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(aggCount >= 2, p)
   }
 
+  test("q56 decontamination screens via a broadcast join, no corpus shuffle join") {
+    val p = plan("q56_decontam")
+    // the eval shingle set must ride a broadcast; a shuffled join here would
+    // move the whole exploded corpus for a set that fits in one executor
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q55 repetition is map-only up to its final sort (no shuffle aggregation)") {
+    val p = plan("q55_repetition")
+    // per-doc metrics derive from the row's own array: no HashAggregate, no
+    // join — just scan -> project -> sort for the deterministic output order
+    assert(!p.linesIterator.exists(l => l.contains("HashAggregate") || l.contains("Join")), p)
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")
