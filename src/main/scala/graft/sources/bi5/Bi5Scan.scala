@@ -1,11 +1,8 @@
 package graft.sources.bi5
 
-import java.io.File
-import java.nio.file.{FileVisitOption, Files, Path, Paths}
 import java.util.OptionalLong
 
 import scala.collection.mutable.ArrayBuffer
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
