@@ -81,4 +81,72 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct() // a pair may collide in several bands; emit once
   }
+
+  /**
+   * Duplicate CLUSTERS from candidate pairs — the step that turns pairwise
+   * near-dup evidence into "keep one document per group": connected
+   * components of the (id_a, id_b) graph via iterative min-label
+   * propagation. Every member gets `cluster_id` = the smallest doc id
+   * reachable from it (so the canonical-elect rule matches [[exact]]:
+   * cluster_id == member id marks the keeper).
+   *
+   * Each round does neighbor propagation (adopt the minimum label in the
+   * 1-hop neighborhood) followed by pointer doubling (adopt the label OF
+   * the label), so label reach doubles per round and convergence is
+   * O(log diameter) — 4 rounds cover a 16-hop chain, and near-dup graphs
+   * are overwhelmingly tiny cliques anyway. `maxIters` bounds the
+   * pathological case; the loop stops early on a fixpoint (checked with one
+   * count per round, a deliberate driver-side CONTROL decision, not data
+   * movement).
+   *
+   * @param pairs candidate pairs (two id columns, e.g. from
+   *              [[minhashLshCandidates]])
+   * @return (member id, cluster_id) — one row per distinct id in `pairs`
+   */
+  def clusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 10): DataFrame = {
+    // undirected edge list, both directions, plus self-loops so isolated
+    // propagation keeps every member present
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // every node adopts min(own label, neighbors' labels)
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("cluster_id"))
+      val propagated = labels.select(col("id"), col("cluster_id"))
+        .union(neighborLabels)
+        .groupBy("id")
+        .agg(min("cluster_id").as("cluster_id"))
+        // checkpoint BEFORE the self-join below: cuts the growing lineage
+        // (each round otherwise re-plans every previous round) and gives the
+        // join's two sides distinct attribute ids
+        .localCheckpoint(true)
+      // pointer doubling: follow the label one more step (label of label),
+      // doubling how far a small label travels per round
+      val next = propagated
+        .join(
+          propagated.select(col("id").as("lid"), col("cluster_id").as("lcl")),
+          col("cluster_id") === col("lid"), "left")
+        .select(
+          col("id"),
+          least(col("cluster_id"), coalesce(col("lcl"), col("cluster_id"))).as("cluster_id"))
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
 }

@@ -82,6 +82,40 @@ class DedupSessionizeSpec extends AnyFunSuite {
     assert(pairs.count() > 0 === (expectedMin > 0))
   }
 
+  test("Dedup.clusters finds connected components of the pair graph") {
+    import spark.implicits._
+    // chain 1-2-3, clique 10-11-12 (all pairs), isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // a long chain still converges within the iteration bound
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chained = Dedup.clusters(chain).collect()
+    assert(chained.forall(_.getAs[Long]("cluster_id") === 1L),
+      "every chain member must label to the minimum id")
+    // end-to-end: LSH candidates -> clusters; every pair co-clusters
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta"),
+      (9L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.minhashLshCandidates(spark, docs, "doc_id", "text")
+    val labels = Dedup.clusters(cand).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairRows = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.forall { case (a, b) => labels(a) == labels(b) },
+      "every candidate pair must land in one cluster")
+  }
+
   test("Sessionize.byGap matches the q40 sessionization on real events") {
     val ev = graft.queries.Tables.table(spark, Sf, "events")
       .withColumn("ms", unix_millis(col("ts")))
