@@ -24,38 +24,47 @@ class BucketedJoinSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
-      // disable auto-broadcast so the test proves bucketing (not broadcast)
-      // removed the shuffle
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
   test("bucketed tables join with zero Exchange operators") {
-    val docs = spark.read.parquet(s"$Sf/documents.parquet")
-    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
-      .selectExpr("vec_id as doc_id", "embedding")
+    // the whole test run shares one session (getOrCreate), so builder confs
+    // may be ignored — set the broadcast kill-switch at RUNTIME (the test
+    // must prove bucketing, not broadcast, removed the shuffle) and restore
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+        .selectExpr("vec_id as doc_id", "embedding")
 
-    docs.write.mode("overwrite")
-      .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("docs_b")
-    embs.write.mode("overwrite")
-      .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("embs_b")
+      docs.write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("bucketspec_docs_b")
+      embs.write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("bucketspec_embs_b")
 
-    val joined = spark.table("docs_b").join(spark.table("embs_b"), "doc_id")
-      .selectExpr("doc_id", "lang", "size(embedding) as dim")
-    val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val joined = spark.table("bucketspec_docs_b")
+        .join(spark.table("bucketspec_embs_b"), "doc_id")
+        .selectExpr("doc_id", "lang", "size(embedding) as dim")
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
-    assert(!plan.contains("Exchange"),
-      "bucketed-by-join-key tables must join shuffle-free:\n" + plan)
-    assert(plan.contains("SortMergeJoin"), plan)
-    assert(joined.count() === 500) // all docs have an embedding row
+      assert(!plan.contains("Exchange"),
+        "bucketed-by-join-key tables must join shuffle-free:\n" + plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(joined.count() === 500) // all docs have an embedding row
 
-    // the same join over the raw (unbucketed) parquet DOES shuffle — the
-    // contrast that proves the bucket layout, not something else, did it
-    val unbucketed = docs.join(embs, "doc_id")
-    val rawPlan = unbucketed.queryExecution
-      .explainString(ExplainMode.fromString("formatted"))
-    assert(rawPlan.contains("Exchange"), rawPlan)
+      // the same join over the raw (unbucketed) parquet DOES shuffle — the
+      // contrast that proves the bucket layout, not something else, did it
+      val unbucketed = docs.join(embs, "doc_id")
+      val rawPlan = unbucketed.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(rawPlan.contains("Exchange"), rawPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucketspec_docs_b")
+      spark.sql("DROP TABLE IF EXISTS bucketspec_embs_b")
+    }
   }
 }
