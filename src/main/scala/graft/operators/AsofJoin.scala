@@ -59,12 +59,23 @@ object AsofJoin {
     val lt = left.schema(leftTime).dataType
     val rt = right.schema(rightTime).dataType
     require(lt == rt, s"time columns must share a type; got $lt vs $rt")
+    // internal/output names must not collide with caller columns (the key
+    // columns flow through the window partitioning; `asof` is appended)
+    val reserved = Set("__t", "__kind", "__r", "__l", "asof")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
 
     val leftStructT = StructType(left.schema.fields)
     val rightStructT = StructType(right.schema.fields)
     val keyCols: Seq[Column] = on.map(col)
 
-    val rSide = right.select(
+    val rSide = right
+      // JOIN semantics: a NULL key never matches. Window.partitionBy would
+      // group null keys together, so null-keyed right rows must not enter
+      // the carry-forward at all; null-keyed LEFT rows then naturally land
+      // in a right-free partition and come out unmatched (null asof).
+      .filter(on.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       keyCols ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__kind"), // rights sort first at equal time: <= visibility

@@ -12,22 +12,21 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Spark SQL fragment: 48-bit md5-prefix hash of a string expression
-    * (shared convention with the query library / DuckDB oracles). */
-  private def md5long(e: String) = s"cast(conv(substr(md5($e), 1, 12), 16, 10) as bigint)"
-
-  // MinHash permutation constants; a * (h % P) + b stays < 2^63.
-  private val P = 1000000007L
-  private val DefaultPerms = Seq((131L, 7L), (191L, 411L), (397L, 1229L), (557L, 3571L))
+  import graft.functions.HashConventions.{md5long48, MinhashP => P, MinhashPerms => DefaultPerms}
 
   /**
    * Exact deduplication by content: rows with identical `contentCol` values
    * form one group; the row with the smallest `idCol` is elected canonical.
    * Appends `content_hash`, `group_size`, and `is_canonical`. One
    * map-side-combinable shuffle on the hash — the 100 TB shape.
+   *
+   * The group key is the FULL 128-bit md5 (as q23 uses), not the library's
+   * 48-bit value hash: grouping by a truncated hash would falsely merge
+   * distinct documents by the birthday bound from ~2^24 docs — well inside
+   * this operator's advertised scale.
    */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val hashed = df.withColumn("content_hash", expr(md5long(contentCol)))
+    val hashed = df.withColumn("content_hash", md5(col(contentCol).cast("binary")))
     val w = Window.partitionBy("content_hash")
     hashed
       .withColumn("group_size", count(lit(1)).over(w))
@@ -68,7 +67,7 @@ object Dedup {
     val sigs = df
       .withColumn("toks", split(col(textCol), " "))
       .filter(size(col("toks")) >= shingleN)
-      .withColumn("hs", expr(s"transform(word_ngrams(toks, $shingleN), s -> ${md5long("s")})"))
+      .withColumn("hs", expr(s"transform(word_ngrams(toks, $shingleN), s -> ${md5long48("s")})"))
       .selectExpr(idCol +: minhashes: _*)
       .select(col(idCol) +: bands: _*)
     val posts = sigs.select(
@@ -108,8 +107,9 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIters: Int = 10): DataFrame = {
-    // undirected edge list, both directions, plus self-loops so isolated
-    // propagation keeps every member present
+    // undirected edge list, both directions; every member stays present
+    // because each round unions the current labels into the propagation
+    // (a node with no smaller-labeled neighbor keeps its own row)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()

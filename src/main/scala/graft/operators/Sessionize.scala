@@ -34,6 +34,8 @@ object Sessionize {
       tieBreak: Seq[String] = Nil,
       out: String = "session_no"): DataFrame = {
     require(keyCols.nonEmpty, "sessionize needs at least one key column")
+    require(!df.columns.contains("__new_session") && !df.columns.contains(out),
+      s"input columns collide with reserved names: __new_session / $out")
     val ordering: Seq[Column] = col(timeCol) +: tieBreak.map(col)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
     val prev = lag(col(timeCol), 1).over(w)

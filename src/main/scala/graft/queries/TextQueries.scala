@@ -19,10 +19,10 @@ object TextQueries {
 
   import Tables.table
 
-  /** Spark SQL fragment: 48-bit md5-prefix hash of a string expression. */
-  private def md5long(e: String) = s"cast(conv(substr(md5($e), 1, 12), 16, 10) as bigint)"
-  /** DuckDB fragment of the same hash. */
-  private def duckMd5long(e: String) = s"cast('0x' || substr(md5($e), 1, 12) as bigint)"
+  // Shared hashing conventions (one definition for the query library AND the
+  // operator API, which are spec-locked to agree — see HashConventions).
+  private def md5long(e: String) = graft.functions.HashConventions.md5long48(e)
+  private def duckMd5long(e: String) = graft.functions.HashConventions.duckMd5long48(e)
 
   // Word-3-gram shingles over the whitespace tokenization — the native
   // expression (graft.functions.WordNgrams): one compiled loop per row
@@ -32,8 +32,8 @@ object TextQueries {
     "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
 
   // MinHash permutation constants; a * (h % P) + b stays < 2^63.
-  private val P = 1000000007L
-  private val perms = Seq((131L, 7L), (191L, 411L), (397L, 1229L), (557L, 3571L))
+  private val P = graft.functions.HashConventions.MinhashP
+  private val perms = graft.functions.HashConventions.MinhashPerms
 
   // q48 stop-shingle doc-frequency cutoff: a shingle appearing in more docs
   // than this is boilerplate, not a dedup signal, and its df² term would

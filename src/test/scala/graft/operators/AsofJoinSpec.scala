@@ -23,15 +23,22 @@ class AsofJoinSpec extends AnyFunSuite {
     s
   }
 
-  /** Naive reference: join all earlier rights, rank, keep rank 1. */
+  /** Naive reference: join all earlier rights, rank, keep rank 1 — then
+    * union back the left rows the inner path dropped (a key matching only
+    * LATER rights loses all its joined rows to the filter, but a left-outer
+    * as-of must still emit it with nulls). */
   private def naive(left: DataFrame, right: DataFrame): DataFrame = {
     val w = Window.partitionBy("eid")
       .orderBy(col("rts").desc, col("rid").desc)
-    left.join(right, Seq("k"), "left")
-      .filter(col("rts").isNull || col("rts") <= col("lts"))
+    val matched = left.join(right, Seq("k"), "inner")
+      .filter(col("rts") <= col("lts"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("eid"), col("rid"), col("rts"), col("rv"))
+    val unmatched = left.join(matched.select("eid"), Seq("eid"), "left_anti")
+      .select(col("eid"), lit(null).cast("long").as("rid"),
+        lit(null).cast("long").as("rts"), lit(null).cast("double").as("rv"))
+    matched.union(unmatched)
   }
 
   test("matches the naive join+rank on real orders/events data") {
@@ -77,6 +84,32 @@ class AsofJoinSpec extends AnyFunSuite {
     val inner = AsofJoin.backward(left, right, Seq("k"), "lts", "rts",
       tieBreak = Seq("rid"), dropUnmatched = true)
     assert(inner.count() === 2)
+  }
+
+  test("NULL equi-keys never match, exactly like a join") {
+    import spark.implicits._
+    val left = Seq((Some(1L), 100L, "e1"), (None, 100L, "enull"))
+      .toDF("k", "lts", "eid")
+    val right = Seq((Some(1L), 50L, 7L, "m"), (None, 50L, 8L, "nullside"))
+      .toDF("k", "rts", "rid", "rv")
+    val out = AsofJoin.backward(left, right, Seq("k"), "lts", "rts", tieBreak = Seq("rid"))
+      .select(col("eid"), col("asof.rid"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("e1") === Some(7L))
+    assert(out("enull") === None, "a NULL key must not match a NULL-keyed right row")
+  }
+
+  test("reserved column names are rejected loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, "x")).toDF("k", "lts", "asof")
+    val r = Seq((1L, 1L)).toDF("k", "rts")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(l, r, Seq("k"), "lts", "rts")
+    }
+    val ev = Seq((1L, 1L, 5L)).toDF("k", "t", "session_no")
+    intercept[IllegalArgumentException] {
+      Sessionize.byGap(ev, Seq("k"), "t", 10L)
+    }
   }
 
   test("plan shape: one window pass, no join operator at all") {
