@@ -647,6 +647,61 @@ object TextQueries {
         GROUP BY p.doc_id ORDER BY p.doc_id"""),
       "Eval-set decontamination: per-doc fraction of distinct 3-grams shared with a " +
         "held-out benchmark set — broadcast the (tiny) eval shingles, screen the corpus " +
-        "with one map-side join + per-doc aggregation.")
+        "with one map-side join + per-doc aggregation."),
+
+    // ---------------------------------------------------------------- q57
+    Q(
+      "q57_dedup_keeplist",
+      (s, dir) => {
+        // The end-to-end answer to "which document do I keep?": LSH
+        // candidate pairs -> connected components -> canonical election.
+        // Composes the reusable operators (Dedup.minhashLshCandidates,
+        // Dedup.clusters) whose defaults match the q24/q25 signature scheme,
+        // so the oracle can re-derive the same pairs in SQL. Docs that never
+        // pair (including <3-token docs, which produce no shingles) are
+        // their own singleton cluster. At 100 TB: candidate generation is
+        // bucket-bounded, CC is O(log diameter) rounds over the (tiny)
+        // pair graph, and the final join is one shuffle on doc_id.
+        val docs = table(s, dir, "documents")
+        val cand = graft.operators.Dedup.minhashLshCandidates(s, docs, "doc_id", "text")
+        val cc = graft.operators.Dedup.clusters(cand).withColumnRenamed("id", "doc_id")
+        docs.select("doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+          .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+               COUNT(1) OVER (PARTITION BY COALESCE(cc.cluster_id, d.doc_id)) AS cluster_size,
+               d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS is_keeper
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+        ORDER BY d.doc_id"""),
+      "End-to-end dedup keep-list: MinHash-LSH candidate pairs -> connected-component " +
+        "cluster ids (min reachable doc id) -> canonical keeper election, one row per " +
+        "document. The full pipeline a training-data dedup pass actually runs.")
   )
 }
