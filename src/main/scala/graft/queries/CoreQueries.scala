@@ -994,6 +994,59 @@ object CoreQueries {
                                 (o_orderstatus), (o_orderpriority))
         ORDER BY status, priority"""),
       "Arbitrary GROUPING SETS through the spark.sql entry path — the Expand-based " +
-        "multi-grouping plan with exact decimal measures, group-key NULLs coalesced.")
+        "multi-grouping plan with exact decimal measures, group-key NULLs coalesced."),
+
+    // ---------------------------------------------------------------- q58
+    Q(
+      "q58_approx_percentiles",
+      (s, dir) => {
+        // The scale-safe companion to q41: the headline aggregate holds a
+        // FIXED-SIZE quantile sketch (approx_percentile / Greenwald-Khanna,
+        // rank error <= 1/1000), not q41's full per-group value buffer —
+        // the plan a 100 TB percentile job actually runs. Correctness is
+        // oracled the q36 way: exact percentiles anchor the hash, and each
+        // sketch estimate must land inside the exact [p-0.01, p+0.01]
+        // value bracket (10x the sketch's guaranteed rank error, so the
+        // contract is deterministic, not flaky). The exact-bracket
+        // aggregate exists only to validate at test SF; the 3-row join is
+        // broadcast-trivial.
+        val o = table(s, dir, "orders")
+        val approx = o.groupBy("o_orderstatus").agg(
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(o_totalprice, 0.9, 1000)").as("a90"),
+          expr("approx_percentile(o_totalprice, 0.99, 1000)").as("a99"),
+          count(lit(1)).as("n"))
+        val brackets = o.groupBy("o_orderstatus").agg(
+          expr("round(percentile(o_totalprice, 0.5), 4)").as("p50"),
+          expr("round(percentile(o_totalprice, 0.9), 4)").as("p90"),
+          expr("round(percentile(o_totalprice, 0.99), 4)").as("p99"),
+          expr("percentile(o_totalprice, 0.49)").as("lo50"),
+          expr("percentile(o_totalprice, 0.51)").as("hi50"),
+          expr("percentile(o_totalprice, 0.89)").as("lo90"),
+          expr("percentile(o_totalprice, 0.91)").as("hi90"),
+          expr("percentile(o_totalprice, 0.98)").as("lo99"),
+          max("o_totalprice").as("hi99"))
+        approx.join(broadcast(brackets), Seq("o_orderstatus"))
+          .select(
+            col("o_orderstatus"), col("p50"), col("p90"), col("p99"), col("n"),
+            (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("a50_in_bracket"),
+            (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("a90_in_bracket"),
+            (col("a99") >= col("lo99") && col("a99") <= col("hi99")).as("a99_in_bracket"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               COUNT(*) AS n,
+               TRUE AS a50_in_bracket,
+               TRUE AS a90_in_bracket,
+               TRUE AS a99_in_bracket
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      "Bounded-memory percentiles: approx_percentile sketch aggregate (the 100 TB " +
+        "plan) contract-checked against exact quantile brackets — sketch estimates " +
+        "must land within the exact [p-0.01, p+0.01] value bracket (10x the sketch's " +
+        "rank-error bound), oracled as literal TRUE the q36 way.")
   )
 }

@@ -113,6 +113,17 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(l => l.contains("HashAggregate") || l.contains("Join")), p)
   }
 
+  test("q58 headline aggregate carries a bounded-memory sketch and broadcasts brackets") {
+    val p = plan("q58_approx_percentiles")
+    // the scale path: approx_percentile's fixed-size sketch buffer must be in
+    // the plan (ObjectHashAggregate is the sketch-aggregate operator) ...
+    assert(p.contains("approx_percentile"), p)
+    // ... and the exact-bracket validator joins in as a 3-row broadcast, not
+    // a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")
