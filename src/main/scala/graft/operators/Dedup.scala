@@ -82,6 +82,66 @@ object Dedup {
   }
 
   /**
+   * SQL fragment: random-hyperplane sign-bit bucket over planes
+   * [planeLo, planeHi) for a float-array column of `dim` dimensions.
+   * Plane value for (plane i, dim j) is a deterministic LCG step mapped to
+   * [-0.5, 0.5) — pure integer arithmetic below 2^63, so DuckDB computes
+   * the identical bucket and the q38-style oracle can re-derive it. Stays a
+   * single codegen'd expression (no UDF, no shuffle).
+   */
+  def hyperplaneBucketSql(vecCol: String, dim: Int, planeLo: Int, planeHi: Int): String = {
+    require(planeHi - planeLo <= 63, s"a band of ${planeHi - planeLo} sign bits overflows bigint")
+    val planeDot =
+      s"""aggregate(sequence(1, $dim), cast(0 as double), (acc, j) ->
+           acc + cast(element_at($vecCol, j) as double) *
+             (cast((1103515245 * cast(i * $dim + (j - 1) as bigint) + 12345) % 2147483648 as double)
+              / 2147483648.0 - 0.5))"""
+    s"""aggregate(transform(sequence($planeLo, ${planeHi - 1}), i ->
+          cast(case when $planeDot >= 0 then shiftleft(cast(1 as bigint), i - $planeLo) else 0 end as bigint)),
+        cast(0 as bigint), (acc, x) -> acc + x)"""
+  }
+
+  /**
+   * Random-hyperplane LSH near-duplicate CANDIDATE pairs over an embedding
+   * column — the vector-space sibling of [[minhashLshCandidates]], with the
+   * same knobs: `nPlanes` total sign bits split into `nBands` OR-ed bands
+   * (`nPlanes / nBands` bits each). More planes per band → smaller buckets
+   * (each bit halves the expected bucket) → fewer, more precise candidates;
+   * more bands → higher recall at the same per-band precision. Corpus growth
+   * is answered by RAISING `nPlanes` so per-bucket pair counts stay bounded —
+   * the knob q38's fixed 8-plane spelling lacked.
+   *
+   * Cost is per-bucket (Σ bucket²), never all-pairs; candidate generation is
+   * map-only up to the one bucket-key shuffle.
+   */
+  def hyperplaneLshCandidates(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int = 64,
+      nPlanes: Int = 8,
+      nBands: Int = 1): DataFrame = {
+    require(nPlanes >= 1 && nBands >= 1 && nPlanes % nBands == 0,
+      s"nPlanes ($nPlanes) must split evenly into $nBands bands")
+    val perBand = nPlanes / nBands
+    val bands = (0 until nBands).map { b =>
+      expr(hyperplaneBucketSql(vecCol, dim, b * perBand, (b + 1) * perBand)).as(s"band$b")
+    }
+    val sigs = df.select(col(idCol) +: bands: _*)
+    val posts = sigs.select(
+      col(idCol),
+      explode(array((0 until nBands).map(b =>
+        concat_ws("_", lit(b.toString), col(s"band$b"))): _*)).as("bucket"))
+    val a = posts.select(col(idCol).as("id_a"), col("bucket"))
+    val b = posts.select(col(idCol).as("id_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /**
    * Duplicate CLUSTERS from candidate pairs — the step that turns pairwise
    * near-dup evidence into "keep one document per group": connected
    * components of the (id_a, id_b) graph via iterative min-label

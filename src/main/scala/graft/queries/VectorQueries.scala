@@ -151,18 +151,13 @@ object VectorQueries {
       "q38_embed_neardup_lsh",
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)
-        // 8 deterministic pseudo-random hyperplanes; plane value for (plane i,
-        // dim j) is an LCG step mapped to [-0.5, 0.5). Same integer arithmetic
-        // in both engines -> identical buckets.
-        val planeDot =
-          """aggregate(sequence(1, 64), cast(0 as double), (acc, j) ->
-               acc + cast(element_at(embedding, j) as double) *
-                 (cast((1103515245 * cast(i * 64 + (j - 1) as bigint) + 12345) % 2147483648 as double)
-                  / 2147483648.0 - 0.5))"""
-        val bucketExpr =
-          s"""aggregate(transform(sequence(0, 7), i ->
-                cast(case when $planeDot >= 0 then shiftleft(1, i) else 0 end as bigint)),
-              cast(0 as bigint), (acc, x) -> acc + x)"""
+        // Use-site of the parameterized hyperplane-LSH operator at its
+        // 8-plane single-band setting: deterministic LCG planes mapped to
+        // [-0.5, 0.5), same integer arithmetic in both engines -> identical
+        // buckets. Larger corpora raise nPlanes/nBands on the operator
+        // (graft.operators.Dedup.hyperplaneLshCandidates) to keep per-bucket
+        // pair counts bounded.
+        val bucketExpr = graft.operators.Dedup.hyperplaneBucketSql("embedding", 64, 0, 8)
         val e = table(s, dir, "embeddings")
           .selectExpr("vec_id", "embedding", s"$bucketExpr as bucket",
             "vec_dot(embedding, embedding) as n2")

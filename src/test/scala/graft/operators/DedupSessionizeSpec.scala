@@ -82,6 +82,37 @@ class DedupSessionizeSpec extends AnyFunSuite {
     assert(pairs.count() > 0 === (expectedMin > 0))
   }
 
+  test("Dedup.hyperplaneLshCandidates at 8 planes / 1 band reproduces q38's pairs") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val ops = Dedup.hyperplaneLshCandidates(spark, e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q38 = graft.SparkEntry.queries("q38_embed_neardup_lsh")(spark, Sf)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ops === q38, "operator at its default setting must equal the query spelling")
+  }
+
+  test("hyperplane LSH: buckets refine with nPlanes, extra bands only add recall") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    def nBuckets(planes: Int): Long = e
+      .selectExpr(s"${Dedup.hyperplaneBucketSql("embedding", 64, 0, planes)} as b")
+      .select(countDistinct(col("b"))).head.getLong(0)
+    // each extra sign bit can only split buckets — and does on this corpus
+    val b4 = nBuckets(4)
+    val b8 = nBuckets(8)
+    assert(b4 < b8, s"more planes must yield more buckets (got $b4 vs $b8)")
+    // OR-ed bands are a strict recall knob: every 1-band (all-8-bit) match
+    // also matches in each 4-bit half, so candidates(1 band) <= candidates(2)
+    val oneBand = Dedup.hyperplaneLshCandidates(spark, e, "vec_id", "embedding",
+        nPlanes = 8, nBands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoBands = Dedup.hyperplaneLshCandidates(spark, e, "vec_id", "embedding",
+        nPlanes = 8, nBands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneBand.subsetOf(twoBands))
+    assert(twoBands.size > oneBand.size, "4-bit bands must pair more than the 8-bit bucket")
+  }
+
   test("Dedup.clusters finds connected components of the pair graph") {
     import spark.implicits._
     // chain 1-2-3, clique 10-11-12 (all pairs), isolated pair 20-21
