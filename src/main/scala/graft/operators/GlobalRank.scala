@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Two-phase global ranking for LOW-CARDINALITY partition keys — the
+ * scale-safe alternative to `Window.partitionBy(segment)` when `segment`
+ * has only a handful of values: WindowExec gives one task per key, so each
+ * segment's entire row set would sort in a single task (the q43 hazard
+ * SCALE.md names). Here no task ever sorts more than ~rows/nBuckets rows:
+ *
+ *  1. A per-segment `approx_percentile` sketch (one map-side-combinable
+ *     aggregate, fixed-size buffer) yields `nBuckets - 1` value boundaries.
+ *  2. Every row maps to a bucket by counting boundaries below its value —
+ *     broadcast of a (segments x nBuckets)-row frame, map-only, and
+ *     monotone w.r.t. the (value, tie) total order since equal values land
+ *     in equal buckets.
+ *  3. Rows rank LOCALLY within (segment, bucket) — bounded window sorts,
+ *     key cardinality segments x nBuckets, so skew is AQE-splittable.
+ *  4. Tiny (segments x nBuckets)-row cumulative counts give each bucket's
+ *     global offset; `rank = offset + local_rank` reconstructs the exact
+ *     global rank, broadcast-joined back.
+ *
+ * Requires a non-null numeric `valCol` and a unique `tieCol` per segment
+ * (ties at the same value break by it, so ranks are total and
+ * deterministic). Sketch accuracy only affects bucket BALANCE, never
+ * correctness.
+ */
+object GlobalRank {
+
+  /**
+   * Appends `rn` (1-based global rank within `segCol` by (`valCol`,
+   * `tieCol`)) and `n_seg` (segment row count) to `df`. Distribution
+   * functions derive arithmetically: percent_rank = (rn-1)/(n_seg-1),
+   * cume_dist = rn/n_seg (ties impossible under a unique tie-break),
+   * ntile(k) via the shared larger-first-groups rule.
+   */
+  def withGlobalRank(
+      df: DataFrame,
+      segCol: String,
+      valCol: String,
+      tieCol: String,
+      nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets ($nBuckets) must be at least 2")
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
+    val bounds = df.groupBy(segCol).agg(
+      expr(s"approx_percentile($valCol, array($qs), 1000)").as("bnds"))
+    val bucketed = df
+      .join(broadcast(bounds), Seq(segCol))
+      .withColumn("bucket",
+        expr(s"aggregate(bnds, 0, (acc, b) -> acc + (case when $valCol > b then 1 else 0 end))"))
+      .drop("bnds")
+    val counts = bucketed.groupBy(segCol, "bucket").agg(count(lit(1)).as("cnt"))
+    // tiny frame (segments x nBuckets rows): the windows here are over the
+    // AGGREGATE, not the data
+    val wOff = Window.partitionBy(segCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .withColumn("n_seg", sum("cnt").over(Window.partitionBy(segCol)))
+      .select(segCol, "bucket", "offset", "n_seg")
+    val wLocal = Window.partitionBy(segCol, "bucket").orderBy(col(valCol), col(tieCol))
+    bucketed
+      .withColumn("local_rn", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq(segCol, "bucket"))
+      .withColumn("rn", col("offset") + col("local_rn"))
+      .drop("bucket", "local_rn", "offset")
+  }
+
+  /** The ntile(k) bucket for global rank `rn` of `n` rows — the
+    * larger-first-groups rule both Spark and DuckDB implement: the first
+    * `n % k` tiles get `n div k + 1` rows, the rest `n div k`. Pure integer
+    * arithmetic (cross-engine exact). */
+  def ntileExpr(rn: String, n: String, k: Int): String =
+    s"""case when $rn <= ($n % $k) * ($n div $k + 1)
+            then ($rn - 1) div ($n div $k + 1) + 1
+            else ($n % $k) + ($rn - 1 - ($n % $k) * ($n div $k + 1)) div ($n div $k) + 1
+        end"""
+}

@@ -700,18 +700,24 @@ object CoreQueries {
     Q(
       "q43_rank_distribution",
       (s, dir) => {
-        // Distribution-style window functions over a tie-broken total order
-        // (c_acctbal, c_custkey): percent_rank/cume_dist are pure rank/count
-        // arithmetic and ntile's larger-first-groups rule is shared by both
-        // engines, so every value is cross-engine exact.
-        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
-        table(s, dir, "customer")
+        // Distribution functions over a tie-broken total order, WITHOUT
+        // Window.partitionBy(c_mktsegment): 5 key values would give one
+        // task per segment, sorting each segment's full row set in a single
+        // task at scale. The two-phase GlobalRank operator bucket-bounds
+        // every sort (percentile-sketch boundaries -> local rank -> offset
+        // arithmetic) and percent_rank/cume_dist/ntile then derive from the
+        // exact global rank by the same integer/double arithmetic both
+        // engines use — so the window-function oracle is unchanged.
+        import graft.operators.GlobalRank
+        GlobalRank.withGlobalRank(
+            table(s, dir, "customer"), "c_mktsegment", "c_acctbal", "c_custkey")
           .select(
             col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-            row_number().over(w).as("rn"),
-            ntile(4).over(w).as("quartile"),
-            percent_rank().over(w).as("pr"),
-            cume_dist().over(w).as("cd"))
+            col("rn"),
+            expr(GlobalRank.ntileExpr("rn", "n_seg", 4)).as("quartile"),
+            when(col("n_seg") === 1, lit(0.0))
+              .otherwise((col("rn") - 1) / (col("n_seg") - 1)).as("pr"),
+            (col("rn") / col("n_seg")).as("cd"))
           .orderBy("c_custkey")
       },
       Some("""

@@ -113,6 +113,21 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(l => l.contains("HashAggregate") || l.contains("Join")), p)
   }
 
+  test("q43 ranks in bounded (segment, bucket) sorts, not one task per segment") {
+    val p = plan("q43_rank_distribution")
+    // the data-sized ranking window must be keyed by (segment, bucket) so no
+    // task sorts more than ~rows/nBuckets rows; a spec of c_mktsegment alone
+    // would single-task each of the 5 segments at scale
+    val rankingWindows = p.linesIterator
+      .filter(l => l.contains("row_number") && l.contains("windowspecdefinition")).toList
+    assert(rankingWindows.nonEmpty && rankingWindows.forall(_.contains("bucket")),
+      s"ranking window not bucket-bounded:\n$p")
+    // bucket boundaries come from the fixed-size percentile sketch, and the
+    // offset/boundary frames ride broadcasts, never a shuffle join
+    assert(p.contains("approx_percentile"), p)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q58 headline aggregate carries a bounded-memory sketch and broadcasts brackets") {
     val p = plan("q58_approx_percentiles")
     // the scale path: approx_percentile's fixed-size sketch buffer must be in
