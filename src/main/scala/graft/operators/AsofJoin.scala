@@ -54,11 +54,56 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       tieBreak: Seq[String] = Nil,
-      dropUnmatched: Boolean = false): DataFrame = {
+      dropUnmatched: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, on, leftTime, rightTime, tieBreak, dropUnmatched,
+      forwardDir = false, tolerance)
+
+  /**
+   * Forward as-of: for every left row, the single EARLIEST right row whose
+   * time is at-or-after the left row's time, within the same equi-key group.
+   * Mirror semantics of [[backward]]: a right row timed exactly at the left
+   * instant IS visible; ties among right rows at one instant resolve to the
+   * SMALLEST `tieBreak` values (mirroring `ORDER BY t ASC, tb ASC` rank-1).
+   * Same union + carry shape — one shuffle, no join in the plan.
+   */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: Seq[String] = Nil,
+      dropUnmatched: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, on, leftTime, rightTime, tieBreak, dropUnmatched,
+      forwardDir = true, tolerance)
+
+  /**
+   * Shared union + carry core. `tolerance` bounds the match window (standard
+   * tick-data ask: "the quote within N ms, else no match"): a candidate
+   * farther than `tolerance` time units from the left row is nulled out —
+   * exact, because if the nearest candidate is out of tolerance, every
+   * farther one is too. Requires NUMERIC time columns (e.g. epoch ms) since
+   * it subtracts; the untolerated variants work on any ordered type.
+   */
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: Seq[String],
+      dropUnmatched: Boolean,
+      forwardDir: Boolean,
+      tolerance: Option[Long]): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equi-key column")
     val lt = left.schema(leftTime).dataType
     val rt = right.schema(rightTime).dataType
     require(lt == rt, s"time columns must share a type; got $lt vs $rt")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    require(tolerance.isEmpty || lt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tolerance needs numeric time columns (e.g. epoch ms); got $lt")
     // internal/output names must not collide with caller columns (the key
     // columns flow through the window partitioning; `asof` is appended)
     val reserved = Set("__t", "__kind", "__r", "__l", "asof")
@@ -69,40 +114,57 @@ object AsofJoin {
     val rightStructT = StructType(right.schema.fields)
     val keyCols: Seq[Column] = on.map(col)
 
+    // Equal-time visibility is encoded in __kind: the right side sorts
+    // toward the left row (before it backward, after it forward), so the
+    // frame anchored at the left row includes same-instant rights.
+    val (rightKind, leftKind) = if (forwardDir) (1, 0) else (0, 1)
     val rSide = right
       // JOIN semantics: a NULL key never matches. Window.partitionBy would
       // group null keys together, so null-keyed right rows must not enter
-      // the carry-forward at all; null-keyed LEFT rows then naturally land
-      // in a right-free partition and come out unmatched (null asof).
+      // the carry at all; null-keyed LEFT rows then naturally land in a
+      // right-free partition and come out unmatched (null asof).
       .filter(on.map(col(_).isNotNull).reduce(_ && _))
       .select(
       keyCols ++ Seq(
         col(rightTime).as("__t"),
-        lit(0).as("__kind"), // rights sort first at equal time: <= visibility
+        lit(rightKind).as("__kind"),
         struct(right.columns.toIndexedSeq.map(col): _*).as("__r"),
         lit(null).cast(leftStructT).as("__l")): _*)
     val lSide = left.select(
       keyCols ++ Seq(
         col(leftTime).as("__t"),
-        lit(1).as("__kind"),
+        lit(leftKind).as("__kind"),
         lit(null).cast(rightStructT).as("__r"),
         struct(left.columns.toIndexedSeq.map(col): _*).as("__l")): _*)
 
-    // Tie-break columns ascending with nulls FIRST: among right rows at one
-    // instant the largest tie-break value ends up last in window order, so
-    // last(ignoreNulls) picks it; left rows (null __r) sort before any
-    // same-instant right rows only via __kind, which already orders them.
-    val w = Window
-      .partitionBy(on.map(col): _*)
-      .orderBy(
-        (Seq(col("__t").asc, col("__kind").asc) ++
-          tieBreak.map(c => col(s"__r.$c").asc_nulls_first)): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Tie-break columns ascending with nulls FIRST: backward, the largest
+    // same-instant right value sorts last so last(ignoreNulls) picks it;
+    // forward, the smallest sorts first so first(ignoreNulls) picks it.
+    // Left rows (null __r) interleave via __kind alone.
+    val ord = (Seq(col("__t").asc, col("__kind").asc) ++
+      tieBreak.map(c => col(s"__r.$c").asc_nulls_first))
+    val wBase = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+    val (w, pick) =
+      if (forwardDir)
+        (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__r"), ignoreNulls = true))
+      else
+        (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__r"), ignoreNulls = true))
 
-    val joined = rSide.union(lSide)
-      .withColumn("asof", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__kind") === 1)
-    val filtered = if (dropUnmatched) joined.filter(col("asof").isNotNull) else joined
+    val carried = rSide.union(lSide)
+      .withColumn("asof", pick.over(w))
+      .filter(col("__kind") === lit(leftKind))
+    val bounded = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        // nearest candidate out of tolerance -> no match at all
+        val inTol =
+          if (forwardDir) col(s"asof.`$rightTime`") <= col("__t") + lit(tol)
+          else col(s"asof.`$rightTime`") >= col("__t") - lit(tol)
+        carried.withColumn("asof", when(inTol, col("asof")))
+    }
+    val filtered = if (dropUnmatched) bounded.filter(col("asof").isNotNull) else bounded
     filtered.select(
       left.columns.toIndexedSeq.map(c => col(s"__l.`$c`").as(c)) :+ col("asof"): _*)
   }

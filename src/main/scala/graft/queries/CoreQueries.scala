@@ -1053,6 +1053,54 @@ object CoreQueries {
       "Bounded-memory percentiles: approx_percentile sketch aggregate (the 100 TB " +
         "plan) contract-checked against exact quantile brackets — sketch estimates " +
         "must land within the exact [p-0.01, p+0.01] value bracket (10x the sketch's " +
-        "rank-error bound), oracled as literal TRUE the q36 way.")
+        "rank-error bound), oracled as literal TRUE the q36 way."),
+
+    // ---------------------------------------------------------------- q59
+    Q(
+      "q59_asof_next_order",
+      (s, dir) => {
+        // Forward + tolerance as-of: for each event, the user's EARLIEST
+        // order at-or-after the event, but only within 7 days — the "next
+        // fill within the window, else no match" tick-data ask. Same
+        // union+carry operator shape as q08 (one shuffle, no join in the
+        // plan); left outer, so events with no order inside the window
+        // surface with nulls and the tolerance nulling itself is oracled.
+        val o = table(s, dir, "orders")
+        val ev = table(s, dir, "events")
+        val users = ev.agg((max(col("user_id")) + lit(1)).as("u"))
+        val orderSide = o.crossJoin(broadcast(users)).select(
+          (col("o_custkey") % col("u")).as("ukey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
+          col("o_orderkey"))
+        val eventSide = ev.select(
+          col("user_id").cast("long").as("ukey"),
+          unix_millis(col("ts")).as("ev_ms"),
+          col("event_id"))
+        graft.operators.AsofJoin
+          .forward(eventSide, orderSide, Seq("ukey"), "ev_ms", "ord_ms",
+            tieBreak = Seq("o_orderkey"), tolerance = Some(7L * 24 * 3600 * 1000))
+          .select(
+            col("event_id"), col("ev_ms"),
+            col("asof.o_orderkey").as("o_orderkey"),
+            col("asof.ord_ms").as("ord_ms"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH u AS (SELECT MAX(user_id) + 1 AS u FROM events),
+        j AS (
+          SELECT e.event_id, o.o_orderkey, epoch_ms(o.o_orderdate) AS ord_ms,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY epoch_ms(o.o_orderdate) ASC, o.o_orderkey ASC) AS rn
+          FROM events e CROSS JOIN u
+          JOIN orders o
+            ON o.o_custkey % u.u = e.user_id
+           AND epoch_ms(o.o_orderdate) >= epoch_ms(e.ts)
+           AND epoch_ms(o.o_orderdate) <= epoch_ms(e.ts) + 7 * 24 * 3600 * 1000)
+        SELECT e.event_id, epoch_ms(e.ts) AS ev_ms, j.o_orderkey, j.ord_ms
+        FROM events e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON e.event_id = j.event_id
+        ORDER BY e.event_id"""),
+      "Forward as-of with tolerance: earliest order at-or-after each event within " +
+        "7 days, else null — the bounded-window nearest-later match, one window pass, " +
+        "no join in the physical plan.")
   )
 }

@@ -86,6 +86,84 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(inner.count() === 2)
   }
 
+  /** Naive forward reference: all later rights, rank by (t ASC, id ASC). */
+  private def naiveForward(left: DataFrame, right: DataFrame): DataFrame = {
+    val w = Window.partitionBy("eid")
+      .orderBy(col("rts").asc, col("rid").asc)
+    val matched = left.join(right, Seq("k"), "inner")
+      .filter(col("rts") >= col("lts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eid"), col("rid"), col("rts"), col("rv"))
+    val unmatched = left.join(matched.select("eid"), Seq("eid"), "left_anti")
+      .select(col("eid"), lit(null).cast("long").as("rid"),
+        lit(null).cast("long").as("rts"), lit(null).cast("double").as("rv"))
+    matched.union(unmatched)
+  }
+
+  test("forward matches the naive join+rank on real orders/events data") {
+    val evFixed = graft.queries.Tables.table(spark, Sf, "events")
+    val users = evFixed.agg((max(col("user_id")) + lit(1)).as("u")).head.getLong(0)
+    val left = evFixed.select(
+      col("user_id").cast("long").as("k"),
+      unix_millis(col("ts")).as("lts"),
+      col("event_id").as("eid"))
+    val right = spark.read.parquet(s"$Sf/orders.parquet").select(
+      (col("o_custkey") % users).as("k"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("rts"),
+      col("o_orderkey").as("rid"),
+      col("o_totalprice").as("rv"))
+    val got = AsofJoin.forward(left, right, Seq("k"), "lts", "rts", tieBreak = Seq("rid"))
+      .select(col("eid"), col("asof.rid").as("rid"), col("asof.rts").as("rts"),
+        col("asof.rv").as("rv"))
+    val want = naiveForward(left, right)
+    assert(got.count() === left.count(), "left outer: every left row survives")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "forward operator must equal the naive join+rank spelling")
+  }
+
+  test("forward edge semantics: >= visibility, tie-break to smallest id") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1"), (1L, 150L, "e2"), (2L, 10L, "e3"))
+      .toDF("k", "lts", "eid")
+    val right = Seq(
+      (1L, 100L, 7L, "exact"),   // exactly at e1's time -> visible to e1
+      (1L, 100L, 9L, "exact2"),  // same instant, SMALLER id wins forward
+      (1L, 200L, 1L, "late"))    // earliest at-or-after e2
+      .toDF("k", "rts", "rid", "rv")
+    val out = AsofJoin
+      .forward(left, right, Seq("k"), "lts", "rts", tieBreak = Seq("rid"))
+      .select("eid", "asof.rid", "asof.rv")
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out("e1") === ((Some(7L), Some("exact"))))
+    assert(out("e2") === ((Some(1L), Some("late"))))
+    assert(out("e3") === ((None, None)))
+  }
+
+  test("tolerance bounds the match window in both directions") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1"), (1L, 500L, "e2")).toDF("k", "lts", "eid")
+    val right = Seq((1L, 90L, 1L, "near"), (1L, 600L, 2L, "after"))
+      .toDF("k", "rts", "rid", "rv")
+    // backward: e1 sees rts=90 within 10ms; e2's nearest (90) is 410ms old
+    val back = AsofJoin.backward(left, right, Seq("k"), "lts", "rts",
+        tieBreak = Seq("rid"), tolerance = Some(10L))
+      .select(col("eid"), col("asof.rid"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(back("e1") === Some(1L))
+    assert(back("e2") === None, "nearest candidate out of tolerance -> no match")
+    // forward: e2 sees rts=600 within 100ms; e1's nearest (600) is 500ms out
+    val fwd = AsofJoin.forward(left, right, Seq("k"), "lts", "rts",
+        tieBreak = Seq("rid"), tolerance = Some(100L))
+      .select(col("eid"), col("asof.rid"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(fwd("e2") === Some(2L))
+    assert(fwd("e1") === None)
+    // tolerance + dropUnmatched composes into an inner within-window join
+    assert(AsofJoin.backward(left, right, Seq("k"), "lts", "rts",
+      tieBreak = Seq("rid"), tolerance = Some(10L), dropUnmatched = true).count() === 1)
+  }
+
   test("NULL equi-keys never match, exactly like a join") {
     import spark.implicits._
     val left = Seq((Some(1L), 100L, "e1"), (None, 100L, "enull"))
