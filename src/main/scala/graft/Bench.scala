@@ -15,14 +15,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet")
       .selectExpr("count(*)", "max(r_name)").collect()
     spark.range(1000).selectExpr("sum(id)").collect()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // sorted order: stable timings across rounds (Map order is hash-random)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: executes the COMPLETE plan (count() would let Catalyst
-      // prune output columns and eliminate final sorts — under-measuring)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // median of `reps` runs: a host stall inflates one sample, not the
+      // reported number, so round-over-round comparisons track the code
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: executes the COMPLETE plan (count() would let Catalyst
+        // prune output columns and eliminate final sorts — under-measuring)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> samples(samples.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
