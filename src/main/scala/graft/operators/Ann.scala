@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search operators — the reusable library form
+ * of queries q34 (IVF assignment) and q54 (IVF-routed search), so any vector
+ * source (the `embeddings` table, [[Multimodal.extractFeatures]] output, …)
+ * gets the sub-linear search path.
+ *
+ * Scale shape (the one that survives 100 TB): the centroid table broadcasts
+ * (tiny), assignment is one map-side pass over the corpus, and the search is
+ * a hash-partitionable equi-join on `cluster_id` — no corpus-sized
+ * broadcast, no all-pairs product. Cluster skew is AQE-splittable because
+ * the join-key cardinality grows with the centroid count.
+ *
+ * Cosine arithmetic uses the native codegen'd `vec_dot` expression
+ * ([[graft.functions.FloatVecDot]]), so similarity stays inside whole-stage
+ * codegen.
+ */
+object Ann {
+
+  /**
+   * Assign every row's vector to its maximum-dot-product centroid (ties to
+   * the lowest centroid id). `centroids` must have (`centroid_id`, `ce`)
+   * columns and be small enough to broadcast — it is the IVF coarse
+   * codebook. Appends `cluster_id` and `n2` (the vector's squared norm,
+   * reused by [[ivfSearch]]) to `df`'s columns.
+   */
+  def ivfAssign(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    require(centroids.columns.toSet == Set("centroid_id", "ce"),
+      s"centroids needs exactly (centroid_id, ce); got ${centroids.columns.mkString(", ")}")
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__cdot", expr(s"vec_dot($vecCol, ce)"))
+      .withColumn("__rn",
+        expr(s"row_number() over (partition by $idCol order by __cdot desc, centroid_id asc)"))
+      .filter(col("__rn") === 1)
+      .select(df.columns.map(col) :+
+        col("centroid_id").as("cluster_id") :+
+        expr(s"vec_dot($vecCol, $vecCol)").as("n2"): _*)
+  }
+
+  /**
+   * IVF-routed cosine top-k: every probe searches ONLY its own coarse
+   * cluster. `probeIds` is a one-column frame of `idCol` values (kept
+   * bounded by the caller — the broadcast side must not grow with the
+   * corpus). Returns (pid, rank, cluster_id, cid, sim) with rank 1..k by
+   * (sim desc, cid asc) — deterministic given a unique id column.
+   */
+  def ivfSearch(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      probeIds: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be positive")
+    require(probeIds.columns.length == 1,
+      s"probeIds must be a single-column frame of $idCol values")
+    val assigned = ivfAssign(spark, df, idCol, vecCol, centroids)
+    val probes = assigned
+      .join(broadcast(probeIds.toDF(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("pid"), col(vecCol).as("__pe"),
+        col("cluster_id"), col("n2").as("__pn2"))
+    val cands = assigned
+      .select(col(idCol).as("cid"), col(vecCol).as("__ce2"),
+        col("cluster_id"), col("n2").as("__cn2"))
+    cands.join(probes, Seq("cluster_id"))
+      .filter(col("cid") =!= col("pid"))
+      .withColumn("sim", expr("vec_dot(__pe, __ce2)") / (sqrt(col("__pn2")) * sqrt(col("__cn2"))))
+      .withColumn("rank",
+        expr("row_number() over (partition by pid order by sim desc, cid asc)"))
+      .filter(col("rank") <= k)
+      .select("pid", "rank", "cluster_id", "cid", "sim")
+  }
+}

@@ -44,23 +44,17 @@ object VectorQueries {
           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"""
 
   /** IVF coarse quantization, shared by q34 (the assignment layer) and q54
-    * (the search that routes through it): broadcast the 8 centroid vectors,
+    * (the search that routes through it) — both route through the reusable
+    * [[graft.operators.Ann]] operator: broadcast the 8 centroid vectors,
     * assign every vector to its max-dot centroid (ties to the lowest id).
     * One map-side pass over the corpus — the partition-pruning layer that
-    * makes ANN sub-linear. Returns (vec_id, embedding, cluster_id, cdot). */
+    * makes ANN sub-linear. Returns (vec_id, embedding, cluster_id, n2). */
   private def assignedClusters(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    graft.functions.VectorExpressions.register(s)
     val e = table(s, dir, "embeddings")
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
-    e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .selectExpr("vec_id", "embedding", "centroid_id", s"${sparkDot("embedding", "ce")} as cdot")
-      .withColumn(
-        "rn",
-        expr("row_number() over (partition by vec_id order by cdot desc, centroid_id asc)"))
-      .filter(col("rn") === 1)
-      .selectExpr("vec_id", "embedding", "centroid_id as cluster_id", "cdot")
+    graft.operators.Ann.ivfAssign(s, e.select("vec_id", "embedding"),
+      "vec_id", "embedding", cents)
   }
 
   /** The DuckDB CTE chain mirroring [[assignedClusters]]; yields a relation
@@ -207,23 +201,12 @@ object VectorQueries {
         // equi-join (no corpus-sized broadcast, no all-pairs product), and
         // cluster skew is AQE-splittable because the join key cardinality
         // grows with the centroid count in production.
-        val assigned = assignedClusters(s, dir)
-          .selectExpr("vec_id", "embedding", "cluster_id",
-            s"${sparkDot("embedding", "embedding")} as n2")
-        val probes = assigned.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("pid"), col("embedding").as("pe"),
-            col("cluster_id"), col("n2").as("pn2"))
-        val cands = assigned
-          .select(col("vec_id").as("cid"), col("embedding").as("ce2"),
-            col("cluster_id"), col("n2").as("cn2"))
-        cands.join(probes, Seq("cluster_id"))
-          .filter(col("cid") =!= col("pid"))
-          .selectExpr("pid", "cluster_id", "cid", s"${sparkDot("pe", "ce2")} as dot", "pn2", "cn2")
-          .withColumn("sim", col("dot") / (sqrt(col("pn2")) * sqrt(col("cn2"))))
-          .withColumn(
-            "rank",
-            expr("row_number() over (partition by pid order by sim desc, cid asc)"))
-          .filter(col("rank") <= 3)
+        val e = table(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        graft.operators.Ann.ivfSearch(s, e.select("vec_id", "embedding"),
+            "vec_id", "embedding", cents,
+            probeIds = e.filter(col("vec_id") < 20).select("vec_id"), k = 3)
           .select("pid", "rank", "cluster_id", "cid", "sim")
           .orderBy("pid", "rank")
       },

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reusable IVF operators against the q54 query spelling, and the full
+  * multimodal chain: binary payload -> features -> routed ANN top-k. */
+class AnnSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("AnnSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("Ann.ivfSearch reproduces the q54 query exactly") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val probeIds = e.filter(col("vec_id") < 20).select("vec_id")
+    val got = Ann.ivfSearch(spark, e.select("vec_id", "embedding"),
+        "vec_id", "embedding", centroids, probeIds, k = 3)
+      .select("pid", "rank", "cluster_id", "cid", "sim")
+    val want = graft.SparkEntry.queries("q54_ivf_search")(spark, Sf)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "operator must equal the q54 spelling")
+  }
+
+  test("multimodal end-to-end: payload -> features -> IVF-routed top-k") {
+    // Deterministic corpus: document texts as opaque binary payloads, plus a
+    // byte-exact duplicate of doc 0's payload under a fresh id. The chain
+    // a multimodal pipeline runs: decode features per partition (payload
+    // dropped), broadcast a coarse codebook, route probes to their own
+    // cluster only.
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .selectExpr("doc_id", "cast(text as binary) as payload")
+    val dup = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("payload"))
+    val corpus = docs.union(dup)
+    val feats = Multimodal.extractFeatures(
+      corpus, "doc_id", "payload", new Multimodal.FakeMediaDecoder(16))
+    val centroids = feats.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("centroid_id"), col("features").as("ce"))
+    val probeIds = feats.filter(col("doc_id") < 10).select("doc_id")
+    val top = Ann.ivfSearch(spark, feats.select("doc_id", "features"),
+      "doc_id", "features", centroids, probeIds, k = 3)
+
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    val byProbe = rows.groupBy(_.getAs[Long]("pid"))
+    assert(byProbe.keySet.subsetOf((0L until 10L).toSet))
+    byProbe.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+      assert(rs.forall(r => r.getAs[Double]("sim") <= 1.0000001))
+    }
+    // the planted byte-duplicate decodes to the identical feature vector, so
+    // it must be probe 0's nearest neighbor at cosine ~1
+    val p0 = byProbe(0L).minBy(_.getAs[Int]("rank"))
+    assert(p0.getAs[Long]("cid") === 10000L, s"dup not top-1: $p0")
+    assert(p0.getAs[Double]("sim") > 0.999)
+    // deterministic: a second run returns the identical result set
+    val again = Ann.ivfSearch(spark, feats.select("doc_id", "features"),
+      "doc_id", "features", centroids, probeIds, k = 3).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+}
