@@ -45,6 +45,101 @@ class TickStreamsSpec extends AnyFunSuite {
     assert(batch.agg(sum("n_ticks")).head.getLong(0) === 27521) // every tick in a bar
   }
 
+  test("streaming as-of equals batch AsofJoin.backward on closed events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tickIn = MemoryStream[(String, Long, Double)] // ticker, ms, ask
+    val evIn = MemoryStream[(String, Long, Long)]     // ticker, ms, event_id
+    val ticks = tickIn.toDF().toDF("ticker", "ms", "ask")
+      .select(col("ticker"), timestamp_millis(col("ms")).as("ts"), col("ask"))
+    val events = evIn.toDF().toDF("ticker", "ms", "event_id")
+      .select(col("ticker"), timestamp_millis(col("ms")).as("ts"), col("event_id"))
+    val q = TickStreams.asofPrices(spark, ticks, events, "5 seconds")
+      .toDF().writeStream.format("memory").queryName("asof_live")
+      .outputMode("append").start()
+    try {
+      // batch 1: out-of-order ticks, a same-instant price tie (2.0 vs 2.5 at
+      // t=2000), an event exactly at a tick instant, one before any tick
+      tickIn.addData(("A", 2000L, 2.0), ("A", 1000L, 1.0), ("A", 2000L, 2.5),
+        ("B", 5000L, 9.0))
+      evIn.addData(("A", 2000L, 101L), ("A", 1500L, 102L), ("A", 500L, 103L),
+        ("B", 7000L, 201L))
+      q.processAllAvailable()
+      // batch 2: more data + a far-future sentinel tick to push the watermark
+      tickIn.addData(("A", 8000L, 3.0), ("Z", 1000000000L, 0.0))
+      evIn.addData(("A", 9000L, 104L))
+      q.processAllAvailable()
+      // batch 3: second sentinel — watermark now reflects batch 2's max, so
+      // the EventTimeTimeout fires and every pending event seals
+      tickIn.addData(("Z", 1000000001L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select event_id, tick_ms, price from asof_live")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // batch oracle: the AsofJoin operator with the same largest-price tie rule
+    val left = Seq(("A", 2000L, 101L), ("A", 1500L, 102L), ("A", 500L, 103L),
+      ("B", 7000L, 201L), ("A", 9000L, 104L)).toDF("ticker", "ev_ms", "event_id")
+    val right = Seq(("A", 2000L, 2.0), ("A", 1000L, 1.0), ("A", 2000L, 2.5),
+      ("B", 5000L, 9.0), ("A", 8000L, 3.0), ("Z", 1000000000L, 0.0),
+      ("Z", 1000000001L, 0.0)).toDF("ticker", "t", "price")
+    val want = graft.operators.AsofJoin
+      .backward(left, right, Seq("ticker"), "ev_ms", "t", tieBreak = Seq("price"))
+      .select(col("event_id"), col("asof.t"), col("asof.price"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got === want, s"streaming matches must equal the batch operator\n got=$got\nwant=$want")
+    // spot the semantics: 101 sees the tie-winner 2.5, 103 has no prior tick
+    assert(got.contains((101L, Some(2000L), Some(2.5))))
+    assert(got.contains((103L, None, None)))
+  }
+
+  test("live bi5 tick stream: price-as-of-event equals batch over the fixture tree") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // ticks = the REAL connector stream, unioned with a sentinel memory
+    // stream (distinct ticker) that advances the watermark past the fixture
+    val live = spark.readStream.format("bi5").option("digits", 5)
+      .load(s"$Fixtures/EURUSD").select("ticker", "ts", "ask")
+    val sentinelIn = MemoryStream[(String, Long, Double)]
+    val sentinels = sentinelIn.toDF().toDF("ticker", "ms", "ask")
+      .select(col("ticker"), timestamp_millis(col("ms")).as("ts"), col("ask"))
+    val evIn = MemoryStream[(String, Long, Long)]
+    val events = evIn.toDF().toDF("ticker", "ms", "event_id")
+      .select(col("ticker"), timestamp_millis(col("ms")).as("ts"), col("event_id"))
+    // events inside the EURUSD fixture's time range (2019-12-31T15:00 ..)
+    val evRows = Seq(
+      ("EURUSD", 1577804460000L, 1L), // 2019-12-31 15:01
+      ("EURUSD", 1577807100000L, 2L), // 2019-12-31 15:45
+      ("EURUSD", 1577804400090L, 3L), // exactly the first tick's ms
+      ("EURUSD", 1000L, 4L))          // long before any tick -> null
+    val q = TickStreams.asofPrices(spark, live.unionByName(sentinels), events, "10 seconds")
+      .toDF().writeStream.format("memory").queryName("asof_bi5")
+      .outputMode("append").start()
+    try {
+      evIn.addData(evRows: _*)
+      q.processAllAvailable()
+      sentinelIn.addData(("ZZZ", 1700000000000L, 0.0))
+      q.processAllAvailable()
+      sentinelIn.addData(("ZZZ", 1700000001000L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select event_id, tick_ms, price from asof_bi5")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val batchTicks = spark.read.format("bi5").option("digits", 5)
+      .load(s"$Fixtures/EURUSD")
+      .select(col("ticker"), unix_millis(col("ts")).as("t"), col("ask").as("price"))
+    val left = evRows.toDF("ticker", "ev_ms", "event_id")
+    val want = graft.operators.AsofJoin
+      .backward(left, batchTicks, Seq("ticker"), "ev_ms", "t", tieBreak = Seq("price"))
+      .select(col("event_id"), col("asof.t"), col("asof.price"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got === want,
+      s"live connector as-of must equal the batch operator\n got=$got\nwant=$want")
+    assert(got.exists { case (id, t, p) => id == 4L && t.isEmpty && p.isEmpty })
+    assert(got.count(_._2.nonEmpty) === 3)
+  }
+
   test("open/close are event-time ordered, not arrival-ordered") {
     import spark.implicits._
     // two ticks out of arrival order within one bar: open must be the
