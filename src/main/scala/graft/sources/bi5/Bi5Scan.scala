@@ -134,8 +134,9 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter], st
     s"bi5 path=${opts.path} digits=${opts.digits} pushed=[${allFilters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (opts.splitPerFile) planFileBins()
-    else Bi5Scan.perChildPartitions(opts.path, store)
+    if (!opts.splitPerFile) Bi5Scan.perChildPartitions(opts.path, store)
+    else if (opts.listShards > 0) planFileBinsSharded()
+    else planFileBins()
 
   /** Scale mode: list all files on the driver, prune by pushed filters, then
     * first-fit-decreasing bin-pack by compressed size. With the DEFAULT byte
@@ -160,25 +161,45 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter], st
       else math.min(
         opts.maxPartitionBytes,
         math.max(1L << 20, totalBytes / math.max(1, 2 * parallelism) + 1))
-    // Sequential packing over the size-sorted listing: O(files). First-fit
-    // against all open bins would be O(files x bins) — hours of driver time
-    // at the million-file scale this mode exists for, for near-identical
-    // partition quality on size-sorted input.
-    val bins = ArrayBuffer.empty[Array[String]]
-    val bin = ArrayBuffer.empty[String]
-    var used = 0L
-    files.foreach { case (path, size) =>
-      if (bin.nonEmpty && used + size > targetBytes) {
-        bins += bin.toArray
-        bin.clear()
-        used = 0L
-      }
-      bin += path
-      used += size
-    }
-    if (bin.nonEmpty) bins += bin.toArray
+    val bins = Bi5Scan.packBins(files, targetBytes)
     if (bins.isEmpty) Array(Bi5Partition(Array.empty, walk = false))
-    else bins.map(b => Bi5Partition(b, walk = false): InputPartition).toArray
+    else bins.map(b => Bi5Partition(b, walk = false): InputPartition)
+  }
+
+  /** Extreme-file-count mode (`listShards=N`): the recursive listing runs as
+    * a SPARK JOB — one task group over the root's immediate child subtrees —
+    * and each task prunes, sorts, and bin-packs ITS OWN files before anything
+    * returns to the driver. The driver therefore only ever holds the packed
+    * partition bins (which planInputPartitions must produce regardless),
+    * never the flat (path, size) listing: at 10M files that is the difference
+    * between ~1 GB of listing pairs plus sort scratch and just the partition
+    * array. Per-shard packing can leave at most one underfull bin per task
+    * (bounded by listShards, not by file count). The bin target is the
+    * explicit maxPartitionBytes, or its 128 MiB default — the small-dataset
+    * parallelism heuristic needs a global byte total the driver deliberately
+    * no longer computes. */
+  private def planFileBinsSharded(): Array[InputPartition] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val roots: Seq[String] =
+      if (store.isDirectory(opts.path)) store.children(opts.path).map(_.path).sorted
+      else Seq(opts.path)
+    if (roots.isEmpty) return Array(Bi5Partition(Array.empty, walk = false))
+    // locals only in the closure: the Scan itself must not be serialized
+    val storeLocal = store
+    val monthOffset = opts.monthOffset
+    val filtersLocal = allFilters
+    val targetBytes = opts.maxPartitionBytes
+    val nShards = math.min(opts.listShards, roots.size)
+    val bins = sc.parallelize(roots, nShards)
+      .mapPartitions { rs =>
+        val files = rs.flatMap(r => storeLocal.listBi5Files(r))
+          .filter { case (p, _) => Bi5FilePruner.mayMatch(p, monthOffset, filtersLocal) }
+          .toArray.sortBy { case (_, size) => -size }
+        Bi5Scan.packBins(files, targetBytes).iterator
+      }
+      .collect()
+    if (bins.isEmpty) Array(Bi5Partition(Array.empty, walk = false))
+    else bins.map(b => Bi5Partition(b, walk = false): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -207,6 +228,29 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter], st
 }
 
 object Bi5Scan {
+
+  /** Sequential packing over a size-DESC-sorted listing into ~targetBytes
+    * bins: O(files). First-fit against all open bins would be O(files x
+    * bins) — hours of driver/executor time at the million-file scale, for
+    * near-identical partition quality on size-sorted input. Shared by the
+    * driver-side and sharded (executor-side) split=files planners. */
+  def packBins(filesBySizeDesc: Seq[(String, Long)], targetBytes: Long): Array[Array[String]] = {
+    val bins = ArrayBuffer.empty[Array[String]]
+    val bin = ArrayBuffer.empty[String]
+    var used = 0L
+    filesBySizeDesc.foreach { case (path, size) =>
+      if (bin.nonEmpty && used + size > targetBytes) {
+        bins += bin.toArray
+        bin.clear()
+        used = 0L
+      }
+      bin += path
+      used += size
+    }
+    if (bin.nonEmpty) bins += bin.toArray
+    bins.toArray
+  }
+
   /** Reference partitioning rule: one partition per immediate child of a
     * directory root (dirs AND stray files alike — recursion happens
     * executor-side), a single partition for a plain file. Shared by the data

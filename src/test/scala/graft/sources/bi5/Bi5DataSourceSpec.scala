@@ -281,4 +281,60 @@ class Bi5DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === 27521)
     assert(df.rdd.getNumPartitions >= 2) // 3 decodable files bin-packed at 50 kB
   }
+
+  test("listShards: sharded listing plans >10k files, same coverage, no driver walk") {
+    // 10 ticker subtrees x 1000 hour files: big enough that a driver holding
+    // the flat (path, size) listing is exactly what this mode exists to avoid
+    val root = java.nio.file.Files.createTempDirectory("bi5shard").toFile
+    val paths = for {
+      t <- 0 until 10; m <- 1 to 5; d <- 1 to 10; h <- 0 until 20
+    } yield {
+      val dir = new java.io.File(root, s"T$t/2020/$m/$d")
+      dir.mkdirs()
+      val f = new java.io.File(dir, s"${h}h_ticks.bi5")
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](64 + t)(1))
+      f.getAbsolutePath
+    }
+    try {
+      def plan(extra: Map[String, String]): Array[Bi5Partition] = {
+        // lowercase keys: Bi5Options.from takes the case-normalized lookup
+        // the DSv2 CaseInsensitiveStringMap provides in real reads
+        val optMap = Map("path" -> root.getAbsolutePath, "digits" -> "5",
+          "split" -> "files", "maxpartitionbytes" -> "4096") ++ extra
+        val opts = Bi5Options.from(k => optMap.get(k))
+        new Bi5ScanBuilder(opts).build().asInstanceOf[Bi5Scan]
+          .toBatch.planInputPartitions().map(_.asInstanceOf[Bi5Partition])
+      }
+      val sharded = plan(Map("listshards" -> "8"))
+      val files = sharded.flatMap(_.roots)
+      assert(files.length === 10000, "every file planned exactly once")
+      assert(files.distinct.length === 10000)
+      assert(sharded.forall(!_.walk))
+      // ~4096B bins of 64B files: the job really packed, not one-file bins
+      assert(sharded.length < 1000 && sharded.length > 100, s"bins=${sharded.length}")
+      // identical coverage to the driver-side planner (bin boundaries may
+      // differ: per-shard packing vs one global sort)
+      val driver = plan(Map.empty).flatMap(_.roots)
+      assert(files.sorted.sameElements(driver.sorted))
+      // executor-side pruning: a ticker filter cuts planning to one subtree
+      val optMap = Map("path" -> root.getAbsolutePath, "digits" -> "5",
+        "split" -> "files", "maxpartitionbytes" -> "4096", "listshards" -> "8")
+      val scan = new Bi5ScanBuilder(Bi5Options.from(k => optMap.get(k)))
+        .build().asInstanceOf[Bi5Scan]
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("ticker", "T3")))
+      assert(scan.toBatch.planInputPartitions()
+        .flatMap(_.asInstanceOf[Bi5Partition].roots).length === 1000)
+      // end-to-end on the REAL fixture tree: sharded read == driver read
+      val df = spark.read.format("bi5")
+        .option("digits", DigitsEur)
+        .option("split", "files")
+        .option("listShards", 4)
+        .load(s"$Fixtures/EURUSD/")
+      assert(df.count() === 27521)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root).deleteRecursively()
+    }
+  }
 }
