@@ -15,7 +15,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet")
       .selectExpr("count(*)", "max(r_name)").collect()
     spark.range(1000).selectExpr("sum(id)").collect()
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // tolerate garbage ("0", "abc"): a bad env var must not abort the bench
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
     // sorted order: stable timings across rounds (Map order is hash-random)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // median of `reps` runs: a host stall inflates one sample, not the

@@ -37,6 +37,11 @@ object Ann {
     graft.functions.VectorExpressions.register(spark)
     require(centroids.columns.toSet == Set("centroid_id", "ce"),
       s"centroids needs exactly (centroid_id, ce); got ${centroids.columns.mkString(", ")}")
+    // fail fast: internal/appended names must not collide with df's columns
+    // (withColumn would silently clobber; the final select would duplicate)
+    val reserved = Set("centroid_id", "ce", "cluster_id", "n2", "__cdot", "__rn")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
     df.crossJoin(broadcast(centroids))
       .withColumn("__cdot", expr(s"vec_dot($vecCol, ce)"))
       .withColumn("__rn",
@@ -65,6 +70,10 @@ object Ann {
     require(k >= 1, s"k ($k) must be positive")
     require(probeIds.columns.length == 1,
       s"probeIds must be a single-column frame of $idCol values")
+    val searchReserved = Set("pid", "cid", "sim", "rank", "__pe", "__ce2", "__pn2", "__cn2")
+    val searchClash = df.columns.toSet.intersect(searchReserved)
+    require(searchClash.isEmpty,
+      s"input columns collide with reserved names: $searchClash")
     val assigned = ivfAssign(spark, df, idCol, vecCol, centroids)
     val probes = assigned
       .join(broadcast(probeIds.toDF(idCol)), Seq(idCol), "left_semi")

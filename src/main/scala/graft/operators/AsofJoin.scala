@@ -114,10 +114,11 @@ object AsofJoin {
     val rightStructT = StructType(right.schema.fields)
     val keyCols: Seq[Column] = on.map(col)
 
-    // Equal-time visibility is encoded in __kind: the right side sorts
-    // toward the left row (before it backward, after it forward), so the
-    // frame anchored at the left row includes same-instant rights.
-    val (rightKind, leftKind) = if (forwardDir) (1, 0) else (0, 1)
+    // Equal-time visibility is encoded in __kind: right rows always sort
+    // BEFORE left rows within an instant (the forward direction reverses the
+    // whole sort instead, see below), so the running frame anchored at the
+    // left row includes same-instant rights in both directions.
+    val (rightKind, leftKind) = (0, 1)
     val rSide = right
       // JOIN semantics: a NULL key never matches. Window.partitionBy would
       // group null keys together, so null-keyed right rows must not enter
@@ -137,23 +138,28 @@ object AsofJoin {
         lit(null).cast(rightStructT).as("__r"),
         struct(left.columns.toIndexedSeq.map(col): _*).as("__l")): _*)
 
-    // Tie-break columns ascending with nulls FIRST: backward, the largest
-    // same-instant right value sorts last so last(ignoreNulls) picks it;
-    // forward, the smallest sorts first so first(ignoreNulls) picks it.
-    // Left rows (null __r) interleave via __kind alone.
-    val ord = (Seq(col("__t").asc, col("__kind").asc) ++
-      tieBreak.map(c => col(s"__r.$c").asc_nulls_first))
-    val wBase = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
-    val (w, pick) =
+    // Both directions use last() over the RUNNING frame
+    // [unboundedPreceding, currentRow], which Spark evaluates incrementally
+    // in O(n) per partition. Forward must NOT use a [currentRow,
+    // unboundedFollowing] frame — UnboundedFollowingWindowFunctionFrame
+    // re-aggregates from scratch per row, O(n^2) on a million-row ticker-day.
+    // Instead forward reverses the whole sort (time desc, tie-break desc):
+    // the running last() then picks the right row with the SMALLEST time
+    // at-or-after the left row and the smallest tie-break within an instant.
+    // Tie-break nulls always sort first (= lose to any non-null value).
+    // Left rows (null __r) interleave via __kind alone (rights first).
+    val ord =
       if (forwardDir)
-        (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("__r"), ignoreNulls = true))
+        Seq(col("__t").desc, col("__kind").asc) ++
+          tieBreak.map(c => col(s"__r.$c").desc_nulls_first)
       else
-        (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("__r"), ignoreNulls = true))
+        Seq(col("__t").asc, col("__kind").asc) ++
+          tieBreak.map(c => col(s"__r.$c").asc_nulls_first)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rSide.union(lSide)
-      .withColumn("asof", pick.over(w))
+      .withColumn("asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__kind") === lit(leftKind))
     val bounded = tolerance match {
       case None => carried

@@ -44,6 +44,11 @@ object GlobalRank {
       tieCol: String,
       nBuckets: Int = 32): DataFrame = {
     require(nBuckets >= 2, s"nBuckets ($nBuckets) must be at least 2")
+    // fail fast instead of silently overwriting (withColumn) and then
+    // deleting (drop) a caller column that shares an internal name
+    val reserved = Set("bnds", "bucket", "cnt", "local_rn", "offset", "rn", "n_seg")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
     val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
     val bounds = df.groupBy(segCol).agg(
       expr(s"approx_percentile($valCol, array($qs), 1000)").as("bnds"))

@@ -178,11 +178,15 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter], st
     * explicit maxPartitionBytes, or its 128 MiB default — the small-dataset
     * parallelism heuristic needs a global byte total the driver deliberately
     * no longer computes. */
+  /** Immediate child subtrees of the load root — the task granularity of
+    * every listShards-mode distributed listing job. */
+  private def shardRoots(): Seq[String] =
+    if (store.isDirectory(opts.path)) store.children(opts.path).map(_.path).sorted
+    else Seq(opts.path)
+
   private def planFileBinsSharded(): Array[InputPartition] = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    val roots: Seq[String] =
-      if (store.isDirectory(opts.path)) store.children(opts.path).map(_.path).sorted
-      else Seq(opts.path)
+    val roots = shardRoots()
     if (roots.isEmpty) return Array(Bi5Partition(Array.empty, walk = false))
     // locals only in the closure: the Scan itself must not be serialized
     val storeLocal = store
@@ -211,14 +215,38 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter], st
   private lazy val listedFiles: Seq[(String, Long)] =
     store.listBi5Files(opts.path)
 
+  /** listShards-mode statistics: sum the pruned compressed sizes as a Spark
+    * job — ONE long per shard returns to the driver. Stats must not fall
+    * back to `listedFiles`, or any plan that asks for scan statistics (AQE
+    * join-strategy selection does) would re-materialize the exact flat
+    * driver-side listing the sharded planner exists to avoid. */
+  private def shardedCompressedBytes(): Long = {
+    val roots = shardRoots()
+    if (roots.isEmpty) return 0L
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val storeLocal = store
+    val monthOffset = opts.monthOffset
+    val filtersLocal = filters
+    sc.parallelize(roots, math.min(opts.listShards, roots.size))
+      .mapPartitions { rs =>
+        Iterator.single(
+          rs.flatMap(r => storeLocal.listBi5Files(r))
+            .filter { case (p, _) => Bi5FilePruner.mayMatch(p, monthOffset, filtersLocal) }
+            .map(_._2).sum)
+      }
+      .fold(0L)(_ + _)
+  }
+
   override def estimateStatistics(): Statistics = {
     // No footer/stats exist in bi5 files; estimate from compressed bytes with
     // the ~4.2x LZMA ratio observed on the reference fixtures, 20 B/record.
     // Pushed filters prune the listing first so a ticker/ts-restricted scan
     // reports its actual magnitude (broadcast decisions depend on this).
-    val compressed = listedFiles
-      .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, filters) }
-      .map(_._2).sum
+    val compressed =
+      if (opts.splitPerFile && opts.listShards > 0) shardedCompressedBytes()
+      else listedFiles
+        .filter { case (p, _) => Bi5FilePruner.mayMatch(p, opts.monthOffset, filters) }
+        .map(_._2).sum
     val rows = (compressed * 4.2 / Bi5Codec.RecordBytes).toLong
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(rows * 48L, 1L))

@@ -116,6 +116,11 @@ object TickStreams {
           // so "latest at-or-before" tie-breaks exactly like the batch
           // operator's tieBreak = Seq("price")
           val allTicks = (st.ticks ++ newTicks).sortBy(tb => (tb.t, tb.p))
+          // Seal at-or-below the watermark: Spark's stateful late-row filter
+          // drops rows with ts <= wm (pinned empirically by the
+          // watermark-edge spec — a tick timed exactly AT the watermark is
+          // discarded as late), so once wm reaches an event's instant no
+          // tick that could change its match can ever arrive.
           val (closed, open) = (st.events ++ newEvents).partition(_.t <= wm)
           val out = closed.sortBy(e => (e.t, e.id)).map { ev =>
             val m = allTicks.foldLeft(Option.empty[TickBuf]) {
@@ -128,9 +133,13 @@ object TickStreams {
           if (keep.isEmpty && open.isEmpty) state.remove()
           else {
             state.update(AsofSt(keep, open))
-            // wake this group when the watermark moves, so pending events
-            // seal even if no further rows arrive for the ticker
-            state.setTimeoutTimestamp(wm + 1)
+            // wake this group when the watermark moves so pending events
+            // seal even if no further rows arrive for the ticker — but ONLY
+            // while events are pending: an anchor-only state re-arming
+            // forever would fire a timeout invocation for every ticker ever
+            // seen on every batch, scaling per-trigger work with the
+            // all-time distinct-ticker count instead of the active one
+            if (open.nonEmpty) state.setTimeoutTimestamp(wm + 1)
           }
           out.iterator
       }

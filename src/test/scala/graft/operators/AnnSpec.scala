@@ -22,7 +22,13 @@ class AnnSpec extends AnyFunSuite {
     s
   }
 
-  test("Ann.ivfSearch reproduces the q54 query exactly") {
+  test("Ann.ivfSearch equals an independent driver-side reimplementation") {
+    // NOT compared against q54: q54 now routes through this very operator,
+    // so that comparison would be circular. The oracle here is plain Scala
+    // collections on the driver — assignment, routing, similarity, and
+    // ranking re-derived from scratch. Doubles compare EXACTLY: vec_dot's
+    // contract is a strict left-to-right double accumulation from +0.0,
+    // mirrored below, and the remaining arithmetic is plain IEEE ops.
     val e = spark.read.parquet(s"$Sf/embeddings.parquet")
     val centroids = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
@@ -30,9 +36,36 @@ class AnnSpec extends AnyFunSuite {
     val got = Ann.ivfSearch(spark, e.select("vec_id", "embedding"),
         "vec_id", "embedding", centroids, probeIds, k = 3)
       .select("pid", "rank", "cluster_id", "cid", "sim")
-    val want = graft.SparkEntry.queries("q54_ivf_search")(spark, Sf)
-    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
-      "operator must equal the q54 spelling")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+
+    val all = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cents = all.filter(_._1 < 8) // sorted by id: first strict max = lowest-id tie winner
+    val assigned = all.map { case (id, v) =>
+      val best = cents.foldLeft((Long.MinValue, Double.NegativeInfinity)) {
+        case ((bi, bd), (ci, cv)) =>
+          val d = dot(v, cv); if (d > bd) (ci, d) else (bi, bd)
+      }._1
+      (id, v, best)
+    }
+    val want = (for {
+      (pid, pv, pc) <- assigned if pid < 20
+      ((cid, sim), idx) <- assigned
+        .filter { case (cid, _, cc) => cc == pc && cid != pid }
+        .map { case (cid, cv, _) =>
+          (cid, dot(pv, cv) / (math.sqrt(dot(pv, pv)) * math.sqrt(dot(cv, cv))))
+        }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+        .take(3).zipWithIndex
+    } yield (pid, idx + 1, pc, cid, sim)).toSet
+    assert(got === want, "operator must equal the driver-side reimplementation")
   }
 
   test("multimodal end-to-end: payload -> features -> IVF-routed top-k") {

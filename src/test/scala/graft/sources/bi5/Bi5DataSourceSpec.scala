@@ -325,6 +325,19 @@ class Bi5DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.sources.EqualTo("ticker", "T3")))
       assert(scan.toBatch.planInputPartitions()
         .flatMap(_.asInstanceOf[Bi5Partition].roots).length === 1000)
+      // statistics in sharded mode run as a distributed sum (never the
+      // driver-side flat listing) and must equal the driver-mode estimate
+      def scanFor(extra: Map[String, String]): Bi5Scan = {
+        val m = Map("path" -> root.getAbsolutePath, "digits" -> "5",
+          "split" -> "files", "maxpartitionbytes" -> "4096") ++ extra
+        new Bi5ScanBuilder(Bi5Options.from(k => m.get(k)))
+          .build().asInstanceOf[Bi5Scan]
+      }
+      val statsSharded = scanFor(Map("listshards" -> "8")).estimateStatistics()
+      val statsDriver = scanFor(Map.empty).estimateStatistics()
+      assert(statsSharded.numRows().getAsLong === statsDriver.numRows().getAsLong)
+      assert(statsSharded.sizeInBytes().getAsLong === statsDriver.sizeInBytes().getAsLong)
+      assert(statsSharded.numRows().getAsLong > 0)
       // end-to-end on the REAL fixture tree: sharded read == driver read
       val df = spark.read.format("bi5")
         .option("digits", DigitsEur)

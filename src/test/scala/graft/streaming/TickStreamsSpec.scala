@@ -93,6 +93,47 @@ class TickStreamsSpec extends AnyFunSuite {
     assert(got.contains((103L, None, None)))
   }
 
+  test("watermark edge: a tick exactly AT the watermark is late data, so same-instant events seal safely") {
+    // Pins the boundary the seal logic depends on: Spark's stateful late-row
+    // filter drops rows with ts <= watermark (NOT strictly-below). A tick
+    // timed exactly at the watermark therefore never reaches the state
+    // function, and sealing events at t <= wm can never miss a late
+    // same-instant tick. If a Spark upgrade ever relaxed the filter to
+    // strictly-below, this test would fail (the 9.9 tick would arrive and
+    // the sealed match would be stale) — the seal must then become t < wm.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tickIn = MemoryStream[(String, Long, Double)]
+    val evIn = MemoryStream[(String, Long, Long)]
+    val ticks = tickIn.toDF().toDF("ticker", "ms", "ask")
+      .select(col("ticker"), timestamp_millis(col("ms")).as("ts"), col("ask"))
+    val events = evIn.toDF().toDF("ticker", "ms", "event_id")
+      .select(col("ticker"), timestamp_millis(col("ms")).as("ts"), col("event_id"))
+    val q = TickStreams.asofPrices(spark, ticks, events, "10 seconds")
+      .toDF().writeStream.format("memory").queryName("asof_wm_edge")
+      .outputMode("append").start()
+    try {
+      // batch 1: early tick, the event, and a sentinel driving wm to exactly
+      // the event's instant (15000 - 10000 = 5000)
+      tickIn.addData(("A", 1000L, 1.0), ("S", 15000L, 0.0))
+      evIn.addData(("A", 5000L, 101L))
+      q.processAllAvailable()
+      q.processAllAvailable() // timeout pass at wm == 5000: 101 seals here
+      // a same-instant tick offered AFTER wm reached 5000: dropped as late
+      tickIn.addData(("A", 5000L, 9.9))
+      q.processAllAvailable()
+      tickIn.addData(("S", 100000L, 0.0)) // wm -> 90000
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select event_id, tick_ms, price from asof_wm_edge")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // the 9.9 tick never entered state; the seal at wm==5000 was final and
+    // consistent with batch semantics over the rows Spark accepted
+    assert(got === Set((101L, Some(1000L), Some(1.0))),
+      s"tick at ts==wm must be late data and the early seal final, got $got")
+  }
+
   test("live bi5 tick stream: price-as-of-event equals batch over the fixture tree") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
