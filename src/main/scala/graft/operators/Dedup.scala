@@ -169,12 +169,26 @@ object Dedup {
       maxIters: Int = 10): DataFrame = {
     // undirected edge list, both directions; every member stays present
     // because each round unions the current labels into the propagation
-    // (a node with no smaller-labeled neighbor keeps its own row)
+    // (a node with no smaller-labeled neighbor keeps its own row).
+    // Materialized ONCE: every round joins against it, and without the
+    // checkpoint each round would re-execute the whole candidate pipeline
+    // (for LSH candidates that is a corpus-wide hashing pass per round).
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+    // Convergence via the label SUM: min-propagation only ever LOWERS a
+    // label, so the sum strictly decreases iff any node changed — one tiny
+    // scalar aggregate per round instead of a join+count against the
+    // previous labels. decimal(38,0) so 10^9 nodes x 10^9 ids cannot
+    // overflow the running sum.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -199,12 +213,10 @@ object Dedup {
         .select(
           col("id"),
           least(col("cluster_id"), coalesce(col("lcl"), col("cluster_id"))).as("cluster_id"))
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
+      val newSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     labels

@@ -702,6 +702,102 @@ object TextQueries {
         ORDER BY d.doc_id"""),
       "End-to-end dedup keep-list: MinHash-LSH candidate pairs -> connected-component " +
         "cluster ids (min reachable doc id) -> canonical keeper election, one row per " +
-        "document. The full pipeline a training-data dedup pass actually runs.")
+        "document. The full pipeline a training-data dedup pass actually runs."),
+
+    // ---------------------------------------------------------------- q60
+    Q(
+      "q60_curation_pipeline",
+      (s, dir) => {
+        // The WHOLE curation pass in one call: quality + repetition +
+        // decontamination + exact dedup + near-dup keep-list, composed by
+        // the Curation operator from the same stage rules as q29/q55/q56/
+        // q23/q57 (so the oracle re-derives each stage from its verified
+        // SQL fragment). Corpus = docs >= 10, eval benchmark = docs < 10.
+        val docs = table(s, dir, "documents")
+        graft.operators.Curation.keepList(
+            s,
+            corpus = docs.filter(col("doc_id") >= 10),
+            eval = docs.filter(col("doc_id") < 10),
+            idCol = "doc_id",
+            textCol = "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+        base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
+        sig AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len,
+                 list_transform(range(1, len(toks) - 3), i ->
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                   toks[i+3] || ' ' || toks[i+4]) AS g5
+          FROM base),
+        sig2 AS (
+          SELECT doc_id, n_tokens, avg_token_len,
+                 CASE WHEN len(g5) > 0
+                      THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5)
+                      ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
+          FROM sig),
+        posts AS (
+          SELECT doc_id, unnest(list_distinct($duckShingles)) AS shingle
+          FROM base WHERE len(toks) >= 3),
+        evalset AS (
+          SELECT DISTINCT unnest($duckShingles) AS shingle
+          FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id < 10)
+          WHERE len(toks) >= 3),
+        contam AS (
+          SELECT p.doc_id, CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(1) AS contam_frac
+          FROM posts p LEFT JOIN evalset e ON p.shingle = e.shingle
+          GROUP BY p.doc_id),
+        exact AS (
+          SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+          FROM corpus),
+        sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM base WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT s.doc_id, s.n_tokens, s.avg_token_len,
+               (s.n_tokens >= 20 AND s.avg_token_len BETWEEN 2.0 AND 8.0) AS quality_ok,
+               s.dup_frac, s.dup_frac <= 0.2 AS repetition_ok,
+               COALESCE(c.contam_frac, CAST(0.0 AS DOUBLE)) AS contam_frac,
+               COALESCE(c.contam_frac, CAST(0.0 AS DOUBLE)) <= 0.5 AS decontam_ok,
+               e.is_canonical,
+               COALESCE(cc.cluster_id, s.doc_id) = s.doc_id AS neardup_keeper,
+               ((s.n_tokens >= 20 AND s.avg_token_len BETWEEN 2.0 AND 8.0)
+                 AND s.dup_frac <= 0.2
+                 AND COALESCE(c.contam_frac, CAST(0.0 AS DOUBLE)) <= 0.5
+                 AND e.is_canonical
+                 AND COALESCE(cc.cluster_id, s.doc_id) = s.doc_id) AS kept,
+               CASE WHEN NOT (s.n_tokens >= 20 AND s.avg_token_len BETWEEN 2.0 AND 8.0) THEN 'quality'
+                    WHEN NOT s.dup_frac <= 0.2 THEN 'repetition'
+                    WHEN NOT COALESCE(c.contam_frac, CAST(0.0 AS DOUBLE)) <= 0.5 THEN 'contaminated'
+                    WHEN NOT e.is_canonical THEN 'exact_dup'
+                    WHEN NOT COALESCE(cc.cluster_id, s.doc_id) = s.doc_id THEN 'near_dup'
+                    ELSE '(kept)' END AS drop_reason
+        FROM sig2 s
+        JOIN exact e ON s.doc_id = e.doc_id
+        LEFT JOIN contam c ON s.doc_id = c.doc_id
+        LEFT JOIN cc ON s.doc_id = cc.id
+        ORDER BY s.doc_id"""),
+      "The complete curation pass in one call: quality + repetition + decontamination + " +
+        "exact dedup + near-dup keep-list with per-stage verdicts and a first-failing " +
+        "drop_reason — the Curation operator's use-site, every stage oracle-re-derived.")
   )
 }
