@@ -1101,6 +1101,61 @@ object CoreQueries {
         ORDER BY e.event_id"""),
       "Forward as-of with tolerance: earliest order at-or-after each event within " +
         "7 days, else null — the bounded-window nearest-later match, one window pass, " +
-        "no join in the physical plan.")
+        "no join in the physical plan."),
+
+    // ---------------------------------------------------------------- q61
+    Q(
+      "q61_concurrent_sessions",
+      (s, dir) => {
+        // PURE interval join — no equality key: for every event, how many
+        // OTHER users had an active session at that instant. Without
+        // blocking this is a BroadcastNestedLoopJoin (points x intervals);
+        // the RangeJoin operator turns it into an equi-join on 1-hour time
+        // bins (each pair meets exactly once, in the point's bin). Sessions
+        // come from the same gap rule as q40, via the Sessionize operator.
+        val base = table(s, dir, "events").select(
+          col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+        val sess = graft.operators.Sessionize
+          .byGap(base, Seq("user_id"), "ms", 30L * 60 * 1000, Seq("event_id"))
+          .groupBy(col("user_id").as("s_user"), col("session_no"))
+          .agg(min("ms").as("start_ms"), max("ms").as("end_ms"))
+          .select("s_user", "start_ms", "end_ms")
+        val pairs = graft.operators.RangeJoin
+          .pointInInterval(base, sess, "ms", "start_ms", "end_ms",
+            binWidth = 3600L * 1000)
+          .filter(col("s_user") =!= col("user_id"))
+        val counts = pairs.groupBy("event_id")
+          .agg(count(lit(1)).as("n_other_active"))
+        base.join(counts, Seq("event_id"), "left")
+          .withColumn("n_other_active", coalesce(col("n_other_active"), lit(0L)))
+          .select("event_id", "ms", "n_other_active")
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                 CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1)
+                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 30 * 60 * 1000
+                      OR lag(epoch_ms(ts), 1)
+                        OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        numbered AS (
+          SELECT user_id, ms,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+          FROM flagged),
+        sess AS (
+          SELECT user_id AS s_user, MIN(ms) AS start_ms, MAX(ms) AS end_ms
+          FROM numbered GROUP BY user_id, session_no),
+        pts AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
+        SELECT p.event_id, p.ms, COUNT(s.s_user) AS n_other_active
+        FROM pts p LEFT JOIN sess s
+          ON s.start_ms <= p.ms AND p.ms <= s.end_ms AND s.s_user <> p.user_id
+        GROUP BY p.event_id, p.ms
+        ORDER BY p.event_id"""),
+      "Concurrent-session load: a PURE point-in-interval join (no equi key) counting " +
+        "other users' active sessions at each event instant — time-bucket blocking via " +
+        "the RangeJoin operator instead of Spark's nested-loop fallback.")
   )
 }
