@@ -798,6 +798,82 @@ object TextQueries {
         ORDER BY s.doc_id"""),
       "The complete curation pass in one call: quality + repetition + decontamination + " +
         "exact dedup + near-dup keep-list with per-stage verdicts and a first-failing " +
-        "drop_reason — the Curation operator's use-site, every stage oracle-re-derived.")
+        "drop_reason — the Curation operator's use-site, every stage oracle-re-derived."),
+
+    // ---------------------------------------------------------------- q62
+    Q(
+      "q62_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        // Misra-Gries heavy hitters per language: k bounded counters find
+        // every token with freq > n/(k+1) — the sketch that replaces an
+        // exact token-count shuffle (one row per DISTINCT token, billions
+        // at 100 TB) when only the frequent ones matter. The sketch's
+        // estimates are encounter-order-dependent, so the oracle checks its
+        // CONTRACT against exact counts (the q36 pattern): never
+        // overcounts, undercounts by at most n/(k+1), and every true heavy
+        // hitter is present. Integer arithmetic only — cross-engine exact.
+        val k = 20
+        val toks = table(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val exact = toks.groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+        val totals = exact.groupBy("lang")
+          .agg(sum("freq").as("n_tokens"), count(lit(1)).as("n_distinct"))
+        val top = exact
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy(col("freq").desc, col("tok").asc)))
+          .filter(col("rn") === 1)
+          .select(col("lang"), col("tok").as("top_token"), col("freq").as("top_freq"))
+        val sketch = toks
+          .select(col("lang").as("_1"), col("tok").as("_2")).as[(String, String)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.operators.HeavyHitters(k).toColumn.name("sketch"))
+          .toDF("lang", "sketch")
+        val entries = sketch
+          .select(col("lang"), explode(col("sketch")).as("e"))
+          .select(col("lang"), col("e._1").as("tok"), col("e._2").as("est"))
+        // contract A: freq - n/(k+1) <= est <= freq, in exact integers
+        val estOk = entries
+          .join(exact, Seq("lang", "tok"), "left")
+          .join(totals.select("lang", "n_tokens"), Seq("lang"))
+          .groupBy("lang")
+          .agg(expr(s"bool_and(est <= freq and (freq - est) * ${k + 1} <= n_tokens)")
+            .as("est_ok"))
+        // contract B: every true heavy hitter (freq > n/(k+1)) is present
+        val covOk = exact
+          .join(totals.select("lang", "n_tokens"), Seq("lang"))
+          .filter(col("freq") * (k + 1) > col("n_tokens"))
+          .join(entries.select(col("lang"), col("tok"), lit(1).as("hit")),
+            Seq("lang", "tok"), "left")
+          .groupBy("lang")
+          .agg(expr("bool_and(hit is not null)").as("cov_ok"))
+        totals
+          .join(top, Seq("lang"))
+          .join(estOk, Seq("lang"), "left")
+          .join(covOk, Seq("lang"), "left")
+          .select(
+            col("lang"), col("n_tokens"), col("n_distinct"),
+            col("top_token"), col("top_freq"),
+            (coalesce(col("est_ok"), lit(true)) &&
+              coalesce(col("cov_ok"), lit(true))).as("mg_guarantee_ok"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        exact AS (SELECT lang, tok, COUNT(1) AS freq FROM toks GROUP BY lang, tok),
+        tot AS (SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_tokens, COUNT(1) AS n_distinct
+                FROM exact GROUP BY lang),
+        top AS (SELECT lang, tok AS top_token, freq AS top_freq FROM
+                  (SELECT lang, tok, freq,
+                          row_number() OVER (PARTITION BY lang ORDER BY freq DESC, tok ASC) AS rn
+                   FROM exact)
+                WHERE rn = 1)
+        SELECT t.lang, t.n_tokens, t.n_distinct, p.top_token, p.top_freq,
+               TRUE AS mg_guarantee_ok
+        FROM tot t JOIN top p ON t.lang = p.lang
+        ORDER BY t.lang"""),
+      "Misra-Gries heavy hitters per language under a typed Aggregator with mergeable " +
+        "k-counter partials — oracle-checked via exact counts plus the sketch's " +
+        "never-overcount / n-over-k-undercount / heavy-covered contract booleans.")
   )
 }
