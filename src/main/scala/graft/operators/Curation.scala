@@ -57,50 +57,33 @@ object Curation {
       p: Params = Params()): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     require(p.shingleN >= 1 && p.minTokens >= 1, s"invalid params: $p")
-    val reserved = Set("toks", "g5", "n_tokens", "avg_token_len", "quality_ok",
-      "dup_frac", "repetition_ok", "shingle", "hit", "n_sh", "n_overlap",
+    val reserved = Set("toks", "n_tokens", "avg_token_len", "quality_ok",
+      "dup_frac", "repetition_ok", "n_sh", "n_overlap",
       "contam_frac", "decontam_ok", "content_hash", "group_size",
       "is_canonical", "cluster_id", "neardup_keeper", "kept", "drop_reason")
     val clash = corpus.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"corpus columns collide with reserved names: $clash")
 
-    // -- stages 1+2: map-only per-document signals ------------------------
+    // -- stages 1+2: map-only per-document signals (definitions shared
+    // with q29/q55 via TextSignals — the operator cannot diverge from the
+    // oracle-verified spellings) ------------------------------------------
     val signals = corpus
       .withColumn("toks", split(col(textCol), " "))
       .withColumn("n_tokens", size(col("toks")))
-      // exact integer ratio in double — cross-engine deterministic
       .withColumn("avg_token_len",
-        (length(col(textCol)) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+        TextSignals.avgTokenLen(col(textCol), col("n_tokens")))
       .withColumn("quality_ok",
         col("n_tokens") >= p.minTokens &&
           col("avg_token_len") >= p.minAvgTokenLen &&
           col("avg_token_len") <= p.maxAvgTokenLen)
-      .withColumn("g5", expr("word_ngrams(toks, 5)"))
-      .withColumn("dup_frac",
-        when(size(col("g5")) > 0,
-          (size(col("g5")) - size(array_distinct(col("g5")))).cast("double") /
-            size(col("g5")))
-          .otherwise(lit(0.0)))
+      .withColumn("dup_frac", TextSignals.dupFrac5(expr("word_ngrams(toks, 5)")))
       .withColumn("repetition_ok", col("dup_frac") <= p.maxDupFrac)
       .select(col(idCol), col("n_tokens"), col("avg_token_len"),
         col("quality_ok"), col("dup_frac"), col("repetition_ok"))
 
-    // -- stage 3: decontamination (broadcast eval shingle screen) ---------
-    def shingled(df: DataFrame) = df
-      .withColumn("toks", split(col(textCol), " "))
-      .filter(size(col("toks")) >= p.shingleN)
-    val posts = shingled(corpus).select(
-      col(idCol),
-      explode(array_distinct(expr(s"word_ngrams(toks, ${p.shingleN})"))).as("shingle"))
-    val evalSet = shingled(eval)
-      .select(explode(expr(s"word_ngrams(toks, ${p.shingleN})")).as("shingle"))
-      .distinct()
-      .withColumn("hit", lit(1L))
-    val contam = posts
-      .join(broadcast(evalSet), Seq("shingle"), "left")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_sh"), coalesce(sum("hit"), lit(0L)).as("n_overlap"))
-      .select(col(idCol), (col("n_overlap").cast("double") / col("n_sh")).as("contam_frac"))
+    // -- stage 3: decontamination (q56's screen, shared definition) -------
+    val contam = TextSignals.contamStats(corpus, eval, idCol, textCol, p.shingleN)
+      .select(col(idCol), col("contam_frac"))
 
     // -- stage 4: exact dedup (canonical election) ------------------------
     val exactFlags = Dedup.exact(corpus.select(col(idCol), col(textCol)), idCol, textCol)

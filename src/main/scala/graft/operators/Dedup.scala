@@ -179,16 +179,22 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-    // Convergence via the label SUM: min-propagation only ever LOWERS a
-    // label, so the sum strictly decreases iff any node changed — one tiny
-    // scalar aggregate per round instead of a join+count against the
-    // previous labels. decimal(38,0) so 10^9 nodes x 10^9 ids cannot
-    // overflow the running sum.
+    // Convergence test, cheapest available for the id type:
+    //  - NUMERIC ids: min-propagation only ever LOWERS a label, so the
+    //    label SUM strictly decreases iff any node changed — one tiny
+    //    scalar aggregate per round. decimal(38,0) so 10^9 nodes x 10^9
+    //    ids cannot overflow the running sum.
+    //  - any other id type (string/binary keys are legitimate members):
+    //    a sum would cast to NULL (or throw under ANSI) and silently
+    //    converge after one round, splitting real clusters — fall back to
+    //    the join + changed-count check, which is type-agnostic.
+    val numericIds = labels.schema("cluster_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var prevSum = labelSum(labels)
+    var prevSum = if (numericIds) labelSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -213,10 +219,17 @@ object Dedup {
         .select(
           col("id"),
           least(col("cluster_id"), coalesce(col("lcl"), col("cluster_id"))).as("cluster_id"))
-      val newSum = labelSum(next)
+      if (numericIds) {
+        val newSum = labelSum(next)
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+      } else {
+        converged = next.alias("n")
+          .join(labels.alias("o"), Seq("id"))
+          .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+          .isEmpty
+      }
       labels = next
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
       i += 1
     }
     labels

@@ -25,9 +25,10 @@ object Skew {
    * key, at exactly one salt value.
    *
    * `saltBy` must VARY WITHIN a join key (a line number, an event id — any
-   * per-row value); a hash of the join key itself would be constant per key
-   * and spread nothing. Defaults to a per-row id, which distributes evenly
-   * and costs nothing.
+   * per-row value of any type; it is hashed, and NULLs hash like a value,
+   * so no row can ever be dropped by its salt); a hash of the join key
+   * itself would be constant per key and spread nothing. Defaults to a
+   * per-row id, which distributes evenly and costs nothing.
    *
    * The dim side is replicated `nSalts` x — keep it the smaller input.
    *
@@ -45,7 +46,10 @@ object Skew {
     val reserved = Set("__salt")
     val clash = (fact.columns ++ dim.columns).toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
-    val salt = saltBy.getOrElse(monotonically_increasing_id())
+    // hash() accepts ANY type and maps NULL to a plain value — a raw cast
+    // would make the salt NULL (or throw under ANSI for strings) and an
+    // equi-join on a NULL salt silently DROPS the row from the result
+    val salt = hash(saltBy.getOrElse(monotonically_increasing_id()))
     val f = fact.withColumn("__salt", pmod(salt.cast("long"), lit(nSalts.toLong)))
     val d = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))

@@ -256,12 +256,16 @@ object TextQueries {
       (s, dir) =>
         table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          // shared signal definition (also drives the Curation operator)
+          .withColumn("avg_token_len",
+            graft.operators.TextSignals.avgTokenLen(col("text"), col("n_tokens")))
           .selectExpr(
             "doc_id",
             "length(text) as n_chars_actual",
             "n_chars as n_chars_meta",
-            "size(toks) as n_tokens",
-            "cast(length(text) - (size(toks) - 1) as double) / size(toks) as avg_token_len",
+            "n_tokens",
+            "avg_token_len",
             "cast(size(filter(toks, x -> x in ('the', 'a', 'of', 'and', 'to'))) as double) / size(toks) as stop_ratio",
             // empty-doc guard: /0 throws under Spark's default ANSI mode
             "case when length(text) = 0 then cast(0.0 as double) else cast(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '')) as double) / length(text) end as punct_ratio")
@@ -586,10 +590,9 @@ object TextQueries {
           .select(
             col("doc_id"),
             size(col("g5")).as("n_grams"),
-            size(array_distinct(col("g5"))).as("n_distinct"))
-          .withColumn(
-            "dup_frac",
-            (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+            size(array_distinct(col("g5"))).as("n_distinct"),
+            // shared signal definition (also drives the Curation operator)
+            graft.operators.TextSignals.dupFrac5(col("g5")).as("dup_frac"))
           .orderBy("doc_id"),
       Some("""
         WITH g AS (
@@ -615,21 +618,14 @@ object TextQueries {
         // one explode + one broadcast left join + one per-doc aggregation —
         // no corpus-sized shuffle beyond the doc_id agg, the shape that
         // screens a 100 TB training corpus against a fixed benchmark.
+        // Shared screen definition (also drives the Curation operator).
         val docs = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 3)
-          .selectExpr("doc_id", s"array_distinct($sparkShingles) as sh")
-        val posts = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        val evalSet = posts.filter(col("doc_id") < 10)
-          .select("shingle").distinct()
-          .withColumn("hit", lit(1L))
-        posts.filter(col("doc_id") >= 10)
-          .join(broadcast(evalSet), Seq("shingle"), "left")
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_sh"),
-            coalesce(sum("hit"), lit(0L)).as("n_overlap"))
-          .withColumn("contam_frac", col("n_overlap").cast("double") / col("n_sh"))
+        graft.operators.TextSignals
+          .contamStats(
+            docs.filter(col("doc_id") >= 10),
+            docs.filter(col("doc_id") < 10),
+            "doc_id", "text", n = 3)
+          .select("doc_id", "n_sh", "n_overlap", "contam_frac")
           .orderBy("doc_id")
       },
       Some(s"""

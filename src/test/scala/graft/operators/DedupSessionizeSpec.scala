@@ -132,6 +132,14 @@ class DedupSessionizeSpec extends AnyFunSuite {
     val chained = Dedup.clusters(chain).collect()
     assert(chained.forall(_.getAs[Long]("cluster_id") === 1L),
       "every chain member must label to the minimum id")
+    // STRING ids use the type-agnostic convergence path: a numeric label-sum
+    // would cast every id to NULL and declare convergence after one round,
+    // splitting this 12-chain — each member must still reach the
+    // lexicographic minimum
+    val strChain = (1 until 12).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("id_a", "id_b")
+    val strOut = Dedup.clusters(strChain).collect()
+    assert(strOut.forall(_.getAs[String]("cluster_id") === "n01"),
+      "string-keyed chain must fully converge to the minimum label")
     // end-to-end: LSH candidates -> clusters; every pair co-clusters
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

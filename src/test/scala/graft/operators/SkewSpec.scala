@@ -44,11 +44,24 @@ class SkewSpec extends AnyFunSuite {
     assert(got.count() === 1000)
     assert(got.select("name").distinct().as[String].collect().toSeq === Seq("hot"))
     // the hot key really spreads: with 1000 rows over 8 salts, every salt
-    // value must be hit (probability of a miss is ~0 for a uniform id mod)
+    // value must be hit (probability of a miss is ~0 for a hashed id mod)
     val salts = fact.withColumn("__salt",
-      pmod(monotonically_increasing_id().cast("long"), lit(8L)))
+      pmod(hash(monotonically_increasing_id()).cast("long"), lit(8L)))
       .select(countDistinct("__salt")).head.getLong(0)
     assert(salts === 8L, "the default salt must spread a hot key across all salt values")
+  }
+
+  test("NULL and string saltBy values never drop rows") {
+    import spark.implicits._
+    val fact = Seq(
+      (1L, Some("ev-a")), (1L, Some("ev-b")), (1L, None), (2L, None)
+    ).toDF("k", "ev")
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    // string salt column WITH nulls: a cast-based salt would null out and
+    // silently drop the null-salted rows from the inner join
+    val got = Skew.saltedJoin(fact, dim, Seq("k"), nSalts = 4, saltBy = Some(col("ev")))
+    assert(got.count() === 4, "every fact row must survive regardless of its salt value")
+    assert(got.exceptAll(fact.join(dim, Seq("k"))).count() === 0)
   }
 
   test("invalid arguments are rejected loudly") {
