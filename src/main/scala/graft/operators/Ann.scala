@@ -53,11 +53,15 @@ object Ann {
   }
 
   /**
-   * IVF-routed cosine top-k: every probe searches ONLY its own coarse
-   * cluster. `probeIds` is a one-column frame of `idCol` values (kept
-   * bounded by the caller — the broadcast side must not grow with the
-   * corpus). Returns (pid, rank, cluster_id, cid, sim) with rank 1..k by
-   * (sim desc, cid asc) — deterministic given a unique id column.
+   * IVF-routed cosine top-k: every probe searches its `nProbe` nearest
+   * coarse clusters (1 = fastest, recall limited to the home cluster;
+   * raising it trades linearly more candidate work for recall, and
+   * `nProbe` = centroid count degrades gracefully to exact brute force).
+   * `probeIds` is a one-column frame of `idCol` values (kept bounded by
+   * the caller — the broadcast side must not grow with the corpus).
+   * Returns (pid, rank, cluster_id, cid, sim) with rank 1..k by
+   * (sim desc, cid asc) — deterministic given a unique id column;
+   * `cluster_id` is the CANDIDATE's home cluster.
    */
   def ivfSearch(
       spark: SparkSession,
@@ -66,8 +70,10 @@ object Ann {
       vecCol: String,
       centroids: DataFrame,
       probeIds: DataFrame,
-      k: Int): DataFrame = {
+      k: Int,
+      nProbe: Int = 1): DataFrame = {
     require(k >= 1, s"k ($k) must be positive")
+    require(nProbe >= 1, s"nProbe ($nProbe) must be positive")
     require(probeIds.columns.length == 1,
       s"probeIds must be a single-column frame of $idCol values")
     val searchReserved = Set("pid", "cid", "sim", "rank", "__pe", "__ce2", "__pn2", "__cn2")
@@ -75,10 +81,20 @@ object Ann {
     require(searchClash.isEmpty,
       s"input columns collide with reserved names: $searchClash")
     val assigned = ivfAssign(spark, df, idCol, vecCol, centroids)
-    val probes = assigned
+    // probes rank ALL centroids and keep their nProbe nearest — the same
+    // broadcast codebook pass as assignment, restricted to the (bounded)
+    // probe set; a candidate lives in exactly one cluster, so a pair can
+    // never meet through two different probed clusters
+    val probes = df
       .join(broadcast(probeIds.toDF(idCol)), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(centroids))
+      .withColumn("__cdot", expr(s"vec_dot($vecCol, ce)"))
+      .withColumn("__rn",
+        expr(s"row_number() over (partition by $idCol order by __cdot desc, centroid_id asc)"))
+      .filter(col("__rn") <= nProbe)
       .select(col(idCol).as("pid"), col(vecCol).as("__pe"),
-        col("cluster_id"), col("n2").as("__pn2"))
+        col("centroid_id").as("cluster_id"),
+        expr(s"vec_dot($vecCol, $vecCol)").as("__pn2"))
     val cands = assigned
       .select(col(idCol).as("cid"), col(vecCol).as("__ce2"),
         col("cluster_id"), col("n2").as("__cn2"))

@@ -68,6 +68,40 @@ class AnnSpec extends AnyFunSuite {
     assert(got === want, "operator must equal the driver-side reimplementation")
   }
 
+  test("nProbe sweeps recall up to exact brute force at nProbe = centroid count") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet").select("vec_id", "embedding")
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val probeIds = e.filter(col("vec_id") < 20).select("vec_id")
+    def searched(nProbe: Int): Set[(Long, Int, Long)] =
+      Ann.ivfSearch(spark, e, "vec_id", "embedding", centroids, probeIds,
+          k = 3, nProbe = nProbe)
+        .select("pid", "rank", "cid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // exact oracle: brute-force cosine top-3 (same sim formula, no routing)
+    graft.functions.VectorExpressions.register(spark)
+    val p = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val brute = e.select(col("vec_id").as("cid"), col("embedding").as("ce2"))
+      .crossJoin(p).filter(col("cid") =!= col("pid"))
+      .withColumn("sim", expr("vec_dot(pe, ce2)") /
+        (sqrt(expr("vec_dot(pe, pe)")) * sqrt(expr("vec_dot(ce2, ce2)"))))
+      .withColumn("rank",
+        expr("row_number() over (partition by pid order by sim desc, cid asc)"))
+      .filter(col("rank") <= 3)
+      .select("pid", "rank", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def recall(s: Set[(Long, Int, Long)]): Double =
+      s.map(t => (t._1, t._3)).intersect(brute.map(t => (t._1, t._3))).size.toDouble / brute.size
+    val r1 = recall(searched(1))
+    val r4 = recall(searched(4))
+    assert(r1 <= r4 + 1e-9, s"recall must not drop as nProbe grows: $r1 vs $r4")
+    // at nProbe = centroid count every candidate is reachable: EXACT equality
+    assert(searched(8) === brute, "full-probe IVF must equal brute force")
+    assert(r1 < 1.0, "the sf0.001 corpus must actually exercise routing loss " +
+      "(otherwise the recall sweep asserts nothing)")
+  }
+
   test("multimodal end-to-end: payload -> features -> IVF-routed top-k") {
     // Deterministic corpus: document texts as opaque binary payloads, plus a
     // byte-exact duplicate of doc 0's payload under a fresh id. The chain
