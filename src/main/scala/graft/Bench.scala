@@ -30,12 +30,22 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> samples(samples.size / 2)
+      // true median: average the two middle samples for even rep counts
+      // (samples(n/2) alone is the upper-middle = biased slow for reps=2)
+      val mid = samples.size / 2
+      val median =
+        if (samples.size % 2 == 1) samples(mid)
+        else (samples(mid - 1) + samples(mid)) / 2.0
+      name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision: full-precision doubles made the JSON line
+    // outgrow the driver's stdout tail capture at 62 queries (r3 parse fail)
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -180,16 +180,24 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     // Convergence test, cheapest available for the id type:
-    //  - NUMERIC ids: min-propagation only ever LOWERS a label, so the
-    //    label SUM strictly decreases iff any node changed — one tiny
-    //    scalar aggregate per round. decimal(38,0) so 10^9 nodes x 10^9
-    //    ids cannot overflow the running sum.
-    //  - any other id type (string/binary keys are legitimate members):
-    //    a sum would cast to NULL (or throw under ANSI) and silently
-    //    converge after one round, splitting real clusters — fall back to
-    //    the join + changed-count check, which is type-agnostic.
-    val numericIds = labels.schema("cluster_id").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    //  - INTEGRAL ids (and scale-0 decimals): min-propagation only ever
+    //    LOWERS a label, so the label SUM strictly decreases iff any node
+    //    changed — one tiny scalar aggregate per round. decimal(38,0) so
+    //    10^9 nodes x 10^9 ids cannot overflow the running sum. Fractional
+    //    types are EXCLUDED: the sum is computed after a cast to
+    //    decimal(38,0), which ROUNDS, so a real lowering (2.6 -> 2.5, both
+    //    rounding to 3) could leave the rounded sum unchanged and declare
+    //    convergence early; a huge double overflowing decimal(38,0) nulls
+    //    the sum with the same silent-split effect.
+    //  - any other id type (string/binary/float/double/scaled decimal):
+    //    fall back to the join + changed-count check, which is
+    //    type-agnostic and exact.
+    import org.apache.spark.sql.types._
+    val numericIds = labels.schema("cluster_id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0 => true
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)

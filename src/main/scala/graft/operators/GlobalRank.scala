@@ -52,10 +52,18 @@ object GlobalRank {
     val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
     val bounds = df.groupBy(segCol).agg(
       expr(s"approx_percentile($valCol, array($qs), 1000)").as("bnds"))
+    // The null check lives INSIDE the bucket expression so pruning can
+    // never remove it: a null value would otherwise land in bucket 0 /
+    // null and then be silently DROPPED by the (segCol, bucket) equi-joins
+    // below (null never equi-matches) — rank-less row loss where the
+    // Window.partitionBy spelling would have ranked it. Fail loudly
+    // instead, like the reserved-name clashes do.
     val bucketed = df
       .join(broadcast(bounds), Seq(segCol))
       .withColumn("bucket",
-        expr(s"aggregate(bnds, 0, (acc, b) -> acc + (case when $valCol > b then 1 else 0 end))"))
+        expr(s"""case when $valCol is null
+                 then cast(raise_error('GlobalRank.withGlobalRank: $valCol is null — the documented contract requires a non-null numeric value column') as int)
+                 else aggregate(bnds, 0, (acc, b) -> acc + (case when $valCol > b then 1 else 0 end)) end"""))
       .drop("bnds")
     val counts = bucketed.groupBy(segCol, "bucket").agg(count(lit(1)).as("cnt"))
     // tiny frame (segments x nBuckets rows): the windows here are over the

@@ -184,24 +184,45 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter], st
     if (store.isDirectory(opts.path)) store.children(opts.path).map(_.path).sorted
     else Seq(opts.path)
 
+  /** ONE distributed listing job serves BOTH planning and statistics: each
+    * shard task lists, prunes, bin-packs, and byte-sums its own subtree, and
+    * the (bins, pruned bytes) pair is memoized per pruning-filter set. The
+    * listing is the dominant cost of this mode (millions of files), and
+    * without the cache estimateStatistics (which AQE may consult more than
+    * once) and planInputPartitions would each launch their own full job.
+    * Keyed by the filter set because stats prune with the static pushed
+    * filters while planning also sees runtime (DPP) filters — when the two
+    * sets coincide (the common case) the job runs exactly once. */
+  private val shardedJobCache =
+    scala.collection.mutable.HashMap.empty[Seq[Filter], (Array[Array[String]], Long)]
+
+  private def shardedListing(pruneFilters: Array[Filter]): (Array[Array[String]], Long) =
+    shardedJobCache.synchronized {
+      shardedJobCache.getOrElseUpdate(pruneFilters.toSeq, {
+        val roots = shardRoots()
+        if (roots.isEmpty) (Array.empty[Array[String]], 0L)
+        else {
+          val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+          // locals only in the closure: the Scan itself must not be serialized
+          val storeLocal = store
+          val monthOffset = opts.monthOffset
+          val filtersLocal = pruneFilters
+          val targetBytes = opts.maxPartitionBytes
+          val perShard = sc.parallelize(roots, math.min(opts.listShards, roots.size))
+            .mapPartitions { rs =>
+              val files = rs.flatMap(r => storeLocal.listBi5Files(r))
+                .filter { case (p, _) => Bi5FilePruner.mayMatch(p, monthOffset, filtersLocal) }
+                .toArray.sortBy { case (_, size) => -size }
+              Iterator.single((Bi5Scan.packBins(files, targetBytes), files.map(_._2).sum))
+            }
+            .collect()
+          (perShard.flatMap(_._1), perShard.map(_._2).sum)
+        }
+      })
+    }
+
   private def planFileBinsSharded(): Array[InputPartition] = {
-    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    val roots = shardRoots()
-    if (roots.isEmpty) return Array(Bi5Partition(Array.empty, walk = false))
-    // locals only in the closure: the Scan itself must not be serialized
-    val storeLocal = store
-    val monthOffset = opts.monthOffset
-    val filtersLocal = allFilters
-    val targetBytes = opts.maxPartitionBytes
-    val nShards = math.min(opts.listShards, roots.size)
-    val bins = sc.parallelize(roots, nShards)
-      .mapPartitions { rs =>
-        val files = rs.flatMap(r => storeLocal.listBi5Files(r))
-          .filter { case (p, _) => Bi5FilePruner.mayMatch(p, monthOffset, filtersLocal) }
-          .toArray.sortBy { case (_, size) => -size }
-        Bi5Scan.packBins(files, targetBytes).iterator
-      }
-      .collect()
+    val bins = shardedListing(allFilters)._1
     if (bins.isEmpty) Array(Bi5Partition(Array.empty, walk = false))
     else bins.map(b => Bi5Partition(b, walk = false): InputPartition)
   }
@@ -215,27 +236,12 @@ class Bi5Scan(opts: Bi5Options, required: StructType, filters: Array[Filter], st
   private lazy val listedFiles: Seq[(String, Long)] =
     store.listBi5Files(opts.path)
 
-  /** listShards-mode statistics: sum the pruned compressed sizes as a Spark
-    * job — ONE long per shard returns to the driver. Stats must not fall
-    * back to `listedFiles`, or any plan that asks for scan statistics (AQE
-    * join-strategy selection does) would re-materialize the exact flat
+  /** listShards-mode statistics: the pruned compressed byte total from the
+    * shared sharded job (memoized — see [[shardedListing]]). Stats must not
+    * fall back to `listedFiles`, or any plan that asks for scan statistics
+    * (AQE join-strategy selection does) would re-materialize the exact flat
     * driver-side listing the sharded planner exists to avoid. */
-  private def shardedCompressedBytes(): Long = {
-    val roots = shardRoots()
-    if (roots.isEmpty) return 0L
-    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    val storeLocal = store
-    val monthOffset = opts.monthOffset
-    val filtersLocal = filters
-    sc.parallelize(roots, math.min(opts.listShards, roots.size))
-      .mapPartitions { rs =>
-        Iterator.single(
-          rs.flatMap(r => storeLocal.listBi5Files(r))
-            .filter { case (p, _) => Bi5FilePruner.mayMatch(p, monthOffset, filtersLocal) }
-            .map(_._2).sum)
-      }
-      .fold(0L)(_ + _)
-  }
+  private def shardedCompressedBytes(): Long = shardedListing(filters)._2
 
   override def estimateStatistics(): Statistics = {
     // No footer/stats exist in bi5 files; estimate from compressed bytes with

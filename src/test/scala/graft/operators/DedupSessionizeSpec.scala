@@ -140,6 +140,17 @@ class DedupSessionizeSpec extends AnyFunSuite {
     val strOut = Dedup.clusters(strChain).collect()
     assert(strOut.forall(_.getAs[String]("cluster_id") === "n01"),
       "string-keyed chain must fully converge to the minimum label")
+    // FRACTIONAL ids must also use the type-agnostic path: the label sum is
+    // computed after a cast to decimal(38,0), which ROUNDS — lowerings like
+    // 2.6 -> 2.5 (both rounding to 3) leave the rounded sum unchanged, so a
+    // sum-based test would declare convergence early and split this chain
+    // 0.5 steps: exactly representable, so chain links are bit-equal and
+    // every label-lowering is a sub-integer move the rounded sum can miss
+    val dblChain = (1 until 12).map(i => (i * 0.5, (i + 1) * 0.5))
+      .toDF("id_a", "id_b")
+    val dblOut = Dedup.clusters(dblChain).collect()
+    assert(dblOut.forall(_.getAs[Double]("cluster_id") === 0.5),
+      "double-keyed chain must fully converge to the minimum label")
     // end-to-end: LSH candidates -> clusters; every pair co-clusters
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -52,6 +52,21 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(out(4L) === ((1L, 1L)))
   }
 
+  test("a null value column fails loudly instead of silently dropping rows") {
+    import spark.implicits._
+    // nulls would land in no bucket and vanish through the equi-joins —
+    // the operator must raise, like its reserved-name guard does
+    val df = Seq(("a", Some(1.0), 1L), ("a", None, 2L), ("a", Some(3.0), 3L))
+      .toDF("seg", "v", "id")
+    val ex = intercept[Exception] {
+      GlobalRank.withGlobalRank(df, "seg", "v", "id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("GlobalRank.withGlobalRank: v is null")),
+      s"expected the loud null-contract error, got: $ex")
+  }
+
   test("ntileExpr reproduces ntile() across n and k") {
     for (n <- Seq(1, 3, 4, 7, 10, 103); k <- Seq(2, 4, 5)) {
       val df = spark.range(1, n + 1).toDF("rn").withColumn("n", lit(n.toLong))

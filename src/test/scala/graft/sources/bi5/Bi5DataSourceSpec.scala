@@ -338,6 +338,24 @@ class Bi5DataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(statsSharded.numRows().getAsLong === statsDriver.numRows().getAsLong)
       assert(statsSharded.sizeInBytes().getAsLong === statsDriver.sizeInBytes().getAsLong)
       assert(statsSharded.numRows().getAsLong > 0)
+      // stats and planning SHARE one memoized listing job per filter set:
+      // files added after the first consultation must NOT appear (the scan
+      // serves both from one snapshot — without the cache each call would
+      // launch its own full distributed listing, the mode's dominant cost)
+      val cached = scanFor(Map("listshards" -> "8"))
+      val rowsBefore = cached.estimateStatistics().numRows().getAsLong
+      val lateDir = new java.io.File(root, "T0/2021/1/1")
+      lateDir.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(lateDir, "0h_ticks.bi5").toPath, Array.fill[Byte](4096)(1))
+      assert(cached.estimateStatistics().numRows().getAsLong === rowsBefore,
+        "second stats call must serve the memoized listing")
+      assert(cached.toBatch.planInputPartitions()
+        .flatMap(_.asInstanceOf[Bi5Partition].roots).length === 10000,
+        "planning must reuse the stats call's listing snapshot")
+      // a FRESH scan lists again and sees the late file
+      assert(scanFor(Map("listshards" -> "8")).toBatch.planInputPartitions()
+        .flatMap(_.asInstanceOf[Bi5Partition].roots).length === 10001)
       // end-to-end on the REAL fixture tree: sharded read == driver read
       val df = spark.read.format("bi5")
         .option("digits", DigitsEur)
