@@ -1156,6 +1156,222 @@ object CoreQueries {
         ORDER BY p.event_id"""),
       "Concurrent-session load: a PURE point-in-interval join (no equi key) counting " +
         "other users' active sessions at each event instant — time-bucket blocking via " +
-        "the RangeJoin operator instead of Spark's nested-loop fallback.")
+        "the RangeJoin operator instead of Spark's nested-loop fallback."),
+
+    // ---------------------------------------------------------------- q63
+    Q(
+      "q63_full_outer_nation",
+      (s, dir) => {
+        // FULL OUTER join — the one join type the library didn't yet surface:
+        // per-nation BUILDING-customer counts vs per-nation rich-supplier
+        // counts. Thresholds leave BOTH sides with unmatched nations, so the
+        // null-fill paths are actually exercised. Two partial aggregates
+        // (25-key outputs) meet in a trivially small shuffle at any scale —
+        // the full-outer itself is never the bottleneck, the pre-aggregation
+        // is, and it is map-side combinable.
+        val c = table(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("c_nationkey").as("ckey")).agg(count(lit(1)).as("n_cust"))
+        val su = table(s, dir, "supplier")
+          .filter(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("skey")).agg(count(lit(1)).as("n_supp"))
+        c.join(su, col("ckey") === col("skey"), "full_outer")
+          .select(
+            coalesce(col("ckey"), col("skey")).cast("long").as("nationkey"),
+            col("ckey").isNotNull.as("has_building_cust"),
+            col("skey").isNotNull.as("has_rich_supp"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""
+        WITH c AS (SELECT c_nationkey AS ckey, COUNT(1) AS n_cust
+                   FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+             s AS (SELECT s_nationkey AS skey, COUNT(1) AS n_supp
+                   FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        SELECT CAST(coalesce(ckey, skey) AS BIGINT) AS nationkey,
+               ckey IS NOT NULL AS has_building_cust,
+               skey IS NOT NULL AS has_rich_supp,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON ckey = skey
+        ORDER BY nationkey"""),
+      "Full outer join over two pre-aggregated 25-key sides with live unmatched rows " +
+        "in both directions — aggregate-before-join keeps the outer join tiny at scale."),
+
+    // ---------------------------------------------------------------- q64
+    Q(
+      "q64_exists_subqueries",
+      (s, dir) => {
+        // Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
+        // rewrites them to a left-semi and a left-anti hash join on
+        // o_custkey — set-membership at scale without ever materializing
+        // the subquery result per outer row.
+        table(s, dir, "customer").createOrReplaceTempView("customer_v")
+        table(s, dir, "orders").createOrReplaceTempView("orders_sq_v")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment
+          FROM customer_v c
+          WHERE EXISTS (SELECT 1 FROM orders_sq_v o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+            AND NOT EXISTS (SELECT 1 FROM orders_sq_v o2
+                            WHERE o2.o_custkey = c.c_custkey
+                              AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 50000)
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 50000)
+        ORDER BY c_custkey"""),
+      "Correlated EXISTS and NOT EXISTS subqueries — Catalyst's semi/anti join " +
+        "rewrite, the set-membership plan that scales (no per-row subquery execution)."),
+
+    // ---------------------------------------------------------------- q65
+    Q(
+      "q65_scalar_subqueries",
+      (s, dir) => {
+        // Scalar subqueries, both flavors: a CORRELATED per-order lineitem
+        // total (rewritten to an aggregate + left outer join) and an
+        // UNCORRELATED global average (computed once, broadcast as a
+        // literal). The exact-decimal sum/count division follows the
+        // library-wide parity conventions; the derived delta is rounded
+        // because it re-derives arithmetic from a decimal-cast double.
+        table(s, dir, "orders").createOrReplaceTempView("orders_ssq_v")
+        table(s, dir, "lineitem").createOrReplaceTempView("lineitem_ssq_v")
+        s.sql("""
+          SELECT o_orderkey, o_totalprice,
+                 coalesce((SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                           FROM lineitem_ssq_v l WHERE l.l_orderkey = o.o_orderkey), 0.0) AS items_total,
+                 round(o_totalprice -
+                       (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1)
+                        FROM orders_ssq_v o2), 4) AS delta_vs_avg
+          FROM orders_ssq_v o
+          WHERE o_totalprice > 400000
+          ORDER BY o_orderkey""")
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice,
+               coalesce((SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                         FROM lineitem l WHERE l.l_orderkey = o.o_orderkey), 0.0) AS items_total,
+               round(o_totalprice -
+                     (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1)
+                      FROM orders o2), 4) AS delta_vs_avg
+        FROM orders o
+        WHERE o_totalprice > 400000
+        ORDER BY o_orderkey"""),
+      "Correlated + uncorrelated scalar subqueries: per-order lineitem totals via the " +
+        "aggregate-join rewrite, global average as a one-shot broadcast literal."),
+
+    // ---------------------------------------------------------------- q66
+    Q(
+      "q66_lateral_words",
+      (s, dir) => {
+        // LATERAL VIEW posexplode — the generator surface: one row per
+        // (doc, position, word). Generate stays inside the scan stage
+        // (map-only, no shuffle); the doc_id filter is pushed below the
+        // generator into the parquet scan.
+        table(s, dir, "documents").createOrReplaceTempView("documents_lv_v")
+        s.sql("""
+          SELECT doc_id, pos, word
+          FROM documents_lv_v
+          LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+          WHERE doc_id < 40
+          ORDER BY doc_id, pos""")
+      },
+      Some("""
+        SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 40)
+        ORDER BY doc_id, pos"""),
+      "LATERAL VIEW posexplode over tokenized text — the generator operator, map-only " +
+        "with the row filter pushed beneath it into the scan."),
+
+    // ---------------------------------------------------------------- q67
+    Q(
+      "q67_mode_median",
+      (s, dir) => {
+        // Deterministic MODE per group: native mode() breaks frequency ties
+        // arbitrarily (and differently per engine), so the mode is spelled
+        // as count + row_number with a total tie order (cnt DESC, value ASC)
+        // — same answer on both engines, every run. Median rides along as
+        // exact percentile (the q41 family). The window runs over the
+        // (flag, shipmode) AGGREGATE (tens of rows), never the data.
+        val li = table(s, dir, "lineitem")
+        val counts = li.groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("cnt").desc, col("l_quantity").asc)
+        val mode = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+            col("cnt").as("mode_n"))
+        val med = li.groupBy("l_returnflag").agg(
+          expr("round(percentile(l_quantity, 0.5), 4)").as("median_qty"),
+          count(lit(1)).as("n"))
+        mode.join(broadcast(med), Seq("l_returnflag"))
+          .select("l_returnflag", "mode_qty", "mode_n", "median_qty", "n")
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT l_returnflag, l_quantity, COUNT(1) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        m AS (
+          SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY cnt DESC, l_quantity ASC) AS rn
+          FROM counts),
+        med AS (
+          SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+                 COUNT(1) AS n
+          FROM lineitem GROUP BY 1)
+        SELECT m.l_returnflag, m.mode_qty, m.mode_n, med.median_qty, med.n
+        FROM m JOIN med ON m.l_returnflag = med.l_returnflag
+        WHERE m.rn = 1
+        ORDER BY m.l_returnflag"""),
+      "Deterministic mode (count + total-order tie-break, window over the aggregate " +
+        "only) plus exact median per group — engine-stable where native mode() is not."),
+
+    // ---------------------------------------------------------------- q68
+    Q(
+      "q68_twap",
+      (s, dir) => {
+        // Time-weighted average (TWAP) per user over the event stream: each
+        // value holds until the user's next event, weight = that interval.
+        // One shuffle on user_id shared by the lead() window and the
+        // aggregate; value*dt goes through the exact-decimal sum and the
+        // final division is rounded (decimal->double re-derivation rule).
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"), col("value"))
+        val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+        ev.withColumn("dt", lead(col("ms"), 1).over(w) - col("ms"))
+          .filter(col("dt").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            sum(col("dt")).as("total_ms"),
+            sum((col("value") * col("dt")).cast("decimal(28,2)")).as("vdt"))
+          .select(col("user_id"), col("n_gaps"), col("total_ms"),
+            round(col("vdt").cast("double") / col("total_ms"), 6).as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, value,
+                 lead(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ms(ts), event_id)
+                   - epoch_ms(ts) AS dt
+          FROM events)
+        SELECT user_id, COUNT(1) AS n_gaps, CAST(SUM(dt) AS BIGINT) AS total_ms,
+               round(CAST(SUM(CAST(value * dt AS DECIMAL(28,2))) AS DOUBLE)
+                     / CAST(SUM(dt) AS BIGINT), 6) AS twap
+        FROM g WHERE dt IS NOT NULL
+        GROUP BY user_id ORDER BY user_id"""),
+      "Per-user time-weighted average value: lead() interval weights + exact decimal " +
+        "weighted sum, one user-keyed shuffle for window and aggregate alike.")
   )
 }

@@ -139,6 +139,23 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q64 EXISTS/NOT EXISTS rewrite to semi and anti hash joins") {
+    val p = plan("q64_exists_subqueries")
+    // Catalyst must turn the correlated subqueries into set-membership
+    // joins — a per-outer-row subquery execution would be quadratic
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+  }
+
+  test("q66 pushes the row filter beneath the generator into the scan") {
+    val p = plan("q66_lateral_words")
+    // posexplode must not inflate unfiltered rows: doc_id < 40 reaches the
+    // parquet scan, and only (doc_id, text) are read
+    assert(p.contains("LessThan(doc_id,40)"), s"filter not pushed:\n$p")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("n_chars") && !p.contains("lang"), "unused columns scanned:\n" + p)
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")
