@@ -38,6 +38,7 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Library-wide native functions: any query may reach them via selectExpr.
     graft.functions.TextExpressions.register(spark)
+    graft.functions.BloomExpressions.register(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")

@@ -870,6 +870,70 @@ object TextQueries {
         ORDER BY t.lang"""),
       "Misra-Gries heavy hitters per language under a typed Aggregator with mergeable " +
         "k-counter partials — oracle-checked via exact counts plus the sketch's " +
-        "never-overcount / n-over-k-undercount / heavy-covered contract booleans.")
+        "never-overcount / n-over-k-undercount / heavy-covered contract booleans."),
+
+    // ---------------------------------------------------------------- q69
+    Q(
+      "q69_bloom_decontam",
+      (s, dir) => {
+        import s.implicits._
+        // The q56 screen at sketch cost: the eval set's shingle hashes fold
+        // into a FIXED-SIZE bloom (mergeable typed Aggregator, map-side
+        // combinable), and the corpus probes it through a codegen'd
+        // expression — a few KB broadcast REGARDLESS of eval-set size,
+        // where q56's exact screen broadcasts one row per eval shingle.
+        // Deterministic: the bloom's bits depend only on the key set, so
+        // the flags are reproducible across runs and partitionings. The
+        // oracle checks the sketch CONTRACT (the q36/q62 pattern): exact
+        // containment anchors the hash; no-false-negatives must hold
+        // per-doc; the doc-level false-positive count stays under 10%.
+        val docs = table(s, dir, "documents")
+        def shingleHashes(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            explode(expr(s"array_distinct(transform($sparkShingles, s -> ${md5long("s")}))")).as("h"))
+        val eval = shingleHashes(docs.filter(col("doc_id") < 10))
+          .select("h").distinct()
+        val bloom = eval.as[Long]
+          .select(new graft.operators.BloomAgg(131072, 14).toColumn.name("bloom"))
+        val perDoc = shingleHashes(docs.filter(col("doc_id") >= 10))
+          .crossJoin(broadcast(bloom))
+          .join(broadcast(eval.withColumn("em", lit(1))), Seq("h"), "left")
+          .withColumn("bhit", expr("bloom_might_contain(bloom, h)"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_sh"),
+            max(col("em").isNotNull).as("exact_hit"),
+            max(col("bhit")).as("bloom_hit"))
+        val w = Window.partitionBy()
+        perDoc
+          .withColumn("fp_docs",
+            sum((col("bloom_hit") && !col("exact_hit")).cast("long")).over(w))
+          .withColumn("n_docs", count(lit(1)).over(w))
+          .select(
+            col("doc_id"), col("n_sh"), col("exact_hit"),
+            (col("bloom_hit") || !col("exact_hit")).as("no_false_negative"),
+            (col("fp_docs") <= greatest(lit(1L), col("n_docs") / 10)).as("fp_below_bound"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        dsh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform($duckShingles, s -> ${duckMd5long("s")}))) AS h
+          FROM d WHERE len(toks) >= 3),
+        eval AS (SELECT DISTINCT h FROM dsh WHERE doc_id < 10)
+        SELECT p.doc_id, COUNT(1) AS n_sh,
+               COUNT(e.h) > 0 AS exact_hit,
+               TRUE AS no_false_negative,
+               TRUE AS fp_below_bound
+        FROM dsh p LEFT JOIN eval e ON p.h = e.h
+        WHERE p.doc_id >= 10
+        GROUP BY p.doc_id ORDER BY p.doc_id"""),
+      "Bloom-sketch decontamination screen: eval shingles fold into a fixed-size " +
+        "mergeable bloom (typed Aggregator) probed by a codegen'd expression — " +
+        "KB-scale broadcast independent of eval-set size, contract-oracled " +
+        "(exact containment + no-false-negatives + bounded doc-level FP rate).")
   )
 }
