@@ -934,6 +934,140 @@ object TextQueries {
       "Bloom-sketch decontamination screen: eval shingles fold into a fixed-size " +
         "mergeable bloom (typed Aggregator) probed by a codegen'd expression — " +
         "KB-scale broadcast independent of eval-set size, contract-oracled " +
-        "(exact containment + no-false-negatives + bounded doc-level FP rate).")
+        "(exact containment + no-false-negatives + bounded doc-level FP rate)."),
+
+    // ---------------------------------------------------------------- q70
+    Q(
+      "q70_bottomk_sample",
+      (s, dir) => {
+        // Deterministic uniform sampling by hash order: the k documents with
+        // the smallest salted md5 — a coordination-free distributed sample
+        // that is REPRODUCIBLE across runs, engines, partitionings, and
+        // (critically for incremental pipelines) stable under corpus
+        // growth: a doc leaves the sample only when a smaller-hashed doc
+        // arrives, never because partitioning moved. Plans as
+        // TakeOrderedAndProject: each partition keeps its k smallest, the
+        // driver merges — no global sort, no shuffle of the corpus.
+        val k = 100
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr(md5long("concat('smp1|', cast(doc_id as string))")).as("hkey"))
+          .orderBy("hkey", "doc_id")
+          .limit(k)
+      },
+      Some(s"""
+        SELECT doc_id, source,
+               ${duckMd5long("'smp1|' || cast(doc_id as varchar)")} AS hkey
+        FROM documents
+        ORDER BY hkey, doc_id
+        LIMIT 100"""),
+      "Bottom-k-by-salted-hash sampling: a deterministic, engine- and partitioning- " +
+        "stable uniform sample via TakeOrderedAndProject — per-partition top-k merge, " +
+        "never a global sort."),
+
+    // ---------------------------------------------------------------- q71
+    Q(
+      "q71_token_chunks",
+      (s, dir) => {
+        // Context-window chunking via the Chunker operator: 32-token windows
+        // at stride 16 (50% overlap) — the curation-to-tokenization splitter.
+        // Map-only (tokenize + Generate + slice); the chunk text never
+        // leaves the executor, only its hash and length do.
+        graft.operators.Chunker
+          .slidingTokenWindows(table(s, dir, "documents"), "text", 32, 16)
+          .withColumn("chunk_hash", expr(md5long("chunk_text")))
+          .select("doc_id", "chunk_no", "start_tok", "n_tok", "chunk_hash")
+          .orderBy("doc_id", "chunk_no")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        st AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, len(toks), 16)) AS start_tok
+          FROM d)
+        SELECT doc_id,
+               CAST(start_tok // 16 AS BIGINT) AS chunk_no,
+               CAST(start_tok AS INTEGER) AS start_tok,
+               CAST(least(32, n - start_tok) AS BIGINT) AS n_tok,
+               ${duckMd5long("array_to_string(list_slice(toks, start_tok + 1, start_tok + 32), ' ')")} AS chunk_hash
+        FROM st
+        ORDER BY doc_id, chunk_no"""),
+      "Sliding 32-token windows at stride 16 through the Chunker operator — map-only " +
+        "Generate + slice, chunk text hashed in place so only fixed-width columns move."),
+
+    // ---------------------------------------------------------------- q72
+    Q(
+      "q72_pii_extract",
+      (s, dir) => {
+        // PII extraction + redaction: emails, phone numbers, and IPv4s
+        // counted and masked in one codegen'd regexp pass — map-only, the
+        // shape of a pre-training privacy scrub at any scale. The corpus
+        // text is synthetic word soup, so the PII-bearing text is BUILT
+        // deterministically from customer fields (same construction on
+        // both engines), making extraction counts and the redacted-text
+        // hash exactly oracle-checkable. Patterns stay in the RE2-safe
+        // subset (no lookaround/backrefs) so Java and DuckDB agree.
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "555-[0-9]{4}"
+        val ip = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        val k = col("c_custkey")
+        def s10(c: org.apache.spark.sql.Column) = c.cast("string")
+        val txt = concat(
+          col("c_name"), lit(" <user"), s10(k), lit("@mail"), s10(k % 10),
+          lit(".example.com>"),
+          when(k % 3 === 0,
+            concat(lit(" cc backup"), s10(k), lit("@mail.example.org")))
+            .otherwise(lit("")),
+          when(k % 2 === 0,
+            concat(lit(" tel 555-"), lpad(s10(k % 10000), 4, "0")))
+            .otherwise(lit("")),
+          lit(" ip 10."), s10(k % 256), lit("."), s10(k % 7), lit("."), s10(k % 250))
+        table(s, dir, "customer")
+          .filter(k < 2000)
+          .withColumn("txt", txt)
+          .withColumn("n_emails", size(regexp_extract_all(col("txt"), lit(email), lit(0))))
+          .withColumn("n_phones", size(regexp_extract_all(col("txt"), lit(phone), lit(0))))
+          .withColumn("n_ips", size(regexp_extract_all(col("txt"), lit(ip), lit(0))))
+          .withColumn("red",
+            regexp_replace(regexp_replace(regexp_replace(col("txt"),
+              email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>"))
+          .select(col("c_custkey"), col("n_emails"), col("n_phones"), col("n_ips"),
+            length(col("red")).as("red_len"),
+            expr(md5long("red")).as("red_hash"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT c_custkey,
+                 c_name || ' <user' || CAST(c_custkey AS VARCHAR) ||
+                 '@mail' || CAST(c_custkey % 10 AS VARCHAR) || '.example.com>' ||
+                 CASE WHEN c_custkey % 3 = 0
+                      THEN ' cc backup' || CAST(c_custkey AS VARCHAR) || '@mail.example.org'
+                      ELSE '' END ||
+                 CASE WHEN c_custkey % 2 = 0
+                      THEN ' tel 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END ||
+                 ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+                 CAST(c_custkey % 7 AS VARCHAR) || '.' || CAST(c_custkey % 250 AS VARCHAR)
+                   AS txt
+          FROM customer WHERE c_custkey < 2000),
+        r AS (
+          SELECT c_custkey, txt,
+                 regexp_replace(regexp_replace(regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '555-[0-9]{4}', '<PHONE>', 'g'),
+                   '10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS red
+          FROM t)
+        SELECT c_custkey,
+               len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(txt, '555-[0-9]{4}')) AS n_phones,
+               len(regexp_extract_all(txt, '10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips,
+               CAST(length(red) AS INTEGER) AS red_len,
+               ${duckMd5long("red")} AS red_hash
+        FROM r
+        ORDER BY c_custkey"""),
+      "PII extraction and redaction in one map-only regexp pass over deterministically " +
+        "constructed contact text — counts, redacted length, and redacted-text hash all " +
+        "exactly oracle-matched (RE2-safe pattern subset).")
   )
 }

@@ -156,6 +156,20 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(!p.contains("n_chars") && !p.contains("lang"), "unused columns scanned:\n" + p)
   }
 
+  test("q70 bottom-k sample plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("q70_bottomk_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q69 bloom screen broadcasts sketch + eval set, corpus never shuffle-joins") {
+    val p = plan("q69_bloom_decontam")
+    // the bloom (1 row) and the exact-anchor eval set ride broadcasts; the
+    // only shuffle the corpus pays is its own doc_id aggregation
+    assert(p.contains("bloommightcontain") || p.contains("BloomMightContain"),
+      s"bloom probe missing from plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffle-join crept in:\n$p")
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")
