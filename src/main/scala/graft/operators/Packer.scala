@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing for LLM pre-training: concatenate every document's
+ * tokens in a deterministic global order and split the stream into
+ * fixed-length context windows (the standard "concat-and-chunk" packing
+ * GPT-style training uses). The per-document outputs are its global token
+ * offset and the span of context windows it lands in — exactly what a
+ * tokenizer-sharding job needs to route each document to its training
+ * sequences.
+ *
+ * The core is a GLOBAL running sum over a total order — the textbook
+ * spelling (`Window.orderBy(orderCol)` with no partition key) collapses
+ * the whole dataset into ONE task at scale. This operator computes the
+ * same exclusive running sum in two phases, so no task ever sorts or sums
+ * more than ~rows/nBuckets rows (the same shape as [[GlobalRank]]):
+ *
+ *  1. An `approx_percentile` sketch over `orderCol` yields `nBuckets - 1`
+ *     range boundaries (fixed-size, map-side-combinable buffer).
+ *  2. Every row maps to a bucket by counting boundaries below its key —
+ *     broadcast of an nBuckets-row frame, map-only, monotone in the key.
+ *  3. Per-bucket token totals (tiny frame) accumulate into bucket start
+ *     offsets; rows window-sum LOCALLY within their bucket only.
+ *  4. `tok_offset = bucket_offset + local_exclusive_sum`, broadcast-joined
+ *     back. Sketch accuracy affects bucket BALANCE only, never the sum.
+ *
+ * Contract: `orderCol` must be a non-null numeric UNIQUE total order
+ * (ties would make "tokens before me" ambiguous) and `nTokCol` a
+ * non-null non-negative count. Violations fail loudly (raise_error /
+ * require), mirroring [[GlobalRank]]'s null contract.
+ */
+object Packer {
+
+  /**
+   * Appends to `df`:
+   *  - `tok_offset`: tokens strictly before this row in `orderCol` order
+   *  - `first_seq` / `last_seq`: first/last ctx-window index this row's
+   *    tokens touch (`last_seq = first_seq` for an empty row)
+   *  - `n_seqs`: context windows spanned (`last_seq - first_seq + 1`)
+   */
+  def withSequenceOffsets(
+      df: DataFrame,
+      orderCol: String,
+      nTokCol: String,
+      ctxLen: Int,
+      nBuckets: Int = 32): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen ($ctxLen) must be at least 1")
+    require(nBuckets >= 2, s"nBuckets ($nBuckets) must be at least 2")
+    val reserved =
+      Set("bnds", "bucket", "b_tot", "b_off", "loc_off",
+        "tok_offset", "first_seq", "last_seq", "n_seqs")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
+    val bounds = df.select(
+      expr(s"approx_percentile($orderCol, array($qs), 1000)").as("bnds"))
+    // null checks live INSIDE the bucket expression so pruning can never
+    // drop them: a null key or count would otherwise corrupt every offset
+    // after it silently. Fail loudly instead (GlobalRank's contract).
+    val bucketed = df
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"""case
+                 when $orderCol is null then cast(raise_error(
+                   'Packer.withSequenceOffsets: $orderCol is null — the contract requires a non-null unique order column') as int)
+                 when $nTokCol is null or $nTokCol < 0 then cast(raise_error(
+                   'Packer.withSequenceOffsets: $nTokCol is null or negative — the contract requires a non-null non-negative token count') as int)
+                 else aggregate(bnds, 0, (acc, b) -> acc + (case when $orderCol > b then 1 else 0 end)) end"""))
+      .drop("bnds")
+    // tiny nBuckets-row frame: the window here is over the AGGREGATE
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bucket")
+      .agg(sum(col(nTokCol).cast("long")).as("b_tot"))
+      .withColumn("b_off", coalesce(sum("b_tot").over(wOff), lit(0L)))
+      .select("bucket", "b_off")
+    // bounded local sort: each window partition holds ~rows/nBuckets rows
+    val wLocal = Window.partitionBy("bucket").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("loc_off",
+        coalesce(sum(col(nTokCol).cast("long")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("tok_offset", col("b_off") + col("loc_off"))
+      .withColumn("first_seq", expr(s"tok_offset div $ctxLen"))
+      .withColumn("last_seq",
+        expr(s"(tok_offset + greatest(cast($nTokCol as bigint), 1L) - 1L) div $ctxLen"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+      .drop("bucket", "b_off", "loc_off")
+  }
+}

@@ -1068,6 +1068,46 @@ object TextQueries {
         ORDER BY c_custkey"""),
       "PII extraction and redaction in one map-only regexp pass over deterministically " +
         "constructed contact text — counts, redacted length, and redacted-text hash all " +
-        "exactly oracle-matched (RE2-safe pattern subset).")
+        "exactly oracle-matched (RE2-safe pattern subset)."),
+
+    // ---------------------------------------------------------------- q73
+    Q(
+      "q73_sequence_pack",
+      (s, dir) => {
+        // Concat-and-split sequence packing (GPT-style pre-training): every
+        // document's whitespace tokens concatenate in doc_id order into one
+        // global token stream, split into 64-token context windows. The
+        // Packer operator computes each doc's global token offset with a
+        // two-phase running sum — range-bucketed partial sums + broadcast
+        // bucket offsets — so no task ever window-sorts more than
+        // ~rows/nBuckets rows (a bare Window.orderBy would collapse the
+        // corpus into ONE task at 100 TB).
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        graft.operators.Packer
+          .withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 64)
+          .select("doc_id", "n_tok", "tok_offset", "first_seq", "last_seq", "n_seqs")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        o AS (
+          SELECT doc_id, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS tok_offset
+          FROM d)
+        SELECT doc_id, n_tok, tok_offset,
+               tok_offset // 64 AS first_seq,
+               (tok_offset + greatest(n_tok, 1) - 1) // 64 AS last_seq,
+               (tok_offset + greatest(n_tok, 1) - 1) // 64
+                 - tok_offset // 64 + 1 AS n_seqs
+        FROM o
+        ORDER BY doc_id"""),
+      "Sequence packing offsets through the Packer operator: global running token " +
+        "sum via range-bucketed two-phase aggregation (never a single-task global " +
+        "window), each doc mapped to its 64-token context-window span.")
   )
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Packer (two-phase global running token sum) against the naive
+  * single-task Window.orderBy spelling it replaces at scale. */
+class PackerSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("PackerSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("withSequenceOffsets equals the naive global window sum on real data") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("tok_offset", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select("doc_id", "tok_offset")
+    val got = Packer.withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 64)
+      .select("doc_id", "tok_offset")
+    assert(got.exceptAll(naive).count() === 0 && naive.exceptAll(got).count() === 0,
+      "two-phase running sum must reproduce the global window sum exactly")
+  }
+
+  test("context-window spans cover the token stream exactly, in order") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val rows = Packer.withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 64)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "tok_offset", "first_seq", "last_seq", "n_seqs")
+      .collect()
+    // offsets are the exclusive prefix sums: each doc starts where the
+    // previous one ended, the first starts at zero
+    var expectOff = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tok_offset") === expectOff,
+        s"doc ${r.getAs[Long]("doc_id")} offset breaks the prefix-sum chain")
+      expectOff += r.getAs[Long]("n_tok")
+      val first = r.getAs[Long]("first_seq")
+      val last = r.getAs[Long]("last_seq")
+      assert(first === r.getAs[Long]("tok_offset") / 64)
+      assert(last >= first && r.getAs[Long]("n_seqs") === last - first + 1)
+    }
+  }
+
+  test("empty rows consume no tokens but still get a window assignment") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 5L)).toDF("id", "n")
+    val out = Packer.withSequenceOffsets(df, "id", "n", ctxLen = 8, nBuckets = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("tok_offset"), r.getAs[Long]("first_seq"), r.getAs[Long]("n_seqs"))))
+      .toMap
+    assert(out(1L) === ((0L, 0L, 2L)), "10 tokens at offset 0 span windows 0-1")
+    assert(out(2L) === ((10L, 1L, 1L)), "an empty row sits in one window, consumes none")
+    assert(out(3L) === ((10L, 1L, 1L)), "the next row starts where the empty one did")
+  }
+
+  test("a null token count fails loudly instead of corrupting downstream offsets") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L))).toDF("id", "n")
+    val ex = intercept[Exception] {
+      Packer.withSequenceOffsets(df, "id", "n", ctxLen = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("Packer.withSequenceOffsets: n is null")),
+      s"expected the loud null-contract error, got: $ex")
+  }
+
+  test("no single-partition global window appears in the plan") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val plan = Packer.withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 64)
+      .queryExecution.executedPlan.toString
+    // Window prints as `Window [exprs], [partSpec], [orderSpec]` — a GLOBAL
+    // window (the naive single-task spelling) drops the partition-spec group
+    // and prints only two bracket groups. The data-sized running sum must be
+    // partitioned by bucket; the only global window allowed is the one over
+    // the tiny nBuckets-row aggregate frame (it sums b_tot, not raw counts).
+    val winLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(winLines.exists(l => "\\], \\[bucket#\\d+\\], \\[".r.findFirstIn(l).isDefined),
+      s"expected a bucket-partitioned data window in:\n$plan")
+    val globals = winLines.filter(l => "\\], \\[[^\\]]*\\], \\[".r.findFirstIn(l).isEmpty)
+    assert(globals.forall(_.contains("b_tot#")),
+      s"global windows may only touch the tiny aggregate frame, got:\n${globals.mkString("\n")}")
+  }
+}
