@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic data-mixture sampling: downsample each source/domain to a
+ * target rate by hash threshold, so the surviving corpus matches a desired
+ * training mixture. The decision for a row is a pure function of
+ * (salt, key) — reproducible across runs, engines, partitionings, and
+ * corpus growth (a doc's keep/drop never changes when other docs arrive),
+ * which is what makes incremental pipeline re-runs and ablation
+ * comparisons possible.
+ *
+ * Execution shape: the rate table (often thousands of domains) broadcasts
+ * and the corpus maps through one codegen'd filter — no shuffle of the
+ * data at any scale. Rows keep iff `md5_48(salt|key) mod 1e6 < rate*1e6`,
+ * the library's shared hash convention ([[graft.functions.HashConventions]]),
+ * so the same decision is spellable in DuckDB for the oracle gate.
+ */
+object Mixture {
+
+  /**
+   * Filter `df` to the target mixture. `rates` maps `sourceCol` values to
+   * keep-rates in [0,1]; absent sources use `defaultRate`. `keyCol` must
+   * be a unique non-null row key (the hash input); `salt` isolates this
+   * sampling decision from every other hash use in the pipeline.
+   */
+  def sampleByRates(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "keep-rates must be in [0, 1]")
+    val reserved = Set("mix_rate", "mix_thresh")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // integer thresholds out of 1e6: the comparison below is pure integer
+    // arithmetic, immune to cross-engine double rounding at the boundary
+    def thresh(r: Double): Long = math.round(r * 1e6)
+    val rateRows = rates.toSeq.map { case (s, r) => (s, thresh(r)) }
+    val rateDf = rateRows.toDF(sourceCol, "mix_thresh")
+    val hash = graft.functions.HashConventions
+      .md5long48(s"concat('$salt|', cast($keyCol as string))")
+    df.join(broadcast(rateDf), Seq(sourceCol), "left")
+      .withColumn("mix_thresh",
+        coalesce(col("mix_thresh"), lit(thresh(defaultRate))))
+      .filter(expr(s"$hash % 1000000") < col("mix_thresh"))
+      .drop("mix_thresh")
+  }
+}

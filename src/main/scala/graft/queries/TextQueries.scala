@@ -1108,6 +1108,35 @@ object TextQueries {
         ORDER BY doc_id"""),
       "Sequence packing offsets through the Packer operator: global running token " +
         "sum via range-bucketed two-phase aggregation (never a single-task global " +
-        "window), each doc mapped to its 64-token context-window span.")
+        "window), each doc mapped to its 64-token context-window span."),
+
+    // ---------------------------------------------------------------- q74
+    Q(
+      "q74_mixture_sample",
+      (s, dir) => {
+        // Training-mixture sampling through the Mixture operator: each
+        // source keeps a target fraction of its docs by salted-hash
+        // threshold — deterministic per doc (stable under reruns, engine
+        // swaps, repartitioning, AND corpus growth), broadcast rate table,
+        // map-only over the corpus. src4 drops entirely (rate 0), unlisted
+        // sources take the 0.6 default.
+        graft.operators.Mixture.sampleByRates(
+          table(s, dir, "documents"),
+          sourceCol = "source", keyCol = "doc_id",
+          rates = Map("src1" -> 0.8, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.0),
+          defaultRate = 0.6, salt = "mix1")
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, source FROM documents
+        WHERE ${duckMd5long("'mix1|' || cast(doc_id as varchar)")} % 1000000 <
+              CASE source WHEN 'src1' THEN 800000 WHEN 'src2' THEN 500000
+                          WHEN 'src3' THEN 250000 WHEN 'src4' THEN 0
+                          ELSE 600000 END
+        ORDER BY doc_id"""),
+      "Deterministic mixture sampling via the Mixture operator: broadcast per-source " +
+        "rate table + salted-hash threshold filter — map-only, reproducible, and " +
+        "stable under corpus growth (no rng, no partition dependence).")
   )
 }

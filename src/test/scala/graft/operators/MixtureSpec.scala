@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mixture (deterministic hash-threshold mixture sampling): rate fidelity,
+  * partitioning/growth stability, and the broadcast map-only plan shape. */
+class MixtureSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("MixtureSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def docs = spark.read.parquet(s"$Sf/documents.parquet")
+
+  test("rate-0 sources vanish, rate-1 sources survive whole, rates track targets") {
+    import spark.implicits._
+    val ids = spark.range(0, 20000).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 4).cast("string")))
+    val out = Mixture.sampleByRates(ids, "src", "id",
+      rates = Map("s0" -> 0.0, "s1" -> 1.0, "s2" -> 0.5), defaultRate = 0.25,
+      salt = "t")
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("s0"), "rate 0 must drop the source entirely")
+    assert(counts("s1") === 5000L, "rate 1 must keep every row")
+    assert(math.abs(counts("s2") - 2500L) < 200, s"rate 0.5 off target: ${counts("s2")}")
+    assert(math.abs(counts("s3") - 1250L) < 150, s"default 0.25 off target: ${counts("s3")}")
+  }
+
+  test("decisions are stable under repartitioning and corpus growth") {
+    import spark.implicits._
+    val rates = Map("src1" -> 0.8, "src2" -> 0.5)
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Mixture.sampleByRates(df, "source", "doc_id", rates, 0.6, "mix1")
+        .select("doc_id").as[Long].collect().toSet
+    val base = kept(docs)
+    assert(kept(docs.repartition(17, col("lang"))) === base,
+      "keep set must not depend on partitioning")
+    // growth: sampling half the corpus keeps exactly the intersection —
+    // no doc's decision depends on any other doc's presence
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    assert(kept(half) === base.filter(_ % 2 == 0),
+      "keep decisions must be per-row, independent of the rest of the corpus")
+  }
+
+  test("plan is broadcast + map-only: no shuffle of the corpus") {
+    val out = Mixture.sampleByRates(docs, "source", "doc_id",
+      Map("src1" -> 0.8), 0.6, "mix1")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the corpus must not shuffle:\n$plan")
+  }
+
+  test("invalid rates and reserved column names fail loudly") {
+    intercept[IllegalArgumentException] {
+      Mixture.sampleByRates(docs, "source", "doc_id", Map("a" -> 1.5), 0.5, "t")
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.sampleByRates(docs.withColumn("mix_thresh", lit(1)),
+        "source", "doc_id", Map("a" -> 0.5), 0.5, "t")
+    }
+  }
+}
