@@ -1137,6 +1137,56 @@ object TextQueries {
         ORDER BY doc_id"""),
       "Deterministic mixture sampling via the Mixture operator: broadcast per-source " +
         "rate table + salted-hash threshold filter — map-only, reproducible, and " +
-        "stable under corpus growth (no rng, no partition dependence).")
+        "stable under corpus growth (no rng, no partition dependence)."),
+
+    // ---------------------------------------------------------------- q75
+    Q(
+      "q75_editdist_verify",
+      (s, dir) => {
+        // The verification stage a production dedup pass runs AFTER LSH:
+        // exact edit distance scores each candidate pair, confirming or
+        // rejecting the sketch's guess. Cost discipline at 100 TB: the
+        // O(len²) levenshtein runs ONLY on the LSH-bounded candidate set
+        // (Σ bucket², never corpus²), and the two text lookups are plain
+        // doc_id equi-joins — sort-merge/bucket-able, one shuffle each.
+        // All outputs are integers/booleans: exact cross-engine.
+        val docs = table(s, dir, "documents")
+        val cand = graft.operators.Dedup.minhashLshCandidates(s, docs, "doc_id", "text")
+        val ta = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val tb = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+        cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+          .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+          .withColumn("max_len",
+            greatest(length(col("text_a")), length(col("text_b"))).cast("long"))
+          // integer spelling of lev/max_len <= 0.30: no double rounding risk
+          .withColumn("verified", col("lev") * 100 <= col("max_len") * 30)
+          .select("id_a", "id_b", "lev", "max_len", "verified")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id)
+        SELECT p.id_a, p.id_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+               CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) * 100 <=
+                 CAST(greatest(length(da.text), length(db.text)) AS BIGINT) * 30 AS verified
+        FROM pairs p
+        JOIN documents da ON p.id_a = da.doc_id
+        JOIN documents db ON p.id_b = db.doc_id
+        ORDER BY p.id_a, p.id_b"""),
+      "Candidate verification: exact levenshtein over the LSH candidate pairs only " +
+        "(never all-pairs) — the sketch-then-verify contract of a production dedup, " +
+        "with an integer-arithmetic accept threshold (edit ratio <= 0.30).")
   )
 }
