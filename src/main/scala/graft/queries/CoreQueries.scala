@@ -1372,6 +1372,61 @@ object CoreQueries {
         FROM g WHERE dt IS NOT NULL
         GROUP BY user_id ORDER BY user_id"""),
       "Per-user time-weighted average value: lead() interval weights + exact decimal " +
-        "weighted sum, one user-keyed shuffle for window and aggregate alike.")
+        "weighted sum, one user-keyed shuffle for window and aggregate alike."),
+
+    // ---------------------------------------------------------------- q76
+    Q(
+      "q76_grid_ffill",
+      (s, dir) => {
+        // Gap filling through the GridFill operator: each user's irregular
+        // events project onto a regular DAILY grid, empty days carry the
+        // last observation forward. The grid is generated DISTRIBUTED
+        // (sequence+explode per key, never on the driver); in-slot
+        // election and the fill window both shuffle once on user_id and
+        // each task holds only one key's span/step rows. Timestamps are
+        // normalized to millisecond instants first so in-slot ordering is
+        // identical cross-engine (events.ts is nanos in DuckDB, micros in
+        // Spark — a tie at one precision need not tie at the other).
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            timestamp_millis(unix_millis(col("ts"))).as("ts_ms"), col("value"))
+        graft.operators.GridFill
+          .forwardFill(ev, "user_id", "ts_ms", "value", "event_id", "day")
+          .select(col("user_id"), unix_millis(col("slot")).as("slot_ms"),
+            col("value_fill"), col("is_gap"))
+          .orderBy("user_id", "slot_ms")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 make_timestamp(epoch_ms(ts) * 1000) AS ts_ms, value
+          FROM events),
+        b AS (
+          SELECT user_id, date_trunc('day', min(ts_ms)) AS lo,
+                 date_trunc('day', max(ts_ms)) AS hi
+          FROM e GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS slot
+          FROM b),
+        obs AS (
+          SELECT user_id, date_trunc('day', ts_ms) AS slot, value,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('day', ts_ms)
+                                    ORDER BY ts_ms DESC, event_id DESC) AS rn
+          FROM e),
+        j AS (
+          SELECT g.user_id, g.slot, o.value
+          FROM grid g
+          LEFT JOIN (SELECT user_id, slot, value FROM obs WHERE rn = 1) o
+            ON g.user_id = o.user_id AND g.slot = o.slot)
+        SELECT user_id, epoch_ms(slot) AS slot_ms,
+               LAST_VALUE(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_fill,
+               value IS NULL AS is_gap
+        FROM j
+        ORDER BY user_id, slot_ms"""),
+      "Regular-grid resampling with forward fill via the GridFill operator: " +
+        "distributed sequence+explode grid, deterministic in-slot election, " +
+        "last(ignoreNulls) carry-forward — one user-keyed shuffle end to end.")
   )
 }
