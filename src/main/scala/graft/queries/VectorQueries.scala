@@ -228,6 +228,68 @@ object VectorQueries {
         ORDER BY pid, rank"""),
       "IVF-routed ANN search: probes look only inside their own coarse cluster — " +
         "assignment is one broadcast pass, search is a hash-partitionable equi-join, " +
-        "total work sub-linear in the corpus. The 100 TB path q33 baselines against.")
+        "total work sub-linear in the corpus. The 100 TB path q33 baselines against."),
+
+    // ---------------------------------------------------------------- q77
+    Q(
+      "q77_sq8_quant",
+      (s, dir) => {
+        // SQ8 scalar quantization through the Quantize operator: global
+        // per-dimension bounds (one tiny dim-keyed aggregate) broadcast to
+        // a map-only coding pass — the 4x memory compression that lets a
+        // billion-vector ANN corpus live in executor memory. Codes are
+        // integers (exact cross-engine); the reconstruction-error contract
+        // (each dim within half a quantization step, small tolerance for
+        // the bound arithmetic itself) is the q36-style accuracy boolean.
+        val md5long = graft.functions.HashConventions.md5long48 _
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        graft.operators.Quantize.sq8(e, "embedding", 64)
+          .selectExpr(
+            "vec_id",
+            "aggregate(sq8_codes, cast(0 as bigint), (a, c) -> a + c) as code_sum",
+            "array_min(sq8_codes) as code_min",
+            "array_max(sq8_codes) as code_max",
+            md5long("array_join(transform(sq8_codes, c -> cast(c as string)), ',')")
+              + " as codes_hash",
+            """size(filter(sequence(1, 64), j ->
+                 abs(element_at(lo_a, j)
+                     + cast(element_at(sq8_codes, j) as double) / 255.0d
+                       * (element_at(hi_a, j) - element_at(lo_a, j))
+                     - cast(element_at(embedding, j) as double)) * 510.0d
+                 > (element_at(hi_a, j) - element_at(lo_a, j)) * 1.0000001d)) = 0
+               as err_ok""")
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(1, 65)) AS j),
+        b AS (
+          SELECT j, min(CAST(embedding[j] AS DOUBLE)) AS lo,
+                 max(CAST(embedding[j] AS DOUBLE)) AS hi
+          FROM embeddings, dims GROUP BY j),
+        ba AS (SELECT list(lo ORDER BY j) AS lo_a, list(hi ORDER BY j) AS hi_a FROM b),
+        q AS (
+          SELECT vec_id, embedding, lo_a, hi_a,
+                 list_transform(range(1, 65), j ->
+                   CASE WHEN hi_a[j] = lo_a[j] THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor((CAST(embedding[j] AS DOUBLE) - lo_a[j])
+                                  / (hi_a[j] - lo_a[j]) * 255.0 + 0.5) AS BIGINT)
+                   END) AS codes
+          FROM embeddings, ba)
+        SELECT vec_id,
+               CAST(list_sum(codes) AS BIGINT) AS code_sum,
+               CAST(list_min(codes) AS BIGINT) AS code_min,
+               CAST(list_max(codes) AS BIGINT) AS code_max,
+               ${graft.functions.HashConventions.duckMd5long48(
+                 "array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), ',')")}
+                 AS codes_hash,
+               len(list_filter(range(1, 65), j ->
+                 abs(lo_a[j] + CAST(codes[j] AS DOUBLE) / 255.0 * (hi_a[j] - lo_a[j])
+                     - CAST(embedding[j] AS DOUBLE)) * 510.0
+                 > (hi_a[j] - lo_a[j]) * 1.0000001)) = 0 AS err_ok
+        FROM q
+        ORDER BY vec_id"""),
+      "Int8 scalar quantization via the Quantize operator: broadcast per-dim bounds, " +
+        "map-only coding, integer-exact codes + a half-step reconstruction-error " +
+        "contract — the compression layer under a billion-vector ANN index.")
   )
 }
