@@ -1187,6 +1187,72 @@ object TextQueries {
         ORDER BY p.id_a, p.id_b"""),
       "Candidate verification: exact levenshtein over the LSH candidate pairs only " +
         "(never all-pairs) — the sketch-then-verify contract of a production dedup, " +
-        "with an integer-arithmetic accept threshold (edit ratio <= 0.30).")
+        "with an integer-arithmetic accept threshold (edit ratio <= 0.30)."),
+
+    // ---------------------------------------------------------------- q79
+    Q(
+      "q79_incremental_dedup",
+      (s, dir) => {
+        // Incremental ingest screening: an incoming batch (doc_id >= 400)
+        // is admitted only if it is neither an EXACT duplicate (full-md5
+        // semi match — full 128-bit hash, never the 48-bit arithmetic
+        // prefix, per the birthday-bound rule) nor a NEAR duplicate
+        // (shares an LSH band bucket) of the existing corpus. This is the
+        // steady-state dedup a training pipeline runs every day: the
+        // corpus is never re-clustered — the batch probes it. Scale shape:
+        // one shuffle on content hash + one on band key; both sides
+        // map-side-distinct first, and the corpus text itself never moves
+        // (only its hashes and band keys do).
+        val docs = table(s, dir, "documents")
+        val sigs = minhashSigs(s, dir)
+        val bands =
+          sigs.select(lit(0).as("band_no"), col("band0").as("band_key"), col("doc_id"))
+            .union(sigs.select(lit(1).as("band_no"), col("band1").as("band_key"), col("doc_id")))
+        val corpusBands = bands.filter(col("doc_id") < 400)
+          .select("band_no", "band_key").distinct()
+        val nearIds = bands.filter(col("doc_id") >= 400)
+          .join(corpusBands, Seq("band_no", "band_key"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("near_dup", lit(true))
+        val corpusHashes = docs.filter(col("doc_id") < 400)
+          .select(md5(col("text")).as("h")).distinct()
+          .withColumn("exact_dup", lit(true))
+        docs.filter(col("doc_id") >= 400)
+          .withColumn("h", md5(col("text")))
+          .join(corpusHashes, Seq("h"), "left")
+          .join(nearIds, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+            coalesce(col("near_dup"), lit(false)).as("near_dup"),
+            (coalesce(col("exact_dup"), lit(false)) ||
+              coalesce(col("near_dup"), lit(false))).unary_!.as("admitted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        cb AS (SELECT DISTINCT band_no, band_key FROM banded WHERE doc_id < 400),
+        nb AS (
+          SELECT DISTINCT b.doc_id FROM banded b
+          JOIN cb ON b.band_no = cb.band_no AND b.band_key = cb.band_key
+          WHERE b.doc_id >= 400),
+        ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400)
+        SELECT d.doc_id,
+               EXISTS (SELECT 1 FROM ch WHERE ch.h = md5(d.text)) AS exact_dup,
+               EXISTS (SELECT 1 FROM nb WHERE nb.doc_id = d.doc_id) AS near_dup,
+               NOT (EXISTS (SELECT 1 FROM ch WHERE ch.h = md5(d.text))
+                    OR EXISTS (SELECT 1 FROM nb WHERE nb.doc_id = d.doc_id)) AS admitted
+        FROM documents d WHERE d.doc_id >= 400
+        ORDER BY d.doc_id"""),
+      "Incremental dedup: a new batch probes the existing corpus by full content " +
+        "hash (exact) and LSH band bucket (near) — the corpus is never re-clustered, " +
+        "only its hashes/bands join, once per key each.")
   )
 }

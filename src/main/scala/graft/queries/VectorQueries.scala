@@ -290,6 +290,63 @@ object VectorQueries {
         ORDER BY vec_id"""),
       "Int8 scalar quantization via the Quantize operator: broadcast per-dim bounds, " +
         "map-only coding, integer-exact codes + a half-step reconstruction-error " +
-        "contract — the compression layer under a billion-vector ANN index.")
+        "contract — the compression layer under a billion-vector ANN index."),
+
+    // ---------------------------------------------------------------- q78
+    Q(
+      "q78_sq8_search",
+      (s, dir) => {
+        // ANN search over the QUANTIZED corpus: the q33 probe-scan shape,
+        // but scoring int8 code dot products instead of float dots — the
+        // memory-bound regime where SQ8 pays off (the scored corpus is 4x
+        // smaller, and the arithmetic is pure integers, so ranks are exact
+        // cross-engine with no float-tie risk at all). Same scale posture
+        // as q33: constant probe set broadcasts, corpus never shuffles,
+        // per-probe top-k via partitioned window.
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val qz = graft.operators.Quantize.sq8(e, "embedding", 64)
+          .select(col("vec_id"), col("sq8_codes"))
+        val probes = qz.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("pid"), col("sq8_codes").as("pq"))
+        val cands = qz.select(col("vec_id").as("cid"), col("sq8_codes").as("cq"))
+        cands.join(broadcast(probes), col("cid") =!= col("pid"))
+          .selectExpr("pid", "cid",
+            """aggregate(sequence(1, 64), cast(0 as bigint),
+               (a, j) -> a + element_at(pq, j) * element_at(cq, j)) as qdot""")
+          .withColumn("rank",
+            expr("row_number() over (partition by pid order by qdot desc, cid asc)"))
+          .filter(col("rank") <= 5)
+          .select("pid", "rank", "cid", "qdot")
+          .orderBy("pid", "rank")
+      },
+      Some("""
+        WITH dims AS (SELECT unnest(range(1, 65)) AS j),
+        b AS (
+          SELECT j, min(CAST(embedding[j] AS DOUBLE)) AS lo,
+                 max(CAST(embedding[j] AS DOUBLE)) AS hi
+          FROM embeddings, dims GROUP BY j),
+        ba AS (SELECT list(lo ORDER BY j) AS lo_a, list(hi ORDER BY j) AS hi_a FROM b),
+        q AS (
+          SELECT vec_id,
+                 list_transform(range(1, 65), j ->
+                   CASE WHEN hi_a[j] = lo_a[j] THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor((CAST(embedding[j] AS DOUBLE) - lo_a[j])
+                                  / (hi_a[j] - lo_a[j]) * 255.0 + 0.5) AS BIGINT)
+                   END) AS codes
+          FROM embeddings, ba),
+        sims AS (
+          SELECT p.vec_id AS pid, c.vec_id AS cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   j -> p.codes[j] * c.codes[j])) AS BIGINT) AS qdot
+          FROM q p JOIN q c ON p.vec_id < 50 AND c.vec_id <> p.vec_id),
+        ranked AS (
+          SELECT pid, cid, qdot,
+                 row_number() OVER (PARTITION BY pid ORDER BY qdot DESC, cid ASC) AS rank
+          FROM sims)
+        SELECT pid, rank, cid, qdot FROM ranked WHERE rank <= 5
+        ORDER BY pid, rank"""),
+      "Top-5 neighbor search over SQ8 codes: integer dot products on the 4x-compressed " +
+        "corpus — exact cross-engine ranks (no float ties), broadcast probes, " +
+        "no corpus shuffle. The memory-scaled sibling of the q33 exact baseline.")
   )
 }
