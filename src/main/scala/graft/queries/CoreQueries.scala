@@ -1427,6 +1427,39 @@ object CoreQueries {
         ORDER BY user_id, slot_ms"""),
       "Regular-grid resampling with forward fill via the GridFill operator: " +
         "distributed sequence+explode grid, deterministic in-slot election, " +
-        "last(ignoreNulls) carry-forward — one user-keyed shuffle end to end.")
+        "last(ignoreNulls) carry-forward — one user-keyed shuffle end to end."),
+
+    // ---------------------------------------------------------------- q80
+    Q(
+      "q80_ewma",
+      (s, dir) => {
+        // Per-user EWMA through the Ewma operator: a genuinely sequential
+        // recurrence (no associative window spelling exists), so the scale
+        // shape is gather-once-fold-once — one user-keyed shuffle into a
+        // sorted fold, task memory bounded by the longest single history.
+        // The fold is fixed-order IEEE doubles: bit-identical in DuckDB,
+        // whose list_reduce seeds with the first element exactly like the
+        // operator's slice+element_at spelling.
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"), col("value"))
+        graft.operators.Ewma
+          .perKey(ev, "user_id", Seq("ms", "event_id"), "value", alpha = 0.3)
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT user_id,
+                 list(value ORDER BY epoch_ms(ts), event_id) AS vs
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+               CAST(len(vs) AS BIGINT) AS n_events,
+               list_reduce(vs, (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                                         + CAST(0.7 AS DOUBLE) * acc) AS ewma
+        FROM h
+        ORDER BY user_id"""),
+      "Per-user exponential moving average via the Ewma operator: sequential fold " +
+        "over each key's sorted history — one shuffle, codegen'd lambda, " +
+        "bit-identical doubles cross-engine (fixed fold order).")
   )
 }
