@@ -1461,5 +1461,51 @@ object CoreQueries {
       "Per-user exponential moving average via the Ewma operator: sequential fold " +
         "over each key's sorted history — one shuffle, codegen'd lambda, " +
         "bit-identical doubles cross-engine (fixed fold order).")
+,
+    // ---------------------------------------------------------------- q81
+    Q(
+      "q81_sketch_rollup",
+      (s, dir) => {
+        // Re-aggregatable distinct counting: build ONE DataSketches HLL
+        // per day, then answer every trailing-7-day window by UNIONING the
+        // daily sketches — the pattern that lets a 100 TB pipeline keep
+        // tiny daily partials and serve any window without rescanning raw
+        // events (exact distinct is not re-aggregatable; sketches are).
+        // The raw corpus is touched once (daily groupBy); the window join
+        // runs over the 30-row sketch frame. Oracle: the q36 contract
+        // pattern — exact anchor + a literal-TRUE accuracy boolean (the
+        // sketch VALUE is engine-specific; its error bound is not).
+        val ev = table(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val daily = ev.groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val days = daily.select(col("day").as("d"))
+        val rolled = days
+          .join(daily, expr("day between date_sub(d, 6) and d"))
+          .groupBy("d")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+        val exact = days
+          .join(ev, expr("day between date_sub(d, 6) and d"))
+          .groupBy("d")
+          .agg(countDistinct("user_id").as("exact_users"))
+        exact.join(rolled, Seq("d"))
+          .select(
+            col("d"),
+            col("exact_users"),
+            (abs(col("est_users") - col("exact_users"))
+              <= greatest(lit(5L), (col("exact_users") * 0.05).cast("long")))
+              .as("sketch_within_tol"))
+          .orderBy("d")
+      },
+      Some("""
+        WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day AS d FROM e)
+        SELECT d, COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS sketch_within_tol
+        FROM days JOIN e ON e.day BETWEEN d - 6 AND d
+        GROUP BY d ORDER BY d"""),
+      "Mergeable HLL sketch rollup: one sketch per day, trailing windows answered " +
+        "by sketch UNION over the tiny daily frame — the re-aggregation property " +
+        "exact distinct lacks; contract-checked against the exact anchor.")
   )
 }

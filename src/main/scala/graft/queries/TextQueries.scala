@@ -1253,6 +1253,92 @@ object TextQueries {
         ORDER BY d.doc_id"""),
       "Incremental dedup: a new batch probes the existing corpus by full content " +
         "hash (exact) and LSH band bucket (near) — the corpus is never re-clustered, " +
-        "only its hashes/bands join, once per key each.")
+        "only its hashes/bands join, once per key each."),
+
+    // ---------------------------------------------------------------- q82
+    Q(
+      "q82_dataset_fingerprint",
+      (s, dir) => {
+        // Order-independent dataset fingerprint per source: XOR and an
+        // exact decimal SUM of a canonical per-row hash — the cheap "is
+        // this copy/restore/migration content-equivalent?" check a 100 TB
+        // pipeline runs after every replication. Map-only hash + one tiny
+        // commutative aggregate: partition order, file order, and engine
+        // cannot change the answer, by construction. The XOR lane is
+        // overflow-free at any row count; the sum lane rides decimal(38,0)
+        // (exact to ~10^38 — a bigint sum of 48-bit hashes would overflow,
+        // and Spark's ANSI mode would fail it, beyond ~2^15 max-valued
+        // rows) and is emitted as a string so both engines agree on type.
+        val rowHash = md5long(
+          "concat_ws('|', cast(doc_id as string), lang, source, " +
+            "cast(n_chars as string), md5(text))")
+        table(s, dir, "documents")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(expr(rowHash).cast("decimal(38,0)")).cast("decimal(38,0)")
+              .cast("string").as("fp_sum"),
+            expr(s"bit_xor($rowHash)").as("fp_xor"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT source,
+                 ${duckMd5long(
+                   "cast(doc_id as varchar) || '|' || lang || '|' || source || '|' || " +
+                   "cast(n_chars as varchar) || '|' || md5(text)")} AS rh
+          FROM documents)
+        SELECT source, COUNT(1) AS n_rows,
+               CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fp_sum,
+               BIT_XOR(rh) AS fp_xor
+        FROM h GROUP BY source ORDER BY source"""),
+      "Per-source dataset fingerprint: SUM + XOR over canonical row hashes — " +
+        "order-independent, map-only, one tiny aggregate; the replication/restore " +
+        "integrity check that never shuffles the data."),
+
+    // ---------------------------------------------------------------- q83
+    Q(
+      "q83_token_budget",
+      (s, dir) => {
+        // Budgeted selection: take documents in priority order (stopword
+        // count as the naturalness signal, doc_id tie-break) until a token
+        // budget fills — the "best 15k tokens" pass a data-constrained
+        // fine-tune runs. The running total routes through Packer's
+        // two-phase offsets, so there is NO global single-task sort or
+        // window at any corpus size; the budget cut is a map-only filter
+        // on the offset.
+        val docs = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .withColumn("prio",
+            expr("cast(size(filter(toks, x -> x in ('the','a','of','and','to'))) as bigint)"
+              + " * 1000000 + doc_id"))
+          // Packer folds ascending; priority-DESC order = ascending -prio
+          .withColumn("ord", -col("prio"))
+          .select("doc_id", "n_tok", "prio", "ord")
+        graft.operators.Packer
+          .withSequenceOffsets(docs, "ord", "n_tok", ctxLen = 64)
+          .filter(col("tok_offset") < 15000)
+          .select("doc_id", "prio", "n_tok", "tok_offset")
+          .orderBy("tok_offset")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, len(toks) AS n_tok,
+                 CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT)
+                   * 1000000 + doc_id AS prio
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        o AS (
+          SELECT doc_id, prio, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY prio DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS tok_offset
+          FROM d)
+        SELECT doc_id, prio, n_tok, tok_offset
+        FROM o WHERE tok_offset < 15000
+        ORDER BY tok_offset"""),
+      "Priority-ordered token-budget selection: Packer's two-phase running sum " +
+        "ranks the corpus by a quality signal and cuts at the budget — no global " +
+        "sort, no single-task window, budget filter is map-only.")
   )
 }
