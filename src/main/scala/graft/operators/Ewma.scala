@@ -38,9 +38,20 @@ object Ewma {
       alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
     require(ordCols.nonEmpty, "ordCols must order each key's history")
-    val sortStruct = s"struct(${ordCols.mkString(", ")}, $valCol)"
+    // null checks INSIDE the collected struct so pruning can never remove
+    // them: a null order key would silently misplace the observation in
+    // the fold (nulls sort last) and a null value would poison the ewma —
+    // fail loudly instead (GlobalRank's null-contract rule)
+    def guarded(c: String): String = {
+      val dt = df.schema(c).dataType.sql
+      s"""case when $c is null then cast(raise_error(
+            'Ewma.perKey: $c is null — the contract requires non-null order and value columns') as $dt)
+          else $c end"""
+    }
+    val sortStruct = (ordCols.zipWithIndex.map { case (c, i) => s"'o$i', ${guarded(c)}" }
+      :+ s"'v', ${guarded(valCol)}").mkString("named_struct(", ", ", ")")
     df.groupBy(keyCol)
-      .agg(expr(s"transform(array_sort(collect_list($sortStruct)), s -> s.$valCol)").as("vs"))
+      .agg(expr(s"transform(array_sort(collect_list($sortStruct)), s -> s.v)").as("vs"))
       .selectExpr(
         keyCol,
         "cast(size(vs) as bigint) as n_events",

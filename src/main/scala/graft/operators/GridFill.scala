@@ -45,7 +45,13 @@ object GridFill {
     val reserved = Set("slot", "lo", "hi", "grid_rn", "is_gap", s"${valCol}_fill")
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
-    val trunc = (c: String) => date_trunc(stepUnit, col(c))
+    // null check INSIDE the truncation so pruning can never remove it: a
+    // null timestamp would null the key's bounds and silently drop its
+    // whole grid — fail loudly instead (GlobalRank's null-contract rule)
+    val trunc = (c: String) => expr(
+      s"""case when $c is null then cast(raise_error(
+            'GridFill.forwardFill: $c is null — the contract requires non-null timestamps') as timestamp)
+          else date_trunc('$stepUnit', $c) end""")
     val bounds = df.groupBy(keyCol).agg(
       min(trunc(tsCol)).as("lo"), max(trunc(tsCol)).as("hi"))
     val grid = bounds.select(

@@ -45,12 +45,21 @@ object Mixture {
     def thresh(r: Double): Long = math.round(r * 1e6)
     val rateRows = rates.toSeq.map { case (s, r) => (s, thresh(r)) }
     val rateDf = rateRows.toDF(sourceCol, "mix_thresh")
+    // the null check lives INSIDE the filter expression so pruning can
+    // never remove it: a null key would hash to null and the comparison
+    // would silently DROP the row (null < t is null) — keep/drop must be a
+    // total function of the key, so fail loudly instead (GlobalRank's
+    // null-contract rule)
     val hash = graft.functions.HashConventions
       .md5long48(s"concat('$salt|', cast($keyCol as string))")
+    val guardedHash =
+      s"""case when $keyCol is null then cast(raise_error(
+            'Mixture.sampleByRates: $keyCol is null — the contract requires a non-null unique row key') as bigint)
+          else $hash end"""
     df.join(broadcast(rateDf), Seq(sourceCol), "left")
       .withColumn("mix_thresh",
         coalesce(col("mix_thresh"), lit(thresh(defaultRate))))
-      .filter(expr(s"$hash % 1000000") < col("mix_thresh"))
+      .filter(expr(s"$guardedHash % 1000000") < col("mix_thresh"))
       .drop("mix_thresh")
   }
 }

@@ -170,6 +170,36 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffle-join crept in:\n$p")
   }
 
+  test("q76 grid fill: every window is key-partitioned, none global") {
+    // executedPlan prints `Window [exprs], [partSpec], [orderSpec]`; a
+    // global window drops the partition-spec group (two bracket groups
+    // only) and would funnel the whole grid through one task
+    val p = SparkEntry.queries("q76_grid_ffill")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val globals = p.linesIterator.filter(_.contains("Window ["))
+      .filter(l => "\\], \\[[^\\]]*\\], \\[".r.findFirstIn(l).isEmpty).toSeq
+    assert(globals.isEmpty, s"global window crept in:\n${globals.mkString("\n")}")
+  }
+
+  test("q82 fingerprint pays exactly one data shuffle (the source aggregation)") {
+    val p = SparkEntry.queries("q82_dataset_fingerprint")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 1,
+      s"expected the single groupBy(source) exchange, got ${shuffles.size}:\n$p")
+  }
+
+  test("q83 budget selection never runs a global window over document rows") {
+    val p = SparkEntry.queries("q83_token_budget")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val globals = p.linesIterator.filter(_.contains("Window ["))
+      .filter(l => "\\], \\[[^\\]]*\\], \\[".r.findFirstIn(l).isEmpty).toSeq
+    // the only global window allowed is Packer's tiny nBuckets-row
+    // aggregate frame (it sums the aggregated b_tot, not document tokens)
+    assert(globals.forall(_.contains("b_tot#")),
+      s"a data-sized global window crept in:\n${globals.mkString("\n")}")
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")

@@ -59,6 +59,19 @@ class EwmaSpec extends AnyFunSuite {
     assert(base === shuffled)
   }
 
+  test("null order keys or values fail loudly instead of corrupting the fold") {
+    import spark.implicits._
+    val df = Seq((1L, Some(1L), Some(10.0)), (1L, None, Some(20.0)))
+      .toDF("k", "ord", "v")
+    val ex = intercept[Exception] {
+      Ewma.perKey(df, "k", Seq("ord"), "v", 0.5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("Ewma.perKey: ord is null")),
+      s"expected the loud null-contract error, got: $ex")
+  }
+
   test("invalid alpha and missing order columns fail loudly") {
     intercept[IllegalArgumentException] {
       Ewma.perKey(events, "user_id", Seq("ms"), "value", 0.0)

@@ -85,6 +85,19 @@ class GridFillSpec extends AnyFunSuite {
     assert(got.toSeq === naive, "distributed fill must equal the naive walk")
   }
 
+  test("a null timestamp fails loudly instead of silently dropping the key's grid") {
+    import spark.implicits._
+    val df = Seq(("a", Some(ts("2024-01-01 00:00:00")), 1.0, 1L),
+      ("a", None, 2.0, 2L)).toDF("k", "t", "v", "id")
+    val ex = intercept[Exception] {
+      GridFill.forwardFill(df, "k", "t", "v", "id", "hour").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("GridFill.forwardFill: t is null")),
+      s"expected the loud null-contract error, got: $ex")
+  }
+
   test("reserved names fail loudly") {
     import spark.implicits._
     val df = Seq(("a", ts("2024-01-01 00:00:00"), 1.0, 1L, "x"))

@@ -63,6 +63,19 @@ class MixtureSpec extends AnyFunSuite {
       s"the corpus must not shuffle:\n$plan")
   }
 
+  test("a null row key fails loudly instead of silently dropping the row") {
+    import spark.implicits._
+    val df = Seq(("s1", Some(1L)), ("s1", None), ("s2", Some(3L)))
+      .toDF("src", "id")
+    val ex = intercept[Exception] {
+      Mixture.sampleByRates(df, "src", "id", Map("s1" -> 1.0), 1.0, "t").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("Mixture.sampleByRates: id is null")),
+      s"expected the loud null-contract error, got: $ex")
+  }
+
   test("invalid rates and reserved column names fail loudly") {
     intercept[IllegalArgumentException] {
       Mixture.sampleByRates(docs, "source", "doc_id", Map("a" -> 1.5), 0.5, "t")

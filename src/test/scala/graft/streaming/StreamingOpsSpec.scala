@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The stateless curation operators are streaming-ready AS-IS: Mixture's
+ * broadcast-threshold filter and the Chunker generator are pure per-row
+ * transforms, so the exact batch code path runs under Structured Streaming
+ * with no rewrite — the property that lets one curation definition serve
+ * both the daily batch backfill and the live ingest tail. These specs pin
+ * it: streaming output == batch output on identical data.
+ */
+class StreamingOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("StreamingOpsSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def docs: DataFrame = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "source", "text")
+
+  private def streamOf(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = df.select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(rows.toIndexedSeq)
+    val name = s"stream_ops_${System.nanoTime()}"
+    val q = f(mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("Mixture.sampleByRates runs unchanged on a stream; output equals batch") {
+    val rates = Map("src1" -> 0.8, "src2" -> 0.5, "src4" -> 0.0)
+    def mix(df: DataFrame): DataFrame =
+      graft.operators.Mixture.sampleByRates(df, "source", "doc_id", rates, 0.6, "mix1")
+        .select("doc_id", "source")
+    val streamed = streamOf(docs)(mix).collect().map(_.toSeq).toSet
+    val batch = mix(docs).collect().map(_.toSeq).toSet
+    assert(streamed === batch, "streaming keep set must equal the batch keep set")
+    assert(batch.nonEmpty && batch.size < 500, "the filter must actually drop rows")
+  }
+
+  test("Chunker.slidingTokenWindows runs unchanged on a stream; output equals batch") {
+    def chunk(df: DataFrame): DataFrame =
+      graft.operators.Chunker.slidingTokenWindows(df, "text", 32, 16)
+        .select("doc_id", "chunk_no", "start_tok", "n_tok")
+    val streamed = streamOf(docs)(chunk).collect().map(_.toSeq).toSet
+    val batch = chunk(docs).collect().map(_.toSeq).toSet
+    assert(streamed === batch, "streaming chunks must equal batch chunks")
+  }
+}
