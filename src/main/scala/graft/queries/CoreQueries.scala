@@ -1506,6 +1506,45 @@ object CoreQueries {
         GROUP BY d ORDER BY d"""),
       "Mergeable HLL sketch rollup: one sketch per day, trailing windows answered " +
         "by sketch UNION over the tiny daily frame — the re-aggregation property " +
-        "exact distinct lacks; contract-checked against the exact anchor.")
+        "exact distinct lacks; contract-checked against the exact anchor."),
+
+    // ---------------------------------------------------------------- q84
+    Q(
+      "q84_zscore",
+      (s, dir) => {
+        // Per-group feature standardization (z-score): the q44 exact-moment
+        // discipline applied to a PER-ROW output — group moments (n, Σx,
+        // Σx²) sum exactly in DECIMAL, broadcast back to the rows (3-row
+        // stats frame), and the standardized value derives in double with
+        // the identical expression tree on both engines, rounded at 6 (the
+        // decimal->double conversion's 1-ulp cross-engine slack). Shape at
+        // scale: one map-side-combinable aggregate + a broadcast join —
+        // the corpus never shuffles.
+        val o = table(s, dir, "orders")
+        val stats = o.groupBy("o_orderstatus").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("o_totalprice").cast(Dec2)).cast("double").as("sx"),
+          sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(28,4)"))
+            .cast("double").as("sxx"))
+        o.join(broadcast(stats), Seq("o_orderstatus"))
+          .withColumn("z", expr(
+            "round((o_totalprice - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6)"))
+          .select("o_orderkey", "o_orderstatus", "z")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH m AS (
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+          FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderkey, o.o_orderstatus,
+               round((o_totalprice - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z
+        FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
+        ORDER BY o_orderkey"""),
+      "Per-row z-score standardization against exact decimal group moments — " +
+        "one combinable aggregate + broadcast join back; the feature-normalization " +
+        "pass of a training pipeline, corpus never shuffled.")
   )
 }

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sinks: partition-pruned layout, zero-exchange bucketed reads, and
+  * size-targeted compaction — asserted on the read-back PLANS, which is
+  * where layout decisions pay off. */
+class SinksSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("sinks_wh").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("SinksSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("partitioned layout turns source filters into directory pruning") {
+    val out = Files.createTempDirectory("sinks_part").toString + "/docs"
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    Sinks.writePartitioned(docs, out, partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    // layout: one dir per lang value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("lang=")) && dirs.length === 5, dirs.mkString(","))
+    val rd = spark.read.parquet(out).filter(col("lang") === "en")
+    val p = rd.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions, not scan rows:\n$p")
+    assert(rd.count() === docs.filter(col("lang") === "en").count())
+  }
+
+  test("bucketed table joins with zero exchanges on the bucket key") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    Sinks.writeBucketedTable(docs, "docs_bkt", nBuckets = 4,
+      bucketCols = Seq("doc_id"), sortCols = Seq("doc_id"))
+    // disable broadcast so the join must rely on the bucket layout — the
+    // plan that matters at 100 TB, where neither side broadcasts
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = spark.table("docs_bkt")
+      val joined = t.as("a").join(t.as("b"), "doc_id")
+        .select(col("a.doc_id"), col("b.lang"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed self-join must read pre-shuffled, no Exchange:\n$p")
+      assert(joined.count() === docs.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
+  test("compact rewrites a fragmented directory into the targeted file count") {
+    val frag = Files.createTempDirectory("sinks_frag").toString + "/f"
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    docs.repartition(37).write.parquet(frag) // simulate small-files damage
+    val before = new java.io.File(frag).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 37)
+    val fragBytes = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val out = Files.createTempDirectory("sinks_comp").toString + "/c"
+    val planned = Sinks.compact(spark, frag, out, targetBytes = fragBytes / 3)
+    val after = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(planned >= 3 && planned <= 4, s"planned=$planned")
+    assert(after === planned, s"expected $planned files, found $after")
+    // content survives byte-for-byte (order-independent compare)
+    val a = spark.read.parquet(out)
+    assert(a.exceptAll(docs).count() === 0 && docs.exceptAll(a).count() === 0)
+  }
+}
