@@ -347,6 +347,78 @@ object VectorQueries {
         ORDER BY pid, rank"""),
       "Top-5 neighbor search over SQ8 codes: integer dot products on the 4x-compressed " +
         "corpus — exact cross-engine ranks (no float ties), broadcast probes, " +
-        "no corpus shuffle. The memory-scaled sibling of the q33 exact baseline.")
+        "no corpus shuffle. The memory-scaled sibling of the q33 exact baseline."),
+
+    // ---------------------------------------------------------------- q85
+    Q(
+      "q85_ivf_sq8_search",
+      (s, dir) => {
+        // The production ANN stack, both scale layers composed: IVF coarse
+        // routing (sub-linear candidate sets — probes search only their
+        // own cluster, hash-partitionable equi-join) OVER the SQ8-coded
+        // corpus (4x memory — the full-precision vectors never enter the
+        // search join, only 64-byte code arrays move). Integer code dots
+        // make every rank exact cross-engine; work is
+        // O(n·k_centroids) assignment + O(probes·cluster/4B) scan.
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        val assigned = graft.operators.Ann
+          .ivfAssign(s, e, "vec_id", "embedding", cents)
+          .select("vec_id", "cluster_id")
+        val corpus = graft.operators.Quantize.sq8(e, "embedding", 64)
+          .select(col("vec_id"), col("sq8_codes"))
+          .join(assigned, Seq("vec_id"))
+        val probes = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("pid"), col("cluster_id"),
+            col("sq8_codes").as("pq"))
+        corpus
+          .select(col("vec_id").as("cid"), col("cluster_id"),
+            col("sq8_codes").as("cq"))
+          .join(probes, Seq("cluster_id"))
+          .filter(col("cid") =!= col("pid"))
+          .selectExpr("pid", "cluster_id", "cid",
+            """aggregate(sequence(1, 64), cast(0 as bigint),
+               (a, j) -> a + element_at(pq, j) * element_at(cq, j)) as qdot""")
+          .withColumn("rank",
+            expr("row_number() over (partition by pid order by qdot desc, cid asc)"))
+          .filter(col("rank") <= 3)
+          .select("pid", "rank", "cluster_id", "cid", "qdot")
+          .orderBy("pid", "rank")
+      },
+      Some(s"""
+        WITH $duckAssigned,
+        dims AS (SELECT unnest(range(1, 65)) AS j),
+        b AS (
+          SELECT j, min(CAST(embedding[j] AS DOUBLE)) AS lo,
+                 max(CAST(embedding[j] AS DOUBLE)) AS hi
+          FROM embeddings, dims GROUP BY j),
+        ba AS (SELECT list(lo ORDER BY j) AS lo_a, list(hi ORDER BY j) AS hi_a FROM b),
+        qz AS (
+          SELECT vec_id,
+                 list_transform(range(1, 65), j ->
+                   CASE WHEN hi_a[j] = lo_a[j] THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor((CAST(embedding[j] AS DOUBLE) - lo_a[j])
+                                  / (hi_a[j] - lo_a[j]) * 255.0 + 0.5) AS BIGINT)
+                   END) AS codes
+          FROM embeddings, ba),
+        corpus AS (
+          SELECT a.vec_id, a.cluster_id, qz.codes
+          FROM assigned a JOIN qz ON a.vec_id = qz.vec_id),
+        sims AS (
+          SELECT p.vec_id AS pid, p.cluster_id, c.vec_id AS cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   j -> p.codes[j] * c.codes[j])) AS BIGINT) AS qdot
+          FROM corpus p JOIN corpus c
+            ON p.cluster_id = c.cluster_id AND p.vec_id < 20 AND c.vec_id <> p.vec_id),
+        ranked AS (
+          SELECT pid, cluster_id, cid, qdot,
+                 row_number() OVER (PARTITION BY pid ORDER BY qdot DESC, cid ASC) AS rank
+          FROM sims)
+        SELECT pid, rank, cluster_id, cid, qdot FROM ranked WHERE rank <= 3
+        ORDER BY pid, rank"""),
+      "The composed production ANN stack: IVF cluster routing over the SQ8-coded " +
+        "corpus — sub-linear candidates AND 4x memory, full-precision vectors never " +
+        "enter the search join; integer ranks, exact cross-engine.")
   )
 }

@@ -87,6 +87,18 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q85 composed IVF+SQ8 search stays equi-joined with no cartesian blowup") {
+    val p = plan("q85_ivf_sq8_search")
+    // same routing contract as q54, now over the quantized corpus: the
+    // probe-candidate pairing must key on cluster_id, never a product
+    assert(!p.contains("CartesianProduct"), p)
+    // the full-precision embedding column must not reach the search join:
+    // only code arrays move past quantization (4x the memory headroom)
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty && !joinLines.exists(_.contains("embedding#")),
+      s"full-precision vectors leaked into the search join:\n${joinLines.mkString("\n")}")
+  }
+
   test("q48 stop-shingle cutoff is a broadcast anti-join, not a second shuffle") {
     val p = plan("q48_shingle_pairs")
     // the hot-shingle removal must ride a broadcast (tiny hot set), keeping
