@@ -21,6 +21,11 @@ import graft.functions.{FloatVecDot, TextExpressions, WordNgrams}
  *  - `word_ngrams(array<string>, n)` — compiled word n-gram shingling
  *    (graft.functions.WordNgrams)
  *
+ * Injected optimizer rules:
+ *  - [[graft.plans.LevenshteinPrefilter]] — guards `levenshtein(a,b) <= k`
+ *    filters with the free `abs(length(a)-length(b)) <= k` bound so the
+ *    quadratic distance skips rows with a hopeless length gap.
+ *
  * The imperative `VectorExpressions.register` / `TextExpressions.register`
  * remain for sessions created without the extension (the query library calls
  * them defensively); both paths bind the same Expression classes.
@@ -36,5 +41,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       TextExpressions.wordNgramsBuilder))
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

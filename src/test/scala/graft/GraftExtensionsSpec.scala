@@ -39,4 +39,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 4.0)
     assert(r.getSeq[String](1) === Seq("a b", "b c", "c d"))
   }
+
+  test("levenshtein threshold filters gain the length-gap guard, results unchanged") {
+    import spark.implicits._
+    // parquet round-trip: a foldable local source would be constant-folded
+    // into a LocalRelation before the Filter (and the rule) ever appears
+    val tmp = java.nio.file.Files.createTempDirectory("lev_rule").toString + "/t"
+    Seq(
+      ("kitten", "sitting"),   // lev 3, gap 1 -> kept by both
+      ("ab", "abcdefghij"),    // gap 8 -> guard rejects without the O(n^2) loop
+      ("abc", "abd"))          // lev 1 -> kept
+      .toDF("a", "b").write.parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val filtered = df.filter("levenshtein(a, b) <= 3")
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    // the rewritten predicate carries the derived guard...
+    assert(opt.contains("abs((length(a") || opt.contains("abs((length(a#"),
+      s"expected the length-gap guard in the optimized plan:\n$opt")
+    assert(opt.contains("levenshtein"), opt)
+    // ...and never changes the answer
+    assert(filtered.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("kitten", "sitting"), ("abc", "abd")))
+    // negated predicates are left alone (a guard under NOT would be unsound)
+    val neg = df.filter("not (levenshtein(a, b) <= 3)")
+    assert(neg.collect().map(_.getString(0)).toSeq === Seq("ab"))
+  }
 }
