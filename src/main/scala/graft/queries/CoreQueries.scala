@@ -1545,6 +1545,96 @@ object CoreQueries {
         ORDER BY o_orderkey"""),
       "Per-row z-score standardization against exact decimal group moments — " +
         "one combinable aggregate + broadcast join back; the feature-normalization " +
-        "pass of a training pipeline, corpus never shuffled.")
+        "pass of a training pipeline, corpus never shuffled."),
+
+    // ---------------------------------------------------------------- q86
+    Q(
+      "q86_funnel",
+      (s, dir) => {
+        // Funnel analysis (click -> view -> purchase) as a sequential fold
+        // state machine over each user's time-ordered events — the Ewma
+        // gather-once-fold-once shape with an integer-state automaton in
+        // the lambda. No join per stage (the conditional-aggregation
+        // spelling needs one pass per step and re-reads the corpus); one
+        // user-keyed shuffle computes every user's furthest funnel stage.
+        // State rides as strings '0'..'3' so DuckDB's init-less
+        // list_reduce (seeded by a prepended '0') folds the identical
+        // steps — results are small exact integers.
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"), col("event_type"))
+        ev.groupBy("user_id")
+          .agg(expr(
+            """transform(array_sort(collect_list(named_struct(
+                 'o0', ms, 'o1', event_id, 'v', event_type))), s -> s.v)""").as("tl"))
+          .selectExpr(
+            "user_id",
+            "cast(size(tl) as bigint) as n_events",
+            """cast(aggregate(tl, '0', (st, t) ->
+                 case when st = '0' and t = 'click' then '1'
+                      when st = '1' and t = 'view' then '2'
+                      when st = '2' and t = 'purchase' then '3'
+                      else st end) as int) as funnel_stage""")
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT user_id,
+                 list(event_type ORDER BY epoch_ms(ts), event_id) AS tl
+          FROM events GROUP BY user_id)
+        SELECT user_id,
+               CAST(len(tl) AS BIGINT) AS n_events,
+               CAST(list_reduce(list_prepend('0', tl), (st, t) ->
+                 CASE WHEN st = '0' AND t = 'click' THEN '1'
+                      WHEN st = '1' AND t = 'view' THEN '2'
+                      WHEN st = '2' AND t = 'purchase' THEN '3'
+                      ELSE st END) AS INTEGER) AS funnel_stage
+        FROM h
+        ORDER BY user_id"""),
+      "Ordered funnel depth per user via a fold state machine — one shuffle, " +
+        "one pass, no per-stage joins; automaton steps identical cross-engine."),
+
+    // ---------------------------------------------------------------- q87
+    Q(
+      "q87_upsert",
+      (s, dir) => {
+        // SCD1 upsert through the Upsert operator: a synthetic change
+        // batch (every 7th order re-priced, plus brand-new keys) merges
+        // into orders — base pays a broadcast anti-join probe (no shuffle
+        // of the history), updates append. The window spelling would
+        // shuffle the whole base; this one stays viable when base is
+        // 100 TB and the batch is a day's changes.
+        val o = table(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val changed = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val fresh = o.filter(col("o_orderkey") % 1000 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderstatus", lit("N"))
+        graft.operators.Upsert.byKey(o, changed.unionByName(fresh),
+            keyCols = Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        changed AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 o_totalprice + 1000.0 AS o_totalprice
+          FROM base WHERE o_orderkey % 7 = 0),
+        fresh AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+                 o_totalprice
+          FROM base WHERE o_orderkey % 1000 = 3),
+        upd AS (SELECT * FROM changed UNION ALL SELECT * FROM fresh)
+        SELECT * FROM (
+          SELECT b.* FROM base b ANTI JOIN upd u ON b.o_orderkey = u.o_orderkey
+          UNION ALL
+          SELECT * FROM upd)
+        ORDER BY o_orderkey"""),
+      "Latest-wins keyed merge via the Upsert operator: broadcast anti-join of the " +
+        "update keys + append — the history never shuffles; duplicate update keys " +
+        "fail loudly instead of picking silently.")
   )
 }
