@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       TextExpressions.wordNgramsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngram_hash48"),
+      new ExpressionInfo(classOf[graft.functions.WordNgramHash48].getName, "word_ngram_hash48"),
+      TextExpressions.wordNgramHash48Builder))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

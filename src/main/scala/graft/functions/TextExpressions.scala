@@ -90,6 +90,94 @@ object WordNgrams {
   }
 }
 
+/**
+ * Fused shingle hashing: `word_ngram_hash48(toks, n)` = the library's
+ * 48-bit md5 convention ([[HashConventions.md5long48]]) applied to every
+ * word n-gram of a token array, in ONE compiled pass — semantically
+ * identical to `transform(word_ngrams(toks, n), s -> cast(conv(substr(
+ * md5(s), 1, 12), 16, 10) as bigint))` (spec-locked equal), but without
+ * materializing shingle strings, hex text, or per-element interpreted
+ * lambda dispatches. This is the single hottest inner loop of the dedup
+ * family (MinHash q24/q25, posting lists q48, keep-list q57, incremental
+ * screen q79, SimHash q26/q35 at n=1): every document's every shingle
+ * passes through it, usually several times (join sides re-evaluate).
+ *
+ * Null semantics match the HOF spelling: fewer than n tokens -> empty
+ * array; a null token inside a window -> null element (md5(null) is null).
+ */
+case class WordNgramHash48(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "word_ngram_hash48 window must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngram_hash48 expects array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgramHash48.build(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgramHash48.build($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHash48 =
+    copy(child = newChild)
+}
+
+object WordNgramHash48 {
+
+  /** Per-thread digest: MessageDigest is not thread-safe and allocation
+    * per row would dominate the loop. */
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** One compiled pass: tokens -> 48-bit md5-prefix hash per n-gram.
+    * Called from both interpreted eval and generated code. */
+  def build(arr: ArrayData, n: Int): ArrayData = {
+    val num = arr.numElements()
+    val out = num - n + 1
+    if (out <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](num)
+    var i = 0
+    while (i < num) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = digest.get()
+    val res = new Array[Any](out)
+    var j = 0
+    while (j < out) {
+      var anyNull = false
+      var k = 0
+      while (k < n && !anyNull) { if (toks(j + k) == null) anyNull = true; k += 1 }
+      if (!anyNull) {
+        md.reset()
+        var m = 0
+        while (m < n) {
+          md.update(toks(j + m))
+          if (m < n - 1) md.update(' '.toByte)
+          m += 1
+        }
+        val d = md.digest()
+        // first 12 hex chars = first 6 bytes, big-endian unsigned -> long
+        var v = 0L
+        var b = 0
+        while (b < 6) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        res(j) = v
+      }
+      j += 1
+    }
+    new GenericArrayData(res)
+  }
+}
+
 object TextExpressions {
 
   /** Shared expression builder (used by both the imperative register and the
@@ -107,13 +195,33 @@ object TextExpressions {
     WordNgrams(exprs(0), n)
   }
 
-  /** Register `word_ngrams` in the session's function registry (idempotent,
-    * skip-if-present), so it is usable from selectExpr / spark.sql. */
+  /** Shared builder for `word_ngram_hash48` (same foldable-window contract
+    * as `word_ngrams`). */
+  val wordNgramHash48Builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"word_ngram_hash48 expects 2 arguments, got ${exprs.length}")
+    val n = exprs(1).eval(null) match {
+      case i: Int  => i
+      case l: Long => math.toIntExact(l)
+      case other =>
+        throw new IllegalArgumentException(
+          s"word_ngram_hash48 window must be a foldable integer, got $other")
+    }
+    WordNgramHash48(exprs(0), n)
+  }
+
+  /** Register `word_ngrams` + `word_ngram_hash48` in the session's function
+    * registry (idempotent, skip-if-present), so they are usable from
+    * selectExpr / spark.sql. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")
     if (!reg.functionExists(id)) {
       reg.createOrReplaceTempFunction("word_ngrams", wordNgramsBuilder, "built-in")
+    }
+    val idH = org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngram_hash48")
+    if (!reg.functionExists(idH)) {
+      reg.createOrReplaceTempFunction(
+        "word_ngram_hash48", wordNgramHash48Builder, "built-in")
     }
   }
 }

@@ -67,7 +67,7 @@ object Dedup {
     val sigs = df
       .withColumn("toks", split(col(textCol), " "))
       .filter(size(col("toks")) >= shingleN)
-      .withColumn("hs", expr(s"transform(word_ngrams(toks, $shingleN), s -> ${md5long48("s")})"))
+      .withColumn("hs", expr(s"word_ngram_hash48(toks, $shingleN)"))
       .selectExpr(idCol +: minhashes: _*)
       .select(col(idCol) +: bands: _*)
     val posts = sigs.select(

@@ -57,7 +57,9 @@ object TextQueries {
     Tables.table(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("hs", expr(s"transform($sparkShingles, s -> ${md5long("s")})"))
+      // fused native expression: shingle + 48-bit md5 in one compiled loop
+      // (spec-locked equal to the transform(word_ngrams(...), md5...) HOF)
+      .withColumn("hs", expr("word_ngram_hash48(toks, 3)"))
       .selectExpr(Seq("doc_id") ++ sparkMinhashSelect: _*)
       .withColumn("band0", concat_ws("_", col("minh0"), col("minh1")))
       .withColumn("band1", concat_ws("_", col("minh2"), col("minh3")))
@@ -69,7 +71,7 @@ object TextQueries {
       .filter(size(col("toks")) >= 1)
       // hash each token ONCE; the 16 bit-majority votes then scan the
       // precomputed hash array instead of re-hashing per bit
-      .withColumn("hs", expr(s"transform(toks, s -> ${md5long("s")})"))
+      .withColumn("hs", expr("word_ngram_hash48(toks, 1)"))
 
   // The md5 hashing dominates cost, so it runs ONCE into an `hs` column;
   // each permutation is then a cheap arithmetic transform over it.
@@ -318,7 +320,7 @@ object TextQueries {
           .filter(size(col("toks")) >= 3)
           // hash shingles once; inlining $hs into all four outputs would
           // re-run the md5 pass per column (no cross-expression sharing)
-          .withColumn("hs", expr(s"transform($sparkShingles, s -> ${md5long("s")})"))
+          .withColumn("hs", expr("word_ngram_hash48(toks, 3)"))
           .selectExpr(
             "doc_id",
             "array_min(hs) as fp_min",
@@ -892,7 +894,7 @@ object TextQueries {
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"),
-            explode(expr(s"array_distinct(transform($sparkShingles, s -> ${md5long("s")}))")).as("h"))
+            explode(expr("array_distinct(word_ngram_hash48(toks, 3))")).as("h"))
         val eval = shingleHashes(docs.filter(col("doc_id") < 10))
           .select("h").distinct()
         val bloom = eval.as[Long]

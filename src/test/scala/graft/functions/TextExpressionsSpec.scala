@@ -33,6 +33,36 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("word_ngram_hash48 equals the transform+md5 HOF spelling on real text") {
+    val md5hof = graft.functions.HashConventions.md5long48("s")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+    for (n <- Seq(1, 3, 5)) {
+      val diff = docs.filter(s"size(toks) >= $n")
+        .selectExpr("doc_id",
+          s"word_ngram_hash48(toks, $n) as a",
+          s"transform(word_ngrams(toks, $n), s -> $md5hof) as b")
+        .filter("a != b")
+      assert(diff.count() === 0, s"fused hash diverged from the HOF spelling at n=$n")
+    }
+  }
+
+  test("word_ngram_hash48 edge cases: short, empty, null tokens") {
+    val r = spark.sql(
+      """select
+           word_ngram_hash48(array('a','b'), 3) as short,
+           word_ngram_hash48(cast(array() as array<string>), 1) as empty,
+           word_ngram_hash48(array('a', cast(null as string), 'c', 'd'), 3) as withnull,
+           word_ngram_hash48(cast(null as array<string>), 3) as nullarr
+      """).head()
+    assert(r.getSeq[Long](0) === Seq.empty)
+    assert(r.getSeq[Long](1) === Seq.empty)
+    // windows touching the null token hash to null, like md5(null)
+    val withNull = r.getSeq[Any](2)
+    assert(withNull.length === 2 && withNull(0) == null && withNull(1) == null)
+    assert(r.isNullAt(3))
+  }
+
   test("edge cases: short inputs, empty, null tokens, n=1") {
     val rows = spark.sql(
       """select
