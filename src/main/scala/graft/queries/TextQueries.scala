@@ -1341,6 +1341,49 @@ object TextQueries {
         ORDER BY tok_offset"""),
       "Priority-ordered token-budget selection: Packer's two-phase running sum " +
         "ranks the corpus by a quality signal and cuts at the budget — no global " +
-        "sort, no single-task window, budget filter is map-only.")
+        "sort, no single-task window, budget filter is map-only."),
+
+    // ---------------------------------------------------------------- q88
+    Q(
+      "q88_epoch_upsample",
+      (s, dir) => {
+        // Epoch oversampling — the other half of mixture control: scarce
+        // high-value sources REPLICATE (rate 2.5 = two full copies + a
+        // half-probability third), abundant ones downsample, in one
+        // deterministic map-only pass. The emitted mix_copy index keeps
+        // replicas addressable (and lets downstream shuffles spread them);
+        // the fractional copy's hash includes the copy index so its keep
+        // set is independent of the full copies. Same growth/partition
+        // stability contract as q74.
+        graft.operators.Mixture.sampleByRatesWithRepeats(
+          table(s, dir, "documents"),
+          sourceCol = "source", keyCol = "doc_id",
+          rates = Map("src1" -> 2.5, "src2" -> 1.0, "src3" -> 0.4, "src4" -> 0.0),
+          defaultRate = 1.5, salt = "mixup")
+          .select("doc_id", "source", "mix_copy")
+          .orderBy("doc_id", "mix_copy")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT doc_id, source,
+                 unnest(range(0, CASE source WHEN 'src1' THEN 3 WHEN 'src2' THEN 1
+                                             WHEN 'src3' THEN 1 WHEN 'src4' THEN 0
+                                             ELSE 2 END)) AS mix_copy
+          FROM documents)
+        SELECT doc_id, source, CAST(mix_copy AS INTEGER) AS mix_copy
+        FROM r
+        WHERE mix_copy < CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 1
+                                     WHEN 'src3' THEN 0 WHEN 'src4' THEN 0
+                                     ELSE 1 END
+           OR ${duckMd5long(
+             "'mixup|' || cast(doc_id as varchar) || '|' || cast(mix_copy as varchar)")}
+              % 1000000 <
+              CASE source WHEN 'src1' THEN 500000 WHEN 'src2' THEN 0
+                          WHEN 'src3' THEN 400000 WHEN 'src4' THEN 0
+                          ELSE 500000 END
+        ORDER BY doc_id, mix_copy"""),
+      "Deterministic epoch oversampling via Mixture.sampleByRatesWithRepeats: " +
+        "rates above 1 replicate rows (full copies + one hash-gated fractional " +
+        "copy) — map-only, reproducible, replica-addressable via mix_copy.")
   )
 }

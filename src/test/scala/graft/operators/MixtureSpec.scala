@@ -63,6 +63,32 @@ class MixtureSpec extends AnyFunSuite {
       s"the corpus must not shuffle:\n$plan")
   }
 
+  test("oversampling rates replicate: full copies always, fractional by hash") {
+    import spark.implicits._
+    val ids = spark.range(0, 10000).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 2).cast("string")))
+    val out = Mixture.sampleByRatesWithRepeats(ids, "src", "id",
+      rates = Map("s0" -> 2.5, "s1" -> 0.0), defaultRate = 1.0, salt = "t")
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("s1"), "rate 0 drops the source even with repeats")
+    assert(math.abs(bySrc("s0") - 12500L) < 300, s"rate 2.5 off target: ${bySrc("s0")}")
+    // copies 0 and 1 are unconditional; only copy 2 is hash-gated
+    val copies = out.filter(col("src") === "s0").groupBy("mix_copy").count()
+      .as[(Int, Long)].collect().toMap
+    assert(copies(0) === 5000L && copies(1) === 5000L)
+    assert(math.abs(copies(2) - 2500L) < 200, s"fractional copy off: ${copies(2)}")
+  }
+
+  test("oversampled output is deterministic and replica-addressable") {
+    val rates = Map("src1" -> 2.5, "src3" -> 0.4)
+    def run() = Mixture.sampleByRatesWithRepeats(docs, "source", "doc_id",
+      rates, 1.5, "mixup").select("doc_id", "mix_copy")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val a = run()
+    assert(a === run(), "same inputs must give the identical replica set")
+    assert(a.exists(_._2 == 1), "rates above 1 must actually replicate")
+  }
+
   test("a null row key fails loudly instead of silently dropping the row") {
     import spark.implicits._
     val df = Seq(("s1", Some(1L)), ("s1", None), ("s2", Some(3L)))
