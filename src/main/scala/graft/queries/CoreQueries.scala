@@ -1635,6 +1635,63 @@ object CoreQueries {
         ORDER BY o_orderkey"""),
       "Latest-wins keyed merge via the Upsert operator: broadcast anti-join of the " +
         "update keys + append — the history never shuffles; duplicate update keys " +
-        "fail loudly instead of picking silently.")
+        "fail loudly instead of picking silently."),
+
+    // ---------------------------------------------------------------- q89
+    Q(
+      "q89_scd2_history",
+      (s, dir) => {
+        // SCD2 history build: compress each user's event stream into
+        // validity intervals of its tracked attribute (event_type) — the
+        // gaps-and-islands pattern (change flag -> running island id ->
+        // per-island [valid_from, valid_to)), which is how a dimension
+        // history table is derived from a change log. One shuffle on
+        // user_id serves both windows and the aggregate; the open row's
+        // valid_to stays null. Complements q87 (SCD1 latest-wins) with
+        // the full-history variant an as-of join (q08/q59) then consumes.
+        val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"), col("event_type"))
+          .withColumn("chg",
+            when(lag("event_type", 1).over(w).isNull ||
+              lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("island", sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wIsl = Window.partitionBy("user_id").orderBy("island")
+        ev.groupBy("user_id", "island", "event_type")
+          .agg(min("ms").as("valid_from_ms"), count(lit(1)).as("n_in_run"))
+          .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(wIsl))
+          .select("user_id", "island", "event_type",
+            "valid_from_ms", "valid_to_ms", "n_in_run")
+          .orderBy("user_id", "island")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        isl AS (
+          SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                      ORDER BY ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS island
+          FROM e),
+        runs AS (
+          SELECT user_id, island, event_type,
+                 MIN(ms) AS valid_from_ms, COUNT(1) AS n_in_run
+          FROM isl GROUP BY user_id, island, event_type)
+        SELECT user_id, island, event_type, valid_from_ms,
+               lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY island)
+                 AS valid_to_ms,
+               n_in_run
+        FROM runs
+        ORDER BY user_id, island"""),
+      "SCD2 interval build via gaps-and-islands: change flags -> running island " +
+        "ids -> per-run validity windows, one user-keyed shuffle end to end — " +
+        "the dimension-history derivation an as-of join consumes.")
   )
 }
