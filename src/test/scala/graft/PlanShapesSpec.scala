@@ -182,15 +182,21 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffle-join crept in:\n$p")
   }
 
-  test("q76 grid fill: every window is key-partitioned, none global") {
+  test("q76 grid fill: one data shuffle, key-partitioned windows only") {
+    val p = SparkEntry.queries("q76_grid_ffill")(spark, Sf)
+      .queryExecution.executedPlan.toString
     // executedPlan prints `Window [exprs], [partSpec], [orderSpec]`; a
     // global window drops the partition-spec group (two bracket groups
     // only) and would funnel the whole grid through one task
-    val p = SparkEntry.queries("q76_grid_ffill")(spark, Sf)
-      .queryExecution.executedPlan.toString
     val globals = p.linesIterator.filter(_.contains("Window ["))
       .filter(l => "\\], \\[[^\\]]*\\], \\[".r.findFirstIn(l).isEmpty).toSeq
     assert(globals.isEmpty, s"global window crept in:\n${globals.mkString("\n")}")
+    // gaps-and-islands fill: election agg, lead window, and generate all
+    // reuse the single up-front key repartition — no join, no re-exchange
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 1,
+      s"expected the single key repartition, got ${shuffles.size}:\n${shuffles.mkString("\n")}")
+    assert(!p.contains("Join"), s"the fill must not join:\n$p")
   }
 
   test("q82 fingerprint pays exactly one data shuffle (the source aggregation)") {
