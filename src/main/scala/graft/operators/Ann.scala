@@ -106,4 +106,77 @@ object Ann {
       .filter(col("rank") <= k)
       .select("pid", "rank", "cluster_id", "cid", "sim")
   }
+
+  /**
+   * Train the IVF coarse codebook itself: `iters` rounds of Lloyd's k-means
+   * over `df`'s float-array `vecCol`, maximum-dot-product assignment (the
+   * same metric [[ivfAssign]]/[[ivfSearch]] route by, so the trained
+   * centroids drop straight into them). Returns the `(centroid_id, ce)`
+   * codebook frame the other Ann entry points take.
+   *
+   * Deterministic and engine-reproducible by construction:
+   *  - init is the `k` smallest ids' vectors (no RNG);
+   *  - assignment ties break to the lowest centroid id;
+   *  - the mean update sums each dimension in exact DECIMAL (order-independent
+   *    across partitions), divides as IEEE doubles, and narrows to float —
+   *    so every iteration's centroids are bit-identical however the corpus
+   *    is partitioned (and in any engine following the same spelling);
+   *  - a cluster that loses all members keeps its previous centroid.
+   *
+   * Scale shape (MLlib's own Lloyd's layout, spelled relationally): per
+   * iteration the corpus is scanned ONCE against the broadcast codebook
+   * (map-side argmax, no shuffle), and the only shuffle is the mean update —
+   * a (cluster, dim)-keyed aggregate with k x dims groups, collapsed almost
+   * entirely by map-side partial aggregation. The k-row codebook is
+   * `localCheckpoint`ed each round, truncating the otherwise
+   * O(iters x corpus-scan) lineage. Callers iterating many rounds at 100 TB
+   * should `persist` the (id, vec) projection they pass in — the corpus is
+   * read `iters` times.
+   */
+  def kmeansFit(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      dims: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    require(k >= 1, s"k ($k) must be positive")
+    require(iters >= 0, s"iters ($iters) must be non-negative")
+    require(dims >= 1, s"dims ($dims) must be positive")
+    val reserved = Set("centroid_id", "ce", "cluster_id", "n2",
+      "__dim", "__x", "__s", "__n", "__newce")
+    val clash = df.columns.toSet.intersect(reserved - "centroid_id" - "ce")
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val corpus = df.select(col(idCol), col(vecCol))
+    var cents = corpus
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("ce"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(spark, corpus, idCol, vecCol, cents)
+        .select(col("cluster_id"), col(vecCol))
+      // exact per-dimension mean: DECIMAL sum (partition-order independent),
+      // IEEE double division, float narrowing — the cross-engine spelling
+      val sums = assigned
+        .select(col("cluster_id"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+        .groupBy(col("cluster_id"), col("__dim"))
+        .agg(
+          sum(col("__x").cast("double").cast("decimal(28,12)")).as("__s"),
+          count(lit(1)).as("__n"))
+      val newCents = sums
+        .groupBy(col("cluster_id").as("centroid_id"))
+        .agg(expr(
+          """transform(
+               array_sort(collect_list(struct(__dim, cast(cast(__s as double) / __n as float) as v))),
+               p -> p.v)""").as("__newce"))
+      cents = cents
+        .join(newCents, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("__newce"), col("ce")).as("ce"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
 }

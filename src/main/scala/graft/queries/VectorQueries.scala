@@ -419,6 +419,66 @@ object VectorQueries {
         ORDER BY pid, rank"""),
       "The composed production ANN stack: IVF cluster routing over the SQ8-coded " +
         "corpus — sub-linear candidates AND 4x memory, full-precision vectors never " +
-        "enter the search join; integer ranks, exact cross-engine.")
+        "enter the search join; integer ranks, exact cross-engine."),
+
+    // ---------------------------------------------------------------- q90
+    Q(
+      "q90_kmeans_train",
+      (s, dir) => {
+        // Training the IVF codebook itself: 2 Lloyd's rounds of max-dot
+        // k-means through Ann.kmeansFit (broadcast codebook, one corpus
+        // scan per round, the only shuffle a k x dims mean aggregate),
+        // then the final assignment under the TRAINED centroids — the
+        // upstream step q34/q54/q85 took as given. Deterministic end to
+        // end: lowest-id init, lowest-id tie-breaks, exact-decimal mean
+        // sums, IEEE division, float narrowing.
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val cents = graft.operators.Ann.kmeansFit(
+          s, e, "vec_id", "embedding", k = 8, iters = 2, dims = 64)
+        graft.operators.Ann.ivfAssign(s, e, "vec_id", "embedding", cents)
+          .select("vec_id", "cluster_id")
+          .orderBy("vec_id")
+      },
+      Some(kmeansDuckOracle(k = 8, iters = 2, dims = 64)),
+      "Distributed Lloyd's k-means training of the IVF coarse codebook (2 rounds, " +
+        "max-dot metric): broadcast centroids, map-side argmax, k x dims mean " +
+        "shuffle — the train step above q34's assign and q54's search.")
   )
+
+  /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
+    * one CTE block per Lloyd's round, generated by the same loop shape the
+    * operator executes, ending in the (vec_id, cluster_id) assignment under
+    * the trained codebook. */
+  private def kmeansDuckOracle(k: Int, iters: Int, dims: Int): String = {
+    def assign(i: Int, cents: String) =
+      s"""assign$i AS (
+        SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckDot("e.embedding", "c.ce")} DESC, c.centroid_id ASC) AS rn
+          FROM embeddings e CROSS JOIN $cents c)
+        WHERE rn = 1)"""
+    val rounds = (1 to iters).map { i =>
+      s"""${assign(i, s"cents${i - 1}")},
+        sums$i AS (
+          SELECT cluster_id, j,
+                 CAST(SUM(CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS s,
+                 COUNT(*) AS n
+          FROM assign$i, dims GROUP BY cluster_id, j),
+        newc$i AS (
+          SELECT cluster_id AS centroid_id, list(CAST(s / n AS FLOAT) ORDER BY j) AS ce
+          FROM sums$i GROUP BY cluster_id),
+        cents$i AS (
+          SELECT p.centroid_id, coalesce(nc.ce, p.ce) AS ce
+          FROM cents${i - 1} p LEFT JOIN newc$i nc ON p.centroid_id = nc.centroid_id)"""
+    }.mkString(",\n")
+    s"""
+      WITH dims AS (SELECT unnest(range(1, ${dims + 1})) AS j),
+      cents0 AS (
+        SELECT vec_id AS centroid_id, embedding AS ce
+        FROM embeddings ORDER BY vec_id LIMIT $k),
+      $rounds,
+      ${assign(iters + 1, s"cents$iters")}
+      SELECT vec_id, cluster_id FROM assign${iters + 1} ORDER BY vec_id"""
+  }
 }

@@ -139,4 +139,55 @@ class AnnSpec extends AnyFunSuite {
       "doc_id", "features", centroids, probeIds, k = 3).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  // All kmeansFit fixtures use dyadic values (0.25, 0.5, 0.75, 1.0): exact
+  // in float, double, AND decimal(28,12), so the operator's mean arithmetic
+  // is reproducible by plain in-test doubles with no rounding-mode mirror.
+  private def vecFrame(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vid", "v")
+  }
+
+  test("Ann.kmeansFit converges on two separated groups and assigns them") {
+    val df = vecFrame(
+      1L -> Seq(1.0f, 0.0f), 3L -> Seq(0.75f, 0.25f), 5L -> Seq(0.5f, 0.0f),
+      2L -> Seq(0.0f, 1.0f), 4L -> Seq(0.25f, 0.75f), 6L -> Seq(0.0f, 0.5f))
+    val cents = Ann.kmeansFit(spark, df, "vid", "v", k = 2, iters = 2, dims = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // round 1 memberships are {1,3,5} / {2,4,6}; the means keep them stable,
+    // so round 2 reproduces the same centroids (= converged)
+    val m1 = ((1.0 + 0.75 + 0.5) / 3).toFloat
+    val m2 = ((0.0 + 0.25 + 0.0) / 3).toFloat
+    assert(cents(1L) === Seq(m1, m2))
+    assert(cents(2L) === Seq(m2, m1))
+    val assigned = Ann.ivfAssign(spark, df, "vid", "v",
+        vecFrame(cents.toSeq.map { case (i, v) => i -> v.toSeq }: _*)
+          .select(col("vid").as("centroid_id"), col("v").as("ce")))
+      .select("vid", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned === Map(1L -> 1L, 3L -> 1L, 5L -> 1L, 2L -> 2L, 4L -> 2L, 6L -> 2L))
+  }
+
+  test("Ann.kmeansFit: a cluster that loses all members keeps its centroid") {
+    // with k=3 the init codebook is ids 1,2,3; id 3's own vector is closer
+    // (by dot) to centroid 1 than to centroid 3, so cluster 3 empties in
+    // round 1 — its centroid must survive unchanged, not null out
+    val df = vecFrame(
+      1L -> Seq(1.0f, 0.0f), 3L -> Seq(0.75f, 0.25f), 5L -> Seq(0.5f, 0.0f),
+      2L -> Seq(0.0f, 1.0f), 4L -> Seq(0.25f, 0.75f), 6L -> Seq(0.0f, 0.5f))
+    val cents = Ann.kmeansFit(spark, df, "vid", "v", k = 3, iters = 1, dims = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents.keySet === Set(1L, 2L, 3L))
+    assert(cents(3L) === Seq(0.75f, 0.25f))
+    assert(cents(1L) === Seq(((1.0 + 0.75 + 0.5) / 3).toFloat, ((0.25 + 0.0) / 3).toFloat))
+  }
+
+  test("Ann.kmeansFit with iters=0 returns the k lowest-id vectors") {
+    val df = vecFrame(
+      9L -> Seq(0.5f, 0.5f), 1L -> Seq(1.0f, 0.0f),
+      4L -> Seq(0.0f, 1.0f), 7L -> Seq(0.25f, 0.25f))
+    val cents = Ann.kmeansFit(spark, df, "vid", "v", k = 2, iters = 0, dims = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cents === Map(1L -> Seq(1.0f, 0.0f), 4L -> Seq(0.0f, 1.0f)))
+  }
 }
