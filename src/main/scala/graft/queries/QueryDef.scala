@@ -39,6 +39,7 @@ object Tables {
     // Library-wide native functions: any query may reach them via selectExpr.
     graft.functions.TextExpressions.register(spark)
     graft.functions.BloomExpressions.register(spark)
+    graft.functions.CmsExpressions.register(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")

@@ -1384,6 +1384,60 @@ object TextQueries {
         ORDER BY doc_id, mix_copy"""),
       "Deterministic epoch oversampling via Mixture.sampleByRatesWithRepeats: " +
         "rates above 1 replicate rows (full copies + one hash-gated fractional " +
-        "copy) — map-only, reproducible, replica-addressable via mix_copy.")
+        "copy) — map-only, reproducible, replica-addressable via mix_copy."),
+
+    // ---------------------------------------------------------------- q91
+    Q(
+      "q91_cms_freq",
+      (s, dir) => {
+        import s.implicits._
+        // Count-min point-frequency estimates per language: the grid is a
+        // FIXED-SIZE mergeable aggregate (map-side combine, counters add),
+        // so frequency lookups cost O(depth x width) memory where an exact
+        // count shuffles one row per DISTINCT token — billions at 100 TB.
+        // Completes the sketch family: Bloom = "present?", Misra-Gries =
+        // "which keys are heavy?", CMS = "how often is THIS key?". Counter
+        // addition commutes, so unlike Misra-Gries the estimates are
+        // deterministic across runs and partitionings. The oracle checks
+        // the CMS contract against exact counts (the q36/q62 pattern):
+        // estimates never undercount, and the overshoot (pure collision
+        // mass) stays under 8 * N / width — integer arithmetic, exact
+        // cross-engine.
+        val width = 1024
+        val depth = 5
+        val md5long = graft.functions.HashConventions.md5long48 _
+        val toks = table(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", expr(md5long("tok")))
+        val exact = toks.groupBy("lang", "tok", "h").agg(count(lit(1)).as("freq"))
+        val totals = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+        val sketch = toks
+          .select(col("lang").as("_1"), col("h").as("_2")).as[(String, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.operators.CmsAgg(width, depth).toColumn.name("cms"))
+          .toDF("lang", "cms")
+        exact.filter(col("freq") >= 10)
+          .join(broadcast(sketch), Seq("lang"))
+          .join(broadcast(totals), Seq("lang"))
+          .withColumn("est", expr("cms_estimate(cms, h)"))
+          .select(
+            col("lang"), col("tok"), col("freq"),
+            (col("est") >= col("freq")).as("never_under"),
+            ((col("est") - col("freq")) * width <= col("n_tokens") * 8)
+              .as("overshoot_ok"))
+          .orderBy("lang", "tok")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        exact AS (SELECT lang, tok, COUNT(1) AS freq FROM toks GROUP BY lang, tok)
+        SELECT lang, tok, freq,
+               TRUE AS never_under, TRUE AS overshoot_ok
+        FROM exact WHERE freq >= 10
+        ORDER BY lang, tok"""),
+      "Count-min-sketch per-language token frequencies probed through the " +
+        "codegen'd cms_estimate expression: fixed-size mergeable grid instead of " +
+        "a per-distinct-token shuffle; oracle asserts the never-undercount and " +
+        "bounded-overshoot contract against exact counts.")
   )
 }
