@@ -1439,5 +1439,89 @@ object TextQueries {
         "codegen'd cms_estimate expression: fixed-size mergeable grid instead of " +
         "a per-distinct-token shuffle; oracle asserts the never-undercount and " +
         "bounded-overshoot contract against exact counts.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q92
+    Q(
+      "q92_dup_spans",
+      (s, dir) => {
+        // Span-level duplication: WHERE inside each document the repeated
+        // text lives — the positional complement of doc-level dedup
+        // (q23/q57 say WHICH docs are near-copies; this marks the byte
+        // ranges to cut, the substring-dedup pass training pipelines run
+        // after doc dedup). Positional 3-gram shingles carry their token
+        // offset, the cross-corpus doc-frequency flags boilerplate
+        // shingles (df >= 5 DISTINCT docs), and each doc's flagged
+        // positions collapse into maximal spans by gaps-and-islands — the
+        // GridFill rewrite's shape. Scale: one hash-keyed shuffle for df,
+        // one hash equi-join back (the flagged set grows with the corpus,
+        // so it is NOT broadcast), one doc-keyed window; no single-task
+        // stage, everything integer-exact cross-engine.
+        val dupDf = 5
+        val posts = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            posexplode(expr("word_ngram_hash48(toks, 3)")).as(Seq("pos0", "h")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+        val hot = posts.select("h", "doc_id").distinct()
+          .groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= dupDf)
+          .select("h")
+        val flagged = posts.join(hot, Seq("h")).select("doc_id", "pos")
+        val before = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val upto = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        flagged
+          // a 3-gram at pos covers tokens [pos, pos+2]; a new island starts
+          // when this gram no longer overlaps-or-touches the running
+          // farthest end of the grams before it
+          .withColumn("prev_end", max(col("pos") + 2).over(before))
+          .withColumn("new_isl",
+            (col("pos") > coalesce(col("prev_end"), lit(-2)) + 1).cast("int"))
+          .withColumn("isl", sum("new_isl").over(upto))
+          .groupBy("doc_id", "isl")
+          .agg(
+            min("pos").as("span_start"),
+            (max(col("pos")) + lit(2)).as("span_end"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + 1).as("span_tokens"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        posts AS (
+          SELECT doc_id, unnest(range(1, len(toks) - 1)) AS pos, toks FROM d),
+        hashed AS (
+          SELECT doc_id, pos,
+                 CAST('0x' || substr(md5(toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2]), 1, 12) AS BIGINT) AS h
+          FROM posts),
+        hot AS (
+          SELECT h FROM (SELECT DISTINCT h, doc_id FROM hashed)
+          GROUP BY h HAVING COUNT(1) >= 5),
+        flagged AS (SELECT doc_id, pos FROM hashed JOIN hot USING (h)),
+        pe AS (
+          SELECT doc_id, pos,
+                 MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM flagged),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN pos > COALESCE(prev_end, -2) + 1
+                     THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM pe)
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end,
+               MAX(pos) + 2 - MIN(pos) + 1 AS span_tokens
+        FROM isl GROUP BY doc_id, isl
+        ORDER BY doc_id, span_start"""),
+      "Span-level substring duplication: positional shingle df flags boilerplate " +
+        "grams, gaps-and-islands merges them into maximal per-doc spans — the " +
+        "cut-list substring dedup emits after doc-level dedup; three key-partitioned " +
+        "shuffles, no single-task stage.")
   )
 }
