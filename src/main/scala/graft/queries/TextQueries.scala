@@ -1522,6 +1522,86 @@ object TextQueries {
       "Span-level substring duplication: positional shingle df flags boilerplate " +
         "grams, gaps-and-islands merges them into maximal per-doc spans — the " +
         "cut-list substring dedup emits after doc-level dedup; three key-partitioned " +
-        "shuffles, no single-task stage.")
+        "shuffles, no single-task stage."),
+
+    // ---------------------------------------------------------------- q94
+    Q(
+      "q94_bm25",
+      (s, dir) => {
+        // BM25 retrieval scoring — the lexical ranking half of the search
+        // story (q33/q54 rank by embedding; this ranks by term statistics).
+        // Everything is relational: tf is a (doc, term) count, df/avgdl are
+        // tiny aggregates, and the 3-term query side BROADCASTS — the
+        // corpus shuffles once for tf, never for the join. Cross-engine
+        // determinism: all counts exact; per-term scores share the IDENTICAL
+        // expression tree (only ln carries 1-ulp slack); the per-doc sum
+        // folds term scores in SORTED term order (the duckDot discipline,
+        // so association cannot differ); the final round(,6) absorbs the
+        // ln slack, and ranking uses the ROUNDED score.
+        val k1 = "1.2"
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = lens.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+        // the "query": the 3 globally most frequent terms — deterministic,
+        // self-contained, and a worst case (longest posting lists)
+        val qterms = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("tok")).limit(3).select("tok")
+        val dfs = toks.join(broadcast(qterms), Seq("tok"))
+          .select("tok", "doc_id").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val tfs = toks.join(broadcast(qterms), Seq("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        tfs
+          .join(lens, Seq("doc_id"))
+          .join(broadcast(dfs), Seq("tok"))
+          .crossJoin(broadcast(stats))
+          .withColumn("sterm", expr(
+            s"""ln(1.0d + (cast(nd - df as double) + 0.5d) / (cast(df as double) + 0.5d))
+                * ((cast(tf as double) * 2.2d)
+                   / (cast(tf as double)
+                      + $k1 * (0.25d + 0.75d * (cast(dl as double)
+                                                / (cast(tt as double) / cast(nd as double))))))"""))
+          .groupBy("doc_id")
+          .agg(expr(
+            """round(aggregate(
+                 transform(array_sort(collect_list(struct(tok, sterm))), p -> p.sterm),
+                 cast(0 as double), (a, v) -> a + v), 6)""").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+          .select("doc_id", "bm25")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        lens AS (SELECT doc_id, COUNT(1) AS dl FROM toks GROUP BY doc_id),
+        st AS (SELECT COUNT(1) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
+        qt AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(1) AS f FROM toks GROUP BY tok
+            ORDER BY f DESC, tok LIMIT 3)),
+        dft AS (
+          SELECT tok, COUNT(DISTINCT doc_id) AS df
+          FROM toks JOIN qt USING (tok) GROUP BY tok),
+        tft AS (
+          SELECT doc_id, tok, COUNT(1) AS tf
+          FROM toks JOIN qt USING (tok) GROUP BY doc_id, tok),
+        sc AS (
+          SELECT t.doc_id, t.tok,
+                 ln(1.0 + (CAST(st.nd - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                 * ((CAST(t.tf AS DOUBLE) * 2.2)
+                    / (CAST(t.tf AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                               / (CAST(st.tt AS DOUBLE) / CAST(st.nd AS DOUBLE)))))) AS sterm
+          FROM tft t JOIN lens l USING (doc_id) JOIN dft d USING (tok), st)
+        SELECT doc_id,
+               round(list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE), list(sterm ORDER BY tok)),
+                 (a, v) -> a + v), 6) AS bm25
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20"""),
+      "BM25 lexical ranking: broadcast query terms, one corpus shuffle for tf, " +
+        "tiny df/length aggregates — per-term scores on an identical expression " +
+        "tree, per-doc sum folded in sorted term order, rounded ranking.")
   )
 }
