@@ -1602,6 +1602,60 @@ object TextQueries {
         ORDER BY bm25 DESC, doc_id LIMIT 20"""),
       "BM25 lexical ranking: broadcast query terms, one corpus shuffle for tf, " +
         "tiny df/length aggregates — per-term scores on an identical expression " +
-        "tree, per-doc sum folded in sorted term order, rounded ranking.")
+        "tree, per-doc sum folded in sorted term order, rounded ranking."),
+
+    // ---------------------------------------------------------------- q95
+    Q(
+      "q95_snapshot_diff",
+      (s, dir) => {
+        // Snapshot regression diff through the SnapshotDiff operator: v2 is
+        // a deterministic mutation of the corpus (drops, edits, additions),
+        // and the diff labels every key added/removed/changed/unchanged.
+        // The operator projects each side to (key, md5-of-JSON fingerprint)
+        // BEFORE the full-outer join, so the corpus-sized join shuffles two
+        // narrow columns, never document payloads — the q82 fingerprint
+        // says WHETHER snapshots differ; this says WHERE. The oracle
+        // re-derives the statuses with direct column comparison
+        // (IS DISTINCT FROM), independent of the operator's hashing.
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val v1 = table(s, dir, "documents").select(cols.map(col): _*)
+        val v2 = v1.filter(col("doc_id") % 97 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 31 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))
+          .unionByName(
+            v1.filter(col("doc_id") % 53 === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                concat(col("text"), lit(" new")).as("text"),
+                col("lang"), col("source"), col("n_chars")))
+        graft.operators.SnapshotDiff
+          .diff(v1, v2, Seq("doc_id"), cols.tail)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id, text, lang, source, n_chars FROM documents),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 31 = 0 THEN text || ' rev2' ELSE text END AS text,
+                 lang, source, n_chars
+          FROM documents WHERE doc_id % 97 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' new', lang, source, n_chars
+          FROM documents WHERE doc_id % 53 = 0)
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN (v1.text IS DISTINCT FROM v2.text)
+                      OR (v1.lang IS DISTINCT FROM v2.lang)
+                      OR (v1.source IS DISTINCT FROM v2.source)
+                      OR (v1.n_chars IS DISTINCT FROM v2.n_chars)
+                    THEN 'changed' ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        ORDER BY doc_id"""),
+      "Keyed snapshot diff via narrow fingerprint projection + one full-outer " +
+        "hash join: payloads never shuffle, statuses re-derived by the oracle " +
+        "with direct column comparison — the per-key regression tool next to " +
+        "q82's whole-dataset fingerprint.")
   )
 }

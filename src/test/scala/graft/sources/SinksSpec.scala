@@ -44,6 +44,19 @@ class SinksSpec extends AnyFunSuite {
 
   test("bucketed table joins with zero exchanges on the bucket key") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    // self-clean: when this suite reuses another suite's session, the temp
+    // warehouse config above is inert (static conf) and the managed table
+    // lands in the session's real warehouse — where a stale directory from
+    // any earlier aborted run fails CREATE TABLE with LOCATION_ALREADY_EXISTS
+    // even though the catalog itself is fresh
+    spark.sql("DROP TABLE IF EXISTS docs_bkt")
+    val whDir = new java.io.File(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath, "docs_bkt")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (whDir.exists()) rm(whDir)
     Sinks.writeBucketedTable(docs, "docs_bkt", nBuckets = 4,
       bucketCols = Seq("doc_id"), sortCols = Seq("doc_id"))
     // disable broadcast so the join must rely on the bucket layout — the
