@@ -229,4 +229,36 @@ class PlanShapesSpec extends AnyFunSuite {
     // pruned output: volumes not materialized by the scan
     assert(!p.contains("ask_volume"), p)
   }
+
+  test("q92 flagged-shingle join is never FORCED to broadcast") {
+    // the flagged set grows with the corpus, so it must not carry a
+    // broadcast HINT: Catalyst may still broadcast it at tiny SFs from
+    // size stats (correct — and at 100 TB the same stats flip it to a
+    // shuffle join). Lock the degradation: with the threshold disabled
+    // the plan must fall back to a hash-partitioned join, which a forced
+    // broadcast() would not.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q92_dup_spans")
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
+  test("q94 BM25 broadcasts the query-term side, corpus joins stay hash-local") {
+    val p = plan("q94_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // ranking is top-k, not a global sort of all scored docs
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q95 snapshot diff shuffles narrow fingerprints, no payload broadcast") {
+    val p = plan("q95_snapshot_diff")
+    // both sides are corpus-sized: the full-outer join must be a shuffle
+    // join over the (key, fingerprint) projection
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("FullOuter") || p.contains("full_outer") || p.contains("FULL OUTER"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -63,4 +63,31 @@ class StreamingOpsSpec extends AnyFunSuite {
     val batch = chunk(docs).collect().map(_.toSeq).toSet
     assert(streamed === batch, "streaming chunks must equal batch chunks")
   }
+
+  test("CmsAgg aggregates a stream to the exact batch grid (complete mode)") {
+    // sketches whose merge COMMUTES are streaming-ready as aggregates: the
+    // state store keeps one grid per group and micro-batch arrival order
+    // cannot change the counters. The streamed grid must be byte-identical
+    // to the batch build — the live-ingest frequency monitor for free.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val keys = docs.select(col("doc_id")).as[Long].collect()
+      .map(graft.operators.BloomSketch.splitmix64)
+    val mem = MemoryStream[Long]
+    // two separate micro-batches: the state-store merge path must engage
+    mem.addData(keys.take(keys.length / 2).toIndexedSeq)
+    val agg = new graft.operators.CmsAgg(256, 4)
+    val name = s"cms_stream_${System.nanoTime()}"
+    val q = mem.toDS().groupByKey(_ => 1).agg(agg.toColumn.name("cms"))
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(keys.drop(keys.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name).select("cms").head().getAs[Array[Byte]](0)
+    val batch = agg.finish(keys.foldLeft(agg.zero)(agg.reduce))
+    assert(streamed.sameElements(batch),
+      "streamed CMS grid must equal the batch grid byte-for-byte")
+  }
 }
