@@ -1751,6 +1751,55 @@ object CoreQueries {
         ORDER BY p"""),
       "Mergeable KLL quantile rollup: per-month sketch partials merged to global " +
         "percentiles — the re-aggregation property exact percentile lacks; " +
-        "rank-contract-checked against an exact counting pass.")
+        "rank-contract-checked against an exact counting pass."),
+
+    // ---------------------------------------------------------------- q96
+    Q(
+      "q96_zorder_code",
+      (s, dir) => {
+        // The Z-value (Morton code) arithmetic under Sinks.writeZOrdered,
+        // oracled end to end: each dimension rank-scales into 16 bits
+        // against in-plan min/max bounds (tiny aggregate, broadcast back —
+        // no driver collect), then the bits interleave so nearby
+        // (user, time) points share code prefixes. This is the sort key
+        // that gives every output file a small RECTANGLE of the dim space
+        // — multi-dim parquet min/max pruning that single-column sorting
+        // cannot provide. Exact cross-engine: double scaling + floor is
+        // IEEE, everything after is integer bit ops; the Spark and DuckDB
+        // spellings come from the SAME generator loop (dialect-split only
+        // at the shift operators).
+        val dims = Seq(
+          ("user_id", "__lo_user_id", "__hi_user_id"),
+          ("ms", "__lo_ms", "__hi_ms"))
+        val e = table(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ms"))
+        val bounds = e.agg(
+          min("user_id").as("__lo_user_id"), max("user_id").as("__hi_user_id"),
+          min("ms").as("__lo_ms"), max("ms").as("__hi_ms"))
+        e.filter(col("event_id") % 50 === 0)
+          .crossJoin(broadcast(bounds))
+          .withColumn("z",
+            expr(graft.sources.Sinks.zValueSql(dims, 16, "spark")))
+          .select("event_id", "user_id", "ms", "z")
+          .orderBy("event_id")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events),
+        b AS (
+          SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+                 min(ms) AS lo_m, max(ms) AS hi_m
+          FROM e)
+        SELECT event_id, user_id, ms,
+               ${graft.sources.Sinks.zValueSql(
+                 Seq(("user_id", "lo_u", "hi_u"), ("ms", "lo_m", "hi_m")),
+                 16, "duck")} AS z
+        FROM e CROSS JOIN b
+        WHERE event_id % 50 = 0
+        ORDER BY event_id"""),
+      "Morton z-code computation (the writeZOrdered sort key): in-plan bounds, " +
+        "16-bit rank scaling, bit interleave — the multi-dim clustering layout " +
+        "for box-predicate file pruning; both spellings from one generator.")
   )
 }

@@ -90,4 +90,79 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     nFiles
   }
+
+  /**
+   * SQL fragment: the Z-value (Morton code) of `dimCols`, each rank-scaled
+   * into `bits` bits against `[lo_i, hi_i]` bound columns, bit-interleaved
+   * so nearby points in EVERY dimension get nearby codes. Shared by
+   * [[writeZOrdered]] and its DuckDB oracle twin (identical arithmetic:
+   * exact double scaling, floor, then integer bit ops — deterministic
+   * cross-engine).
+   *
+   * `dims` is (valueExpr, loExpr, hiExpr) per dimension. `dialect` picks
+   * the bit-shift spelling: "spark" (shiftleft/shiftright functions) or
+   * "duck" (infix << / >>) — everything else is shared verbatim.
+   */
+  def zValueSql(
+      dims: Seq[(String, String, String)],
+      bits: Int,
+      dialect: String = "spark"): String = {
+    require(dims.size >= 2, "z-ordering needs at least 2 dimensions")
+    require(bits >= 1 && bits * dims.size <= 62,
+      s"bits ($bits) x dims (${dims.size}) must fit a signed long")
+    val (shl, shr): ((String, Int) => String, (String, Int) => String) = dialect match {
+      case "spark" => ((a, n) => s"shiftleft($a, $n)", (a, n) => s"shiftright($a, $n)")
+      case "duck" => ((a, n) => s"(($a) << $n)", (a, n) => s"(($a) >> $n)")
+      case other => throw new IllegalArgumentException(s"unknown dialect: $other")
+    }
+    val n = dims.size
+    val top = (1L << bits) - 1
+    val scaled = dims.map { case (x, lo, hi) =>
+      s"""(CASE WHEN ($hi) = ($lo) THEN CAST(0 AS BIGINT)
+          ELSE least(CAST($top AS BIGINT),
+                     CAST(floor((CAST($x AS DOUBLE) - CAST($lo AS DOUBLE))
+                                / (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE) + 1.0)
+                                * ${1L << bits}.0) AS BIGINT)) END)"""
+    }
+    (for {
+      j <- 0 until bits
+      (s, i) <- scaled.zipWithIndex
+    } yield s"(${shl(s"${shr(s, j)} & 1", j * n + i)})")
+      .mkString(" | ")
+  }
+
+  /**
+   * Z-order (Morton-curve) clustered layout: rows sort by the interleaved
+   * bit code of `dimCols`, so every output file covers a small RECTANGLE
+   * of the dim space instead of a thin slice of one column. Parquet
+   * min/max footer stats on ALL dims then prune files for multi-dim box
+   * predicates — the layout trick single-column sorting cannot give
+   * (sorting by ts makes user_id ranges per file full-width, and vice
+   * versa). The lakehouse standard for "filter by user AND time" tables.
+   *
+   * Bounds are computed in-plan (tiny aggregate, broadcast back): no
+   * driver-side collect, and the write stays one range shuffle (the
+   * repartitionByRange on the code) + local sort.
+   */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      dimCols: Seq[String],
+      nFiles: Int,
+      bits: Int = 16): Unit = {
+    require(nFiles >= 1, s"nFiles ($nFiles) must be positive")
+    val reserved = ("__z" +: dimCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c"))).toSet
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val boundAggs = dimCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    val dims = dimCols.map(c => (c, s"__lo_$c", s"__hi_$c"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", expr(zValueSql(dims, bits)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(df.columns.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

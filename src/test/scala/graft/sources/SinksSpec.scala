@@ -92,4 +92,42 @@ class SinksSpec extends AnyFunSuite {
     val a = spark.read.parquet(out)
     assert(a.exceptAll(docs).count() === 0 && docs.exceptAll(a).count() === 0)
   }
+
+  test("writeZOrdered bounds BOTH dims per file; single-column sort cannot") {
+    import org.apache.spark.sql.functions.{input_file_name, unix_millis}
+    // events has nanos ts: read via the library loader (nanosAsLong rebuild)
+    val events = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+    // per-file bounding-box spans, normalized by the global span
+    def spans(path: String): (Double, Double) = {
+      val df = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("user_id") - min("user_id")).as("su"),
+          (max("ms") - min("ms")).as("sm"))
+        .agg(avg("su"), avg("sm"))
+        .head()
+      val g = events.agg(
+        (max("user_id") - min("user_id")).cast("double"),
+        (max("ms") - min("ms")).cast("double")).head()
+      (df.getDouble(0) / g.getDouble(0), df.getDouble(1) / g.getDouble(1))
+    }
+    val zDir = Files.createTempDirectory("sinks_z").toString + "/z"
+    Sinks.writeZOrdered(events, zDir, Seq("user_id", "ms"), nFiles = 16)
+    val (zu, zm) = spans(zDir)
+    // the contrast layout: sort by time alone — each file then spans the
+    // FULL user range (the layout that cannot prune user filters)
+    val tDir = Files.createTempDirectory("sinks_t").toString + "/t"
+    events.repartitionByRange(16, col("ms")).sortWithinPartitions("ms")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tDir)
+    val (tu, _) = spans(tDir)
+    // z-order: every file covers a small rectangle — both dims bounded
+    assert(zu < 0.5 && zm < 0.5, s"z-order file spans not rectangular: u=$zu ms=$zm")
+    // time-sorted: user span per file is essentially the full range
+    assert(tu > 0.9, s"contrast layout should span full user range, got $tu")
+    assert(zu < tu / 2, s"z-order must beat single-column sort on the other dim: $zu vs $tu")
+    // and the data round-trips
+    val back = spark.read.parquet(zDir)
+    assert(back.exceptAll(events).count() === 0 && events.exceptAll(back).count() === 0)
+  }
 }
