@@ -1800,6 +1800,47 @@ object CoreQueries {
         ORDER BY event_id"""),
       "Morton z-code computation (the writeZOrdered sort key): in-plan bounds, " +
         "16-bit rank scaling, bit interleave — the multi-dim clustering layout " +
-        "for box-predicate file pruning; both spellings from one generator.")
+        "for box-predicate file pruning; both spellings from one generator."),
+
+    // ---------------------------------------------------------------- q98
+    Q(
+      "q98_equidepth_hist",
+      (s, dir) => {
+        // Equi-DEPTH histogram (q52 is equi-width): 20 buckets of equal
+        // row count over lineitem prices. The naive spelling is
+        // ntile(20) OVER (ORDER BY price) — a GLOBAL window, one task
+        // sorting the entire corpus. This routes through GlobalRank's
+        // two-phase shape instead: sketch boundaries, bounded per-bucket
+        // local sorts, offset arithmetic — no task ever sorts more than
+        // ~rows/32, yet the ranks (and so the tile edges) are EXACT, and
+        // the oracle pins them against DuckDB's native ntile.
+        val li = table(s, dir, "lineitem")
+          .select(col("l_extendedprice").cast("double").as("price"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+          .withColumn("seg", lit("all"))
+        val ranked = graft.operators.GlobalRank
+          .withGlobalRank(li, "seg", "price", "tie")
+        ranked
+          .withColumn("bucket",
+            expr(graft.operators.GlobalRank.ntileExpr("rn", "n_seg", 20)))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min("price").as("lo"),
+            max("price").as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH t AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+                 l_orderkey * 10 + l_linenumber AS tie
+          FROM lineitem),
+        n AS (
+          SELECT price, ntile(20) OVER (ORDER BY price, tie) AS bucket FROM t)
+        SELECT bucket, COUNT(1) AS n_rows, MIN(price) AS lo, MAX(price) AS hi
+        FROM n GROUP BY bucket ORDER BY bucket"""),
+      "Equi-depth histogram via the two-phase GlobalRank shape: exact ntile " +
+        "edges with bounded per-bucket sorts — the global-window spelling that " +
+        "would serialize the corpus into one task never appears.")
   )
 }

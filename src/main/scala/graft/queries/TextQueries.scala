@@ -1656,6 +1656,93 @@ object TextQueries {
       "Keyed snapshot diff via narrow fingerprint projection + one full-outer " +
         "hash join: payloads never shuffle, statuses re-derived by the oracle " +
         "with direct column comparison — the per-key regression tool next to " +
-        "q82's whole-dataset fingerprint.")
+        "q82's whole-dataset fingerprint."),
+
+    // ---------------------------------------------------------------- q97
+    Q(
+      "q97_lsh_quality",
+      (s, dir) => {
+        // Grading the sketch against ground truth — the eval every dedup
+        // deployment runs before trusting LSH at 100 TB: candidate pairs
+        // from the 2x2 MinHash bands (q25's machinery) scored against
+        // EXACT Jaccard >= 0.5 pairs from the full posting-list join
+        // (q48's machinery, uncut: truth must not be thresholded). Output
+        // is the one-row confusion summary; recall/precision are exact
+        // IEEE divisions of exact counts. Scale: the truth side is the
+        // expensive Sigma df^2 join — affordable as an offline AUDIT on a
+        // sample, which is exactly how this query is meant to be run; the
+        // candidate side stays the cheap production path.
+        val sigs = minhashSigs(s, dir)
+        val banded = sigs
+          .select(lit(0).as("band_no"), col("band0").as("bk"), col("doc_id"))
+          .union(sigs.select(lit(1).as("band_no"), col("band1").as("bk"), col("doc_id")))
+        val cand = banded.as("a")
+          .join(banded.as("b"), Seq("band_no", "bk"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val posts = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("doc_id", s"array_distinct($sparkShingles) as sh")
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val truth = posts.as("a")
+          .join(posts.as("b"), Seq("shingle"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("nc"))
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .filter(col("nc").cast("double") / (col("na") + col("nb") - col("nc")) >= 0.5)
+          .select("da", "db")
+        val hit = truth.join(cand, Seq("da", "db"))
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(
+            col("n_truth"), col("n_cand"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+            (col("n_hit").cast("double") / col("n_cand")).as("precision"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        sigs AS (SELECT doc_id, ${duckMinhashSelect.mkString(", ")} FROM d),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS bk, doc_id FROM sigs
+          UNION ALL
+          SELECT 1, minh2::VARCHAR || '_' || minh3::VARCHAR, doc_id FROM sigs),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b USING (band_no, bk)
+          WHERE a.doc_id < b.doc_id),
+        posts AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+          FROM d),
+        sizes AS (SELECT doc_id, COUNT(1) AS n FROM posts GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(1) AS nc
+          FROM posts a JOIN posts b USING (sh)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        truth AS (
+          SELECT c.da, c.db FROM common c
+          JOIN sizes sa ON c.da = sa.doc_id
+          JOIN sizes sb ON c.db = sb.doc_id
+          WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.5)
+        SELECT (SELECT COUNT(1) FROM truth) AS n_truth,
+               (SELECT COUNT(1) FROM cand) AS n_cand,
+               (SELECT COUNT(1) FROM truth JOIN cand USING (da, db)) AS n_hit,
+               CAST((SELECT COUNT(1) FROM truth JOIN cand USING (da, db)) AS DOUBLE)
+                 / (SELECT COUNT(1) FROM truth) AS recall,
+               CAST((SELECT COUNT(1) FROM truth JOIN cand USING (da, db)) AS DOUBLE)
+                 / (SELECT COUNT(1) FROM cand) AS precision"""),
+      "LSH quality audit: MinHash band candidates graded against exact-Jaccard " +
+        "ground truth — the one-row recall/precision confusion summary a dedup " +
+        "deployment checks before trusting the sketch; truth side is the offline " +
+        "audit cost, candidates stay the production path.")
   )
 }
