@@ -20,6 +20,10 @@ import graft.functions.{FloatVecDot, TextExpressions, WordNgrams}
  *    (graft.functions.FloatVecDot)
  *  - `word_ngrams(array<string>, n)` — compiled word n-gram shingling
  *    (graft.functions.WordNgrams)
+ *  - `bloom_might_contain(binary, bigint)` — codegen Bloom probe
+ *    (graft.functions.BloomMightContain)
+ *  - `cms_estimate(binary, bigint)` — codegen count-min frequency read
+ *    (graft.functions.CmsEstimate)
  *
  * Injected optimizer rules:
  *  - [[graft.plans.LevenshteinPrefilter]] — guards `levenshtein(a,b) <= k`
@@ -45,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngram_hash48"),
       new ExpressionInfo(classOf[graft.functions.WordNgramHash48].getName, "word_ngram_hash48"),
       TextExpressions.wordNgramHash48Builder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => graft.functions.BloomMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => graft.functions.CmsEstimate(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

@@ -40,6 +40,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](1) === Seq("a b", "b c", "c d"))
   }
 
+  test("sketch probes (bloom_might_contain, cms_estimate) are usable from pure SQL") {
+    val bloomAgg = new graft.operators.BloomAgg(4096, 7)
+    val keys = (1L to 100L).map(graft.operators.BloomSketch.splitmix64)
+    val bloom = bloomAgg.finish(keys.foldLeft(bloomAgg.zero)(bloomAgg.reduce))
+    val cmsAgg = new graft.operators.CmsAgg(256, 4)
+    val cms = cmsAgg.finish((keys ++ keys.take(5)).foldLeft(cmsAgg.zero)(cmsAgg.reduce))
+    import org.apache.spark.sql.functions.lit
+    val r = spark.range(1)
+      .select(lit(bloom).as("bl"), lit(cms).as("cm"))
+      .selectExpr(
+        s"bloom_might_contain(bl, ${keys.head}L) as hit",
+        s"cms_estimate(cm, ${keys.head}L) as est")
+      .head()
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) >= 2L)
+  }
+
   test("levenshtein threshold filters gain the length-gap guard, results unchanged") {
     import spark.implicits._
     // parquet round-trip: a foldable local source would be constant-folded
