@@ -1527,7 +1527,7 @@ object TextQueries {
     // ---------------------------------------------------------------- q94
     Q(
       "q94_bm25",
-      (s, dir) => {
+      (s, dir) =>
         // BM25 retrieval scoring — the lexical ranking half of the search
         // story (q33/q54 rank by embedding; this ranks by term statistics).
         // Everything is relational: tf is a (doc, term) count, df/avgdl are
@@ -1538,67 +1538,13 @@ object TextQueries {
         // folds term scores in SORTED term order (the duckDot discipline,
         // so association cannot differ); the final round(,6) absorbs the
         // ln slack, and ranking uses the ROUNDED score.
-        val k1 = "1.2"
-        val toks = table(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = lens.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
-        // the "query": the 3 globally most frequent terms — deterministic,
-        // self-contained, and a worst case (longest posting lists)
-        val qterms = toks.groupBy("tok").agg(count(lit(1)).as("f"))
-          .orderBy(col("f").desc, col("tok")).limit(3).select("tok")
-        val dfs = toks.join(broadcast(qterms), Seq("tok"))
-          .select("tok", "doc_id").distinct()
-          .groupBy("tok").agg(count(lit(1)).as("df"))
-        val tfs = toks.join(broadcast(qterms), Seq("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        tfs
-          .join(lens, Seq("doc_id"))
-          .join(broadcast(dfs), Seq("tok"))
-          .crossJoin(broadcast(stats))
-          .withColumn("sterm", expr(
-            s"""ln(1.0d + (cast(nd - df as double) + 0.5d) / (cast(df as double) + 0.5d))
-                * ((cast(tf as double) * 2.2d)
-                   / (cast(tf as double)
-                      + $k1 * (0.25d + 0.75d * (cast(dl as double)
-                                                / (cast(tt as double) / cast(nd as double))))))"""))
-          .groupBy("doc_id")
-          .agg(expr(
-            """round(aggregate(
-                 transform(array_sort(collect_list(struct(tok, sterm))), p -> p.sterm),
-                 cast(0 as double), (a, v) -> a + v), 6)""").as("bm25"))
+        bm25Frame(s, dir)
           .orderBy(col("bm25").desc, col("doc_id"))
           .limit(20)
-          .select("doc_id", "bm25")
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        lens AS (SELECT doc_id, COUNT(1) AS dl FROM toks GROUP BY doc_id),
-        st AS (SELECT COUNT(1) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
-        qt AS (
-          SELECT tok FROM (
-            SELECT tok, COUNT(1) AS f FROM toks GROUP BY tok
-            ORDER BY f DESC, tok LIMIT 3)),
-        dft AS (
-          SELECT tok, COUNT(DISTINCT doc_id) AS df
-          FROM toks JOIN qt USING (tok) GROUP BY tok),
-        tft AS (
-          SELECT doc_id, tok, COUNT(1) AS tf
-          FROM toks JOIN qt USING (tok) GROUP BY doc_id, tok),
-        sc AS (
-          SELECT t.doc_id, t.tok,
-                 ln(1.0 + (CAST(st.nd - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
-                 * ((CAST(t.tf AS DOUBLE) * 2.2)
-                    / (CAST(t.tf AS DOUBLE)
-                       + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
-                                               / (CAST(st.tt AS DOUBLE) / CAST(st.nd AS DOUBLE)))))) AS sterm
-          FROM tft t JOIN lens l USING (doc_id) JOIN dft d USING (tok), st)
-        SELECT doc_id,
-               round(list_reduce(
-                 list_prepend(CAST(0 AS DOUBLE), list(sterm ORDER BY tok)),
-                 (a, v) -> a + v), 6) AS bm25
-        FROM sc GROUP BY doc_id
+          .select("doc_id", "bm25"),
+      Some(s"""
+        WITH $duckBm25Ctes
+        SELECT doc_id, bm25 FROM bm
         ORDER BY bm25 DESC, doc_id LIMIT 20"""),
       "BM25 lexical ranking: broadcast query terms, one corpus shuffle for tf, " +
         "tiny df/length aggregates — per-term scores on an identical expression " +
@@ -1743,6 +1689,133 @@ object TextQueries {
       "LSH quality audit: MinHash band candidates graded against exact-Jaccard " +
         "ground truth — the one-row recall/precision confusion summary a dedup " +
         "deployment checks before trusting the sketch; truth side is the offline " +
-        "audit cost, candidates stay the production path.")
+        "audit cost, candidates stay the production path."),
+
+    // ---------------------------------------------------------------- q99
+    Q(
+      "q99_hybrid_rrf",
+      (s, dir) => {
+        // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+        // ranking (q94's scorer) and the embedding cosine ranking (q33's
+        // scorer, probe = doc 0's vector) — the production search stack's
+        // standard fusion step, and pure relational algebra: two rankers,
+        // a full-outer join on doc, score = sum of 1/(60 + rank). Ranks
+        // are exact integers, reciprocals and their one fixed-order
+        // addition are IEEE — bit-identical cross-engine with no rounding
+        // needed. Scale: both rankers keep their own shapes (broadcast
+        // terms / broadcast probe); fusion joins two rank frames on doc.
+        graft.functions.VectorExpressions.register(s)
+        val lex = bm25Frame(s, dir)
+          .filter(col("doc_id") =!= 0)
+          .withColumn("rank_lex",
+            expr("row_number() over (order by bm25 desc, doc_id asc)"))
+          .select("doc_id", "rank_lex")
+        val e = table(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding", s"${VectorSql.dot("embedding", "embedding")} as n2")
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pe"), col("n2").as("pn2"))
+        val sem = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .selectExpr("vec_id as doc_id",
+            s"${VectorSql.dot("pe", "embedding")} / (sqrt(pn2) * sqrt(n2)) as sim")
+          .withColumn("rank_sem",
+            expr("row_number() over (order by sim desc, doc_id asc)"))
+          .select("doc_id", "rank_sem")
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            expr("""coalesce(1.0d / (60.0d + cast(rank_lex as double)), 0.0d)
+                    + coalesce(1.0d / (60.0d + cast(rank_sem as double)), 0.0d)"""))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+          .select("doc_id", "rank_lex", "rank_sem", "rrf")
+      },
+      Some(s"""
+        WITH $duckBm25Ctes,
+        lex AS (
+          SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+          FROM bm WHERE doc_id <> 0),
+        en AS (
+          SELECT vec_id, embedding,
+                 ${VectorSql.duckDot("embedding", "embedding")} AS n2
+          FROM embeddings),
+        probe AS (SELECT embedding AS pe, n2 AS pn2 FROM en WHERE vec_id = 0),
+        sem AS (
+          SELECT vec_id AS doc_id,
+                 row_number() OVER (
+                   ORDER BY ${VectorSql.duckDot("pe", "embedding")}
+                              / (sqrt(pn2) * sqrt(n2)) DESC, vec_id ASC) AS rank_sem
+          FROM en CROSS JOIN probe WHERE vec_id <> 0)
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+               COALESCE(1.0 / (60.0 + CAST(rank_lex AS DOUBLE)), 0.0)
+                 + COALESCE(1.0 / (60.0 + CAST(rank_sem AS DOUBLE)), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 20"""),
+      "Hybrid search: reciprocal-rank fusion of BM25 and embedding-cosine " +
+        "rankings — exact integer ranks, IEEE reciprocals in fixed order, " +
+        "full-outer fusion join; each ranker keeps its own scale shape.")
   )
+
+  /** (doc_id, bm25) for every document matching >= 1 query term — q94's
+    * scorer, shared with the q99 fusion. The "query" is the 3 globally
+    * most frequent tokens (deterministic, worst-case posting lists). */
+  private def bm25Frame(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = table(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+    val qterms = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(3).select("tok")
+    val dfs = toks.join(broadcast(qterms), Seq("tok"))
+      .select("tok", "doc_id").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val tfs = toks.join(broadcast(qterms), Seq("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tfs
+      .join(lens, Seq("doc_id"))
+      .join(broadcast(dfs), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sterm", expr(
+        """ln(1.0d + (cast(nd - df as double) + 0.5d) / (cast(df as double) + 0.5d))
+           * ((cast(tf as double) * 2.2d)
+              / (cast(tf as double)
+                 + 1.2 * (0.25d + 0.75d * (cast(dl as double)
+                                           / (cast(tt as double) / cast(nd as double))))))"""))
+      .groupBy("doc_id")
+      .agg(expr(
+        """round(aggregate(
+             transform(array_sort(collect_list(struct(tok, sterm))), p -> p.sterm),
+             cast(0 as double), (a, v) -> a + v), 6)""").as("bm25"))
+  }
+
+  /** DuckDB twin of [[bm25Frame]]: CTE chain ending in `bm(doc_id, bm25)`. */
+  private lazy val duckBm25Ctes: String = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    lens AS (SELECT doc_id, COUNT(1) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT COUNT(1) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
+    qt AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(1) AS f FROM toks GROUP BY tok
+        ORDER BY f DESC, tok LIMIT 3)),
+    dft AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df
+      FROM toks JOIN qt USING (tok) GROUP BY tok),
+    tft AS (
+      SELECT doc_id, tok, COUNT(1) AS tf
+      FROM toks JOIN qt USING (tok) GROUP BY doc_id, tok),
+    sc AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0 + (CAST(st.nd - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+             * ((CAST(t.tf AS DOUBLE) * 2.2)
+                / (CAST(t.tf AS DOUBLE)
+                   + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                           / (CAST(st.tt AS DOUBLE) / CAST(st.nd AS DOUBLE)))))) AS sterm
+      FROM tft t JOIN lens l USING (doc_id) JOIN dft d USING (tok), st),
+    bm AS (
+      SELECT doc_id,
+             round(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(sterm ORDER BY tok)),
+               (a, v) -> a + v), 6) AS bm25
+      FROM sc GROUP BY doc_id)"""
 }

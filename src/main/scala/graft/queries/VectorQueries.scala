@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
  * centroid table assigns every vector to a cluster, and probes then search
  * only their cluster's members instead of the full corpus.
  */
+/** The library's shared exact-dot-product SQL fragments — the cross-engine
+  * float discipline documented on [[VectorQueries]], reusable by any query
+  * file (q99's fusion reuses the cosine ranking). */
+object VectorSql {
+  /** Spark fragment: native codegen left-fold dot (see duckDot for why the
+    * fold order makes the doubles bit-identical cross-engine). */
+  def dot(a: String, b: String): String = s"vec_dot($a, $b)"
+
+  /** DuckDB twin: strict left-fold from 0 (0 + x == x exactly in IEEE). */
+  def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"""
+}
+
 object VectorQueries {
 
   import Tables.table
@@ -34,14 +48,12 @@ object VectorQueries {
    * at an odd decimal digit, creating round-half ties that Spark [HALF_UP]
    * and DuckDB [HALF_EVEN] resolve differently.)
    */
-  private def sparkDot(a: String, b: String): String = s"vec_dot($a, $b)"
+  private def sparkDot(a: String, b: String): String = VectorSql.dot(a, b)
 
   /** DuckDB fragment of the same left-fold dot product (list_reduce folds
     * left-to-right; seeding differs from Spark's 0-init but 0 + x == x
     * exactly in IEEE, so results are bit-identical). */
-  private def duckDot(a: String, b: String): String =
-    s"""list_reduce(list_transform(range(1, len($a) + 1),
-          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, v) -> acc + v)"""
+  private def duckDot(a: String, b: String): String = VectorSql.duckDot(a, b)
 
   /** IVF coarse quantization, shared by q34 (the assignment layer) and q54
     * (the search that routes through it) — both route through the reusable
