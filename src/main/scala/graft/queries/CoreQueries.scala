@@ -1841,6 +1841,78 @@ object CoreQueries {
         FROM n GROUP BY bucket ORDER BY bucket"""),
       "Equi-depth histogram via the two-phase GlobalRank shape: exact ntile " +
         "edges with bounded per-bucket sorts — the global-window spelling that " +
-        "would serialize the corpus into one task never appears.")
+        "would serialize the corpus into one task never appears."),
+
+    // ---------------------------------------------------------------- q100
+    Q(
+      "q100_robust_outliers",
+      (s, dir) => {
+        // Robust per-group outlier stats: EXACT lower median and MAD
+        // (median absolute deviation) — the outlier detector that, unlike
+        // the q84 z-score, a few extreme values cannot drag. Exactness at
+        // scale: each median is a rank extraction through GlobalRank's
+        // two-phase shape (twice: values, then deviations) — never a
+        // single-task percentile buffer, never an approximation. Ordering
+        // ranks on the double CAST of the decimal is order-faithful
+        // (decimal(12,2) -> double is monotone and collision-free at this
+        // precision); the REPORTED median/MAD/deviations stay exact
+        // DECIMAL arithmetic. 5*MAD flags are exact decimal compares.
+        import graft.operators.GlobalRank
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus").as("seg"),
+            col("o_totalprice").as("price"))
+          .withColumn("pd", col("price").cast("double"))
+        val med = GlobalRank.withGlobalRank(o, "seg", "pd", "o_orderkey")
+          .filter(expr("rn = (n_seg + 1) div 2"))
+          .select(col("seg"), col("price").as("med"))
+        val dev = o.join(broadcast(med), Seq("seg"))
+          .withColumn("d", abs(col("price") - col("med")))
+          .withColumn("dd", col("d").cast("double"))
+        val mad = GlobalRank
+          .withGlobalRank(dev.select("seg", "o_orderkey", "d", "dd"),
+            "seg", "dd", "o_orderkey")
+          .filter(expr("rn = (n_seg + 1) div 2"))
+          .select(col("seg"), col("d").as("mad"))
+        dev.join(broadcast(mad), Seq("seg"))
+          .groupBy("seg")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            first("med").as("med"),
+            first("mad").as("mad"),
+            sum((col("d") > col("mad") * 5).cast("long")).as("n_outliers"))
+          .orderBy("seg")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_orderstatus AS seg, o_totalprice AS price
+          FROM orders),
+        r1 AS (
+          SELECT seg, price,
+                 row_number() OVER (PARTITION BY seg
+                   ORDER BY CAST(price AS DOUBLE), o_orderkey) AS rn,
+                 COUNT(1) OVER (PARTITION BY seg) AS n_seg
+          FROM o),
+        med AS (SELECT seg, price AS med FROM r1 WHERE rn = (n_seg + 1) // 2),
+        dev AS (
+          SELECT o.seg, o.o_orderkey, abs(o.price - med.med) AS d, med.med
+          FROM o JOIN med USING (seg)),
+        r2 AS (
+          SELECT seg, d,
+                 row_number() OVER (PARTITION BY seg
+                   ORDER BY CAST(d AS DOUBLE), o_orderkey) AS rn,
+                 COUNT(1) OVER (PARTITION BY seg) AS n_seg
+          FROM dev),
+        mad AS (SELECT seg, d AS mad FROM r2 WHERE rn = (n_seg + 1) // 2)
+        SELECT dev.seg, COUNT(1) AS n_orders,
+               MIN(dev.med) AS med, MIN(mad.mad) AS mad,
+               CAST(SUM(CASE WHEN dev.d > mad.mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers
+        FROM dev JOIN mad USING (seg)
+        GROUP BY dev.seg
+        ORDER BY dev.seg"""),
+      "Robust outlier stats: exact median and MAD per group via two GlobalRank " +
+        "rank extractions (bounded sorts, no percentile buffer, no single-task " +
+        "window) — 5*MAD flags in exact decimal; the detector extreme values " +
+        "cannot drag.")
   )
 }
