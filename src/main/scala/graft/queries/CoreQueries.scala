@@ -1852,11 +1852,11 @@ object CoreQueries {
         // the q84 z-score, a few extreme values cannot drag. Exactness at
         // scale: each median is a rank extraction through GlobalRank's
         // two-phase shape (twice: values, then deviations) — never a
-        // single-task percentile buffer, never an approximation. Ordering
-        // ranks on the double CAST of the decimal is order-faithful
-        // (decimal(12,2) -> double is monotone and collision-free at this
-        // precision); the REPORTED median/MAD/deviations stay exact
-        // DECIMAL arithmetic. 5*MAD flags are exact decimal compares.
+        // single-task percentile buffer, never an approximation. The
+        // median/MAD are SELECTED input values (order statistics), not
+        // computed aggregates; deviations and the 5*MAD compare are IEEE
+        // doubles on the IDENTICAL expression tree in both engines, so
+        // every reported number is bit-identical cross-engine.
         import graft.operators.GlobalRank
         val o = table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus").as("seg"),
