@@ -261,4 +261,31 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(p.contains("FullOuter") || p.contains("full_outer") || p.contains("FULL OUTER"), p)
     assert(!p.contains("BroadcastHashJoin"), p)
   }
+
+  test("runtime bloom-filter injection engages on a selective dim-filtered join") {
+    // the 100 TB shuffle saver Spark gives for free WHEN the plan is
+    // declarative: a selective filter on one join side materializes a
+    // bloom of its join keys, and the OTHER side's scan drops non-matching
+    // rows BEFORE the shuffle. Locked here (thresholds floored — the test
+    // tables are far below the 10 GB production default) so a future
+    // query-library edit that breaks the equi-join shape Catalyst needs
+    // (e.g. wrapping the key in a non-pushable expression) fails loudly.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$Sf/orders.parquet")
+        .filter("o_orderstatus = 'F' and o_totalprice > 200000")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$p")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
