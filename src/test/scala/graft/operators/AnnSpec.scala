@@ -182,6 +182,38 @@ class AnnSpec extends AnyFunSuite {
     assert(cents(1L) === Seq(((1.0 + 0.75 + 0.5) / 3).toFloat, ((0.25 + 0.0) / 3).toFloat))
   }
 
+  test("multimodal features -> kmeansFit codebook -> IVF search, end to end") {
+    // the full self-supervised chain: binary payloads decode to feature
+    // vectors, k-means trains the coarse codebook ON those features, and
+    // the routed search runs against the trained centroids — no hand-picked
+    // codebook anywhere. Deterministic: FakeMediaDecoder is seeded by
+    // payload bytes, kmeansFit by lowest-id init.
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("cast(concat('media:', text) as binary)").as("payload"))
+      .filter(col("doc_id") < 200)
+    val feats = Multimodal.extractFeatures(
+      docs, "doc_id", "payload", new Multimodal.FakeMediaDecoder(16))
+      .select("doc_id", "features")
+    val cents = Ann.kmeansFit(spark, feats, "doc_id", "features",
+      k = 4, iters = 2, dims = 16)
+    assert(cents.count() === 4)
+    val probeIds = feats.filter(col("doc_id") < 5).select("doc_id")
+    val top = Ann.ivfSearch(spark, feats, "doc_id", "features",
+      cents, probeIds, k = 3).collect()
+    assert(top.nonEmpty)
+    // every probe's neighbors share the probe's cluster (IVF routing), and
+    // ranks are 1..n by construction
+    top.groupBy(_.getAs[Long]("pid")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+    }
+    // determinism across reruns: training + search reproduce exactly
+    val again = Ann.ivfSearch(spark, feats, "doc_id", "features",
+      Ann.kmeansFit(spark, feats, "doc_id", "features", k = 4, iters = 2, dims = 16),
+      probeIds, k = 3).collect()
+    assert(top.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("Ann.kmeansFit with iters=0 returns the k lowest-id vectors") {
     val df = vecFrame(
       9L -> Seq(0.5f, 0.5f), 1L -> Seq(1.0f, 0.0f),
