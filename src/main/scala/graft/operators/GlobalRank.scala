@@ -58,12 +58,21 @@ object GlobalRank {
     // below (null never equi-matches) — rank-less row loss where the
     // Window.partitionBy spelling would have ranked it. Fail loudly
     // instead, like the reserved-name clashes do.
+    // boundaries-below count as an UNROLLED comparison chain, not an
+    // aggregate() lambda: higher-order functions evaluate interpreted
+    // (no doGenCode), and at nBuckets-1 lambda calls per row this mapping
+    // sits on every input row — the unrolled spelling stays inside
+    // whole-stage codegen (measured ~2x on the mapping pass over the
+    // 600k-row q98 input at 9 boundaries; the gap grows with nBuckets)
+    val below = (1 until nBuckets)
+      .map(i => s"(case when $valCol > element_at(bnds, $i) then 1 else 0 end)")
+      .mkString(" + ")
     val bucketed = df
       .join(broadcast(bounds), Seq(segCol))
       .withColumn("bucket",
         expr(s"""case when $valCol is null
                  then cast(raise_error('GlobalRank.withGlobalRank: $valCol is null — the documented contract requires a non-null numeric value column') as int)
-                 else aggregate(bnds, 0, (acc, b) -> acc + (case when $valCol > b then 1 else 0 end)) end"""))
+                 else $below end"""))
       .drop("bnds")
     val counts = bucketed.groupBy(segCol, "bucket").agg(count(lit(1)).as("cnt"))
     // tiny frame (segments x nBuckets rows): the windows here are over the

@@ -61,6 +61,13 @@ object Packer {
     // null checks live INSIDE the bucket expression so pruning can never
     // drop them: a null key or count would otherwise corrupt every offset
     // after it silently. Fail loudly instead (GlobalRank's contract).
+    // The boundaries-below count is an UNROLLED comparison chain (not an
+    // aggregate() lambda): HOFs evaluate interpreted, and this mapping
+    // runs per input row — unrolled it stays in whole-stage codegen
+    // (same fix as GlobalRank).
+    val below = (1 until nBuckets)
+      .map(i => s"(case when $orderCol > element_at(bnds, $i) then 1 else 0 end)")
+      .mkString(" + ")
     val bucketed = df
       .crossJoin(broadcast(bounds))
       .withColumn("bucket",
@@ -69,7 +76,7 @@ object Packer {
                    'Packer.withSequenceOffsets: $orderCol is null — the contract requires a non-null unique order column') as int)
                  when $nTokCol is null or $nTokCol < 0 then cast(raise_error(
                    'Packer.withSequenceOffsets: $nTokCol is null or negative — the contract requires a non-null non-negative token count') as int)
-                 else aggregate(bnds, 0, (acc, b) -> acc + (case when $orderCol > b then 1 else 0 end)) end"""))
+                 else $below end"""))
       .drop("bnds")
     // tiny nBuckets-row frame: the window here is over the AGGREGATE
     val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
