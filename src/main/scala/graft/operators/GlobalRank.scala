@@ -46,12 +46,17 @@ object GlobalRank {
     require(nBuckets >= 2, s"nBuckets ($nBuckets) must be at least 2")
     // fail fast instead of silently overwriting (withColumn) and then
     // deleting (drop) a caller column that shares an internal name
-    val reserved = Set("bnds", "bucket", "cnt", "local_rn", "offset", "rn", "n_seg")
+    val reserved = Set("bnds", "bucket", "cnt", "local_rn", "offset", "rn", "n_seg", "__gr_seg", "__gr_bucket")
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
     val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
+    // localCheckpoint (tiny segments-row frame): the bounds sketch feeds
+    // BOTH the offsets branch and the main ranking branch, and each
+    // broadcast build would otherwise re-run the full percentile pass
+    // over the input — checkpointing pins it to exactly one corpus scan
     val bounds = df.groupBy(segCol).agg(
       expr(s"approx_percentile($valCol, array($qs), 1000)").as("bnds"))
+      .localCheckpoint(true)
     // The null check lives INSIDE the bucket expression so pruning can
     // never remove it: a null value would otherwise land in bucket 0 /
     // null and then be silently DROPPED by the (segCol, bucket) equi-joins
@@ -84,11 +89,23 @@ object GlobalRank {
       .withColumn("n_seg", sum("cnt").over(Window.partitionBy(segCol)))
       .select(segCol, "bucket", "offset", "n_seg")
     val wLocal = Window.partitionBy(segCol, "bucket").orderBy(col(valCol), col(tieCol))
+    // NULL-SAFE join keys, deliberately: a plain inner join would infer
+    // isnotnull(bucket) and push it down — and because `bucket` is a
+    // projected expression, the filter materializes INSIDE the bounds-
+    // attach join's condition, where (for a constant-folded segment key
+    // the join degenerates to BroadcastNestedLoopJoin) it evaluates the
+    // whole nBuckets-term chain INTERPRETED per row, twice. <=> keys
+    // generate no isnotnull inference, so the chain stays a single
+    // codegen'd projection (measured ~5x on q98's constant-segment input).
+    val off = offsets
+      .withColumnRenamed(segCol, "__gr_seg")
+      .withColumnRenamed("bucket", "__gr_bucket")
     bucketed
       .withColumn("local_rn", row_number().over(wLocal))
-      .join(broadcast(offsets), Seq(segCol, "bucket"))
+      .join(broadcast(off),
+        col(segCol) <=> col("__gr_seg") && col("bucket") <=> col("__gr_bucket"))
       .withColumn("rn", col("offset") + col("local_rn"))
-      .drop("bucket", "local_rn", "offset")
+      .drop("bucket", "local_rn", "offset", "__gr_seg", "__gr_bucket")
   }
 
   /** The ntile(k) bucket for global rank `rn` of `n` rows — the

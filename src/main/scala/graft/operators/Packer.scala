@@ -52,12 +52,16 @@ object Packer {
     require(nBuckets >= 2, s"nBuckets ($nBuckets) must be at least 2")
     val reserved =
       Set("bnds", "bucket", "b_tot", "b_off", "loc_off",
-        "tok_offset", "first_seq", "last_seq", "n_seqs")
+        "tok_offset", "first_seq", "last_seq", "n_seqs", "__pk_bucket")
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
     val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
+    // localCheckpoint (1-row frame): both downstream branches broadcast
+    // it; checkpointing pins the percentile pass to one corpus scan
+    // (GlobalRank's reasoning)
     val bounds = df.select(
       expr(s"approx_percentile($orderCol, array($qs), 1000)").as("bnds"))
+      .localCheckpoint(true)
     // null checks live INSIDE the bucket expression so pruning can never
     // drop them: a null key or count would otherwise corrupt every offset
     // after it silently. Fail loudly instead (GlobalRank's contract).
@@ -87,10 +91,16 @@ object Packer {
     // bounded local sort: each window partition holds ~rows/nBuckets rows
     val wLocal = Window.partitionBy("bucket").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // NULL-SAFE join key: a plain inner join infers isnotnull(bucket),
+    // which pushes the whole bucket-chain expression into the (degenerate,
+    // interpreted) bounds-attach join condition — GlobalRank's fix, same
+    // pathology
     bucketed
       .withColumn("loc_off",
         coalesce(sum(col(nTokCol).cast("long")).over(wLocal), lit(0L)))
-      .join(broadcast(offsets), Seq("bucket"))
+      .join(broadcast(offsets.withColumnRenamed("bucket", "__pk_bucket")),
+        col("bucket") <=> col("__pk_bucket"))
+      .drop("__pk_bucket")
       .withColumn("tok_offset", col("b_off") + col("loc_off"))
       .withColumn("first_seq", expr(s"tok_offset div $ctxLen"))
       .withColumn("last_seq",
