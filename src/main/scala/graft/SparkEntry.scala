@@ -9,7 +9,8 @@ import graft.queries._
 object SparkEntry {
 
   /** Every library query set, in presentation order. */
-  private def querySets: Seq[Q] = CoreQueries.all ++ TextQueries.all ++ VectorQueries.all
+  private def querySets: Seq[Q] =
+    CoreQueries.all ++ TextQueries.all ++ VectorQueries.all ++ MediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue-by-nation star join: broadcast dims + decimal-exact measures. */

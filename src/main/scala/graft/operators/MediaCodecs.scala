@@ -1,0 +1,283 @@
+package graft.operators
+
+/**
+ * Zero-dependency encoders/decoders for three public byte layouts, so the
+ * multimodal pipeline ([[Multimodal]]) faces REAL format bytes instead of a
+ * stub:
+ *
+ *  - WAV: RIFF container, PCM integer samples, little-endian (the canonical
+ *    44-byte-header layout; the decoder walks chunks, so extra chunks like
+ *    LIST/INFO between `fmt ` and `data` are handled).
+ *  - BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, uncompressed 24-bit BGR,
+ *    rows bottom-up and padded to 4-byte boundaries (top-down negative
+ *    heights accepted on decode).
+ *  - PPM: Netpbm P6 — ASCII header (`P6`, width, height, maxval, with
+ *    `#` comments) followed by binary RGB triplets.
+ *
+ * Everything is plain byte arithmetic on `Array[Byte]` — no javax.imageio,
+ * no sound API — so the decoders run identically inside executor tasks on
+ * any JVM. All failure modes throw `IllegalArgumentException` with the
+ * offending detail (the library's loud-contract rule): a truncated header,
+ * a wrong magic, an unsupported bit depth must fail the task, not decode
+ * garbage into training features.
+ */
+object MediaCodecs {
+
+  // ------------------------------------------------------------------ WAV
+
+  /** Decoded PCM audio: interleaved samples widened to Int (16-bit signed
+    * or 8-bit unsigned-rebased-to-signed, per the WAV spec). */
+  final case class WavPcm(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      samples: Array[Int]) {
+    def nFrames: Int = if (channels == 0) 0 else samples.length / channels
+  }
+
+  /** Encode 16-bit PCM samples (interleaved if channels > 1) as a canonical
+    * RIFF/WAVE byte stream: 12-byte RIFF header, 16-byte `fmt ` chunk,
+    * `data` chunk — 44 header bytes + 2 bytes per sample. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"sampleRate ($sampleRate) must be positive")
+    require(channels > 0, s"channels ($channels) must be positive")
+    require(samples.length % channels == 0,
+      s"sample count ${samples.length} is not a multiple of channels $channels")
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    putAscii(out, 0, "RIFF")
+    putLeInt(out, 4, 36 + dataSize)
+    putAscii(out, 8, "WAVE")
+    putAscii(out, 12, "fmt ")
+    putLeInt(out, 16, 16) // PCM fmt chunk payload size
+    putLeShort(out, 20, 1) // audio format 1 = PCM
+    putLeShort(out, 22, channels)
+    putLeInt(out, 24, sampleRate)
+    putLeInt(out, 28, sampleRate * channels * 2) // byte rate
+    putLeShort(out, 32, channels * 2) // block align
+    putLeShort(out, 34, 16) // bits per sample
+    putAscii(out, 36, "data")
+    putLeInt(out, 40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      putLeShort(out, 44 + 2 * i, samples(i).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a RIFF/WAVE byte stream: validate magics, walk chunks to `fmt `
+    * and `data` (skipping unknown chunks, honoring the RIFF odd-size pad
+    * byte), decode PCM samples. Supports format 1 (integer PCM) at 16 or
+    * 8 bits; anything else fails loudly. */
+  def decodeWav(bytes: Array[Byte]): WavPcm = {
+    require(bytes.length >= 12, s"WAV too short: ${bytes.length} bytes")
+    require(ascii(bytes, 0, 4) == "RIFF", s"not RIFF: magic ${ascii(bytes, 0, 4)}")
+    require(ascii(bytes, 8, 4) == "WAVE", s"not WAVE: form ${ascii(bytes, 8, 4)}")
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = ascii(bytes, pos, 4)
+      val size = leInt(bytes, pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"WAV chunk '$id' at $pos claims $size bytes beyond the payload end")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
+          val audioFormat = leShort(bytes, pos + 8)
+          require(audioFormat == 1, s"unsupported WAV audio format $audioFormat (only PCM=1)")
+          fmt = Some((leShort(bytes, pos + 10), leInt(bytes, pos + 12), leShort(bytes, pos + 22)))
+        case "data" =>
+          data = Some((pos + 8, size))
+        case _ => // unknown chunk (LIST, fact, ...): skip
+      }
+      pos += 8 + size + (size & 1) // RIFF pads odd chunk sizes
+    }
+    val (channels, rate, bits) = fmt.getOrElse(
+      throw new IllegalArgumentException("WAV has no fmt chunk"))
+    val (dOff, dSize) = data.getOrElse(
+      throw new IllegalArgumentException("WAV has no data chunk"))
+    require(channels > 0, s"WAV channels $channels must be positive")
+    require(rate > 0, s"WAV sample rate $rate must be positive")
+    val samples = bits match {
+      case 16 =>
+        require(dSize % 2 == 0, s"16-bit WAV data size $dSize is odd")
+        Array.tabulate(dSize / 2)(i => leShort16Signed(bytes, dOff + 2 * i))
+      case 8 =>
+        // 8-bit WAV is UNSIGNED with midpoint 128; rebase to signed
+        Array.tabulate(dSize)(i => (bytes(dOff + i) & 0xff) - 128)
+      case b =>
+        throw new IllegalArgumentException(s"unsupported WAV bit depth $b (only 8/16)")
+    }
+    WavPcm(rate, channels, bits, samples)
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Decoded 24-bit bitmap: `rgb` is top-down row-major R,G,B bytes
+    * (3 * width * height), row padding stripped. */
+  final case class Bmp(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Encode a top-down row-major RGB buffer as an uncompressed 24-bit BMP:
+    * 14-byte file header, 40-byte BITMAPINFOHEADER, BGR pixel rows written
+    * bottom-up and zero-padded to 4-byte boundaries. */
+  def encodeBmp24(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"dimensions ${width}x$height must be positive")
+    require(rgb.length == 3 * width * height,
+      s"rgb buffer ${rgb.length} != 3*$width*$height")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val imageSize = stride * height
+    val out = new Array[Byte](54 + imageSize)
+    out(0) = 'B'; out(1) = 'M'
+    putLeInt(out, 2, 54 + imageSize) // file size
+    putLeInt(out, 10, 54) // pixel data offset
+    putLeInt(out, 14, 40) // BITMAPINFOHEADER size
+    putLeInt(out, 18, width)
+    putLeInt(out, 22, height) // positive = bottom-up
+    putLeShort(out, 26, 1) // planes
+    putLeShort(out, 28, 24) // bits per pixel
+    putLeInt(out, 30, 0) // BI_RGB, uncompressed
+    putLeInt(out, 34, imageSize)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // bottom-up storage
+      var x = 0
+      while (x < width) {
+        val s = 3 * (srcRow * width + x)
+        val d = 54 + y * stride + 3 * x
+        out(d) = rgb(s + 2) // B
+        out(d + 1) = rgb(s + 1) // G
+        out(d + 2) = rgb(s) // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER or any longer
+    * DIB header): validates magic/offsets, honors bottom-up (positive
+    * height) and top-down (negative) row order, strips row padding. */
+  def decodeBmp(bytes: Array[Byte]): Bmp = {
+    require(bytes.length >= 54, s"BMP too short: ${bytes.length} bytes")
+    require(bytes(0) == 'B' && bytes(1) == 'M',
+      s"not BMP: magic ${ascii(bytes, 0, 2)}")
+    val dataOffset = leInt(bytes, 10)
+    val dibSize = leInt(bytes, 14)
+    require(dibSize >= 40, s"unsupported DIB header size $dibSize (need BITMAPINFOHEADER+)")
+    val width = leInt(bytes, 18)
+    val rawHeight = leInt(bytes, 22)
+    val bpp = leShort(bytes, 28)
+    val compression = leInt(bytes, 30)
+    require(width > 0, s"BMP width $width must be positive")
+    require(rawHeight != 0, "BMP height must be non-zero")
+    require(bpp == 24, s"unsupported BMP bit depth $bpp (only 24)")
+    require(compression == 0, s"unsupported BMP compression $compression (only BI_RGB)")
+    val height = math.abs(rawHeight)
+    val bottomUp = rawHeight > 0
+    val stride = ((width * 3 + 3) / 4) * 4
+    require(dataOffset >= 54 && dataOffset.toLong + stride.toLong * height <= bytes.length,
+      s"BMP pixel data ($dataOffset + $stride*$height) exceeds payload ${bytes.length}")
+    val rgb = new Array[Byte](3 * width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      var x = 0
+      while (x < width) {
+        val s = dataOffset + srcRow * stride + 3 * x
+        val d = 3 * (y * width + x)
+        rgb(d) = bytes(s + 2) // R
+        rgb(d + 1) = bytes(s + 1) // G
+        rgb(d + 2) = bytes(s) // B
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(width, height, rgb)
+  }
+
+  // ------------------------------------------------------------------ PPM
+
+  /** Encode a top-down RGB buffer as binary Netpbm P6 with maxval 255. */
+  def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"dimensions ${width}x$height must be positive")
+    require(rgb.length == 3 * width * height,
+      s"rgb buffer ${rgb.length} != 3*$width*$height")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse binary Netpbm P6: ASCII header tokens (whitespace-separated,
+    * `#` comments to end-of-line), exactly one whitespace byte after
+    * maxval, then 3*width*height binary RGB bytes. */
+  def decodePpm(bytes: Array[Byte]): Bmp = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      s"not PPM P6: magic ${ascii(bytes, 0, math.min(2, bytes.length))}")
+    var pos = 2
+    def nextToken(): Int = {
+      // skip whitespace and '#' comments
+      var inComment = false
+      while (pos < bytes.length &&
+        (inComment || bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') inComment = true
+        else if (bytes(pos) == '\n') inComment = false
+        pos += 1
+      }
+      val start = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+      require(pos > start, s"PPM header truncated at byte $start")
+      val tok = ascii(bytes, start, pos - start)
+      try tok.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"PPM header token '$tok' is not a number")
+      }
+    }
+    val width = nextToken()
+    val height = nextToken()
+    val maxval = nextToken()
+    require(width > 0 && height > 0, s"PPM dimensions ${width}x$height must be positive")
+    require(maxval == 255, s"unsupported PPM maxval $maxval (only 255)")
+    pos += 1 // exactly one whitespace byte after maxval per the spec
+    val need = 3 * width * height
+    require(pos + need <= bytes.length,
+      s"PPM pixel data truncated: need $need bytes at $pos, have ${bytes.length}")
+    Bmp(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+  }
+
+  // ------------------------------------------------------- byte utilities
+
+  private def putAscii(out: Array[Byte], off: Int, s: String): Unit = {
+    var i = 0
+    while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+  }
+
+  private def putLeInt(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >>> 8) & 0xff).toByte
+    out(off + 2) = ((v >>> 16) & 0xff).toByte
+    out(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+
+  private def putLeShort(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >>> 8) & 0xff).toByte
+  }
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def leShort16Signed(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toShort.toInt
+
+  private def ascii(b: Array[Byte], off: Int, len: Int): String =
+    new String(b, off, len, "US-ASCII")
+}

@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
  * as a partition-local batch transform.
  *
  * The Spark side is real and tested — schema handling, per-partition batch
- * iteration (no full-partition materialization), output row shape. The
- * actual media decoding is a pluggable [[MediaDecoder]]; the container has
- * no image/audio libraries, so [[RealMediaDecoder]] is an explicit stub and
- * [[FakeMediaDecoder]] provides a deterministic byte-derived feature vector
- * so the pipeline is end-to-end testable.
+ * iteration (no full-partition materialization), output row shape. Media
+ * decoding is a pluggable [[MediaDecoder]]: [[RealMediaDecoder]] decodes
+ * REAL format bytes (WAV RIFF PCM, 24-bit BMP, Netpbm P6 — the three
+ * zero-dependency public byte layouts in [[MediaCodecs]]) into a metadata +
+ * banded-statistics feature vector; [[FakeMediaDecoder]] remains as the
+ * format-agnostic deterministic stand-in for opaque payloads.
  *
  * At 100 TB this is the right execution shape: decoding is embarrassingly
  * parallel, CPU-bound, and must stream — one payload in flight per core,
@@ -30,15 +31,67 @@ object Multimodal {
   }
 
   /**
-   * STUB: real image/audio decode (JPEG -> pixels -> embedding, PCM ->
-   * mel-spectrogram, ...). The required native/media libraries are not
-   * available in this environment; wire a real implementation here when they
-   * are. Everything around it (schema, partitioning, batching) is live.
+   * Real media decode over the public zero-dependency byte layouts in
+   * [[MediaCodecs]] — dispatches on the payload's magic bytes:
+   *
+   *  - `RIFF…WAVE` -> PCM WAV: features are
+   *    `[1, sampleRate, channels, nFrames, band-mean amplitudes…]`
+   *  - `BM` -> 24-bit BMP: `[2, width, height, 3, band-mean pixel values…]`
+   *  - `P6` -> Netpbm PPM: `[3, width, height, 3, band-mean pixel values…]`
+   *
+   * Feature layout: slot 0 is the format code, slots 1-3 are format
+   * metadata, and the remaining `dim - 4` slots are the means of `dim - 4`
+   * equal contiguous bands of the decoded signal (samples for audio,
+   * RGB bytes for images) — the fixed-width "thumbnail" that downstream
+   * similarity operators consume. An unknown magic or corrupt payload
+   * throws (loud contract): garbage must never silently become features.
    */
   final class RealMediaDecoder(val dim: Int) extends MediaDecoder {
-    def decode(payload: Array[Byte]): Array[Float] =
-      throw new UnsupportedOperationException(
-        "Real media decoding is stubbed in this environment; use FakeMediaDecoder")
+    require(dim >= 5, s"dim ($dim) must be at least 5: 4 metadata slots + >=1 band")
+
+    def decode(payload: Array[Byte]): Array[Float] = {
+      if (payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
+        val wav = MediaCodecs.decodeWav(payload)
+        val sig = wav.samples.map(_.toDouble)
+        build(1f, wav.sampleRate.toFloat, wav.channels.toFloat, wav.nFrames.toFloat, sig)
+      } else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
+        val bmp = MediaCodecs.decodeBmp(payload)
+        build(2f, bmp.width.toFloat, bmp.height.toFloat, 3f,
+          bmp.rgb.map(b => (b & 0xff).toDouble))
+      } else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') {
+        val ppm = MediaCodecs.decodePpm(payload)
+        build(3f, ppm.width.toFloat, ppm.height.toFloat, 3f,
+          ppm.rgb.map(b => (b & 0xff).toDouble))
+      } else {
+        throw new IllegalArgumentException(
+          s"unknown media magic (first bytes: ${payload.take(4).map(b => f"$b%02x").mkString(" ")})")
+      }
+    }
+
+    /** [code, m1, m2, m3] ++ means of (dim-4) equal contiguous signal bands
+      * (empty signal -> 0-filled bands; trailing band takes the remainder). */
+    private def build(
+        code: Float, m1: Float, m2: Float, m3: Float, signal: Array[Double]): Array[Float] = {
+      val out = new Array[Float](dim)
+      out(0) = code; out(1) = m1; out(2) = m2; out(3) = m3
+      val nBands = dim - 4
+      if (signal.nonEmpty) {
+        var b = 0
+        while (b < nBands) {
+          val from = (b.toLong * signal.length / nBands).toInt
+          val until = ((b + 1).toLong * signal.length / nBands).toInt
+          if (until > from) {
+            var s = 0.0
+            var i = from
+            while (i < until) { s += signal(i); i += 1 }
+            out(4 + b) = (s / (until - from)).toFloat
+          }
+          b += 1
+        }
+      }
+      out
+    }
   }
 
   /**
@@ -116,6 +169,90 @@ object Multimodal {
         lit(0.0d),
         (acc, x) => acc + x.cast("double")) / len.cast("double")
     })
+  }
+
+  /**
+   * Decode a WAV (RIFF PCM) binary column into exact typed stats:
+   * (`idCol`, n_bytes: long, sample_rate: int, n_channels: int,
+   * n_samples: long, sum_amp: long, max_amp: int). Sums/extrema are over
+   * the decoded integer samples — EXACT integers, so the whole row is
+   * arithmetic any oracle can re-derive from the source signal. Null
+   * payloads propagate as null stats; corrupt payloads throw (the decoder's
+   * loud contract). Map-only: one payload resident per core, payload
+   * dropped after decode.
+   */
+  def wavStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_amp", LongType, nullable = true),
+      StructField("max_amp", IntegerType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val wav = MediaCodecs.decodeWav(payload)
+          var sum = 0L
+          var max = 0
+          var i = 0
+          while (i < wav.samples.length) {
+            sum += wav.samples(i)
+            if (wav.samples(i) > max || i == 0) max = wav.samples(i)
+            i += 1
+          }
+          Row(r.getLong(idIdx), payload.length.toLong, wav.sampleRate, wav.channels,
+            wav.samples.length.toLong, sum, max)
+        }
+      }
+    }
+  }
+
+  /**
+   * Decode a 24-bit BMP (or PPM P6) binary column into exact typed stats:
+   * (`idCol`, n_bytes: long, width: int, height: int, sum_px: long,
+   * max_px: int) — sum/max over all decoded RGB bytes (padding stripped),
+   * exact integers. Same null/loudness/streaming contract as [[wavStats]].
+   */
+  def imageStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_px", LongType, nullable = true),
+      StructField("max_px", IntegerType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) Row(r.getLong(idIdx), null, null, null, null, null)
+        else {
+          val img =
+            if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6')
+              MediaCodecs.decodePpm(payload)
+            else MediaCodecs.decodeBmp(payload)
+          var sum = 0L
+          var max = 0
+          var i = 0
+          while (i < img.rgb.length) {
+            val v = img.rgb(i) & 0xff
+            sum += v
+            if (v > max) max = v
+            i += 1
+          }
+          Row(r.getLong(idIdx), payload.length.toLong, img.width, img.height, sum, max)
+        }
+      }
+    }
   }
 
   /**

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal queries over REAL media format bytes — the documents table's
+ * text bytes are deterministically synthesized into WAV (RIFF PCM) and BMP
+ * payloads executor-side, then decoded back through the zero-dependency
+ * [[graft.operators.MediaCodecs]] decoders. The oracle re-derives every
+ * output column ARITHMETICALLY from the source text (it never sees the
+ * media bytes), so a single wrong header field, endianness slip, or row-
+ * padding error in either the encoder or the decoder breaks the hash.
+ *
+ * Scale shape: synth and decode are two fused map-only passes (no shuffle);
+ * payloads live one-per-core and die inside the stage — only fixed-width
+ * stats rows survive, exactly how a 100 TB media-feature extraction keeps
+ * executor memory O(batch) rather than O(partition).
+ */
+object MediaQueries {
+
+  import Tables.table
+
+  /** (doc_id, payload): each document's UTF-8 bytes as 16-bit PCM samples
+    * `(b - 64) * 256` (ASCII 32..126 -> -8192..15872, well inside int16)
+    * at 1 channel, sample rate `8000 + doc_id % 100`. */
+  private def wavPayloads(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val textIdx = docs.schema.fieldIndex("text")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val text = r.getString(textIdx)
+        if (text == null) Row(id, null)
+        else {
+          val bytes = text.getBytes("UTF-8")
+          val samples = new Array[Short](bytes.length)
+          var i = 0
+          while (i < bytes.length) {
+            samples(i) = (((bytes(i) & 0xff) - 64) * 256).toShort
+            i += 1
+          }
+          Row(id, graft.operators.MediaCodecs.encodeWavPcm16(
+            8000 + (id % 100).toInt, 1, samples))
+        }
+      }
+    }
+  }
+
+  /** (doc_id, payload): each document's UTF-8 bytes as a width-5 grayscale
+    * 24-bit BMP (pixel RGB = (b, b, b)), height ceil(n/5) (min 1), the tail
+    * row zero-padded — width 5 forces a 15-byte pixel row inside a 16-byte
+    * stride, so the BMP 4-byte row padding is exercised on every row. */
+  private def bmpPayloads(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val textIdx = docs.schema.fieldIndex("text")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val text = r.getString(textIdx)
+        if (text == null) Row(id, null)
+        else {
+          val bytes = text.getBytes("UTF-8")
+          val width = 5
+          val height = math.max(1, (bytes.length + width - 1) / width)
+          val rgb = new Array[Byte](3 * width * height)
+          var i = 0
+          while (i < width * height) {
+            val v: Byte = if (i < bytes.length) bytes(i) else 0
+            rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+            i += 1
+          }
+          Row(id, graft.operators.MediaCodecs.encodeBmp24(width, height, rgb))
+        }
+      }
+    }
+  }
+
+  /** DuckDB list of the document's byte values (pure-ASCII corpus, so code
+    * point == byte value; TESTDATA's generator emits printable ASCII). */
+  private val duckBytes =
+    "list_transform(range(1, octet_length(encode(text)) + 1), i -> unicode(substr(text, i, 1)))"
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------- q101
+    Q(
+      "q101_wav_decode",
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .wavStats(wavPayloads(docs), "doc_id", "payload")
+          .withColumn("mean_amp",
+            when(col("n_samples") === 0, lit(0.0d))
+              .otherwise(col("sum_amp").cast("double") / col("n_samples").cast("double")))
+          .select("doc_id", "n_bytes", "sample_rate", "n_channels",
+            "n_samples", "sum_amp", "mean_amp", "max_amp")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 list_transform($duckBytes, v -> (v - 64) * 256) AS samples
+          FROM documents)
+        SELECT doc_id,
+               CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+               CAST(8000 + doc_id % 100 AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(COALESCE(list_sum(samples), 0) AS BIGINT) AS sum_amp,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE CAST(list_sum(samples) AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_amp,
+               CAST(COALESCE(list_max(samples), 0) AS INTEGER) AS max_amp
+        FROM b
+        ORDER BY doc_id"""),
+      "Real WAV decode: text bytes synthesized into RIFF PCM payloads executor-side, " +
+        "decoded back by the zero-dependency chunk-walking WAV parser — every stat " +
+        "re-derived arithmetically by the oracle from the source bytes, so one wrong " +
+        "header field or endianness slip breaks the hash. Two fused map-only passes."),
+
+    // ---------------------------------------------------------------- q104
+    Q(
+      "q104_bmp_decode",
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .imageStats(bmpPayloads(docs), "doc_id", "payload")
+          .withColumn("mean_px",
+            col("sum_px").cast("double")
+              / (col("width") * col("height") * 3).cast("double"))
+          .select("doc_id", "n_bytes", "width", "height", "sum_px", "mean_px", "max_px")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 greatest(1, CAST(ceil(octet_length(encode(text)) / 5.0) AS INTEGER)) AS h,
+                 $duckBytes AS vals
+          FROM documents)
+        SELECT doc_id,
+               CAST(54 + 16 * h AS BIGINT) AS n_bytes,
+               CAST(5 AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(3 * COALESCE(list_sum(vals), 0) AS BIGINT) AS sum_px,
+               CAST(3 * COALESCE(list_sum(vals), 0) AS DOUBLE)
+                 / CAST(15 * h AS DOUBLE) AS mean_px,
+               CAST(COALESCE(list_max(vals), 0) AS INTEGER) AS max_px
+        FROM b
+        ORDER BY doc_id"""),
+      "Real BMP decode: text bytes as a width-5 grayscale 24-bit bitmap (15-byte pixel " +
+        "rows inside 16-byte strides, so the 4-byte row padding is load-bearing), decoded " +
+        "back with padding stripped — n_bytes locks the stride math, sum/mean/max lock " +
+        "the BGR pixel walk; all re-derived arithmetically by the oracle.")
+  )
+}

@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * MediaCodecs + RealMediaDecoder on REAL format bytes: golden fixtures
+ * produced by INDEPENDENT public implementations (the WAV golden is the
+ * byte-exact output of CPython's `wave` module; the BMP golden is the
+ * public BITMAPFILEHEADER/BITMAPINFOHEADER layout assembled field by
+ * field), plus round-trips, chunk-walking, padding, and the loud-failure
+ * contract on corrupt payloads.
+ */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("MediaCodecsSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // CPython `wave` output for: 8000 Hz mono 16-bit, samples
+  // [0, 1000, -1000, 32767, -32768] — an implementation this codebase
+  // shares no code with.
+  private val GoldenWav = hex(
+    "524946462e00000057415645666d74201000000001000100401f0000803e0000" +
+      "02001000646174610a0000000000e80318fcff7f0080")
+  private val GoldenWavSamples = Array(0, 1000, -1000, 32767, -32768)
+
+  // 2x2 24-bit BMP, top-down pixels (255,0,0),(0,255,0)/(0,0,255),(255,255,255):
+  // bottom-up BGR rows padded to 8-byte stride.
+  private val GoldenBmp = hex(
+    "424d46000000000000003600000028000000020000000200000001001800" +
+      "000000001000000000000000000000000000000000000000" +
+      "ff0000ffffff00000000ff00ff000000")
+  private val GoldenBmpRgb: Array[Byte] =
+    Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+
+  // ------------------------------------------------------------------ WAV
+
+  test("decodeWav reads the CPython-wave golden byte-exactly") {
+    val wav = MediaCodecs.decodeWav(GoldenWav)
+    assert(wav.sampleRate === 8000)
+    assert(wav.channels === 1)
+    assert(wav.bitsPerSample === 16)
+    assert(wav.nFrames === 5)
+    assert(wav.samples.toSeq === GoldenWavSamples.toSeq)
+  }
+
+  test("encodeWavPcm16 emits the identical canonical bytes as CPython wave") {
+    val mine = MediaCodecs.encodeWavPcm16(
+      8000, 1, GoldenWavSamples.map(_.toShort))
+    assert(mine.toSeq === GoldenWav.toSeq)
+  }
+
+  test("WAV round-trip: stereo, extremes, empty") {
+    val samples = Array[Short](-32768, 32767, 0, -1, 1, 255, -256, 12345)
+    val wav = MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm16(44100, 2, samples))
+    assert(wav.sampleRate === 44100)
+    assert(wav.channels === 2)
+    assert(wav.nFrames === 4)
+    assert(wav.samples.toSeq === samples.map(_.toInt).toSeq)
+    val empty = MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm16(8000, 1, Array.empty))
+    assert(empty.nFrames === 0)
+  }
+
+  test("decodeWav walks past unknown chunks (LIST between fmt and data, odd-size pad)") {
+    val base = MediaCodecs.encodeWavPcm16(8000, 1, Array[Short](7, -7))
+    // splice a 5-byte (odd -> 1 pad byte) LIST chunk between fmt and data
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 4, 5, 0)
+    val spliced = base.take(36) ++ list ++ base.drop(36)
+    // fix the RIFF size field (bytes 4-7, LE)
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    val wav = MediaCodecs.decodeWav(spliced)
+    assert(wav.samples.toSeq === Seq(7, -7))
+  }
+
+  test("decodeWav reads 8-bit PCM (unsigned, rebased to signed)") {
+    val base = MediaCodecs.encodeWavPcm16(8000, 1, Array[Short](0, 0, 0))
+    val b = base.clone()
+    // rewrite fmt to 8-bit: bits@34, byteRate@28=8000, blockAlign@32=1, data size 3
+    b(34) = 8
+    b(28) = (8000 & 0xff).toByte; b(29) = (8000 >> 8).toByte; b(30) = 0; b(31) = 0
+    b(32) = 1
+    val withData = b.take(44) ++ Array[Byte](0, 128.toByte, 255.toByte)
+    withData(40) = 3; withData(41) = 0; withData(42) = 0; withData(43) = 0
+    val riffSize = withData.length - 8
+    withData(4) = (riffSize & 0xff).toByte; withData(5) = ((riffSize >> 8) & 0xff).toByte
+    val wav = MediaCodecs.decodeWav(withData)
+    assert(wav.bitsPerSample === 8)
+    assert(wav.samples.toSeq === Seq(-128, 0, 127))
+  }
+
+  test("decodeWav fails loudly on corrupt payloads") {
+    val good = MediaCodecs.encodeWavPcm16(8000, 1, Array[Short](1))
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav("JUNKJUNKJUNKJUNK".getBytes("US-ASCII"))
+    }.getMessage.contains("RIFF"))
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav(good.take(20)) // truncated inside fmt
+    }.getMessage.nonEmpty)
+    val badFormat = good.clone(); badFormat(20) = 3 // IEEE float format
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav(badFormat)
+    }.getMessage.contains("format"))
+    val badBits = good.clone(); badBits(34) = 24
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav(badBits)
+    }.getMessage.contains("bit depth"))
+    val lyingChunk = good.clone(); lyingChunk(40) = 99 // data claims 99 bytes
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav(lyingChunk)
+    }.getMessage.contains("beyond"))
+  }
+
+  // ------------------------------------------------------------------ BMP
+
+  test("decodeBmp reads the golden 2x2 bitmap (bottom-up, stride-padded)") {
+    val bmp = MediaCodecs.decodeBmp(GoldenBmp)
+    assert(bmp.width === 2)
+    assert(bmp.height === 2)
+    assert(bmp.rgb.toSeq === GoldenBmpRgb.toSeq)
+  }
+
+  test("encodeBmp24 emits the identical golden bytes") {
+    assert(MediaCodecs.encodeBmp24(2, 2, GoldenBmpRgb).toSeq === GoldenBmp.toSeq)
+  }
+
+  test("BMP round-trip at a width that forces row padding") {
+    // width 5 -> 15-byte pixel rows inside 16-byte strides
+    val rgb = Array.tabulate(3 * 5 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val bmp = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp24(5, 3, rgb))
+    assert(bmp.width === 5 && bmp.height === 3)
+    assert(bmp.rgb.toSeq === rgb.toSeq)
+  }
+
+  test("decodeBmp accepts top-down (negative height) bitmaps") {
+    val enc = MediaCodecs.encodeBmp24(2, 2, GoldenBmpRgb).clone()
+    // negate the height field (bytes 22-25) and flip the row order in place
+    val neg = -2
+    enc(22) = (neg & 0xff).toByte; enc(23) = ((neg >> 8) & 0xff).toByte
+    enc(24) = ((neg >> 16) & 0xff).toByte; enc(25) = ((neg >> 24) & 0xff).toByte
+    val stride = 8
+    val row0 = enc.slice(54, 54 + stride)
+    System.arraycopy(enc, 54 + stride, enc, 54, stride)
+    System.arraycopy(row0, 0, enc, 54 + stride, stride)
+    val bmp = MediaCodecs.decodeBmp(enc)
+    assert(bmp.rgb.toSeq === GoldenBmpRgb.toSeq)
+  }
+
+  test("decodeBmp fails loudly on corrupt payloads") {
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeBmp(Array.fill[Byte](60)(0))
+    }.getMessage.contains("magic"))
+    val bad8 = GoldenBmp.clone(); bad8(28) = 8
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeBmp(bad8)
+    }.getMessage.contains("bit depth"))
+    val badComp = GoldenBmp.clone(); badComp(30) = 1 // RLE8
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeBmp(badComp)
+    }.getMessage.contains("compression"))
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodeBmp(GoldenBmp.take(60)) // pixel rows truncated
+    }.getMessage.contains("exceeds"))
+  }
+
+  // ------------------------------------------------------------------ PPM
+
+  test("PPM round-trip and header comment handling") {
+    val rgb = Array.tabulate(3 * 4 * 2)(i => (i * 13 % 256).toByte)
+    val ppm = MediaCodecs.decodePpm(MediaCodecs.encodePpm(4, 2, rgb))
+    assert(ppm.width === 4 && ppm.height === 2)
+    assert(ppm.rgb.toSeq === rgb.toSeq)
+    val withComment =
+      "P6\n# a comment line\n4 2\n# more\n255\n".getBytes("US-ASCII") ++ rgb
+    val parsed = MediaCodecs.decodePpm(withComment)
+    assert(parsed.width === 4 && parsed.rgb.toSeq === rgb.toSeq)
+  }
+
+  test("decodePpm fails loudly on corrupt payloads") {
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePpm("P5\n1 1\n255\n ".getBytes("US-ASCII"))
+    }.getMessage.contains("P6"))
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePpm("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))
+    }.getMessage.contains("maxval"))
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3))
+    }.getMessage.contains("truncated"))
+  }
+
+  // -------------------------------------------------- RealMediaDecoder
+
+  test("RealMediaDecoder decodes real WAV bytes into format + band features") {
+    val dec = new Multimodal.RealMediaDecoder(8)
+    val f = dec.decode(GoldenWav)
+    assert(f(0) === 1f) // WAV
+    assert(f(1) === 8000f)
+    assert(f(2) === 1f)
+    assert(f(3) === 5f)
+    // 4 bands over samples [0,1000,-1000,32767,-32768]: boundaries at
+    // floor(b*5/4) -> [0,1), [1,2), [2,3), [3,5)
+    assert(f(4) === 0f)
+    assert(f(5) === 1000f)
+    assert(f(6) === -1000f)
+    assert(f(7) === -0.5f)
+  }
+
+  test("RealMediaDecoder decodes real BMP and PPM bytes") {
+    val dec = new Multimodal.RealMediaDecoder(5)
+    val fb = dec.decode(GoldenBmp)
+    assert(fb(0) === 2f)
+    assert(fb(1) === 2f && fb(2) === 2f && fb(3) === 3f)
+    // one band = mean of all 12 RGB bytes: six 255s / 12 = 127.5
+    assert(fb(4) === 127.5f)
+    val fp = dec.decode(MediaCodecs.encodePpm(2, 2, GoldenBmpRgb))
+    assert(fp(0) === 3f)
+    assert(fp(4) === fb(4))
+  }
+
+  test("RealMediaDecoder throws on unknown magic") {
+    val dec = new Multimodal.RealMediaDecoder(5)
+    assert(intercept[IllegalArgumentException] {
+      dec.decode(Array[Byte](1, 2, 3, 4, 5))
+    }.getMessage.contains("magic"))
+  }
+
+  // ---------------------------------------- Spark-side stat extractors
+
+  private def payloadDf(rows: Seq[(Long, Array[Byte])]) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, p) => Row(i, p) }, 2),
+      schema)
+  }
+
+  test("extractFeatures runs RealMediaDecoder over real-format bytes distributed") {
+    val df = payloadDf(Seq(
+      1L -> GoldenWav,
+      2L -> GoldenBmp,
+      3L -> MediaCodecs.encodePpm(2, 2, GoldenBmpRgb),
+      4L -> null))
+    val out = Multimodal
+      .extractFeatures(df, "id", "payload", new Multimodal.RealMediaDecoder(8))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Float](2).head === 1f) // WAV
+    assert(out(0).getLong(1) === GoldenWav.length.toLong)
+    assert(out(1).getSeq[Float](2).head === 2f) // BMP
+    assert(out(2).getSeq[Float](2).head === 3f) // PPM
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2)) // null payload propagates
+  }
+
+  test("wavStats emits exact integer stats from real WAV bytes") {
+    val out = Multimodal.wavStats(
+      payloadDf(Seq(1L -> GoldenWav, 2L -> null)), "id", "payload")
+      .orderBy("id").collect()
+    val r = out(0)
+    assert(r.getLong(1) === 54L) // n_bytes
+    assert(r.getInt(2) === 8000)
+    assert(r.getInt(3) === 1)
+    assert(r.getLong(4) === 5L)
+    assert(r.getLong(5) === GoldenWavSamples.map(_.toLong).sum)
+    assert(r.getInt(6) === 32767)
+    assert(out(1).isNullAt(1))
+  }
+
+  test("imageStats emits exact integer stats from real BMP and PPM bytes") {
+    val out = Multimodal.imageStats(
+      payloadDf(Seq(
+        1L -> GoldenBmp,
+        2L -> MediaCodecs.encodePpm(2, 2, GoldenBmpRgb))), "id", "payload")
+      .orderBy("id").collect()
+    val expectedSum = GoldenBmpRgb.map(b => (b & 0xff).toLong).sum
+    Seq(out(0), out(1)).foreach { r =>
+      assert(r.getInt(2) === 2 && r.getInt(3) === 2)
+      assert(r.getLong(4) === expectedSum)
+      assert(r.getInt(5) === 255)
+    }
+    assert(out(0).getLong(1) === 70L) // BMP byte size incl. stride padding
+  }
+}
