@@ -1614,11 +1614,28 @@ object TextQueries {
         // EXACT Jaccard >= 0.5 pairs from the full posting-list join
         // (q48's machinery, uncut: truth must not be thresholded). Output
         // is the one-row confusion summary; recall/precision are exact
-        // IEEE divisions of exact counts. Scale: the truth side is the
-        // expensive Sigma df^2 join — affordable as an offline AUDIT on a
-        // sample, which is exactly how this query is meant to be run; the
-        // candidate side stays the cheap production path.
+        // IEEE divisions of exact counts.
+        //
+        // The truth side is Sigma df^2 — QUADRATIC in posting-list depth —
+        // so the audit runs on a deterministic 1000-document sample by
+        // default (q70's salted-hash bottom-k: engine-, partitioning-, and
+        // growth-stable), bounding the exact join at any corpus size. BOTH
+        // sides restrict to the same sample, so recall/precision remain
+        // estimates of the full-corpus rates (doc sampling thins PAIRS
+        // quadratically — k must keep enough dup pairs to grade, hence
+        // 1000 not 100). The unsampled spelling does not exist here: a
+        // caller wanting it must raise sampleK past the corpus size
+        // explicitly. Zero-denominator guards keep the summary row total
+        // even on a pair-free sample.
+        val sampleK = 1000
+        val sample = table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr(md5long("concat('q97s|', cast(doc_id as string))")).as("hkey"))
+          .orderBy("hkey", "doc_id")
+          .limit(sampleK)
+          .select("doc_id")
         val sigs = minhashSigs(s, dir)
+          .join(broadcast(sample), Seq("doc_id"), "left_semi")
         val banded = sigs
           .select(lit(0).as("band_no"), col("band0").as("bk"), col("doc_id"))
           .union(sigs.select(lit(1).as("band_no"), col("band1").as("bk"), col("doc_id")))
@@ -1628,6 +1645,7 @@ object TextQueries {
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
         val posts = table(s, dir, "documents")
+          .join(broadcast(sample), Seq("doc_id"), "left_semi")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"array_distinct($sparkShingles) as sh")
@@ -1648,12 +1666,20 @@ object TextQueries {
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
           .select(
             col("n_truth"), col("n_cand"), col("n_hit"),
-            (col("n_hit").cast("double") / col("n_truth")).as("recall"),
-            (col("n_hit").cast("double") / col("n_cand")).as("precision"))
+            when(col("n_truth") === 0, lit(0.0d))
+              .otherwise(col("n_hit").cast("double") / col("n_truth")).as("recall"),
+            when(col("n_cand") === 0, lit(0.0d))
+              .otherwise(col("n_hit").cast("double") / col("n_cand")).as("precision"))
       },
       Some(s"""
-        WITH d AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WITH smp AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   ${duckMd5long("'q97s|' || cast(doc_id as varchar)")} AS hkey
+            FROM documents ORDER BY hkey, doc_id LIMIT 1000)),
+        d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents JOIN smp USING (doc_id)
           WHERE len(string_split(text, ' ')) >= 3),
         sigs AS (SELECT doc_id, ${duckMinhashSelect.mkString(", ")} FROM d),
         banded AS (
@@ -1682,14 +1708,17 @@ object TextQueries {
         SELECT (SELECT COUNT(1) FROM truth) AS n_truth,
                (SELECT COUNT(1) FROM cand) AS n_cand,
                (SELECT COUNT(1) FROM truth JOIN cand USING (da, db)) AS n_hit,
-               CAST((SELECT COUNT(1) FROM truth JOIN cand USING (da, db)) AS DOUBLE)
-                 / (SELECT COUNT(1) FROM truth) AS recall,
-               CAST((SELECT COUNT(1) FROM truth JOIN cand USING (da, db)) AS DOUBLE)
-                 / (SELECT COUNT(1) FROM cand) AS precision"""),
+               CASE WHEN (SELECT COUNT(1) FROM truth) = 0 THEN 0.0
+                    ELSE CAST((SELECT COUNT(1) FROM truth JOIN cand USING (da, db)) AS DOUBLE)
+                         / (SELECT COUNT(1) FROM truth) END AS recall,
+               CASE WHEN (SELECT COUNT(1) FROM cand) = 0 THEN 0.0
+                    ELSE CAST((SELECT COUNT(1) FROM truth JOIN cand USING (da, db)) AS DOUBLE)
+                         / (SELECT COUNT(1) FROM cand) END AS precision"""),
       "LSH quality audit: MinHash band candidates graded against exact-Jaccard " +
-        "ground truth — the one-row recall/precision confusion summary a dedup " +
-        "deployment checks before trusting the sketch; truth side is the offline " +
-        "audit cost, candidates stay the production path."),
+        "ground truth on a deterministic salted-hash bottom-1000 document sample — " +
+        "the quadratic truth join stays bounded at any corpus size; the one-row " +
+        "recall/precision confusion summary a dedup deployment checks before " +
+        "trusting the sketch."),
 
     // ---------------------------------------------------------------- q99
     Q(

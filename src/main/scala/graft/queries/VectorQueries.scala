@@ -454,7 +454,210 @@ object VectorQueries {
       Some(kmeansDuckOracle(k = 8, iters = 2, dims = 64)),
       "Distributed Lloyd's k-means training of the IVF coarse codebook (2 rounds, " +
         "max-dot metric): broadcast centroids, map-side argmax, k x dims mean " +
-        "shuffle — the train step above q34's assign and q54's search.")
+        "shuffle — the train step above q34's assign and q54's search."),
+
+    // ---------------------------------------------------------------- q102
+    Q(
+      "q102_ivf_recall",
+      (s, dir) => {
+        // The recall contract for IVF routing — q97's confusion-summary
+        // pattern applied to ANN: Ann.ivfSearch graded against the exact
+        // brute-force top-3 (q33's machinery, same probe set) at
+        // nProbe = 1 and 4. Recall@3 is an exact IEEE division of exact
+        // counts, so the row hashes cross-engine. Scale: the truth side is
+        // probe x corpus — bounded because the probe set is CONSTANT (the
+        // q33 posture); the candidate sides are the production equi-join
+        // path. This is the audit a deployment runs before trusting
+        // nProbe-tuned search.
+        graft.functions.VectorExpressions.register(s)
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        val withNorm = e.selectExpr(
+          "vec_id", "embedding", s"${sparkDot("embedding", "embedding")} as n2")
+        val probes = withNorm.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("n2").as("pn2"))
+        val truth = withNorm
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+          .join(broadcast(probes), col("cid") =!= col("pid"))
+          .selectExpr("pid", "cid",
+            s"${sparkDot("pe", "ce")} / (sqrt(pn2) * sqrt(cn2)) as sim")
+          .withColumn("rank",
+            expr("row_number() over (partition by pid order by sim desc, cid asc)"))
+          .filter(col("rank") <= 3)
+          .select("pid", "cid")
+        def summary(np: Int) = {
+          val cand = graft.operators.Ann.ivfSearch(
+            s, e, "vec_id", "embedding", cents,
+            probeIds = e.filter(col("vec_id") < 20).select("vec_id"),
+            k = 3, nProbe = np)
+            .select("pid", "cid")
+          val hit = truth.join(cand, Seq("pid", "cid"))
+          truth.agg(count(lit(1)).as("n_truth"))
+            .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+            .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+            .select(
+              lit(np).as("n_probe"),
+              col("n_truth"), col("n_cand"), col("n_hit"),
+              (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+        }
+        summary(1).unionAll(summary(4)).orderBy("n_probe")
+      },
+      Some {
+        def candAt(np: Int) = s"""
+          cand$np AS (
+            SELECT pid, cid FROM (
+              SELECT pr.vec_id AS pid, c.vec_id AS cid,
+                     row_number() OVER (PARTITION BY pr.vec_id
+                       ORDER BY ${duckDot("pr.embedding", "c.embedding")}
+                                  / (SQRT(pr.n2) * SQRT(c.n2)) DESC, c.vec_id ASC) AS rank
+              FROM sized pr
+              JOIN pc ON pc.vec_id = pr.vec_id AND pc.rn <= $np
+              JOIN sized c ON c.cluster_id = pc.centroid_id AND c.vec_id <> pr.vec_id
+              WHERE pr.vec_id < 20)
+            WHERE rank <= 3)"""
+        def row(np: Int) = s"""
+          SELECT CAST($np AS INTEGER) AS n_probe,
+                 (SELECT COUNT(1) FROM exact) AS n_truth,
+                 (SELECT COUNT(1) FROM cand$np) AS n_cand,
+                 (SELECT COUNT(1) FROM exact JOIN cand$np USING (pid, cid)) AS n_hit,
+                 CAST((SELECT COUNT(1) FROM exact JOIN cand$np USING (pid, cid)) AS DOUBLE)
+                   / (SELECT COUNT(1) FROM exact) AS recall"""
+        s"""
+        WITH $duckAssigned,
+        sized AS (
+          SELECT vec_id, embedding, cluster_id,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM assigned),
+        exact AS (
+          SELECT pid, cid FROM (
+            SELECT p.vec_id AS pid, c.vec_id AS cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${duckDot("p.embedding", "c.embedding")}
+                                / (SQRT(p.n2) * SQRT(c.n2)) DESC, c.vec_id ASC) AS rank
+            FROM sized p JOIN sized c ON p.vec_id < 20 AND c.vec_id <> p.vec_id)
+          WHERE rank <= 3),
+        pc AS (
+          SELECT vec_id, centroid_id, rn FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${duckDot("e.embedding", "c.ce")} DESC, c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < 20)),
+        ${candAt(1)},
+        ${candAt(4)}
+        ${row(1)}
+        UNION ALL
+        ${row(4)}
+        ORDER BY n_probe"""
+      },
+      "IVF recall contract: ivfSearch graded against the exact brute-force top-3 at " +
+        "nProbe 1 and 4 — exact-count confusion summary with IEEE recall divisions, " +
+        "the audit row that justifies trusting routed search over exact scan."),
+
+    // ---------------------------------------------------------------- q103
+    Q(
+      "q103_ivf_rerank",
+      (s, dir) => {
+        // Production two-stage retrieval: IVF+SQ8 routing proposes top-10
+        // candidates per probe by integer code dots (q85's stack), then a
+        // FULL-PRECISION re-rank rescores only those candidates with exact
+        // float cosine and keeps the top 3. The expensive float vectors
+        // enter exactly one join — corpus scanned once against the
+        // BROADCAST (probes x 10)-row candidate list, never shuffled, no
+        // cartesian — so re-ranking costs O(probes x 10) dots regardless
+        // of corpus size: the recall of float scoring at the memory cost
+        // of int8 storage.
+        graft.functions.VectorExpressions.register(s)
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        val assigned = graft.operators.Ann
+          .ivfAssign(s, e, "vec_id", "embedding", cents)
+          .select("vec_id", "cluster_id")
+        val corpus = graft.operators.Quantize.sq8(e, "embedding", 64)
+          .select(col("vec_id"), col("sq8_codes"))
+          .join(assigned, Seq("vec_id"))
+        val probes = corpus.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("pid"), col("cluster_id"), col("sq8_codes").as("pq"))
+        val cand10 = corpus
+          .select(col("vec_id").as("cid"), col("cluster_id"), col("sq8_codes").as("cq"))
+          .join(probes, Seq("cluster_id"))
+          .filter(col("cid") =!= col("pid"))
+          .selectExpr("pid", "cid",
+            """aggregate(sequence(1, 64), cast(0 as bigint),
+               (a, j) -> a + element_at(pq, j) * element_at(cq, j)) as qdot""")
+          .withColumn("crank",
+            expr("row_number() over (partition by pid order by qdot desc, cid asc)"))
+          .filter(col("crank") <= 10)
+          .select("pid", "cid", "qdot")
+        val withNorm = e.selectExpr(
+          "vec_id", "embedding", s"${sparkDot("embedding", "embedding")} as n2")
+        withNorm
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"), col("n2").as("cn2"))
+          .join(broadcast(cand10), Seq("cid"))
+          .join(broadcast(withNorm.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("pid"), col("embedding").as("pemb"), col("n2").as("pn2"))),
+            Seq("pid"))
+          .selectExpr("pid", "cid", "qdot",
+            s"${sparkDot("pemb", "cemb")} / (sqrt(pn2) * sqrt(cn2)) as sim")
+          .withColumn("rank",
+            expr("row_number() over (partition by pid order by sim desc, cid asc)"))
+          .filter(col("rank") <= 3)
+          .select("pid", "rank", "cid", "qdot", "sim")
+          .orderBy("pid", "rank")
+      },
+      Some(s"""
+        WITH $duckAssigned,
+        dims AS (SELECT unnest(range(1, 65)) AS j),
+        b AS (
+          SELECT j, min(CAST(embedding[j] AS DOUBLE)) AS lo,
+                 max(CAST(embedding[j] AS DOUBLE)) AS hi
+          FROM embeddings, dims GROUP BY j),
+        ba AS (SELECT list(lo ORDER BY j) AS lo_a, list(hi ORDER BY j) AS hi_a FROM b),
+        qz AS (
+          SELECT vec_id,
+                 list_transform(range(1, 65), j ->
+                   CASE WHEN hi_a[j] = lo_a[j] THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor((CAST(embedding[j] AS DOUBLE) - lo_a[j])
+                                  / (hi_a[j] - lo_a[j]) * 255.0 + 0.5) AS BIGINT)
+                   END) AS codes
+          FROM embeddings, ba),
+        corpus AS (
+          SELECT a.vec_id, a.cluster_id, qz.codes
+          FROM assigned a JOIN qz ON a.vec_id = qz.vec_id),
+        sims AS (
+          SELECT p.vec_id AS pid, c.vec_id AS cid,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   j -> p.codes[j] * c.codes[j])) AS BIGINT) AS qdot
+          FROM corpus p JOIN corpus c
+            ON p.cluster_id = c.cluster_id AND p.vec_id < 20 AND c.vec_id <> p.vec_id),
+        cand10 AS (
+          SELECT pid, cid, qdot FROM (
+            SELECT pid, cid, qdot,
+                   row_number() OVER (PARTITION BY pid ORDER BY qdot DESC, cid ASC) AS crank
+            FROM sims)
+          WHERE crank <= 10),
+        withn AS (
+          SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2
+          FROM embeddings),
+        rer AS (
+          SELECT t.pid, t.cid, t.qdot,
+                 ${duckDot("p.embedding", "c.embedding")}
+                   / (SQRT(p.n2) * SQRT(c.n2)) AS sim
+          FROM cand10 t
+          JOIN withn c ON c.vec_id = t.cid
+          JOIN withn p ON p.vec_id = t.pid)
+        SELECT pid, rank, cid, qdot, sim FROM (
+          SELECT pid, cid, qdot, sim,
+                 row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid ASC) AS rank
+          FROM rer)
+        WHERE rank <= 3
+        ORDER BY pid, rank"""),
+      "Two-stage retrieval: IVF+SQ8 integer routing proposes top-10, full-precision " +
+        "cosine re-ranks to top-3 — float vectors enter exactly one broadcast join " +
+        "(corpus never shuffles, candidates bounded at probes x 10), the standard " +
+        "production recall/memory trade.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
