@@ -47,4 +47,33 @@ object Chunker {
       .withColumn("chunk_text", expr(s"array_join(slice(toks, start_tok + 1, $window), ' ')"))
       .drop("toks", "n")
   }
+
+  /** Character-budget chunking — the byte-exact sibling of
+    * [[slidingTokenWindows]] for pipelines that budget CONTEXT BYTES rather
+    * than whitespace tokens (on single-byte text, characters == bytes;
+    * slicing characters rather than raw bytes keeps multi-byte UTF-8 code
+    * points whole). One row per (document, chunk): `chunk_no` (0-based),
+    * `start_ch`, `chunk_len` (actual characters, shorter at the tail),
+    * `chunk_text`. Empty text yields one empty chunk, mirroring the token
+    * spelling. Same map-only Generate + substring shape — no shuffle at
+    * any scale. */
+  def slidingCharWindows(
+      df: DataFrame,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1, s"window ($window) must be positive")
+    require(stride >= 1, s"stride ($stride) must be positive")
+    val reserved = Set("n_ch", "start_ch", "chunk_no", "chunk_len", "chunk_text")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    df.withColumn("n_ch", length(col(textCol)))
+      // greatest(n-1, 0): empty text still yields the single start 0
+      .withColumn("start_ch", explode(expr(s"sequence(0, greatest(n_ch - 1, 0), $stride)")))
+      .withColumn("chunk_no", expr(s"cast(start_ch div $stride as bigint)"))
+      .withColumn("chunk_len",
+        greatest(least(lit(window), col("n_ch") - col("start_ch")), lit(0)).cast("long"))
+      .withColumn("chunk_text", expr(s"substring($textCol, start_ch + 1, $window)"))
+      .drop("n_ch")
+  }
 }

@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
  */
 object TextSignals {
 
+  /** The BPE-ish subword pattern: greedy letter runs in <= 4-char pieces,
+    * single digits, single punctuation marks (spaces are free). Stays in
+    * the RE2-safe subset (no lookaround/backrefs), and leftmost-greedy
+    * alternation behaves identically in Java and RE2 — so the count is
+    * exact cross-engine. A real BPE yields ~1 token per 3-4 chars of
+    * English; this deterministic proxy budgets the same order without a
+    * merge table, which is what context budgeting needs (the exact token
+    * ids it does not). */
+  final val BpeishPattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+
+  /** BPE-ish subword token count of `text`: one codegen'd regexp pass.
+    * DuckDB twin: `len(regexp_extract_all(text, BpeishPattern))`. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern)).cast("long")
+
   /** q29's average token length: `(chars - spaces) / tokens` as an exact
     * integer ratio in double (single-space tokenization assumed, like the
     * whitespace `split` it pairs with). */

@@ -1781,7 +1781,125 @@ object TextQueries {
         ORDER BY rrf DESC, doc_id LIMIT 20"""),
       "Hybrid search: reciprocal-rank fusion of BM25 and embedding-cosine " +
         "rankings — exact integer ranks, IEEE reciprocals in fixed order, " +
-        "full-outer fusion join; each ranker keeps its own scale shape.")
+        "full-outer fusion join; each ranker keeps its own scale shape."),
+
+    // ---------------------------------------------------------------- q105
+    Q(
+      "q105_pack_bytes",
+      (s, dir) => {
+        // q73's sequence packing under the BYTE token model: context
+        // windows budget 4096 BYTES (octet_length — exact cross-engine,
+        // no tokenizer assumptions at all), the model a byte-level LLM or
+        // a storage-page packer uses. Same two-phase Packer machinery: no
+        // single-task global window at any corpus size.
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            octet_length(col("text")).cast("long").as("n_b"))
+        graft.operators.Packer
+          .withSequenceOffsets(docs, "doc_id", "n_b", ctxLen = 4096)
+          .select(col("doc_id"), col("n_b").as("n_bytes"),
+            col("tok_offset").as("byte_offset"),
+            col("first_seq"), col("last_seq"), col("n_seqs"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+        o AS (
+          SELECT doc_id, n_bytes,
+                 CAST(COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS byte_offset
+          FROM d)
+        SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, byte_offset,
+               byte_offset // 4096 AS first_seq,
+               (byte_offset + greatest(n_bytes, 1) - 1) // 4096 AS last_seq,
+               (byte_offset + greatest(n_bytes, 1) - 1) // 4096
+                 - byte_offset // 4096 + 1 AS n_seqs
+        FROM o
+        ORDER BY doc_id"""),
+      "Sequence packing under the byte token model: 4096-byte context windows via " +
+        "octet_length weights — tokenizer-free exact budgets through the same " +
+        "two-phase Packer (no single-task global window)."),
+
+    // ---------------------------------------------------------------- q106
+    Q(
+      "q106_bpeish_budget",
+      (s, dir) => {
+        // q83's budgeted selection under the BPE-ish SUBWORD token model:
+        // greedy <=4-char letter pieces + digits + punctuation counted in
+        // one codegen'd regexp pass (TextSignals.bpeishTokenCount) — the
+        // deterministic proxy for real BPE budgets, ~3x the whitespace
+        // count on this corpus, so the same 15k-budget cut selects a
+        // different (more honest) document prefix. Same scale shape as
+        // q83: Packer's two-phase running sum, map-only budget cut.
+        val docs = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tok",
+            graft.operators.TextSignals.bpeishTokenCount(col("text")))
+          .withColumn("prio",
+            expr("cast(size(filter(toks, x -> x in ('the','a','of','and','to'))) as bigint)"
+              + " * 1000000 + doc_id"))
+          .withColumn("ord", -col("prio"))
+          .select("doc_id", "n_tok", "prio", "ord")
+        graft.operators.Packer
+          .withSequenceOffsets(docs, "ord", "n_tok", ctxLen = 64)
+          .filter(col("tok_offset") < 15000)
+          .select("doc_id", "prio", "n_tok", "tok_offset")
+          .orderBy("tok_offset")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '${graft.operators.TextSignals.BpeishPattern}')) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to'))) AS BIGINT)
+                   * 1000000 + doc_id AS prio
+          FROM documents),
+        o AS (
+          SELECT doc_id, prio, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY prio DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS tok_offset
+          FROM d)
+        SELECT doc_id, prio, n_tok, tok_offset
+        FROM o WHERE tok_offset < 15000
+        ORDER BY tok_offset"""),
+      "Token-budget selection under the BPE-ish subword model: one regexp pass " +
+        "counts <=4-char letter pieces + digits + punctuation (cross-engine exact, " +
+        "RE2-safe), Packer's two-phase sum cuts the budget — honest context " +
+        "accounting without a merge table."),
+
+    // ---------------------------------------------------------------- q107
+    Q(
+      "q107_char_chunks",
+      (s, dir) => {
+        // q71's sliding windows under the character/byte budget model:
+        // 256-char windows at stride 128 via Chunker.slidingCharWindows —
+        // map-only Generate + substring, chunk text hashed in place.
+        graft.operators.Chunker
+          .slidingCharWindows(table(s, dir, "documents"), "text", 256, 128)
+          .withColumn("chunk_hash", expr(md5long("chunk_text")))
+          .select("doc_id", "chunk_no", "start_ch", "chunk_len", "chunk_hash")
+          .orderBy("doc_id", "chunk_no")
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        st AS (
+          SELECT doc_id, text, n,
+                 unnest(range(0, greatest(n, 1), 128)) AS start_ch
+          FROM d)
+        SELECT doc_id,
+               CAST(start_ch // 128 AS BIGINT) AS chunk_no,
+               CAST(start_ch AS INTEGER) AS start_ch,
+               CAST(greatest(least(256, n - start_ch), 0) AS BIGINT) AS chunk_len,
+               ${duckMd5long("substr(text, CAST(start_ch AS INTEGER) + 1, 256)")} AS chunk_hash
+        FROM st
+        ORDER BY doc_id, chunk_no"""),
+      "Sliding 256-char windows at stride 128 through Chunker.slidingCharWindows — " +
+        "the byte-budget chunking model, map-only Generate + substring, only " +
+        "fixed-width columns leave the stage.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

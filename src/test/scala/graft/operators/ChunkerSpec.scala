@@ -71,4 +71,42 @@ class ChunkerSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
+
+  private def charChunksOf(text: String, window: Int, stride: Int): Seq[(Long, Int, Long, String)] = {
+    import spark.implicits._
+    Chunker.slidingCharWindows(Seq((1L, text)).toDF("id", "text"), "text", window, stride)
+      .select("chunk_no", "start_ch", "chunk_len", "chunk_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("char windows slice overlapping substrings with exact tail lengths") {
+    // 10 chars, window 6, stride 4 -> starts 0, 4, 8
+    assert(charChunksOf("abcdefghij", 6, 4) === Seq(
+      (0L, 0, 6L, "abcdef"),
+      (1L, 4, 6L, "efghij"),
+      (2L, 8, 2L, "ij")))
+  }
+
+  test("char windows: empty text yields one empty chunk; exact multiple has no ghost tail") {
+    assert(charChunksOf("", 8, 4) === Seq((0L, 0, 0L, "")))
+    // length == stride: starts strictly below n, so exactly two chunks at 8/4
+    assert(charChunksOf("abcdefgh", 8, 4) === Seq(
+      (0L, 0, 8L, "abcdefgh"),
+      (1L, 4, 4L, "efgh")))
+  }
+
+  test("char windows are map-only and reject reserved names") {
+    import spark.implicits._
+    val df = Chunker.slidingCharWindows(
+      (1L to 50L).map(i => (i, "x" * 100)).toDF("id", "text"), "text", 32, 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"char chunking must not shuffle:\n$plan")
+    val ex = intercept[IllegalArgumentException] {
+      Chunker.slidingCharWindows(
+        Seq((1L, "x", 9L)).toDF("id", "text", "chunk_len"), "text", 4, 2)
+    }
+    assert(ex.getMessage.contains("chunk_len"))
+  }
 }
