@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Streaming LSH near-dup screen == batch q79 on closed batches: the corpus
+ * (doc_id < 400) arrives as micro-batch 1, the new documents (>= 400) as
+ * micro-batch 2, and the per-document streaming verdicts must reproduce
+ * q79_incremental_dedup's (exact_dup, near_dup, admitted) flags exactly —
+ * the property that lets one dedup definition serve the daily batch
+ * backfill and the live ingest tail.
+ */
+class DedupStreamsSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("DedupStreamsSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def docs: DataFrame = spark.read
+    .parquet(s"$Sf/documents.parquet").select("doc_id", "text")
+
+  /** Run `f` over a two-micro-batch stream: docs < 400, then docs >= 400. */
+  private def twoBatchStream(f: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = docs.as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val name = s"dedup_stream_${System.nanoTime()}"
+    val q = f(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(rows.filter(_._1 < 400).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 >= 400).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming band + hash screen verdicts equal batch q79 on closed batches") {
+    val bandVerdicts = twoBatchStream(df =>
+      DedupStreams.bandMembershipScreen(spark, df).toDF())
+    val hashVerdicts = twoBatchStream(df =>
+      DedupStreams.exactHashScreen(spark, df).toDF())
+
+    // per-document streaming flags for the incoming batch
+    val nearStreamed = bandVerdicts.filter(col("doc_id") >= 400)
+      .groupBy("doc_id").agg(max(when(!col("novel"), true).otherwise(false)).as("near_dup"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exactStreamed = hashVerdicts.filter(col("doc_id") >= 400)
+      .collect().map(r => r.getLong(0) -> !r.getBoolean(2)).toMap
+
+    val batch = graft.SparkEntry.queries("q79_incremental_dedup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(batch.nonEmpty)
+    // the fixture has no exact dups across the 400 boundary (the synthetic
+    // same-batch test below exercises that path); near dups it must have,
+    // or this equality proves nothing
+    assert(batch.exists(_._3), "fixture must contain near dups")
+    assert(batch.exists(_._4), "fixture must admit some docs")
+
+    batch.foreach { case (id, exactDup, nearDup, admitted) =>
+      assert(exactStreamed.getOrElse(id, false) === exactDup,
+        s"doc $id exact_dup: streaming != batch")
+      assert(nearStreamed.getOrElse(id, false) === nearDup,
+        s"doc $id near_dup: streaming != batch")
+      val streamedAdmitted =
+        !(exactStreamed.getOrElse(id, false) || nearStreamed.getOrElse(id, false))
+      assert(streamedAdmitted === admitted, s"doc $id admitted: streaming != batch")
+    }
+  }
+
+  test("verdicts reflect state at batch open: same-batch collisions do not flag") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val name = s"dedup_samebatch_${System.nanoTime()}"
+    val q = DedupStreams.exactHashScreen(spark, mem.toDF().toDF("doc_id", "text"))
+      .toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: two identical texts arrive TOGETHER -> both novel
+      mem.addData(Seq((1L, "same text here"), (2L, "same text here")))
+      q.processAllAvailable()
+      // batch 2: the same text arrives again -> not novel
+      mem.addData(Seq((3L, "same text here")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table(name).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && out(2L), "same-batch arrivals screen against prior state only")
+    assert(!out(3L), "next batch must see the claimed hash")
+  }
+
+  test("band derivation is the exact batch spelling (doc with <3 tokens emits no bands)") {
+    import spark.implicits._
+    val tiny = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val bands = DedupStreams.minhashBands(spark, tiny).collect()
+    assert(!bands.exists(_.getLong(0) == 1L), "sub-3-token docs have no shingles")
+    assert(bands.count(_.getLong(0) == 2L) === 2, "one claim per band")
+  }
+}
