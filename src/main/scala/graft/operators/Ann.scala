@@ -115,13 +115,30 @@ object Ann {
    * codebook frame the other Ann entry points take.
    *
    * Deterministic and engine-reproducible by construction:
-   *  - init is the `k` smallest ids' vectors (no RNG);
+   *  - init is a FARTHEST-FIRST sweep (k-center greedy) over a salted-hash
+   *    bottom-`max(8k, 64)` sample: the smallest-id sample vector seeds
+   *    first, then each next seed is the sample point LEAST similar (by
+   *    max dot) to the chosen set, ties to the lowest id. No RNG — the
+   *    sample is the q70 bottom-k hash order (partitioning- and
+   *    growth-stable), dots are the bit-identical `vec_dot` folds, so the
+   *    seeds are reproducible across engines. Unlike first-k-ids init,
+   *    degenerate id order cannot start Lloyd's with co-located seeds;
    *  - assignment ties break to the lowest centroid id;
    *  - the mean update sums each dimension in exact DECIMAL (order-independent
    *    across partitions), divides as IEEE doubles, and narrows to float —
    *    so every iteration's centroids are bit-identical however the corpus
    *    is partitioned (and in any engine following the same spelling);
    *  - a cluster that loses all members keeps its previous centroid.
+   *
+   * Vector contract (enforced, loud): every `vecCol` must be a non-null
+   * array of exactly `dims` non-null elements — ragged or null-holed
+   * vectors would otherwise silently deflate per-dimension means
+   * (posexplode emits only present dims; count counts null rows that sum
+   * skips).
+   *
+   * Seeding cost: ONE corpus pass (per-partition bottom-S + driver merge,
+   * no shuffle) plus k-1 scans of the S-row sample — the sample never
+   * exceeds broadcast size, so seeding stays O(corpus) total at any k.
    *
    * Scale shape (MLlib's own Lloyd's layout, spelled relationally): per
    * iteration the corpus is scanned ONCE against the broadcast codebook
@@ -146,15 +163,47 @@ object Ann {
     require(iters >= 0, s"iters ($iters) must be non-negative")
     require(dims >= 1, s"dims ($dims) must be positive")
     val reserved = Set("centroid_id", "ce", "cluster_id", "n2",
-      "__dim", "__x", "__s", "__n", "__newce")
+      "__dim", "__x", "__s", "__n", "__newce", "__hk", "__d", "__md")
     val clash = df.columns.toSet.intersect(reserved - "centroid_id" - "ce")
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
-    val corpus = df.select(col(idCol), col(vecCol))
-    var cents = corpus
+    // loud vector contract: the check rides INSIDE the projected column so
+    // no pruning can drop it (the GlobalRank/Packer raise_error pattern)
+    val corpus = df.select(col(idCol), expr(
+      s"""case when $vecCol is null or size($vecCol) != $dims
+               or exists($vecCol, x -> x is null)
+          then cast(raise_error(concat(
+            'Ann.kmeansFit: $vecCol must be a non-null array of exactly $dims ',
+            'non-null elements; got size ',
+            coalesce(cast(size($vecCol) as string), 'null'))) as array<float>)
+          else $vecCol end""").as(vecCol))
+    // ---- farthest-first seeding over the deterministic hash-order sample
+    val sampleSize = math.max(8 * k, 64)
+    val sample = corpus
+      .select(col(idCol), col(vecCol),
+        expr(graft.functions.HashConventions
+          .md5long48(s"concat('kmpp|', cast($idCol as string))")).as("__hk"))
+      .orderBy(col("__hk"), col(idCol))
+      .limit(sampleSize)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(true) // scanned k-1 times below; S rows, never the corpus
+    var cents = sample
       .orderBy(col(idCol))
-      .limit(k)
+      .limit(1)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("ce"))
       .localCheckpoint(true)
+    for (_ <- 2 to k) {
+      val far = sample
+        .join(cents.select(col("centroid_id").as(idCol)), Seq(idCol), "left_anti")
+        .crossJoin(broadcast(cents))
+        .withColumn("__d", expr(s"vec_dot($vecCol, ce)"))
+        .groupBy(col(idCol))
+        .agg(max(col("__d")).as("__md"))
+        .orderBy(col("__md").asc, col(idCol).asc)
+        .limit(1)
+        .join(sample, Seq(idCol))
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("ce"))
+      cents = cents.unionByName(far).localCheckpoint(true)
+    }
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(spark, corpus, idCol, vecCol, cents)
         .select(col("cluster_id"), col(vecCol))

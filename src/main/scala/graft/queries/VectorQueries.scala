@@ -442,8 +442,9 @@ object VectorQueries {
         // scan per round, the only shuffle a k x dims mean aggregate),
         // then the final assignment under the TRAINED centroids — the
         // upstream step q34/q54/q85 took as given. Deterministic end to
-        // end: lowest-id init, lowest-id tie-breaks, exact-decimal mean
-        // sums, IEEE division, float narrowing.
+        // end: farthest-first seeding over the salted-hash bottom-64
+        // sample, lowest-id tie-breaks, exact-decimal mean sums, IEEE
+        // division, float narrowing.
         val e = table(s, dir, "embeddings").select("vec_id", "embedding")
         val cents = graft.operators.Ann.kmeansFit(
           s, e, "vec_id", "embedding", k = 8, iters = 2, dims = 64)
@@ -661,10 +662,29 @@ object VectorQueries {
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
-    * one CTE block per Lloyd's round, generated by the same loop shape the
-    * operator executes, ending in the (vec_id, cluster_id) assignment under
-    * the trained codebook. */
+    * the farthest-first seed sweep over the salted-hash bottom-S sample
+    * (one CTE step per seed), then one CTE block per Lloyd's round,
+    * generated by the same loop shape the operator executes, ending in the
+    * (vec_id, cluster_id) assignment under the trained codebook. */
   private def kmeansDuckOracle(k: Int, iters: Int, dims: Int): String = {
+    val sampleSize = math.max(8 * k, 64)
+    val hk = graft.functions.HashConventions
+      .duckMd5long48("'kmpp|' || cast(vec_id as varchar)")
+    // every ch CTE is referenced twice by the next step; MATERIALIZED stops
+    // DuckDB's CTE inlining from expanding the chain exponentially (the
+    // Spark twin pins the same shape with per-step localCheckpoints)
+    val seeds = (1 until k).map { i =>
+      s"""md$i AS MATERIALIZED (
+          SELECT s.vec_id, max(${duckDot("s.embedding", "c.embedding")}) AS md
+          FROM smp s CROSS JOIN ch${i - 1} c
+          WHERE s.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+          GROUP BY s.vec_id),
+        sel$i AS (SELECT vec_id FROM md$i ORDER BY md ASC, vec_id ASC LIMIT 1),
+        ch$i AS MATERIALIZED (
+          SELECT * FROM ch${i - 1}
+          UNION ALL
+          SELECT s.vec_id, s.embedding FROM smp s JOIN sel$i USING (vec_id))"""
+    }.mkString(",\n")
     def assign(i: Int, cents: String) =
       s"""assign$i AS (
         SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
@@ -683,15 +703,19 @@ object VectorQueries {
         newc$i AS (
           SELECT cluster_id AS centroid_id, list(CAST(s / n AS FLOAT) ORDER BY j) AS ce
           FROM sums$i GROUP BY cluster_id),
-        cents$i AS (
+        cents$i AS MATERIALIZED (
           SELECT p.centroid_id, coalesce(nc.ce, p.ce) AS ce
           FROM cents${i - 1} p LEFT JOIN newc$i nc ON p.centroid_id = nc.centroid_id)"""
     }.mkString(",\n")
     s"""
       WITH dims AS (SELECT unnest(range(1, ${dims + 1})) AS j),
-      cents0 AS (
-        SELECT vec_id AS centroid_id, embedding AS ce
-        FROM embeddings ORDER BY vec_id LIMIT $k),
+      smp AS MATERIALIZED (
+        SELECT vec_id, embedding FROM (
+          SELECT vec_id, embedding, $hk AS hk
+          FROM embeddings ORDER BY hk, vec_id LIMIT $sampleSize)),
+      ch0 AS MATERIALIZED (SELECT vec_id, embedding FROM smp ORDER BY vec_id LIMIT 1),
+      $seeds,
+      cents0 AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS ce FROM ch${k - 1}),
       $rounds,
       ${assign(iters + 1, s"cents$iters")}
       SELECT vec_id, cluster_id FROM assign${iters + 1} ORDER BY vec_id"""

@@ -169,17 +169,47 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("Ann.kmeansFit: a cluster that loses all members keeps its centroid") {
-    // with k=3 the init codebook is ids 1,2,3; id 3's own vector is closer
-    // (by dot) to centroid 1 than to centroid 3, so cluster 3 empties in
-    // round 1 — its centroid must survive unchanged, not null out
+    // farthest-first seeds are {1 (first), 2 (min max-dot 0), 5 (min max-dot
+    // 0.5, tie 5<6)}; seed 5's own vector assigns to centroid 1 by dot
+    // (0.5 > 0.25), so cluster 5 empties in round 1 — its centroid must
+    // survive unchanged, not null out
     val df = vecFrame(
       1L -> Seq(1.0f, 0.0f), 3L -> Seq(0.75f, 0.25f), 5L -> Seq(0.5f, 0.0f),
       2L -> Seq(0.0f, 1.0f), 4L -> Seq(0.25f, 0.75f), 6L -> Seq(0.0f, 0.5f))
     val cents = Ann.kmeansFit(spark, df, "vid", "v", k = 3, iters = 1, dims = 2)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(cents.keySet === Set(1L, 2L, 3L))
-    assert(cents(3L) === Seq(0.75f, 0.25f))
-    assert(cents(1L) === Seq(((1.0 + 0.75 + 0.5) / 3).toFloat, ((0.25 + 0.0) / 3).toFloat))
+    assert(cents.keySet === Set(1L, 2L, 5L))
+    assert(cents(5L) === Seq(0.5f, 0.0f))
+    assert(cents(1L) === Seq(((1.0 + 0.75 + 0.5) / 3).toFloat, ((0.25 + 0.0 + 0.0) / 3).toFloat))
+  }
+
+  test("farthest-first seeding splits skewed id-order clusters in one iteration") {
+    // the two LOWEST ids are co-located: first-k-ids seeding would start
+    // both centroids inside group A — and because every group-B vector has
+    // dot 0 to both seeds, ties break to the lowest centroid id and B would
+    // NEVER split out. Farthest-first picks a B point as the second seed
+    // (max-dot 0 < any A point's), so one Lloyd's round separates the
+    // groups and the codebook is already converged.
+    val df = vecFrame(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.75f, 0.0f), 3L -> Seq(0.5f, 0.0f),
+      10L -> Seq(0.0f, 1.0f), 11L -> Seq(0.0f, 0.75f), 12L -> Seq(0.0f, 0.5f))
+    val c1 = Ann.kmeansFit(spark, df, "vid", "v", k = 2, iters = 1, dims = 2)
+    val got = Ann.ivfAssign(spark, df, "vid", "v", c1)
+      .select("vid", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // converged after ONE iteration: a second round reproduces the codebook
+    val c2 = Ann.kmeansFit(spark, df, "vid", "v", k = 2, iters = 2, dims = 2)
+    assert(c1.collect().map(_.toString).sorted
+      .sameElements(c2.collect().map(_.toString).sorted))
+  }
+
+  test("Ann.kmeansFit rejects ragged vectors loudly") {
+    val ragged = vecFrame(1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.5f))
+    val ex = intercept[Exception] {
+      Ann.kmeansFit(spark, ragged, "vid", "v", k = 1, iters = 1, dims = 2).collect()
+    }
+    assert(ex.getMessage.contains("exactly 2"))
   }
 
   test("multimodal features -> kmeansFit codebook -> IVF search, end to end") {
@@ -187,7 +217,7 @@ class AnnSpec extends AnyFunSuite {
     // vectors, k-means trains the coarse codebook ON those features, and
     // the routed search runs against the trained centroids — no hand-picked
     // codebook anywhere. Deterministic: FakeMediaDecoder is seeded by
-    // payload bytes, kmeansFit by lowest-id init.
+    // payload bytes, kmeansFit by the farthest-first hash-sample sweep.
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select(col("doc_id"),
         expr("cast(concat('media:', text) as binary)").as("payload"))
@@ -214,7 +244,9 @@ class AnnSpec extends AnyFunSuite {
     assert(top.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
-  test("Ann.kmeansFit with iters=0 returns the k lowest-id vectors") {
+  test("Ann.kmeansFit with iters=0 returns the farthest-first seeds") {
+    // seed 1: lowest id (1). seed 2: min max-dot to (1,0) — id4's 0.0 beats
+    // id7's 0.25 and id9's 0.5
     val df = vecFrame(
       9L -> Seq(0.5f, 0.5f), 1L -> Seq(1.0f, 0.0f),
       4L -> Seq(0.0f, 1.0f), 7L -> Seq(0.25f, 0.25f))
