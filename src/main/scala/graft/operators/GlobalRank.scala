@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
  * (ties at the same value break by it, so ranks are total and
  * deterministic). Sketch accuracy only affects bucket BALANCE, never
  * correctness.
+ *
+ * EXECUTION SEMANTICS (deliberate trade, documented): construction runs
+ * the bounds-sketch pass EAGERLY (`localCheckpoint(true)`) — calling this
+ * method executes one Spark job as a side effect, because the tiny bounds
+ * frame feeds two downstream broadcast builds that would otherwise each
+ * re-scan the input. The checkpointed frame lives in non-replicated
+ * executor storage with truncated lineage: if an executor holding it is
+ * lost, downstream actions fail unrecoverably and the operator must be
+ * re-invoked (a `persist()` would keep lineage but leak a CacheManager
+ * entry per call with no unpersist point — worse for long-lived sessions).
  */
 object GlobalRank {
 

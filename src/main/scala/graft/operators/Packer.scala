@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
  * (ties would make "tokens before me" ambiguous) and `nTokCol` a
  * non-null non-negative count. Violations fail loudly (raise_error /
  * require), mirroring [[GlobalRank]]'s null contract.
+ *
+ * EXECUTION SEMANTICS: construction runs the bounds sketch EAGERLY
+ * (`localCheckpoint(true)`) — one Spark job fires as a side effect, and
+ * the checkpointed 1-row frame is executor-local with truncated lineage
+ * (executor loss -> downstream failure -> re-invoke). See [[GlobalRank]]
+ * for the full rationale; the alternatives (recompute per branch, or a
+ * never-unpersisted cache entry per call) cost more.
  */
 object Packer {
 

@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
  * — full 128-bit (collision-safe for identity, per the library's hashing
  * rule: truncated hashes are for arithmetic, never equality), with JSON
  * field framing so NULL vs "null" vs missing cannot alias and column
- * values cannot bleed into each other (the concat_ws trap).
+ * values cannot bleed into each other (the concat_ws trap). The JSON
+ * options are pinned EXPLICITLY (`ignoreNullFields=false`) so fingerprint
+ * bytes cannot change under a session-conf flip of
+ * `spark.sql.jsonGenerator.ignoreNullFields`. Map-typed compare columns
+ * are REJECTED: JSON serializes map entries in storage order, which is not
+ * canonical, so equal maps could fingerprint differently — sort the
+ * entries into an array (`map_entries` + `array_sort`) before diffing.
  *
  * Contract: `keyCols` must identify at most one row per side. Duplicate
  * keys make a full-outer join multiply rows silently, so callers can opt
@@ -43,9 +49,22 @@ object SnapshotDiff {
     val reserved = Set("__fp_old", "__fp_new", "__kn", "status")
     val clash = (oldDf.columns ++ newDf.columns).toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    // maps have no canonical JSON entry order -> equal values could
+    // fingerprint differently; reject loudly (see the class doc for the
+    // map_entries + array_sort workaround)
+    Seq(oldDf, newDf).foreach { df =>
+      val mapCols = compareCols.filter(c =>
+        df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      require(mapCols.isEmpty,
+        s"SnapshotDiff: map-typed compare columns are not canonical under JSON " +
+          s"fingerprinting: ${mapCols.mkString(", ")} — sort entries into an array first")
+    }
 
     def fingerprinted(df: DataFrame, fpName: String): DataFrame = {
-      val fp = md5(to_json(struct(compareCols.map(col): _*)))
+      // options pinned so a session-level jsonGenerator conf flip can never
+      // change fingerprint bytes between runs
+      val fp = md5(to_json(struct(compareCols.map(col): _*),
+        Map("ignoreNullFields" -> "false")))
       val guarded =
         if (!checkUniqueKeys) fp
         else {

@@ -1731,25 +1731,36 @@ object TextQueries {
         // a full-outer join on doc, score = sum of 1/(60 + rank). Ranks
         // are exact integers, reciprocals and their one fixed-order
         // addition are IEEE — bit-identical cross-engine with no rounding
-        // needed. Scale: both rankers keep their own shapes (broadcast
-        // terms / broadcast probe); fusion joins two rank frames on doc.
+        // needed. Both rankings are GLOBAL totals over corpus-sized
+        // frames, so they route through GlobalRank's two-phase shape
+        // (constant segment) — a bare row_number() over (order by ...)
+        // would collapse each ranker into ONE task at scale, the exact
+        // hazard q98/GlobalRank exists to kill. Ranks must stay exact
+        // (the fused output reports them), so a top-k cap is not an
+        // option. Fusion then joins two narrow rank frames on doc.
         graft.functions.VectorExpressions.register(s)
-        val lex = bm25Frame(s, dir)
-          .filter(col("doc_id") =!= 0)
-          .withColumn("rank_lex",
-            expr("row_number() over (order by bm25 desc, doc_id asc)"))
-          .select("doc_id", "rank_lex")
+        // GlobalRank orders ascending; negating the score (exact IEEE)
+        // gives the DESC ranking with the same doc_id tie-break
+        val lex = graft.operators.GlobalRank.withGlobalRank(
+          bm25Frame(s, dir)
+            .filter(col("doc_id") =!= 0)
+            .withColumn("seg", lit(1))
+            .withColumn("neg_bm25", -col("bm25")),
+          "seg", "neg_bm25", "doc_id")
+          .select(col("doc_id"), col("rn").cast("int").as("rank_lex"))
         val e = table(s, dir, "embeddings")
           .selectExpr("vec_id", "embedding", s"${VectorSql.dot("embedding", "embedding")} as n2")
         val probe = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("pe"), col("n2").as("pn2"))
-        val sem = e.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(probe))
-          .selectExpr("vec_id as doc_id",
-            s"${VectorSql.dot("pe", "embedding")} / (sqrt(pn2) * sqrt(n2)) as sim")
-          .withColumn("rank_sem",
-            expr("row_number() over (order by sim desc, doc_id asc)"))
-          .select("doc_id", "rank_sem")
+        val sem = graft.operators.GlobalRank.withGlobalRank(
+          e.filter(col("vec_id") =!= 0)
+            .crossJoin(broadcast(probe))
+            .selectExpr("vec_id as doc_id",
+              s"${VectorSql.dot("pe", "embedding")} / (sqrt(pn2) * sqrt(n2)) as sim")
+            .withColumn("seg", lit(1))
+            .withColumn("neg_sim", -col("sim")),
+          "seg", "neg_sim", "doc_id")
+          .select(col("doc_id"), col("rn").cast("int").as("rank_sem"))
         lex.join(sem, Seq("doc_id"), "full_outer")
           .withColumn("rrf",
             expr("""coalesce(1.0d / (60.0d + cast(rank_lex as double)), 0.0d)

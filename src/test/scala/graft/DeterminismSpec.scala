@@ -31,12 +31,20 @@ class DeterminismSpec extends AnyFunSuite {
 
   test("every query returns the identical multiset at 5 vs 32 shuffle partitions") {
     val failures = scala.collection.mutable.ListBuffer[String]()
+    // errors are collected SEPARATELY and fail the test: a query that throws
+    // at both partition counts must not pass the audit by matching its own
+    // error sentinel (the '100 identical' claim must mean 100 that RAN)
+    val errors = scala.collection.mutable.ListBuffer[String]()
     def runAll(parts: Int): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val rows =
           try fn(spark, Sf).collect().map(_.toString).sorted.toSeq
-          catch { case e: Throwable => Seq(s"<error: ${e.getClass.getSimpleName}>") }
+          catch {
+            case e: Throwable =>
+              errors += s"$name@$parts: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+              Seq(s"<error: ${e.getClass.getSimpleName}>")
+          }
         name -> rows
       }.toMap
     }
@@ -49,6 +57,7 @@ class DeterminismSpec extends AnyFunSuite {
       }
     }
     spark.conf.set("spark.sql.shuffle.partitions", 4)
+    assert(errors.isEmpty, s"queries that crashed during the audit:\n${errors.mkString("\n")}")
     assert(failures.isEmpty,
       s"partition-count-dependent queries:\n${failures.mkString("\n")}")
   }

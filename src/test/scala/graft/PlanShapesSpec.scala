@@ -220,6 +220,43 @@ class PlanShapesSpec extends AnyFunSuite {
       s"a data-sized global window crept in:\n${globals.mkString("\n")}")
   }
 
+  test("q99 fusion rankers run two-phase: no data-sized global window") {
+    // both rankings route through GlobalRank (constant segment); a bare
+    // row_number() over (order by ...) here would single-task each
+    // corpus-sized ranker
+    val p = SparkEntry.queries("q99_hybrid_rrf")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val globals = p.linesIterator.filter(_.contains("Window ["))
+      .filter(l => "\\], \\[[^\\]]*\\], \\[".r.findFirstIn(l).isEmpty).toSeq
+    // the constant segment folds away, so GlobalRank's offsets window over
+    // the tiny (nBuckets-row) COUNTS aggregate prints as global — that one
+    // is the allowed q83-style aggregate frame; anything ranking document
+    // rows (row_number over doc-sized input) must not appear
+    assert(globals.forall(_.contains("sum(cnt#")),
+      s"a data-sized global window crept back in:\n${globals.mkString("\n")}")
+  }
+
+  test("q103 re-rank joins full-precision vectors by broadcast, never cartesian") {
+    val p = SparkEntry.queries("q103_ivf_rerank")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the candidate list (probes x 10) broadcasts into the corpus-side
+    // hash join; the corpus itself must never be the broadcast side of
+    // a nested-loop product
+    assert(p.contains("BroadcastHashJoin"), s"re-rank join degraded:\n$p")
+  }
+
+  test("q105/q106 token-model packers keep Packer's bucket discipline") {
+    Seq("q105_pack_bytes", "q106_bpeish_budget").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      val globals = p.linesIterator.filter(_.contains("Window ["))
+        .filter(l => "\\], \\[[^\\]]*\\], \\[".r.findFirstIn(l).isEmpty).toSeq
+      assert(globals.forall(_.contains("b_tot#")),
+        s"$name: a data-sized global window crept in:\n${globals.mkString("\n")}")
+    }
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")

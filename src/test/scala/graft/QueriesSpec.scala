@@ -131,10 +131,12 @@ class QueriesSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(docs, "doc_id", "payload", dec)
       .orderBy("doc_id").limit(3).collect()
     assert(rows.map(_.toString).sameElements(f2.map(_.toString)))
-    // real decoder is an explicit stub
-    intercept[UnsupportedOperationException] {
+    // real decoder rejects unknown magic loudly rather than decoding garbage
+    val ex = intercept[IllegalArgumentException] {
       new Multimodal.RealMediaDecoder(8).decode(Array[Byte](1, 2))
     }
+    assert(ex.getMessage.toLowerCase.contains("magic") ||
+      ex.getMessage.toLowerCase.contains("unknown"))
   }
 
   test("multimodal frame sampling and feature resize") {

@@ -68,4 +68,44 @@ class SnapshotDiffSpec extends AnyFunSuite {
     val n = SnapshotDiff.diff(old, nw, Seq("id"), Seq("a", "b")).count()
     assert(n >= 2)
   }
+
+  test("fingerprints are pinned against the jsonGenerator session conf") {
+    import spark.implicits._
+    // a null field must participate in the fingerprint regardless of the
+    // session's ignoreNullFields default — flip the conf both ways and the
+    // labels must not move
+    val old = Seq((1L, Option.empty[String], "x"), (2L, Option("v"), "y"))
+      .toDF("id", "a", "b")
+    val nw = Seq((1L, Option.empty[String], "x"), (2L, Option("v"), "z"))
+      .toDF("id", "a", "b")
+    def statuses(): Map[Long, String] =
+      SnapshotDiff.diff(old, nw, Seq("id"), Seq("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = spark.conf.getOption("spark.sql.jsonGenerator.ignoreNullFields")
+    try {
+      spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", "true")
+      val atTrue = statuses()
+      spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", "false")
+      val atFalse = statuses()
+      assert(atTrue === Map(1L -> "unchanged", 2L -> "changed"))
+      assert(atTrue === atFalse, "a conf flip must not change diff labels")
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", v)
+      case None => spark.conf.unset("spark.sql.jsonGenerator.ignoreNullFields")
+    }
+  }
+
+  test("map-typed compare columns are rejected loudly") {
+    import spark.implicits._
+    val withMap = Seq((1L, Map("k" -> 1))).toDF("id", "m")
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(withMap, withMap, Seq("id"), Seq("m"))
+    }
+    assert(ex.getMessage.contains("map-typed"))
+    // the documented workaround passes: sorted entries are canonical
+    val canon = withMap.selectExpr("id", "array_sort(map_entries(m)) as m_entries")
+    val ok = SnapshotDiff.diff(canon, canon, Seq("id"), Seq("m_entries"))
+      .collect().map(r => r.getString(1))
+    assert(ok.toSeq === Seq("unchanged"))
+  }
 }
