@@ -64,6 +64,106 @@ object Mixture {
   }
 
   /**
+   * Temperature-balanced mixture: derive each source's keep-rate FROM the
+   * data so source sizes flatten toward the smallest source —
+   * `rate_s = sqrt(n_min / n_s)`, the alpha = 0.5 point on the
+   * temperature-sampling curve `(n_min/n_s)^(1-alpha)` multilingual and
+   * multi-domain training mixtures use to keep big sources from drowning
+   * small ones (the smallest source keeps everything, a 100x larger
+   * source keeps 10%). sqrt and the exact-int->double casts are
+   * correctly-rounded IEEE operations, so the derived rates and integer
+   * thresholds are bit-identical in any engine — unlike pow(), whose libm
+   * implementations can disagree at 1 ulp (which is why the exponent is
+   * fixed at 0.5 rather than a parameter; other alphas need a
+   * rational-arithmetic threshold derivation).
+   *
+   * Execution shape at 100 TB: one per-source count aggregate (rows =
+   * #sources), its single-row min broadcast back, and then the same
+   * broadcast-threshold + salted-hash filter as [[sampleByRates]] — the
+   * corpus itself never shuffles; the only wide op is the tiny count agg.
+   * Same determinism contract: keep/drop is a pure function of
+   * (salt, key) AND the per-source totals (documented: unlike
+   * sampleByRates, corpus growth shifts thresholds, so re-derive on a
+   * frozen snapshot when ablation comparability matters).
+   */
+  def sampleBySqrtTemperature(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      salt: String): DataFrame = {
+    val reserved = Set("mix_thresh", "__n_src", "__n_min")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    // null sources would silently vanish in the inner rate join below
+    // (null never equi-matches); the contract is the loud one
+    val guarded = df.filter(expr(
+      s"""case when $sourceCol is null then cast(raise_error(
+            'Mixture.sampleBySqrtTemperature: $sourceCol is null — the contract requires a non-null source') as boolean)
+          else true end"""))
+    val counts = guarded.groupBy(sourceCol).agg(count(lit(1)).as("__n_src"))
+    val minc = counts.agg(min("__n_src").as("__n_min"))
+    // floor(rate * 1e6): integer threshold out of 1e6 (the library's shared
+    // hash-sampling convention); sqrt(1.0) == 1.0 exactly, so the smallest
+    // source's threshold is exactly 1e6 — it keeps every row
+    val rateDf = counts.crossJoin(broadcast(minc))
+      .withColumn("mix_thresh", expr(
+        "cast(floor(sqrt(cast(__n_min as double) / cast(__n_src as double)) * 1000000.0d) as bigint)"))
+      .select(col(sourceCol), col("mix_thresh"))
+    val hash = graft.functions.HashConventions
+      .md5long48(s"concat('$salt|', cast($keyCol as string))")
+    val guardedHash =
+      s"""case when $keyCol is null then cast(raise_error(
+            'Mixture.sampleBySqrtTemperature: $keyCol is null — the contract requires a non-null unique row key') as bigint)
+          else $hash end"""
+    guarded.join(broadcast(rateDf), Seq(sourceCol))
+      .filter(expr(s"$guardedHash % 1000000") < col("mix_thresh"))
+      .drop("mix_thresh")
+  }
+
+  /**
+   * Exhaustive, disjoint, growth-stable split assignment (train/val/test):
+   * appends a `split` column by salted-hash range. `cuts` maps split names
+   * to PERCENT widths out of 100 in declaration order — e.g.
+   * `Seq("train" -> 90, "val" -> 5, "test" -> 5)`; widths must be positive
+   * and sum to exactly 100, so every row lands in exactly one split.
+   * The decision is a pure function of (salt, key): a row can NEVER
+   * migrate between splits when the corpus grows or is re-run — the
+   * leakage-proof property an ML data split needs (test docs cannot drift
+   * into train). Map-only, no shuffle, stateless — runs unchanged under
+   * Structured Streaming (the [[sampleByRates]] property).
+   */
+  def assignSplits(
+      df: DataFrame,
+      keyCol: String,
+      salt: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    // >= 2 splits: a single-split "assignment" is degenerate AND would let
+    // Catalyst prune the hash column entirely, silently skipping the
+    // null-key contract below
+    require(cuts.size >= 2 && cuts.forall(_._2 > 0) && cuts.map(_._2).sum == 100,
+      s"cuts must be >= 2 positive percent widths summing to 100, got: $cuts")
+    require(cuts.map(_._1).distinct.size == cuts.size,
+      s"duplicate split names in: $cuts")
+    val reserved = Set("split", "__split_h")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val hash = graft.functions.HashConventions
+      .md5long48(s"concat('$salt|', cast($keyCol as string))")
+    val guardedHash =
+      s"""case when $keyCol is null then cast(raise_error(
+            'Mixture.assignSplits: $keyCol is null — the contract requires a non-null unique row key') as bigint)
+          else $hash end"""
+    // cumulative upper bounds -> one codegen'd case chain over hash mod 100
+    val bounds = cuts.scanLeft(0)(_ + _._2).tail
+    val branches = cuts.zip(bounds).init
+      .map { case ((name, _), hi) => s"when __split_h < $hi then '$name'" }
+      .mkString(" ")
+    df.withColumn("__split_h", expr(s"($guardedHash) % 100"))
+      .withColumn("split", expr(s"case $branches else '${cuts.last._1}' end"))
+      .drop("__split_h")
+  }
+
+  /**
    * Mixture sampling WITH oversampling: rates above 1 replicate rows
    * ("epoch upsampling" of scarce high-quality sources — the other half of
    * hitting a target training mixture). A rate of 2.5 keeps copies 0 and 1

@@ -1910,7 +1910,329 @@ object TextQueries {
         ORDER BY doc_id, chunk_no"""),
       "Sliding 256-char windows at stride 128 through Chunker.slidingCharWindows — " +
         "the byte-budget chunking model, map-only Generate + substring, only " +
-        "fixed-width columns leave the stage.")
+        "fixed-width columns leave the stage."),
+
+    // ---------------------------------------------------------------- q109
+    Q(
+      "q109_unigram_logprob",
+      (s, dir) => {
+        // Unigram-LM quality scoring (the CCNet/Gopher-style perplexity
+        // proxy): train a unigram model on the corpus itself (token ->
+        // count / total) and score every document by its mean negative
+        // log-probability — boilerplate and natural text score low,
+        // rare-token soup scores high, and the filter needs no external
+        // model. Scale: token counts are one shuffle on tok (the natural
+        // key; map-side combine collapses it), per-doc tfs one shuffle on
+        // (doc_id, tok), the scoring join is tok-keyed (hash-partitionable
+        // at any vocab size — broadcast is an optimization only when the
+        // vocab is small), and the 1-row total broadcasts back. Cross-
+        // engine: counts exact; each contribution shares one expression
+        // tree (ln carries 1-ulp slack); the per-doc fold runs in SORTED
+        // token order (the bm25 discipline) and round(,6) absorbs the ln
+        // slack AFTER the exact-order fold and IEEE division.
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tot = lens.agg(sum("dl").as("tt"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .join(vocab, Seq("tok"))
+          .crossJoin(broadcast(tot))
+          .withColumn("contrib",
+            expr("cast(tf as double) * ln(cast(c as double) / cast(tt as double))"))
+          .groupBy("doc_id")
+          .agg(expr(
+            """aggregate(
+                 transform(array_sort(collect_list(struct(tok, contrib))), p -> p.contrib),
+                 cast(0 as double), (a, v) -> a + v)""").as("lsum"))
+          .join(lens, Seq("doc_id"))
+          .selectExpr("doc_id", "dl", "round(-lsum / cast(dl as double), 6) as xent")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        lens AS (SELECT doc_id, COUNT(1) AS dl FROM toks GROUP BY doc_id),
+        st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
+        vocab AS (SELECT tok, COUNT(1) AS c FROM toks GROUP BY tok),
+        tft AS (SELECT doc_id, tok, COUNT(1) AS tf FROM toks GROUP BY doc_id, tok),
+        sc AS (
+          SELECT t.doc_id, t.tok,
+                 CAST(t.tf AS DOUBLE) * ln(CAST(v.c AS DOUBLE) / CAST(st.tt AS DOUBLE)) AS contrib
+          FROM tft t JOIN vocab v USING (tok), st),
+        agg AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY tok)),
+                   (a, v) -> a + v) AS lsum
+          FROM sc GROUP BY doc_id)
+        SELECT a.doc_id, l.dl, round(-a.lsum / CAST(l.dl AS DOUBLE), 6) AS xent
+        FROM agg a JOIN lens l USING (doc_id)
+        ORDER BY doc_id"""),
+      "Unigram-LM quality score (perplexity proxy): self-trained token " +
+        "probabilities, per-doc mean negative log-prob folded in sorted token " +
+        "order — token-keyed equi-joins throughout, no external model."),
+
+    // ---------------------------------------------------------------- q110
+    Q(
+      "q110_epoch_shuffle",
+      (s, dir) => {
+        // Deterministic global training order — the shuffle a dataloader
+        // needs BEFORE packing/sharding an epoch: every doc gets a dense
+        // 1-based position by salted-hash order, a different independent
+        // permutation per epoch (new salt), reproducible across runs,
+        // engines, and partitionings. Routed through GlobalRank's
+        // two-phase shape (sketch bounds -> bucketed local sorts -> offset
+        // arithmetic): a bare row_number() over (order by hash) would
+        // single-task the corpus — the exact hazard GlobalRank exists to
+        // kill. Positions join on doc_id (one shuffle each side).
+        def pos(salt: String, out: String) =
+          graft.operators.GlobalRank.withGlobalRank(
+            table(s, dir, "documents")
+              .select(col("doc_id"))
+              .withColumn("seg", lit(1))
+              .withColumn("hkey",
+                expr(md5long(s"concat('$salt|', cast(doc_id as string))"))),
+            "seg", "hkey", "doc_id")
+            .select(col("doc_id"), col("rn").cast("long").as(out))
+        pos("ep0", "pos_e0").join(pos("ep1", "pos_e1"), Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH h0 AS (
+          SELECT doc_id, row_number() OVER (ORDER BY
+            ${duckMd5long("'ep0|' || cast(doc_id as varchar)")}, doc_id) AS pos_e0
+          FROM documents),
+        h1 AS (
+          SELECT doc_id, row_number() OVER (ORDER BY
+            ${duckMd5long("'ep1|' || cast(doc_id as varchar)")}, doc_id) AS pos_e1
+          FROM documents)
+        SELECT doc_id, pos_e0, pos_e1
+        FROM h0 JOIN h1 USING (doc_id)
+        ORDER BY doc_id"""),
+      "Deterministic epoch shuffle: dense global training positions by salted-hash " +
+        "order through GlobalRank's two-phase shape — an independent reproducible " +
+        "permutation per epoch, no single-task global sort."),
+
+    // ---------------------------------------------------------------- q111
+    Q(
+      "q111_temperature_mixture",
+      (s, dir) => {
+        // Temperature-balanced mixture through Mixture.sampleBySqrtTemperature:
+        // keep-rates DERIVED from the data (rate = sqrt(n_min/n_s), the
+        // alpha=0.5 temperature curve), so big sources flatten toward the
+        // smallest instead of drowning it. Output is the per-source audit
+        // row a mixture deployment checks: totals, derived rate/threshold,
+        // and the deterministic kept count. sqrt/casts are correctly-
+        // rounded IEEE (why the operator fixes alpha=0.5 — pow() isn't),
+        // so rates hash cross-engine. Scale: the corpus never shuffles in
+        // the operator (broadcast thresholds + hash filter); the summary
+        // aggs are source-keyed.
+        val docs = table(s, dir, "documents")
+        val kept = graft.operators.Mixture
+          .sampleBySqrtTemperature(docs, "source", "doc_id", "tmp1")
+        val totals = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        val mn = totals.agg(min("n_total").as("n_min"))
+        totals.crossJoin(broadcast(mn))
+          .withColumn("rate",
+            expr("sqrt(cast(n_min as double) / cast(n_total as double))"))
+          .withColumn("mix_thresh",
+            expr("cast(floor(rate * 1000000.0d) as bigint)"))
+          .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")),
+            Seq("source"), "left")
+          .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+          .select("source", "n_total", "rate", "mix_thresh", "n_kept")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH c AS (SELECT source, COUNT(1) AS n_total FROM documents GROUP BY source),
+        m AS (SELECT MIN(n_total) AS n_min FROM c),
+        r AS (
+          SELECT source, n_total,
+                 SQRT(CAST(m.n_min AS DOUBLE) / CAST(n_total AS DOUBLE)) AS rate,
+                 CAST(FLOOR(SQRT(CAST(m.n_min AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS mix_thresh
+          FROM c, m),
+        k AS (
+          SELECT d.source, COUNT(1) AS n_kept
+          FROM documents d JOIN r ON d.source = r.source
+          WHERE ${duckMd5long("'tmp1|' || cast(doc_id as varchar)")} % 1000000 < r.mix_thresh
+          GROUP BY d.source)
+        SELECT r.source, r.n_total, r.rate, r.mix_thresh,
+               COALESCE(k.n_kept, 0) AS n_kept
+        FROM r LEFT JOIN k ON r.source = k.source
+        ORDER BY r.source"""),
+      "Temperature-balanced mixture audit: data-derived sqrt keep-rates flatten " +
+        "source sizes toward the smallest — broadcast thresholds + salted-hash " +
+        "filter, the corpus never shuffles; rates bit-exact cross-engine."),
+
+    // ---------------------------------------------------------------- q112
+    Q(
+      "q112_bpe_pair_counts",
+      (s, dir) => {
+        // The TRAINING side of the tokenizer story (q106 counts with a
+        // fixed token model; this derives the model): the first BPE merge
+        // round — adjacent character-pair frequencies over the corpus,
+        // weighted by word frequency. The scale trick is classic BPE
+        // training: aggregate to DISTINCT words first (one shuffle, the
+        // vocab is tiny vs the corpus), then explode pairs over the
+        // distinct-word table only — the quadratic-ish pair work never
+        // touches corpus-sized data. Top-20 by count is the merge-table
+        // head; counts exact integers.
+        val words = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+        words.groupBy("w").agg(count(lit(1)).as("wcnt"))
+          .select(col("wcnt"), explode(
+            expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("wcnt").as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        wc AS (
+          SELECT w, COUNT(1) AS wcnt FROM words
+          WHERE length(w) >= 2 GROUP BY w),
+        pairs AS (
+          SELECT wcnt,
+                 unnest(list_transform(range(1, length(w)),
+                   i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+          FROM wc)
+        SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 20"""),
+      "First BPE merge round: adjacent char-pair frequencies weighted by word " +
+        "frequency — pair explosion runs over the distinct-word table only, " +
+        "never corpus-sized data; the tokenizer-training half of q106."),
+
+    // ---------------------------------------------------------------- q113
+    Q(
+      "q113_decontam_spans",
+      (s, dir) => {
+        // Contamination SURGERY: q56 says WHICH docs overlap the eval set;
+        // this says WHERE, and what survives cutting — positional 3-gram
+        // shingles flagged against the (tiny, broadcast) eval shingle set,
+        // flagged positions merged into maximal spans by the q92
+        // gaps-and-islands shape, then per-doc surgery accounting
+        // (spans, tokens cut, keep fraction). The production move this
+        // enables: excise benchmark-overlapping spans instead of dropping
+        // whole documents — at 100 TB the difference is real corpus yield.
+        // Scale: the flag join broadcasts the eval side (fixed benchmark,
+        // never corpus-sized), islands are one doc-keyed window, and the
+        // summary is one doc-keyed aggregate. keep_frac is an IEEE
+        // division of exact integer counts.
+        val withToks = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val posts = withToks
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), size(col("toks")).as("n_tok").cast("long").as("n_tok"),
+            posexplode(expr("word_ngram_hash48(toks, 3)")).as(Seq("pos0", "h")))
+          .select(col("doc_id"), col("n_tok"), (col("pos0") + 1).as("pos"), col("h"))
+        val evalSh = posts.filter(col("doc_id") < 10).select("h").distinct()
+        val flagged = posts.filter(col("doc_id") >= 10)
+          .join(broadcast(evalSh), Seq("h"))
+          .select("doc_id", "n_tok", "pos")
+        val before = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val upto = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        flagged
+          .withColumn("prev_end", max(col("pos") + 2).over(before))
+          .withColumn("new_isl",
+            (col("pos") > coalesce(col("prev_end"), lit(-2)) + 1).cast("int"))
+          .withColumn("isl", sum("new_isl").over(upto))
+          .groupBy("doc_id", "n_tok", "isl")
+          .agg(
+            min("pos").as("span_start"),
+            (max(col("pos")) + lit(2)).as("span_end"))
+          .groupBy("doc_id", "n_tok")
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(col("span_end") - col("span_start") + 1).as("tokens_cut"))
+          .selectExpr("doc_id", "n_tok", "n_spans", "tokens_cut",
+            "cast(n_tok - tokens_cut as double) / cast(n_tok as double) as keep_frac")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 3),
+        posts AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                 unnest(range(1, len(toks) - 1)) AS pos, toks
+          FROM d),
+        hashed AS (
+          SELECT doc_id, n_tok, pos,
+                 CAST('0x' || substr(md5(toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2]), 1, 12) AS BIGINT) AS h
+          FROM posts),
+        ev AS (SELECT DISTINCT h FROM hashed WHERE doc_id < 10),
+        flagged AS (
+          SELECT doc_id, n_tok, pos FROM hashed JOIN ev USING (h)
+          WHERE doc_id >= 10),
+        pe AS (
+          SELECT doc_id, n_tok, pos,
+                 MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM flagged),
+        isl AS (
+          SELECT doc_id, n_tok, pos,
+                 SUM(CASE WHEN pos > COALESCE(prev_end, -2) + 1
+                     THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM pe),
+        spans AS (
+          SELECT doc_id, n_tok, isl, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end
+          FROM isl GROUP BY doc_id, n_tok, isl)
+        SELECT doc_id, n_tok, COUNT(1) AS n_spans,
+               CAST(SUM(span_end - span_start + 1) AS BIGINT) AS tokens_cut,
+               CAST(n_tok - CAST(SUM(span_end - span_start + 1) AS BIGINT) AS DOUBLE)
+                 / CAST(n_tok AS DOUBLE) AS keep_frac
+        FROM spans GROUP BY doc_id, n_tok
+        ORDER BY doc_id"""),
+      "Contamination surgery: eval-set shingles flag positions (broadcast screen), " +
+        "gaps-and-islands merges them into maximal cut spans, per-doc accounting " +
+        "reports what survives — excise benchmark overlap instead of dropping " +
+        "documents; doc-keyed windows and aggregates, no corpus-sized broadcast."),
+
+    // ---------------------------------------------------------------- q114
+    Q(
+      "q114_data_split",
+      (s, dir) => {
+        // Deterministic train/val/test assignment — the split EVERY
+        // training pipeline needs, and the one thing q70 (sampling) and
+        // q74 (mixture) deliberately are not: an EXHAUSTIVE, DISJOINT
+        // partition of the corpus into 90/5/5 by salted-hash range, so a
+        // doc's split never changes when the corpus grows (leakage-proof:
+        // a doc can never migrate from test into train on a re-run with
+        // more data). Map-only over the corpus; the output is the
+        // per-source x split audit counts a pipeline checks for
+        // stratification drift before training. Pure integer arithmetic —
+        // exact cross-engine.
+        graft.operators.Mixture
+          .assignSplits(table(s, dir, "documents"), "doc_id", "split1",
+            Seq("train" -> 90, "val" -> 5, "test" -> 5))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+          .orderBy("source", "split")
+      },
+      Some(s"""
+        SELECT source, split, COUNT(1) AS n_docs, MIN(doc_id) AS min_doc
+        FROM (
+          SELECT source, doc_id,
+                 CASE WHEN h < 90 THEN 'train'
+                      WHEN h < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT source, doc_id,
+                   ${duckMd5long("'split1|' || cast(doc_id as varchar)")} % 100 AS h
+            FROM documents))
+        GROUP BY source, split
+        ORDER BY source, split"""),
+      "Deterministic 90/5/5 train/val/test split by salted-hash range: exhaustive, " +
+        "disjoint, growth-stable (no doc ever migrates between splits) — map-only " +
+        "assignment plus the per-source stratification audit.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

@@ -658,7 +658,67 @@ object VectorQueries {
       "Two-stage retrieval: IVF+SQ8 integer routing proposes top-10, full-precision " +
         "cosine re-ranks to top-3 — float vectors enter exactly one broadcast join " +
         "(corpus never shuffles, candidates bounded at probes x 10), the standard " +
-        "production recall/memory trade.")
+        "production recall/memory trade."),
+
+    // ---------------------------------------------------------------- q108
+    Q(
+      "q108_semdedup",
+      (s, dir) => {
+        // SemDeDup-style SEMANTIC dedup: cluster the embedding space with
+        // the shared coarse-quantization layer (q34's assignment), then
+        // compare pairs only WITHIN a cluster — exact cosine on a
+        // cluster-bounded pair set, never the corpus x corpus product.
+        // A vector is dropped when a LOWER-id cluster-mate sits above the
+        // similarity threshold (the deterministic keep-lowest rule, no
+        // connected components needed: near-identical embeddings are
+        // transitively close by construction). At 100 TB the centroid
+        // count scales with the corpus (k ~ n/target_cluster_size), so
+        // per-cluster pair counts stay bounded — the same knob IVF search
+        // already turns; the pair join is a hash-partitionable equi-join
+        // on cluster_id (plan-locked: no cartesian), AQE-splittable under
+        // cluster skew. This is the dedup that catches paraphrases and
+        // re-encodings exact/MinHash text dedup (q23/q57) cannot see.
+        graft.functions.VectorExpressions.register(s)
+        val sized = assignedClusters(s, dir)
+          .selectExpr("vec_id", "embedding", "cluster_id",
+            s"${sparkDot("embedding", "embedding")} as n2")
+        val a = sized.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("cluster_id"), col("n2").as("n2a"))
+        val b = sized.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("cluster_id"), col("n2").as("n2b"))
+        val dropped = a.join(b, Seq("cluster_id"))
+          .filter(col("id_a") < col("id_b"))
+          .selectExpr("id_b",
+            s"${sparkDot("ea", "eb")} / (sqrt(n2a) * sqrt(n2b)) as sim")
+          .filter(col("sim") >= 0.95)
+          .select(col("id_b").as("vec_id"))
+          .distinct()
+          .withColumn("is_dropped", lit(true))
+        sized.select("vec_id", "cluster_id")
+          .join(dropped, Seq("vec_id"), "left")
+          .withColumn("kept", coalesce(col("is_dropped"), lit(false)) === false)
+          .select("vec_id", "cluster_id", "kept")
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH $duckAssigned,
+        sized AS (
+          SELECT vec_id, embedding, cluster_id,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM assigned),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM sized a JOIN sized b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${duckDot("a.embedding", "b.embedding")}
+                  / (SQRT(a.n2) * SQRT(b.n2)) >= 0.95)
+        SELECT s.vec_id, s.cluster_id, d.vec_id IS NULL AS kept
+        FROM sized s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+        ORDER BY s.vec_id"""),
+      "SemDeDup-style semantic dedup: coarse-cluster the embedding space, exact " +
+        "cosine only within clusters, drop toward the lowest id — catches " +
+        "paraphrase/re-encoding duplicates text dedup cannot see; pair work " +
+        "bounded by cluster size, equi-join on cluster_id, no cartesian.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —

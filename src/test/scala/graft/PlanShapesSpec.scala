@@ -257,6 +257,48 @@ class PlanShapesSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 semantic-dedup pairs equi-join on cluster_id, never cartesian") {
+    val p = SparkEntry.queries("q108_semdedup")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the pair join must be keyed (hash-partitionable at any corpus size);
+    // only the tiny centroid attach may nested-loop via broadcast
+    assert(p.contains("cluster_id"), s"pair join lost its cluster key:\n$p")
+  }
+
+  test("q110 epoch shuffle ranks two-phase: no data-sized global window") {
+    val p = SparkEntry.queries("q110_epoch_shuffle")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val globals = p.linesIterator.filter(_.contains("Window ["))
+      .filter(l => "\\], \\[[^\\]]*\\], \\[".r.findFirstIn(l).isEmpty).toSeq
+    // GlobalRank's offsets window over the tiny counts aggregate is the
+    // only allowed global frame (the q99 rule)
+    assert(globals.forall(_.contains("sum(cnt#")),
+      s"a data-sized global window crept in:\n${globals.mkString("\n")}")
+  }
+
+  test("q111 temperature mixture broadcasts thresholds, never cartesian") {
+    val p = SparkEntry.queries("q111_temperature_mixture")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"threshold join degraded:\n$p")
+  }
+
+  test("q112 BPE pair counts: pair explosion runs over the distinct-word aggregate") {
+    val df = SparkEntry.queries("q112_bpe_pair_counts")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the pair explode must consume the word-count AGGREGATE, not the
+    // corpus-sized token stream: in the top-down plan print, a
+    // HashAggregate must appear BELOW the substring-Generate (its input)
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(l => l.contains("Generate") && l.contains("substring"))
+    assert(genIdx >= 0, s"pair explode missing:\n$p")
+    val aggBelow = lines.indexWhere(_.contains("HashAggregate"), genIdx)
+    assert(aggBelow > genIdx,
+      s"pair explode must consume the word-count aggregate, not raw tokens:\n$p")
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")

@@ -102,6 +102,95 @@ class MixtureSpec extends AnyFunSuite {
       s"expected the loud null-contract error, got: $ex")
   }
 
+  test("sqrt-temperature sampling flattens sources toward the smallest") {
+    import spark.implicits._
+    // sources with 1k / 4k / 16k rows: rates 1, 1/2, 1/4 — kept counts
+    // ~1k / ~2k / ~4k (a 16x spread flattens to ~4x)
+    val ids = spark.range(0, 21000).toDF("id")
+      .withColumn("src",
+        when(col("id") < 1000, "small")
+          .when(col("id") < 5000, "mid")
+          .otherwise("big"))
+    val out = Mixture.sampleBySqrtTemperature(ids, "src", "id", "t")
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("small") === 1000L, "the smallest source must keep every row")
+    assert(math.abs(counts("mid") - 2000L) < 150, s"sqrt(1/4) rate off: ${counts("mid")}")
+    assert(math.abs(counts("big") - 4000L) < 250, s"sqrt(1/16) rate off: ${counts("big")}")
+  }
+
+  test("temperature sampling is deterministic and partitioning-independent") {
+    import spark.implicits._
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Mixture.sampleBySqrtTemperature(df, "source", "doc_id", "tmp1")
+        .select("doc_id").as[Long].collect().toSet
+    val base = kept(docs)
+    assert(base.nonEmpty)
+    assert(kept(docs.repartition(17, col("lang"))) === base,
+      "keep set must not depend on partitioning")
+  }
+
+  test("temperature sampling: corpus rides a broadcast join, nulls fail loudly") {
+    import spark.implicits._
+    val plan = Mixture.sampleBySqrtTemperature(docs, "source", "doc_id", "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"the corpus must not sort-merge:\n$plan")
+    val nullSrc = Seq((Option.empty[String], 1L), (Some("s"), 2L)).toDF("src", "id")
+    val ex = intercept[Exception] {
+      Mixture.sampleBySqrtTemperature(nullSrc, "src", "id", "t").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("src is null")),
+      s"expected the loud null-source error, got: $ex")
+  }
+
+  test("assignSplits is exhaustive, disjoint, and growth-stable") {
+    import spark.implicits._
+    val cuts = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val out = Mixture.assignSplits(docs, "doc_id", "split1", cuts)
+    // exhaustive + disjoint: every row gets exactly one split
+    assert(out.count() === docs.count())
+    val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // growth-stable: on a half corpus every surviving doc keeps its split
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Mixture.assignSplits(df, "doc_id", "split1", cuts)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = splits(docs)
+    val half = splits(docs.filter(col("doc_id") % 2 === 0))
+    assert(half.forall { case (id, sp) => full(id) == sp },
+      "a doc must never migrate between splits when the corpus shrinks/grows")
+    // stable under repartitioning too
+    assert(splits(docs.repartition(17, col("lang"))) === full)
+  }
+
+  test("assignSplits contracts fail loudly") {
+    intercept[IllegalArgumentException] {
+      Mixture.assignSplits(docs, "doc_id", "s", Seq("a" -> 90, "b" -> 5))
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.assignSplits(docs, "doc_id", "s", Seq("a" -> 95, "a" -> 5))
+    }
+    intercept[IllegalArgumentException] {
+      // single-split assignment is degenerate (and would prune the guard)
+      Mixture.assignSplits(docs, "doc_id", "s", Seq("a" -> 100))
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.assignSplits(docs.withColumn("split", lit("x")),
+        "doc_id", "s", Seq("a" -> 50, "b" -> 50))
+    }
+    import spark.implicits._
+    val nullKey = Seq((Option.empty[Long], "x"), (Some(1L), "y")).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Mixture.assignSplits(nullKey, "id", "s", Seq("a" -> 50, "b" -> 50)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("id is null")))
+  }
+
   test("invalid rates and reserved column names fail loudly") {
     intercept[IllegalArgumentException] {
       Mixture.sampleByRates(docs, "source", "doc_id", Map("a" -> 1.5), 0.5, "t")

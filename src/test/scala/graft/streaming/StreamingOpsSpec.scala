@@ -64,6 +64,17 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed === batch, "streaming chunks must equal batch chunks")
   }
 
+  test("Mixture.assignSplits runs unchanged on a stream; splits equal batch") {
+    val cuts = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    def split(df: DataFrame): DataFrame =
+      graft.operators.Mixture.assignSplits(df, "doc_id", "split1", cuts)
+        .select("doc_id", "split")
+    val streamed = streamOf(docs)(split).collect().map(_.toSeq).toSet
+    val batch = split(docs).collect().map(_.toSeq).toSet
+    assert(streamed === batch, "streaming split assignment must equal batch")
+    assert(batch.size === 500, "assignment must be exhaustive")
+  }
+
   test("CmsAgg aggregates a stream to the exact batch grid (complete mode)") {
     // sketches whose merge COMMUTES are streaming-ready as aggregates: the
     // state store keeps one grid per group and micro-batch arrival order
