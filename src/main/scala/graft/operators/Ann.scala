@@ -108,6 +108,57 @@ object Ann {
   }
 
   /**
+   * SemDeDup-style semantic near-duplicate detection over an embedding
+   * column: assign every vector to its coarse centroid ([[ivfAssign]]),
+   * compare pairs ONLY within a cluster by exact cosine, and mark every
+   * vector that has a LOWER-id cluster-mate at or above `simThreshold` as
+   * dropped (keep-lowest canonical election — no connected components
+   * needed: vectors inside an epsilon-ball are transitively close by
+   * construction, so the lowest id is a stable keeper). Returns
+   * `(idCol, cluster_id, kept)` for every input row.
+   *
+   * The 100 TB contract: pair work is Σ cluster² — bounded by sizing the
+   * centroid count with the corpus (k ~ n / target_cluster_size, the same
+   * knob [[ivfSearch]] turns); the pair join is a hash-partitionable
+   * equi-join on cluster_id (no cartesian — plan-locked at the q108
+   * use-site), AQE-splittable under cluster skew. This catches paraphrase
+   * and re-encoding duplicates that exact/MinHash TEXT dedup cannot see;
+   * its known approximation is pairs split across cluster boundaries
+   * (recall rises with nearer-duplicate vectors, which quantize together).
+   */
+  def semanticDedup(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      simThreshold: Double): DataFrame = {
+    require(simThreshold > 0.0 && simThreshold <= 1.0,
+      s"simThreshold ($simThreshold) must be in (0, 1]")
+    val reserved =
+      Set("__id_a", "__ea", "__n2a", "__id_b", "__eb", "__n2b", "__sim", "is_dropped", "kept")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val sized = ivfAssign(spark, df.select(idCol, vecCol), idCol, vecCol, centroids)
+    val a = sized.select(col(idCol).as("__id_a"), col(vecCol).as("__ea"),
+      col("cluster_id"), col("n2").as("__n2a"))
+    val b = sized.select(col(idCol).as("__id_b"), col(vecCol).as("__eb"),
+      col("cluster_id"), col("n2").as("__n2b"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("__id_a") < col("__id_b"))
+      .withColumn("__sim",
+        expr("vec_dot(__ea, __eb)") / (sqrt(col("__n2a")) * sqrt(col("__n2b"))))
+      .filter(col("__sim") >= simThreshold)
+      .select(col("__id_b").as(idCol))
+      .distinct()
+      .withColumn("is_dropped", lit(true))
+    sized.select(idCol, "cluster_id")
+      .join(dropped, Seq(idCol), "left")
+      .withColumn("kept", coalesce(col("is_dropped"), lit(false)) === false)
+      .select(idCol, "cluster_id", "kept")
+  }
+
+  /**
    * Train the IVF coarse codebook itself: `iters` rounds of Lloyd's k-means
    * over `df`'s float-array `vecCol`, maximum-dot-product assignment (the
    * same metric [[ivfAssign]]/[[ivfSearch]] route by, so the trained

@@ -678,26 +678,12 @@ object VectorQueries {
         // on cluster_id (plan-locked: no cartesian), AQE-splittable under
         // cluster skew. This is the dedup that catches paraphrases and
         // re-encodings exact/MinHash text dedup (q23/q57) cannot see.
-        graft.functions.VectorExpressions.register(s)
-        val sized = assignedClusters(s, dir)
-          .selectExpr("vec_id", "embedding", "cluster_id",
-            s"${sparkDot("embedding", "embedding")} as n2")
-        val a = sized.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-          col("cluster_id"), col("n2").as("n2a"))
-        val b = sized.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-          col("cluster_id"), col("n2").as("n2b"))
-        val dropped = a.join(b, Seq("cluster_id"))
-          .filter(col("id_a") < col("id_b"))
-          .selectExpr("id_b",
-            s"${sparkDot("ea", "eb")} / (sqrt(n2a) * sqrt(n2b)) as sim")
-          .filter(col("sim") >= 0.95)
-          .select(col("id_b").as("vec_id"))
-          .distinct()
-          .withColumn("is_dropped", lit(true))
-        sized.select("vec_id", "cluster_id")
-          .join(dropped, Seq("vec_id"), "left")
-          .withColumn("kept", coalesce(col("is_dropped"), lit(false)) === false)
-          .select("vec_id", "cluster_id", "kept")
+        val e = table(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        graft.operators.Ann.semanticDedup(
+            s, e.select("vec_id", "embedding"), "vec_id", "embedding",
+            cents, simThreshold = 0.95)
           .orderBy("vec_id")
       },
       Some(s"""

@@ -244,6 +244,30 @@ class AnnSpec extends AnyFunSuite {
     assert(top.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("Ann.semanticDedup drops toward the lowest id within a cluster only") {
+    // two clusters on the axes. Cluster 0: ids 2 and 6 duplicate id 1
+    // (same direction, different magnitude — cosine exactly 1.0) and drop
+    // toward it; id 9 is a cluster-mate but not a duplicate (cos ~0.74).
+    // Cluster 1: id 5 duplicates id 4 and drops; id 4 keeps as the
+    // cluster's lowest id.
+    val df = vecFrame(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(2.0f, 0.0f), 6L -> Seq(0.5f, 0.0f),
+      9L -> Seq(1.0f, 0.9f),
+      4L -> Seq(0.0f, 1.0f), 5L -> Seq(0.0f, 2.0f))
+    val cents = vecFrame(0L -> Seq(1.0f, 0.1f), 1L -> Seq(0.0f, 1.0f))
+      .select(col("vid").as("centroid_id"), col("v").as("ce"))
+    val out = Ann.semanticDedup(spark, df, "vid", "v", cents, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 6L -> false, 9L -> true,
+      4L -> true, 5L -> false))
+    // every input row appears exactly once (exhaustive verdicts)
+    assert(out.size === 6)
+    // threshold contract is loud
+    intercept[IllegalArgumentException] {
+      Ann.semanticDedup(spark, df, "vid", "v", cents, 1.5)
+    }
+  }
+
   test("Ann.kmeansFit with iters=0 returns the farthest-first seeds") {
     // seed 1: lowest id (1). seed 2: min max-dot to (1,0) — id4's 0.0 beats
     // id7's 0.25 and id9's 0.5
