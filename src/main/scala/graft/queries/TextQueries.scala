@@ -908,11 +908,16 @@ object TextQueries {
             count(lit(1)).as("n_sh"),
             max(col("em").isNotNull).as("exact_hit"),
             max(col("bhit")).as("bloom_hit"))
-        val w = Window.partitionBy()
+        // corpus-level FP totals as a 1-row aggregate broadcast BACK onto
+        // the per-doc frame — an unpartitioned window here would funnel
+        // every doc row through ONE task at scale (the hazard this
+        // library's no-single-task-stage discipline exists to kill; caught
+        // by the all-queries window audit in PlanShapesSpec)
+        val totals = perDoc.agg(
+          sum((col("bloom_hit") && !col("exact_hit")).cast("long")).as("fp_docs"),
+          count(lit(1)).as("n_docs"))
         perDoc
-          .withColumn("fp_docs",
-            sum((col("bloom_hit") && !col("exact_hit")).cast("long")).over(w))
-          .withColumn("n_docs", count(lit(1)).over(w))
+          .crossJoin(broadcast(totals))
           .select(
             col("doc_id"), col("n_sh"), col("exact_hit"),
             (col("bloom_hit") || !col("exact_hit")).as("no_false_negative"),

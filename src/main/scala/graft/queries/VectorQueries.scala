@@ -69,6 +69,32 @@ object VectorQueries {
       "vec_id", "embedding", cents)
   }
 
+  /** The synthetic near-duplicate corpus for the semantic-dedup queries
+    * (q108/q115): every 25th vector gains a twin at id+1000000 scaled by
+    * 1.5 — same direction, cosine ~1.0 (float rounding costs < 1e-7), the
+    * deterministic-mutation pattern q95/q72 use. The raw embeddings table
+    * has NO natural near-dup pairs (max pairwise cosine ~0.51), so without
+    * augmentation a dedup use-site would drop nothing and prove nothing.
+    * Float scaling is cross-engine exact: both engines round the exact
+    * double product x*1.5 to float once. */
+  private def augmented(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+    e.unionByName(
+      e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, x -> cast(x * cast(1.5 as float) as float))")
+            .as("embedding")))
+  }
+
+  /** DuckDB twin of [[augmented]]: a CTE named `aug(vec_id, embedding)`. */
+  private def duckAugmented: String =
+    """aug AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 1000000 AS vec_id,
+                list_transform(embedding, x -> CAST(x * 1.5 AS REAL)) AS embedding
+         FROM embeddings WHERE vec_id % 25 = 0)"""
+
   /** The DuckDB CTE chain mirroring [[assignedClusters]]; yields a relation
     * named `assigned(vec_id, embedding, cluster_id)`. */
   private def duckAssigned: String =
@@ -678,16 +704,31 @@ object VectorQueries {
         // on cluster_id (plan-locked: no cartesian), AQE-splittable under
         // cluster skew. This is the dedup that catches paraphrases and
         // re-encodings exact/MinHash text dedup (q23/q57) cannot see.
+        // Input is the AUGMENTED corpus (scaled twins every 25th vector —
+        // the raw table has no natural near-dups), so the verdicts
+        // actually exercise the drop path: every twin drops toward its
+        // lower-id original.
         val e = table(s, dir, "embeddings")
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
         graft.operators.Ann.semanticDedup(
-            s, e.select("vec_id", "embedding"), "vec_id", "embedding",
+            s, augmented(s, dir), "vec_id", "embedding",
             cents, simThreshold = 0.95)
           .orderBy("vec_id")
       },
       Some(s"""
-        WITH $duckAssigned,
+        WITH $duckAugmented,
+        cents AS (
+          SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        dots AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 ${duckDot("e.embedding", "c.ce")} AS cdot
+          FROM aug e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id AS cluster_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
+          WHERE rn = 1),
         sized AS (
           SELECT vec_id, embedding, cluster_id,
                  ${duckDot("embedding", "embedding")} AS n2
@@ -704,7 +745,111 @@ object VectorQueries {
       "SemDeDup-style semantic dedup: coarse-cluster the embedding space, exact " +
         "cosine only within clusters, drop toward the lowest id — catches " +
         "paraphrase/re-encoding duplicates text dedup cannot see; pair work " +
-        "bounded by cluster size, equi-join on cluster_id, no cartesian.")
+        "bounded by cluster size, equi-join on cluster_id, no cartesian."),
+
+    // ---------------------------------------------------------------- q115
+    Q(
+      "q115_semdedup_recall",
+      (s, dir) => {
+        // The recall contract for semantic dedup — the third audit of the
+        // trilogy (q97 grades MinHash-LSH, q102 grades IVF routing, this
+        // grades q108's cluster bound): within-cluster candidate pairs vs
+        // EXACT all-pairs cosine truth. Every candidate is true by
+        // construction (both sides use exact cosine; the cluster bound
+        // only LOSES pairs), so the row is pure recall: what fraction of
+        // true near-dup pairs share a coarse cluster. Scale discipline:
+        // both sides restrict to the deterministic salted-hash bottom-300
+        // sample (q70's machinery, the q97 knob), so the quadratic truth
+        // join is bounded at ANY corpus size while the candidate side
+        // stays the production equi-join shape.
+        graft.functions.VectorExpressions.register(s)
+        val hk = graft.functions.HashConventions
+          .md5long48("concat('sdr|', cast(vec_id as string))")
+        // PAIR-AWARE sampling: sample BASE ids, then include every sampled
+        // id's synthetic twin — a plain row sample would keep each truth
+        // pair only when both ends survive independently, leaving the
+        // audit vacuously pair-free at small sample rates
+        val samp = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), expr(hk).as("hkey"))
+          .orderBy("hkey", "vec_id").limit(300)
+          .select("vec_id", "embedding")
+        val sampAug = samp.unionByName(
+          samp.filter(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              expr("transform(embedding, x -> cast(x * cast(1.5 as float) as float))")
+                .as("embedding")))
+        val cents = table(s, dir, "embeddings").filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        val sized = graft.operators.Ann
+          .ivfAssign(s, sampAug, "vec_id", "embedding", cents)
+        val a = sized.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("cluster_id").as("cl_a"), col("n2").as("n2a"))
+        val b = sized.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("cluster_id").as("cl_b"), col("n2").as("n2b"))
+        // truth: ALL sample pairs above tau (broadcast is safe: the sample
+        // is bounded by construction, not a corpus fraction)
+        val pairs = a.join(broadcast(b), col("id_a") < col("id_b"))
+          .selectExpr("cl_a", "cl_b",
+            s"${sparkDot("ea", "eb")} / (sqrt(n2a) * sqrt(n2b)) as sim")
+          .filter(col("sim") >= 0.95)
+        pairs.agg(
+            count(lit(1)).as("n_truth"),
+            // coalesce: sum over a pair-free sample is null, the count is 0
+            coalesce(sum((col("cl_a") === col("cl_b")).cast("long")), lit(0L))
+              .as("n_cand"))
+          .select(
+            col("n_truth"), col("n_cand"),
+            (col("n_truth") - col("n_cand")).as("n_missed_cross_cluster"),
+            when(col("n_truth") === 0, lit(1.0d))
+              .otherwise(col("n_cand").cast("double") / col("n_truth").cast("double"))
+              .as("recall"))
+      },
+      Some {
+        val hk = graft.functions.HashConventions
+          .duckMd5long48("'sdr|' || cast(vec_id as varchar)")
+        s"""
+        WITH samp AS (
+          SELECT vec_id, embedding FROM embeddings
+          ORDER BY $hk, vec_id LIMIT 300),
+        saug AS (
+          SELECT vec_id, embedding FROM samp
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(embedding, x -> CAST(x * 1.5 AS REAL)) AS embedding
+          FROM samp WHERE vec_id % 25 = 0),
+        cents AS (
+          SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        dots AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 ${duckDot("e.embedding", "c.ce")} AS cdot
+          FROM saug e CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id AS cluster_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
+          WHERE rn = 1),
+        sized AS (
+          SELECT vec_id, embedding, cluster_id,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM assigned),
+        pairs AS (
+          SELECT a.cluster_id AS cl_a, b.cluster_id AS cl_b,
+                 ${duckDot("a.embedding", "b.embedding")}
+                   / (SQRT(a.n2) * SQRT(b.n2)) AS sim
+          FROM sized a JOIN sized b ON a.vec_id < b.vec_id)
+        SELECT COUNT(1) AS n_truth,
+               CAST(COALESCE(SUM(CASE WHEN cl_a = cl_b THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand,
+               COUNT(1) - CAST(COALESCE(SUM(CASE WHEN cl_a = cl_b THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_missed_cross_cluster,
+               CASE WHEN COUNT(1) = 0 THEN 1.0
+                    ELSE CAST(SUM(CASE WHEN cl_a = cl_b THEN 1 ELSE 0 END) AS DOUBLE)
+                           / CAST(COUNT(1) AS DOUBLE) END AS recall
+        FROM pairs WHERE sim >= 0.95"""
+      },
+      "Semantic-dedup recall contract: within-cluster candidate pairs graded " +
+        "against exact all-pairs cosine truth on the deterministic hash sample — " +
+        "candidates are true by construction, so the row is pure recall of the " +
+        "cluster bound; the audit trilogy's third leg after q97 and q102.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —

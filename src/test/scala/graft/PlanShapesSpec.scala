@@ -299,6 +299,47 @@ class PlanShapesSpec extends AnyFunSuite {
       s"pair explode must consume the word-count aggregate, not raw tokens:\n$p")
   }
 
+  test("no query plans an unpartitioned window over non-aggregate data (all queries)") {
+    // The library-wide version of the q83/q99/q110 locks: an unpartitioned
+    // window funnels its whole input through ONE task, which is fatal at
+    // corpus scale. A window is global when windowspecdefinition lists no
+    // partition column — either nothing before the frame (unordered) or
+    // only ASC/DESC-marked order columns. The ONLY allowed global frames
+    // are the tiny aggregate inputs: GlobalRank/Packer offset sums over
+    // their nBuckets-row counts (sum(cnt#/b_tot#) and the n_seg total.
+    // This audit caught q69's corpus-sized Window.partitionBy() in round 5.
+    val allowed = Seq("sum(cnt#", "sum(b_tot#")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, Sf).queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("windowspecdefinition(")).flatMap { line =>
+        val spec = line.substring(line.indexOf("windowspecdefinition(") + "windowspecdefinition(".length)
+        val frameIdx = spec.indexOf("specifiedwindowframe")
+        val beforeFrame = (if (frameIdx >= 0) spec.substring(0, frameIdx) else spec)
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        val partitionCols = beforeFrame.filterNot(c => c.contains(" ASC") || c.contains(" DESC"))
+        val isGlobal = partitionCols.isEmpty
+        if (isGlobal && !allowed.exists(line.contains))
+          Some(s"$name: ${line.trim.take(140)}")
+        else None
+      }.toSeq.distinct
+    }
+    assert(offenders.isEmpty,
+      s"data-sized global windows (single-task at scale):\n${offenders.mkString("\n")}")
+  }
+
+  test("no query plans a CartesianProduct (all queries)") {
+    // BroadcastNestedLoopJoin over a broadcast 1-row/tiny aggregate is the
+    // library's scalar broadcast-back idiom and is allowed; a true
+    // CartesianProduct (both sides partitioned, full pairwise shuffle) is
+    // never acceptable at corpus scale
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, Sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")
