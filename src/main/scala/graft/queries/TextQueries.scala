@@ -2238,6 +2238,47 @@ object TextQueries {
       "Deterministic 90/5/5 train/val/test split by salted-hash range: exhaustive, " +
         "disjoint, growth-stable (no doc ever migrates between splits) — map-only " +
         "assignment plus the per-source stratification audit.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q116
+    Q(
+      "q116_weighted_sample",
+      (s, dir) => {
+        // WEIGHTED sampling without replacement — quality-weighted corpus
+        // selection (keep 50 docs, longer docs proportionally likelier),
+        // the knob between uniform q70 and all-or-nothing q83. The
+        // exponential-race spelling (Efraimidis-Spirakis A-Res): each doc
+        // draws u from its salted hash and races with key -ln(u)/w; the
+        // bottom-k keys ARE a weight-proportional sample without
+        // replacement, determined per-row — no sequential pass, no rng
+        // state, reproducible across engines and corpus growth. Scale:
+        // the key is one map-only expression and the selection is
+        // TakeOrderedAndProject (per-partition top-k + driver merge of k
+        // rows — the q70 shape), never a global sort. Cross-engine: u is
+        // an exact small-decimal double, ln carries 1-ulp slack absorbed
+        // by round(,9) BEFORE ranking (the q94 bm25 discipline), doc_id
+        // breaks ties totally.
+        val u = s"(cast(${md5long("concat('ws1|', cast(doc_id as string))")} % 1000000 as double) + 1.0d) / 1000000.0d"
+        table(s, dir, "documents")
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"),
+            expr(s"round(-ln($u) / cast(n_chars as double), 9)").as("wkey"))
+          .orderBy("wkey", "doc_id")
+          .limit(50)
+      },
+      Some(s"""
+        SELECT doc_id, n_chars,
+               ROUND(-ln((CAST(${duckMd5long("'ws1|' || cast(doc_id as varchar)")} % 1000000 AS DOUBLE) + 1.0)
+                         / 1000000.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS wkey
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY wkey, doc_id
+        LIMIT 50"""),
+      "Weighted sampling without replacement via the exponential race " +
+        "(A-Res): per-row hash draw, key -ln(u)/weight, bottom-k by " +
+        "TakeOrderedAndProject — weight-proportional selection with no rng " +
+        "state, no global sort, stable under corpus growth.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

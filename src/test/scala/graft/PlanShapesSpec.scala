@@ -299,6 +299,13 @@ class PlanShapesSpec extends AnyFunSuite {
       s"pair explode must consume the word-count aggregate, not raw tokens:\n$p")
   }
 
+  test("q116 weighted sample plans as TakeOrderedAndProject, not a global sort") {
+    val p = SparkEntry.queries("q116_weighted_sample")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted bottom-k degraded to a global sort:\n$p")
+  }
+
   test("no query plans an unpartitioned window over non-aggregate data (all queries)") {
     // The library-wide version of the q83/q99/q110 locks: an unpartitioned
     // window funnels its whole input through ONE task, which is fatal at
