@@ -121,6 +121,49 @@ object Mixture {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement — keep `k` rows with probability
+   * proportional to `weightCol` (the exponential-race / A-Res spelling):
+   * each row draws u in (0, 1] from its salted hash and races with key
+   * `-ln(u) / w`; the k smallest keys are a weight-proportional sample,
+   * decided per-row with no rng state and no sequential pass. Appends
+   * `wkey` (the rounded race key) and returns the k winners.
+   *
+   * Scale: the key is one map-only expression and the selection plans as
+   * TakeOrderedAndProject — per-partition top-k, k-row driver merge,
+   * never a global sort. Determinism: u is an exact small-decimal double;
+   * ln's 1-ulp cross-engine slack is absorbed by round(,9) BEFORE ranking
+   * (the bm25 discipline), and `keyCol` breaks ties totally. Weights must
+   * be positive and non-null — zero/negative/null fail loudly (a zero
+   * weight would divide to infinity and a null would silently drop).
+   */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k ($k) must be positive")
+    val reserved = Set("wkey")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val hash = graft.functions.HashConventions
+      .md5long48(s"concat('$salt|', cast($keyCol as string))")
+    val guardedHash =
+      s"""case when $keyCol is null then cast(raise_error(
+            'Mixture.weightedSample: $keyCol is null — the contract requires a non-null unique row key') as bigint)
+          else $hash end"""
+    val u = s"(cast(($guardedHash) % 1000000 as double) + 1.0d) / 1000000.0d"
+    val wkey =
+      s"""case when $weightCol is null or $weightCol <= 0
+            then cast(raise_error(
+              'Mixture.weightedSample: $weightCol must be positive and non-null') as double)
+          else round(-ln($u) / cast($weightCol as double), 9) end"""
+    df.withColumn("wkey", expr(wkey))
+      .orderBy(col("wkey"), col(keyCol))
+      .limit(k)
+  }
+
+  /**
    * Exhaustive, disjoint, growth-stable split assignment (train/val/test):
    * appends a `split` column by salted-hash range. `cuts` maps split names
    * to PERCENT widths out of 100 in declaration order — e.g.

@@ -2258,13 +2258,12 @@ object TextQueries {
         // an exact small-decimal double, ln carries 1-ulp slack absorbed
         // by round(,9) BEFORE ranking (the q94 bm25 discipline), doc_id
         // breaks ties totally.
-        val u = s"(cast(${md5long("concat('ws1|', cast(doc_id as string))")} % 1000000 as double) + 1.0d) / 1000000.0d"
-        table(s, dir, "documents")
-          .filter(col("n_chars") > 0)
-          .select(col("doc_id"), col("n_chars"),
-            expr(s"round(-ln($u) / cast(n_chars as double), 9)").as("wkey"))
-          .orderBy("wkey", "doc_id")
-          .limit(50)
+        graft.operators.Mixture.weightedSample(
+            table(s, dir, "documents")
+              .filter(col("n_chars") > 0)
+              .select("doc_id", "n_chars"),
+            keyCol = "doc_id", weightCol = "n_chars", k = 50, salt = "ws1")
+          .select("doc_id", "n_chars", "wkey")
       },
       Some(s"""
         SELECT doc_id, n_chars,

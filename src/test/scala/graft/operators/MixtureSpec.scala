@@ -191,6 +191,44 @@ class MixtureSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("id is null")))
   }
 
+  test("weightedSample is weight-proportional, deterministic, top-k-planned") {
+    import spark.implicits._
+    // two weight classes, 10:1 — the heavy class must dominate the sample
+    val ids = spark.range(0, 10000).toDF("id")
+      .withColumn("w", when(col("id") % 2 === 0, 10L).otherwise(1L))
+    val out = Mixture.weightedSample(ids, "id", "w", k = 1000, salt = "t")
+    val picked = out.collect().map(_.getLong(0))
+    assert(picked.length === 1000)
+    val heavy = picked.count(_ % 2 == 0)
+    // expectation ~ 10/11 of 1000 = 909; allow slack
+    assert(heavy > 800, s"heavy class underrepresented: $heavy/1000")
+    // deterministic: same inputs, same sample, any partitioning
+    val again = Mixture.weightedSample(ids.repartition(17), "id", "w", 1000, "t")
+      .collect().map(_.getLong(0))
+    assert(picked.sorted.sameElements(again.sorted))
+    // plans as TakeOrderedAndProject, not a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"degraded to global sort:\n$plan")
+  }
+
+  test("weightedSample contracts are loud: bad k, reserved name, zero/null weight") {
+    import spark.implicits._
+    val ids = spark.range(0, 10).toDF("id").withColumn("w", lit(1L))
+    intercept[IllegalArgumentException] {
+      Mixture.weightedSample(ids, "id", "w", 0, "t")
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.weightedSample(ids.withColumn("wkey", lit(1)), "id", "w", 1, "t")
+    }
+    val zeroW = spark.range(0, 10).toDF("id").withColumn("w", lit(0L))
+    val ex = intercept[Exception] {
+      Mixture.weightedSample(zeroW, "id", "w", 5, "t").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("must be positive")))
+  }
+
   test("invalid rates and reserved column names fail loudly") {
     intercept[IllegalArgumentException] {
       Mixture.sampleByRates(docs, "source", "doc_id", Map("a" -> 1.5), 0.5, "t")
