@@ -2277,7 +2277,85 @@ object TextQueries {
       "Weighted sampling without replacement via the exponential race " +
         "(A-Res): per-row hash draw, key -ln(u)/weight, bottom-k by " +
         "TakeOrderedAndProject — weight-proportional selection with no rng " +
-        "state, no global sort, stable under corpus growth.")
+        "state, no global sort, stable under corpus growth."),
+
+    // ---------------------------------------------------------------- q117
+    Q(
+      "q117_simhash_bands",
+      (s, dir) => {
+        // The THIRD banding family: SimHash band bucketing — the classic
+        // production near-dup candidate generator for web-scale corpora
+        // (MinHash bands q25 catch Jaccard overlap, hyperplane LSH q38
+        // catches embedding cosine; simhash bands catch small HAMMING
+        // drift in the token distribution). A 48-bit majority-vote
+        // fingerprint splits into 4 x 12-bit bands; by pigeonhole, any
+        // pair within Hamming distance 3 shares at least one intact band,
+        // so the bucket join NEVER misses a <=3-bit pair — recall 1.0 by
+        // construction, verification then computes the exact distance on
+        // candidates only. Scale: band values spread over 4096 buckets
+        // per band (measured: ~1.2 docs/bucket, max 54 at sf0.01), the
+        // join is a hash-partitionable equi-join on (band_no, band_val),
+        // and the pair explosion is bucket-bounded, never corpus². All
+        // arithmetic is integer bit ops — exact cross-engine.
+        val simhash48 =
+          """aggregate(
+            transform(sequence(0, 47), j -> cast(
+              case when 2 * size(filter(hs, h -> (shiftright(h, j) & 1) = 1)) >= size(hs)
+                   then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
+            cast(0 as bigint), (acc, x) -> acc + x)"""
+        val sigs = simhashSigs(s, dir).selectExpr("doc_id", s"$simhash48 as sh")
+        val banded = sigs.select(col("doc_id"), col("sh"),
+          explode(expr(
+            """transform(sequence(0, 3), b ->
+                 named_struct('band_no', b, 'band_val', shiftright(sh, b * 12) & 4095))"""))
+            .as("bv"))
+          .select(col("doc_id"), col("sh"),
+            col("bv.band_no").as("band_no"), col("bv.band_val").as("band_val"))
+        val a = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("band_no"), col("band_val"))
+        val b = banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("band_no"), col("band_val"))
+        a.join(b, Seq("band_no", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          // a pair that collides in several bands is still ONE candidate
+          .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+          .selectExpr("doc_a", "doc_b",
+            "cast(bit_count(sh_a ^ sh_b) as integer) as hamming")
+          .withColumn("near_dup", col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val hl = s"list_transform(toks, s -> ${duckMd5long("s")})"
+        s"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 1),
+        sig AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 48), j ->
+                   CASE WHEN 2 * len(list_filter($hl, h -> ((h >> j) & 1) = 1)) >= len(toks)
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS sh
+          FROM d),
+        bk AS (
+          SELECT doc_id, sh, band_no,
+                 (sh >> CAST(band_no * 12 AS INTEGER)) & 4095 AS band_val
+          FROM sig, (SELECT unnest(range(0, 4)) AS band_no)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.sh AS sh_a, b.sh AS sh_b
+          FROM bk a JOIN bk b
+            ON a.band_no = b.band_no AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) <= 3 AS near_dup
+        FROM pairs
+        ORDER BY doc_a, doc_b"""
+      },
+      "SimHash band bucketing: 48-bit majority fingerprint split into 4 x 12-bit " +
+        "bands — pigeonhole guarantees every Hamming<=3 pair shares a band, so the " +
+        "bucket equi-join has recall 1.0 by construction and exact distance runs on " +
+        "candidates only; the third banding family after MinHash and hyperplane LSH.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
