@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One funnel observation: `user_id` performed `event_type` at time `ms`
+  * (epoch millis); `event_id` breaks same-millisecond ties, matching the
+  * batch fold's `(ms, event_id)` sort key. */
+final case class FunnelEvent(
+    user_id: Long, ms: Long, event_id: Long, event_type: String)
+
+/** Carried automaton state: events seen, furthest stage reached, and the
+  * last `(ms, event_id)` consumed (for the monotone-ingest contract). */
+final case class FunnelCarry(n: Long, stage: Int, lastMs: Long, lastId: Long)
+
+/** Per-user emit after each micro-batch that touched the user. */
+final case class FunnelEmit(user_id: Long, n_events: Long, funnel_stage: Int)
+
+/**
+ * Streaming funnel — the live tail of the batch q86 fold
+ * (`CoreQueries` "q86_funnel"). The funnel automaton (stage s advances to
+ * s+1 exactly when the next event in time order equals `steps(s)`) is a
+ * sequential fold over each user's ordered history, so the streaming form
+ * mirrors [[EwmaStreams]]: per-user state carries (count, stage), each
+ * micro-batch folds its arrivals in `(ms, event_id)` order, and the step
+ * rule is the IDENTICAL automaton the batch query folds — on closed
+ * batches the streamed `funnel_stage` equals q86's exactly (integer state,
+ * no float drift to worry about).
+ *
+ * Contract: `(ms, event_id)` must be strictly increasing per user ACROSS
+ * micro-batches (live ingest). An out-of-order arrival would silently
+ * corrupt the automaton (a 'click' that "happened before" an already-seen
+ * 'view' changes the fold), so it fails the query loudly instead —
+ * replays and backfills belong to the batch query, which sorts the full
+ * history.
+ *
+ * State bound: ONE (long, int, long, long) per distinct user —
+ * hash-partitioned by the state store, O(users) not O(events). Cap with a
+ * state TTL when users churn (the [[DedupStreams]] note applies).
+ */
+object FunnelStreams {
+
+  /** Default steps of the batch q86 funnel: click -> view -> purchase. */
+  val DefaultSteps: Seq[String] = Seq("click", "view", "purchase")
+
+  def funnelStages(
+      spark: SparkSession,
+      events: DataFrame,
+      steps: Seq[String] = DefaultSteps): Dataset[FunnelEmit] = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.forall(s => s != null && s.nonEmpty),
+      s"steps must be non-null and non-empty, got $steps")
+    import spark.implicits._
+    val stepArr = steps.toArray
+    events.as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelCarry]) => {
+          // fold THIS batch's arrivals in (ms, event_id) order (the state
+          // store hands rows in arbitrary order; per-user batch volume
+          // bounds the sort)
+          val rs = rows.toArray.sortBy(r => (r.ms, r.event_id))
+          if (rs.isEmpty) Iterator.empty
+          else {
+            var (n, stage, lastMs, lastId) = state.getOption
+              .map(s => (s.n, s.stage, s.lastMs, s.lastId))
+              .getOrElse((0L, 0, Long.MinValue, Long.MinValue))
+            var i = 0
+            while (i < rs.length) {
+              val r = rs(i)
+              if (r.ms < lastMs || (r.ms == lastMs && r.event_id <= lastId))
+                throw new IllegalStateException(
+                  s"FunnelStreams.funnelStages: out-of-order event (ms=${r.ms}, " +
+                    s"event_id=${r.event_id}) for user $user (last consumed " +
+                    s"ms=$lastMs, event_id=$lastId) — the streaming automaton " +
+                    "requires monotone ingest; replays/backfills belong to the " +
+                    "batch q86 fold, which sorts the full history")
+              if (stage < stepArr.length && r.event_type == stepArr(stage))
+                stage += 1
+              n += 1
+              lastMs = r.ms
+              lastId = r.event_id
+              i += 1
+            }
+            state.update(FunnelCarry(n, stage, lastMs, lastId))
+            Iterator.single(FunnelEmit(user, n, stage))
+          }
+        })
+  }
+}

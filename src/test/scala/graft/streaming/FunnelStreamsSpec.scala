@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FunnelStreams: the streamed automaton equals the oracle-checked batch
+  * q86 fold on closed batches (real fixture events), state carries across
+  * micro-batches, and the monotone-ingest contract fails loudly. */
+class FunnelStreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("FunnelStreamsSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("streamed funnel equals batch q86 on the fixture events across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL events table (nanos-ts handling lives in Tables.table), as
+    // the streaming row type
+    val fixture = graft.queries.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEvent].collect().toSeq
+    assert(fixture.nonEmpty, "fixture events must exist")
+    // split into three micro-batches by global (ms, event_id) thresholds:
+    // per-user order across batches is then monotone by construction
+    val sorted = fixture.sortBy(r => (r.ms, r.event_id))
+    val (b1, rest) = sorted.splitAt(sorted.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    val mem = MemoryStream[FunnelEvent]
+    val name = s"funnel_stream_${System.nanoTime()}"
+    val q = FunnelStreams.funnelStages(spark, mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+
+    // final emit per user = the one with the highest n_events
+    val streamed = spark.table(name)
+      .withColumn("rn",
+        expr("row_number() over (partition by user_id order by n_events desc)"))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "funnel_stage")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+
+    // the oracle-checked batch query over the same parquet
+    val batch = graft.SparkEntry.queries("q86_funnel")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (u, (n, st)) =>
+      assert(n === batch(u)._1, s"user $u count")
+      assert(st === batch(u)._2,
+        s"user $u: streamed stage $st != batch stage ${batch(u)._2}")
+    }
+  }
+
+  test("mid-funnel state carries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val name = s"funnel_carry_${System.nanoTime()}"
+    val q = FunnelStreams.funnelStages(spark, mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // click lands in batch 1; view+purchase in batch 2 — stage must
+      // resume from 1, not restart at 0
+      mem.addData(Seq(FunnelEvent(7L, 100L, 1L, "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        FunnelEvent(7L, 200L, 2L, "view"),
+        FunnelEvent(7L, 300L, 3L, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table(name).orderBy(col("n_events").desc).first()
+    assert(last.getLong(1) === 3L)
+    assert(last.getInt(2) === 3)
+  }
+
+  test("out-of-order arrival across batches fails the query loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val name = s"funnel_ooo_${System.nanoTime()}"
+    val q = FunnelStreams.funnelStages(spark, mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(Seq(FunnelEvent(1L, 100L, 10L, "click")))
+      q.processAllAvailable()
+      // regression: same ms, LOWER event_id than already consumed
+      mem.addData(Seq(FunnelEvent(1L, 100L, 5L, "view")))
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("out-of-order")),
+        s"expected the monotone-ingest error, got: $ex")
+    } finally q.stop()
+  }
+
+  test("steps contract is loud") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      FunnelStreams.funnelStages(spark, Seq.empty[FunnelEvent].toDF(), Seq.empty)
+    }
+  }
+}
