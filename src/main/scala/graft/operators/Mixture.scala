@@ -164,6 +164,68 @@ object Mixture {
   }
 
   /**
+   * STRATIFIED weighted sampling without replacement — [[weightedSample]]'s
+   * exponential race run independently per `groupCol` stratum: each row
+   * races with key `-ln(u) / w` exactly as the global operator does, and
+   * the k smallest keys WITHIN EACH GROUP win. Returns
+   * `(groupCol, rank, keyCol, wkey)` with `rank` 1..k by (wkey, key).
+   *
+   * Scale: the global operator's TakeOrderedAndProject cannot express a
+   * per-group limit, and the ranking-window spelling would shuffle and
+   * sort every row of every group — so the selection runs through
+   * [[TopKByValue]]'s k-bounded typed buffer (negated keys: its largest-k
+   * order is the race's smallest-k) with map-side combine: shuffle volume
+   * is O(groups x k), not O(rows). Determinism is the race's own: exact
+   * hash draw, round(,9) before ranking, `keyCol` total tie-break.
+   *
+   * Contract: `keyCol` must be bigint-castable and unique per row,
+   * `groupCol` non-null (it is the stratum identity — a null group has no
+   * defined quota, so it fails loudly like the other contracts).
+   */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k ($k) must be positive")
+    val reserved = Set("wkey", "rank")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val hash = graft.functions.HashConventions
+      .md5long48(s"concat('$salt|', cast($keyCol as string))")
+    val guardedHash =
+      s"""case when $keyCol is null then cast(raise_error(
+            'Mixture.weightedSamplePerGroup: $keyCol is null — the contract requires a non-null unique row key') as bigint)
+          else $hash end"""
+    val u = s"(cast(($guardedHash) % 1000000 as double) + 1.0d) / 1000000.0d"
+    val wkey =
+      s"""case when $weightCol is null or $weightCol <= 0
+            then cast(raise_error(
+              'Mixture.weightedSamplePerGroup: $weightCol must be positive and non-null') as double)
+          else round(-ln($u) / cast($weightCol as double), 9) end"""
+    val guardedGroup =
+      s"""case when $groupCol is null then cast(raise_error(
+            'Mixture.weightedSamplePerGroup: $groupCol is null — a null stratum has no defined quota') as string)
+          else cast($groupCol as string) end"""
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr(s"$guardedGroup as __g", s"cast($keyCol as bigint) as __k",
+        s"$wkey as wkey")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      // negate: TopKByValue keeps the LARGEST values, the race wants the
+      // smallest keys; ties at equal wkey fall to id ASC on both sides
+      .mapValues(t => (t._2, -t._3))
+      .agg(new TopKByValue(k).toColumn.name("top"))
+      .flatMap { case (g, top) =>
+        top.iterator.zipWithIndex.map { case ((id, nw), i) => (g, i + 1, id, -nw) }
+      }
+      .toDF(groupCol, "rank", keyCol, "wkey")
+  }
+
+  /**
    * Exhaustive, disjoint, growth-stable split assignment (train/val/test):
    * appends a `split` column by salted-hash range. `cuts` maps split names
    * to PERCENT widths out of 100 in declaration order — e.g.

@@ -1913,6 +1913,103 @@ object CoreQueries {
       "Robust outlier stats: exact median and MAD per group via two GlobalRank " +
         "rank extractions (bounded sorts, no percentile buffer, no single-task " +
         "window) — 5*MAD flags in exact decimal; the detector extreme values " +
-        "cannot drag.")
+        "cannot drag."),
+
+    // ---------------------------------------------------------------- q118
+    Q(
+      "q118_winsorized",
+      (s, dir) => {
+        // EXACT 5%-winsorized per-group stats — the robust-moments
+        // companion to q100's median/MAD: the k = n div 20 smallest values
+        // are replaced by the (k+1)-th smallest, the k largest by the
+        // (n-k)-th, then mean/sd run over the clamped values, so a few
+        // extreme rows cannot drag the moments. The trim boundaries are
+        // ORDER STATISTICS (selected input values), extracted through
+        // GlobalRank's two-phase rank — never a single-task percentile
+        // buffer, never an approximation; k is integer arithmetic, sums
+        // are DECIMAL-cast (exact cross-engine), and the derived
+        // mean/sd round-6 doubles on identical expression trees.
+        import graft.operators.GlobalRank
+        val ev = table(s, dir, "events")
+          .select(col("event_type").as("seg"), col("event_id"), col("value"))
+        val ranked = GlobalRank.withGlobalRank(ev, "seg", "value", "event_id")
+          .withColumn("k_trim", expr("n_seg div 20"))
+        // tiny (segments)-row frame: the two boundary order statistics
+        val bounds = ranked
+          .filter(expr("rn = k_trim + 1 or rn = n_seg - k_trim"))
+          .groupBy("seg")
+          .agg(
+            min(when(expr("rn = k_trim + 1"), col("value"))).as("lo"),
+            max(when(expr("rn = n_seg - k_trim"), col("value"))).as("hi"))
+        ranked.join(broadcast(bounds), Seq("seg"))
+          .withColumn("wv", expr(
+            """case when rn <= k_trim then lo
+                    when rn > n_seg - k_trim then hi
+                    else value end"""))
+          .groupBy("seg")
+          .agg(
+            count(lit(1)).as("n0"),
+            max("k_trim").as("kt"),
+            min("lo").as("lo0"),
+            min("hi").as("hi0"),
+            sum(expr("cast(value as decimal(28,6))")).as("sv"),
+            sum(expr("cast(wv as decimal(28,6))")).as("sw"),
+            sum(expr("cast(wv * wv as decimal(28,6))")).as("sww"))
+          .selectExpr(
+            "seg as event_type",
+            "cast(n0 as bigint) as n",
+            "cast(kt as bigint) as k_trim",
+            "round(lo0, 6) as lo",
+            "round(hi0, 6) as hi",
+            "round(cast(sv as double) / n0, 6) as raw_mean",
+            "round(cast(sw as double) / n0, 6) as win_mean",
+            """round(sqrt((cast(sww as double)
+                 - cast(sw as double) * cast(sw as double) / n0)
+                / (n0 - 1)), 6) as win_sd""")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type AS seg, event_id, value FROM events),
+        r AS (
+          SELECT seg, event_id, value,
+                 row_number() OVER (PARTITION BY seg
+                   ORDER BY CAST(value AS DOUBLE), event_id) AS rn,
+                 COUNT(1) OVER (PARTITION BY seg) AS n_seg
+          FROM e),
+        rk AS (SELECT *, n_seg // 20 AS k_trim FROM r),
+        b AS (
+          SELECT seg,
+                 MIN(CASE WHEN rn = k_trim + 1 THEN value END) AS lo,
+                 MAX(CASE WHEN rn = n_seg - k_trim THEN value END) AS hi
+          FROM rk WHERE rn = k_trim + 1 OR rn = n_seg - k_trim
+          GROUP BY seg),
+        w AS (
+          SELECT rk.seg, rk.value, rk.k_trim,
+                 CASE WHEN rn <= k_trim THEN lo
+                      WHEN rn > n_seg - k_trim THEN hi
+                      ELSE value END AS wv,
+                 b.lo, b.hi
+          FROM rk JOIN b USING (seg))
+        SELECT seg AS event_type,
+               CAST(COUNT(1) AS BIGINT) AS n,
+               CAST(MAX(k_trim) AS BIGINT) AS k_trim,
+               round(MIN(lo), 6) AS lo,
+               round(MIN(hi), 6) AS hi,
+               round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(1), 6) AS raw_mean,
+               round(CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(1), 6) AS win_mean,
+               round(sqrt((CAST(SUM(CAST(wv * wv AS DECIMAL(28,6))) AS DOUBLE)
+                      - CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE)
+                        * CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE)
+                        / COUNT(1))
+                     / (COUNT(1) - 1)), 6) AS win_sd
+        FROM w
+        GROUP BY seg
+        ORDER BY event_type"""),
+      "Exact 5%-winsorized per-group moments: trim boundaries are order " +
+        "statistics through GlobalRank's two-phase rank (bounded sorts, no " +
+        "single-task window), clamped values aggregate via decimal-cast sums " +
+        "— robust mean/sd a few extremes cannot drag.")
   )
 }

@@ -2355,7 +2355,48 @@ object TextQueries {
       "SimHash band bucketing: 48-bit majority fingerprint split into 4 x 12-bit " +
         "bands — pigeonhole guarantees every Hamming<=3 pair shares a band, so the " +
         "bucket equi-join has recall 1.0 by construction and exact distance runs on " +
-        "candidates only; the third banding family after MinHash and hyperplane LSH.")
+        "candidates only; the third banding family after MinHash and hyperplane LSH."),
+
+    // ---------------------------------------------------------------- q119
+    Q(
+      "q119_stratified_sample",
+      (s, dir) => {
+        // STRATIFIED weighted sampling — q116's exponential race run per
+        // LANGUAGE stratum (10 winners per lang, longer docs
+        // proportionally likelier): the per-source quota selection a
+        // balanced multilingual training mix needs, where a global race
+        // would let one dominant language eat the whole budget. The
+        // global operator's TakeOrderedAndProject cannot express a
+        // per-group limit and a ranking window would sort every stratum's
+        // full row set, so the selection runs through TopKByValue's
+        // k-bounded typed buffer (map-side combine, shuffle O(langs x k))
+        // — the q39 aggregator shape carrying q116's race key.
+        graft.operators.Mixture.weightedSamplePerGroup(
+          Tables.table(s, dir, "documents")
+            .filter(col("n_chars") > 0)
+            .select("lang", "doc_id", "n_chars"),
+          groupCol = "lang", keyCol = "doc_id", weightCol = "n_chars",
+          k = 10, salt = "ws2")
+          .orderBy("lang", "rank")
+      },
+      Some(s"""
+        SELECT lang, rank, doc_id, wkey FROM (
+          SELECT lang, doc_id, wkey,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY wkey, doc_id) AS rank
+          FROM (
+            SELECT lang, doc_id,
+                   ROUND(-ln((CAST(${duckMd5long("'ws2|' || cast(doc_id as varchar)")} % 1000000 AS DOUBLE) + 1.0)
+                             / 1000000.0)
+                         / CAST(n_chars AS DOUBLE), 9) AS wkey
+            FROM documents
+            WHERE n_chars > 0))
+        WHERE rank <= 10
+        ORDER BY lang, rank"""),
+      "Stratified weighted sampling: the A-Res exponential race per language " +
+        "stratum through a k-bounded typed aggregator — per-group quotas with " +
+        "shuffle O(groups x k), no ranking window, no global sort; the balanced " +
+        "selection a multilingual mix needs.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

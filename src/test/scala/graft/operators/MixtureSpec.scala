@@ -229,6 +229,60 @@ class MixtureSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("must be positive")))
   }
 
+  test("weightedSamplePerGroup: exact quotas, window-spelling parity, determinism") {
+    import spark.implicits._
+    // three strata of very different sizes; weight = id % 7 + 1
+    val rows = spark.range(0, 6000).toDF("id")
+      .withColumn("g", when(col("id") < 4000, "big")
+        .when(col("id") < 5900, "mid").otherwise("small"))
+      .withColumn("w", col("id") % 7 + 1)
+    val out = Mixture.weightedSamplePerGroup(rows, "g", "id", "w", k = 25, salt = "t")
+    out.cache()
+    // exact per-group quotas: k winners per stratum, ranks 1..k dense
+    val quotas = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas === Map("big" -> 25L, "mid" -> 25L, "small" -> 25L))
+    assert(out.groupBy("g").agg(max("rank")).collect().forall(_.getInt(1) === 25))
+    // the k-bounded aggregator must select EXACTLY what the ranking-window
+    // spelling selects (same race key, same tie-break)
+    val windowed = rows
+      .withColumn("wkey", expr(
+        "round(-ln((cast(" +
+          graft.functions.HashConventions
+            .md5long48("concat('t|', cast(id as string))") +
+          " % 1000000 as double) + 1.0d) / 1000000.0d) / cast(w as double), 9)"))
+      .withColumn("rank", expr(
+        "row_number() over (partition by g order by wkey, id)"))
+      .filter(col("rank") <= 25)
+      .select("g", "rank", "id", "wkey")
+    val a = out.select("g", "rank", "id", "wkey").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = windowed.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b, "aggregator selection differs from the window spelling")
+    // partitioning-independent
+    val again = Mixture.weightedSamplePerGroup(
+      rows.repartition(17), "g", "id", "w", 25, "t")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again === a.map(t => (t._1, t._2, t._3)))
+    out.unpersist()
+  }
+
+  test("weightedSamplePerGroup contracts are loud: null group, reserved names") {
+    import spark.implicits._
+    val rows = Seq((Some("a"), 1L, 2L), (None, 2L, 2L)).toDF("g", "id", "w")
+    val ex = intercept[Exception] {
+      Mixture.weightedSamplePerGroup(rows, "g", "id", "w", 3, "t").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null stratum")))
+    intercept[IllegalArgumentException] {
+      Mixture.weightedSamplePerGroup(
+        rows.withColumn("rank", lit(1)), "g", "id", "w", 3, "t")
+    }
+  }
+
   test("invalid rates and reserved column names fail loudly") {
     intercept[IllegalArgumentException] {
       Mixture.sampleByRates(docs, "source", "doc_id", Map("a" -> 1.5), 0.5, "t")
