@@ -850,6 +850,59 @@ object VectorQueries {
         "against exact all-pairs cosine truth on the deterministic hash sample — " +
         "candidates are true by construction, so the row is pure recall of the " +
         "cluster bound; the audit trilogy's third leg after q97 and q102.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q120
+    Q(
+      "q120_semdedup_trained",
+      (s, dir) => {
+        // q108's semantic dedup with the codebook it would actually use in
+        // production: the TRAINED k-means centroids (q90's kmeansFit —
+        // farthest-first seeding, 2 Lloyd's rounds) instead of q108's
+        // fixed first-8 vectors. Trained centroids track the data's real
+        // density, so clusters are balanced where arbitrary seeds are
+        // not — the same pair-bound knob, now load-aware. The full chain
+        // (train -> assign augmented corpus -> within-cluster exact
+        // cosine -> keep-lowest) is deterministic end to end and the
+        // oracle replays BOTH stages: the composable kmeans CTE prefix
+        // feeds the trained cents CTE straight into the dedup CTEs.
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val cents = graft.operators.Ann.kmeansFit(
+          s, e, "vec_id", "embedding", k = 8, iters = 2, dims = 64)
+        graft.operators.Ann.semanticDedup(
+            s, augmented(s, dir), "vec_id", "embedding",
+            cents, simThreshold = 0.95)
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH ${kmeansDuckCtes(k = 8, iters = 2, dims = 64)},
+        $duckAugmented,
+        dots AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 ${duckDot("e.embedding", "c.ce")} AS cdot
+          FROM aug e CROSS JOIN cents2 c),
+        assigned AS (
+          SELECT vec_id, embedding, centroid_id AS cluster_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
+          WHERE rn = 1),
+        sized AS (
+          SELECT vec_id, embedding, cluster_id,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM assigned),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM sized a JOIN sized b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${duckDot("a.embedding", "b.embedding")}
+                  / (SQRT(a.n2) * SQRT(b.n2)) >= 0.95)
+        SELECT s.vec_id, s.cluster_id, d.vec_id IS NULL AS kept
+        FROM sized s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+        ORDER BY s.vec_id"""),
+      "Semantic dedup under the TRAINED IVF codebook: kmeansFit's centroids " +
+        "feed semanticDedup directly — density-tracking clusters bound the " +
+        "pair work load-aware; the oracle replays train and dedup in one " +
+        "composable CTE chain.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
@@ -857,7 +910,27 @@ object VectorQueries {
     * (one CTE step per seed), then one CTE block per Lloyd's round,
     * generated by the same loop shape the operator executes, ending in the
     * (vec_id, cluster_id) assignment under the trained codebook. */
-  private def kmeansDuckOracle(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansDuckOracle(k: Int, iters: Int, dims: Int): String =
+    s"""
+      WITH ${kmeansDuckCtes(k, iters, dims)},
+      ${kmeansDuckAssign(iters + 1, "embeddings", s"cents$iters")}
+      SELECT vec_id, cluster_id FROM assign${iters + 1} ORDER BY vec_id"""
+
+  /** One max-dot assignment CTE (`assign$i`) of `src` rows under `cents`. */
+  private def kmeansDuckAssign(i: Int, src: String, cents: String): String =
+    s"""assign$i AS (
+        SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckDot("e.embedding", "c.ce")} DESC, c.centroid_id ASC) AS rn
+          FROM $src e CROSS JOIN $cents c)
+        WHERE rn = 1)"""
+
+  /** The WITH-body prefix of [[kmeansDuckOracle]]: seed sweep + Lloyd's
+    * rounds, ending with the trained codebook in CTE `cents$iters` —
+    * composable, so use-site queries (q120) can chain the TRAINED
+    * centroids into downstream CTEs. */
+  private def kmeansDuckCtes(k: Int, iters: Int, dims: Int): String = {
     val sampleSize = math.max(8 * k, 64)
     val hk = graft.functions.HashConventions
       .duckMd5long48("'kmpp|' || cast(vec_id as varchar)")
@@ -876,16 +949,8 @@ object VectorQueries {
           UNION ALL
           SELECT s.vec_id, s.embedding FROM smp s JOIN sel$i USING (vec_id))"""
     }.mkString(",\n")
-    def assign(i: Int, cents: String) =
-      s"""assign$i AS (
-        SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
-          SELECT e.vec_id, e.embedding, c.centroid_id,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${duckDot("e.embedding", "c.ce")} DESC, c.centroid_id ASC) AS rn
-          FROM embeddings e CROSS JOIN $cents c)
-        WHERE rn = 1)"""
     val rounds = (1 to iters).map { i =>
-      s"""${assign(i, s"cents${i - 1}")},
+      s"""${kmeansDuckAssign(i, "embeddings", s"cents${i - 1}")},
         sums$i AS (
           SELECT cluster_id, j,
                  CAST(SUM(CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS s,
@@ -898,8 +963,7 @@ object VectorQueries {
           SELECT p.centroid_id, coalesce(nc.ce, p.ce) AS ce
           FROM cents${i - 1} p LEFT JOIN newc$i nc ON p.centroid_id = nc.centroid_id)"""
     }.mkString(",\n")
-    s"""
-      WITH dims AS (SELECT unnest(range(1, ${dims + 1})) AS j),
+    s"""dims AS (SELECT unnest(range(1, ${dims + 1})) AS j),
       smp AS MATERIALIZED (
         SELECT vec_id, embedding FROM (
           SELECT vec_id, embedding, $hk AS hk
@@ -907,8 +971,6 @@ object VectorQueries {
       ch0 AS MATERIALIZED (SELECT vec_id, embedding FROM smp ORDER BY vec_id LIMIT 1),
       $seeds,
       cents0 AS MATERIALIZED (SELECT vec_id AS centroid_id, embedding AS ce FROM ch${k - 1}),
-      $rounds,
-      ${assign(iters + 1, s"cents$iters")}
-      SELECT vec_id, cluster_id FROM assign${iters + 1} ORDER BY vec_id"""
+      $rounds"""
   }
 }
