@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WordNgramHash48].getName, "word_ngram_hash48"),
       TextExpressions.wordNgramHash48Builder))
     ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "simhash_bits"),
+      TextExpressions.simhashBitsBuilder))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => graft.functions.BloomMightContain(exprs(0), exprs(1))))

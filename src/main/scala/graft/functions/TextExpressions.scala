@@ -178,6 +178,77 @@ object WordNgramHash48 {
   }
 }
 
+/**
+ * Native majority-vote SimHash: `simhash_bits(hs, nBits)` folds an
+ * `array<long>` of token/shingle hashes into one long whose bit j is set
+ * iff at least half the elements have bit j set — semantically identical
+ * to the HOF spelling `aggregate(transform(sequence(0, nBits-1), j -> case
+ * when 2 * size(filter(hs, h -> (shiftright(h, j) & 1) = 1)) >= size(hs)
+ * ...), ...)` (spec-locked equal), which evaluates nBits INTERPRETED
+ * filter passes per row, each allocating a filtered copy of `hs`. This
+ * expression tallies all nBits counters in ONE pass over the array and
+ * codegen emits a single static call, keeping the surrounding
+ * whole-stage-codegen span intact (the q26/q35/q117 SimHash family).
+ *
+ * Null semantics match the HOF: a null element sets no bits but DOES
+ * count toward the majority threshold (filter drops null predicates,
+ * size(hs) counts all elements); an empty array yields all bits set
+ * (2*0 >= 0); a null array yields null.
+ */
+case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
+
+  require(nBits >= 1 && nBits <= 64, s"simhash_bits width ($nBits) must be in [1, 64]")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_bits expects array<bigint>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashBits.build(input.asInstanceOf[ArrayData], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashBits.build($c, $nBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+
+  /** One compiled pass: hash array -> nBits majority-vote fingerprint.
+    * Called from both interpreted eval and generated code. */
+  def build(arr: ArrayData, nBits: Int): Long = {
+    val num = arr.numElements()
+    val counts = new Array[Int](nBits)
+    var i = 0
+    while (i < num) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < nBits) {
+          counts(j) += ((h >>> j) & 1L).toInt
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      if (2 * counts(j) >= num) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}
+
 object TextExpressions {
 
   /** Shared expression builder (used by both the imperative register and the
@@ -209,9 +280,22 @@ object TextExpressions {
     WordNgramHash48(exprs(0), n)
   }
 
-  /** Register `word_ngrams` + `word_ngram_hash48` in the session's function
-    * registry (idempotent, skip-if-present), so they are usable from
-    * selectExpr / spark.sql. */
+  /** Shared builder for `simhash_bits` (same foldable-width contract). */
+  val simhashBitsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"simhash_bits expects 2 arguments, got ${exprs.length}")
+    val n = exprs(1).eval(null) match {
+      case i: Int  => i
+      case l: Long => math.toIntExact(l)
+      case other =>
+        throw new IllegalArgumentException(
+          s"simhash_bits width must be a foldable integer, got $other")
+    }
+    SimHashBits(exprs(0), n)
+  }
+
+  /** Register `word_ngrams` + `word_ngram_hash48` + `simhash_bits` in the
+    * session's function registry (idempotent, skip-if-present), so they are
+    * usable from selectExpr / spark.sql. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")
@@ -222,6 +306,10 @@ object TextExpressions {
     if (!reg.functionExists(idH)) {
       reg.createOrReplaceTempFunction(
         "word_ngram_hash48", wordNgramHash48Builder, "built-in")
+    }
+    val idS = org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bits")
+    if (!reg.functionExists(idS)) {
+      reg.createOrReplaceTempFunction("simhash_bits", simhashBitsBuilder, "built-in")
     }
   }
 }

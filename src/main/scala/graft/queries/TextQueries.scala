@@ -43,13 +43,10 @@ object TextQueries {
   // near-dup pairs: true near-dups share many RARE shingles.
   private val StopShingleDf = 20
 
-  // 16-bit majority-vote SimHash over a precomputed token-hash column `hs`.
-  private val sparkSimhash =
-    """aggregate(
-      transform(sequence(0, 15), j -> cast(
-        case when 2 * size(filter(hs, h -> (shiftright(h, j) & 1) = 1)) >= size(hs)
-             then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
-      cast(0 as bigint), (acc, x) -> acc + x)"""
+  // 16-bit majority-vote SimHash over a precomputed token-hash column `hs`:
+  // the native one-pass expression (spec-locked equal to the nBits-filter-
+  // passes HOF spelling it replaced — TextExpressionsSpec).
+  private val sparkSimhash = "simhash_bits(hs, 16)"
 
   /** Documents with tokenized text, shingle hashes, and the 4 MinHash mins +
     * 2x2 LSH bands — the shared front of q24 (signatures) and q25 (buckets). */
@@ -2297,13 +2294,8 @@ object TextQueries {
         // join is a hash-partitionable equi-join on (band_no, band_val),
         // and the pair explosion is bucket-bounded, never corpus². All
         // arithmetic is integer bit ops — exact cross-engine.
-        val simhash48 =
-          """aggregate(
-            transform(sequence(0, 47), j -> cast(
-              case when 2 * size(filter(hs, h -> (shiftright(h, j) & 1) = 1)) >= size(hs)
-                   then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
-            cast(0 as bigint), (acc, x) -> acc + x)"""
-        val sigs = simhashSigs(s, dir).selectExpr("doc_id", s"$simhash48 as sh")
+        val sigs = simhashSigs(s, dir)
+          .selectExpr("doc_id", "simhash_bits(hs, 48) as sh")
         val banded = sigs.select(col("doc_id"), col("sh"),
           explode(expr(
             """transform(sequence(0, 3), b ->
@@ -2396,7 +2388,92 @@ object TextQueries {
       "Stratified weighted sampling: the A-Res exponential race per language " +
         "stratum through a k-bounded typed aggregator — per-group quotas with " +
         "shuffle O(groups x k), no ranking window, no global sort; the balanced " +
-        "selection a multilingual mix needs.")
+        "selection a multilingual mix needs."),
+
+    // ---------------------------------------------------------------- q121
+    Q(
+      "q121_cross_source_dups",
+      (s, dir) => {
+        // PROVENANCE analytics over the dedup graph: which SOURCES
+        // duplicate each other, and how hard? LSH candidates
+        // (Dedup.minhashLshCandidates — the production sketch path, never
+        // all-pairs) are verified with exact shingle Jaccard >= 0.5, each
+        // verified pair is attributed to its (source, source) cell via
+        // least/greatest normalization, and the matrix aggregates pair
+        // counts with min/max Jaccard (order statistics of IEEE-identical
+        // ratios — exact cross-engine, no mean to round). This is the
+        // report that decides which feed to drop when two crawls overlap.
+        // Scale: candidates are bucket-bounded; the verify join attaches
+        // shingle arrays only to candidate rows (equi-join on doc id);
+        // source attribution is two more doc-id equi-joins; the final
+        // matrix is a tiny sources x sources aggregate.
+        val docs = table(s, dir, "documents")
+        val cand = graft.operators.Dedup
+          .minhashLshCandidates(s, docs, "doc_id", "text")
+        val sh = docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("doc_id", s"$sparkShingles as sh")
+        val ver = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("jaccard", expr(
+            "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))"))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+        val src = docs.select(col("doc_id"), col("source"))
+        ver
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+          .selectExpr(
+            "least(src_a, src_b) as source_lo",
+            "greatest(src_a, src_b) as source_hi",
+            "jaccard")
+          .groupBy("source_lo", "source_hi")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            min("jaccard").as("min_jaccard"),
+            max("jaccard").as("max_jaccard"))
+          .orderBy("source_lo", "source_hi")
+      },
+      Some(s"""
+        WITH sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+        sh AS (
+          SELECT doc_id, $duckShingles AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        ver AS (
+          SELECT p.id_a, p.id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+        SELECT least(da.source, db.source) AS source_lo,
+               greatest(da.source, db.source) AS source_hi,
+               COUNT(1) AS n_pairs,
+               MIN(jaccard) AS min_jaccard,
+               MAX(jaccard) AS max_jaccard
+        FROM ver
+        JOIN documents da ON ver.id_a = da.doc_id
+        JOIN documents db ON ver.id_b = db.doc_id
+        GROUP BY 1, 2
+        ORDER BY source_lo, source_hi"""),
+      "Cross-source duplication matrix: LSH candidates verified with exact " +
+        "Jaccard >= 0.5, attributed to least/greatest-normalized source pairs — " +
+        "the provenance report that decides which overlapping feed to drop; " +
+        "bucket-bounded candidates, tiny sources x sources aggregate.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

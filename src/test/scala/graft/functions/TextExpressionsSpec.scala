@@ -47,6 +47,55 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  private def simhashHof(nBits: Int) =
+    s"""aggregate(
+      transform(sequence(0, ${nBits - 1}), j -> cast(
+        case when 2 * size(filter(hs, h -> (shiftright(h, j) & 1) = 1)) >= size(hs)
+             then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end as bigint)),
+      cast(0 as bigint), (acc, x) -> acc + x)"""
+
+  test("simhash_bits equals the filter-passes HOF spelling on real text at 16 and 48 bits") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+      .filter("size(toks) >= 1")
+      .selectExpr("doc_id", "word_ngram_hash48(toks, 1) as hs")
+    for (bits <- Seq(16, 48)) {
+      val diff = docs
+        .selectExpr("doc_id", s"simhash_bits(hs, $bits) as a", s"${simhashHof(bits)} as b")
+        .filter("a != b")
+      assert(diff.count() === 0, s"simhash_bits diverged from the HOF at $bits bits")
+    }
+  }
+
+  test("simhash_bits edge cases: empty array (all bits set), null elements, null array") {
+    val r = spark.sql(
+      """select
+           simhash_bits(cast(array() as array<bigint>), 4) as empty,
+           simhash_bits(array(cast(null as bigint), 15, 15), 4) as withnull,
+           simhash_bits(array(cast(null as bigint), 15), 4) as nulltie,
+           simhash_bits(cast(null as array<bigint>), 16) as nullarr
+      """).head()
+    // 2*0 >= 0 holds for every bit, exactly as the HOF computes it
+    assert(r.getLong(0) === 15L)
+    // null counts toward the threshold but sets no bits: 2*2 >= 3 -> set
+    assert(r.getLong(1) === 15L)
+    // 2*1 >= 2 -> still set (majority is >=, not >)
+    assert(r.getLong(2) === 15L)
+    assert(r.isNullAt(3))
+  }
+
+  test("simhash_bits interpreted eval equals codegen") {
+    val df = spark.range(0, 200).toDF("id")
+      .selectExpr("id", "array(id * 2654435761, id * 40503 + 7, -id * 97) as hs")
+    val gen = df.selectExpr("simhash_bits(hs, 48) as s").collect().map(_.getLong(0))
+    val interp = df.collect().map { r =>
+      val hs = r.getSeq[Long](1)
+      SimHashBits.build(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs.toArray), 48)
+    }
+    assert(gen.toSeq === interp.toSeq)
+  }
+
   test("word_ngram_hash48 edge cases: short, empty, null tokens") {
     val r = spark.sql(
       """select
