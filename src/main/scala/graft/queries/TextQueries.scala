@@ -48,6 +48,54 @@ object TextQueries {
   // passes HOF spelling it replaced — TextExpressionsSpec).
   private val sparkSimhash = "simhash_bits(hs, 16)"
 
+  /** VERIFIED near-dup pairs: LSH candidates (the production sketch path)
+    * scored with exact shingle Jaccard and kept at >= 0.5 — the shared
+    * front of q121 (provenance matrix) and q122 (dup centrality). */
+  private def verifiedNearDupPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.table(s, dir, "documents")
+    val cand = graft.operators.Dedup
+      .minhashLshCandidates(s, docs, "doc_id", "text")
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .selectExpr("doc_id", s"$sparkShingles as sh")
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", expr(
+        "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))"))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** DuckDB twin of [[verifiedNearDupPairs]]: CTEs ending in
+    * `ver(id_a, id_b, jaccard)`. */
+  private def duckVerifiedPairs: String =
+    s"""sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+        shv AS (
+          SELECT doc_id, $duckShingles AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        ver AS (
+          SELECT p.id_a, p.id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM pairs p JOIN shv a ON p.id_a = a.doc_id JOIN shv b ON p.id_b = b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)"""
+
   /** Documents with tokenized text, shingle hashes, and the 4 MinHash mins +
     * 2x2 LSH bands — the shared front of q24 (signatures) and q25 (buckets). */
   private def minhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -2408,19 +2456,7 @@ object TextQueries {
         // source attribution is two more doc-id equi-joins; the final
         // matrix is a tiny sources x sources aggregate.
         val docs = table(s, dir, "documents")
-        val cand = graft.operators.Dedup
-          .minhashLshCandidates(s, docs, "doc_id", "text")
-        val sh = docs
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 3)
-          .selectExpr("doc_id", s"$sparkShingles as sh")
-        val ver = cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .withColumn("jaccard", expr(
-            "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b))"))
-          .filter(col("jaccard") >= 0.5)
-          .select("id_a", "id_b", "jaccard")
+        val ver = verifiedNearDupPairs(s, dir)
         val src = docs.select(col("doc_id"), col("source"))
         ver
           .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
@@ -2437,29 +2473,7 @@ object TextQueries {
           .orderBy("source_lo", "source_hi")
       },
       Some(s"""
-        WITH sigs AS (
-          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-          WHERE len(toks) >= 3),
-        banded AS (
-          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
-          UNION ALL
-          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
-          WHERE a.doc_id < b.doc_id),
-        sh AS (
-          SELECT doc_id, $duckShingles AS sh
-          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-          WHERE len(toks) >= 3),
-        ver AS (
-          SELECT p.id_a, p.id_b,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-          FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+        WITH $duckVerifiedPairs
         SELECT least(da.source, db.source) AS source_lo,
                greatest(da.source, db.source) AS source_hi,
                COUNT(1) AS n_pairs,
@@ -2474,6 +2488,60 @@ object TextQueries {
         "Jaccard >= 0.5, attributed to least/greatest-normalized source pairs — " +
         "the provenance report that decides which overlapping feed to drop; " +
         "bucket-bounded candidates, tiny sources x sources aggregate.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q122
+    Q(
+      "q122_dup_centrality",
+      (s, dir) => {
+        // Duplication CENTRALITY: 3 fixed PageRank rounds over the
+        // verified near-dup graph (q121's pairs) — a high rank marks the
+        // document at the center of a duplication cluster, the natural
+        // canonical to keep where q57's lowest-id election is arbitrary,
+        // and the doc whose provenance to audit first. Iterative
+        // graph algorithm, scale-shaped like Dedup.clusters: edges
+        // materialize once, each round is one node-keyed equi-join + one
+        // aggregate; contribution sums are round-then-DECIMAL (exact,
+        // order-independent), so ranks are bit-identical cross-engine and
+        // the oracle replays all 3 rounds as unrolled CTEs.
+        graft.operators.PageRank
+          .ranks(verifiedNearDupPairs(s, dir), "id_a", "id_b")
+          .withColumnRenamed("id_a", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""c$t AS (
+            SELECT e.dst AS id, SUM(CAST(ROUND(p.r / p.deg, 12) AS DECIMAL(28,12))) AS s
+            FROM edges e JOIN r${t - 1} p ON e.src = p.id GROUP BY e.dst),
+          r$t AS (
+            SELECT d.src AS id, d.deg,
+                   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n_nodes
+                     + CAST(0.85 AS DOUBLE) * CAST(c$t.s AS DOUBLE) AS r
+            FROM c$t JOIN deg d ON d.src = c$t.id, nn)"""
+        }.mkString(",\n")
+        s"""
+        WITH $duckVerifiedPairs,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM ver
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM ver),
+        deg AS (SELECT src, COUNT(1) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(1) AS n_nodes FROM deg),
+        r0 AS (
+          SELECT src AS id, deg, CAST(1.0 AS DOUBLE) / nn.n_nodes AS r
+          FROM deg, nn),
+        $rounds
+        SELECT id AS doc_id, CAST(deg AS BIGINT) AS degree,
+               ROUND(r, 9) AS pagerank
+        FROM r3
+        ORDER BY doc_id"""
+      },
+      "Duplication centrality: fixed-round PageRank over the verified " +
+        "near-dup graph — edges materialize once, one equi-join + aggregate " +
+        "per round, round-then-decimal contribution sums keep ranks " +
+        "bit-identical cross-engine; ranks the canonical doc of each " +
+        "duplication cluster.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
