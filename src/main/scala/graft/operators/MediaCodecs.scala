@@ -156,6 +156,50 @@ object MediaCodecs {
     out
   }
 
+  /**
+   * Block-mean downscale by integer factors: output pixel (i, j) is the
+   * per-channel FLOOR-mean of the `fx` x `fy` source block at
+   * (i*fx, j*fy); edge blocks average over the pixels that exist, so
+   * output dims are ceil(w/fx) x ceil(h/fy) and no source pixel is
+   * dropped. All-integer arithmetic (sum / count floor division) —
+   * deterministic, oracle-replayable, no float resampling kernel.
+   */
+  def downscaleBmp(img: Bmp, fx: Int, fy: Int): Bmp = {
+    require(fx >= 1 && fy >= 1, s"scale factors ($fx, $fy) must be positive")
+    val outW = (img.width + fx - 1) / fx
+    val outH = (img.height + fy - 1) / fy
+    val out = new Array[Byte](3 * outW * outH)
+    var j = 0
+    while (j < outH) {
+      val r0 = j * fy
+      val r1 = math.min(r0 + fy, img.height)
+      var i = 0
+      while (i < outW) {
+        val c0 = i * fx
+        val c1 = math.min(c0 + fx, img.width)
+        val cnt = (r1 - r0) * (c1 - c0)
+        var ch = 0
+        while (ch < 3) {
+          var sum = 0
+          var r = r0
+          while (r < r1) {
+            var c = c0
+            while (c < c1) {
+              sum += img.rgb(3 * (r * img.width + c) + ch) & 0xff
+              c += 1
+            }
+            r += 1
+          }
+          out(3 * (j * outW + i) + ch) = (sum / cnt).toByte
+          ch += 1
+        }
+        i += 1
+      }
+      j += 1
+    }
+    Bmp(outW, outH, out)
+  }
+
   /** Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER or any longer
     * DIB header): validates magic/offsets, honors bottom-up (positive
     * height) and top-down (negative) row order, strips row padding. */

@@ -256,6 +256,66 @@ object Multimodal {
   }
 
   /**
+   * Decode -> block-mean RESIZE -> re-encode, with exact positional stats:
+   * the image-preprocessing step of a multimodal ingest (thumbnailing /
+   * patch-grid normalization) as one `mapPartitions` pass. Output per row:
+   * (`idCol`, in_w, in_h, out_w, out_h, out_bytes: long — the re-encoded
+   * BMP's size, locking the stride/padding math; sum_px: long — sum over
+   * the resized RGB bytes; wsum_px: long — the POSITION-WEIGHTED sum
+   * `Σ rgb[i] * (1 + i % 97)`, which pins every resized byte to its
+   * location, so a correct sum with a wrong layout cannot pass).
+   * Downscale semantics are [[MediaCodecs.downscaleBmp]]'s all-integer
+   * floor-means — every number re-derivable arithmetically by an oracle.
+   * Same null/loudness/streaming contract as [[wavStats]].
+   */
+  def resizeImageStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      fx: Int,
+      fy: Int): DataFrame = {
+    require(fx >= 1 && fy >= 1, s"scale factors ($fx, $fy) must be positive")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("in_w", IntegerType, nullable = true),
+      StructField("in_h", IntegerType, nullable = true),
+      StructField("out_w", IntegerType, nullable = true),
+      StructField("out_h", IntegerType, nullable = true),
+      StructField("out_bytes", LongType, nullable = true),
+      StructField("sum_px", LongType, nullable = true),
+      StructField("wsum_px", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null)
+          Row(r.getLong(idIdx), null, null, null, null, null, null, null)
+        else {
+          val img =
+            if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6')
+              MediaCodecs.decodePpm(payload)
+            else MediaCodecs.decodeBmp(payload)
+          val small = MediaCodecs.downscaleBmp(img, fx, fy)
+          val reenc = MediaCodecs.encodeBmp24(small.width, small.height, small.rgb)
+          var sum = 0L
+          var wsum = 0L
+          var i = 0
+          while (i < small.rgb.length) {
+            val v = small.rgb(i) & 0xff
+            sum += v
+            wsum += v.toLong * (1L + i % 97)
+            i += 1
+          }
+          Row(r.getLong(idIdx), img.width, img.height, small.width, small.height,
+            reenc.length.toLong, sum, wsum)
+        }
+      }
+    }
+  }
+
+  /**
    * Decode an opaque binary column into metadata + feature vector.
    *
    * Input: any DataFrame with (`idCol`: long, `payloadCol`: binary).

@@ -162,6 +162,60 @@ object MediaQueries {
       "Real BMP decode: text bytes as a width-5 grayscale 24-bit bitmap (15-byte pixel " +
         "rows inside 16-byte strides, so the 4-byte row padding is load-bearing), decoded " +
         "back with padding stripped — n_bytes locks the stride math, sum/mean/max lock " +
-        "the BGR pixel walk; all re-derived arithmetically by the oracle.")
+        "the BGR pixel walk; all re-derived arithmetically by the oracle."),
+
+    // ---------------------------------------------------------------- q123
+    Q(
+      "q123_bmp_resize",
+      (s, dir) => {
+        // The RESIZE step of multimodal ingest: decode the width-5 BMP,
+        // block-mean downscale 2x horizontally / 3x vertically (integer
+        // floor-means, edge blocks over the pixels that exist), re-encode,
+        // and report exact positional stats. out_bytes locks the
+        // re-encoded stride/padding math (width 3 -> 9-byte rows padded
+        // to 12); wsum_px pins every resized byte to its location with
+        // position weights (1 + i % 97), so a right sum in a wrong layout
+        // cannot pass. The oracle re-derives the full decode -> block
+        // means -> layout chain arithmetically from the text bytes.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .resizeImageStats(bmpPayloads(docs), "doc_id", "payload", fx = 2, fy = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 greatest(1, CAST(ceil(octet_length(encode(text)) / 5.0) AS INTEGER)) AS h,
+                 $duckBytes AS vals
+          FROM documents),
+        g AS (
+          SELECT doc_id, n, h,
+                 CAST((h + 2) // 3 AS INTEGER) AS outh,
+                 flatten(list_transform(range(0, (h + 2) // 3), j ->
+                   list_transform(range(0, 3), i ->
+                     list_sum(flatten(list_transform(range(j*3, least(j*3+3, h)), rr ->
+                       list_transform(range(i*2, least(i*2+2, 5)), cc ->
+                         CASE WHEN rr*5+cc < n THEN vals[CAST(rr*5+cc+1 AS INTEGER)]
+                              ELSE 0 END))))
+                     // ((least(j*3+3, h) - j*3) * (least(i*2+2, 5) - i*2))))) AS px
+          FROM b)
+        SELECT doc_id,
+               CAST(5 AS INTEGER) AS in_w,
+               CAST(h AS INTEGER) AS in_h,
+               CAST(3 AS INTEGER) AS out_w,
+               CAST(outh AS INTEGER) AS out_h,
+               CAST(54 + 12 * outh AS BIGINT) AS out_bytes,
+               CAST(3 * list_sum(px) AS BIGINT) AS sum_px,
+               CAST(list_sum(list_transform(range(0, len(px)), p ->
+                 px[CAST(p + 1 AS INTEGER)]
+                   * (3 + (3*p) % 97 + (3*p + 1) % 97 + (3*p + 2) % 97))) AS BIGINT)
+                 AS wsum_px
+        FROM g
+        ORDER BY doc_id"""),
+      "Block-mean image resize (2x3 floor-means, edge-complete) with re-encode: " +
+        "out_bytes locks stride/padding, position-weighted wsum_px locks the full " +
+        "resized layout — the thumbnailing step of multimodal ingest, every number " +
+        "re-derived arithmetically by the oracle.")
   )
 }

@@ -280,6 +280,45 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1))
   }
 
+  test("downscaleBmp: hand-checked floor block means, edge-complete, contracts loud") {
+    // 3x3 single-channel-ish image: values 10..90 by tens in row-major R=G=B
+    val rgb = (1 to 9).flatMap(v => Seq(v * 10, v * 10, v * 10)).map(_.toByte).toArray
+    val img = MediaCodecs.Bmp(3, 3, rgb)
+    val small = MediaCodecs.downscaleBmp(img, 2, 2)
+    assert(small.width === 2 && small.height === 2)
+    def px(b: MediaCodecs.Bmp, i: Int, j: Int): Int = b.rgb(3 * (j * b.width + i)) & 0xff
+    // block (0,0): {10,20,40,50} -> 30; edge col (1,0): {30,60} -> 45
+    // edge row (0,1): {70,80} -> 75; corner (1,1): {90} -> 90
+    assert(px(small, 0, 0) === 30)
+    assert(px(small, 1, 0) === 45)
+    assert(px(small, 0, 1) === 75)
+    assert(px(small, 1, 1) === 90)
+    // factor 1 is the identity
+    assert(MediaCodecs.downscaleBmp(img, 1, 1).rgb.toSeq === rgb.toSeq)
+    // channels stay independent: mark one G byte and verify only G moves
+    val rgb2 = rgb.clone(); rgb2(1) = (rgb2(1) + 12).toByte
+    val s2 = MediaCodecs.downscaleBmp(MediaCodecs.Bmp(3, 3, rgb2), 2, 2)
+    assert((s2.rgb(0) & 0xff) === 30 && (s2.rgb(2) & 0xff) === 30)
+    assert((s2.rgb(1) & 0xff) === 33) // (22+20+40+50)/4
+    intercept[IllegalArgumentException] { MediaCodecs.downscaleBmp(img, 0, 1) }
+  }
+
+  test("resizeImageStats round-trips decode -> downscale -> encode on real bytes") {
+    val out = Multimodal.resizeImageStats(
+      payloadDf(Seq(1L -> GoldenBmp)), "id", "payload", 2, 2)
+      .collect()(0)
+    assert(out.getInt(1) === 2 && out.getInt(2) === 2) // in dims
+    assert(out.getInt(3) === 1 && out.getInt(4) === 1) // out dims
+    assert(out.getLong(5) === 58L) // 54 header + 3 bytes + 1 pad
+    val means = (0 until 3).map { ch =>
+      (0 until 4).map(p => GoldenBmpRgb(3 * p + ch) & 0xff).sum / 4
+    }
+    assert(out.getLong(6) === means.map(_.toLong).sum)
+    assert(out.getLong(7) === means.zipWithIndex.map {
+      case (v, i) => v.toLong * (1L + i % 97)
+    }.sum)
+  }
+
   test("imageStats emits exact integer stats from real BMP and PPM bytes") {
     val out = Multimodal.imageStats(
       payloadDf(Seq(
