@@ -256,6 +256,78 @@ object Multimodal {
   }
 
   /**
+   * Decode -> block-mean DOWNSAMPLE -> re-encode for audio — the
+   * [[resizeImageStats]] discipline on the time axis: every `factor`
+   * consecutive frames pool to their per-channel FLOOR-mean
+   * (`Math.floorDiv`, so negative amplitudes floor exactly like DuckDB's
+   * `//`), the tail block pools over the frames that exist, and the
+   * result re-encodes as 16-bit PCM at `max(1, rate / factor)`. Output:
+   * (`idCol`, n_in, n_out: long frames, out_rate: int, out_bytes: long —
+   * re-encoded size locking the header math, sum_amp: long, wsum_amp:
+   * long — position-weighted `Σ pooled[i] * (1 + i % 97)` pinning every
+   * pooled sample to its slot). Same null/loudness/streaming contract as
+   * [[wavStats]].
+   */
+  def downsampleWavStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      factor: Int): DataFrame = {
+    require(factor >= 1, s"factor ($factor) must be positive")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_in", LongType, nullable = true),
+      StructField("n_out", LongType, nullable = true),
+      StructField("out_rate", IntegerType, nullable = true),
+      StructField("out_bytes", LongType, nullable = true),
+      StructField("sum_amp", LongType, nullable = true),
+      StructField("wsum_amp", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val wav = MediaCodecs.decodeWav(payload)
+          val ch = wav.channels
+          val nFrames = wav.nFrames
+          val outFrames = (nFrames + factor - 1) / factor
+          val pooled = new Array[Short](outFrames * ch)
+          var j = 0
+          while (j < outFrames) {
+            val f0 = j * factor
+            val f1 = math.min(f0 + factor, nFrames)
+            var c = 0
+            while (c < ch) {
+              var sum = 0L
+              var f = f0
+              while (f < f1) { sum += wav.samples(f * ch + c); f += 1 }
+              pooled(j * ch + c) = Math.floorDiv(sum, (f1 - f0).toLong).toShort
+              c += 1
+            }
+            j += 1
+          }
+          val outRate = math.max(1, wav.sampleRate / factor)
+          val reenc = MediaCodecs.encodeWavPcm16(outRate, ch, pooled)
+          var sum = 0L
+          var wsum = 0L
+          var i = 0
+          while (i < pooled.length) {
+            sum += pooled(i)
+            wsum += pooled(i).toLong * (1L + i % 97)
+            i += 1
+          }
+          Row(r.getLong(idIdx), nFrames.toLong, outFrames.toLong, outRate,
+            reenc.length.toLong, sum, wsum)
+        }
+      }
+    }
+  }
+
+  /**
    * Decode -> block-mean RESIZE -> re-encode, with exact positional stats:
    * the image-preprocessing step of a multimodal ingest (thumbnailing /
    * patch-grid normalization) as one `mapPartitions` pass. Output per row:

@@ -216,6 +216,53 @@ object MediaQueries {
       "Block-mean image resize (2x3 floor-means, edge-complete) with re-encode: " +
         "out_bytes locks stride/padding, position-weighted wsum_px locks the full " +
         "resized layout — the thumbnailing step of multimodal ingest, every number " +
-        "re-derived arithmetically by the oracle.")
+        "re-derived arithmetically by the oracle."),
+
+    // ---------------------------------------------------------------- q124
+    Q(
+      "q124_wav_downsample",
+      (s, dir) => {
+        // The audio-side resize: decode the 16-bit PCM payload, pool every
+        // 4 frames to their floor-mean (Math.floorDiv == DuckDB's `//`,
+        // so NEGATIVE amplitudes floor identically — plain integer
+        // division would truncate toward zero and diverge), re-encode at
+        // rate/4, and report exact positional stats; wsum_amp pins every
+        // pooled sample to its slot. Decimation is the preprocessing a
+        // speech pipeline runs before feature extraction; the oracle
+        // re-derives pooling, header math, and rate arithmetic from the
+        // text bytes.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .downsampleWavStats(wavPayloads(docs), "doc_id", "payload", factor = 4)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 list_transform($duckBytes, v -> (v - 64) * 256) AS samples
+          FROM documents),
+        g AS (
+          SELECT doc_id, n, (n + 3) // 4 AS outn,
+                 list_transform(range(0, (n + 3) // 4), j ->
+                   list_sum(list_transform(range(j*4, least(j*4+4, n)), r ->
+                     samples[CAST(r + 1 AS INTEGER)]))
+                   // (least(j*4+4, n) - j*4)) AS pooled
+          FROM b)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_in,
+               CAST(outn AS BIGINT) AS n_out,
+               CAST((8000 + doc_id % 100) // 4 AS INTEGER) AS out_rate,
+               CAST(44 + 2 * outn AS BIGINT) AS out_bytes,
+               CAST(COALESCE(list_sum(pooled), 0) AS BIGINT) AS sum_amp,
+               CAST(COALESCE(list_sum(list_transform(range(0, len(pooled)), p ->
+                 pooled[CAST(p + 1 AS INTEGER)] * (1 + p % 97))), 0) AS BIGINT)
+                 AS wsum_amp
+        FROM g
+        ORDER BY doc_id"""),
+      "Audio decimation: 4-frame floor-mean pooling (floorDiv == //, exact for " +
+        "negative amplitudes) with 16-bit re-encode at rate/4 — out_bytes locks " +
+        "the RIFF header math, position-weighted wsum_amp locks every pooled " +
+        "sample's slot; the speech-pipeline preprocessing step, fully " +
+        "oracle-replayed.")
   )
 }

@@ -319,6 +319,19 @@ class MediaCodecsSpec extends AnyFunSuite {
     }.sum)
   }
 
+  test("downsampleWavStats floor-means pool negative amplitudes like // does") {
+    // 5 mono samples at 1000 Hz, factor 2: blocks {-3,-4} -> -4 (floor of
+    // -3.5, NOT -3), {5, 6} -> 5, tail {7} -> 7
+    val wav = MediaCodecs.encodeWavPcm16(1000, 1, Array[Short](-3, -4, 5, 6, 7))
+    val out = Multimodal.downsampleWavStats(
+      payloadDf(Seq(1L -> wav)), "id", "payload", 2).collect()(0)
+    assert(out.getLong(1) === 5L && out.getLong(2) === 3L)
+    assert(out.getInt(3) === 500)
+    assert(out.getLong(4) === 44L + 2L * 3) // re-encoded RIFF size
+    assert(out.getLong(5) === (-4L + 5L + 7L))
+    assert(out.getLong(6) === -4L * 1 + 5L * 2 + 7L * 3)
+  }
+
   test("imageStats emits exact integer stats from real BMP and PPM bytes") {
     val out = Multimodal.imageStats(
       payloadDf(Seq(
