@@ -2542,6 +2542,244 @@ object TextQueries {
         "per round, round-then-decimal contribution sums keep ranks " +
         "bit-identical cross-engine; ranks the canonical doc of each " +
         "duplication cluster.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q125
+    Q(
+      "q125_bigram_xent",
+      (s, dir) => {
+        // Bigram-LM quality scoring with add-k smoothing — the step up
+        // from q109's unigram proxy: P(w2|w1) = (c(w1 w2) + k) /
+        // (c(w1 *) + k*V), k = 0.5, V = unigram vocab size. A doc whose
+        // bigrams are common word SEQUENCES (not just common words)
+        // scores low; shuffled-word soup that fools the unigram filter
+        // scores high. Self-trained on the corpus, no external model.
+        // Scale: bigram counts are one shuffle on bg (map-side combine);
+        // context counts derive from the bigram table (vocab-sized, one
+        // shuffle on w1); scoring joins are bg- and w1-keyed equi-joins —
+        // hash-partitionable at any vocab size; V is a 1-row broadcast.
+        // Cross-engine: counts exact; one shared expression tree per
+        // contribution (ln carries 1-ulp slack); per-doc fold in SORTED
+        // bigram order, round(,6) AFTER the fold (the q109 discipline).
+        val docs = table(s, dir, "documents")
+        val bgs = docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .selectExpr("doc_id", "word_ngrams(toks, 2) as bga")
+          .select(col("doc_id"), explode(col("bga")).as("bg"))
+        val bgc = bgs.groupBy("bg").agg(count(lit(1)).as("cbg"))
+        val ctx = bgc
+          .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
+          .groupBy("w1").agg(sum("cbg").as("cw1"))
+        val voc = docs
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .agg(countDistinct("tok").as("v"))
+        bgs.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+          .join(bgc, Seq("bg"))
+          .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
+          .join(ctx, Seq("w1"))
+          .crossJoin(broadcast(voc))
+          .withColumn("contrib", expr(
+            """cast(tf as double) * ln((cast(cbg as double) + 0.5)
+               / (cast(cw1 as double) + 0.5 * cast(v as double)))"""))
+          .groupBy("doc_id")
+          .agg(
+            expr(
+              """aggregate(
+                   transform(array_sort(collect_list(struct(bg, contrib))), p -> p.contrib),
+                   cast(0 as double), (a, v) -> a + v)""").as("lsum"),
+            sum("tf").as("nbg"))
+          .selectExpr("doc_id", "nbg",
+            "round(-lsum / cast(nbg as double), 6) as xent2")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH dt AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        bgs AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM dt WHERE len(toks) >= 2),
+        bgc AS (SELECT bg, COUNT(1) AS cbg FROM bgs GROUP BY bg),
+        ctx AS (
+          SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(cbg) AS BIGINT) AS cw1
+          FROM bgc GROUP BY 1),
+        voc AS (
+          SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        tft AS (SELECT doc_id, bg, COUNT(1) AS tf FROM bgs GROUP BY doc_id, bg),
+        sc AS (
+          SELECT t.doc_id, t.bg, t.tf,
+                 CAST(t.tf AS DOUBLE) * ln((CAST(b.cbg AS DOUBLE) + 0.5)
+                   / (CAST(c.cw1 AS DOUBLE) + 0.5 * CAST(voc.v AS DOUBLE))) AS contrib
+          FROM tft t
+          JOIN bgc b USING (bg)
+          JOIN ctx c ON string_split(t.bg, ' ')[1] = c.w1, voc),
+        agg AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY bg)),
+                   (a, v) -> a + v) AS lsum,
+                 CAST(SUM(tf) AS BIGINT) AS nbg
+          FROM sc GROUP BY doc_id)
+        SELECT doc_id, nbg, round(-lsum / CAST(nbg AS DOUBLE), 6) AS xent2
+        FROM agg ORDER BY doc_id"""),
+      "Bigram-LM cross-entropy with add-k smoothing: self-trained sequence " +
+        "model catches shuffled-word soup the unigram filter passes — bg/w1-" +
+        "keyed equi-joins, sorted per-doc fold, no external model."),
+
+    // ---------------------------------------------------------------- q126
+    Q(
+      "q126_canonical_dedup",
+      (s, dir) => {
+        // Canonical-form dedup: exact dedup AFTER text normalization
+        // (lowercase, strip non-alphanumerics, collapse whitespace) — the
+        // CCNet-style screen that catches trivially-mutated copies (case,
+        // punctuation, spacing) that byte-exact q23 misses and that are
+        // too cheap to send through MinHash. The corpus has no natural
+        // canonical twins (verified), so the query plants deterministic
+        // mutated copies of every 25th doc (uppercased + punctuation +
+        // doubled spaces, doc_id + 1000000) — the operator must group
+        // each twin with its source and elect the lowest id. Scale: one
+        // hash shuffle on the canonical md5 + one group-back equi-join,
+        // exactly the q23 shape; normalization is map-only codegen.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val twins = docs
+          .filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(upper(col("text")), lit("  !!")).as("text"))
+        val canon = docs.unionByName(twins)
+          .withColumn("canon", expr(
+            "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+          .withColumn("ch", expr(md5long("canon")))
+        val groups = canon.groupBy("ch")
+          .agg(count(lit(1)).as("group_size"), min("doc_id").as("keep_id"))
+        canon.join(groups, Seq("ch"))
+          .selectExpr("doc_id", "ch as canon_hash", "group_size",
+            "doc_id = keep_id as keep")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH uni AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, upper(text) || '  !!' FROM documents
+          WHERE doc_id % 25 = 0),
+        canon AS (
+          SELECT doc_id,
+                 ${duckMd5long("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS ch
+          FROM uni),
+        grp AS (
+          SELECT ch, COUNT(1) AS group_size, MIN(doc_id) AS keep_id
+          FROM canon GROUP BY ch)
+        SELECT c.doc_id, c.ch AS canon_hash, g.group_size,
+               c.doc_id = g.keep_id AS keep
+        FROM canon c JOIN grp g USING (ch)
+        ORDER BY c.doc_id"""),
+      "Canonicalization dedup: lowercase / punctuation-strip / whitespace-" +
+        "collapse then exact-hash grouping — catches mutated copies byte-" +
+        "exact dedup misses; one hash shuffle, planted twins prove grouping."),
+
+    // ---------------------------------------------------------------- q127
+    Q(
+      "q127_boilerplate_frac",
+      (s, dir) => {
+        // Corpus-boilerplate fraction per document: a 3-gram shingle
+        // appearing in >= 5 DISTINCT docs is boilerplate (headers,
+        // licenses, navigation chrome), and a doc dominated by such
+        // shingles carries little training signal even when every
+        // individual line looks fine — the cross-document complement of
+        // q55's intra-doc repetition. Scale: shingle df is one shuffle
+        // with map-side combine; the hot set is bounded by occurrences/df
+        // (the q48 argument) so it BROADCASTS — per-doc stats then need
+        // no second shuffle beyond the doc_id rollup; left join keeps
+        // docs with zero boilerplate.
+        val sh = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("doc_id", s"$sparkShingles as shs")
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+        val hot = sh.select("doc_id", "sh").distinct()
+          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 5)
+        sh.join(broadcast(hot.select(col("sh"), lit(1).as("isb"))), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(coalesce(col("isb"), lit(0))).as("n_boiler"))
+          .selectExpr("doc_id", "n_sh", "n_boiler",
+            "round(cast(n_boiler as double) / cast(n_sh as double), 6) as boiler_frac")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH dt AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest($duckShingles) AS sh
+          FROM dt WHERE len(toks) >= 3),
+        hot AS (
+          SELECT sh FROM (
+            SELECT sh, COUNT(1) AS df
+            FROM (SELECT DISTINCT doc_id, sh FROM sh) GROUP BY sh)
+          WHERE df >= 5),
+        st AS (
+          SELECT s.doc_id, COUNT(1) AS n_sh,
+                 CAST(SUM(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+          FROM sh s LEFT JOIN hot h ON s.sh = h.sh
+          GROUP BY s.doc_id)
+        SELECT doc_id, n_sh, n_boiler,
+               round(CAST(n_boiler AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) AS boiler_frac
+        FROM st ORDER BY doc_id"""),
+      "Per-doc corpus-boilerplate fraction: high-df 3-gram shingles (>= 5 " +
+        "distinct docs) flagged via a broadcast hot set — one df shuffle + " +
+        "doc rollup; the cross-document complement of intra-doc repetition."),
+
+    // ---------------------------------------------------------------- q128
+    Q(
+      "q128_vocab_coverage",
+      (s, dir) => {
+        // Vocabulary coverage curve: the top-100 tokens by corpus
+        // frequency with rank and CUMULATIVE corpus-coverage fraction —
+        // the curve that sizes a tokenizer vocab (how much of the corpus
+        // do the first V entries cover?) and exposes Zipf fit. Scale:
+        // token counts are one shuffle; the top-100 cut is
+        // TakeOrderedAndProject (no global sort); rank + running sum are
+        // computed by a triangular BROADCAST nested-loop self-join over
+        // the 100-row frame — O(100^2) on one executor, deliberately NOT
+        // a global window (the library's no-single-task-window audit) and
+        // never touching corpus-sized data.
+        val toks = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val tot = toks.agg(sum(lit(1L)).as("tt"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("tok")).limit(100)
+        top.as("a")
+          .join(broadcast(top.as("b")),
+            expr("b.c > a.c or (b.c = a.c and b.tok <= a.tok)"))
+          .groupBy(col("a.tok").as("tok"), col("a.c").as("c"))
+          .agg(count(lit(1)).as("rnk"), sum("b.c").as("cum"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("rnk", "tok", "c",
+            "round(cast(cum as double) / cast(tt as double), 6) as cum_frac")
+          .orderBy("rnk")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS tt FROM toks),
+        top AS (
+          SELECT tok, COUNT(1) AS c FROM toks GROUP BY tok
+          ORDER BY c DESC, tok LIMIT 100),
+        ranked AS (
+          SELECT a.tok, a.c, COUNT(1) AS rnk, CAST(SUM(b.c) AS BIGINT) AS cum
+          FROM top a JOIN top b
+            ON b.c > a.c OR (b.c = a.c AND b.tok <= a.tok)
+          GROUP BY a.tok, a.c)
+        SELECT rnk, tok, c,
+               round(CAST(cum AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS cum_frac
+        FROM ranked, tot ORDER BY rnk"""),
+      "Tokenizer-vocab coverage curve: top-100 tokens with rank and " +
+        "cumulative corpus fraction — TakeOrderedAndProject cut, triangular " +
+        "broadcast self-join over the 100-row frame instead of a global window.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
