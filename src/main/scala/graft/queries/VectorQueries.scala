@@ -903,6 +903,138 @@ object VectorQueries {
         "feed semanticDedup directly — density-tracking clusters bound the " +
         "pair work load-aware; the oracle replays train and dedup in one " +
         "composable CTE chain.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q129
+    Q(
+      "q129_cell_medoid",
+      (s, dir) => {
+        // Per-cell MEDOID election: within each IVF cell, the member that
+        // maximizes the sum of cosines to its cell-mates — the dataset-
+        // summarization / diversity-selection primitive (one representative
+        // per region of embedding space; the medoid beats the centroid
+        // because it is a REAL corpus member). Scale: the pairwise work is
+        // cell-bounded — one equi-join keyed on cluster_id, O((N/k)^2 * k)
+        // total, never the corpus square; the election window partitions
+        // by cell. Cross-engine: cosines are bit-identical (left-fold dot,
+        // IEEE sqrt/divide); per-member sums go round-then-DECIMAL (exact,
+        // order-independent — the q122 discipline); cells with a single
+        // member have no pairs and drop from the join identically in both
+        // engines.
+        import org.apache.spark.sql.expressions.Window
+        val a = assignedClusters(s, dir)
+          .select("vec_id", "embedding", "cluster_id", "n2")
+        val l = a.select(col("cluster_id"), col("vec_id").as("ida"),
+          col("embedding").as("ea"), col("n2").as("n2a"))
+        val r = a.select(col("cluster_id"), col("vec_id").as("idb"),
+          col("embedding").as("eb"), col("n2").as("n2b"))
+        val sums = l.join(r, Seq("cluster_id"))
+          .filter(col("ida") =!= col("idb"))
+          .withColumn("cos",
+            expr(s"${sparkDot("ea", "eb")} / (sqrt(n2a) * sqrt(n2b))"))
+          .groupBy("cluster_id", "ida")
+          .agg(count(lit(1)).as("n_others"),
+            sum(expr("cast(round(cos, 9) as decimal(28,9))")).as("scos"))
+        val w = Window.partitionBy("cluster_id").orderBy(desc("scos"), asc("ida"))
+        sums.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .selectExpr("cluster_id", "ida as medoid_id",
+            "cast(n_others + 1 as bigint) as n_members",
+            "round(cast(scos as double), 9) as sum_cos")
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH $duckAssigned,
+        an AS (
+          SELECT vec_id, embedding, cluster_id,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM assigned),
+        pr AS (
+          SELECT a.cluster_id, a.vec_id AS ida, COUNT(1) AS n_others,
+                 SUM(CAST(ROUND(${duckDot("a.embedding", "b.embedding")}
+                       / (SQRT(a.n2) * SQRT(b.n2)), 9) AS DECIMAL(28,9))) AS scos
+          FROM an a JOIN an b
+            ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        el AS (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY scos DESC, ida ASC) AS rn
+          FROM pr)
+        SELECT cluster_id, ida AS medoid_id,
+               CAST(n_others + 1 AS BIGINT) AS n_members,
+               round(CAST(scos AS DOUBLE), 9) AS sum_cos
+        FROM el WHERE rn = 1 ORDER BY cluster_id"""),
+      "Per-IVF-cell medoid: the real corpus member maximizing summed cosine " +
+        "to its cell-mates — cell-bounded pairwise join (never corpus^2), " +
+        "round-then-decimal sums, cell-partitioned election window."),
+
+    // ---------------------------------------------------------------- q130
+    Q(
+      "q130_knn_classify",
+      (s, dir) => {
+        // kNN label prediction — the eval loop a labeled-embedding pipeline
+        // runs to sanity-check its representation: for a CONSTANT probe set
+        // (every 20th vector), find the exact cosine top-5 neighbors
+        // (excluding self) and predict by majority label, ties to the
+        // smallest label. Scale: the probe side is bounded (constant ids,
+        // the q33 argument), so the probe x corpus product is a broadcast
+        // nested-loop over a tiny build side; per-probe ranking and the
+        // vote both partition by pid. Cross-engine: sims bit-identical
+        // (left-fold dot), ranking tie-broken by cid, vote tie-broken by
+        // label — every ordering total.
+        import org.apache.spark.sql.expressions.Window
+        val e = table(s, dir, "embeddings").selectExpr(
+          "vec_id", "embedding", "label",
+          s"${sparkDot("embedding", "embedding")} as n2")
+        val probes = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+            col("label").as("plabel"), col("n2").as("pn2"))
+        val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("label").as("clabel"), col("n2").as("cn2"))
+        val top5 = cands.join(broadcast(probes), col("cid") =!= col("pid"))
+          .withColumn("sim",
+            expr(s"${sparkDot("pe", "ce")} / (sqrt(pn2) * sqrt(cn2))"))
+          .withColumn("rank",
+            expr("row_number() over (partition by pid order by sim desc, cid asc)"))
+          .filter(col("rank") <= 5)
+        val votes = top5.groupBy("pid", "plabel", "clabel")
+          .agg(count(lit(1)).as("nvotes"))
+        val wv = Window.partitionBy("pid").orderBy(desc("nvotes"), asc("clabel"))
+        votes.withColumn("vr", row_number().over(wv))
+          .filter(col("vr") === 1)
+          .selectExpr("pid", "plabel as actual", "clabel as predicted",
+            "nvotes", "plabel = clabel as correct")
+          .orderBy("pid")
+      },
+      Some(s"""
+        WITH withnorm AS (
+          SELECT vec_id, embedding, label,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM embeddings),
+        sims AS (
+          SELECT p.vec_id AS pid, p.label AS plabel,
+                 c.vec_id AS cid, c.label AS clabel,
+                 ${duckDot("p.embedding", "c.embedding")}
+                   / (SQRT(p.n2) * SQRT(c.n2)) AS sim
+          FROM withnorm p JOIN withnorm c
+            ON p.vec_id % 20 = 0 AND c.vec_id <> p.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY pid
+                      ORDER BY sim DESC, cid ASC) AS rank
+          FROM sims),
+        votes AS (
+          SELECT pid, plabel, clabel, COUNT(1) AS nvotes
+          FROM ranked WHERE rank <= 5 GROUP BY pid, plabel, clabel),
+        el AS (
+          SELECT *, row_number() OVER (PARTITION BY pid
+                      ORDER BY nvotes DESC, clabel ASC) AS vr
+          FROM votes)
+        SELECT pid, plabel AS actual, clabel AS predicted, nvotes,
+               plabel = clabel AS correct
+        FROM el WHERE vr = 1 ORDER BY pid"""),
+      "kNN label prediction for a constant probe set: exact cosine top-5 " +
+        "(self excluded), majority vote with label tie-break — broadcast " +
+        "probe side, pid-partitioned ranking and vote windows.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
