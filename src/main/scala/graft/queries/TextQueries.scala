@@ -2780,6 +2780,207 @@ object TextQueries {
       "Tokenizer-vocab coverage curve: top-100 tokens with rank and " +
         "cumulative corpus fraction — TakeOrderedAndProject cut, triangular " +
         "broadcast self-join over the 100-row frame instead of a global window.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q131
+    Q(
+      "q131_zipf_slope",
+      (s, dir) => {
+        // Zipf fit: least-squares slope/intercept of ln(freq) on ln(rank)
+        // over the top-100 vocabulary — natural corpora run slope ~ -1, and
+        // a corpus that drifts far off is TEMPLATED (machine-generated
+        // boilerplate flattens the head) or PRUNED WRONG. Scale: the only
+        // corpus-sized step is the token count (one shuffle); everything
+        // after runs on a 100-row frame (TakeOrderedAndProject cut +
+        // triangular broadcast self-join for ranks, the q128 shape).
+        // Cross-engine: ln terms are rounded then DECIMAL-summed (exact,
+        // order-independent); the closed-form slope then evaluates one
+        // shared double expression tree over those exact sums.
+        val toks = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("tok")).limit(100)
+        top.as("a")
+          .join(broadcast(top.as("b")),
+            expr("b.c > a.c or (b.c = a.c and b.tok <= a.tok)"))
+          .groupBy(col("a.tok").as("tok"), col("a.c").as("c"))
+          .agg(count(lit(1)).as("rnk"))
+          .selectExpr(
+            "ln(cast(rnk as double)) as x",
+            "ln(cast(c as double)) as y")
+          .agg(
+            count(lit(1)).as("n_terms"),
+            sum(expr("cast(round(x, 12) as decimal(28,12))")).as("sx"),
+            sum(expr("cast(round(y, 12) as decimal(28,12))")).as("sy"),
+            sum(expr("cast(round(x * y, 12) as decimal(28,12))")).as("sxy"),
+            sum(expr("cast(round(x * x, 12) as decimal(28,12))")).as("sxx"))
+          .selectExpr(
+            "n_terms",
+            """round((cast(n_terms as double) * cast(sxy as double)
+                 - cast(sx as double) * cast(sy as double))
+               / (cast(n_terms as double) * cast(sxx as double)
+                 - cast(sx as double) * cast(sx as double)), 6) as slope""",
+            """round((cast(sy as double)
+                 - ((cast(n_terms as double) * cast(sxy as double)
+                      - cast(sx as double) * cast(sy as double))
+                    / (cast(n_terms as double) * cast(sxx as double)
+                      - cast(sx as double) * cast(sx as double)))
+                   * cast(sx as double)) / cast(n_terms as double), 6) as intercept""")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        top AS (
+          SELECT tok, COUNT(1) AS c FROM toks GROUP BY tok
+          ORDER BY c DESC, tok LIMIT 100),
+        ranked AS (
+          SELECT a.tok, a.c, COUNT(1) AS rnk
+          FROM top a JOIN top b
+            ON b.c > a.c OR (b.c = a.c AND b.tok <= a.tok)
+          GROUP BY a.tok, a.c),
+        xy AS (
+          SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+          FROM ranked),
+        sums AS (
+          SELECT COUNT(1) AS n_terms,
+                 SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS sx,
+                 SUM(CAST(ROUND(y, 12) AS DECIMAL(28,12))) AS sy,
+                 SUM(CAST(ROUND(x * y, 12) AS DECIMAL(28,12))) AS sxy,
+                 SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS sxx
+          FROM xy)
+        SELECT n_terms,
+               round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                    - ((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE), 6) AS intercept
+        FROM sums"""),
+      "Zipf least-squares fit over the top-100 vocab: round-then-decimal " +
+        "term sums + one shared double closed form — only the token count " +
+        "touches corpus-sized data; slope ~ -1 flags a natural corpus."),
+
+    // ---------------------------------------------------------------- q132
+    Q(
+      "q132_max_token_run",
+      (s, dir) => {
+        // Longest consecutive repeated-token run per document — the Gopher
+        // repetition rule that catches 'buy buy buy buy ...' spam which
+        // n-gram df and intra-doc dup-fraction (q55) both under-count
+        // (a single long run is ONE repeated shingle). Scale: position
+        // explode is map-only; both windows and the run rollup partition
+        // by doc_id (one shuffle); runs-per-doc election is doc-local.
+        // Pure integer arithmetic — exact cross-engine.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val runs = table(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("prev", lag("tok", 1).over(w))
+          .withColumn("flag",
+            expr("case when prev is null or prev <> tok then 1 else 0 end"))
+          .withColumn("grp", sum("flag").over(w))
+          .groupBy("doc_id", "grp", "tok")
+          .agg(count(lit(1)).as("runlen"))
+        val el = Window.partitionBy("doc_id")
+          .orderBy(desc("runlen"), asc("tok"), asc("grp"))
+        runs.withColumn("rn", row_number().over(el))
+          .filter(col("rn") === 1)
+          .selectExpr("doc_id", "tok as run_tok", "runlen as max_run")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH pt AS (
+          SELECT doc_id, tok, pos FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+            FROM documents)),
+        fl AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                        OR lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) <> tok
+                      THEN 1 ELSE 0 END AS flag
+          FROM pt),
+        gr AS (
+          SELECT doc_id, pos, tok,
+                 SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM fl),
+        runs AS (
+          SELECT doc_id, grp, tok, COUNT(1) AS runlen
+          FROM gr GROUP BY doc_id, grp, tok),
+        el AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY runlen DESC, tok ASC, grp ASC) AS rn
+          FROM runs)
+        SELECT doc_id, tok AS run_tok, runlen AS max_run
+        FROM el WHERE rn = 1 ORDER BY doc_id"""),
+      "Longest consecutive repeated-token run per doc (the Gopher spam " +
+        "rule): doc-partitioned lag + running-sum windows, doc-local run " +
+        "rollup and election — one doc_id shuffle, pure integer arithmetic."),
+
+    // ---------------------------------------------------------------- q134
+    Q(
+      "q134_source_scorecard",
+      (s, dir) => {
+        // Per-source data scorecard: the one-page report a pipeline owner
+        // reads before weighting sources in the training mixture — volume
+        // (docs, tokens), quality pass rate (q29's rule), byte-exact dup
+        // rate (q23's grouping), and language spread. Scale: the dup-rate
+        // join is one hash shuffle on the text md5; quality signals are
+        // map-only; the final rollup keys on source (tiny). Integer counts
+        // divided once at the end — exact cross-engine.
+        val docs = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("avg_token_len",
+            graft.operators.TextSignals.avgTokenLen(col("text"), col("n_tokens")))
+          .withColumn("okf", expr(
+            "case when n_tokens >= 20 and avg_token_len between 2.0 and 8.0 then 1 else 0 end"))
+          .withColumn("th", expr(md5long("text")))
+        val dup = docs.groupBy("th").agg(count(lit(1)).as("gsz"))
+        docs.join(dup, Seq("th"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tok"),
+            countDistinct("lang").as("n_langs"),
+            sum("okf").as("n_ok"),
+            sum(expr("case when gsz > 1 then 1 else 0 end")).as("n_dup"))
+          .selectExpr("source", "n_docs", "n_tok", "n_langs",
+            "round(cast(n_ok as double) / cast(n_docs as double), 6) as ok_frac",
+            "round(cast(n_dup as double) / cast(n_docs as double), 6) as dup_frac")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source, lang, text,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_token_len,
+                 ${duckMd5long("text")} AS th
+          FROM documents),
+        dup AS (SELECT th, COUNT(1) AS gsz FROM d GROUP BY th),
+        j AS (
+          SELECT d.source, d.lang,
+                 d.n_tokens,
+                 CASE WHEN d.n_tokens >= 20 AND d.avg_token_len BETWEEN 2.0 AND 8.0
+                      THEN 1 ELSE 0 END AS okf,
+                 CASE WHEN dup.gsz > 1 THEN 1 ELSE 0 END AS dupf
+          FROM d JOIN dup USING (th))
+        SELECT source,
+               COUNT(1) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tok,
+               COUNT(DISTINCT lang) AS n_langs,
+               round(CAST(SUM(okf) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS ok_frac,
+               round(CAST(SUM(dupf) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS dup_frac
+        FROM j GROUP BY source ORDER BY source"""),
+      "Per-source scorecard: volume, token totals, language spread, q29 " +
+        "quality pass rate and byte-exact dup rate — one md5 shuffle plus a " +
+        "tiny source rollup; the report that sets mixture weights.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

@@ -1035,6 +1035,80 @@ object VectorQueries {
       "kNN label prediction for a constant probe set: exact cosine top-5 " +
         "(self excluded), majority vote with label tie-break — broadcast " +
         "probe side, pid-partitioned ranking and vote windows.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q133
+    Q(
+      "q133_split_leakage",
+      (s, dir) => {
+        // Split-hygiene audit: near-duplicate pairs that STRADDLE a
+        // train/val/test boundary are leakage — the eval score is
+        // memorization, not generalization. Composes three library
+        // operators: the deterministic twin augmentation (the corpus has
+        // no natural near-dups), IVF cell assignment (bounds the pair
+        // search — a twin provably lands in its source's cell since
+        // scaling preserves the argmax centroid), and salted-hash split
+        // assignment. Scale: pair work is cell-bounded (never corpus^2);
+        // split assignment is map-only; output is the leakage worklist.
+        // Cross-engine: cosines bit-identical (left-fold dot), splits
+        // pure integer hash arithmetic.
+        val aug = augmented(s, dir)
+        val cents = table(s, dir, "embeddings").filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        val asg = graft.operators.Ann.ivfAssign(s, aug, "vec_id", "embedding", cents)
+        val sp = graft.operators.Mixture.assignSplits(asg, "vec_id", "leak1",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        val l = sp.select(col("cluster_id"), col("vec_id").as("ida"),
+          col("embedding").as("ea"), col("n2").as("n2a"), col("split").as("split_a"))
+        val r = sp.select(col("cluster_id"), col("vec_id").as("idb"),
+          col("embedding").as("eb"), col("n2").as("n2b"), col("split").as("split_b"))
+        l.join(r, Seq("cluster_id"))
+          .filter(col("ida") < col("idb"))
+          .withColumn("cos",
+            expr(s"${sparkDot("ea", "eb")} / (sqrt(n2a) * sqrt(n2b))"))
+          .filter(col("cos") >= 0.95 && col("split_a") =!= col("split_b"))
+          .selectExpr("ida", "idb", "split_a", "split_b",
+            "round(cos, 9) as cos")
+          .orderBy("ida", "idb")
+      },
+      Some(s"""
+        WITH $duckAugmented,
+        cents AS (
+          SELECT vec_id AS centroid_id, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        dots AS (
+          SELECT a.vec_id, a.embedding, c.centroid_id,
+                 ${duckDot("a.embedding", "c.ce")} AS cdot
+          FROM aug a CROSS JOIN cents c),
+        asg AS (
+          SELECT vec_id, embedding, centroid_id AS cluster_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
+          WHERE rn = 1),
+        an AS (
+          SELECT vec_id, embedding, cluster_id,
+                 ${duckDot("embedding", "embedding")} AS n2,
+                 CASE WHEN h < 90 THEN 'train'
+                      WHEN h < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT *,
+                  ${graft.functions.HashConventions.duckMd5long48(
+                    "'leak1|' || cast(vec_id as varchar)")} % 100 AS h
+                FROM asg)),
+        pairs AS (
+          SELECT a.vec_id AS ida, b.vec_id AS idb,
+                 a.split AS split_a, b.split AS split_b,
+                 ${duckDot("a.embedding", "b.embedding")}
+                   / (SQRT(a.n2) * SQRT(b.n2)) AS cos
+          FROM an a JOIN an b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+        SELECT ida, idb, split_a, split_b, round(cos, 9) AS cos
+        FROM pairs WHERE cos >= 0.95 AND split_a <> split_b
+        ORDER BY ida, idb"""),
+      "Train/val/test leakage audit: cell-bounded near-dup pairs (cos >= " +
+        "0.95) whose members hash into DIFFERENT splits — composes twin " +
+        "augmentation, IVF assignment and salted split assignment; the " +
+        "worklist an eval pipeline must drain before scores mean anything.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
