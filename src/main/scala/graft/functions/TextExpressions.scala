@@ -249,6 +249,92 @@ object SimHashBits {
   }
 }
 
+/**
+ * Native longest-run scan: `max_token_run(toks)` returns
+ * `struct<run_tok: string, max_run: int>` — the longest consecutive run of
+ * an identical token and the token achieving it (ties to the binary-smallest
+ * token, matching `ORDER BY runlen DESC, tok ASC` in both engines' default
+ * collation).
+ *
+ * Why a custom Catalyst Expression: the relational spelling (posexplode ->
+ * lag window -> running-sum window -> per-doc rollup -> election window)
+ * costs one corpus shuffle plus three window evaluations for what is a
+ * single forward scan over each row's token array. This runs the scan as
+ * one compiled loop per row — map-only, no shuffle, whole-stage codegen
+ * intact — and is the q132 engine (the Gopher repetition rule at 100 TB).
+ *
+ * Null/empty contract: an empty array yields a null struct; null tokens
+ * break runs and are never candidates (whitespace `split` never produces
+ * nulls, so this only matters for hand-built arrays).
+ */
+case class MaxTokenRun(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MaxTokenRun.Out
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"max_token_run expects array<string>, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MaxTokenRun.scan(input.asInstanceOf[ArrayData])
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // scan() returns null for empty/all-null arrays even when the input
+    // array itself is non-null, so set the null flag from the call result
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MaxTokenRun.scan($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MaxTokenRun =
+    copy(child = newChild)
+}
+
+object MaxTokenRun {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val Out: StructType = StructType(Seq(
+    StructField("run_tok", StringType, nullable = false),
+    StructField("max_run", IntegerType, nullable = false)))
+
+  /** One forward pass: longest run, ties to the binary-smallest token.
+    * Returns null (no struct) when the array has no non-null tokens. */
+  def scan(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val num = arr.numElements()
+    var bestTok: UTF8String = null
+    var bestLen = 0
+    var curTok: UTF8String = null
+    var curLen = 0
+    var i = 0
+    while (i < num) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (t == null) {
+        curTok = null; curLen = 0
+      } else if (curTok != null && t.equals(curTok)) {
+        curLen += 1
+      } else {
+        curTok = t; curLen = 1
+      }
+      if (curTok != null &&
+          (curLen > bestLen ||
+            (curLen == bestLen && curTok.compareTo(bestTok) < 0))) {
+        bestTok = curTok; bestLen = curLen
+      }
+      i += 1
+    }
+    if (bestTok == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestTok, bestLen))
+  }
+}
+
 object TextExpressions {
 
   /** Shared expression builder (used by both the imperative register and the
@@ -293,9 +379,15 @@ object TextExpressions {
     SimHashBits(exprs(0), n)
   }
 
-  /** Register `word_ngrams` + `word_ngram_hash48` + `simhash_bits` in the
-    * session's function registry (idempotent, skip-if-present), so they are
-    * usable from selectExpr / spark.sql. */
+  /** Shared builder for `max_token_run` (single array<string> argument). */
+  val maxTokenRunBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"max_token_run expects 1 argument, got ${exprs.length}")
+    MaxTokenRun(exprs(0))
+  }
+
+  /** Register `word_ngrams` + `word_ngram_hash48` + `simhash_bits` +
+    * `max_token_run` in the session's function registry (idempotent,
+    * skip-if-present), so they are usable from selectExpr / spark.sql. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")
@@ -310,6 +402,10 @@ object TextExpressions {
     val idS = org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bits")
     if (!reg.functionExists(idS)) {
       reg.createOrReplaceTempFunction("simhash_bits", simhashBitsBuilder, "built-in")
+    }
+    val idR = org.apache.spark.sql.catalyst.FunctionIdentifier("max_token_run")
+    if (!reg.functionExists(idR)) {
+      reg.createOrReplaceTempFunction("max_token_run", maxTokenRunBuilder, "built-in")
     }
   }
 }

@@ -2871,25 +2871,18 @@ object TextQueries {
         // Longest consecutive repeated-token run per document — the Gopher
         // repetition rule that catches 'buy buy buy buy ...' spam which
         // n-gram df and intra-doc dup-fraction (q55) both under-count
-        // (a single long run is ONE repeated shingle). Scale: position
-        // explode is map-only; both windows and the run rollup partition
-        // by doc_id (one shuffle); runs-per-doc election is doc-local.
-        // Pure integer arithmetic — exact cross-engine.
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val runs = table(s, dir, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-          .withColumn("prev", lag("tok", 1).over(w))
-          .withColumn("flag",
-            expr("case when prev is null or prev <> tok then 1 else 0 end"))
-          .withColumn("grp", sum("flag").over(w))
-          .groupBy("doc_id", "grp", "tok")
-          .agg(count(lit(1)).as("runlen"))
-        val el = Window.partitionBy("doc_id")
-          .orderBy(desc("runlen"), asc("tok"), asc("grp"))
-        runs.withColumn("rn", row_number().over(el))
-          .filter(col("rn") === 1)
-          .selectExpr("doc_id", "tok as run_tok", "runlen as max_run")
+        // (a single long run is ONE repeated shingle). The native
+        // max_token_run expression does the whole scan in one compiled
+        // loop per row — MAP-ONLY, no shuffle, no windows (the relational
+        // spelling costs a corpus shuffle plus three window passes; it
+        // survives as the oracle and the spec cross-check). Tie-break
+        // (longest run, then binary-smallest token) is identical in both
+        // engines' default collation — pure integer arithmetic otherwise.
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .selectExpr("doc_id", "max_token_run(toks) as r")
+          .selectExpr("doc_id", "r.run_tok as run_tok",
+            "cast(r.max_run as bigint) as max_run")
           .orderBy("doc_id")
       },
       Some("""

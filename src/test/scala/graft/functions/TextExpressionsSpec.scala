@@ -166,4 +166,68 @@ class TextExpressionsSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) === r.getSeq[String](1), s"input=$input")
     }
   }
+
+  test("max_token_run equals the window+rollup relational spelling on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+    docs.createOrReplaceTempView("mtr_docs")
+    val native = docs
+      .selectExpr("doc_id", "max_token_run(toks) as r")
+      .selectExpr("doc_id", "r.run_tok as run_tok", "cast(r.max_run as bigint) as max_run")
+    val relational = spark.sql("""
+      WITH pt AS (
+        SELECT doc_id, pos + 1 AS pos, tok
+        FROM mtr_docs LATERAL VIEW posexplode(toks) AS pos, tok),
+      fl AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                      OR lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) <> tok
+                    THEN 1 ELSE 0 END AS flag
+        FROM pt),
+      gr AS (
+        SELECT doc_id, tok,
+               SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM fl),
+      runs AS (SELECT doc_id, grp, tok, COUNT(1) AS runlen FROM gr GROUP BY doc_id, grp, tok),
+      el AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY runlen DESC, tok ASC, grp ASC) AS rn
+        FROM runs)
+      SELECT doc_id, tok AS run_tok, runlen AS max_run FROM el WHERE rn = 1""")
+    assert(native.exceptAll(relational).count() === 0)
+    assert(relational.exceptAll(native).count() === 0)
+  }
+
+  test("max_token_run edge cases: ties, runs, empties, nulls, interpreted == codegen") {
+    import scala.jdk.CollectionConverters._
+    val cases: Seq[(Seq[String], Any)] = Seq(
+      (Seq("a"), ("a", 1)),
+      (Seq("b", "a"), ("a", 1)),                    // length tie -> smallest token
+      (Seq("a", "b", "b"), ("b", 2)),               // later longer run wins
+      (Seq("b", "b", "a", "a"), ("a", 2)),          // equal runs -> smallest token
+      (Seq("x", "x", "x", "y", "y"), ("x", 3)),
+      (Seq(""), ("", 1)),                           // split("") yields one empty token
+      (Seq.empty[String], null),                    // empty array -> null struct
+      (Seq(null, null), null),                      // all-null -> null struct
+      (Seq("a", null, "a"), ("a", 1)),              // null breaks the run
+      (Seq("a", "a", null, "b", "b", "b"), ("b", 3))
+    )
+    val df = spark.createDataFrame(
+      cases.map(c => org.apache.spark.sql.Row(c._1)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("toks",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      val got = df.selectExpr("max_token_run(toks) as r").collect()
+      got.zip(cases).foreach { case (r, (input, want)) =>
+        val actual =
+          if (r.isNullAt(0)) null
+          else (r.getStruct(0).getString(0), r.getStruct(0).getInt(1))
+        assert(actual === want, s"mode=$codegen input=$input")
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }
