@@ -2974,6 +2974,165 @@ object TextQueries {
       "Per-source scorecard: volume, token totals, language spread, q29 " +
         "quality pass rate and byte-exact dup rate — one md5 shuffle plus a " +
         "tiny source rollup; the report that sets mixture weights.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q135
+    Q(
+      "q135_tfidf_neighbors",
+      (s, dir) => {
+        // Sparse lexical nearest neighbors: per-doc top-3 by TF-IDF cosine
+        // over word-3-gram SHINGLES — the similarity search embeddings
+        // can't replace (it explains WHY two docs match: shared rare
+        // phrases) and the lexical complement of q33's dense ANN.
+        // Shingles, not unigrams: a natural corpus' unigram head is all
+        // high-df stopwords (this corpus' vocabulary is ~31 tokens, every
+        // one of them corpus-wide), while phrases are where rarity lives.
+        // Scale: the pair generator is the POSTING-LIST self-join on the
+        // shingle with the q48 df cutoff (df <= 20) — fanout per shingle
+        // is bounded by df^2, never corpus^2; weights, norms and pair
+        // dots are all equi-keyed aggregations (shingle, then doc, then
+        // pair); the final ranking partitions by doc. Cross-engine: idf
+        // shares one ln tree; w*w and wa*wb terms are rounded then
+        // DECIMAL-summed (exact, order-independent); cosines divide
+        // exact-decimal casts in one shared double tree, ties to idb.
+        val tf = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("doc_id", s"$sparkShingles as shs")
+          .select(col("doc_id"), explode(col("shs")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20)
+        val nd = table(s, dir, "documents").agg(count(lit(1)).as("nd"))
+        val w = tf.join(dfc, Seq("tok")).crossJoin(broadcast(nd))
+          .withColumn("w", expr(
+            "cast(tf as double) * ln(cast(nd as double) / cast(df as double))"))
+        val n2 = w.groupBy("doc_id")
+          .agg(sum(expr("cast(round(w * w, 12) as decimal(28,12))")).as("n2"))
+        val dots = w.select(col("tok"), col("doc_id").as("ida"), col("w").as("wa"))
+          .join(w.select(col("tok"), col("doc_id").as("idb"), col("w").as("wb")), Seq("tok"))
+          .filter(col("ida") =!= col("idb"))
+          .groupBy("ida", "idb")
+          .agg(sum(expr("cast(round(wa * wb, 12) as decimal(28,12))")).as("dot"))
+        dots
+          .join(n2.select(col("doc_id").as("ida"), col("n2").as("n2a")), Seq("ida"))
+          .join(n2.select(col("doc_id").as("idb"), col("n2").as("n2b")), Seq("idb"))
+          .withColumn("cos", expr(
+            "cast(dot as double) / (sqrt(cast(n2a as double)) * sqrt(cast(n2b as double)))"))
+          .withColumn("rank",
+            expr("row_number() over (partition by ida order by cos desc, idb asc)"))
+          .filter(col("rank") <= 3)
+          .selectExpr("ida", "rank", "idb", "round(cos, 6) as cos")
+          .orderBy("ida", "rank")
+      },
+      Some(s"""
+        WITH tf AS (
+          SELECT doc_id, tok, COUNT(1) AS tf FROM (
+            SELECT doc_id, unnest($duckShingles) AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            WHERE len(toks) >= 3)
+          GROUP BY doc_id, tok),
+        dfc AS (
+          SELECT tok, COUNT(1) AS df FROM tf GROUP BY tok HAVING COUNT(1) <= 20),
+        nd AS (SELECT COUNT(1) AS nd FROM documents),
+        w AS (
+          SELECT t.doc_id, t.tok,
+                 CAST(t.tf AS DOUBLE) * ln(CAST(nd.nd AS DOUBLE) / CAST(d.df AS DOUBLE)) AS w
+          FROM tf t JOIN dfc d USING (tok), nd),
+        n2 AS (
+          SELECT doc_id, SUM(CAST(ROUND(w * w, 12) AS DECIMAL(28,12))) AS n2
+          FROM w GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 SUM(CAST(ROUND(a.w * b.w, 12) AS DECIMAL(28,12))) AS dot
+          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+        cosd AS (
+          SELECT d.ida, d.idb,
+                 CAST(d.dot AS DOUBLE)
+                   / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos
+          FROM dots d
+          JOIN n2 na ON d.ida = na.doc_id
+          JOIN n2 nb ON d.idb = nb.doc_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY ida
+                      ORDER BY cos DESC, idb ASC) AS rank
+          FROM cosd)
+        SELECT ida, rank, idb, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= 3 ORDER BY ida, rank"""),
+      "Sparse lexical top-3 neighbors by TF-IDF cosine over 3-gram " +
+        "shingles: posting-list self-join bounded by the df <= 20 cutoff " +
+        "(df^2 fanout, never corpus^2), round-then-decimal dot/norm sums, " +
+        "doc-partitioned ranking — the explainable complement of dense ANN."),
+
+    // ---------------------------------------------------------------- q136
+    Q(
+      "q136_source_kl_drift",
+      (s, dir) => {
+        // Distribution drift per source: smoothed KL(source || corpus)
+        // over token frequencies — the report that catches a feed whose
+        // language/topic mix silently diverged from the corpus it feeds
+        // (high KL = re-weight or investigate before training). Add-0.5
+        // smoothing over the CORPUS vocabulary, so a source missing a
+        // corpus token pays the full penalty. Scale: the source x vocab
+        // grid is |sources| * V rows — LINEAR in vocab with a tiny
+        // broadcast source list (the GridFill shape), never vocab^2; all
+        // joins key on tok. Cross-engine: counts exact; each KL term
+        // shares one expression tree (ln slack absorbed by round-then-
+        // DECIMAL summation); one final rounded divide.
+        val toks = table(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
+        val vtot = vocab.agg(sum("ct").as("tt"), count(lit(1)).as("v"))
+        val stok = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+        val stot = stok.groupBy("source").agg(sum("cs").as("ns"))
+        val grid = vocab.crossJoin(broadcast(stot))
+          .join(stok, Seq("source", "tok"), "left")
+          .withColumn("csf", coalesce(col("cs"), lit(0L)))
+        grid.crossJoin(broadcast(vtot))
+          .withColumn("ps", expr(
+            "(cast(csf as double) + 0.5) / (cast(ns as double) + 0.5 * cast(v as double))"))
+          .withColumn("pc", expr(
+            "(cast(ct as double) + 0.5) / (cast(tt as double) + 0.5 * cast(v as double))"))
+          .withColumn("term", expr("ps * ln(ps / pc)"))
+          .groupBy("source")
+          .agg(
+            max("ns").as("n_tok"),
+            sum(expr("cast(round(term, 12) as decimal(28,12))")).as("kls"))
+          .selectExpr("source", "n_tok", "round(cast(kls as double), 6) as kl")
+          .orderBy("source")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        vocab AS (SELECT tok, COUNT(1) AS ct FROM toks GROUP BY tok),
+        vtot AS (
+          SELECT CAST(SUM(ct) AS BIGINT) AS tt, COUNT(1) AS v FROM vocab),
+        stok AS (
+          SELECT source, tok, COUNT(1) AS cs FROM toks GROUP BY source, tok),
+        stot AS (
+          SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM stok GROUP BY source),
+        grid AS (
+          SELECT st.source, vc.tok, vc.ct, st.ns,
+                 COALESCE(sk.cs, 0) AS csf
+          FROM vocab vc CROSS JOIN stot st
+          LEFT JOIN stok sk ON sk.source = st.source AND sk.tok = vc.tok),
+        terms AS (
+          SELECT source, ns,
+                 ((CAST(csf AS DOUBLE) + 0.5) / (CAST(ns AS DOUBLE) + 0.5 * CAST(vt.v AS DOUBLE)))
+                   * ln(((CAST(csf AS DOUBLE) + 0.5) / (CAST(ns AS DOUBLE) + 0.5 * CAST(vt.v AS DOUBLE)))
+                        / ((CAST(ct AS DOUBLE) + 0.5) / (CAST(vt.tt AS DOUBLE) + 0.5 * CAST(vt.v AS DOUBLE)))) AS term
+          FROM grid, vtot vt),
+        agg AS (
+          SELECT source, MAX(ns) AS n_tok,
+                 SUM(CAST(ROUND(term, 12) AS DECIMAL(28,12))) AS kls
+          FROM terms GROUP BY source)
+        SELECT source, n_tok, round(CAST(kls AS DOUBLE), 6) AS kl
+        FROM agg ORDER BY source"""),
+      "Smoothed KL(source || corpus) over token distributions: the drift " +
+        "report that flags a diverging feed — source x vocab grid (linear " +
+        "in vocab, broadcast source list), tok-keyed joins, round-then-" +
+        "decimal term sums.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
