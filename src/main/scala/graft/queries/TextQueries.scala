@@ -3133,6 +3133,151 @@ object TextQueries {
         "report that flags a diverging feed — source x vocab grid (linear " +
         "in vocab, broadcast source list), tok-keyed joins, round-then-" +
         "decimal term sums.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q137
+    Q(
+      "q137_cluster_histogram",
+      (s, dir) => {
+        // Duplication GRANULARITY report: the cluster-size histogram of
+        // the near-dup graph — 'how much of the corpus is duplicated, in
+        // how-big groups?' is the first number a dedup pass reports
+        // (mass in size-2 pairs is mirror noise; mass in size-50 clusters
+        // is a template factory). Composes the same LSH -> connected-
+        // components front as q57, then two tiny keyed aggregations
+        // (cluster -> size, size -> counts); unpaired docs count as
+        // singleton clusters via the left join, exactly q57's contract.
+        val docs = table(s, dir, "documents")
+        val cand = graft.operators.Dedup.minhashLshCandidates(s, docs, "doc_id", "text")
+        val cc = graft.operators.Dedup.clusters(cand).withColumnRenamed("id", "doc_id")
+        docs.select("doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum("cluster_size").as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""
+        WITH RECURSIVE sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        sized AS (
+          SELECT COALESCE(cc.cluster_id, d.doc_id) AS cluster_id, COUNT(1) AS cluster_size
+          FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+          GROUP BY 1)
+        SELECT cluster_size, COUNT(1) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM sized GROUP BY cluster_size ORDER BY cluster_size"""),
+      "Near-dup cluster-size histogram: LSH pairs -> connected components " +
+        "-> size distribution with singleton mass — two tiny keyed rollups " +
+        "after the bucket-bounded q57 front; the dedup pass's headline report."),
+
+    // ---------------------------------------------------------------- q138
+    Q(
+      "q138_quality_election",
+      (s, dir) => {
+        // Quality-weighted canonical election: within each near-dup
+        // cluster keep the BEST document — q29's quality gate first, then
+        // the longest, then the smallest id — instead of q57's arbitrary
+        // lowest-id keeper. This is the election real pipelines run: near-
+        // dup groups usually contain one full document and several
+        // truncated or boilerplate-wrapped mutations, and lowest-id keeps
+        // the wrong one half the time. Scale: same bucket-bounded LSH ->
+        // CC front; quality signals are map-only; the election is one
+        // cluster-partitioned window. Integer/boolean ordering only —
+        // exact cross-engine.
+        val docs = table(s, dir, "documents")
+        val cand = graft.operators.Dedup.minhashLshCandidates(s, docs, "doc_id", "text")
+        val cc = graft.operators.Dedup.clusters(cand).withColumnRenamed("id", "doc_id")
+        val sig = docs
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("avg_token_len",
+            graft.operators.TextSignals.avgTokenLen(col("text"), col("n_tokens")))
+          .withColumn("okf", expr(
+            "case when n_tokens >= 20 and avg_token_len between 2.0 and 8.0 then 1 else 0 end"))
+          .select("doc_id", "n_tokens", "okf")
+        val el = Window.partitionBy("cluster_id")
+          .orderBy(desc("okf"), desc("n_tokens"), asc("doc_id"))
+        sig.join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("rn", row_number().over(el))
+          .withColumn("keeper_id", first("doc_id").over(
+            Window.partitionBy("cluster_id")
+              .orderBy(desc("okf"), desc("n_tokens"), asc("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .selectExpr("doc_id", "cluster_id", "okf", "n_tokens",
+            "rn = 1 as keep", "keeper_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        sig2 AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CASE WHEN len(string_split(text, ' ')) >= 20
+                        AND CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                              / len(string_split(text, ' ')) BETWEEN 2.0 AND 8.0
+                      THEN 1 ELSE 0 END AS okf
+          FROM documents),
+        clustered AS (
+          SELECT s.doc_id, COALESCE(cc.cluster_id, s.doc_id) AS cluster_id,
+                 s.okf, s.n_tokens
+          FROM sig2 s LEFT JOIN cc ON s.doc_id = cc.id),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY okf DESC, n_tokens DESC, doc_id ASC) AS rn,
+                 first_value(doc_id) OVER (PARTITION BY cluster_id
+                   ORDER BY okf DESC, n_tokens DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id
+          FROM clustered)
+        SELECT doc_id, cluster_id, okf, n_tokens, rn = 1 AS keep, keeper_id
+        FROM ranked ORDER BY doc_id"""),
+      "Quality-weighted canonical election inside near-dup clusters: q29's " +
+        "quality gate, then length, then id — the election that keeps the " +
+        "full document over its truncated mutations; one cluster-partitioned " +
+        "window over the bucket-bounded q57 front.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
