@@ -159,6 +159,58 @@ object Ann {
   }
 
   /**
+   * Per-cell MEDOID election: for every IVF cell, the member maximizing the
+   * sum of cosines to its cell-mates — the dataset-summarization /
+   * diversity-selection primitive (one REAL corpus representative per
+   * region of embedding space; a centroid is a synthetic average, a medoid
+   * is an actual row you can ship). Returns one row per non-singleton cell:
+   * `(cluster_id, medoid_id, n_members, sum_cos)`.
+   *
+   * Scale: assignment is the broadcast-centroid map ([[ivfAssign]]); the
+   * pairwise work is CELL-BOUNDED — one equi-join keyed on cluster_id,
+   * O((N/k)^2 * k) total, never the corpus square; the election window
+   * partitions by cell. Contract: cells with a single member have no pairs
+   * and are absent from the result (a singleton's "representative" is
+   * itself — callers that need it can left-join the assignment).
+   *
+   * Determinism: cosines are bit-identical across engines/partitionings
+   * (codegen left-fold dot, IEEE sqrt/divide); per-member sums are
+   * round(9)-then-DECIMAL — exact and order-independent — so the election
+   * (max sum, ties to the lowest id) never flips with partition count.
+   * `sum_cos` is emitted as a double rounded at 9 dp.
+   */
+  def cellMedoids(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val reserved = Set("__ida", "__ea", "__n2a", "__idb", "__eb", "__n2b",
+      "__cos", "__scos", "__rn", "medoid_id", "n_members", "sum_cos")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val a = ivfAssign(spark, df.select(idCol, vecCol), idCol, vecCol, centroids)
+    val l = a.select(col("cluster_id"), col(idCol).as("__ida"),
+      col(vecCol).as("__ea"), col("n2").as("__n2a"))
+    val r = a.select(col("cluster_id"), col(idCol).as("__idb"),
+      col(vecCol).as("__eb"), col("n2").as("__n2b"))
+    val sums = l.join(r, Seq("cluster_id"))
+      .filter(col("__ida") =!= col("__idb"))
+      .withColumn("__cos",
+        expr("vec_dot(__ea, __eb)") / (sqrt(col("__n2a")) * sqrt(col("__n2b"))))
+      .groupBy("cluster_id", "__ida")
+      .agg(count(lit(1)).as("__nothers"),
+        sum(expr("cast(round(__cos, 9) as decimal(28,9))")).as("__scos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(desc("__scos"), asc("__ida"))
+    sums.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .selectExpr("cluster_id", s"__ida as medoid_id",
+        "cast(__nothers + 1 as bigint) as n_members",
+        "round(cast(__scos as double), 9) as sum_cos")
+  }
+
+  /**
    * Train the IVF coarse codebook itself: `iters` rounds of Lloyd's k-means
    * over `df`'s float-array `vecCol`, maximum-dot-product assignment (the
    * same metric [[ivfAssign]]/[[ivfSearch]] route by, so the trained

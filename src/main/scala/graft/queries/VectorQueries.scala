@@ -913,34 +913,18 @@ object VectorQueries {
         // maximizes the sum of cosines to its cell-mates — the dataset-
         // summarization / diversity-selection primitive (one representative
         // per region of embedding space; the medoid beats the centroid
-        // because it is a REAL corpus member). Scale: the pairwise work is
-        // cell-bounded — one equi-join keyed on cluster_id, O((N/k)^2 * k)
-        // total, never the corpus square; the election window partitions
-        // by cell. Cross-engine: cosines are bit-identical (left-fold dot,
-        // IEEE sqrt/divide); per-member sums go round-then-DECIMAL (exact,
-        // order-independent — the q122 discipline); cells with a single
-        // member have no pairs and drop from the join identically in both
-        // engines.
-        import org.apache.spark.sql.expressions.Window
-        val a = assignedClusters(s, dir)
-          .select("vec_id", "embedding", "cluster_id", "n2")
-        val l = a.select(col("cluster_id"), col("vec_id").as("ida"),
-          col("embedding").as("ea"), col("n2").as("n2a"))
-        val r = a.select(col("cluster_id"), col("vec_id").as("idb"),
-          col("embedding").as("eb"), col("n2").as("n2b"))
-        val sums = l.join(r, Seq("cluster_id"))
-          .filter(col("ida") =!= col("idb"))
-          .withColumn("cos",
-            expr(s"${sparkDot("ea", "eb")} / (sqrt(n2a) * sqrt(n2b))"))
-          .groupBy("cluster_id", "ida")
-          .agg(count(lit(1)).as("n_others"),
-            sum(expr("cast(round(cos, 9) as decimal(28,9))")).as("scos"))
-        val w = Window.partitionBy("cluster_id").orderBy(desc("scos"), asc("ida"))
-        sums.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .selectExpr("cluster_id", "ida as medoid_id",
-            "cast(n_others + 1 as bigint) as n_members",
-            "round(cast(scos as double), 9) as sum_cos")
+        // because it is a REAL corpus member). Routed through the reusable
+        // Ann.cellMedoids operator: pairwise work is cell-bounded (one
+        // equi-join keyed on cluster_id, O((N/k)^2 * k), never corpus^2),
+        // the election window partitions by cell, and per-member sums are
+        // round-then-DECIMAL (exact, order-independent — the q122
+        // discipline) so the election never flips with partition count.
+        // Cells with a single member drop identically in both engines.
+        val e = table(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        graft.operators.Ann
+          .cellMedoids(s, e.select("vec_id", "embedding"), "vec_id", "embedding", cents)
           .orderBy("cluster_id")
       },
       Some(s"""

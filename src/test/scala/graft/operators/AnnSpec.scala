@@ -278,4 +278,53 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(cents === Map(1L -> Seq(1.0f, 0.0f), 4L -> Seq(0.0f, 1.0f)))
   }
+
+  test("Ann.cellMedoids elects the central member; singleton cells are absent") {
+    import spark.implicits._
+    // cell of 1,3,5 clusters around the x axis: 3 (the middle direction)
+    // maximizes summed cosine; 7 sits alone near the y axis -> singleton,
+    // absent from the result by contract
+    val df = vecFrame(
+      1L -> Seq(1.0f, 0.0f), 3L -> Seq(0.9f, 0.1f), 5L -> Seq(0.8f, 0.2f),
+      7L -> Seq(0.0f, 1.0f))
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("centroid_id", "ce")
+    val med = Ann.cellMedoids(spark, df, "vid", "v", cents)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(med === Map(0L -> ((3L, 3L))))
+  }
+
+  test("Ann.cellMedoids equals an independent driver-side election on real vectors") {
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val cents = e.filter("vec_id < 8")
+      .selectExpr("vec_id as centroid_id", "embedding as ce")
+    val got = Ann.cellMedoids(spark, e.select("vec_id", "embedding"),
+        "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side re-derivation with plain Scala collections
+    val vecs = e.selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cvs = vecs.filter(_._1 < 8)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val assign = vecs.map { case (id, v) =>
+      id -> cvs.toSeq.map { case (cid, cv) => (dot(v, cv), cid) }
+        .sortBy { case (d, cid) => (-d, cid) }.head._2
+    }
+    val want = assign.groupBy(_._2).collect { case (cell, members) if members.size > 1 =>
+      val ids = members.keys.toSeq
+      val best = ids.map { a =>
+        val s = ids.filter(_ != a).map { b =>
+          BigDecimal(dot(vecs(a), vecs(b)) / (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b)))))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        (a, s)
+      }.sortBy { case (id, s) => (-s, id) }.head._1
+      cell -> best
+    }
+    assert(got === want)
+  }
 }
