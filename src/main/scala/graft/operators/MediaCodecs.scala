@@ -200,6 +200,27 @@ object MediaCodecs {
     Bmp(outW, outH, out)
   }
 
+  /** Horizontal mirror: out pixel (r, c) = in pixel (r, w-1-c), channel
+    * order preserved within each pixel — the cheapest image augmentation
+    * (label-preserving for most vision tasks). One linear pass. */
+  def flipBmpHorizontal(img: Bmp): Bmp = {
+    val out = new Array[Byte](img.rgb.length)
+    var r = 0
+    while (r < img.height) {
+      var c = 0
+      while (c < img.width) {
+        val src = 3 * (r * img.width + (img.width - 1 - c))
+        val dst = 3 * (r * img.width + c)
+        out(dst) = img.rgb(src)
+        out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        c += 1
+      }
+      r += 1
+    }
+    Bmp(img.width, img.height, out)
+  }
+
   /** Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER or any longer
     * DIB header): validates magic/offsets, honors bottom-up (positive
     * height) and top-down (negative) row order, strips row padding. */

@@ -388,6 +388,58 @@ object Multimodal {
   }
 
   /**
+   * The AUGMENTATION step of multimodal ingest: decode the image payload
+   * (BMP or PPM), mirror it horizontally, re-encode, and emit exact
+   * positional stats — `sum_px` (flip-invariant: catches value corruption),
+   * `wsum_px` with weights `1 + i % 97` over the flipped byte layout
+   * (position-sensitive: catches a flip that didn't happen, reversed
+   * channels, or wrong stride), and `out_bytes` for the re-encoded size.
+   * Same fused map-only shape as [[resizeImageStats]]: payloads die inside
+   * the stage, only fixed-width stat rows survive.
+   */
+  def flipImageStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("in_w", IntegerType, nullable = true),
+      StructField("in_h", IntegerType, nullable = true),
+      StructField("out_bytes", LongType, nullable = true),
+      StructField("sum_px", LongType, nullable = true),
+      StructField("wsum_px", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null)
+          Row(r.getLong(idIdx), null, null, null, null, null)
+        else {
+          val img =
+            if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6')
+              MediaCodecs.decodePpm(payload)
+            else MediaCodecs.decodeBmp(payload)
+          val flipped = MediaCodecs.flipBmpHorizontal(img)
+          val reenc = MediaCodecs.encodeBmp24(flipped.width, flipped.height, flipped.rgb)
+          var sum = 0L
+          var wsum = 0L
+          var i = 0
+          while (i < flipped.rgb.length) {
+            val v = flipped.rgb(i) & 0xff
+            sum += v
+            wsum += v.toLong * (1L + i % 97)
+            i += 1
+          }
+          Row(r.getLong(idIdx), img.width, img.height,
+            reenc.length.toLong, sum, wsum)
+        }
+      }
+    }
+  }
+
+  /**
    * Decode an opaque binary column into metadata + feature vector.
    *
    * Input: any DataFrame with (`idCol`: long, `payloadCol`: binary).

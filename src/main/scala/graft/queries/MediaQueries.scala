@@ -264,5 +264,55 @@ object MediaQueries {
         "the RIFF header math, position-weighted wsum_amp locks every pooled " +
         "sample's slot; the speech-pipeline preprocessing step, fully " +
         "oracle-replayed.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q139
+    Q(
+      "q139_bmp_flip",
+      (s, dir) => {
+        // The AUGMENTATION step of multimodal ingest: decode the width-5
+        // BMP, mirror horizontally, re-encode, report exact positional
+        // stats. sum_px is flip-INVARIANT (a permutation preserves the
+        // sum — catches value corruption only), so wsum_px with position
+        // weights (1 + i % 97) over the FLIPPED layout carries the real
+        // assertion: a flip that didn't happen, reversed channel order,
+        // or a stride slip all move bytes to wrongly-weighted positions
+        // and break the hash. The oracle re-derives the mirrored layout
+        // arithmetically from the text bytes (pixel (r,c) <- byte at
+        // r*5 + (4-c), zero beyond the text).
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .flipImageStats(bmpPayloads(docs), "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 greatest(1, CAST(ceil(octet_length(encode(text)) / 5.0) AS INTEGER)) AS h,
+                 $duckBytes AS vals
+          FROM documents),
+        f AS (
+          SELECT doc_id, n, h,
+                 list_transform(range(0, 5 * h), p ->
+                   CASE WHEN (p // 5) * 5 + (4 - (p % 5)) < n
+                        THEN vals[CAST((p // 5) * 5 + (4 - (p % 5)) + 1 AS INTEGER)]
+                        ELSE 0 END) AS px
+          FROM b)
+        SELECT doc_id,
+               CAST(5 AS INTEGER) AS in_w,
+               CAST(h AS INTEGER) AS in_h,
+               CAST(54 + 16 * h AS BIGINT) AS out_bytes,
+               CAST(3 * list_sum(px) AS BIGINT) AS sum_px,
+               CAST(list_sum(list_transform(range(0, len(px)), p ->
+                 px[CAST(p + 1 AS INTEGER)]
+                   * (3 + (3*p) % 97 + (3*p + 1) % 97 + (3*p + 2) % 97))) AS BIGINT)
+                 AS wsum_px
+        FROM f
+        ORDER BY doc_id"""),
+      "Horizontal-flip augmentation with re-encode: flip-invariant sum_px " +
+        "catches value corruption, position-weighted wsum_px over the " +
+        "mirrored layout catches a missing flip / channel reversal / stride " +
+        "slip; map-only, payloads die in-stage, oracle fully re-derived.")
   )
 }

@@ -346,4 +346,18 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
     assert(out(0).getLong(1) === 70L) // BMP byte size incl. stride padding
   }
+
+  test("flipBmpHorizontal mirrors rows, preserves channels, and is an involution") {
+    // golden 2x2: row0 = red, green; row1 = blue, white
+    val img = MediaCodecs.Bmp(2, 2, GoldenBmpRgb)
+    val flipped = MediaCodecs.flipBmpHorizontal(img)
+    // row0 becomes green, red; row1 becomes white, blue — channel order intact
+    assert(flipped.rgb.toSeq === Array(
+      0, 255, 0, 255, 0, 0, 255, 255, 255, 0, 0, 255).map(_.toByte).toSeq)
+    assert(MediaCodecs.flipBmpHorizontal(flipped).rgb.toSeq === GoldenBmpRgb.toSeq)
+    // odd width: the center pixel stays fixed
+    val odd = MediaCodecs.Bmp(3, 1, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    assert(MediaCodecs.flipBmpHorizontal(odd).rgb.toSeq ===
+      Seq[Byte](7, 8, 9, 4, 5, 6, 1, 2, 3))
+  }
 }
