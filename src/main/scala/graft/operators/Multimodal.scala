@@ -268,6 +268,66 @@ object Multimodal {
    * pooled sample to its slot). Same null/loudness/streaming contract as
    * [[wavStats]].
    */
+  /**
+   * The audio AUGMENTATION step: decode the 16-bit PCM payload, apply an
+   * integer gain with int16 SATURATION (the arithmetic real audio chains
+   * get wrong first: a sample at 20000 under gain 3 must clamp to 32767,
+   * not wrap to -5536), re-encode, and emit exact positional stats —
+   * `n_clipped` counts saturated samples, `wsum_amp` pins every scaled
+   * sample to its slot with weights `1 + i % 97`. Fused map-only shape:
+   * payloads die inside the stage.
+   */
+  def gainWavStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      gain: Int): DataFrame = {
+    require(gain >= 1, s"gain ($gain) must be positive")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("n_clipped", LongType, nullable = true),
+      StructField("out_bytes", LongType, nullable = true),
+      StructField("sum_amp", LongType, nullable = true),
+      StructField("wsum_amp", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null)
+          Row(r.getLong(idIdx), null, null, null, null, null)
+        else {
+          val wav = MediaCodecs.decodeWav(payload)
+          val scaled = new Array[Short](wav.samples.length)
+          var clipped = 0L
+          var i = 0
+          while (i < wav.samples.length) {
+            val v = wav.samples(i).toLong * gain
+            val c =
+              if (v > Short.MaxValue) { clipped += 1; Short.MaxValue.toLong }
+              else if (v < Short.MinValue) { clipped += 1; Short.MinValue.toLong }
+              else v
+            scaled(i) = c.toShort
+            i += 1
+          }
+          val reenc = MediaCodecs.encodeWavPcm16(wav.sampleRate, wav.channels, scaled)
+          var sum = 0L
+          var wsum = 0L
+          var j = 0
+          while (j < scaled.length) {
+            sum += scaled(j)
+            wsum += scaled(j).toLong * (1L + j % 97)
+            j += 1
+          }
+          Row(r.getLong(idIdx), scaled.length.toLong, clipped,
+            reenc.length.toLong, sum, wsum)
+        }
+      }
+    }
+  }
+
   def downsampleWavStats(
       df: DataFrame,
       idCol: String,

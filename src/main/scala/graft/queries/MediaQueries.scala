@@ -314,5 +314,48 @@ object MediaQueries {
         "catches value corruption, position-weighted wsum_px over the " +
         "mirrored layout catches a missing flip / channel reversal / stride " +
         "slip; map-only, payloads die in-stage, oracle fully re-derived.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q140
+    Q(
+      "q140_wav_gain",
+      (s, dir) => {
+        // Audio gain augmentation with int16 SATURATION: samples are
+        // (byte-64)*256 in [-8192, 15872], so gain 3 pushes every byte
+        // above ~106 past 32767 and the clamp must engage (wrap-around
+        // would flip the sign and wreck wsum_amp). n_clipped counts the
+        // saturated samples — the loudness-headroom report an audio
+        // pipeline checks before augmenting; out_bytes locks the RIFF
+        // header math at the unchanged rate. Map-only; the oracle
+        // re-derives scale, clamp, count, and positional sums from the
+        // text bytes.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .gainWavStats(wavPayloads(docs), "doc_id", "payload", gain = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 list_transform($duckBytes, v ->
+                   least(greatest((v - 64) * 256 * 3, -32768), 32767)) AS scaled,
+                 list_transform($duckBytes, v ->
+                   CASE WHEN (v - 64) * 256 * 3 > 32767
+                          OR (v - 64) * 256 * 3 < -32768 THEN 1 ELSE 0 END) AS clip
+          FROM documents)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(COALESCE(list_sum(clip), 0) AS BIGINT) AS n_clipped,
+               CAST(44 + 2 * n AS BIGINT) AS out_bytes,
+               CAST(COALESCE(list_sum(scaled), 0) AS BIGINT) AS sum_amp,
+               CAST(COALESCE(list_sum(list_transform(range(0, n), p ->
+                 scaled[CAST(p + 1 AS INTEGER)] * (1 + p % 97))), 0) AS BIGINT)
+                 AS wsum_amp
+        FROM b
+        ORDER BY doc_id"""),
+      "Gain-3 audio augmentation with int16 saturation: n_clipped counts " +
+        "engaged clamps (high-ASCII samples exceed 32767 by construction), " +
+        "position-weighted wsum_amp locks every scaled sample's slot — " +
+        "map-only re-encode, oracle fully re-derived from text bytes.")
   )
 }
