@@ -3278,6 +3278,94 @@ object TextQueries {
         "quality gate, then length, then id — the election that keeps the " +
         "full document over its truncated mutations; one cluster-partitioned " +
         "window over the bucket-bounded q57 front.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q141
+    Q(
+      "q141_vocab_growth",
+      (s, dir) => {
+        // Vocabulary growth curve (Heaps' law checkpoints): distinct
+        // vocabulary after ingesting the first 10% / 25% / 50% / 100% of
+        // the corpus in doc_id order — the curve that forecasts tokenizer
+        // vocab sizing and flags a feed whose vocabulary saturates (pure
+        // templates) or explodes (junk). Scale trick: no distinct-count
+        // per prefix — each token's FIRST-SEEN doc (min doc_id, one
+        // shuffle with map-side combine) makes vocab-at-cutoff a tiny
+        // conditional count over the vocab table; checkpoints are a
+        // 4-row broadcast. Pure integer arithmetic.
+        val cuts = table(s, dir, "documents").agg(max("doc_id").as("mx"))
+          .selectExpr("explode(array(10, 25, 50, 100)) as pct", "mx")
+          .withColumn("cut", expr("cast(floor(mx * pct / 100.0) as bigint)"))
+        val firstSeen = table(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(min("doc_id").as("fd"))
+        firstSeen.crossJoin(broadcast(cuts))
+          .groupBy("pct", "cut")
+          .agg(sum(expr("case when fd <= cut then 1 else 0 end")).as("vocab"))
+          .selectExpr("pct", "cut as max_doc_id", "vocab")
+          .orderBy("pct")
+      },
+      Some("""
+        WITH cuts AS (
+          SELECT pct, CAST(floor(mx * pct / 100.0) AS BIGINT) AS cut
+          FROM (SELECT MAX(doc_id) AS mx FROM documents),
+               (SELECT unnest([10, 25, 50, 100]) AS pct)),
+        fs AS (
+          SELECT tok, MIN(doc_id) AS fd FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok)
+        SELECT c.pct, c.cut AS max_doc_id,
+               CAST(SUM(CASE WHEN fs.fd <= c.cut THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+        FROM fs CROSS JOIN cuts c
+        GROUP BY c.pct, c.cut
+        ORDER BY c.pct"""),
+      "Heaps'-law vocabulary growth at 10/25/50/100% corpus prefixes: " +
+        "first-seen doc per token (one shuffle) turns every prefix distinct-" +
+        "count into a conditional sum over the vocab table — no per-prefix " +
+        "scans, checkpoints broadcast."),
+
+    // ---------------------------------------------------------------- q142
+    Q(
+      "q142_novelty_frac",
+      (s, dir) => {
+        // Per-doc NOVELTY: the fraction of a document's distinct 3-gram
+        // shingles never seen in any EARLIER doc (doc_id order = ingest
+        // order) — the marginal-contribution score an incremental ingest
+        // uses to drop docs that add nothing (novelty ~ 0 = rehash of
+        // already-held content; the stream analogue of q79's incremental
+        // screen). Scale: first-seen doc per shingle is one shuffle with
+        // map-side combine; the novelty join keys on (shingle) postings
+        // and rolls up on doc_id. Pure integer counts, one final divide.
+        val sh = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("doc_id", s"array_distinct($sparkShingles) as shs")
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+        val firstSeen = sh.groupBy("sh").agg(min("doc_id").as("fd"))
+        sh.join(firstSeen, Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(expr("case when fd = doc_id then 1 else 0 end")).as("n_new"))
+          .selectExpr("doc_id", "n_sh", "n_new",
+            "round(cast(n_new as double) / cast(n_sh as double), 6) as novelty")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest($duckShingles) AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            WHERE len(toks) >= 3)),
+        fs AS (SELECT sh, MIN(doc_id) AS fd FROM sh GROUP BY sh)
+        SELECT s.doc_id, COUNT(1) AS n_sh,
+               CAST(SUM(CASE WHEN fs.fd = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               round(CAST(SUM(CASE WHEN fs.fd = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(1) AS DOUBLE), 6) AS novelty
+        FROM sh s JOIN fs USING (sh)
+        GROUP BY s.doc_id ORDER BY s.doc_id"""),
+      "Per-doc novelty fraction: distinct shingles first seen by THIS doc " +
+        "over its total — the marginal-contribution score of incremental " +
+        "ingest; first-seen map-side-combined shuffle plus a doc rollup.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

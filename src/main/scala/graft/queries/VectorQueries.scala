@@ -1093,6 +1093,102 @@ object VectorQueries {
         "0.95) whose members hash into DIFFERENT splits — composes twin " +
         "augmentation, IVF assignment and salted split assignment; the " +
         "worklist an eval pipeline must drain before scores mean anything.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q143
+    Q(
+      "q143_split_repair",
+      (s, dir) => {
+        // The REMEDY to q133's leakage audit: canonical split propagation
+        // — every near-dup CLUSTER gets exactly one split, the split of
+        // its canonical member (min id, the connected-component label),
+        // so no eval example shares content with train after repair.
+        // Composes the q133 front (twin augmentation -> IVF cells ->
+        // salted splits -> cell-bounded cos >= 0.95 pairs) with
+        // Dedup.clusters (pointer-doubled components over the tiny pair
+        // graph); the final propagation is two vec_id-keyed equi-joins.
+        // Singletons keep their hash split untouched.
+        val aug = augmented(s, dir)
+        val cents = table(s, dir, "embeddings").filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        val asg = graft.operators.Ann.ivfAssign(s, aug, "vec_id", "embedding", cents)
+        val sp = graft.operators.Mixture.assignSplits(asg, "vec_id", "leak1",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        val l = sp.select(col("cluster_id"), col("vec_id").as("ida"),
+          col("embedding").as("ea"), col("n2").as("n2a"))
+        val r = sp.select(col("cluster_id"), col("vec_id").as("idb"),
+          col("embedding").as("eb"), col("n2").as("n2b"))
+        val pairs = l.join(r, Seq("cluster_id"))
+          .filter(col("ida") < col("idb"))
+          .withColumn("cos",
+            expr(s"${sparkDot("ea", "eb")} / (sqrt(n2a) * sqrt(n2b))"))
+          .filter(col("cos") >= 0.95)
+          .select(col("ida").as("id_a"), col("idb").as("id_b"))
+        val cc = graft.operators.Dedup.clusters(pairs)
+          .withColumnRenamed("id", "vec_id")
+          .withColumnRenamed("cluster_id", "rep_id")
+        val repSplit = sp.select(col("vec_id").as("rep_id"),
+          col("split").as("rep_split"))
+        sp.select("vec_id", "split")
+          .join(cc, Seq("vec_id"), "left")
+          .withColumn("rep_id", coalesce(col("rep_id"), col("vec_id")))
+          .join(repSplit, Seq("rep_id"))
+          .selectExpr("vec_id", "rep_id", "split as split_orig",
+            "rep_split as split_final", "split <> rep_split as moved")
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $duckAugmented,
+        cents AS (
+          SELECT vec_id AS centroid_id, embedding AS ce
+          FROM embeddings WHERE vec_id < 8),
+        dots AS (
+          SELECT a.vec_id, a.embedding, c.centroid_id,
+                 ${duckDot("a.embedding", "c.ce")} AS cdot
+          FROM aug a CROSS JOIN cents c),
+        asg AS (
+          SELECT vec_id, embedding, centroid_id AS cluster_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
+          WHERE rn = 1),
+        an AS (
+          SELECT vec_id, embedding, cluster_id,
+                 ${duckDot("embedding", "embedding")} AS n2,
+                 CASE WHEN h < 90 THEN 'train'
+                      WHEN h < 95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (SELECT *,
+                  ${graft.functions.HashConventions.duckMd5long48(
+                    "'leak1|' || cast(vec_id as varchar)")} % 100 AS h
+                FROM asg)),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM an a JOIN an b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE ${duckDot("a.embedding", "b.embedding")}
+                  / (SQRT(a.n2) * SQRT(b.n2)) >= 0.95),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        cc AS (SELECT id, MIN(r) AS rep_id FROM reach GROUP BY id)
+        SELECT an.vec_id,
+               COALESCE(cc.rep_id, an.vec_id) AS rep_id,
+               an.split AS split_orig,
+               rs.split AS split_final,
+               an.split <> rs.split AS moved
+        FROM an
+        LEFT JOIN cc ON an.vec_id = cc.id
+        JOIN an rs ON rs.vec_id = COALESCE(cc.rep_id, an.vec_id)
+        ORDER BY an.vec_id"""),
+      "Leakage REPAIR: near-dup clusters collapse to their canonical " +
+        "member's split (connected components over the cell-bounded pair " +
+        "graph, then two keyed joins) — after repair no eval example " +
+        "shares content with train; singletons keep their hash split.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
