@@ -3366,6 +3366,75 @@ object TextQueries {
       "Per-doc novelty fraction: distinct shingles first seen by THIS doc " +
         "over its total — the marginal-contribution score of incremental " +
         "ingest; first-seen map-side-combined shuffle plus a doc rollup.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q144
+    Q(
+      "q144_dataset_card",
+      (s, dir) => {
+        // The DATASET CARD: one row summarizing the corpus the way a
+        // datasheet/model-card reports it — volume (docs, tokens, bytes),
+        // vocabulary, language and source spread, byte-exact duplication
+        // rate, and q29's quality pass rate. Every number is an exact
+        // integer aggregate (one final divide each); the dup rate rides
+        // the q23 md5 grouping. Scale: two shuffles total (md5 groups,
+        // token distinct) + map-only signals folded into ONE corpus-wide
+        // aggregation — the cheap 'run it every ingest' report.
+        val docs = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("avg_token_len",
+            graft.operators.TextSignals.avgTokenLen(col("text"), col("n_tokens")))
+          .withColumn("okf", expr(
+            "case when n_tokens >= 20 and avg_token_len between 2.0 and 8.0 then 1 else 0 end"))
+          .withColumn("th", expr(md5long("text")))
+        val dup = docs.groupBy("th").agg(count(lit(1)).as("gsz"))
+        val vocab = docs
+          .select(explode(col("toks")).as("tok"))
+          .agg(countDistinct("tok").as("vocab"))
+        docs.join(dup, Seq("th"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            sum(length(col("text"))).as("n_bytes"),
+            countDistinct("lang").as("n_langs"),
+            countDistinct("source").as("n_sources"),
+            sum("okf").as("n_ok"),
+            sum(expr("case when gsz > 1 then 1 else 0 end")).as("n_dup"))
+          .crossJoin(broadcast(vocab))
+          .selectExpr("n_docs", "n_tokens", "n_bytes", "vocab",
+            "n_langs", "n_sources",
+            "round(cast(n_ok as double) / cast(n_docs as double), 6) as ok_frac",
+            "round(cast(n_dup as double) / cast(n_docs as double), 6) as dup_frac")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, source, lang, text,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_token_len,
+                 ${duckMd5long("text")} AS th
+          FROM documents),
+        dup AS (SELECT th, COUNT(1) AS gsz FROM d GROUP BY th),
+        voc AS (
+          SELECT COUNT(DISTINCT tok) AS vocab FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+        SELECT COUNT(1) AS n_docs,
+               CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(LENGTH(d.text)) AS BIGINT) AS n_bytes,
+               voc.vocab AS vocab,
+               COUNT(DISTINCT d.lang) AS n_langs,
+               COUNT(DISTINCT d.source) AS n_sources,
+               round(CAST(SUM(CASE WHEN d.n_tokens >= 20 AND d.avg_token_len BETWEEN 2.0 AND 8.0
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(1) AS DOUBLE), 6) AS ok_frac,
+               round(CAST(SUM(CASE WHEN dup.gsz > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(1) AS DOUBLE), 6) AS dup_frac
+        FROM d JOIN dup USING (th), voc
+        GROUP BY voc.vocab"""),
+      "One-row dataset card: volume, vocabulary, language/source spread, " +
+        "byte-exact dup rate, quality pass rate — exact integer aggregates, " +
+        "two shuffles total; the datasheet an ingest run publishes.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
