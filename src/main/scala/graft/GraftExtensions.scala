@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MaxTokenRun].getName, "max_token_run"),
       TextExpressions.maxTokenRunBuilder))
     ext.injectFunction((
+      FunctionIdentifier("token_entropy"),
+      new ExpressionInfo(classOf[graft.functions.TokenEntropy].getName, "token_entropy"),
+      TextExpressions.tokenEntropyBuilder))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => graft.functions.BloomMightContain(exprs(0), exprs(1))))

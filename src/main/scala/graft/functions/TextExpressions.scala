@@ -335,6 +335,91 @@ object MaxTokenRun {
   }
 }
 
+/**
+ * Native per-row Shannon token entropy: `token_entropy(toks)` returns the
+ * entropy in bits of the token frequency distribution of one document —
+ * the repetition/templating quality signal (low entropy = boilerplate,
+ * keyword-stuffing, or generator loops; Gopher-style filters threshold it).
+ *
+ * Why a custom Catalyst Expression: the pure-SQL spelling needs either an
+ * explode + per-doc group-by (a corpus-sized shuffle for a per-ROW signal)
+ * or an O(uniq x n) nested HOF (`transform(array_distinct(toks), t ->
+ * size(filter(toks, x -> x = t)))`). This is one compiled hash-count pass
+ * per row, map-only, inside whole-stage codegen.
+ *
+ * Determinism contract: terms are summed in token-sorted order (TreeMap),
+ * matching the DuckDB oracle's `list_reduce(list_prepend(0.0, list(term
+ * ORDER BY tok)))` — same adds in the same order; the residual cross-libm
+ * `log2` ulp difference is absorbed by the queries' final round(..., 6).
+ * Null tokens are ignored; a row with no non-null tokens yields null.
+ */
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_entropy expects array<string>, got $other")
+    }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenEntropy.scan(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // scan() returns null for empty/all-null arrays even when the input
+    // array itself is non-null, so set the null flag from the call result
+    val boxed = ctx.freshName("tokEntropy")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double $boxed = graft.functions.TokenEntropy.scan($c);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $boxed.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
+    copy(child = newChild)
+}
+
+object TokenEntropy {
+
+  private val Ln2 = Math.log(2.0)
+
+  /** One counting pass + one sorted-order sum. Returns null when the array
+    * has no non-null tokens (entropy of nothing is undefined, not 0). */
+  def scan(arr: ArrayData): java.lang.Double = {
+    val num = arr.numElements()
+    // TreeMap: the entropy terms must be added in token-sorted order so the
+    // float sum is bit-reproducible and engine-independent (see Scaladoc)
+    val counts = new java.util.TreeMap[UTF8String, Int]()
+    var n = 0
+    var i = 0
+    while (i < num) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        counts.put(t, counts.getOrDefault(t, 0) + 1)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0) null
+    else {
+      var h = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next().toDouble / n
+        h += -(p * (Math.log(p) / Ln2))
+      }
+      java.lang.Double.valueOf(h)
+    }
+  }
+}
+
 object TextExpressions {
 
   /** Shared expression builder (used by both the imperative register and the
@@ -385,6 +470,12 @@ object TextExpressions {
     MaxTokenRun(exprs(0))
   }
 
+  /** Shared builder for `token_entropy` (single array<string> argument). */
+  val tokenEntropyBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"token_entropy expects 1 argument, got ${exprs.length}")
+    TokenEntropy(exprs(0))
+  }
+
   /** Register `word_ngrams` + `word_ngram_hash48` + `simhash_bits` +
     * `max_token_run` in the session's function registry (idempotent,
     * skip-if-present), so they are usable from selectExpr / spark.sql. */
@@ -406,6 +497,10 @@ object TextExpressions {
     val idR = org.apache.spark.sql.catalyst.FunctionIdentifier("max_token_run")
     if (!reg.functionExists(idR)) {
       reg.createOrReplaceTempFunction("max_token_run", maxTokenRunBuilder, "built-in")
+    }
+    val idE = org.apache.spark.sql.catalyst.FunctionIdentifier("token_entropy")
+    if (!reg.functionExists(idE)) {
+      reg.createOrReplaceTempFunction("token_entropy", tokenEntropyBuilder, "built-in")
     }
   }
 }

@@ -42,9 +42,19 @@ object Tables {
     graft.functions.CmsExpressions.register(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        // TIMESTAMP(NANOS) file: raw nanos long -> truncate to micros
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        // TIMESTAMP(MICROS) file (driver generators vary round to round):
+        // already micros precision; NTZ -> TimestampType is exact under the
+        // repo's pinned-UTC session, matching DuckDB's naive-as-UTC epoch_ms
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -3435,6 +3435,286 @@ object TextQueries {
       "One-row dataset card: volume, vocabulary, language/source spread, " +
         "byte-exact dup rate, quality pass rate — exact integer aggregates, " +
         "two shuffles total; the datasheet an ingest run publishes.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q145
+    Q(
+      "q145_retrieval_eval",
+      (s, dir) => {
+        import s.implicits._
+        // RETRIEVAL EVALUATION: MRR, precision/recall@10 and NDCG@10 for the
+        // per-term BM25 ranking (q94's scorer), judged against a relevance
+        // label independent of the score — "the term occurs within the doc's
+        // first 20 tokens" (a title-match proxy). The per-term ranking is
+        // produced by the typed TopKByValue aggregator, so shuffle volume is
+        // O(terms x k): the 3 busiest posting lists are exactly the
+        // corpus-sized frames a per-term ranking window would sort in ONE
+        // task at 100 TB. DCG is an ordered reduce (deterministic float sum
+        // order); every ratio is one final IEEE divide, rounded.
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = lens.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
+        val qterms = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("tok")).limit(3).select("tok")
+        val tfs = toks.join(broadcast(qterms), Seq("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"), min("pos").as("minpos"))
+          .withColumn("rel", when(col("minpos") <= 19, 1L).otherwise(0L))
+        val dfs = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
+        val scored = tfs
+          .join(lens, Seq("doc_id"))
+          .join(broadcast(dfs), Seq("tok"))
+          .crossJoin(broadcast(stats))
+          .withColumn("sterm", expr(
+            """ln(1.0d + (cast(nd - df as double) + 0.5d) / (cast(df as double) + 0.5d))
+               * ((cast(tf as double) * 2.2d)
+                  / (cast(tf as double)
+                     + 1.2 * (0.25d + 0.75d * (cast(dl as double)
+                                               / (cast(tt as double) / cast(nd as double))))))"""))
+        val nrel = scored.groupBy("tok").agg(sum("rel").as("n_rel_total"))
+        val top = scored.select(col("tok"), col("doc_id"), col("sterm"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(new graft.operators.TopKByValue(10).toColumn.name("top"))
+          .flatMap { case (tok, hits) =>
+            hits.iterator.zipWithIndex.map { case ((id, _), i) => (tok, i + 1, id) }
+          }
+          .toDF("tok", "rank", "doc_id")
+        val metrics = scored.join(broadcast(top), Seq("tok", "doc_id"))
+          .withColumn("gain",
+            col("rel").cast("double") / log2(col("rank").cast("double") + lit(1.0)))
+          .groupBy("tok")
+          .agg(
+            max(col("rel").cast("double") / col("rank").cast("double")).as("mrr"),
+            sum("rel").as("n_rel_top"),
+            expr("""aggregate(
+                 transform(array_sort(collect_list(struct(rank, gain))), p -> p.gain),
+                 cast(0 as double), (a, v) -> a + v)""").as("dcg"))
+        metrics.join(broadcast(nrel), Seq("tok"))
+          .withColumn("idcg", expr(
+            """case when n_rel_total = 0 then cast(0 as double)
+               else aggregate(
+                 transform(sequence(1, int(least(n_rel_total, 10))),
+                           i -> 1.0d / log2(cast(i as double) + 1.0d)),
+                 cast(0 as double), (a, v) -> a + v) end"""))
+          .selectExpr(
+            "tok", "n_rel_total", "n_rel_top",
+            "round(mrr, 6) as mrr",
+            "round(cast(n_rel_top as double) / 10.0d, 6) as p_at_10",
+            """case when n_rel_total = 0 then cast(0 as double)
+               else round(cast(n_rel_top as double) / cast(n_rel_total as double), 6)
+               end as recall_at_10""",
+            """case when n_rel_total = 0 then cast(0 as double)
+               else round(dcg / idcg, 6) end as ndcg_at_10""")
+          .orderBy("tok")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        lens AS (SELECT doc_id, COUNT(1) AS dl FROM tk GROUP BY doc_id),
+        st AS (SELECT COUNT(1) AS nd, CAST(SUM(dl) AS BIGINT) AS tt FROM lens),
+        qt AS (SELECT tok FROM (
+          SELECT tok, COUNT(1) AS f FROM tk GROUP BY tok
+          ORDER BY f DESC, tok LIMIT 3)),
+        tf AS (SELECT t.doc_id, t.tok, COUNT(1) AS tf
+               FROM tk t JOIN qt USING (tok) GROUP BY t.doc_id, t.tok),
+        rl AS (SELECT t.doc_id, t.tok, t.tf,
+                      CASE WHEN list_contains(d.toks[1:20], t.tok) THEN 1 ELSE 0 END AS rel
+               FROM tf t JOIN d USING (doc_id)),
+        dft AS (SELECT tok, COUNT(1) AS df FROM tf GROUP BY tok),
+        sc AS (SELECT r.doc_id, r.tok, r.rel,
+                      ln(1.0 + (CAST(st.nd - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+                      * ((CAST(r.tf AS DOUBLE) * 2.2)
+                         / (CAST(r.tf AS DOUBLE)
+                            + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                                    / (CAST(st.tt AS DOUBLE) / CAST(st.nd AS DOUBLE)))))) AS sterm
+               FROM rl r JOIN lens l USING (doc_id) JOIN dft f USING (tok), st),
+        nrel AS (SELECT tok, CAST(SUM(rel) AS BIGINT) AS n_rel_total FROM sc GROUP BY tok),
+        top AS (SELECT * FROM (
+                  SELECT tok, doc_id, rel,
+                         row_number() OVER (PARTITION BY tok ORDER BY sterm DESC, doc_id ASC) AS rank
+                  FROM sc) WHERE rank <= 10),
+        m AS (SELECT tok,
+                     max(CAST(rel AS DOUBLE) / rank) AS mrr,
+                     CAST(SUM(rel) AS BIGINT) AS n_rel_top,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(CAST(rel AS DOUBLE) / log2(CAST(rank AS DOUBLE) + 1.0) ORDER BY rank)),
+                       (a, v) -> a + v) AS dcg
+              FROM top GROUP BY tok)
+        SELECT m.tok, n.n_rel_total, m.n_rel_top,
+               round(m.mrr, 6) AS mrr,
+               round(CAST(m.n_rel_top AS DOUBLE) / 10.0, 6) AS p_at_10,
+               CASE WHEN n.n_rel_total = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(CAST(m.n_rel_top AS DOUBLE) / CAST(n.n_rel_total AS DOUBLE), 6)
+                    END AS recall_at_10,
+               CASE WHEN n.n_rel_total = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE round(m.dcg / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(range(1, CAST(least(n.n_rel_total, 10) AS INTEGER) + 1),
+                             i -> 1.0 / log2(CAST(i AS DOUBLE) + 1.0))),
+                           (a, v) -> a + v), 6) END AS ndcg_at_10
+        FROM m JOIN nrel n USING (tok) ORDER BY m.tok"""),
+      "Retrieval evaluation: MRR, precision/recall@10, NDCG@10 of the BM25 " +
+        "per-term ranking vs a score-independent relevance label — ranking " +
+        "via the k-bounded typed top-k aggregator (O(terms x k) shuffle, " +
+        "no per-term global window sort), DCG as an ordered reduce."),
+
+    // ---------------------------------------------------------------- q146
+    Q(
+      "q146_token_entropy",
+      (s, dir) => {
+        // Per-doc Shannon token entropy + unique-token fraction — the
+        // repetition/templating screen (low entropy = boilerplate, keyword
+        // stuffing, generator loops; Gopher-style filters threshold both).
+        // The native token_entropy expression makes this MAP-ONLY: one
+        // compiled hash-count pass per row inside whole-stage codegen — the
+        // SQL spellings need either a corpus-sized explode+group-by shuffle
+        // for a per-ROW signal or an O(uniq x n) nested HOF.
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .selectExpr(
+            "doc_id",
+            "size(toks) as n_tokens",
+            "size(array_distinct(toks)) as n_uniq",
+            "round(token_entropy(toks), 6) as entropy",
+            "round(cast(size(array_distinct(toks)) as double) / size(toks), 6) as uniq_frac")
+          .withColumn("low_entropy", col("entropy") < 4.0)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        cnt AS (SELECT doc_id, tok, COUNT(1) AS c FROM tk GROUP BY doc_id, tok),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(1) AS n_uniq
+                FROM cnt GROUP BY doc_id),
+        p AS (SELECT c.doc_id, c.tok, CAST(c.c AS DOUBLE) / t.n AS p
+              FROM cnt c JOIN tot t USING (doc_id)),
+        ent AS (SELECT doc_id,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(-(p * log2(p)) ORDER BY tok)), (a, v) -> a + v) AS h
+                FROM p GROUP BY doc_id)
+        SELECT d.doc_id, len(d.toks) AS n_tokens, t.n_uniq,
+               round(e.h, 6) AS entropy,
+               round(CAST(t.n_uniq AS DOUBLE) / len(d.toks), 6) AS uniq_frac,
+               round(e.h, 6) < 4.0 AS low_entropy
+        FROM d JOIN ent e USING (doc_id) JOIN tot t USING (doc_id)
+        ORDER BY d.doc_id"""),
+      "Per-doc token entropy + unique-token fraction (repetition screen) " +
+        "via the native token_entropy expression — map-only, zero shuffle, " +
+        "whole-stage codegen; entropy terms summed in token-sorted order " +
+        "for cross-engine determinism."),
+
+    // ---------------------------------------------------------------- q147
+    Q(
+      "q147_k_anonymity",
+      (s, dir) => {
+        // k-ANONYMITY AUDIT: treat (lang, source, 100-char length bucket)
+        // as quasi-identifiers and measure equivalence-class sizes — the
+        // re-identification risk report a privacy review wants next to the
+        // q72 PII scrub. One shuffle (the class group-by, map-side
+        // combined) + a scalar rollup; class count is bounded by the QI
+        // cardinality product, never corpus size.
+        table(s, dir, "documents")
+          .groupBy(
+            col("lang"), col("source"),
+            (floor(col("n_chars") / 100) * 100).cast("long").as("chars_bucket"))
+          .agg(count(lit(1)).as("k"))
+          .agg(
+            count(lit(1)).as("n_classes"),
+            min("k").as("min_k"),
+            sum(when(col("k") < 5, 1L).otherwise(0L)).as("classes_below_5"),
+            sum(when(col("k") < 5, col("k")).otherwise(0L)).as("docs_below_5"),
+            sum("k").as("n_docs"))
+          .selectExpr(
+            "n_classes", "min_k", "classes_below_5", "docs_below_5",
+            "round(cast(docs_below_5 as double) / cast(n_docs as double), 6) as risk_frac")
+      },
+      Some("""
+        WITH g AS (
+          SELECT lang, source, CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS b,
+                 COUNT(1) AS k
+          FROM documents GROUP BY 1, 2, 3)
+        SELECT COUNT(1) AS n_classes, MIN(k) AS min_k,
+               CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_5,
+               CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS docs_below_5,
+               round(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(k) AS DOUBLE), 6) AS risk_frac
+        FROM g"""),
+      "k-anonymity audit over (lang, source, length-bucket) quasi-identifier " +
+        "classes: class count, min k, and the fraction of docs in classes " +
+        "below k=5 — one map-side-combined shuffle plus a scalar rollup."),
+
+    // ---------------------------------------------------------------- q149
+    Q(
+      "q149_containment_dedup",
+      (s, dir) => {
+        // CONTAINMENT (asymmetric Jaccard) over the LSH candidate front:
+        // |A∩B| / |A| catches quote-inclusion and excerpt duplicates that
+        // symmetric Jaccard under-scores (a 50-shingle doc fully embedded
+        // in a 500-shingle doc has jaccard 0.1 but containment 1.0). Same
+        // bucketed candidate generation as q24/q25 — never all-pairs; the
+        // shingle-set join is df-keyed on candidate ids only.
+        val docs = table(s, dir, "documents")
+        val cand = graft.operators.Dedup
+          .minhashLshCandidates(s, docs, "doc_id", "text")
+        val sh = docs
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("doc_id", s"array_distinct($sparkShingles) as sh")
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+          .filter(col("inter") > 0)
+          .withColumn("jaccard", expr(
+            "cast(inter as double) / size(array_union(sh_a, sh_b))"))
+          .withColumn("containment", expr(
+            """greatest(cast(inter as double) / size(sh_a),
+                        cast(inter as double) / size(sh_b))"""))
+          .filter(col("containment") >= 0.8)
+          .select(
+            col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"),
+            round(col("containment"), 6).as("containment"),
+            (col("jaccard") < 0.5).as("quote_like"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+        shv AS (
+          SELECT doc_id, list_distinct($duckShingles) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        m AS (
+          SELECT p.id_a, p.id_b,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) AS la, len(b.sh) AS lb,
+                 len(list_distinct(list_concat(a.sh, b.sh))) AS un
+          FROM pairs p JOIN shv a ON p.id_a = a.doc_id JOIN shv b ON p.id_b = b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh)) > 0)
+        SELECT id_a, id_b,
+               round(CAST(inter AS DOUBLE) / un, 6) AS jaccard,
+               round(greatest(CAST(inter AS DOUBLE) / la,
+                              CAST(inter AS DOUBLE) / lb), 6) AS containment,
+               CAST(inter AS DOUBLE) / un < 0.5 AS quote_like
+        FROM m
+        WHERE greatest(CAST(inter AS DOUBLE) / la, CAST(inter AS DOUBLE) / lb) >= 0.8
+        ORDER BY id_a, id_b"""),
+      "Containment (asymmetric Jaccard) over the LSH candidate front: " +
+        "flags quote-inclusion/excerpt duplicates symmetric Jaccard misses " +
+        "— same bucketed candidates as q24/q25, never all-pairs.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

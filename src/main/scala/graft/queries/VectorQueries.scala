@@ -1189,6 +1189,84 @@ object VectorQueries {
         "member's split (connected components over the cell-bounded pair " +
         "graph, then two keyed joins) — after repair no eval example " +
         "shares content with train; singletons keep their hash split.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q148
+    Q(
+      "q148_label_outliers",
+      (s, dir) => {
+        // LABEL-NOISE AUDIT: per-label centroid, then each vector's cosine
+        // to its OWN label's centroid — vectors far from their centroid are
+        // mislabel/outlier candidates (the embedding-space QA pass a
+        // labeled-training-set ingest runs). Centroids via the exact
+        // DECIMAL per-dimension sum (bit-reproducible, order-independent),
+        // broadcast back (labels x dims rows, never corpus-sized); the
+        // scoring pass is map-only.
+        val e = table(s, dir, "embeddings")
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "x")))
+          .select(col("label"), (col("p0") + 1).as("j"), col("x").cast("double").as("x"))
+          .groupBy("label", "j")
+          .agg(
+            sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+            count(lit(1)).as("cn"))
+          .withColumn("m", col("sx") / col("cn"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)").as("cent"))
+        e.join(broadcast(cent), Seq("label"))
+          .withColumn("dot", expr(
+            """aggregate(sequence(1, 64), cast(0 as double),
+               (a, j) -> a + cast(element_at(embedding, j) as double) * element_at(cent, j))"""))
+          .withColumn("n2v", expr(sparkDot("embedding", "embedding")))
+          .withColumn("n2c", expr(
+            """aggregate(sequence(1, 64), cast(0 as double),
+               (a, j) -> a + element_at(cent, j) * element_at(cent, j))"""))
+          .withColumn("cos", col("dot") / (sqrt(col("n2v")) * sqrt(col("n2c"))))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("cos").cast("decimal(28,12)")).cast("double").as("sum_cos"),
+            min("cos").as("min_cos"),
+            sum(when(col("cos") < 0.5, 1L).otherwise(0L)).as("n_outliers"))
+          .selectExpr(
+            "label", "n",
+            "round(sum_cos / cast(n as double), 6) as mean_cos",
+            "round(min_cos, 6) as min_cos",
+            "n_outliers")
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(range(1, 65)) AS j),
+        ex AS (
+          SELECT label, j, CAST(embedding[j] AS DOUBLE) AS x
+          FROM embeddings, dims),
+        cd AS (
+          SELECT label, j,
+                 CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(1) AS m
+          FROM ex GROUP BY label, j),
+        ca AS (SELECT label, list(m ORDER BY j) AS cent FROM cd GROUP BY label),
+        sc AS (
+          SELECT e.label, e.vec_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65),
+                     j -> CAST(e.embedding[j] AS DOUBLE) * c.cent[j])),
+                   (a, v) -> a + v) AS dot,
+                 ${duckDot("e.embedding", "e.embedding")} AS n2v,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65), j -> c.cent[j] * c.cent[j])),
+                   (a, v) -> a + v) AS n2c
+          FROM embeddings e JOIN ca c USING (label)),
+        cz AS (SELECT label, vec_id, dot / (sqrt(n2v) * sqrt(n2c)) AS cos FROM sc)
+        SELECT label, COUNT(1) AS n,
+               round(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE)
+                     / CAST(COUNT(1) AS DOUBLE), 6) AS mean_cos,
+               round(MIN(cos), 6) AS min_cos,
+               CAST(SUM(CASE WHEN cos < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM cz GROUP BY label ORDER BY label"""),
+      "Label-noise audit: per-label centroid (exact DECIMAL dimension sums, " +
+        "broadcast back) and each vector's cosine to its own centroid — " +
+        "mean/min cosine and below-0.5 outlier counts per label; one tiny " +
+        "dim-keyed shuffle + a map-only scoring pass.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —

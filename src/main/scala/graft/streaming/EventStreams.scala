@@ -22,10 +22,12 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** events.parquet file schema with the nanosecond timestamp read raw. */
-  val rawSchema: StructType = StructType(Seq(
+  /** events.parquet file schema with the timestamp read raw; `tsType` is
+    * whatever the file actually encodes (nanos-as-long or micros NTZ —
+    * driver generators vary round to round). */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -34,13 +36,21 @@ object EventStreams {
   /** Open the events directory as a micro-batched stream. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    // streams need an up-front schema: sniff the file's ts encoding with a
+    // one-footer batch read (driver-side metadata only, no data scan)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       // the test tables are single parquet FILES; a file stream wants a
       // directory, so stream the sf dir filtered to the events file
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      // TIMESTAMP(NANOS) read as raw nanos long -> truncate to micros
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // micros NTZ -> TimestampType is exact under the pinned-UTC session
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Watermarked 5-minute tumbling-window counts per event type. */

@@ -230,4 +230,65 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
     spark.conf.unset("spark.sql.codegen.factoryMode")
   }
+
+  test("token_entropy equals the explode+group relational spelling on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') as toks")
+    docs.createOrReplaceTempView("te_docs")
+    val native = docs
+      .selectExpr("doc_id", "round(token_entropy(toks), 9) as h")
+    // relational twin: per-doc token frequencies -> -sum(p log2 p), summed
+    // in token-sorted order exactly like the expression's TreeMap walk
+    val relational = spark.sql("""
+      WITH tk AS (
+        SELECT doc_id, tok FROM te_docs LATERAL VIEW explode(toks) AS tok),
+      cnt AS (SELECT doc_id, tok, COUNT(1) AS c FROM tk GROUP BY doc_id, tok),
+      tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id),
+      p AS (
+        SELECT c.doc_id, c.tok, CAST(c.c AS DOUBLE) / t.n AS p
+        FROM cnt c JOIN tot t ON c.doc_id = t.doc_id)
+      SELECT doc_id,
+             round(aggregate(
+               transform(array_sort(collect_list(struct(tok, p))),
+                         s -> -(s.p * log2(s.p))),
+               cast(0 as double), (a, v) -> a + v), 9) AS h
+      FROM p GROUP BY doc_id""")
+    assert(native.exceptAll(relational).count() === 0)
+    assert(relational.exceptAll(native).count() === 0)
+  }
+
+  test("token_entropy edge cases and interpreted == codegen") {
+    import scala.jdk.CollectionConverters._
+    val cases: Seq[(Seq[String], Any)] = Seq(
+      (Seq("a"), 0.0),                       // single token: no uncertainty
+      (Seq("a", "a", "a"), 0.0),
+      (Seq("a", "b"), 1.0),                  // uniform over 2 -> exactly 1 bit
+      (Seq("a", "b", "c", "d"), 2.0),        // uniform over 4 -> exactly 2 bits
+      (Seq("a", "a", "b", "b"), 1.0),
+      (Seq(""), 0.0),                        // split("") yields one empty token
+      (Seq.empty[String], null),             // empty array -> null
+      (Seq(null, null), null),               // all-null -> null
+      (Seq("a", null, "b"), 1.0)             // nulls ignored, n = 2
+    )
+    val df = spark.createDataFrame(
+      cases.map(c => org.apache.spark.sql.Row(c._1)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("toks",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      val got = df.selectExpr("token_entropy(toks) as h").collect()
+      got.zip(cases).foreach { case (r, (input, want)) =>
+        val actual = if (r.isNullAt(0)) null else r.getDouble(0)
+        want match {
+          case null => assert(actual === null, s"mode=$codegen input=$input")
+          case w: Double =>
+            assert(math.abs(actual.asInstanceOf[Double] - w) < 1e-12,
+              s"mode=$codegen input=$input")
+        }
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }

@@ -87,10 +87,7 @@ class EventStreamsSpec extends AnyFunSuite {
       "follow_join", "append")
     val streamed = spark.sql("select p_event_id, f_event_id from follow_join")
     // batch oracle: identical join over the same static events table
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.schema(EventStreams.rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(Sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.queries.Tables.table(spark, Sf, "events")
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event_id"), col("user_id").as("pu"), col("ts").as("p_ts"))
     val f = ev.select(col("event_id").as("f_event_id"), col("user_id").as("fu"), col("ts").as("f_ts"))
