@@ -500,6 +500,127 @@ object Multimodal {
   }
 
   /**
+   * Perceptual average-hash (aHash) over the DECODED image: the first
+   * `nBits` pixels' gray values (red channel of the row-major decode;
+   * the synth payloads are grayscale so R==G==B), zero-extended past the
+   * image end, vote against their own integer floor-mean — bit i set iff
+   * `gray(i) > floor(sum / nBits)`. The classic near-dup screen for image
+   * corpora: re-encodes, format changes, and metadata edits keep the hash,
+   * so exact-byte dedup misses what aHash catches. `nBits <= 62` keeps the
+   * hash in a signed long with exact cross-engine `2^i` arithmetic.
+   * Output: (`idCol`, width, height, ahash: long, n_set: int). Same fused
+   * map-only shape as [[imageStats]]: payloads die inside the stage.
+   */
+  def imageAhash(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      nBits: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"nBits ($nBits) must be in [1, 62]")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("ahash", LongType, nullable = true),
+      StructField("n_set", IntegerType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) Row(r.getLong(idIdx), null, null, null, null)
+        else {
+          val img =
+            if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6')
+              MediaCodecs.decodePpm(payload)
+            else MediaCodecs.decodeBmp(payload)
+          val nPx = img.width * img.height
+          var sum = 0L
+          var i = 0
+          while (i < nBits) {
+            if (i < nPx) sum += (img.rgb(3 * i) & 0xff)
+            i += 1
+          }
+          val mean = sum / nBits
+          var hash = 0L
+          var nSet = 0
+          i = 0
+          while (i < nBits) {
+            val g = if (i < nPx) img.rgb(3 * i) & 0xff else 0
+            if (g > mean) { hash |= (1L << i); nSet += 1 }
+            i += 1
+          }
+          Row(r.getLong(idIdx), img.width, img.height, hash, nSet)
+        }
+      }
+    }
+  }
+
+  /**
+   * Frame-level voice-activity detection (VAD) over the DECODED 16-bit PCM
+   * stream: consecutive `frameLen`-sample frames (tail partial frame
+   * dropped — a VAD decides on full analysis windows) are ACTIVE when the
+   * integer floor-mean of |amplitude| reaches `threshold`, SILENT below it.
+   * All-integer arithmetic (`Σ|amp| / frameLen` floor-divides), so every
+   * frame decision is exactly re-derivable by an oracle. Output: (`idCol`,
+   * n_samples: long, n_frames, n_active, n_silent: long, silence_frac:
+   * double round 6). The speech-pipeline pre-filter that decides which
+   * audio is worth transcribing; fused map-only shape as [[wavStats]].
+   */
+  def wavVadStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      frameLen: Int,
+      threshold: Int): DataFrame = {
+    require(frameLen >= 1, s"frameLen ($frameLen) must be positive")
+    require(threshold >= 0, s"threshold ($threshold) must be non-negative")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("n_active", LongType, nullable = true),
+      StructField("n_silent", LongType, nullable = true),
+      StructField("silence_frac", DoubleType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) Row(r.getLong(idIdx), null, null, null, null, null)
+        else {
+          val wav = MediaCodecs.decodeWav(payload)
+          val n = wav.samples.length
+          val nFrames = n / frameLen
+          var active = 0L
+          var f = 0
+          while (f < nFrames) {
+            var s = 0L
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) {
+              s += math.abs(wav.samples(i).toLong)
+              i += 1
+            }
+            if (s / frameLen >= threshold) active += 1
+            f += 1
+          }
+          val silent = nFrames - active
+          val frac =
+            if (nFrames == 0) 0.0d
+            else {
+              val raw = silent.toDouble / nFrames.toDouble
+              BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+          Row(r.getLong(idIdx), n.toLong, nFrames.toLong, active, silent, frac)
+        }
+      }
+    }
+  }
+
+  /**
    * Decode an opaque binary column into metadata + feature vector.
    *
    * Input: any DataFrame with (`idCol`: long, `payloadCol`: binary).

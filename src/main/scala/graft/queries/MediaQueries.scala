@@ -357,5 +357,102 @@ object MediaQueries {
         "engaged clamps (high-ASCII samples exceed 32767 by construction), " +
         "position-weighted wsum_amp locks every scaled sample's slot — " +
         "map-only re-encode, oracle fully re-derived from text bytes.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q150
+    Q(
+      "q150_image_ahash",
+      (s, dir) => {
+        // Perceptual average-hash over the DECODED image: the first 48
+        // gray pixels (zero-extended past the image end) vote against
+        // their own integer floor-mean — the classic image near-dup
+        // screen (re-encodes and metadata edits keep the hash where
+        // exact-byte dedup misses). 48 bits keeps 2^i exact in a signed
+        // long on both engines; the oracle re-derives every bit from the
+        // text bytes (pixel i == byte i, zero beyond), so one wrong
+        // stride, channel order, or mean-floor slip breaks the hash.
+        // Map-only: payloads die inside the stage, 5 fixed-width columns
+        // survive.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .imageAhash(bmpPayloads(docs), "doc_id", "payload", nBits = 48)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 greatest(1, CAST(ceil(octet_length(encode(text)) / 5.0) AS INTEGER)) AS h,
+                 $duckBytes AS vals
+          FROM documents),
+        g AS (
+          SELECT doc_id, h,
+                 list_transform(range(0, 48), i ->
+                   CASE WHEN i < n THEN vals[CAST(i + 1 AS INTEGER)] ELSE 0 END) AS gs
+          FROM b),
+        m AS (SELECT doc_id, h, gs, list_sum(gs) // 48 AS mean FROM g)
+        SELECT doc_id,
+               CAST(5 AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(list_sum(list_transform(range(0, 48), i ->
+                 CASE WHEN gs[CAST(i + 1 AS INTEGER)] > mean
+                      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+                 AS BIGINT) AS ahash,
+               CAST(list_sum(list_transform(range(0, 48), i ->
+                 CASE WHEN gs[CAST(i + 1 AS INTEGER)] > mean THEN 1 ELSE 0 END))
+                 AS INTEGER) AS n_set
+        FROM m
+        ORDER BY doc_id"""),
+      "48-bit perceptual average-hash from decoded pixels: first-48-gray " +
+        "floor-mean vote, every bit oracle-re-derived from the source bytes " +
+        "— the image near-dup fingerprint exact-byte dedup can't provide; " +
+        "map-only decode, payloads die in-stage."),
+
+    // ---------------------------------------------------------------- q152
+    Q(
+      "q152_wav_vad",
+      (s, dir) => {
+        // Frame-level voice-activity detection on the decoded PCM: 32-
+        // sample frames (tail dropped), ACTIVE when floor-mean |amp| >=
+        // 10500 — spaces sit at |amp| 8192 and lowercase letters span
+        // 8448..14848, so only word-dense frames of high-value letters
+        // fire and space-heavy frames read as silence (976 of 4538 frames
+        // at sf0.001), a non-degenerate frame mix. All-integer frame
+        // decisions; the oracle replays Σ|amp|//32 per frame from the
+        // text bytes. The speech-ingest pre-filter (what's worth
+        // transcribing); map-only, payloads die in-stage.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .wavVadStats(wavPayloads(docs), "doc_id", "payload",
+            frameLen = 32, threshold = 10500)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 list_transform($duckBytes, v -> abs((v - 64) * 256)) AS a
+          FROM documents),
+        f AS (
+          SELECT doc_id, n, n // 32 AS nf,
+                 list_transform(range(0, greatest(n // 32, 0)), fr ->
+                   CASE WHEN list_sum(list_slice(a,
+                          CAST(fr * 32 + 1 AS INTEGER),
+                          CAST(fr * 32 + 32 AS INTEGER))) // 32 >= 10500
+                        THEN 1 ELSE 0 END) AS act
+          FROM b)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(COALESCE(list_sum(act), 0) AS BIGINT) AS n_active,
+               CAST(nf - COALESCE(list_sum(act), 0) AS BIGINT) AS n_silent,
+               round(CASE WHEN nf = 0 THEN 0.0
+                          ELSE CAST(nf - COALESCE(list_sum(act), 0) AS DOUBLE)
+                                 / CAST(nf AS DOUBLE) END, 6) AS silence_frac
+        FROM f
+        ORDER BY doc_id"""),
+      "Frame-VAD over decoded 16-bit PCM: 32-sample frames vote active at " +
+        "floor-mean |amp| >= 10500 (letters fire, space runs read silent) — " +
+        "all-integer frame decisions fully oracle-replayed; the " +
+        "transcription-worthiness pre-filter, map-only.")
   )
 }

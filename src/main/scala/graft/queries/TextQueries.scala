@@ -3715,6 +3715,70 @@ object TextQueries {
       "Containment (asymmetric Jaccard) over the LSH candidate front: " +
         "flags quote-inclusion/excerpt duplicates symmetric Jaccard misses " +
         "— same bucketed candidates as q24/q25, never all-pairs.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q151
+    Q(
+      "q151_dup_triangles",
+      (s, dir) => {
+        // Triangle census of the verified near-dup graph (q121/q122's
+        // shared front): triangles vs wedges give the global clustering
+        // coefficient — high clustering means duplication comes in dense
+        // CLIQUES (template farms, mirror sites: transitive, safe to
+        // collapse to one canonical), low clustering means chains of
+        // pairwise-similar-but-drifting docs where collapsing the whole
+        // component would over-delete. The standard distributed shape:
+        // the id_a < id_b edge orientation counts each triangle exactly
+        // once via one neighborhood equi-join on the shared endpoint plus
+        // one edge-existence equi-join — never an all-pairs expansion;
+        // wedges are one node-keyed degree aggregate. Three 1-row
+        // aggregates broadcast back into the single summary row.
+        val ver = verifiedNearDupPairs(s, dir).select("id_a", "id_b")
+        val und = ver.select(col("id_a").as("id"))
+          .unionAll(ver.select(col("id_b").as("id")))
+        val nodes = und.groupBy("id").agg(count(lit(1)).as("d"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+        val edges = ver.agg(count(lit(1)).as("n_edges"))
+        val tri = ver.as("e1")
+          .join(ver.as("e2"), col("e1.id_b") === col("e2.id_a"))
+          .join(ver.as("e3"),
+            col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        nodes.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+          .select(
+            col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+            round(
+              when(col("n_wedges") === 0, lit(0.0d))
+                .otherwise(lit(3.0d) * col("n_triangles").cast("double")
+                  / col("n_wedges").cast("double")), 6).as("clustering"))
+      },
+      Some(s"""
+        WITH $duckVerifiedPairs,
+        und AS (SELECT id_a AS id FROM ver UNION ALL SELECT id_b AS id FROM ver),
+        deg AS (SELECT id, COUNT(1) AS d FROM und GROUP BY id),
+        nodes AS (
+          SELECT COUNT(1) AS n_nodes,
+                 CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+          FROM deg),
+        edg AS (SELECT COUNT(1) AS n_edges FROM ver),
+        tri AS (
+          SELECT COUNT(1) AS n_triangles
+          FROM ver e1
+          JOIN ver e2 ON e1.id_b = e2.id_a
+          JOIN ver e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               n_wedges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               round(CASE WHEN n_wedges = 0 THEN 0.0
+                          ELSE 3.0 * n_triangles / n_wedges END, 6) AS clustering
+        FROM nodes, edg, tri"""),
+      "Triangle census of the verified near-dup graph: ordered-edge " +
+        "neighborhood join counts each triangle once, wedges from one " +
+        "degree aggregate — clustering coefficient separates clique-like " +
+        "template duplication (safe to collapse) from drift chains " +
+        "(over-deletion risk).")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

@@ -21,10 +21,12 @@ class EwmaSpec extends AnyFunSuite {
     s
   }
 
-  private def events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    .select(col("user_id"), col("event_id"),
-      unix_millis(col("ts")).as("ms"), col("value"))
+  // Load through the library loader: it owns the nanos-ts rebuild, which a
+  // builder-level conf can't guarantee on the shared test-JVM session.
+  private def events =
+    graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("value"))
 
   test("matches a driver-side fold bit-for-bit on real data") {
     val got = Ewma.perKey(events, "user_id", Seq("ms", "event_id"), "value", 0.3)

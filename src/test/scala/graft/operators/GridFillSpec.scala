@@ -57,8 +57,9 @@ class GridFillSpec extends AnyFunSuite {
   }
 
   test("matches a naive driver-side fill on real events data") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Library loader owns the nanos-ts rebuild; a builder-level conf can't
+    // guarantee it on the shared test-JVM session.
+    val ev = graft.queries.Tables.table(spark, "/root/testdata/sf0.001", "events")
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
     val got = GridFill.forwardFill(ev, "user_id", "ts", "value", "event_id", "day")
       .select("user_id", "slot", "value_fill", "is_gap")

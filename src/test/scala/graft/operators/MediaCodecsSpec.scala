@@ -360,4 +360,66 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.flipBmpHorizontal(odd).rgb.toSeq ===
       Seq[Byte](7, 8, 9, 4, 5, 6, 1, 2, 3))
   }
+
+  test("imageAhash: hand-checked mean vote, zero-extension, null/contract paths") {
+    // 2x2 golden: first-4 grays (R channel) = 255, 0, 0, 255.
+    // nBits=4: sum 510, mean 127 -> bits at pixels 0 and 3 -> hash 0b1001=9.
+    // nBits=8: pixels 4..7 are past the image and read 0; mean 63;
+    // bits 0 and 3 again -> hash 9, n_set 2.
+    val out4 = Multimodal.imageAhash(
+      payloadDf(Seq(1L -> GoldenBmp, 2L -> null)), "id", "payload", nBits = 4)
+      .orderBy("id").collect()
+    assert(out4(0).getInt(1) === 2 && out4(0).getInt(2) === 2)
+    assert(out4(0).getLong(3) === 9L && out4(0).getInt(4) === 2)
+    assert(out4(1).isNullAt(3)) // null payload propagates
+    val out8 = Multimodal.imageAhash(
+      payloadDf(Seq(1L -> GoldenBmp)), "id", "payload", nBits = 8).collect()(0)
+    assert(out8.getLong(3) === 9L && out8.getInt(4) === 2)
+    // flat image with no zero-padding in frame: mean == every gray, the
+    // strict > vote sets no bit -> hash 0; with padding (nBits=4) the two
+    // zero-extended slots pull the mean to 3 and both real pixels fire.
+    val flat = MediaCodecs.encodeBmp24(2, 1, Array[Byte](7, 7, 7, 7, 7, 7))
+    val outFlat = Multimodal.imageAhash(
+      payloadDf(Seq(1L -> flat)), "id", "payload", nBits = 2).collect()(0)
+    assert(outFlat.getLong(3) === 0L && outFlat.getInt(4) === 0)
+    val outPad = Multimodal.imageAhash(
+      payloadDf(Seq(1L -> flat)), "id", "payload", nBits = 4).collect()(0)
+    assert(outPad.getLong(3) === 3L && outPad.getInt(4) === 2)
+    // PPM payloads route through the PPM decoder like imageStats
+    val ppm = MediaCodecs.encodePpm(2, 2, GoldenBmpRgb)
+    assert(Multimodal.imageAhash(payloadDf(Seq(1L -> ppm)), "id", "payload", 4)
+      .collect()(0).getLong(3) === 9L)
+    intercept[IllegalArgumentException] {
+      Multimodal.imageAhash(payloadDf(Seq()), "id", "payload", 63)
+    }
+  }
+
+  test("wavVadStats: hand-checked frame votes, floor-mean, tail drop, nulls") {
+    // 7 samples, frameLen 3 -> 2 full frames, tail sample dropped.
+    // frame0 |amps| {100, 200, 301}: sum 601, floor-mean 200 -> active at
+    // threshold 200 (>= is inclusive); frame1 {100, 100, 100}: mean 100 ->
+    // silent. Negative amplitudes count via |.|.
+    val wav = MediaCodecs.encodeWavPcm16(8000, 1,
+      Array[Short](100, -200, 301, -100, 100, -100, 999))
+    val out = Multimodal.wavVadStats(
+      payloadDf(Seq(1L -> wav, 2L -> null)), "id", "payload",
+      frameLen = 3, threshold = 200).orderBy("id").collect()
+    val r = out(0)
+    assert(r.getLong(1) === 7L) // n_samples
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1L && r.getLong(4) === 1L)
+    assert(r.getDouble(5) === 0.5d)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(5))
+    // floor boundary: {5, 5, 6} sum 16 -> floor-mean 5, silent at threshold 6
+    val wav2 = MediaCodecs.encodeWavPcm16(8000, 1, Array[Short](5, 5, 6))
+    val r2 = Multimodal.wavVadStats(
+      payloadDf(Seq(1L -> wav2)), "id", "payload", 3, 6).collect()(0)
+    assert(r2.getLong(3) === 0L && r2.getLong(4) === 1L)
+    // shorter than one frame: zero frames, silence_frac pinned 0.0
+    val r3 = Multimodal.wavVadStats(
+      payloadDf(Seq(1L -> wav2)), "id", "payload", 10, 6).collect()(0)
+    assert(r3.getLong(2) === 0L && r3.getDouble(5) === 0.0d)
+    intercept[IllegalArgumentException] {
+      Multimodal.wavVadStats(payloadDf(Seq()), "id", "payload", 0, 1)
+    }
+  }
 }
