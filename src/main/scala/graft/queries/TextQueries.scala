@@ -3779,6 +3779,74 @@ object TextQueries {
         "degree aggregate — clustering coefficient separates clique-like " +
         "template duplication (safe to collapse) from drift chains " +
         "(over-deletion risk).")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q155
+    Q(
+      "q155_source_gini",
+      (s, dir) => {
+        // Source-concentration audit: Lorenz curve + Gini coefficient of
+        // token mass across sources — the imbalance number a mixture
+        // designer (q74/q111) reads before setting rates: Gini near 0
+        // means sources already contribute evenly, near 1 means one
+        // source dominates the token budget. Token counts are one
+        // source-keyed shuffle (map-side combine); everything after runs
+        // on the SOURCE-sized aggregate (a handful of rows — the q121
+        // tiny-aggregate discipline). Rank and Lorenz cumsum come from a
+        // broadcast <=-self-join over that aggregate rather than an
+        // unpartitioned window, keeping the library-wide no-global-window
+        // audit strict. Gini uses the exact rank-weighted integer form
+        // 2*Σi*x_i/(k*Σx) - (k+1)/k; cumulative shares divide exact
+        // integer cumsums.
+        val toks = table(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val perRaw = toks.groupBy("source").agg(count(lit(1)).as("toks"))
+        val other = perRaw
+          .select(col("source").as("s2"), col("toks").as("t2"))
+        val per = perRaw
+          .join(broadcast(other),
+            col("t2") < col("toks")
+              || (col("t2") === col("toks") && col("s2") <= col("source")))
+          .groupBy("source", "toks")
+          .agg(count(lit(1)).as("rk"), sum("t2").as("cum"))
+        val tot = per.agg(
+          sum("toks").as("tt"), count(lit(1)).as("k"),
+          sum(expr("rk * toks")).as("w"))
+        per.crossJoin(broadcast(tot))
+          .selectExpr(
+            "source", "toks",
+            "round(cast(toks as double) / cast(tt as double), 6) as share",
+            "round(cast(cum as double) / cast(tt as double), 6) as cum_share",
+            """round(cast(2 * w as double) / cast(k * tt as double)
+                     - cast(k + 1 as double) / cast(k as double), 6) as gini""")
+          .orderBy("toks", "source")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        per AS (
+          SELECT source, COUNT(1) AS toks FROM toks GROUP BY source),
+        rk AS (
+          SELECT a.source, a.toks, COUNT(1) AS rk,
+                 CAST(SUM(b.toks) AS BIGINT) AS cum
+          FROM per a JOIN per b
+            ON (b.toks < a.toks) OR (b.toks = a.toks AND b.source <= a.source)
+          GROUP BY a.source, a.toks),
+        tot AS (
+          SELECT CAST(SUM(toks) AS BIGINT) AS tt, COUNT(1) AS k,
+                 CAST(SUM(rk * toks) AS BIGINT) AS w
+          FROM rk)
+        SELECT source, toks,
+               round(CAST(toks AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS share,
+               round(CAST(cum AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS cum_share,
+               round(CAST(2 * w AS DOUBLE) / CAST(k * tt AS DOUBLE)
+                     - CAST(k + 1 AS DOUBLE) / CAST(k AS DOUBLE), 6) AS gini
+        FROM rk, tot
+        ORDER BY toks, source"""),
+      "Source-concentration audit: Lorenz cumulative shares + exact " +
+        "rank-weighted Gini over token mass per source — one source-keyed " +
+        "shuffle, then source-sized tiny aggregates; the imbalance number " +
+        "mixture design reads before setting rates.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

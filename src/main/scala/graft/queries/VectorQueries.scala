@@ -1267,6 +1267,150 @@ object VectorQueries {
         "broadcast back) and each vector's cosine to its own centroid — " +
         "mean/min cosine and below-0.5 outlier counts per label; one tiny " +
         "dim-keyed shuffle + a map-only scoring pass.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q153
+    Q(
+      "q153_hard_negatives",
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        // Contrastive HARD-NEGATIVE mining: for each probe, the top-3 most
+        // cosine-similar vectors with a DIFFERENT label — the negatives
+        // that sit closest to the decision boundary, which is exactly what
+        // contrastive/embedding training wants in its batches (random
+        // negatives are too easy to teach anything). Same bounded-probe
+        // broadcast shape as q33: a CONSTANT 30-probe set against the
+        // corpus scan, label inequality filtered BEFORE the per-probe
+        // top-k so the rank is over true negatives only.
+        val e = table(s, dir, "embeddings")
+        val withNorm = e.selectExpr(
+          "vec_id", "label", "embedding",
+          s"${sparkDot("embedding", "embedding")} as n2")
+        val probes = withNorm.filter(col("vec_id") < 30)
+          .select(col("vec_id").as("pid"), col("label").as("p_label"),
+            col("embedding").as("pe"), col("n2").as("pn2"))
+        withNorm
+          .select(col("vec_id").as("cid"), col("label").as("c_label"),
+            col("embedding").as("ce"), col("n2").as("cn2"))
+          .join(broadcast(probes),
+            col("cid") =!= col("pid") && col("c_label") =!= col("p_label"))
+          .selectExpr("pid", "p_label", "cid", "c_label",
+            s"${sparkDot("pe", "ce")} as dot", "pn2", "cn2")
+          .withColumn("sim", col("dot") / (sqrt(col("pn2")) * sqrt(col("cn2"))))
+          .withColumn("rank",
+            expr("row_number() over (partition by pid order by sim desc, cid asc)"))
+          .filter(col("rank") <= 3)
+          .select("pid", "p_label", "rank", "cid", "c_label", "sim")
+          .orderBy("pid", "rank")
+      },
+      Some(s"""
+        WITH withnorm AS (
+          SELECT vec_id, label, embedding,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM embeddings),
+        sims AS (
+          SELECT p.vec_id AS pid, p.label AS p_label,
+                 c.vec_id AS cid, c.label AS c_label,
+                 ${duckDot("p.embedding", "c.embedding")}
+                   / (SQRT(p.n2) * SQRT(c.n2)) AS sim
+          FROM withnorm p JOIN withnorm c
+            ON p.vec_id < 30 AND c.vec_id <> p.vec_id AND c.label <> p.label),
+        ranked AS (
+          SELECT pid, p_label, cid, c_label, sim,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY sim DESC, cid ASC) AS rank
+          FROM sims)
+        SELECT pid, p_label, rank, cid, c_label, sim
+        FROM ranked WHERE rank <= 3
+        ORDER BY pid, rank"""),
+      "Contrastive hard-negative mining: per-probe top-3 cosine neighbors " +
+        "with a different label (the boundary-hugging negatives embedding " +
+        "training batches want) — constant broadcast probe set, label " +
+        "filter before the per-probe top-k, exact q33 dot discipline."),
+
+    // ---------------------------------------------------------------- q154
+    Q(
+      "q154_cluster_purity",
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        // External cluster-quality audit of the IVF assignment against the
+        // ground-truth labels: purity (majority-label mass), Rand index
+        // (pair-agreement), and adjusted Rand (chance-corrected) — the
+        // panel that decides whether a codebook is good enough to route
+        // semantic dedup (q120) or kNN labeling (q130). Everything reduces
+        // over the TINY (clusters x labels) contingency table: pair counts
+        // C(n,2) are exact integers, the final index divisions share one
+        // IEEE expression tree cross-engine. One vec_id equi-join + one
+        // (cluster, label) shuffle; four 1-row aggregates broadcast back.
+        val asg = assignedClusters(s, dir).select("vec_id", "cluster_id")
+        val lab = table(s, dir, "embeddings").select("vec_id", "label")
+        val ct = asg.join(lab, Seq("vec_id"))
+          .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
+        val tot = ct.agg(
+          sum("n").as("n_total"),
+          sum(expr("n * (n - 1) div 2")).as("tp"))
+        val cs = ct.groupBy("cluster_id")
+          .agg(sum("n").as("nc"), max("n").as("mx"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(expr("nc * (nc - 1) div 2")).as("sc"),
+            sum("mx").as("pure"))
+        val ls = ct.groupBy("label").agg(sum("n").as("nl"))
+          .agg(sum(expr("nl * (nl - 1) div 2")).as("sl"))
+        tot.crossJoin(broadcast(cs)).crossJoin(broadcast(ls))
+          .withColumn("pairs", expr("n_total * (n_total - 1) div 2"))
+          .withColumn("exp_d", expr(
+            "cast(sc as double) * cast(sl as double) / cast(pairs as double)"))
+          .selectExpr(
+            "n_total", "n_clusters",
+            "round(cast(pure as double) / cast(n_total as double), 6) as purity",
+            """round(cast(2 * tp + pairs - sc - sl as double)
+                     / cast(pairs as double), 6) as rand_index""",
+            """case when (cast(sc as double) + cast(sl as double)) / 2.0d - exp_d = 0.0d
+                    then 0.0d
+                    else round((cast(tp as double) - exp_d)
+                      / ((cast(sc as double) + cast(sl as double)) / 2.0d - exp_d), 6)
+               end as ari""")
+      },
+      Some(s"""
+        WITH $duckAssigned,
+        ct AS (
+          SELECT a.cluster_id, e.label, COUNT(1) AS n
+          FROM assigned a JOIN embeddings e USING (vec_id)
+          GROUP BY a.cluster_id, e.label),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                 CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS tp
+          FROM ct),
+        cs AS (
+          SELECT COUNT(1) AS n_clusters,
+                 CAST(SUM((nc * (nc - 1)) // 2) AS BIGINT) AS sc,
+                 CAST(SUM(mx) AS BIGINT) AS pure
+          FROM (SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS nc,
+                       CAST(MAX(n) AS BIGINT) AS mx
+                FROM ct GROUP BY cluster_id)),
+        ls AS (
+          SELECT CAST(SUM((nl * (nl - 1)) // 2) AS BIGINT) AS sl
+          FROM (SELECT label, CAST(SUM(n) AS BIGINT) AS nl
+                FROM ct GROUP BY label)),
+        j AS (
+          SELECT *, (n_total * (n_total - 1)) // 2 AS pairs,
+                 CAST(sc AS DOUBLE) * CAST(sl AS DOUBLE)
+                   / CAST((n_total * (n_total - 1)) // 2 AS DOUBLE) AS exp_d
+          FROM tot, cs, ls)
+        SELECT n_total, n_clusters,
+               round(CAST(pure AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS purity,
+               round(CAST(2 * tp + pairs - sc - sl AS DOUBLE)
+                     / CAST(pairs AS DOUBLE), 6) AS rand_index,
+               CASE WHEN (CAST(sc AS DOUBLE) + CAST(sl AS DOUBLE)) / 2.0 - exp_d = 0.0
+                    THEN 0.0
+                    ELSE round((CAST(tp AS DOUBLE) - exp_d)
+                      / ((CAST(sc AS DOUBLE) + CAST(sl AS DOUBLE)) / 2.0 - exp_d), 6)
+               END AS ari
+        FROM j"""),
+      "External cluster-quality panel for the IVF assignment vs labels: " +
+        "purity, Rand index, adjusted Rand — exact integer pair counts over " +
+        "the tiny contingency table, one equi-join + one (cluster,label) " +
+        "shuffle, chance-correction shares one IEEE tree cross-engine.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —

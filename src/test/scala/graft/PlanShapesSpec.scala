@@ -87,6 +87,14 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hard-negative mining broadcasts the bounded probe set (q153)") {
+    val p = plan("q153_hard_negatives")
+    // the constant 30-probe side must broadcast against the corpus scan;
+    // a shuffle or cartesian here reverts the mine to O(n^2) movement
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q85 composed IVF+SQ8 search stays equi-joined with no cartesian blowup") {
     val p = plan("q85_ivf_sq8_search")
     // same routing contract as q54, now over the quantized corpus: the
