@@ -3847,6 +3847,100 @@ object TextQueries {
         "rank-weighted Gini over token mass per source — one source-keyed " +
         "shuffle, then source-sized tiny aggregates; the imbalance number " +
         "mixture design reads before setting rates.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q156
+    Q(
+      "q156_bpe_merge_loop",
+      (s, dir) => {
+        // The BPE training LOOP (q112 is one round of pair counting; this
+        // closes the loop): pick the most frequent adjacent pair, MERGE it
+        // into a fresh symbol (chr(1), chr(2) — outside the printable
+        // corpus alphabet), recount pairs over the merged text, repeat —
+        // 3 unrolled rounds, emitting each round's winning merge rule and
+        // its frequency. The classic BPE scale shape: every round runs
+        // over the DISTINCT-word table (vocab-sized, one shuffle), never
+        // corpus text; the winning pair is a 1-row TakeOrderedAndProject
+        // broadcast back into the next round's replace() — no driver
+        // collect, no corpus rewrite. replace() merges left-to-right
+        // non-overlapping in both engines, which IS greedy BPE apply.
+        val wc = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wcnt"))
+        def top1(df: org.apache.spark.sql.DataFrame, wcol: String,
+            pOut: String, nOut: String) =
+          df.filter(length(col(wcol)) >= 2)
+            .select(col("wcnt"), explode(expr(
+              s"transform(sequence(1, length($wcol) - 1), i -> substring($wcol, i, 2))"))
+              .as("pair"))
+            .groupBy("pair").agg(sum("wcnt").as("n"))
+            .orderBy(col("n").desc, col("pair"))
+            .limit(1)
+            .select(col("pair").as(pOut), col("n").as(nOut))
+        val m1 = top1(wc, "w", "p1", "n1")
+        val wc2 = wc.crossJoin(broadcast(m1))
+          .withColumn("w2", expr("replace(w, p1, chr(1))"))
+        val m2 = top1(wc2, "w2", "p2", "n2")
+        val wc3 = wc2.crossJoin(broadcast(m2))
+          .withColumn("w3", expr("replace(w2, p2, chr(2))"))
+        val m3 = top1(wc3, "w3", "p3", "n3")
+        // readable merge rules: placeholder symbols spelled <1>/<2>
+        m1.selectExpr(
+            "1 as round", "n1 as n",
+            "replace(replace(p1, chr(1), '<1>'), chr(2), '<2>') as merge_rule")
+          .unionAll(m2.selectExpr(
+            "2 as round", "n2 as n",
+            "replace(replace(p2, chr(1), '<1>'), chr(2), '<2>') as merge_rule"))
+          .unionAll(m3.selectExpr(
+            "3 as round", "n3 as n",
+            "replace(replace(p3, chr(1), '<1>'), chr(2), '<2>') as merge_rule"))
+          .select("round", "merge_rule", "n")
+          .orderBy("round")
+      },
+      Some("""
+        WITH wc AS (
+          SELECT w, COUNT(1) AS wcnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+        m1 AS (
+          SELECT pair AS p1, CAST(n AS BIGINT) AS n1 FROM (
+            SELECT pair, SUM(wcnt) AS n
+            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w)),
+                    i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+                  FROM wc WHERE length(w) >= 2)
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+        wc2 AS (
+          SELECT replace(w, (SELECT p1 FROM m1), chr(1)) AS w2, wcnt FROM wc),
+        m2 AS (
+          SELECT pair AS p2, CAST(n AS BIGINT) AS n2 FROM (
+            SELECT pair, SUM(wcnt) AS n
+            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w2)),
+                    i -> substring(w2, CAST(i AS INTEGER), 2))) AS pair
+                  FROM wc2 WHERE length(w2) >= 2)
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+        wc3 AS (
+          SELECT replace(w2, (SELECT p2 FROM m2), chr(2)) AS w3, wcnt FROM wc2),
+        m3 AS (
+          SELECT pair AS p3, CAST(n AS BIGINT) AS n3 FROM (
+            SELECT pair, SUM(wcnt) AS n
+            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w3)),
+                    i -> substring(w3, CAST(i AS INTEGER), 2))) AS pair
+                  FROM wc3 WHERE length(w3) >= 2)
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 1))
+        SELECT round, merge_rule, n FROM (
+          SELECT 1 AS round,
+                 replace(replace(p1, chr(1), '<1>'), chr(2), '<2>') AS merge_rule,
+                 n1 AS n FROM m1
+          UNION ALL
+          SELECT 2, replace(replace(p2, chr(1), '<1>'), chr(2), '<2>'), n2 FROM m2
+          UNION ALL
+          SELECT 3, replace(replace(p3, chr(1), '<1>'), chr(2), '<2>'), n3 FROM m3)
+        ORDER BY round"""),
+      "The BPE training loop closed: 3 unrolled merge rounds — count " +
+        "adjacent pairs over the distinct-word table, elect the top pair " +
+        "(1-row broadcast back), replace() it into a fresh symbol, recount " +
+        "— greedy left-to-right merge semantics identical in both engines; " +
+        "vocab-sized work per round, never corpus text.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

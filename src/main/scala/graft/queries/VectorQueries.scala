@@ -1411,6 +1411,103 @@ object VectorQueries {
         "purity, Rand index, adjusted Rand — exact integer pair counts over " +
         "the tiny contingency table, one equi-join + one (cluster,label) " +
         "shuffle, chance-correction shares one IEEE tree cross-engine.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q157
+    Q(
+      "q157_pca_power",
+      (s, dir) => {
+        // Top PRINCIPAL DIRECTION of the embedding corpus by 3 unrolled
+        // distributed power-iteration rounds: w <- Σ_v v (v·w), starting
+        // from the all-ones vector. The scale shape that makes streaming
+        // PCA viable at 100 TB: each round is ONE map pass (dot against
+        // the broadcast 64-double w) + ONE dims-keyed aggregate (64
+        // groups), never a materialized Gram matrix and never a gathered
+        // corpus. Cross-engine determinism: the per-row dot folds dims in
+        // fixed order (IEEE-identical), contributions sum exactly via
+        // round-then-DECIMAL (the q122 discipline — order-free), and the
+        // final normalization folds the 64-entry result in index order.
+        // Output: per-dimension unit direction + the Rayleigh-style gain
+        // ||w3||/||w2|| (top-eigenvalue estimate of Σ vvᵀ).
+        val v = table(s, dir, "embeddings")
+          .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+        // one power round: 1-row warr broadcast -> dot -> exact dim sums
+        def step(warr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          v.crossJoin(broadcast(warr))
+            .withColumn("dot", expr(
+              "aggregate(zip_with(v, warr, (a, b) -> a * b), cast(0 as double), (acc, x) -> acc + x)"))
+            .select(posexplode(col("v")).as(Seq("j0", "vj")), col("dot"))
+            .groupBy("j0")
+            .agg(sum(expr("cast(round(vj * dot, 9) as decimal(38,9))")).as("sj"))
+            .agg(expr("""transform(array_sort(collect_list(struct(j0, sj))),
+                           p -> cast(p.sj as double)) as warr"""))
+        val w0 = v.sparkSession.sql("select transform(sequence(1, 64), j -> cast(1 as double)) as warr")
+        val w2 = step(step(w0))
+        val w3 = step(w2)
+        val n2 = w2.selectExpr(
+          "aggregate(transform(warr, x -> x * x), cast(0 as double), (acc, x) -> acc + x) as norm2")
+        val n3 = w3.selectExpr(
+          "warr",
+          "aggregate(transform(warr, x -> x * x), cast(0 as double), (acc, x) -> acc + x) as norm3")
+        n3.crossJoin(broadcast(n2))
+          .select(posexplode(col("warr")).as(Seq("j0", "wj")),
+            col("norm3"), col("norm2"))
+          .selectExpr(
+            "cast(j0 + 1 as int) as j",
+            "round(wj / sqrt(norm3), 6) as u",
+            "round(sqrt(norm3) / sqrt(norm2), 6) as gain")
+          .orderBy("j")
+      },
+      Some(s"""
+        WITH dims AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS j),
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        w0 AS (SELECT list_transform(range(1, 65), j -> CAST(1 AS DOUBLE)) AS warr),
+        d1 AS (
+          SELECT vec_id, v,
+                 list_reduce(list_transform(range(1, 65), j -> v[j] * warr[j]),
+                   (acc, x) -> acc + x) AS dot
+          FROM v, w0),
+        s1 AS (
+          SELECT j, SUM(CAST(round(v[j] * dot, 9) AS DECIMAL(38,9))) AS sj
+          FROM d1, dims GROUP BY j),
+        w1 AS (SELECT list(CAST(sj AS DOUBLE) ORDER BY j) AS warr FROM s1),
+        d2 AS (
+          SELECT vec_id, v,
+                 list_reduce(list_transform(range(1, 65), j -> v[j] * warr[j]),
+                   (acc, x) -> acc + x) AS dot
+          FROM v, w1),
+        s2 AS (
+          SELECT j, SUM(CAST(round(v[j] * dot, 9) AS DECIMAL(38,9))) AS sj
+          FROM d2, dims GROUP BY j),
+        w2 AS (SELECT list(CAST(sj AS DOUBLE) ORDER BY j) AS warr FROM s2),
+        d3 AS (
+          SELECT vec_id, v,
+                 list_reduce(list_transform(range(1, 65), j -> v[j] * warr[j]),
+                   (acc, x) -> acc + x) AS dot
+          FROM v, w2),
+        s3 AS (
+          SELECT j, SUM(CAST(round(v[j] * dot, 9) AS DECIMAL(38,9))) AS sj
+          FROM d3, dims GROUP BY j),
+        w3 AS (SELECT list(CAST(sj AS DOUBLE) ORDER BY j) AS warr FROM s3),
+        n2 AS (
+          SELECT list_reduce(list_transform(range(1, 65), j -> warr[j] * warr[j]),
+                   (acc, x) -> acc + x) AS norm2
+          FROM w2),
+        n3 AS (
+          SELECT warr,
+                 list_reduce(list_transform(range(1, 65), j -> warr[j] * warr[j]),
+                   (acc, x) -> acc + x) AS norm3
+          FROM w3)
+        SELECT j, round(warr[j] / sqrt(norm3), 6) AS u,
+               round(sqrt(norm3) / sqrt(norm2), 6) AS gain
+        FROM n3, n2, dims
+        ORDER BY j"""),
+      "Distributed PCA power iteration (3 unrolled rounds from all-ones): " +
+        "per round one broadcast-dot map pass + one 64-group exact decimal " +
+        "aggregate — no Gram matrix, no gathered corpus; emits the unit top " +
+        "direction and the Rayleigh gain ||w3||/||w2||.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
