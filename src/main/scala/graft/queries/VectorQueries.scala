@@ -1508,6 +1508,162 @@ object VectorQueries {
         "per round one broadcast-dot map pass + one 64-group exact decimal " +
         "aggregate — no Gram matrix, no gathered corpus; emits the unit top " +
         "direction and the Rayleigh gain ||w3||/||w2||.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q158
+    Q(
+      "q158_silhouette",
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        // INTERNAL cluster-quality metric to pair with q154's external
+        // panel: the simplified (centroid-based) silhouette — a = distance
+        // to the OWN centroid, b = min distance to any OTHER centroid,
+        // s = (b-a)/max(a,b). The simplification is the scale move: the
+        // classic silhouette's per-point mean distance to every co-member
+        // is Σ cluster² pairwise work, the centroid form is one broadcast
+        // of k centroids against the corpus scan — the only version that
+        // survives 100 TB, and the one that needs no second pass.
+        // Per-cluster means use round-then-DECIMAL sums (order-free).
+        val asg = assignedClusters(s, dir)
+        val e = table(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .selectExpr("vec_id as centroid_id", "embedding as ce",
+            s"${sparkDot("embedding", "embedding")} as n2c")
+        val d = asg.crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "cluster_id", "centroid_id",
+            s"sqrt(greatest(n2 - 2.0d * ${sparkDot("embedding", "ce")} + n2c, cast(0 as double))) as d")
+        d.groupBy("vec_id", "cluster_id")
+          .agg(
+            max(expr("case when centroid_id = cluster_id then d end")).as("a"),
+            min(expr("case when centroid_id <> cluster_id then d end")).as("b"))
+          .selectExpr("vec_id", "cluster_id",
+            """case when greatest(a, b) = 0.0d then 0.0d
+                    else (b - a) / greatest(a, b) end as sil""")
+          .groupBy("cluster_id")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(expr("cast(round(sil, 9) as decimal(28,12))")).as("ssum"),
+            min("sil").as("mn"),
+            sum(expr("case when sil < 0.0d then 1 else 0 end")).as("nneg"))
+          .selectExpr("cluster_id", "n",
+            "round(cast(ssum as double) / cast(n as double), 6) as mean_sil",
+            "round(mn, 6) as min_sil",
+            "round(cast(nneg as double) / cast(n as double), 6) as frac_neg")
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+        WITH $duckAssigned,
+        cents2 AS (
+          SELECT vec_id AS centroid_id, embedding AS ce,
+                 ${duckDot("embedding", "embedding")} AS n2c
+          FROM embeddings WHERE vec_id < 8),
+        n2v AS (
+          SELECT a.vec_id, a.cluster_id, a.embedding,
+                 ${duckDot("a.embedding", "a.embedding")} AS n2
+          FROM assigned a),
+        d AS (
+          SELECT v.vec_id, v.cluster_id, c.centroid_id,
+                 sqrt(greatest(v.n2 - 2.0 * ${duckDot("v.embedding", "c.ce")} + c.n2c,
+                               CAST(0 AS DOUBLE))) AS d
+          FROM n2v v CROSS JOIN cents2 c),
+        ab AS (
+          SELECT vec_id, cluster_id,
+                 MAX(CASE WHEN centroid_id = cluster_id THEN d END) AS a,
+                 MIN(CASE WHEN centroid_id <> cluster_id THEN d END) AS b
+          FROM d GROUP BY vec_id, cluster_id),
+        sil AS (
+          SELECT vec_id, cluster_id,
+                 CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                      ELSE (b - a) / greatest(a, b) END AS sil
+          FROM ab)
+        SELECT cluster_id, COUNT(1) AS n,
+               round(CAST(SUM(CAST(round(sil, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                     / CAST(COUNT(1) AS DOUBLE), 6) AS mean_sil,
+               round(MIN(sil), 6) AS min_sil,
+               round(CAST(SUM(CASE WHEN sil < 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(1) AS DOUBLE), 6) AS frac_neg
+        FROM sil GROUP BY cluster_id
+        ORDER BY cluster_id"""),
+      "Simplified (centroid-based) silhouette per cluster — the internal " +
+        "quality metric that survives 100 TB: one k-centroid broadcast " +
+        "against the corpus scan instead of Σ cluster² pairwise work; " +
+        "round-then-decimal means, exact negative-silhouette census."),
+
+    // ---------------------------------------------------------------- q159
+    Q(
+      "q159_jl_distortion",
+      (s, dir) => {
+        // Johnson-Lindenstrauss projection audit: project 64-dim vectors
+        // to 8 dims through a DETERMINISTIC Rademacher matrix (sign bits
+        // from the library's hyperplane LCG — pure integer arithmetic,
+        // engine-identical) and measure pairwise squared-distance
+        // distortion over a bounded probe set. ratio = ||p(u)-p(v)||²/8
+        // over ||u-v||² — unbiased at 1 in expectation; the audit that
+        // says whether 8 planes are enough before routing ANN through a
+        // projected index. Map-only projection; the 20-probe pair join
+        // broadcasts (190 pairs, never corpus-sized).
+        val sign =
+          """(case when (1103515245 * cast(k * 64 + (j - 1) as bigint) + 12345)
+                     % 2147483648 >= 1073741824 then 1.0d else -1.0d end)"""
+        val probes = table(s, dir, "embeddings")
+          .filter(col("vec_id") < 20)
+          .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> cast(x as double)) as v",
+            s"""transform(sequence(0, 7), k ->
+                  aggregate(sequence(1, 64), cast(0 as double), (acc, j) ->
+                    acc + cast(element_at(embedding, j) as double) * $sign)) as p""")
+        val a = probes.select(col("vec_id").as("id_a"),
+          col("v").as("va"), col("p").as("pa"))
+        val b = probes.select(col("vec_id").as("id_b"),
+          col("v").as("vb"), col("p").as("pb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .selectExpr("id_a", "id_b",
+            """aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)),
+                 cast(0 as double), (acc, x) -> acc + x) as od""",
+            """aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)),
+                 cast(0 as double), (acc, x) -> acc + x) as pd""")
+          .filter(col("od") > 0)
+          .selectExpr("id_a", "id_b",
+            "round(od, 6) as od2",
+            "round(pd / 8.0d, 6) as pd2",
+            "round(pd / 8.0d / od, 6) as ratio")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH probes AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_transform(range(0, 8), k ->
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, 65), j ->
+                       CAST(embedding[j] AS DOUBLE) *
+                         (CASE WHEN (1103515245 * (k * 64 + (j - 1)) + 12345)
+                                 % 2147483648 >= 1073741824
+                               THEN 1.0 ELSE -1.0 END))),
+                     (acc, x) -> acc + x)) AS p
+          FROM embeddings WHERE vec_id < 20),
+        pr AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65),
+                     j -> (a.v[j] - b.v[j]) * (a.v[j] - b.v[j]))),
+                   (acc, x) -> acc + x) AS od,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 9),
+                     k -> (a.p[k] - b.p[k]) * (a.p[k] - b.p[k]))),
+                   (acc, x) -> acc + x) AS pd
+          FROM probes a JOIN probes b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b,
+               round(od, 6) AS od2,
+               round(pd / 8.0, 6) AS pd2,
+               round(pd / 8.0 / od, 6) AS ratio
+        FROM pr WHERE od > 0
+        ORDER BY id_a, id_b"""),
+      "JL projection distortion audit: deterministic Rademacher signs from " +
+        "the hyperplane LCG (integer-exact cross-engine), 64->8 dims, " +
+        "pairwise squared-distance ratios over a bounded broadcast probe " +
+        "set — the check that sizes a projected ANN index before building it.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
