@@ -3941,6 +3941,136 @@ object TextQueries {
         "(1-row broadcast back), replace() it into a fresh symbol, recount " +
         "— greedy left-to-right merge semantics identical in both engines; " +
         "vocab-sized work per round, never corpus text.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q160
+    Q(
+      "q160_pmi_collocations",
+      (s, dir) => {
+        // PMI collocation extraction — the phrase-mining step embedding
+        // pipelines run before tokenizer/vocab decisions (word2vec-style
+        // "new_york" units): pointwise mutual information of adjacent
+        // token pairs, ln((c_ab/B) / ((c_a/T)(c_b/T))), min support 5,
+        // top-20. High PMI = tokens that co-occur far above chance —
+        // multiword units; frequency alone (q112's top pairs) surfaces
+        // "of the" instead. Scale: bigram and unigram counts are each one
+        // shuffle with map-side combine; the scoring joins are token-
+        // keyed; both totals broadcast back as 1-row aggregates; top-20
+        // is TakeOrderedAndProject. The shared-ln-tree + round(,6)
+        // discipline keeps scores engine-identical.
+        val docs = table(s, dir, "documents")
+        val withToks = docs.withColumn("toks", split(col("text"), " "))
+        val bg = withToks.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+                 i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"""))
+            .as("p"))
+          .select("p.w1", "p.w2")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+        val uni = withToks
+          .select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val tU = uni.agg(sum("c").as("tt"))
+        val tB = bg.agg(sum("cab").as("bb"))
+        bg.filter(col("cab") >= 5)
+          .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+          .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+          .crossJoin(broadcast(tU)).crossJoin(broadcast(tB))
+          .withColumn("pmi", expr(
+            """round(ln((cast(cab as double) / cast(bb as double))
+                        / ((cast(c1 as double) / cast(tt as double))
+                           * (cast(c2 as double) / cast(tt as double)))), 6)"""))
+          .select("w1", "w2", "cab", "pmi")
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        bg AS (
+          SELECT w1, w2, COUNT(1) AS cab FROM (
+            SELECT toks[CAST(i AS INTEGER)] AS w1,
+                   toks[CAST(i + 1 AS INTEGER)] AS w2
+            FROM toks, unnest(range(1, len(toks))) AS u(i)
+            WHERE len(toks) >= 2)
+          GROUP BY w1, w2),
+        uni AS (
+          SELECT tok, COUNT(1) AS c
+          FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok),
+        tu AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM uni),
+        tb AS (SELECT CAST(SUM(cab) AS BIGINT) AS bb FROM bg)
+        SELECT b.w1, b.w2, b.cab,
+               round(ln((CAST(b.cab AS DOUBLE) / CAST(bb AS DOUBLE))
+                        / ((CAST(u1.c AS DOUBLE) / CAST(tt AS DOUBLE))
+                           * (CAST(u2.c AS DOUBLE) / CAST(tt AS DOUBLE)))), 6) AS pmi
+        FROM bg b
+        JOIN uni u1 ON u1.tok = b.w1
+        JOIN uni u2 ON u2.tok = b.w2, tu, tb
+        WHERE b.cab >= 5
+        ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20"""),
+      "PMI collocation mining: adjacent-pair pointwise mutual information " +
+        "at min support 5, top-20 — the multiword-unit discovery step " +
+        "before vocab decisions; token-keyed joins, broadcast totals, " +
+        "TakeOrderedAndProject top-k."),
+
+    // ---------------------------------------------------------------- q161
+    Q(
+      "q161_langid_confusion",
+      (s, dir) => {
+        // The audit row for q28's language-ID heuristic — same confusion-
+        // summary pattern as the q97/q102/q115 trilogy, now for the text
+        // classifier: true-lang x predicted-lang counts plus per-truth
+        // recall fractions. The matrix says WHERE the classifier bleeds
+        // (which languages alias under the stopword heuristic), which a
+        // single accuracy number hides. Scale: one map pass to score (the
+        // stopword arrays are literals), one (lang, predicted) shuffle of
+        // a languages²-sized aggregate, per-truth totals joined on the
+        // tiny aggregate.
+        val scores = langWords.map { case (l, ws) =>
+          s"size(array_intersect(toks, array($ws))) as s_$l"
+        }
+        val caseChain = langWords.map(_._1).map { l =>
+          val geAll = langWords.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" and ")
+          s"when $geAll then '$l'"
+        }.mkString(" ")
+        val scored = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .selectExpr(Seq("doc_id", "lang") ++ scores: _*)
+          .selectExpr("doc_id", "lang", s"case $caseChain end as predicted")
+        val cm = scored.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        val tot = cm.groupBy("lang").agg(sum("n").as("lang_total"))
+        cm.join(tot, Seq("lang"))
+          .selectExpr("lang", "predicted", "n", "lang_total",
+            "round(cast(n as double) / cast(lang_total as double), 6) as frac")
+          .orderBy("lang", "predicted")
+      },
+      Some {
+        val scores = langWords.map { case (l, ws) =>
+          s"len(list_intersect(toks, [$ws])) AS s_$l"
+        }
+        val caseChain = langWords.map(_._1).map { l =>
+          val geAll = langWords.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH scored AS (
+          SELECT doc_id, lang, CASE $caseChain END AS predicted
+          FROM (
+            SELECT doc_id, lang, ${scores.mkString(", ")}
+            FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents))),
+        cm AS (
+          SELECT lang, predicted, COUNT(1) AS n
+          FROM scored GROUP BY lang, predicted),
+        tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total FROM cm GROUP BY lang)
+        SELECT cm.lang, cm.predicted, cm.n, tot.lang_total,
+               round(CAST(cm.n AS DOUBLE) / CAST(tot.lang_total AS DOUBLE), 6) AS frac
+        FROM cm JOIN tot USING (lang)
+        ORDER BY lang, predicted"""
+      },
+      "Language-ID confusion matrix: true x predicted counts and per-truth " +
+        "recall for q28's stopword argmax — the audit that shows which " +
+        "languages alias (the q97/q102/q115 confusion-summary pattern for " +
+        "the text classifier); languages²-sized aggregate, map-only scoring.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

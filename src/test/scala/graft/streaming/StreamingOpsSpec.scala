@@ -44,6 +44,48 @@ class StreamingOpsSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  test("media decode operators run unchanged on a binary-payload stream") {
+    import spark.implicits._
+    // real-format payloads synthesized from the doc text (the q101/q150
+    // shapes), fed as a binary column stream: the fused map-only decode
+    // ops are stateless, so the identical operator code must produce the
+    // identical rows under Structured Streaming — the live-ingest half of
+    // the multimodal feature-extraction story.
+    val payloads = docs.limit(50).collect().map { r =>
+      val bytes = r.getString(2).getBytes("UTF-8")
+      val samples = bytes.map(b => (((b & 0xff) - 64) * 256).toShort)
+      val wav = graft.operators.MediaCodecs.encodeWavPcm16(8000, 1, samples)
+      val h = math.max(1, (bytes.length + 4) / 5)
+      val rgb = new Array[Byte](15 * h)
+      bytes.indices.foreach { i =>
+        rgb(3 * i) = bytes(i); rgb(3 * i + 1) = bytes(i); rgb(3 * i + 2) = bytes(i)
+      }
+      val bmp = graft.operators.MediaCodecs.encodeBmp24(5, h, rgb)
+      (r.getLong(0), wav, bmp)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    def run(f: DataFrame => DataFrame): (Set[Seq[Any]], Set[Seq[Any]]) = {
+      val mem = MemoryStream[(Long, Array[Byte], Array[Byte])]
+      mem.addData(payloads.toIndexedSeq)
+      val name = s"stream_media_${System.nanoTime()}"
+      val q = f(mem.toDF().toDF("doc_id", "wav", "bmp"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val batchDf = f(spark.createDataset(payloads.toIndexedSeq)
+        .toDF("doc_id", "wav", "bmp"))
+      (spark.table(name).collect().map(_.toSeq).toSet,
+        batchDf.collect().map(_.toSeq).toSet)
+    }
+    val (sVad, bVad) = run(df =>
+      graft.operators.Multimodal.wavVadStats(df, "doc_id", "wav", 32, 10500))
+    assert(sVad === bVad && bVad.size === 50,
+      "streaming VAD rows must equal batch")
+    val (sHash, bHash) = run(df =>
+      graft.operators.Multimodal.imageAhash(df, "doc_id", "bmp", 48))
+    assert(sHash === bHash && bHash.size === 50,
+      "streaming aHash rows must equal batch")
+  }
+
   test("Mixture.sampleByRates runs unchanged on a stream; output equals batch") {
     val rates = Map("src1" -> 0.8, "src2" -> 0.5, "src4" -> 0.0)
     def mix(df: DataFrame): DataFrame =
