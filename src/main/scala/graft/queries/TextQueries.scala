@@ -141,6 +141,72 @@ object TextQueries {
     "fr" -> "'le','les','des','et','un'",
     "zh" -> "'de','le','he','shi','zai'")
 
+  /** Top adjacent pair of `wcol` by wcnt-weighted frequency — one round of
+    * BPE pair election (1 row, broadcastable). */
+  private def bpeTop1(df: org.apache.spark.sql.DataFrame, wcol: String,
+      pOut: String, nOut: String) =
+    df.filter(length(col(wcol)) >= 2)
+      .select(col("wcnt"), explode(expr(
+        s"transform(sequence(1, length($wcol) - 1), i -> substring($wcol, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wcnt").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(1)
+      .select(col("pair").as(pOut), col("n").as(nOut))
+
+  /** The 3-round BPE merge chain over the distinct-word table — the shared
+    * front of q156 (merge rules) and q162 (compression curve). Returns
+    * (m1, m2, m3, wc4) where each m is a 1-row (pair, count) winner and
+    * wc4 carries (w, wcnt, w2, w3, w4) with merges applied as chr(1..3). */
+  private def bpeChain(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val wc = Tables.table(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+    val m1 = bpeTop1(wc, "w", "p1", "n1")
+    val wc2 = wc.crossJoin(broadcast(m1))
+      .withColumn("w2", expr("replace(w, p1, chr(1))"))
+    val m2 = bpeTop1(wc2, "w2", "p2", "n2")
+    val wc3 = wc2.crossJoin(broadcast(m2))
+      .withColumn("w3", expr("replace(w2, p2, chr(2))"))
+    val m3 = bpeTop1(wc3, "w3", "p3", "n3")
+    val wc4 = wc3.crossJoin(broadcast(m3))
+      .withColumn("w4", expr("replace(w3, p3, chr(3))"))
+    (m1, m2, m3, wc4)
+  }
+
+  /** DuckDB twin of [[bpeChain]]: CTEs wc, m1, wc2, m2, wc3, m3 (wc2/wc3
+    * carry the merged spellings w2/w3 alongside wcnt). */
+  private val duckBpeCtes: String = """
+        wc AS (
+          SELECT w, COUNT(1) AS wcnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w),
+        m1 AS (
+          SELECT pair AS p1, CAST(n AS BIGINT) AS n1 FROM (
+            SELECT pair, SUM(wcnt) AS n
+            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w)),
+                    i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+                  FROM wc WHERE length(w) >= 2)
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+        wc2 AS (
+          SELECT w, wcnt, replace(w, (SELECT p1 FROM m1), chr(1)) AS w2 FROM wc),
+        m2 AS (
+          SELECT pair AS p2, CAST(n AS BIGINT) AS n2 FROM (
+            SELECT pair, SUM(wcnt) AS n
+            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w2)),
+                    i -> substring(w2, CAST(i AS INTEGER), 2))) AS pair
+                  FROM wc2 WHERE length(w2) >= 2)
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+        wc3 AS (
+          SELECT w, wcnt, w2, replace(w2, (SELECT p2 FROM m2), chr(2)) AS w3 FROM wc2),
+        m3 AS (
+          SELECT pair AS p3, CAST(n AS BIGINT) AS n3 FROM (
+            SELECT pair, SUM(wcnt) AS n
+            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w3)),
+                    i -> substring(w3, CAST(i AS INTEGER), 2))) AS pair
+                  FROM wc3 WHERE length(w3) >= 2)
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 1))"""
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q23
@@ -3864,26 +3930,7 @@ object TextQueries {
         // broadcast back into the next round's replace() — no driver
         // collect, no corpus rewrite. replace() merges left-to-right
         // non-overlapping in both engines, which IS greedy BPE apply.
-        val wc = table(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("wcnt"))
-        def top1(df: org.apache.spark.sql.DataFrame, wcol: String,
-            pOut: String, nOut: String) =
-          df.filter(length(col(wcol)) >= 2)
-            .select(col("wcnt"), explode(expr(
-              s"transform(sequence(1, length($wcol) - 1), i -> substring($wcol, i, 2))"))
-              .as("pair"))
-            .groupBy("pair").agg(sum("wcnt").as("n"))
-            .orderBy(col("n").desc, col("pair"))
-            .limit(1)
-            .select(col("pair").as(pOut), col("n").as(nOut))
-        val m1 = top1(wc, "w", "p1", "n1")
-        val wc2 = wc.crossJoin(broadcast(m1))
-          .withColumn("w2", expr("replace(w, p1, chr(1))"))
-        val m2 = top1(wc2, "w2", "p2", "n2")
-        val wc3 = wc2.crossJoin(broadcast(m2))
-          .withColumn("w3", expr("replace(w2, p2, chr(2))"))
-        val m3 = top1(wc3, "w3", "p3", "n3")
+        val (m1, m2, m3, _) = bpeChain(s, dir)
         // readable merge rules: placeholder symbols spelled <1>/<2>
         m1.selectExpr(
             "1 as round", "n1 as n",
@@ -3897,36 +3944,8 @@ object TextQueries {
           .select("round", "merge_rule", "n")
           .orderBy("round")
       },
-      Some("""
-        WITH wc AS (
-          SELECT w, COUNT(1) AS wcnt
-          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-          GROUP BY w),
-        m1 AS (
-          SELECT pair AS p1, CAST(n AS BIGINT) AS n1 FROM (
-            SELECT pair, SUM(wcnt) AS n
-            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w)),
-                    i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
-                  FROM wc WHERE length(w) >= 2)
-            GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
-        wc2 AS (
-          SELECT replace(w, (SELECT p1 FROM m1), chr(1)) AS w2, wcnt FROM wc),
-        m2 AS (
-          SELECT pair AS p2, CAST(n AS BIGINT) AS n2 FROM (
-            SELECT pair, SUM(wcnt) AS n
-            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w2)),
-                    i -> substring(w2, CAST(i AS INTEGER), 2))) AS pair
-                  FROM wc2 WHERE length(w2) >= 2)
-            GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
-        wc3 AS (
-          SELECT replace(w2, (SELECT p2 FROM m2), chr(2)) AS w3, wcnt FROM wc2),
-        m3 AS (
-          SELECT pair AS p3, CAST(n AS BIGINT) AS n3 FROM (
-            SELECT pair, SUM(wcnt) AS n
-            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w3)),
-                    i -> substring(w3, CAST(i AS INTEGER), 2))) AS pair
-                  FROM wc3 WHERE length(w3) >= 2)
-            GROUP BY pair ORDER BY n DESC, pair LIMIT 1))
+      Some(s"""
+        WITH $duckBpeCtes
         SELECT round, merge_rule, n FROM (
           SELECT 1 AS round,
                  replace(replace(p1, chr(1), '<1>'), chr(2), '<2>') AS merge_rule,
@@ -4071,6 +4090,58 @@ object TextQueries {
         "recall for q28's stopword argmax — the audit that shows which " +
         "languages alias (the q97/q102/q115 confusion-summary pattern for " +
         "the text classifier); languages²-sized aggregate, map-only scoring.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q162
+    Q(
+      "q162_bpe_compression",
+      (s, dir) => {
+        // The metric BPE training optimizes, measured: APPLY the 3 learned
+        // merges (q156's chain) to the corpus and report the symbol-count
+        // compression curve — corpus symbols after round r, and the ratio
+        // vs the character baseline. Each merge collapses two symbols into
+        // one, so units fall monotonically; the curve's slope is the
+        // marginal value of the next merge — the stopping signal a real
+        // tokenizer-training job watches. All counts are exact integers
+        // over the distinct-word table (wcnt-weighted), one aggregate
+        // wide, rows unpivoted engine-identically.
+        val (_, _, _, wc4) = bpeChain(s, dir)
+        wc4
+          .agg(
+            sum(expr("wcnt * length(w)")).as("u0"),
+            sum(expr("wcnt * length(w2)")).as("u1"),
+            sum(expr("wcnt * length(w3)")).as("u2"),
+            sum(expr("wcnt * length(w4)")).as("u3"))
+          .selectExpr(
+            "stack(4, 0, u0, 1, u1, 2, u2, 3, u3) as (round, units)",
+            "u0")
+          .selectExpr("round", "units",
+            "round(cast(units as double) / cast(u0 as double), 6) as ratio")
+          .orderBy("round")
+      },
+      Some(s"""
+        WITH $duckBpeCtes,
+        wc4 AS (
+          SELECT w, wcnt, w2, w3,
+                 replace(w3, (SELECT p3 FROM m3), chr(3)) AS w4 FROM wc3),
+        u AS (
+          SELECT CAST(SUM(wcnt * length(w)) AS BIGINT) AS u0,
+                 CAST(SUM(wcnt * length(w2)) AS BIGINT) AS u1,
+                 CAST(SUM(wcnt * length(w3)) AS BIGINT) AS u2,
+                 CAST(SUM(wcnt * length(w4)) AS BIGINT) AS u3
+          FROM wc4)
+        SELECT round, units,
+               round(CAST(units AS DOUBLE) / CAST(u0 AS DOUBLE), 6) AS ratio
+        FROM (
+          SELECT 0 AS round, u0 AS units, u0 FROM u
+          UNION ALL SELECT 1, u1, u0 FROM u
+          UNION ALL SELECT 2, u2, u0 FROM u
+          UNION ALL SELECT 3, u3, u0 FROM u)
+        ORDER BY round"""),
+      "BPE compression curve: the 3 learned merges applied back to the " +
+        "corpus (wcnt-weighted distinct-word table), symbol counts per " +
+        "round and ratio vs the character baseline — the marginal-value-of-" +
+        "the-next-merge signal a tokenizer-training job stops on.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

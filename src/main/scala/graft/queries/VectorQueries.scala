@@ -109,6 +109,55 @@ object VectorQueries {
                             ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
           WHERE rn = 1)"""
 
+  /** Corpus as double vectors: (vec_id, v array<double>). */
+  private def doubleVecs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+
+  /** One distributed power-iteration round: broadcast the 1-row 64-double
+    * `warr`, dot every vector against it (fixed-order fold), sum per-dim
+    * contributions exactly (round-then-DECIMAL), rebuild the ordered array. */
+  private def powerStep(v: org.apache.spark.sql.DataFrame)(
+      warr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v.crossJoin(broadcast(warr))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(v, warr, (a, b) -> a * b), cast(0 as double), (acc, x) -> acc + x)"))
+      .select(posexplode(col("v")).as(Seq("j0", "vj")), col("dot"))
+      .groupBy("j0")
+      .agg(sum(expr("cast(round(vj * dot, 9) as decimal(38,9))")).as("sj"))
+      .agg(expr("""transform(array_sort(collect_list(struct(j0, sj))),
+                     p -> cast(p.sj as double)) as warr"""))
+
+  /** w after rounds 2 and 3 of power iteration from the all-ones start —
+    * the shared front of q157 (direction + gain) and q163 (PC scores). */
+  private def powerIterW2W3(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val v = doubleVecs(s, dir)
+    val w0 = s.sql("select transform(sequence(1, 64), j -> cast(1 as double)) as warr")
+    val w2 = powerStep(v)(powerStep(v)(w0))
+    (w2, powerStep(v)(w2))
+  }
+
+  /** DuckDB twin of [[powerIterW2W3]]: CTEs v, w0..w3 (+ per-round d/s). */
+  private val duckPowerCtes: String = {
+    val rounds = (1 to 3).map { t =>
+      s"""d$t AS (
+          SELECT vec_id, v,
+                 list_reduce(list_transform(range(1, 65), j -> v[j] * warr[j]),
+                   (acc, x) -> acc + x) AS dot
+          FROM v, w${t - 1}),
+        s$t AS (
+          SELECT j, SUM(CAST(round(v[j] * dot, 9) AS DECIMAL(38,9))) AS sj
+          FROM d$t, dims GROUP BY j),
+        w$t AS (SELECT list(CAST(sj AS DOUBLE) ORDER BY j) AS warr FROM s$t)"""
+    }.mkString(",\n        ")
+    s"""dims AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS j),
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        w0 AS (SELECT list_transform(range(1, 65), j -> CAST(1 AS DOUBLE)) AS warr),
+        $rounds"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q33
@@ -1429,21 +1478,7 @@ object VectorQueries {
         // final normalization folds the 64-entry result in index order.
         // Output: per-dimension unit direction + the Rayleigh-style gain
         // ||w3||/||w2|| (top-eigenvalue estimate of Σ vvᵀ).
-        val v = table(s, dir, "embeddings")
-          .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
-        // one power round: 1-row warr broadcast -> dot -> exact dim sums
-        def step(warr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-          v.crossJoin(broadcast(warr))
-            .withColumn("dot", expr(
-              "aggregate(zip_with(v, warr, (a, b) -> a * b), cast(0 as double), (acc, x) -> acc + x)"))
-            .select(posexplode(col("v")).as(Seq("j0", "vj")), col("dot"))
-            .groupBy("j0")
-            .agg(sum(expr("cast(round(vj * dot, 9) as decimal(38,9))")).as("sj"))
-            .agg(expr("""transform(array_sort(collect_list(struct(j0, sj))),
-                           p -> cast(p.sj as double)) as warr"""))
-        val w0 = v.sparkSession.sql("select transform(sequence(1, 64), j -> cast(1 as double)) as warr")
-        val w2 = step(step(w0))
-        val w3 = step(w2)
+        val (w2, w3) = powerIterW2W3(s, dir)
         val n2 = w2.selectExpr(
           "aggregate(transform(warr, x -> x * x), cast(0 as double), (acc, x) -> acc + x) as norm2")
         val n3 = w3.selectExpr(
@@ -1459,38 +1494,7 @@ object VectorQueries {
           .orderBy("j")
       },
       Some(s"""
-        WITH dims AS (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS j),
-        v AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-        w0 AS (SELECT list_transform(range(1, 65), j -> CAST(1 AS DOUBLE)) AS warr),
-        d1 AS (
-          SELECT vec_id, v,
-                 list_reduce(list_transform(range(1, 65), j -> v[j] * warr[j]),
-                   (acc, x) -> acc + x) AS dot
-          FROM v, w0),
-        s1 AS (
-          SELECT j, SUM(CAST(round(v[j] * dot, 9) AS DECIMAL(38,9))) AS sj
-          FROM d1, dims GROUP BY j),
-        w1 AS (SELECT list(CAST(sj AS DOUBLE) ORDER BY j) AS warr FROM s1),
-        d2 AS (
-          SELECT vec_id, v,
-                 list_reduce(list_transform(range(1, 65), j -> v[j] * warr[j]),
-                   (acc, x) -> acc + x) AS dot
-          FROM v, w1),
-        s2 AS (
-          SELECT j, SUM(CAST(round(v[j] * dot, 9) AS DECIMAL(38,9))) AS sj
-          FROM d2, dims GROUP BY j),
-        w2 AS (SELECT list(CAST(sj AS DOUBLE) ORDER BY j) AS warr FROM s2),
-        d3 AS (
-          SELECT vec_id, v,
-                 list_reduce(list_transform(range(1, 65), j -> v[j] * warr[j]),
-                   (acc, x) -> acc + x) AS dot
-          FROM v, w2),
-        s3 AS (
-          SELECT j, SUM(CAST(round(v[j] * dot, 9) AS DECIMAL(38,9))) AS sj
-          FROM d3, dims GROUP BY j),
-        w3 AS (SELECT list(CAST(sj AS DOUBLE) ORDER BY j) AS warr FROM s3),
+        WITH $duckPowerCtes,
         n2 AS (
           SELECT list_reduce(list_transform(range(1, 65), j -> warr[j] * warr[j]),
                    (acc, x) -> acc + x) AS norm2
@@ -1664,6 +1668,58 @@ object VectorQueries {
         "the hyperplane LCG (integer-exact cross-engine), 64->8 dims, " +
         "pairwise squared-distance ratios over a bounded broadcast probe " +
         "set — the check that sizes a projected ANN index before building it.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q163
+    Q(
+      "q163_pca_scores",
+      (s, dir) => {
+        // USE the trained principal direction (q157's power-iteration
+        // front): project every vector onto the unit top component and
+        // surface the 5 most extreme corpus members at each end — the
+        // embedding-drift / outlier triage view a data pipeline reads
+        // after PCA (what IS this axis? look at its extremes). One
+        // broadcast of the 1-row direction against the corpus scan, two
+        // TakeOrderedAndProject top-ks — no sort, no gather.
+        val (_, w3) = powerIterW2W3(s, dir)
+        val n3 = w3.selectExpr("warr",
+          "aggregate(transform(warr, x -> x * x), cast(0 as double), (acc, x) -> acc + x) as norm3")
+        val scored = doubleVecs(s, dir).crossJoin(broadcast(n3))
+          .selectExpr("vec_id",
+            """aggregate(zip_with(v, warr, (a, b) -> a * b),
+                 cast(0 as double), (acc, x) -> acc + x) / sqrt(norm3) as score""")
+        val top = scored.orderBy(col("score").desc, col("vec_id"))
+          .limit(5).selectExpr("'top' as grp", "vec_id", "round(score, 6) as score")
+        val bottom = scored.orderBy(col("score").asc, col("vec_id"))
+          .limit(5).selectExpr("'bottom' as grp", "vec_id", "round(score, 6) as score")
+        top.unionAll(bottom)
+          .orderBy(col("grp"), col("score").desc, col("vec_id"))
+      },
+      Some(s"""
+        WITH $duckPowerCtes,
+        n3 AS (
+          SELECT warr,
+                 list_reduce(list_transform(range(1, 65), j -> warr[j] * warr[j]),
+                   (acc, x) -> acc + x) AS norm3
+          FROM w3),
+        scored AS (
+          SELECT vec_id,
+                 list_reduce(list_transform(range(1, 65), j -> v.v[j] * warr[j]),
+                   (acc, x) -> acc + x) / sqrt(norm3) AS score
+          FROM v, n3),
+        top AS (
+          SELECT 'top' AS grp, vec_id, round(score, 6) AS score
+          FROM scored ORDER BY score DESC, vec_id LIMIT 5),
+        bottom AS (
+          SELECT 'bottom' AS grp, vec_id, round(score, 6) AS score
+          FROM scored ORDER BY score ASC, vec_id LIMIT 5)
+        SELECT grp, vec_id, score FROM (
+          SELECT * FROM top UNION ALL SELECT * FROM bottom)
+        ORDER BY grp, score DESC, vec_id"""),
+      "PC1 scores from the trained power-iteration direction: corpus " +
+        "projected onto the unit top component, 5 extremes per end via " +
+        "TakeOrderedAndProject — the axis-triage view after PCA; 1-row " +
+        "direction broadcast, no global sort.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
