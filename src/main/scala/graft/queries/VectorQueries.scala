@@ -158,6 +158,55 @@ object VectorQueries {
         $rounds"""
   }
 
+  /** Product-quantization coarse codebook: 8 subspaces x 8 dims, 4
+    * sub-centroids per subspace taken from vec_id < 4 (the q34 fixed-
+    * codebook convention). Returns the 32-row broadcastable frame
+    * (m, cid, sc: array<double> of 8). */
+  private def pqCentroids(s: org.apache.spark.sql.SparkSession, dir: String) =
+    doubleVecs(s, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("v"))
+      .select(col("cid"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m as m, slice(v, m * 8 + 1, 8) as sc))"))
+        .as("p"))
+      .select(col("p.m").as("m"), col("cid"), col("p.sc").as("sc"))
+
+  /** Per-(vector, subspace) PQ assignment: min squared-L2 sub-centroid,
+    * ties to the lowest cid via the min(struct) trick — one 32-row
+    * broadcast against the corpus scan, one (vec_id, m) aggregate; never
+    * a window over corpus-sized frames. Returns (vec_id, m, cid, err). */
+  private def pqAssigned(s: org.apache.spark.sql.SparkSession, dir: String) =
+    doubleVecs(s, dir)
+      .crossJoin(broadcast(pqCentroids(s, dir)))
+      .selectExpr("vec_id", "m", "cid",
+        """aggregate(zip_with(slice(v, m * 8 + 1, 8), sc,
+             (x, c) -> (x - c) * (x - c)), cast(0 as double), (acc, x) -> acc + x) as d2""")
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .selectExpr("vec_id", "m", "best.cid as cid", "best.d2 as err")
+
+  /** DuckDB twin of [[pqCentroids]] + [[pqAssigned]]: CTEs `pqc(m, cid,
+    * sc)` and `pqa(vec_id, m, cid, err)` (requires the `v` CTE from
+    * [[duckPowerCtes]]-style double vectors). */
+  private val duckPqCtes: String = """
+        pqc AS (
+          SELECT m, vec_id AS cid,
+                 list_transform(range(1, 9), j -> v[CAST(m * 8 + j AS INTEGER)]) AS sc
+          FROM v, (SELECT unnest(range(0, 8)) AS m)
+          WHERE vec_id < 4),
+        pqd AS (
+          SELECT e.vec_id, c.m, c.cid,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 9), j ->
+                     (e.v[CAST(c.m * 8 + j AS INTEGER)] - c.sc[CAST(j AS INTEGER)])
+                       * (e.v[CAST(c.m * 8 + j AS INTEGER)] - c.sc[CAST(j AS INTEGER)]))),
+                   (acc, x) -> acc + x) AS d2
+          FROM v e CROSS JOIN pqc c),
+        pqa AS (
+          SELECT vec_id, m, cid, d2 AS err FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, cid) AS rn FROM pqd)
+          WHERE rn = 1)"""
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q33
@@ -1720,6 +1769,144 @@ object VectorQueries {
         "projected onto the unit top component, 5 extremes per end via " +
         "TakeOrderedAndProject — the axis-triage view after PCA; 1-row " +
         "direction broadcast, no global sort.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q164
+    Q(
+      "q164_pq_quantize",
+      (s, dir) => {
+        // PRODUCT QUANTIZATION — the memory-side ANN technique SQ8 (q77)
+        // doesn't cover: split 64 dims into 8 subspaces, quantize each
+        // sub-vector to its nearest of 4 sub-centroids, store 8 tiny codes
+        // (2 bits each) instead of 64 floats. This query audits the
+        // codebook: per-subspace mean squared reconstruction error
+        // (round-then-DECIMAL sums, order-free) and how many cells each
+        // subspace actually uses — a subspace collapsing onto one cell
+        // means its codebook wastes bits. Scale: one 32-row codebook
+        // broadcast against the corpus scan, one (vec_id, m) min-struct
+        // aggregate, one m-keyed rollup; no windows over corpus frames.
+        pqAssigned(s, dir)
+          .groupBy("m")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(expr("cast(round(err, 9) as decimal(28,12))")).as("sse"),
+            countDistinct("cid").as("cells_used"))
+          .selectExpr("cast(m as int) as m", "n", "cells_used",
+            "round(cast(sse as double) / cast(n as double), 6) as mse")
+          .orderBy("m")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        $duckPqCtes
+        SELECT CAST(m AS INTEGER) AS m, COUNT(1) AS n,
+               CAST(COUNT(DISTINCT cid) AS BIGINT) AS cells_used,
+               round(CAST(SUM(CAST(round(err, 9) AS DECIMAL(28,12))) AS DOUBLE)
+                     / CAST(COUNT(1) AS DOUBLE), 6) AS mse
+        FROM pqa GROUP BY m
+        ORDER BY m"""),
+      "Product-quantization codebook audit: 8x8-dim subspaces, 4 cells " +
+        "each, per-subspace reconstruction MSE and cell usage — 32-row " +
+        "codebook broadcast + min-struct assignment, the 32x-compression " +
+        "storage path SQ8 doesn't reach."),
+
+    // ---------------------------------------------------------------- q165
+    Q(
+      "q165_pq_adc_recall",
+      (s, dir) => {
+        // The PQ SEARCH audit (the q102 recall-contract pattern for the
+        // PQ index): asymmetric distance computation — each probe builds
+        // a 32-entry lookup table (its true sub-vector vs every sub-
+        // centroid), a candidate's approximate distance is the sum of 8
+        // table hits keyed by its stored code, and PQ top-5 is judged
+        // against the exact Euclidean top-5. Scale: the LUT is probes x
+        // 32 (bounded, broadcast); candidates join it (m, cid)-keyed —
+        // codes move, floats don't; per-(probe, cand) sums are 8-term
+        // round-then-DECIMAL (order-free); both top-5s are per-probe
+        // bounded windows over probe-keyed partitions.
+        val probes = doubleVecs(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("pid"), col("v").as("pv"))
+        val lut = probes.crossJoin(broadcast(pqCentroids(s, dir)))
+          .selectExpr("pid", "m", "cid",
+            """aggregate(zip_with(slice(pv, m * 8 + 1, 8), sc,
+                 (x, c) -> (x - c) * (x - c)), cast(0 as double), (acc, x) -> acc + x) as d2m""")
+        val approx = pqAssigned(s, dir).select("vec_id", "m", "cid")
+          .join(broadcast(lut), Seq("m", "cid"))
+          .filter(col("vec_id") =!= col("pid"))
+          .groupBy("pid", "vec_id")
+          .agg(sum(expr("cast(round(d2m, 9) as decimal(28,12))")).as("ad2"))
+          .withColumn("rn", expr(
+            "row_number() over (partition by pid order by ad2 asc, vec_id asc)"))
+          .filter(col("rn") <= 5)
+          .select("pid", "vec_id")
+        val exact = doubleVecs(s, dir)
+          .crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("pid"))
+          .selectExpr("pid", "vec_id",
+            """aggregate(zip_with(v, pv, (x, p) -> (x - p) * (x - p)),
+                 cast(0 as double), (acc, x) -> acc + x) as ed2""")
+          .withColumn("rn", expr(
+            "row_number() over (partition by pid order by ed2 asc, vec_id asc)"))
+          .filter(col("rn") <= 5)
+          .select("pid", "vec_id")
+        val hits = approx.join(exact, Seq("pid", "vec_id"))
+          .groupBy("pid").agg(count(lit(1)).as("n_hit"))
+        probes.select(col("pid"))
+          .join(hits, Seq("pid"), "left")
+          .selectExpr("pid", "coalesce(n_hit, 0L) as n_hit",
+            "round(cast(coalesce(n_hit, 0L) as double) / 5.0d, 6) as recall_at_5")
+          .orderBy("pid")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        $duckPqCtes,
+        probes AS (SELECT vec_id AS pid, v AS pv FROM v WHERE vec_id < 20),
+        lut AS (
+          SELECT p.pid, c.m, c.cid,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 9), j ->
+                     (p.pv[CAST(c.m * 8 + j AS INTEGER)] - c.sc[CAST(j AS INTEGER)])
+                       * (p.pv[CAST(c.m * 8 + j AS INTEGER)] - c.sc[CAST(j AS INTEGER)]))),
+                   (acc, x) -> acc + x) AS d2m
+          FROM probes p CROSS JOIN pqc c),
+        approx AS (
+          SELECT pid, vec_id FROM (
+            SELECT a.pid, a.vec_id,
+                   row_number() OVER (PARTITION BY a.pid
+                                      ORDER BY a.ad2 ASC, a.vec_id ASC) AS rn
+            FROM (
+              SELECT l.pid, q.vec_id,
+                     SUM(CAST(round(l.d2m, 9) AS DECIMAL(28,12))) AS ad2
+              FROM pqa q JOIN lut l ON l.m = q.m AND l.cid = q.cid
+              WHERE q.vec_id <> l.pid
+              GROUP BY l.pid, q.vec_id) a)
+          WHERE rn <= 5),
+        exact AS (
+          SELECT pid, vec_id FROM (
+            SELECT p.pid, e.vec_id,
+                   row_number() OVER (PARTITION BY p.pid ORDER BY
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, 65), j ->
+                         (e.v[CAST(j AS INTEGER)] - p.pv[CAST(j AS INTEGER)])
+                           * (e.v[CAST(j AS INTEGER)] - p.pv[CAST(j AS INTEGER)]))),
+                       (acc, x) -> acc + x) ASC, e.vec_id ASC) AS rn
+            FROM v e CROSS JOIN probes p
+            WHERE e.vec_id <> p.pid)
+          WHERE rn <= 5),
+        hits AS (
+          SELECT pid, COUNT(1) AS n_hit
+          FROM approx JOIN exact USING (pid, vec_id) GROUP BY pid)
+        SELECT p.pid, COALESCE(h.n_hit, 0) AS n_hit,
+               round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0, 6) AS recall_at_5
+        FROM probes p LEFT JOIN hits h USING (pid)
+        ORDER BY p.pid"""),
+      "PQ asymmetric-distance search audit: per-probe 32-entry LUT " +
+        "(broadcast), candidates join it code-keyed — floats never move — " +
+        "8-term exact decimal sums, PQ top-5 vs exact Euclidean top-5 " +
+        "recall; the q102 recall-contract pattern for the PQ index.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
