@@ -1907,6 +1907,108 @@ object VectorQueries {
         "(broadcast), candidates join it code-keyed — floats never move — " +
         "8-term exact decimal sums, PQ top-5 vs exact Euclidean top-5 " +
         "recall; the q102 recall-contract pattern for the PQ index.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q166
+    Q(
+      "q166_pq_refine",
+      (s, dir) => {
+        // One Lloyd refinement round for the PQ codebook — the training
+        // move that closes q165's fixed-seed recall gap: each sub-
+        // centroid re-estimated as the EXACT mean of its assigned sub-
+        // vectors (decimal dimension sums, the kmeansFit convention),
+        // corpus re-assigned under the refined codebook, per-subspace
+        // MSE before/after reported. Empty cells inherit their seed
+        // (coalesce — the kmeansFit dead-centroid rule). Scale: the
+        // update is one (m, cid, j)-keyed aggregate (256 groups); both
+        // assignments are 32-row codebook broadcasts; nothing corpus-
+        // sized shuffles except the two keyed aggregates.
+        val v = doubleVecs(s, dir)
+        val mse0 = pqAssigned(s, dir).groupBy("m")
+          .agg(sum(expr("cast(round(err, 9) as decimal(28,12))")).as("sse0"),
+            count(lit(1)).as("n"))
+        val newc = pqAssigned(s, dir).select("vec_id", "m", "cid")
+          .join(v, Seq("vec_id"))
+          .select(col("m"), col("cid"),
+            posexplode(expr("slice(v, m * 8 + 1, 8)")).as(Seq("j0", "x")))
+          .groupBy("m", "cid", "j0")
+          .agg(sum(expr("cast(x as decimal(28,12))")).as("sx"),
+            count(lit(1)).as("nx"))
+          .withColumn("mean", expr("cast(sx as double) / cast(nx as double)"))
+          .groupBy("m", "cid")
+          .agg(expr("""transform(array_sort(collect_list(struct(j0, mean))),
+                         p -> p.mean) as sc2"""))
+        val cents2 = pqCentroids(s, dir)
+          .join(newc, Seq("m", "cid"), "left")
+          .selectExpr("m", "cid", "coalesce(sc2, sc) as sc")
+        val err2 = v.crossJoin(broadcast(cents2))
+          .selectExpr("vec_id", "m", "cid",
+            """aggregate(zip_with(slice(v, m * 8 + 1, 8), sc,
+                 (x, c) -> (x - c) * (x - c)), cast(0 as double), (acc, x) -> acc + x) as d2""")
+          .groupBy("vec_id", "m")
+          .agg(min(struct(col("d2"), col("cid"))).as("best"))
+          .selectExpr("m", "best.d2 as err")
+          .groupBy("m")
+          .agg(sum(expr("cast(round(err, 9) as decimal(28,12))")).as("sse1"))
+        mse0.join(err2, Seq("m"))
+          .selectExpr("cast(m as int) as m",
+            "round(cast(sse0 as double) / cast(n as double), 6) as mse0",
+            "round(cast(sse1 as double) / cast(n as double), 6) as mse1",
+            "round(cast(sse1 as double) / cast(sse0 as double), 6) as ratio")
+          .orderBy("m")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        $duckPqCtes,
+        mse0 AS (
+          SELECT m, SUM(CAST(round(err, 9) AS DECIMAL(28,12))) AS sse0,
+                 COUNT(1) AS n
+          FROM pqa GROUP BY m),
+        px AS (
+          SELECT a.m, a.cid, j.j0,
+                 e.v[CAST(a.m * 8 + j.j0 + 1 AS INTEGER)] AS x
+          FROM pqa a JOIN v e USING (vec_id),
+               (SELECT unnest(range(0, 8)) AS j0) j),
+        sums AS (
+          SELECT m, cid, j0,
+                 CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(1) AS DOUBLE) AS mean
+          FROM px GROUP BY m, cid, j0),
+        newc AS (
+          SELECT m, cid, list(mean ORDER BY j0) AS sc2
+          FROM sums GROUP BY m, cid),
+        cents2 AS (
+          SELECT c.m, c.cid, COALESCE(n.sc2, c.sc) AS sc
+          FROM pqc c LEFT JOIN newc n ON n.m = c.m AND n.cid = c.cid),
+        d2b AS (
+          SELECT e.vec_id, c.m, c.cid,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 9), j ->
+                     (e.v[CAST(c.m * 8 + j AS INTEGER)] - c.sc[CAST(j AS INTEGER)])
+                       * (e.v[CAST(c.m * 8 + j AS INTEGER)] - c.sc[CAST(j AS INTEGER)]))),
+                   (acc, x) -> acc + x) AS d2
+          FROM v e CROSS JOIN cents2 c),
+        a2 AS (
+          SELECT vec_id, m, d2 AS err FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, cid) AS rn FROM d2b)
+          WHERE rn = 1),
+        sse1 AS (
+          SELECT m, SUM(CAST(round(err, 9) AS DECIMAL(28,12))) AS sse1
+          FROM a2 GROUP BY m)
+        SELECT CAST(m AS INTEGER) AS m,
+               round(CAST(sse0 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mse0,
+               round(CAST(sse1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mse1,
+               round(CAST(sse1 AS DOUBLE) / CAST(sse0 AS DOUBLE), 6) AS ratio
+        FROM mse0 JOIN sse1 USING (m)
+        ORDER BY m"""),
+      "PQ codebook Lloyd refinement: exact-decimal sub-centroid means, " +
+        "re-assignment under the refined 32-row broadcast codebook, " +
+        "per-subspace MSE before/after — the training round that closes " +
+        "the fixed-seed recall gap q165 exposes; 256-group update, " +
+        "nothing corpus-sized beyond two keyed aggregates.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
