@@ -4142,6 +4142,284 @@ object TextQueries {
         "corpus (wcnt-weighted distinct-word table), symbol counts per " +
         "round and ratio vs the character baseline — the marginal-value-of-" +
         "the-next-merge signal a tokenizer-training job stops on.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q167
+    Q(
+      "q167_hll_overlap",
+      (s, dir) => {
+        // Cross-source overlap ESTIMATION via mergeable HLL sketches — the
+        // sketch answer to q121's exact provenance matrix: at 100 TB the
+        // "how much does source A share with source B" question must come
+        // from per-source sketches (one corpus scan, 20 tiny states), not
+        // from a content-keyed self-join per pair. Each source keeps one
+        // HLL over md5(text) content keys; every pairwise intersection
+        // derives by inclusion-exclusion over sketch UNIONS (the only
+        // set op HLL supports natively) — the whole pair matrix is then
+        // computed on a sources-sized frame with zero further corpus
+        // reads. Oracle: the q36/q81 contract pattern — exact anchors
+        // (re-derivable set arithmetic) plus a literal-TRUE tolerance
+        // boolean; the estimate's VALUE is engine-specific, its error
+        // bound is not. Tolerance scales with the UNION size because
+        // inclusion-exclusion error is relative to the union cardinality,
+        // not the (possibly tiny) intersection.
+        val d = table(s, dir, "documents").selectExpr("source", "md5(text) as ck")
+        val sk = d.groupBy("source").agg(
+          expr("hll_sketch_agg(ck)").as("sk"),
+          countDistinct(col("ck")).as("nd"))
+        val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"),
+          col("nd").as("nd_a"))
+        val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"),
+          col("nd").as("nd_b"))
+        val est = a.join(b, col("src_a") < col("src_b"))
+          .withColumn("est_inter",
+            expr("""hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b)
+                    - hll_sketch_estimate(hll_union(sk_a, sk_b))"""))
+        val dd = d.distinct()
+        val ex = dd.select(col("source").as("src_a"), col("ck"))
+          .join(dd.select(col("source").as("src_b"), col("ck")), Seq("ck"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
+        est.join(ex, Seq("src_a", "src_b"), "left")
+          .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+          .withColumn("exact_union", col("nd_a") + col("nd_b") - col("exact_inter"))
+          .select(
+            col("src_a"), col("src_b"), col("nd_a"), col("nd_b"), col("exact_inter"),
+            (abs(col("est_inter") - col("exact_inter"))
+              <= greatest(lit(16L), (col("exact_union") * 0.10).cast("long")))
+              .as("sketch_within_tol"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT source, md5(text) AS ck FROM documents),
+        nd AS (SELECT source, COUNT(1) AS nd FROM d GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(1) AS exact_inter
+          FROM d a JOIN d b ON a.ck = b.ck AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT na.source AS src_a, nb.source AS src_b,
+               na.nd AS nd_a, nb.nd AS nd_b,
+               CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+               TRUE AS sketch_within_tol
+        FROM nd na JOIN nd nb ON na.source < nb.source
+        LEFT JOIN inter i ON i.src_a = na.source AND i.src_b = nb.source
+        ORDER BY src_a, src_b"""),
+      "Cross-source overlap estimation from per-source HLL sketches: one " +
+        "corpus scan builds 20 mergeable states, every pairwise intersection " +
+        "derives by inclusion-exclusion over sketch unions on the tiny sketch " +
+        "frame — the sketch path that replaces q121's exact content self-join " +
+        "at 100 TB; contract-checked against the exact set arithmetic."),
+
+    // ---------------------------------------------------------------- q168
+    Q(
+      "q168_token_fertility",
+      (s, dir) => {
+        // Tokenizer fertility by language: subword tokens per whitespace
+        // word and chars per subword, per lang — THE number a tokenizer
+        // owner watches per language (high fertility = the vocab underfits
+        // that language, its documents cost more context budget per word).
+        // Uses the same BPE-ish codegen'd counter as q106's budgets, so
+        // the fertility reported here is consistent with what the packing
+        // queries actually budget. Scale: map-only per-doc counters, one
+        // languages-sized aggregate — nothing else.
+        table(s, dir, "documents")
+          .select(
+            col("lang"),
+            size(split(col("text"), " ")).cast("long").as("ws"),
+            graft.operators.TextSignals.bpeishTokenCount(col("text")).as("bpe"),
+            length(col("text")).cast("long").as("ch"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("ws").as("t_words"),
+            sum("bpe").as("t_subtoks"),
+            sum("ch").as("t_chars"))
+          .selectExpr(
+            "lang", "n_docs", "t_words", "t_subtoks", "t_chars",
+            "round(cast(t_subtoks as double) / cast(t_words as double), 6) as fertility",
+            "round(cast(t_chars as double) / cast(t_subtoks as double), 6) as chars_per_subtok")
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                 CAST(len(regexp_extract_all(text,
+                   '${graft.operators.TextSignals.BpeishPattern}')) AS BIGINT) AS bpe,
+                 CAST(length(text) AS BIGINT) AS ch
+          FROM documents)
+        SELECT lang, COUNT(1) AS n_docs,
+               CAST(SUM(ws) AS BIGINT) AS t_words,
+               CAST(SUM(bpe) AS BIGINT) AS t_subtoks,
+               CAST(SUM(ch) AS BIGINT) AS t_chars,
+               round(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6) AS fertility,
+               round(CAST(SUM(ch) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE), 6) AS chars_per_subtok
+        FROM d GROUP BY lang ORDER BY lang"""),
+      "Tokenizer fertility by language: BPE-ish subword count per whitespace " +
+        "word and chars per subword — the per-language vocab-fit signal, " +
+        "consistent with the q106 budget counter; map-only + one tiny aggregate."),
+
+    // ---------------------------------------------------------------- q169
+    Q(
+      "q169_curriculum_stages",
+      (s, dir) => {
+        // Curriculum staging: order the corpus by a difficulty signal
+        // (type-token ratio — repetitive docs are "easy", rare-token soup
+        // is "hard") and cut it into 4 equal global stages, easy-first —
+        // the data-ordering step of curriculum training. The global order
+        // runs through GlobalRank's two-phase shape (sketch buckets +
+        // local ranks + offset reconstruction), NEVER a single-task
+        // Window.orderBy: no task sorts more than ~rows/32 even at 100 TB.
+        // The stage cut `1 + (rn-1)*4 div n` is exact integer arithmetic,
+        // identical under DuckDB's floor division.
+        val d = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("dl", size(col("toks")).cast("long"))
+          .withColumn("ttr", expr(
+            "round(cast(size(array_distinct(toks)) as double) / cast(dl as double), 9)"))
+          .select(col("doc_id"), col("dl"), col("ttr"), lit(1).as("seg"))
+        graft.operators.GlobalRank
+          .withGlobalRank(d, "seg", "ttr", "doc_id")
+          .withColumn("stage", expr("cast(1 + (rn - 1) * 4 div n_seg as int)"))
+          .groupBy("stage")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("dl").as("n_toks"),
+            min("ttr").as("min_ttr"),
+            max("ttr").as("max_ttr"))
+          .orderBy("stage")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                 round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE), 9) AS ttr
+          FROM documents),
+        r AS (
+          SELECT doc_id, dl, ttr,
+                 ROW_NUMBER() OVER (ORDER BY ttr, doc_id) AS rn,
+                 COUNT(1) OVER () AS n
+          FROM d)
+        SELECT CAST(1 + (rn - 1) * 4 // n AS INTEGER) AS stage,
+               COUNT(1) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS n_toks,
+               MIN(ttr) AS min_ttr, MAX(ttr) AS max_ttr
+        FROM r GROUP BY 1 ORDER BY stage"""),
+      "Curriculum staging: global difficulty order (type-token ratio, " +
+        "easy-first) via GlobalRank's two-phase rank — no single-task global " +
+        "sort — cut into 4 equal stages by exact integer arithmetic; the " +
+        "data-ordering step of curriculum training."),
+
+    // ---------------------------------------------------------------- q170
+    Q(
+      "q170_dup_kcore",
+      (s, dir) => {
+        // 2-core of the verified near-dup graph by iterative peeling: drop
+        // degree-<2 nodes, re-derive degrees, repeat (3 unrolled rounds —
+        // enough to converge on real dup graphs, and both engines run the
+        // IDENTICAL fixed computation regardless). The 2-core separates
+        // true duplication CLUSTERS from incidental pairwise matches —
+        // pendant edges (one-off near-matches) peel away, dense template
+        // families survive; it's the graph-shape complement of q151's
+        // triangle census and q122's centrality over the same verified-
+        // pairs front. Scale: each round is one degree aggregate + two
+        // semi-joins, all edge-keyed shuffles; no round materializes
+        // anything driver-side.
+        var edges = verifiedNearDupPairs(s, dir).select("id_a", "id_b")
+        def degrees(e: org.apache.spark.sql.DataFrame) =
+          e.select(col("id_a").as("v"))
+            .union(e.select(col("id_b").as("v")))
+            .groupBy("v").agg(count(lit(1)).as("deg"))
+        for (_ <- 1 to 3) {
+          val alive = degrees(edges).filter(col("deg") >= 2).select("v")
+          edges = edges
+            .join(alive, edges("id_a") === alive("v"), "left_semi")
+          edges = edges
+            .join(alive, edges("id_b") === alive("v"), "left_semi")
+        }
+        degrees(edges)
+          .select(col("v").as("doc_id"), col("deg"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $duckVerifiedPairs,
+        e0 AS (SELECT id_a, id_b FROM ver),
+        d0 AS (SELECT v, COUNT(1) AS deg FROM (
+          SELECT id_a AS v FROM e0 UNION ALL SELECT id_b FROM e0) GROUP BY v),
+        a0 AS (SELECT v FROM d0 WHERE deg >= 2),
+        e1 AS (SELECT id_a, id_b FROM e0
+               WHERE id_a IN (SELECT v FROM a0) AND id_b IN (SELECT v FROM a0)),
+        d1 AS (SELECT v, COUNT(1) AS deg FROM (
+          SELECT id_a AS v FROM e1 UNION ALL SELECT id_b FROM e1) GROUP BY v),
+        a1 AS (SELECT v FROM d1 WHERE deg >= 2),
+        e2 AS (SELECT id_a, id_b FROM e1
+               WHERE id_a IN (SELECT v FROM a1) AND id_b IN (SELECT v FROM a1)),
+        d2 AS (SELECT v, COUNT(1) AS deg FROM (
+          SELECT id_a AS v FROM e2 UNION ALL SELECT id_b FROM e2) GROUP BY v),
+        a2 AS (SELECT v FROM d2 WHERE deg >= 2),
+        e3 AS (SELECT id_a, id_b FROM e2
+               WHERE id_a IN (SELECT v FROM a2) AND id_b IN (SELECT v FROM a2)),
+        d3 AS (SELECT v, COUNT(1) AS deg FROM (
+          SELECT id_a AS v FROM e3 UNION ALL SELECT id_b FROM e3) GROUP BY v)
+        SELECT v AS doc_id, CAST(deg AS BIGINT) AS deg
+        FROM d3 ORDER BY doc_id"""),
+      "2-core of the verified near-dup graph via 3 rounds of degree peeling " +
+        "— pendant matches peel away, dense template families survive; " +
+        "edge-keyed degree aggregates + semi-joins per round, the graph-shape " +
+        "complement of the triangle census and dup centrality."),
+
+    // ---------------------------------------------------------------- q171
+    Q(
+      "q171_join_skew_audit",
+      (s, dir) => {
+        // Pre-flight join-key skew audit — the measurement that DECIDES
+        // whether a key needs the q46 salting treatment before a 100 TB
+        // shuffle is launched: per-key row counts (one map-side-combinable
+        // aggregate), their max and p99, and the hash-bucket imbalance the
+        // key would actually produce at 32 shuffle partitions (bucketed by
+        // the library's cross-engine md5 hash, so the oracle re-derives
+        // the same buckets). imbalance = max bucket / ideal bucket: 1.0 is
+        // perfectly uniform, >> 1 says the biggest task dominates the
+        // stage wall-clock and salting/AQE-skew-split is warranted. All
+        // downstream frames are keys- or buckets-sized.
+        val counts = table(s, dir, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val buckets = counts
+          .withColumn("bucket", expr(s"${md5long("cast(user_id as string)")} % 32"))
+          .groupBy("bucket").agg(sum("cnt").as("rows"))
+        val keyStats = counts.agg(
+          sum("cnt").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max("cnt").as("max_key_rows"),
+          expr("round(percentile(cnt, 0.99), 4)").as("p99_key_rows"))
+        val bucketStats = buckets.agg(max("rows").as("max_bucket_rows"))
+        keyStats.crossJoin(broadcast(bucketStats))
+          .selectExpr(
+            "n_rows", "n_keys", "max_key_rows", "p99_key_rows", "max_bucket_rows",
+            "round(cast(max_bucket_rows as double) / (cast(n_rows as double) / 32.0d), 6) as imbalance")
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT user_id, COUNT(1) AS cnt FROM events GROUP BY user_id),
+        b AS (
+          SELECT ${duckMd5long("CAST(user_id AS VARCHAR)")} % 32 AS bucket,
+                 CAST(SUM(cnt) AS BIGINT) AS rows_
+          FROM c GROUP BY 1),
+        ks AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(1) AS n_keys,
+                 MAX(cnt) AS max_key_rows,
+                 ROUND(quantile_cont(cnt, 0.99), 4) AS p99_key_rows
+          FROM c),
+        bs AS (SELECT MAX(rows_) AS max_bucket_rows FROM b)
+        SELECT n_rows, n_keys, max_key_rows, p99_key_rows, max_bucket_rows,
+               round(CAST(max_bucket_rows AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) / 32.0), 6) AS imbalance
+        FROM ks, bs"""),
+      "Join-key skew audit: per-key counts, p99/max, and the exact hash-bucket " +
+        "imbalance the key produces at 32 partitions (cross-engine md5 buckets) " +
+        "— the pre-flight measurement that decides whether a shuffle needs " +
+        "q46's salting before it launches; keys-sized frames only.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
