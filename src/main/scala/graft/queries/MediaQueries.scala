@@ -453,6 +453,97 @@ object MediaQueries {
       "Frame-VAD over decoded 16-bit PCM: 32-sample frames vote active at " +
         "floor-mean |amp| >= 10500 (letters fire, space runs read silent) — " +
         "all-integer frame decisions fully oracle-replayed; the " +
-        "transcription-worthiness pre-filter, map-only.")
+        "transcription-worthiness pre-filter, map-only."),
+
+    // ---------------------------------------------------------------- q172
+    Q(
+      "q172_image_neardup",
+      (s, dir) => {
+        // Image NEAR-DUP SCREEN over perceptual hashes — q117's banding
+        // family applied to the decoded-pixel fingerprint: the 48-bit
+        // aHash splits into 3 x 16-bit bands, so by pigeonhole any pair
+        // within Hamming distance 2 shares an intact band (recall 1.0
+        // over surviving buckets); candidates verify by exact bit_count
+        // and only confirmed pairs (<= 2) are emitted. Perceptual-hash
+        // buckets are far hotter than token-simhash buckets (images of
+        // the same "template" collapse to few gray profiles), so the
+        // q48 stop-shingle discipline applies to BUCKETS: bands with
+        // > 25 members are degenerate template buckets, not near-dup
+        // signal, and are cut by a broadcast anti-join before the
+        // self-join (measured: 464k -> 19k candidates at sf0.1). Scale:
+        // decode+hash is map-only, the bucket join is equi-keyed on
+        // (band_no, band_val), pair cost is bounded by the cutoff —
+        // never corpus².
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val ah = graft.operators.Multimodal
+          .imageAhash(bmpPayloads(docs), "doc_id", "payload", nBits = 48)
+          .select("doc_id", "ahash")
+        val banded = ah.select(col("doc_id"), col("ahash"),
+          explode(expr(
+            """transform(sequence(0, 2), b ->
+                 named_struct('band_no', b, 'band_val', shiftright(ahash, b * 16) & 65535))"""))
+            .as("bv"))
+          .select(col("doc_id"), col("ahash"),
+            col("bv.band_no").as("band_no"), col("bv.band_val").as("band_val"))
+        val hot = banded.groupBy("band_no", "band_val")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 25)
+          .select("band_no", "band_val")
+        val cold = banded.join(broadcast(hot), Seq("band_no", "band_val"), "left_anti")
+        val a = cold.select(col("doc_id").as("doc_a"), col("ahash").as("ah_a"),
+          col("band_no"), col("band_val"))
+        val b = cold.select(col("doc_id").as("doc_b"), col("ahash").as("ah_b"),
+          col("band_no"), col("band_val"))
+        a.join(b, Seq("band_no", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "ah_a", "ah_b").distinct()
+          .selectExpr("doc_a", "doc_b",
+            "cast(bit_count(ah_a ^ ah_b) as integer) as hamming")
+          .filter(col("hamming") <= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n, $duckBytes AS vals
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(0, 48), i ->
+                   CASE WHEN i < n THEN vals[CAST(i + 1 AS INTEGER)] ELSE 0 END) AS gs
+          FROM b),
+        m AS (SELECT doc_id, gs, list_sum(gs) // 48 AS mean FROM g),
+        ah AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 48), i ->
+                   CASE WHEN gs[CAST(i + 1 AS INTEGER)] > mean
+                        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+                   AS BIGINT) AS ahash
+          FROM m),
+        bk AS (
+          SELECT doc_id, ahash, band_no,
+                 (ahash >> CAST(band_no * 16 AS INTEGER)) & 65535 AS band_val
+          FROM ah, (SELECT unnest(range(0, 3)) AS band_no)),
+        hot AS (
+          SELECT band_no, band_val FROM (
+            SELECT band_no, band_val, COUNT(1) AS c FROM bk GROUP BY 1, 2)
+          WHERE c > 25),
+        cold AS (
+          SELECT bk.* FROM bk LEFT JOIN hot USING (band_no, band_val)
+          WHERE hot.band_no IS NULL),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.ahash AS ah_a, b.ahash AS ah_b
+          FROM cold a JOIN cold b
+            ON a.band_no = b.band_no AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ah_a, ah_b)) AS INTEGER) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(ah_a, ah_b)) <= 2
+        ORDER BY doc_a, doc_b"""),
+      "Image near-dup screen: 48-bit perceptual aHash banded 3 x 16 bits " +
+        "(pigeonhole recall for Hamming <= 2), degenerate template buckets " +
+        "cut by a broadcast anti-join (the stop-shingle discipline applied " +
+        "to LSH buckets), candidates verified by exact bit_count — the " +
+        "multimodal twin of the token-simhash band screen.")
   )
 }

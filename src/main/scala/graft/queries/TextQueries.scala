@@ -4419,7 +4419,63 @@ object TextQueries {
       "Join-key skew audit: per-key counts, p99/max, and the exact hash-bucket " +
         "imbalance the key produces at 32 partitions (cross-engine md5 buckets) " +
         "— the pre-flight measurement that decides whether a shuffle needs " +
-        "q46's salting before it launches; keys-sized frames only.")
+        "q46's salting before it launches; keys-sized frames only."),
+
+    // ---------------------------------------------------------------- q173
+    Q(
+      "q173_dup_calibration",
+      (s, dir) => {
+        // Cross-signal calibration: does the cheap quality signal (q29's
+        // stopword density) PREDICT expensive-to-compute duplication?
+        // Binned reliability curve — stop_ratio deciles vs the fraction
+        // of each bin's docs that are verified near-dup members. If the
+        // curve is flat the cheap gate can't pre-filter for the dedup
+        // pass; if it slopes, low-stopword docs (tag soup, boilerplate)
+        // are where duplication concentrates and the pipeline can run
+        // quality BEFORE dedup and shrink the LSH input. Scale: the
+        // member set is pair-front-sized and distinct-aggregated; the
+        // corpus side is one map pass + a doc_id-keyed left join + a
+        // 10-row bin aggregate.
+        val dup = verifiedNearDupPairs(s, dir)
+        val members = dup.select(col("id_a").as("doc_id"))
+          .union(dup.select(col("id_b").as("doc_id")))
+          .distinct().withColumn("isdup", lit(1))
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("stop_ratio", expr(
+            "cast(size(filter(toks, x -> x in ('the','a','of','and','to'))) as double) / size(toks)"))
+          .withColumn("bin", expr("cast(least(9, floor(stop_ratio * 10)) as int)"))
+          .select("doc_id", "bin")
+          .join(members, Seq("doc_id"), "left")
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("isdup"), lit(0))).as("n_dup"))
+          .selectExpr("bin", "n_docs", "cast(n_dup as bigint) as n_dup",
+            "round(cast(n_dup as double) / cast(n_docs as double), 6) as dup_rate")
+          .orderBy("bin")
+      },
+      Some(s"""
+        WITH $duckVerifiedPairs,
+        members AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM ver UNION ALL SELECT id_b FROM ver)),
+        d AS (
+          SELECT doc_id,
+                 CAST(least(9, floor(
+                   CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) * 10)) AS INTEGER) AS bin
+          FROM documents)
+        SELECT d.bin, COUNT(1) AS n_docs,
+               CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               round(CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(1) AS DOUBLE), 6) AS dup_rate
+        FROM d LEFT JOIN members m USING (doc_id)
+        GROUP BY d.bin ORDER BY d.bin"""),
+      "Calibration of the cheap quality gate against expensive dedup truth: " +
+        "stopword-density deciles vs verified near-dup membership rate — " +
+        "decides whether quality can pre-filter the LSH input; one map pass, " +
+        "doc-keyed left join, 10-row aggregate.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

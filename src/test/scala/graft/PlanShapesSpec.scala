@@ -355,6 +355,35 @@ class PlanShapesSpec extends AnyFunSuite {
       s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
   }
 
+  test("q170 2-core peeling rounds plan as semi-joins, not inner re-joins") {
+    // each peel round must restrict edges via LeftSemi against the alive
+    // set: an inner join would duplicate edges per matching alive row
+    val p = plan("q170_dup_kcore")
+    assert(p.contains("LeftSemi"), s"no semi-join in the peeling rounds:\n$p")
+  }
+
+  test("q172 image near-dup cuts hot buckets via broadcast anti-join") {
+    // the stop-bucket cutoff must ride a broadcast anti-join (hot set is
+    // tiny by construction); the candidate self-join stays an equi-join
+    // on (band_no, band_val) — never a forced broadcast of the corpus side
+    val p = plan("q172_image_neardup")
+    assert(p.contains("LeftAnti"), s"no anti-join hot-bucket cutoff:\n$p")
+    val antiIsBroadcast = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(antiIsBroadcast, s"hot-bucket anti-join is not broadcast:\n$p")
+  }
+
+  test("q167 sketch pair matrix runs over aggregated frames, corpus never pairwise") {
+    // the inequality pair join must be a BroadcastNestedLoopJoin over the
+    // per-source sketch AGGREGATE (sources-sized), with the corpus touched
+    // only below aggregates; partial+final hll_sketch_agg proves map-side
+    // sketch combining
+    val p = plan("q167_hll_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pair matrix should be a tiny-frame BNLJ:\n$p")
+    assert(p.contains("hll_sketch_agg"), s"no HLL partial aggregate:\n$p")
+  }
+
   test("bi5 scan prunes columns and pushes ticker/ts filters") {
     val fixtures = "/root/reference/spark-2.4/src/test/resources"
     val df = spark.read.format("bi5").option("digits", 5).load(s"$fixtures/EURUSD")
