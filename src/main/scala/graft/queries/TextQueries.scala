@@ -3070,6 +3070,16 @@ object TextQueries {
         val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
           .filter(col("df") <= 20)
         val nd = table(s, dir, "documents").agg(count(lit(1)).as("nd"))
+        // The weight frame feeds FOUR consumers (both self-join sides +
+        // both norm joins) and is RECOMPUTED for each — deliberately: the
+        // pipeline is one columnar scan + two combinable aggregates, and
+        // the four replicas run concurrently across the cores, while a
+        // localCheckpoint of this corpus-sized frame was MEASURED SLOWER
+        // (4.2 s -> 7.0 s at sf0.1) — block serialization of ~1M
+        // (doc, shingle, weight) rows costs more than re-deriving them.
+        // Materialize-vs-recompute is frame-size-dependent: tiny fronts
+        // (q170's verified pairs) checkpoint, corpus-scale intermediates
+        // recompute.
         val w = tf.join(dfc, Seq("tok")).crossJoin(broadcast(nd))
           .withColumn("w", expr(
             "cast(tf as double) * ln(cast(nd as double) / cast(df as double))"))
@@ -4323,22 +4333,16 @@ object TextQueries {
         // pendant edges (one-off near-matches) peel away, dense template
         // families survive; it's the graph-shape complement of q151's
         // triangle census and q122's centrality over the same verified-
-        // pairs front. Scale: each round is one degree aggregate + two
-        // semi-joins, all edge-keyed shuffles; no round materializes
-        // anything driver-side.
-        var edges = verifiedNearDupPairs(s, dir).select("id_a", "id_b")
-        def degrees(e: org.apache.spark.sql.DataFrame) =
-          e.select(col("id_a").as("v"))
-            .union(e.select(col("id_b").as("v")))
-            .groupBy("v").agg(count(lit(1)).as("deg"))
-        for (_ <- 1 to 3) {
-          val alive = degrees(edges).filter(col("deg") >= 2).select("v")
-          edges = edges
-            .join(alive, edges("id_a") === alive("v"), "left_semi")
-          edges = edges
-            .join(alive, edges("id_b") === alive("v"), "left_semi")
-        }
-        degrees(edges)
+        // pairs front. Scale: the DupGraph operator checkpoints the
+        // verified front once (every round's degree pass and semi-join
+        // probes re-read it; without that the LSH-candidate +
+        // Jaccard-verify pipeline re-executes O(rounds²) times — measured
+        // 14 s -> 2.2 s at sf0.1), then each round is one degree
+        // aggregate + two semi-joins, all edge-keyed shuffles; nothing
+        // driver-side.
+        graft.operators.DupGraph
+          .kcore(verifiedNearDupPairs(s, dir).select("id_a", "id_b"),
+            minDeg = 2, rounds = 3)
           .select(col("v").as("doc_id"), col("deg"))
           .orderBy("doc_id")
       },
@@ -4476,6 +4480,117 @@ object TextQueries {
         "stopword-density deciles vs verified near-dup membership rate — " +
         "decides whether quality can pre-filter the LSH input; one map pass, " +
         "doc-keyed left join, 10-row aggregate.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q174
+    Q(
+      "q174_dedup_cascade",
+      (s, dir) => {
+        // The dedup PORTFOLIO audit: run the three production families in
+        // escalating-cost order — exact content hash, MinHash-LSH verified
+        // Jaccard, simhash band Hamming — and report what each stage flags
+        // and what it flags that NO cheaper stage already caught
+        // (first_flag attribution). n_new is the number that justifies
+        // each stage's cost: a stage whose n_new is ~0 on a corpus profile
+        // can be dropped from that pipeline. Flag convention is uniform:
+        // a doc is flagged when it has a LOWER-id twin under that family
+        // (keep-lowest canonical election). Scale: each family is its
+        // already-audited shape (one hash shuffle; bucketed LSH + verify;
+        // banded fingerprint join); attribution is a flags-sized union +
+        // one doc_id aggregate; output is 3 rows.
+        val docs = table(s, dir, "documents")
+        val exact = docs.selectExpr("doc_id", "md5(text) as h")
+          .withColumn("canon", min("doc_id").over(Window.partitionBy("h")))
+          .filter(col("doc_id") =!= col("canon"))
+          .select("doc_id")
+        val mh = verifiedNearDupPairs(s, dir)
+          .select(col("id_b").as("doc_id")).distinct()
+        val sigs = simhashSigs(s, dir)
+          .selectExpr("doc_id", "simhash_bits(hs, 48) as sh")
+        val banded = sigs.select(col("doc_id"), col("sh"),
+          explode(expr(
+            """transform(sequence(0, 3), b ->
+                 named_struct('band_no', b, 'band_val', shiftright(sh, b * 12) & 4095))"""))
+            .as("bv"))
+          .select(col("doc_id"), col("sh"),
+            col("bv.band_no").as("band_no"), col("bv.band_val").as("band_val"))
+        val sh3 = banded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+            col("band_no"), col("band_val"))
+          .join(banded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+            col("band_no"), col("band_val")), Seq("band_no", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+          .filter(expr("bit_count(sh_a ^ sh_b) <= 3"))
+          .select(col("doc_b").as("doc_id")).distinct()
+        val flags =
+          exact.withColumn("stage", lit("1_exact"))
+            .union(mh.withColumn("stage", lit("2_minhash")))
+            .union(sh3.withColumn("stage", lit("3_simhash")))
+        val perStage = flags.groupBy("stage").agg(count(lit(1)).as("n_flagged"))
+        val firstFlag = flags.groupBy("doc_id").agg(min("stage").as("stage"))
+          .groupBy("stage").agg(count(lit(1)).as("n_new"))
+        // a stage that flags NOTHING must still report its zero — that
+        // absence ("this family catches nothing here") is the result
+        val stages = s.range(1)
+          .selectExpr("explode(array('1_exact','2_minhash','3_simhash')) as stage")
+        stages.join(perStage, Seq("stage"), "left")
+          .join(firstFlag, Seq("stage"), "left")
+          .selectExpr("stage",
+            "cast(coalesce(n_flagged, 0) as bigint) as n_flagged",
+            "cast(coalesce(n_new, 0) as bigint) as n_new")
+          .orderBy("stage")
+      },
+      Some {
+        val hl = s"list_transform(toks, s -> ${duckMd5long("s")})"
+        s"""
+        WITH $duckVerifiedPairs,
+        ex AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+            FROM documents)
+          WHERE doc_id != canon),
+        mh AS (SELECT DISTINCT id_b AS doc_id FROM ver),
+        sd AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE len(string_split(text, ' ')) >= 1),
+        sig AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 48), j ->
+                   CASE WHEN 2 * len(list_filter($hl, h -> ((h >> j) & 1) = 1)) >= len(toks)
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS sh
+          FROM sd),
+        bk AS (
+          SELECT doc_id, sh, band_no,
+                 (sh >> CAST(band_no * 12 AS INTEGER)) & 4095 AS band_val
+          FROM sig, (SELECT unnest(range(0, 4)) AS band_no)),
+        sp AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.sh AS sh_a, b.sh AS sh_b
+          FROM bk a JOIN bk b
+            ON a.band_no = b.band_no AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id),
+        s3 AS (
+          SELECT DISTINCT doc_b AS doc_id FROM sp
+          WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+        flags AS (
+          SELECT '1_exact' AS stage, doc_id FROM ex
+          UNION ALL SELECT '2_minhash', doc_id FROM mh
+          UNION ALL SELECT '3_simhash', doc_id FROM s3),
+        per AS (SELECT stage, COUNT(1) AS n_flagged FROM flags GROUP BY stage),
+        ff AS (SELECT doc_id, MIN(stage) AS stage FROM flags GROUP BY doc_id),
+        nw AS (SELECT stage, COUNT(1) AS n_new FROM ff GROUP BY stage),
+        st AS (SELECT unnest(['1_exact', '2_minhash', '3_simhash']) AS stage)
+        SELECT st.stage,
+               CAST(COALESCE(per.n_flagged, 0) AS BIGINT) AS n_flagged,
+               CAST(COALESCE(nw.n_new, 0) AS BIGINT) AS n_new
+        FROM st LEFT JOIN per USING (stage) LEFT JOIN nw USING (stage)
+        ORDER BY st.stage"""
+      },
+      "Dedup portfolio audit: exact hash, MinHash-LSH verified, simhash band " +
+        "stages in escalating-cost order with first-flag attribution — n_new " +
+        "is each stage's marginal catch beyond all cheaper stages, the number " +
+        "that justifies (or retires) its cost on a corpus profile; three " +
+        "already-audited family shapes + one flags-sized attribution aggregate.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

@@ -2009,6 +2009,139 @@ object VectorQueries {
         "per-subspace MSE before/after — the training round that closes " +
         "the fixed-seed recall gap q165 exposes; 256-group update, " +
         "nothing corpus-sized beyond two keyed aggregates.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q175
+    Q(
+      "q175_mmr_rerank",
+      (s, dir) => {
+        // DIVERSIFIED retrieval: maximal marginal relevance re-ranking of
+        // the cosine top-8 — greedy selection of 3 results maximizing
+        // lambda*rel - (1-lambda)*max_sim_to_already_selected (lambda
+        // 0.7). Pure relevance ranking (q33) returns redundant
+        // near-duplicates of the same hit; MMR is the standard fix for
+        // retrieval-augmented pipelines that pay per-token for context.
+        // The greedy argmax is inherently sequential in k, so it unrolls
+        // as k=3 FIXED selection rounds — identical unrolled arithmetic
+        // in both engines. Scale: candidate generation is the constant-
+        // probe q33 posture (one corpus scan against broadcast probes);
+        // every MMR round then operates on the (probes x 8) candidate
+        // frame and its (probes x 8 x 8) pairwise-sim frame — bounded by
+        // the probe set, never corpus-sized; selection argmax is a
+        // partitioned (per-pid) window.
+        graft.functions.VectorExpressions.register(s)
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val wn = e.selectExpr("vec_id", "embedding",
+          s"${sparkDot("embedding", "embedding")} as n2")
+        val probes = wn.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("n2").as("pn2"))
+        val cand = wn
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+          .join(broadcast(probes), col("cid") =!= col("pid"))
+          .selectExpr("pid", "cid", "ce", "cn2",
+            s"${sparkDot("pe", "ce")} / (sqrt(pn2) * sqrt(cn2)) as rel")
+          .withColumn("rk",
+            expr("row_number() over (partition by pid order by rel desc, cid asc)"))
+          .filter(col("rk") <= 8)
+          .select("pid", "cid", "ce", "cn2", "rel")
+        val sims = cand.select(col("pid"), col("cid"), col("ce"), col("cn2"))
+          .join(
+            cand.select(col("pid"), col("cid").as("ocid"),
+              col("ce").as("oce"), col("cn2").as("ocn2")),
+            Seq("pid"))
+          .filter(col("cid") =!= col("ocid"))
+          .selectExpr("pid", "cid", "ocid",
+            s"${sparkDot("ce", "oce")} / (sqrt(cn2) * sqrt(ocn2)) as sim")
+        val s1 = cand
+          .withColumn("rk",
+            expr("row_number() over (partition by pid order by rel desc, cid asc)"))
+          .filter(col("rk") === 1)
+          .select(col("pid"), col("cid").as("s1"), col("rel").as("rel1"))
+        val sc2 = cand.join(s1, Seq("pid")).filter(col("cid") =!= col("s1"))
+          .join(sims.select(col("pid"), col("cid"),
+            col("ocid").as("s1"), col("sim").as("sim1")), Seq("pid", "cid", "s1"))
+          .withColumn("score",
+            expr("cast(0.7 as double) * rel - cast(0.3 as double) * sim1"))
+        val s2 = sc2
+          .withColumn("rk",
+            expr("row_number() over (partition by pid order by score desc, cid asc)"))
+          .filter(col("rk") === 1)
+          .select(col("pid"), col("cid").as("s2"), col("score").as("score2"))
+        val sc3 = sc2.select("pid", "cid", "rel", "sim1")
+          .join(s2.select("pid", "s2"), Seq("pid")).filter(col("cid") =!= col("s2"))
+          .join(sims.select(col("pid"), col("cid"),
+            col("ocid").as("s2"), col("sim").as("sim2")), Seq("pid", "cid", "s2"))
+          .withColumn("score",
+            expr("cast(0.7 as double) * rel - cast(0.3 as double) * greatest(sim1, sim2)"))
+        val s3 = sc3
+          .withColumn("rk",
+            expr("row_number() over (partition by pid order by score desc, cid asc)"))
+          .filter(col("rk") === 1)
+          .select(col("pid"), col("cid").as("s3"), col("score").as("score3"))
+        s1.selectExpr("pid", "cast(1 as int) as sel_rank", "s1 as cid",
+            "round(cast(0.7 as double) * rel1, 6) as mmr_score")
+          .union(s2.selectExpr("pid", "cast(2 as int) as sel_rank", "s2 as cid",
+            "round(score2, 6) as mmr_score"))
+          .union(s3.selectExpr("pid", "cast(3 as int) as sel_rank", "s3 as cid",
+            "round(score3, 6) as mmr_score"))
+          .orderBy("pid", "sel_rank")
+      },
+      Some(s"""
+        WITH wn AS (
+          SELECT vec_id, embedding, ${duckDot("embedding", "embedding")} AS n2
+          FROM embeddings),
+        pr AS (SELECT vec_id AS pid, embedding AS pe, n2 AS pn2 FROM wn WHERE vec_id < 10),
+        cd AS (
+          SELECT pid, cid, ce, cn2, rel FROM (
+            SELECT p.pid, c.vec_id AS cid, c.embedding AS ce, c.n2 AS cn2,
+                   ${duckDot("p.pe", "c.embedding")} / (SQRT(p.pn2) * SQRT(c.n2)) AS rel,
+                   row_number() OVER (PARTITION BY p.pid
+                     ORDER BY ${duckDot("p.pe", "c.embedding")}
+                                / (SQRT(p.pn2) * SQRT(c.n2)) DESC, c.vec_id ASC) AS rk
+            FROM pr p JOIN wn c ON c.vec_id <> p.pid)
+          WHERE rk <= 8),
+        sims AS (
+          SELECT a.pid, a.cid, b.cid AS ocid,
+                 ${duckDot("a.ce", "b.ce")} / (SQRT(a.cn2) * SQRT(b.cn2)) AS sim
+          FROM cd a JOIN cd b ON a.pid = b.pid AND a.cid <> b.cid),
+        s1 AS (
+          SELECT pid, cid AS s1, rel AS rel1 FROM (
+            SELECT pid, cid, rel,
+                   row_number() OVER (PARTITION BY pid ORDER BY rel DESC, cid ASC) AS rk
+            FROM cd) WHERE rk = 1),
+        sc2 AS (
+          SELECT c.pid, c.cid, c.rel, sm.sim AS sim1,
+                 CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * sm.sim AS score
+          FROM cd c
+          JOIN s1 ON c.pid = s1.pid AND c.cid <> s1.s1
+          JOIN sims sm ON sm.pid = c.pid AND sm.cid = c.cid AND sm.ocid = s1.s1),
+        s2 AS (
+          SELECT pid, cid AS s2, score AS score2 FROM (
+            SELECT pid, cid, score,
+                   row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid ASC) AS rk
+            FROM sc2) WHERE rk = 1),
+        sc3 AS (
+          SELECT c.pid, c.cid,
+                 CAST(0.7 AS DOUBLE) * c.rel
+                   - CAST(0.3 AS DOUBLE) * greatest(c.sim1, sm.sim) AS score
+          FROM sc2 c
+          JOIN s2 ON c.pid = s2.pid AND c.cid <> s2.s2
+          JOIN sims sm ON sm.pid = c.pid AND sm.cid = c.cid AND sm.ocid = s2.s2),
+        s3 AS (
+          SELECT pid, cid AS s3, score AS score3 FROM (
+            SELECT pid, cid, score,
+                   row_number() OVER (PARTITION BY pid ORDER BY score DESC, cid ASC) AS rk
+            FROM sc3) WHERE rk = 1)
+        SELECT pid, CAST(1 AS INTEGER) AS sel_rank, s1 AS cid,
+               round(CAST(0.7 AS DOUBLE) * rel1, 6) AS mmr_score FROM s1
+        UNION ALL SELECT pid, 2, s2, round(score2, 6) FROM s2
+        UNION ALL SELECT pid, 3, s3, round(score3, 6) FROM s3
+        ORDER BY pid, sel_rank"""),
+      "Diversified retrieval: MMR greedy top-3 over the cosine top-8 " +
+        "(lambda 0.7), unrolled as 3 fixed selection rounds — constant-probe " +
+        "candidate generation (one corpus scan vs broadcast probes), then " +
+        "probe-bounded candidate/pair frames and per-pid argmax windows; " +
+        "the redundancy fix for RAG context assembly.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
