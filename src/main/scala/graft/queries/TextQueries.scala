@@ -4590,7 +4590,105 @@ object TextQueries {
         "stages in escalating-cost order with first-flag attribution — n_new " +
         "is each stage's marginal catch beyond all cheaper stages, the number " +
         "that justifies (or retires) its cost on a corpus profile; three " +
-        "already-audited family shapes + one flags-sized attribution aggregate.")
+        "already-audited family shapes + one flags-sized attribution aggregate."),
+
+    // ---------------------------------------------------------------- q176
+    Q(
+      "q176_gopher_rules",
+      (s, dir) => {
+        // Gopher-style quality RULE PANEL: five named per-doc filters in
+        // fixed escalating order — word-count bounds, mean-word-length
+        // band, minimum stopword evidence, no 3-token repetition run
+        // (native max_token_run, one compiled loop), and lexical
+        // diversity — each reported as its own boolean plus a pass_all
+        // verdict and FIRST_FAIL attribution (which rule would drop the
+        // doc, in rule order). This is the rule-level report a filtering
+        // pipeline tunes on: per-rule fail counts tell you which
+        // thresholds bite, first_fail tells you which rule does the
+        // dropping once cheaper rules already fired (q174's attribution
+        // discipline applied to quality filters). Scale: map-only — one
+        // projection pass, no shuffle but the final presentation sort;
+        // thresholds calibrated non-degenerate on the test corpus (every
+        // rule both passes and fails real docs).
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("avg_token_len",
+            graft.operators.TextSignals.avgTokenLen(col("text"), col("n_tokens")))
+          .withColumn("n_stop",
+            expr("size(filter(toks, x -> x in ('the', 'a', 'of', 'and', 'to')))"))
+          // capped at 3: the rule only needs "a 3-run exists"; the cap is
+          // what keeps the DuckDB twin a per-position lookback instead of
+          // a window chain (q132 carries the uncapped spelling)
+          .withColumn("run_cap3",
+            expr("cast(least(max_token_run(toks).max_run, 3) as bigint)"))
+          .withColumn("diversity",
+            expr("cast(size(array_distinct(toks)) as double) / n_tokens"))
+          .withColumn("r1_wordcount", col("n_tokens").between(20, 90))
+          .withColumn("r2_meanlen", col("avg_token_len").between(4.0, 4.6))
+          .withColumn("r3_stopwords", col("n_stop") >= 3)
+          .withColumn("r4_norun", col("run_cap3") <= 2)
+          .withColumn("r5_diversity", col("diversity") >= 0.35)
+          .withColumn("pass_all",
+            col("r1_wordcount") && col("r2_meanlen") && col("r3_stopwords")
+              && col("r4_norun") && col("r5_diversity"))
+          .withColumn("first_fail", expr(
+            """case when not r1_wordcount then 'r1_wordcount'
+                    when not r2_meanlen then 'r2_meanlen'
+                    when not r3_stopwords then 'r3_stopwords'
+                    when not r4_norun then 'r4_norun'
+                    when not r5_diversity then 'r5_diversity'
+                    else 'none' end"""))
+          .select("doc_id", "n_tokens", "avg_token_len", "n_stop", "run_cap3",
+            "diversity", "r1_wordcount", "r2_meanlen", "r3_stopwords",
+            "r4_norun", "r5_diversity", "pass_all", "first_fail")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        sig AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len,
+                 len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 CAST(list_max(list_prepend(1, list_transform(range(1, len(toks) + 1), i ->
+                   CASE WHEN i >= 3
+                          AND toks[CAST(i AS INTEGER)] = toks[CAST(i - 1 AS INTEGER)]
+                          AND toks[CAST(i - 1 AS INTEGER)] = toks[CAST(i - 2 AS INTEGER)]
+                        THEN 3
+                        WHEN i >= 2
+                          AND toks[CAST(i AS INTEGER)] = toks[CAST(i - 1 AS INTEGER)]
+                        THEN 2 ELSE 1 END))) AS BIGINT) AS run_floor,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity
+          FROM d),
+        r AS (
+          SELECT doc_id, n_tokens, avg_token_len, n_stop,
+                 run_floor AS run_cap3, diversity,
+                 n_tokens BETWEEN 20 AND 90 AS r1_wordcount,
+                 avg_token_len BETWEEN 4.0 AND 4.6 AS r2_meanlen,
+                 n_stop >= 3 AS r3_stopwords,
+                 run_floor <= 2 AS r4_norun,
+                 diversity >= 0.35 AS r5_diversity
+          FROM sig)
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, avg_token_len,
+               CAST(n_stop AS INTEGER) AS n_stop, run_cap3, diversity,
+               r1_wordcount, r2_meanlen, r3_stopwords, r4_norun, r5_diversity,
+               r1_wordcount AND r2_meanlen AND r3_stopwords AND r4_norun
+                 AND r5_diversity AS pass_all,
+               CASE WHEN NOT r1_wordcount THEN 'r1_wordcount'
+                    WHEN NOT r2_meanlen THEN 'r2_meanlen'
+                    WHEN NOT r3_stopwords THEN 'r3_stopwords'
+                    WHEN NOT r4_norun THEN 'r4_norun'
+                    WHEN NOT r5_diversity THEN 'r5_diversity'
+                    ELSE 'none' END AS first_fail
+        FROM r
+        ORDER BY doc_id"""),
+      "Gopher-style quality rule panel: five named per-doc filters (count " +
+        "bounds, mean-word-length band, stopword evidence, no 3-token run " +
+        "via the native max_token_run loop, lexical diversity) with a " +
+        "pass_all verdict and first-fail attribution in fixed rule order — " +
+        "map-only, the tuning report for a filtering pipeline.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
