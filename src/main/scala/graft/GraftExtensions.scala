@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TokenEntropy].getName, "token_entropy"),
       TextExpressions.tokenEntropyBuilder))
     ext.injectFunction((
+      FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[graft.functions.CdcCuts].getName, "cdc_cuts"),
+      TextExpressions.cdcCutsBuilder))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => graft.functions.BloomMightContain(exprs(0), exprs(1))))

@@ -420,6 +420,84 @@ object TokenEntropy {
   }
 }
 
+/**
+ * Native content-defined-chunking boundary scan: `cdc_cuts(text, w, divisor)`
+ * returns the `array<int>` of 1-indexed byte positions `i` (`w <= i <= n`)
+ * where the Rabin-Karp window hash of the last `w` bytes,
+ * `h_i = sum_{j=0..w-1} byte[i-j] * 31^j`, satisfies `h_i % divisor == 0` —
+ * the FastCDC-family cut rule with expected chunk length ~`divisor` bytes.
+ * Content-defined cuts re-synchronize after an insertion/edit, so chunk-level
+ * dedup catches shared substrings that fixed-size blocks would misalign
+ * (the storage-dedup trick applied to corpus text).
+ *
+ * Why a custom Catalyst Expression: the per-position spelling re-sums the
+ * w-byte window at every position (O(n*w) interpreted lambdas); this is ONE
+ * compiled rolling pass (`h = 31*h - byte[i-w]*31^w + byte[i]`, exact in a
+ * long: max h = 255*(31^8-1)/30 ~ 7.3e12) emitted as a single static call,
+ * keeping whole-stage codegen intact. The per-position recompute survives as
+ * the DuckDB oracle and the spec cross-check.
+ *
+ * Positions are BYTE offsets of the UTF8 encoding; on the pure-ASCII test
+ * corpus byte == character, which is what keeps the DuckDB twin
+ * (`unicode(substr(text, i, 1))`) identical. Null text yields null; text
+ * shorter than `w` yields an empty array (no window fits).
+ */
+case class CdcCuts(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+
+  require(window >= 1 && window <= 64, s"cdc_cuts window ($window) must be in [1, 64]")
+  require(divisor >= 2, s"cdc_cuts divisor ($divisor) must be >= 2")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cdc_cuts expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcCuts.scan(input.asInstanceOf[UTF8String], window, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcCuts.scan($c, $window, $divisor)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCuts =
+    copy(child = newChild)
+}
+
+object CdcCuts {
+
+  /** One rolling pass over the text bytes; exact long arithmetic.
+    * Called from both interpreted eval and generated code. */
+  def scan(text: UTF8String, w: Int, divisor: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    // 31^j coefficients; topPow = 31^w for the aging-out term
+    var topPow = 1L
+    var j = 0
+    while (j < w) { topPow *= 31L; j += 1 }
+    val out = new java.util.ArrayList[Any]()
+    // seed h with the first window: h = sum byte[w-1-j]*31^j (newest coeff 1)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    if (h % divisor == 0) out.add(w)
+    i = w
+    while (i < n) {
+      h = 31L * h - (bytes(i - w) & 0xffL) * topPow + (bytes(i) & 0xffL)
+      if (h % divisor == 0) out.add(i + 1)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object TextExpressions {
 
   /** Shared expression builder (used by both the imperative register and the
@@ -476,6 +554,19 @@ object TextExpressions {
     TokenEntropy(exprs(0))
   }
 
+  /** Shared builder for `cdc_cuts` (text + foldable window + divisor). */
+  val cdcCutsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, s"cdc_cuts expects 3 arguments, got ${exprs.length}")
+    def foldInt(e: Expression, what: String): Int = e.eval(null) match {
+      case i: Int  => i
+      case l: Long => math.toIntExact(l)
+      case other =>
+        throw new IllegalArgumentException(
+          s"cdc_cuts $what must be a foldable integer, got $other")
+    }
+    CdcCuts(exprs(0), foldInt(exprs(1), "window"), foldInt(exprs(2), "divisor"))
+  }
+
   /** Register `word_ngrams` + `word_ngram_hash48` + `simhash_bits` +
     * `max_token_run` in the session's function registry (idempotent,
     * skip-if-present), so they are usable from selectExpr / spark.sql. */
@@ -501,6 +592,10 @@ object TextExpressions {
     val idE = org.apache.spark.sql.catalyst.FunctionIdentifier("token_entropy")
     if (!reg.functionExists(idE)) {
       reg.createOrReplaceTempFunction("token_entropy", tokenEntropyBuilder, "built-in")
+    }
+    val idC = org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_cuts")
+    if (!reg.functionExists(idC)) {
+      reg.createOrReplaceTempFunction("cdc_cuts", cdcCutsBuilder, "built-in")
     }
   }
 }

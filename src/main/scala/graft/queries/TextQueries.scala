@@ -4688,7 +4688,103 @@ object TextQueries {
         "bounds, mean-word-length band, stopword evidence, no 3-token run " +
         "via the native max_token_run loop, lexical diversity) with a " +
         "pass_all verdict and first-fail attribution in fixed rule order — " +
-        "map-only, the tuning report for a filtering pipeline.")
+        "map-only, the tuning report for a filtering pipeline."),
+
+    // ---------------------------------------------------------------- q177
+    Q(
+      "q177_cdc_chunks",
+      (s, dir) => {
+        // Content-defined chunking + chunk-level dedup — the storage-dedup
+        // trick applied to corpus text: cut each document where the
+        // native cdc_cuts rolling Rabin-Karp window hash (w=8, divisor 64,
+        // ~64-byte expected chunks) hits a boundary, so cut points depend
+        // only on LOCAL content and re-synchronize after an edit — shared
+        // substrings between near-dup docs land in byte-identical chunks
+        // that fixed-size blocks would misalign. Each doc reports its
+        // chunk census and what fraction of its bytes live in chunks that
+        // also appear in ANOTHER doc (md5 chunk identity). Scale: the cut
+        // scan is one compiled map-only pass (O(n) rolling, not O(n*w));
+        // the chunk-store spread count is one hash shuffle on the chunk
+        // md5 (the CDC dedup shuffle), the rollup one doc_id shuffle.
+        // Pure content-defined cuts (no min/max clamp): every boundary is
+        // position-independent, which is also what keeps the per-position
+        // recompute oracle-able.
+        val docs = table(s, dir, "documents")
+        val ch = docs
+          .withColumn("n", length(col("text")))
+          .withColumn("cuts", expr("cdc_cuts(text, 8, 64)"))
+          .withColumn("starts", expr("concat(array(1), transform(cuts, x -> x + 1))"))
+          .withColumn("ends", expr("concat(cuts, array(n))"))
+          .withColumn("chunks", expr(
+            """filter(transform(sequence(1, size(starts)), k ->
+                 substring(text, element_at(starts, k),
+                   element_at(ends, k) - element_at(starts, k) + 1)),
+               c -> length(c) > 0)"""))
+          .select(col("doc_id"), explode(col("chunks")).as("ctext"))
+          .withColumn("clen", length(col("ctext")))
+          .withColumn("h", md5(col("ctext")))
+        val spread = ch.groupBy("h")
+          .agg(countDistinct("doc_id").as("nd"))
+        ch.join(spread, Seq("h"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum("clen").as("chunk_bytes"),
+            sum(when(col("nd") >= 2, 1).otherwise(0)).as("n_shared_chunks"),
+            sum(when(col("nd") >= 2, col("clen")).otherwise(0)).as("shared_bytes"))
+          .withColumn("mean_chunk_len",
+            col("chunk_bytes").cast("double") / col("n_chunks"))
+          .withColumn("shared_frac",
+            col("shared_bytes").cast("double") / col("chunk_bytes"))
+          .select("doc_id", "n_chunks", "chunk_bytes", "mean_chunk_len",
+            "n_shared_chunks", "shared_bytes", "shared_frac")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+        c AS (
+          SELECT doc_id, text, n,
+                 list_filter(range(8, n + 1), i ->
+                   (list_sum(list_transform(range(0, 8), j ->
+                      unicode(substr(text, CAST(i - j AS INTEGER), 1))
+                      * list_value(1, 31, 961, 29791, 923521, 28629151,
+                                   887503681, 27512614111)[CAST(j + 1 AS INTEGER)]))
+                    % 64) = 0) AS cuts
+          FROM d),
+        sp AS (
+          SELECT doc_id, text, n,
+                 list_prepend(1, list_transform(cuts, x -> x + 1)) AS starts,
+                 list_append(cuts, CAST(n AS BIGINT)) AS ends
+          FROM c),
+        ch AS (
+          SELECT doc_id, unnest(list_filter(
+                   list_transform(range(1, len(starts) + 1), k ->
+                     substr(text, CAST(starts[CAST(k AS INTEGER)] AS INTEGER),
+                            CAST(ends[CAST(k AS INTEGER)]
+                                 - starts[CAST(k AS INTEGER)] + 1 AS INTEGER))),
+                   s -> LENGTH(s) > 0)) AS ctext
+          FROM sp),
+        hh AS (
+          SELECT doc_id, LENGTH(ctext) AS clen, md5(ctext) AS h FROM ch),
+        spread AS (
+          SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hh GROUP BY h)
+        SELECT doc_id,
+               COUNT(1) AS n_chunks,
+               CAST(SUM(clen) AS BIGINT) AS chunk_bytes,
+               CAST(SUM(clen) AS DOUBLE) / COUNT(1) AS mean_chunk_len,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+               CAST(SUM(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS BIGINT) AS shared_bytes,
+               CAST(SUM(CASE WHEN nd >= 2 THEN clen ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(clen) AS BIGINT) AS shared_frac
+        FROM hh JOIN spread USING (h)
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "Content-defined chunking (native rolling Rabin-Karp cut scan, ~64-byte " +
+        "chunks) + chunk-level dedup: per-doc chunk census and the byte " +
+        "fraction living in chunks shared with other docs — boundaries " +
+        "re-synchronize across edits so near-dup docs share byte-identical " +
+        "chunks; one compiled map pass + one chunk-md5 shuffle.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

@@ -291,4 +291,67 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
     spark.conf.unset("spark.sql.codegen.factoryMode")
   }
+
+  test("cdc_cuts rolling pass equals the per-position window recompute on real text") {
+    // the O(n*w) recompute is the definitional spelling (and the shape the
+    // DuckDB oracle uses); the native rolling update must match it exactly
+    val perPosition =
+      """filter(transform(sequence(8, length(text)), i ->
+           case when aggregate(sequence(0, 7), cast(0 as bigint), (a, j) ->
+                  a + ascii(substring(text, i - j, 1))
+                      * element_at(array(1L, 31L, 961L, 29791L, 923521L,
+                                         28629151L, 887503681L, 27512614111L), j + 1))
+                  % 64 = 0
+                then i else -1 end),
+         p -> p >= 0)"""
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter("length(text) >= 8")
+    val diff = docs
+      .selectExpr("doc_id",
+        "cdc_cuts(text, 8, 64) as a",
+        s"cast($perPosition as array<int>) as b")
+      .filter("a != b")
+    assert(diff.count() === 0)
+  }
+
+  test("cdc_cuts edge cases, locality, and interpreted == codegen") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq("", "short", "exactly8", "x" * 200).map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      val got = df.selectExpr("cdc_cuts(text, 8, 64) as c").collect()
+      // shorter than the window -> no cut can exist
+      assert(got(0).getSeq[Int](0) === Seq.empty, s"mode=$codegen empty")
+      assert(got(1).getSeq[Int](0) === Seq.empty, s"mode=$codegen short")
+      // a window-sized input has exactly one candidate position (8)
+      assert(got(2).getSeq[Int](0).forall(_ == 8), s"mode=$codegen exactly8")
+      // constant text: every window hash is identical, so cuts are either
+      // every position >= 8 or none (here: 'x'*sum(31^j) % 64 decides once)
+      val xs = got(3).getSeq[Int](0)
+      assert(xs.isEmpty || xs === (8 to 200).toSeq, s"mode=$codegen constant")
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+
+    // LOCALITY (the content-defined property): editing a prefix shifts or
+    // changes cuts only until the window re-synchronizes — cuts strictly
+    // after the edit position + window relocate by exactly the length delta
+    val base = "the quick brown fox jumps over the lazy dog and then some more text here"
+    val edited = "X" + base // 1-char prefix insertion
+    val rows = spark.createDataFrame(
+      Seq(base, edited).map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .selectExpr("cdc_cuts(text, 8, 64) as c").collect()
+    val cutsBase = rows(0).getSeq[Int](0).toSet
+    val cutsEdited = rows(1).getSeq[Int](0).toSet
+    // every base cut beyond the resync horizon survives, shifted by +1
+    val resynced = cutsBase.filter(_ > 9).map(_ + 1)
+    assert(resynced.subsetOf(cutsEdited),
+      s"content-defined cuts did not re-synchronize: base=$cutsBase edited=$cutsEdited")
+  }
 }
