@@ -2011,5 +2011,143 @@ object CoreQueries {
         "statistics through GlobalRank's two-phase rank (bounded sorts, no " +
         "single-task window), clamped values aggregate via decimal-cast sums " +
         "— robust mean/sd a few extremes cannot drag.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q178
+    Q(
+      "q178_waiting_suppliers",
+      (s, dir) => {
+        // TPC-H Q21's shape (suppliers who kept orders waiting) on the
+        // driver tables: count, per supplier, the late lines (shipped >
+        // 365 days after order date) in multi-supplier orders where NO
+        // other supplier of the same order was late — the classic
+        // EXISTS + NOT-EXISTS-on-the-same-fact correlation, the hardest
+        // decorrelation pattern in the TPC-H suite. Spark-first spelling:
+        // the two correlated predicates become a left_semi and a
+        // left_anti self-join of lineitem on l_orderkey with a suppkey
+        // inequality — Catalyst plans both as shuffled hash/SMJ on the
+        // order key (the fact co-partitions once), and the supplier dim
+        // broadcasts. Scale: three equi-shuffles on l_orderkey, no
+        // correlated per-row subquery execution, dim joins broadcast.
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        val sup = table(s, dir, "supplier")
+        val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(expr("cast(l_shipdate as date) > date_add(cast(o_orderdate as date), 365)"))
+          .select("l_orderkey", "l_suppkey")
+        val l1 = late.alias("l1")
+        // EXISTS: another supplier has ANY line of the same order
+        val anyOther = li.select("l_orderkey", "l_suppkey").alias("l2")
+        val withOther = l1.join(anyOther,
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l2.l_suppkey"),
+          "left_semi")
+        // NOT EXISTS: no OTHER supplier of the order was late
+        val lateOther = late.alias("l3")
+        val sole = withOther.join(lateOther,
+          col("l1.l_orderkey") === col("l3.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("l3.l_suppkey"),
+          "left_anti")
+        sole.join(broadcast(sup), col("l1.l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""
+        SELECT s_name, CAST(COUNT(1) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 365
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND CAST(l3.l_shipdate AS DATE) > CAST(o3.o_orderdate AS DATE) + 365)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20"""),
+      "TPC-H Q21 shape: late lines in multi-supplier orders where no other " +
+        "supplier was late — EXISTS + NOT EXISTS on the same fact spelled as " +
+        "left_semi + left_anti self-joins on the order key (no per-row " +
+        "correlated execution), supplier dim broadcast, top-20 waiters."),
+
+    // ---------------------------------------------------------------- q179
+    Q(
+      "q179_min_cost_supplier",
+      (s, dir) => {
+        // TPC-H Q2's shape (minimum-cost supplier per part) with lineitem
+        // standing in for partsupp: a (part, supplier) unit cost is the
+        // minimum observed discounted price per unit, suppliers are
+        // restricted to one region, and each part keeps only the
+        // suppliers achieving the REGIONAL MINIMUM cost — the correlated
+        // scalar-subquery pattern. Spark-first spelling: decorrelate by
+        // hand into a per-part min aggregate joined back on (partkey,
+        // cost) — two shuffles on l_partkey, dims broadcast; the DuckDB
+        // oracle keeps the literal correlated subquery, so the oracle
+        // match PROVES the decorrelation is semantics-preserving. Cost
+        // equality joins on raw IEEE doubles: both engines derive them
+        // from identical parquet doubles with the same expression, so
+        // the bits agree (the library's elementwise-double convention).
+        val li = table(s, dir, "lineitem")
+        val sup = table(s, dir, "supplier")
+        val nat = table(s, dir, "nation")
+        val reg = table(s, dir, "region")
+        val part = table(s, dir, "part")
+        val regionSup = sup
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg.filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val ps = li
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(expr("l_extendedprice * (1.0d - l_discount) / l_quantity"))
+            .as("unit_cost"))
+          .join(broadcast(regionSup), col("l_suppkey") === col("s_suppkey"))
+        val minCost = ps.groupBy(col("l_partkey").as("mc_partkey"))
+          .agg(min("unit_cost").as("min_cost"))
+        ps.join(minCost,
+            col("l_partkey") === col("mc_partkey") &&
+              col("unit_cost") === col("min_cost"))
+          .join(broadcast(part.filter(col("p_size") <= 25)),
+            col("l_partkey") === col("p_partkey"))
+          .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(20)
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice * (1.0 - l_discount) / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        rs AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'),
+        pr AS (
+          SELECT ps.*, rs.s_name, rs.s_acctbal, rs.n_name
+          FROM ps JOIN rs ON ps.l_suppkey = rs.s_suppkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM pr
+        JOIN part ON pr.l_partkey = p_partkey
+        WHERE p_size <= 25
+          AND unit_cost = (
+            SELECT MIN(pr2.unit_cost) FROM pr pr2
+            WHERE pr2.l_partkey = pr.l_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 20"""),
+      "TPC-H Q2 shape: regional minimum-cost supplier per part — the " +
+        "correlated scalar subquery decorrelated into a per-part min " +
+        "aggregate joined back on (partkey, cost); the oracle keeps the " +
+        "literal correlated spelling so the match proves equivalence; " +
+        "dims broadcast, two l_partkey shuffles.")
   )
 }

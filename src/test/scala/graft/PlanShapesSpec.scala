@@ -362,6 +362,25 @@ class PlanShapesSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"no semi-join in the peeling rounds:\n$p")
   }
 
+  test("q178 Q21-shape correlation plans as semi+anti self-joins, supplier broadcast") {
+    // the EXISTS and NOT-EXISTS correlated predicates must become one
+    // LeftSemi and one LeftAnti join of the fact with itself on the order
+    // key (no per-row subquery execution); the supplier dim must broadcast
+    val p = plan("q178_waiting_suppliers")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim not broadcast:\n$p")
+  }
+
+  test("q179 Q2-shape decorrelation: per-part min joined back, dims broadcast, no cartesian") {
+    val p = plan("q179_min_cost_supplier")
+    // the correlated scalar subquery must NOT appear as a subquery node —
+    // it is decorrelated by construction into an aggregate + equi-join
+    assert(!p.contains("Subquery"), s"unexpected subquery execution:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in min-cost join:\n$p")
+  }
+
   test("q172 image near-dup cuts hot buckets via broadcast anti-join") {
     // the stop-bucket cutoff must ride a broadcast anti-join (hot set is
     // tiny by construction); the candidate self-join stays an equi-join
