@@ -279,10 +279,21 @@ object MediaCodecs {
   /** Parse binary Netpbm P6: ASCII header tokens (whitespace-separated,
     * `#` comments to end-of-line), exactly one whitespace byte after
     * maxval, then 3*width*height binary RGB bytes. */
-  def decodePpm(bytes: Array[Byte]): Bmp = {
-    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
-      s"not PPM P6: magic ${ascii(bytes, 0, math.min(2, bytes.length))}")
-    var pos = 2
+  def decodePpm(bytes: Array[Byte]): Bmp = decodePpmAt(bytes, 0)._1
+
+  /**
+   * Parse one P6 frame starting at byte `off` inside a concatenated-frames
+   * container (the "video" layout: P6 frames back to back) and return the
+   * frame plus the byte count consumed (header + pixels), so callers can
+   * walk frame boundaries without assuming a fixed header width — the
+   * header length varies with the decimal digits of width/height, which is
+   * exactly what makes the walk REAL container parsing rather than
+   * fixed-stride slicing.
+   */
+  def decodePpmAt(bytes: Array[Byte], off: Int): (Bmp, Int) = {
+    require(off + 2 <= bytes.length && bytes(off) == 'P' && bytes(off + 1) == '6',
+      s"not PPM P6 at offset $off: magic ${ascii(bytes, off, math.min(2, bytes.length - off))}")
+    var pos = off + 2
     def nextToken(): Int = {
       // skip whitespace and '#' comments
       var inComment = false
@@ -311,7 +322,8 @@ object MediaCodecs {
     val need = 3 * width * height
     require(pos + need <= bytes.length,
       s"PPM pixel data truncated: need $need bytes at $pos, have ${bytes.length}")
-    Bmp(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + need))
+    (Bmp(width, height, java.util.Arrays.copyOfRange(bytes, pos, pos + need)),
+      pos + need - off)
   }
 
   // ------------------------------------------------------- byte utilities

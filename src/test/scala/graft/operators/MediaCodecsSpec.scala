@@ -422,4 +422,48 @@ class MediaCodecsSpec extends AnyFunSuite {
       Multimodal.wavVadStats(payloadDf(Seq()), "id", "payload", 0, 1)
     }
   }
+
+  test("decodePpmAt walks concatenated frames of varying header widths") {
+    // frame dims chosen so the ASCII headers have DIFFERENT lengths:
+    // "P6\n2 2\n255\n" (11 B) vs "P6\n10 1\n255\n" (12 B) — a fixed-stride
+    // walk cannot survive this container
+    val f1 = MediaCodecs.encodePpm(2, 2, Array.fill(12)(7.toByte))
+    val f2 = MediaCodecs.encodePpm(10, 1, Array.fill(30)(9.toByte))
+    val video = f1 ++ f2 ++ f1
+    var off = 0
+    val dims = scala.collection.mutable.ListBuffer[(Int, Int)]()
+    while (off < video.length) {
+      val (img, used) = MediaCodecs.decodePpmAt(video, off)
+      dims += ((img.width, img.height))
+      off += used
+    }
+    assert(off === video.length)
+    assert(dims.toList === List((2, 2), (10, 1), (2, 2)))
+    // trailing garbage after the last frame fails loudly at the magic check
+    intercept[IllegalArgumentException] {
+      var o = 0
+      val bad = video ++ Array[Byte]('X')
+      while (o < bad.length) o += MediaCodecs.decodePpmAt(bad, o)._2
+    }
+  }
+
+  test("ppmVideoStats: hand-checked stride sampling and frame weights") {
+    // 3 frames of 1x1 gray pixels v = 10, 20, 30; stride 2 samples f=0,2:
+    // sum = 3*10 + 3*30 = 120; wsum = 1*30 + 3*90 = 300; max = 30
+    def gray(v: Int) = MediaCodecs.encodePpm(1, 1, Array.fill(3)(v.toByte))
+    val video = gray(10) ++ gray(20) ++ gray(30)
+    val out = Multimodal.ppmVideoStats(
+      payloadDf(Seq(1L -> video, 2L -> null)), "id", "payload", stride = 2)
+      .orderBy("id").collect()
+    val r = out(0)
+    assert(r.getLong(1) === video.length.toLong)
+    assert(r.getInt(2) === 3 && r.getInt(3) === 2)
+    assert(r.getLong(4) === 120L)
+    assert(r.getLong(5) === 1L * 30 + 3L * 90)
+    assert(r.getInt(6) === 30)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Multimodal.ppmVideoStats(payloadDf(Seq()), "id", "payload", 0)
+    }
+  }
 }
