@@ -4784,7 +4784,97 @@ object TextQueries {
         "chunks) + chunk-level dedup: per-doc chunk census and the byte " +
         "fraction living in chunks shared with other docs — boundaries " +
         "re-synchronize across edits so near-dup docs share byte-identical " +
-        "chunks; one compiled map pass + one chunk-md5 shuffle.")
+        "chunks; one compiled map pass + one chunk-md5 shuffle."),
+
+    // ---------------------------------------------------------------- q181
+    Q(
+      "q181_pack_efficiency",
+      (s, dir) => {
+        // Packing-efficiency AUDIT across token models x context lengths —
+        // the decision table for "is cross-doc sequence packing worth its
+        // shuffle on this corpus": for each model (whitespace, byte,
+        // BPE-ish subword) and context length (512/1024/2048), compare the
+        // PADDED baseline (each doc alone, ceil(tok/L) contexts — what a
+        // naive pipeline pads) against DENSE stream packing (q73's scheme,
+        // ceil(total/L) contexts) in exact integers. packing_gain is the
+        // context count the packer saves; padded_eff near 1.0 at small L
+        // says padding is cheap there, the gap at large L is the packer's
+        // case. Scale: one map pass explodes 9 (model, L) combinations
+        // per doc, one 9-group aggregate — no joins, no windows.
+        val lens = "array(512, 1024, 2048)"
+        table(s, dir, "documents")
+          .selectExpr("doc_id",
+            "cast(size(split(text, ' ')) as bigint) as ws",
+            "cast(length(text) as bigint) as byte",
+            s"cast(regexp_count(text, '${graft.operators.TextSignals.BpeishPattern}') as bigint) as bpeish")
+          .selectExpr("doc_id",
+            "explode(array(struct('1_ws' as model, ws as tok)," +
+              " struct('2_byte' as model, byte as tok)," +
+              " struct('3_bpeish' as model, bpeish as tok))) as mt")
+          .selectExpr("doc_id", "mt.model as model", "mt.tok as tok")
+          .selectExpr("doc_id", "model", "tok",
+            s"explode($lens) as ctx_len")
+          .groupBy(col("model"), col("ctx_len"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("tok").as("total_tokens"),
+            sum(when(col("tok") > col("ctx_len"), 1).otherwise(0)).as("n_over"),
+            sum(expr("(tok + ctx_len - 1) div ctx_len")).as("padded_ctxs"))
+          .withColumn("packed_ctxs",
+            expr("(total_tokens + ctx_len - 1) div ctx_len"))
+          .withColumn("padded_eff",
+            col("total_tokens").cast("double")
+              / (col("padded_ctxs") * col("ctx_len")).cast("double"))
+          .withColumn("packed_eff",
+            col("total_tokens").cast("double")
+              / (col("packed_ctxs") * col("ctx_len")).cast("double"))
+          .withColumn("packing_gain", col("padded_ctxs") - col("packed_ctxs"))
+          .select("model", "ctx_len", "n_docs", "total_tokens", "n_over",
+            "padded_ctxs", "packed_ctxs", "padded_eff", "packed_eff",
+            "packing_gain")
+          .orderBy("model", "ctx_len")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                 CAST(LENGTH(text) AS BIGINT) AS byte,
+                 CAST(len(regexp_extract_all(text,
+                   '${graft.operators.TextSignals.BpeishPattern}')) AS BIGINT) AS bpeish
+          FROM documents),
+        m AS (
+          SELECT doc_id, mt.model, mt.tok
+          FROM d, unnest([
+            {'model': '1_ws', 'tok': ws},
+            {'model': '2_byte', 'tok': byte},
+            {'model': '3_bpeish', 'tok': bpeish}]) AS t(mt)),
+        x AS (
+          SELECT doc_id, model, tok, ctx_len
+          FROM m, (SELECT unnest([512, 1024, 2048]) AS ctx_len)),
+        g AS (
+          SELECT model, ctx_len,
+                 COUNT(1) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CASE WHEN tok > ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+                 CAST(SUM((tok + ctx_len - 1) // ctx_len) AS BIGINT) AS padded_ctxs
+          FROM x GROUP BY model, ctx_len)
+        SELECT model, CAST(ctx_len AS INTEGER) AS ctx_len, n_docs, total_tokens,
+               n_over, padded_ctxs,
+               CAST((total_tokens + ctx_len - 1) // ctx_len AS BIGINT) AS packed_ctxs,
+               CAST(total_tokens AS DOUBLE)
+                 / CAST(padded_ctxs * ctx_len AS DOUBLE) AS padded_eff,
+               CAST(total_tokens AS DOUBLE)
+                 / CAST(((total_tokens + ctx_len - 1) // ctx_len) * ctx_len AS DOUBLE)
+                 AS packed_eff,
+               CAST(padded_ctxs - (total_tokens + ctx_len - 1) // ctx_len AS BIGINT)
+                 AS packing_gain
+        FROM g
+        ORDER BY model, ctx_len"""),
+      "Packing-efficiency audit: padded per-doc contexts vs dense stream " +
+        "packing across three token models and three context lengths, in " +
+        "exact integers — the 9-row decision table for whether sequence " +
+        "packing's shuffle pays for itself; one map pass + one tiny " +
+        "aggregate.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
