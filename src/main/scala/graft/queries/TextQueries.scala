@@ -4874,7 +4874,117 @@ object TextQueries {
         "packing across three token models and three context lengths, in " +
         "exact integers — the 9-row decision table for whether sequence " +
         "packing's shuffle pays for itself; one map pass + one tiny " +
-        "aggregate.")
+        "aggregate."),
+
+    // ---------------------------------------------------------------- q182
+    Q(
+      "q182_nb_langid",
+      (s, dir) => {
+        // Distributed multinomial Naive Bayes language classifier — the
+        // fastText-style "train a cheap supervised model on a labeled
+        // split, score the corpus" pipeline stage, end to end in one plan:
+        // TRAIN on a deterministic 70% salted-hash split (per-(lang,token)
+        // Laplace-smoothed counts = one shuffle; priors + vocab size =
+        // tiny frames), then SCORE the held-out 30% and emit the lang
+        // confusion matrix. Scale: the model is (lang x token)-keyed and
+        // equi-joined on (cls, tok) — never broadcast (vocab can be
+        // millions of rows at 100 TB); the 5-row class frame IS broadcast.
+        // Cross-engine: each token's log-likelihood is round(ln(..), 6),
+        // tf-scaled products round(.., 12)-decimal-summed (exact, order-
+        // independent), argmax over exact decimals with lang tie-break.
+        val splitHash = md5long("concat('nb|', cast(doc_id as string))")
+        val docs = table(s, dir, "documents")
+          .withColumn("is_train", expr(s"$splitHash % 10 < 7"))
+        val trainToks = docs.filter(col("is_train"))
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        val counts = trainToks.groupBy("lang", "tok")
+          .agg(count(lit(1)).as("cnt"))
+        val nTok = trainToks.groupBy("lang").agg(count(lit(1)).as("n_tok"))
+        val vocab = counts.select("tok").distinct()
+          .agg(count(lit(1)).as("v"))
+        val priors = docs.filter(col("is_train")).groupBy("lang")
+          .agg(count(lit(1)).as("docs_c"))
+        val tot = docs.filter(col("is_train"))
+          .agg(count(lit(1)).as("docs_tot"))
+        val cls = priors.join(nTok, "lang")
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(vocab))
+          .selectExpr("lang as cls", "n_tok", "v",
+            "round(ln(cast(docs_c as double) / cast(docs_tot as double)), 6) as prior")
+        val testToks = docs.filter(!col("is_train"))
+          .select(col("doc_id"), col("lang").as("actual"),
+            explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "actual", "tok").agg(count(lit(1)).as("tf"))
+        val scored = testToks
+          .crossJoin(broadcast(cls))
+          .join(counts.withColumnRenamed("lang", "cls"),
+            Seq("cls", "tok"), "left")
+          .withColumn("contrib", expr(
+            """cast(tf as double)
+               * round(ln(cast(coalesce(cnt, 0) + 1 as double)
+                          / cast(n_tok + v as double)), 6)"""))
+          .groupBy("doc_id", "actual", "cls", "prior")
+          .agg(sum(expr("cast(round(contrib, 12) as decimal(28,12))")).as("ssum"))
+          .withColumn("total",
+            expr("cast(prior as decimal(28,12)) + ssum"))
+        val picked = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("total").desc, col("cls").asc)))
+          .filter(col("rn") === 1)
+        picked.groupBy(col("actual"), col("cls").as("pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("round(cast(sum(total) as double), 6)").as("sum_score"))
+          .orderBy("actual", "pred")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, text,
+                 (""" + duckMd5long("'nb|' || cast(doc_id as varchar)") + """ % 10 < 7) AS is_train
+          FROM documents),
+        tt AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM d WHERE is_train),
+        counts AS (SELECT lang, tok, COUNT(1) AS cnt FROM tt GROUP BY 1, 2),
+        ntok AS (SELECT lang, COUNT(1) AS n_tok FROM tt GROUP BY 1),
+        voc AS (SELECT COUNT(DISTINCT tok) AS v FROM tt),
+        pri AS (SELECT lang, COUNT(1) AS docs_c FROM d WHERE is_train GROUP BY 1),
+        tot AS (SELECT COUNT(1) AS docs_tot FROM d WHERE is_train),
+        cls AS (
+          SELECT p.lang AS cls, n.n_tok, voc.v,
+                 round(ln(CAST(docs_c AS DOUBLE) / CAST(docs_tot AS DOUBLE)), 6) AS prior
+          FROM pri p JOIN ntok n ON p.lang = n.lang, tot, voc),
+        te AS (
+          SELECT doc_id, actual, tok, COUNT(1) AS tf
+          FROM (SELECT doc_id, lang AS actual,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM d WHERE NOT is_train)
+          GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT te.doc_id, te.actual, c.cls, c.prior,
+                 SUM(CAST(ROUND(
+                   CAST(te.tf AS DOUBLE)
+                   * ROUND(ln(CAST(COALESCE(k.cnt, 0) + 1 AS DOUBLE)
+                              / CAST(c.n_tok + c.v AS DOUBLE)), 6), 12)
+                   AS DECIMAL(28,12))) AS ssum
+          FROM te CROSS JOIN cls c
+          LEFT JOIN counts k ON k.lang = c.cls AND k.tok = te.tok
+          GROUP BY 1, 2, 3, 4),
+        ranked AS (
+          SELECT doc_id, actual, cls,
+                 CAST(prior AS DECIMAL(28,12)) + ssum AS total,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY (CAST(prior AS DECIMAL(28,12)) + ssum) DESC, cls) AS rn
+          FROM sc)
+        SELECT actual, cls AS pred, COUNT(1) AS n_docs,
+               ROUND(CAST(SUM(total) AS DOUBLE), 6) AS sum_score
+        FROM ranked WHERE rn = 1
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""),
+      "Multinomial Naive Bayes language classifier trained on a " +
+        "deterministic 70% split and scored on the held-out 30%: " +
+        "(lang x token) Laplace model equi-joined on (cls, tok) — never " +
+        "broadcast — with round-then-decimal-sum log-likelihoods and an " +
+        "exact-decimal argmax; emits the lang confusion matrix.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
