@@ -4984,7 +4984,79 @@ object TextQueries {
         "deterministic 70% split and scored on the held-out 30%: " +
         "(lang x token) Laplace model equi-joined on (cls, tok) — never " +
         "broadcast — with round-then-decimal-sum log-likelihoods and an " +
-        "exact-decimal argmax; emits the lang confusion matrix.")
+        "exact-decimal argmax; emits the lang confusion matrix."),
+
+    // ---------------------------------------------------------------- q183
+    Q(
+      "q183_temperature_mix",
+      (s, dir) => {
+        // Temperature-scaled source mixture — the multilingual-training
+        // alpha-sampling table (share_s ∝ p_s^alpha): at alpha=1 sampling
+        // follows the natural token distribution, lower alpha flattens it
+        // toward uniform, upweighting tail sources. Alphas are chosen so
+        // p^alpha is an EXACT IEEE expression in both engines (1 → p,
+        // 0.5 → sqrt(p), 0.25 → sqrt(sqrt(p)) — sqrt is correctly rounded
+        // by spec; pow() is not and would drift cross-engine). Per-alpha
+        // normalizers are round-then-decimal sums (exact, order-
+        // independent). Scale: one token-count shuffle over the corpus;
+        // everything after runs on a sources-row frame.
+        val perSrc = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_toks"))
+        val tot = perSrc.agg(sum("n_toks").as("tok_tot"))
+        val withP = perSrc.crossJoin(broadcast(tot))
+          .withColumn("p",
+            expr("cast(n_toks as double) / cast(tok_tot as double)"))
+          .selectExpr("source", "n_docs", "n_toks", "p",
+            """explode(array(
+                 struct('1.00' as alpha, p as w),
+                 struct('0.50' as alpha, sqrt(p) as w),
+                 struct('0.25' as alpha, sqrt(sqrt(p)) as w))) as aw""")
+          .selectExpr("source", "n_docs", "n_toks", "p",
+            "aw.alpha as alpha",
+            "cast(cast(round(aw.w, 12) as decimal(28,12)) as double) as w")
+        val z = withP.groupBy("alpha")
+          .agg(expr("cast(sum(cast(round(w, 12) as decimal(28,12))) as double)").as("z"))
+        withP.join(broadcast(z), "alpha")
+          .withColumn("share", expr("w / z"))
+          .withColumn("upsample", expr("(w / z) / p"))
+          .select("alpha", "source", "n_docs", "n_toks", "p", "share",
+            "upsample")
+          .orderBy("alpha", "source")
+      },
+      Some("""
+        WITH per_src AS (
+          SELECT source, COUNT(1) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+          FROM documents GROUP BY source),
+        tot AS (SELECT SUM(n_toks) AS tok_tot FROM per_src),
+        withp AS (
+          SELECT source, n_docs, n_toks,
+                 CAST(n_toks AS DOUBLE) / CAST(tok_tot AS DOUBLE) AS p
+          FROM per_src, tot),
+        aw AS (
+          SELECT source, n_docs, n_toks, p, a.alpha,
+                 CAST(CAST(ROUND(a.w, 12) AS DECIMAL(28,12)) AS DOUBLE) AS w
+          FROM withp, LATERAL (SELECT unnest([
+                 {'alpha': '1.00', 'w': p},
+                 {'alpha': '0.50', 'w': sqrt(p)},
+                 {'alpha': '0.25', 'w': sqrt(sqrt(p))}],
+               recursive := true)) AS a(alpha, w)),
+        z AS (
+          SELECT alpha,
+                 CAST(SUM(CAST(ROUND(w, 12) AS DECIMAL(28,12))) AS DOUBLE) AS z
+          FROM aw GROUP BY alpha)
+        SELECT aw.alpha, aw.source, aw.n_docs, aw.n_toks, aw.p,
+               aw.w / z.z AS share,
+               (aw.w / z.z) / aw.p AS upsample
+        FROM aw JOIN z ON aw.alpha = z.alpha
+        ORDER BY aw.alpha, aw.source"""),
+      "Temperature-scaled mixture table (alpha in {1, 0.5, 0.25} via " +
+        "exact IEEE sqrt chains): per-source token shares, normalized " +
+        "sampling shares, and upsampling factors — one token-count " +
+        "shuffle, then sources-row arithmetic.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
