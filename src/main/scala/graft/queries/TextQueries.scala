@@ -5056,7 +5056,72 @@ object TextQueries {
       "Temperature-scaled mixture table (alpha in {1, 0.5, 0.25} via " +
         "exact IEEE sqrt chains): per-source token shares, normalized " +
         "sampling shares, and upsampling factors — one token-count " +
-        "shuffle, then sources-row arithmetic.")
+        "shuffle, then sources-row arithmetic."),
+
+    // ---------------------------------------------------------------- q184
+    Q(
+      "q184_length_buckets",
+      (s, dir) => {
+        // Length-bucketed batching audit — the "sort by length, batch
+        // within buckets" serving/training trick quantified: rank every
+        // document by token count (exact global order via GlobalRank's
+        // two-phase shape — no single-task window), cut into 8 equal-count
+        // buckets, and compare padding efficiency when each batch pads to
+        // its BUCKET max versus the naive pad-to-global-max. bucket_eff
+        // near 1.0 in every bucket is the case for length bucketing; the
+        // naive_eff column is the cost of not doing it. Scale: ranks are
+        // bucketed two-phase (nothing sorts more than ~rows/32); the rest
+        // is an 8-group aggregate.
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+          .withColumn("seg", lit(0))
+        val ranked = graft.operators.GlobalRank
+          .withGlobalRank(d, "seg", "ntok", "doc_id")
+          .withColumn("bucket", expr("(rn - 1) * 8 div n_seg"))
+        val buckets = ranked.groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("ntok").as("min_tok"),
+            max("ntok").as("max_tok"),
+            sum("ntok").as("total_toks"))
+        val gmax = buckets.agg(max("max_tok").as("gmax"))
+        buckets.crossJoin(broadcast(gmax))
+          .selectExpr("cast(bucket as bigint) as bucket", "n_docs",
+            "min_tok", "max_tok", "total_toks",
+            "cast(total_toks as double) / cast(n_docs * max_tok as double) as bucket_eff",
+            "cast(total_toks as double) / cast(n_docs * gmax as double) as naive_eff")
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, ntok,
+                 ROW_NUMBER() OVER (ORDER BY ntok, doc_id) AS rn,
+                 COUNT(1) OVER () AS n_seg
+          FROM d),
+        b AS (
+          SELECT (rn - 1) * 8 // n_seg AS bucket, ntok FROM ranked),
+        buckets AS (
+          SELECT bucket, COUNT(1) AS n_docs, MIN(ntok) AS min_tok,
+                 MAX(ntok) AS max_tok,
+                 CAST(SUM(ntok) AS BIGINT) AS total_toks
+          FROM b GROUP BY bucket),
+        g AS (SELECT MAX(max_tok) AS gmax FROM buckets)
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, min_tok, max_tok,
+               total_toks,
+               CAST(total_toks AS DOUBLE)
+                 / CAST(n_docs * max_tok AS DOUBLE) AS bucket_eff,
+               CAST(total_toks AS DOUBLE)
+                 / CAST(n_docs * gmax AS DOUBLE) AS naive_eff
+        FROM buckets, g
+        ORDER BY bucket"""),
+      "Length-bucketed batching audit: exact global length ranks via " +
+        "GlobalRank's two-phase shape cut into 8 equal-count buckets; " +
+        "per-bucket pad-to-bucket-max vs pad-to-global-max efficiency — " +
+        "the quantified case for length bucketing.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
