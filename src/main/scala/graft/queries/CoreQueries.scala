@@ -2148,6 +2148,47 @@ object CoreQueries {
         "correlated scalar subquery decorrelated into a per-part min " +
         "aggregate joined back on (partkey, cost); the oracle keeps the " +
         "literal correlated spelling so the match proves equivalence; " +
-        "dims broadcast, two l_partkey shuffles.")
+        "dims broadcast, two l_partkey shuffles."),
+
+    Q(
+      "q185_tree_closure",
+      (s, dir) => {
+        // The WITH RECURSIVE capability: resolve every node of a
+        // hierarchy to its root with exact depth and inclusive
+        // path-weight sum. The hierarchy is derived deterministically
+        // from the corpus (parent(d) = d div 2 - 1 for d >= 2; docs 0
+        // and 1 are roots — a two-tree binary forest, depth ~log2(n),
+        // weight = n_chars), so the DuckDB oracle can walk the SAME
+        // forest with a literal recursive CTE. Spark-first spelling:
+        // Hierarchy.closure's POINTER DOUBLING — 6 id-keyed self-joins
+        // resolve depth <= 64 (any balanced tree to 2^64 nodes), where
+        // a recursive-CTE translation would need max_depth sequential
+        // shuffles and a driver-side level loop. The oracle match
+        // proves the log-round composition equals the level-by-level
+        // recursion.
+        import graft.operators.Hierarchy
+        val nodes = table(s, dir, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") >= 2, expr("doc_id div 2 - 1")).as("parent"),
+          col("n_chars"))
+        Hierarchy.closure(nodes, "doc_id", "parent", "n_chars", rounds = 6)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE walk AS (
+          SELECT doc_id AS id, doc_id AS cur, CAST(0 AS BIGINT) AS depth,
+                 n_chars AS psum
+          FROM documents
+          UNION ALL
+          SELECT w.id, p.doc_id, w.depth + 1, w.psum + p.n_chars
+          FROM walk w JOIN documents p ON p.doc_id = w.cur // 2 - 1
+          WHERE w.cur >= 2)
+        SELECT id AS doc_id, cur AS root_id, depth, psum AS path_weight
+        FROM walk WHERE cur <= 1
+        ORDER BY doc_id"""),
+      "Recursive-hierarchy closure (the WITH RECURSIVE capability) via " +
+        "pointer doubling: 6 log-round self-joins resolve root/depth/" +
+        "path-sum for depth <= 64 where naive recursion needs max_depth " +
+        "shuffles; the oracle's literal recursive CTE proves equivalence.")
   )
 }
