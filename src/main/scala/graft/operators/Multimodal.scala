@@ -625,6 +625,79 @@ object Multimodal {
   }
 
   /**
+   * 2D SPATIAL CONVOLUTION over the decoded image — Sobel edge response,
+   * the feature class the other image ops don't touch (stats/resize/flip/
+   * aHash are all pointwise or pooling; this one reads a 3x3 NEIGHBORHOOD
+   * per pixel). For every interior pixel (1 <= r <= h-2, 1 <= c <= w-2)
+   * of the gray grid (red channel of the row-major decode):
+   *
+   *   gx = (g[r-1][c+1] + 2*g[r][c+1] + g[r+1][c+1])
+   *      - (g[r-1][c-1] + 2*g[r][c-1] + g[r+1][c-1])
+   *   gy = (g[r+1][c-1] + 2*g[r+1][c] + g[r+1][c+1])
+   *      - (g[r-1][c-1] + 2*g[r-1][c] + g[r-1][c+1])
+   *
+   * and the L1 gradient magnitude |gx| + |gy| — all-integer, exactly
+   * oracle-replayable (the true L2 magnitude needs sqrt; L1 is the
+   * standard integer-exact variant). Output: (`idCol`, n_interior: long,
+   * edge_energy: long Σ|mag|, max_grad: int, wsum_grad: long
+   * Σ mag*(1 + j % 97) — the positional pin locking every interior pixel
+   * to its row-major slot j). Images with h < 3 or w < 3 have no interior:
+   * zeros, not nulls. Same fused map-only shape as [[imageStats]]:
+   * payloads die inside the stage, executor memory stays O(image).
+   */
+  def bmpSobelStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_interior", LongType, nullable = true),
+      StructField("edge_energy", LongType, nullable = true),
+      StructField("max_grad", IntegerType, nullable = true),
+      StructField("wsum_grad", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) Row(r.getLong(idIdx), null, null, null, null)
+        else {
+          val img =
+            if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6')
+              MediaCodecs.decodePpm(payload)
+            else MediaCodecs.decodeBmp(payload)
+          val w = img.width
+          val h = img.height
+          @inline def g(rr: Int, cc: Int): Int = img.rgb(3 * (rr * w + cc)) & 0xff
+          var energy = 0L
+          var wsum = 0L
+          var maxG = 0
+          var nInt = 0L
+          if (w >= 3 && h >= 3) {
+            nInt = (w - 2).toLong * (h - 2)
+            var rr = 1
+            while (rr < h - 1) {
+              var cc = 1
+              while (cc < w - 1) {
+                val gx = (g(rr - 1, cc + 1) + 2 * g(rr, cc + 1) + g(rr + 1, cc + 1)) -
+                  (g(rr - 1, cc - 1) + 2 * g(rr, cc - 1) + g(rr + 1, cc - 1))
+                val gy = (g(rr + 1, cc - 1) + 2 * g(rr + 1, cc) + g(rr + 1, cc + 1)) -
+                  (g(rr - 1, cc - 1) + 2 * g(rr - 1, cc) + g(rr - 1, cc + 1))
+                val mag = math.abs(gx) + math.abs(gy)
+                val j = (rr - 1).toLong * (w - 2) + (cc - 1)
+                energy += mag
+                wsum += mag.toLong * (1L + j % 97)
+                if (mag > maxG) maxG = mag
+                cc += 1
+              }
+              rr += 1
+            }
+          }
+          Row(r.getLong(idIdx), nInt, energy, maxG, wsum)
+        }
+      }
+    }
+  }
+
+  /**
    * Frame-level voice-activity detection (VAD) over the DECODED 16-bit PCM
    * stream: consecutive `frameLen`-sample frames (tail partial frame
    * dropped — a VAD decides on full analysis windows) are ACTIVE when the

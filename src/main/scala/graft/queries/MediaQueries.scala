@@ -641,6 +641,66 @@ object MediaQueries {
         "PPM P6 frames walked by parsing each header for its length, every " +
         "2nd frame sampled, frame-position-weighted pixel sums locking WHICH " +
         "frames were read — the keyframe-extraction step of video ingest, " +
-        "map-only with the oracle replaying the full walk arithmetically.")
+        "map-only with the oracle replaying the full walk arithmetically."),
+
+    Q(
+      "q186_image_sobel",
+      (s, dir) => {
+        // 2D spatial convolution on decoded image bytes: Sobel L1 edge
+        // response per interior pixel — the NEIGHBORHOOD feature class
+        // (every other image op here is pointwise or pooling). Edge
+        // energy is the classic screen for synthetic/blank/low-detail
+        // images in a vision-corpus curation pass. All-integer: the
+        // oracle replays the full 3x3 stencil from the source bytes, so
+        // one wrong neighbor index, padding byte, or BMP row-stride slip
+        // breaks the hash; wsum_grad pins every interior pixel to its
+        // row-major slot. Map-only fused decode -> convolve; payloads
+        // die in-stage.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .bmpSobelStats(bmpPayloads(docs), "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some {
+        // pixel (r, c) of the zero-padded 5-wide gray grid, 1-based list
+        // index; j walks the interior row-major: r = j//3 + 1, c = j%3 + 1
+        def pix(dr: Int, dc: Int) =
+          s"px[CAST((j // 3 + 1 + ($dr)) * 5 + (j % 3 + 1 + ($dc)) + 1 AS INTEGER)]"
+        val gx = s"((${pix(-1, 1)} + 2 * ${pix(0, 1)} + ${pix(1, 1)}) - " +
+          s"(${pix(-1, -1)} + 2 * ${pix(0, -1)} + ${pix(1, -1)}))"
+        val gy = s"((${pix(1, -1)} + 2 * ${pix(1, 0)} + ${pix(1, 1)}) - " +
+          s"(${pix(-1, -1)} + 2 * ${pix(-1, 0)} + ${pix(-1, 1)}))"
+        s"""
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 greatest(1, CAST(ceil(octet_length(encode(text)) / 5.0) AS BIGINT)) AS h,
+                 $duckBytes AS vals
+          FROM documents),
+        p AS (
+          SELECT doc_id, h,
+                 list_transform(range(0, 5 * h), i ->
+                   CASE WHEN i < n THEN vals[CAST(i + 1 AS INTEGER)] ELSE 0 END) AS px
+          FROM b),
+        m AS (
+          SELECT doc_id, h,
+                 list_transform(range(0, CASE WHEN h >= 3 THEN 3 * (h - 2) ELSE 0 END),
+                   j -> abs($gx) + abs($gy)) AS mags,
+                 list_transform(range(0, CASE WHEN h >= 3 THEN 3 * (h - 2) ELSE 0 END),
+                   j -> (abs($gx) + abs($gy)) * (1 + j % 97)) AS wmags
+          FROM p)
+        SELECT doc_id,
+               CASE WHEN h >= 3 THEN 3 * (h - 2) ELSE CAST(0 AS BIGINT) END AS n_interior,
+               CAST(coalesce(list_sum(mags), 0) AS BIGINT) AS edge_energy,
+               CAST(coalesce(list_max(mags), 0) AS INTEGER) AS max_grad,
+               CAST(coalesce(list_sum(wmags), 0) AS BIGINT) AS wsum_grad
+        FROM m
+        ORDER BY doc_id"""
+      },
+      "Sobel L1 edge energy from decoded pixels — 2D neighborhood " +
+        "convolution, the low-detail/blank-image screen of vision-corpus " +
+        "curation; the oracle replays the full 3x3 stencil including the " +
+        "zero-padded tail row, so neighbor indexing and BMP row stride are " +
+        "both locked; map-only, payloads die in-stage.")
   )
 }

@@ -466,4 +466,28 @@ class MediaCodecsSpec extends AnyFunSuite {
       Multimodal.ppmVideoStats(payloadDf(Seq()), "id", "payload", 0)
     }
   }
+
+  test("bmpSobelStats: hand-checked 3x3 stencil, edge image, no-interior, nulls") {
+    def grayBmp(w: Int, h: Int, vals: Seq[Int]) =
+      MediaCodecs.encodeBmp24(w, h,
+        vals.flatMap(v => Seq(v.toByte, v.toByte, v.toByte)).toArray)
+    // 3x3 ramp: single interior pixel; gx = (20+2*50+80)-(0+2*30+60) = 80,
+    // gy = (60+2*70+80)-(0+2*10+20) = 240, mag = 320
+    val ramp = grayBmp(3, 3, Seq(0, 10, 20, 30, 40, 50, 60, 70, 80))
+    // 3x4 vertical edge (right column 100): both interior pixels mag 400;
+    // wsum = 400*(1+0) + 400*(1+1) = 1200 pins the row-major j order
+    val edge = grayBmp(3, 4, Seq.fill(4)(Seq(0, 0, 100)).flatten)
+    // 5x2: no interior rows -> zeros, not nulls
+    val thin = grayBmp(5, 2, Seq.fill(10)(42))
+    val out = Multimodal.bmpSobelStats(
+      payloadDf(Seq(1L -> ramp, 2L -> edge, 3L -> thin, 4L -> null)),
+      "id", "payload").orderBy("id").collect()
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 320L &&
+      out(0).getInt(3) === 320 && out(0).getLong(4) === 320L)
+    assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 800L &&
+      out(1).getInt(3) === 400 && out(1).getLong(4) === 1200L)
+    assert(out(2).getLong(1) === 0L && out(2).getLong(2) === 0L &&
+      out(2).getInt(3) === 0 && out(2).getLong(4) === 0L)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2) && out(3).isNullAt(4))
+  }
 }
