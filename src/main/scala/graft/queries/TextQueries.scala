@@ -5121,7 +5121,79 @@ object TextQueries {
       "Length-bucketed batching audit: exact global length ranks via " +
         "GlobalRank's two-phase shape cut into 8 equal-count buckets; " +
         "per-bucket pad-to-bucket-max vs pad-to-global-max efficiency — " +
-        "the quantified case for length bucketing.")
+        "the quantified case for length bucketing."),
+
+    Q(
+      "q187_ppjoin",
+      (s, dir) => {
+        // The FOURTH near-dup candidate-generation family: PREFIX
+        // FILTERING (PPJoin) — exact set-similarity join, no hashing, no
+        // recall loss. Order every doc's shingle set by global df (rarest
+        // first); for Jaccard >= 0.5 two sets MUST share a token within
+        // their first n - ceil(n/2) + 1 tokens, so the candidate join
+        // touches only those prefixes — the df ordering makes prefixes
+        // the RAREST shingles, collapsing the join's Sum(df^2) to the
+        // rare tail exactly where it is cheapest. Size filter
+        // (2*min >= max) prunes length-incompatible pairs inside the
+        // join. Candidates then verify by EXACT intersection counts.
+        // The oracle computes ground truth with NO prefix filter (the
+        // full Sum(df^2) token join): equality proves the prefix
+        // theorem's completeness — unlike MinHash/SimHash banding, this
+        // family guarantees recall 1.0 by construction.
+        val dt = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("doc_id", s"$sparkShingles as shs")
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+          .distinct()
+        val dfreq = dt.groupBy("sh").agg(count(lit(1)).as("df"))
+        val ranked = dt.join(dfreq, Seq("sh"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+        val pre = ranked.filter(expr("rn <= n - (n + 1) div 2 + 1"))
+          .select("doc_id", "sh", "n")
+        val cand = pre.as("a").join(pre.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+              col("b.n") * 2 >= col("a.n") && col("a.n") * 2 >= col("b.n"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n").as("n_a"), col("b.n").as("n_b"))
+          .distinct()
+        cand
+          .join(dt.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+          .join(dt.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+          .groupBy("doc_a", "doc_b", "n_a", "n_b")
+          .agg(count(lit(1)).as("n_inter"))
+          .filter(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")) >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
+            round(col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest($duckShingles) AS sh
+          FROM t WHERE len(toks) >= 3),
+        dt AS (SELECT DISTINCT doc_id, sh FROM sh),
+        sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM dt a JOIN dt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+               round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON doc_a = sa.doc_id
+        JOIN sz sb ON doc_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      "PPJoin prefix-filtered exact similarity join: df-ordered prefixes " +
+        "bound the candidate join to the rarest shingles, size filter in " +
+        "the join, exact intersection verify; the oracle's unfiltered " +
+        "ground-truth join proves the prefix theorem loses no pair — " +
+        "recall 1.0 by construction, unlike the three banding families.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

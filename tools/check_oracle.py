@@ -31,8 +31,11 @@ def run_spark():
     # parquet from a previous run would otherwise compare (and pass) silently
     import shutil
     shutil.rmtree(OUT, ignore_errors=True)
+    # forward the --only filter: a single-query check must not pay the
+    # full 180+-query Spark run
+    flt = f" {','.join(sorted(ONLY))}" if ONLY else ""
     subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{flt}'],
         cwd="/root/repo", check=True, capture_output=True, text=True)
 
 
