@@ -2190,5 +2190,102 @@ object CoreQueries {
         "pointer doubling: 6 log-round self-joins resolve root/depth/" +
         "path-sum for depth <= 64 where naive recursion needs max_depth " +
         "shuffles; the oracle's literal recursive CTE proves equivalence.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q188
+    Q(
+      "q188_cohort_retention",
+      (s, dir) => {
+        // Cohort retention matrix — the canonical product-analytics
+        // rollup: cohort users by the ISO week of their FIRST event,
+        // then for each later week count how many of that cohort were
+        // active (retention = n_active / cohort size). Scale shape: one
+        // (user, week) distinct (user-keyed shuffle), one user-keyed min
+        // for the cohort week, then everything collapses to the tiny
+        // cohort x offset frame; cohort sizes broadcast back. Nothing
+        // downstream of the two user-keyed shuffles is corpus-sized.
+        val uw = table(s, dir, "events")
+          .selectExpr("user_id", "unix_millis(ts) div 604800000 as wk")
+          .distinct()
+        val cohorts = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        val sizes = cohorts.groupBy("cohort_wk")
+          .agg(count(lit(1)).as("cohort_users"))
+        uw.join(cohorts, Seq("user_id"))
+          .withColumn("off", col("wk") - col("cohort_wk"))
+          .groupBy("cohort_wk", "off")
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), Seq("cohort_wk"))
+          .selectExpr("cohort_wk", "off", "cohort_users", "n_active",
+            "round(cast(n_active as double) / cast(cohort_users as double), 6) as retention")
+          .orderBy("cohort_wk", "off")
+      },
+      Some("""
+        WITH uw AS (
+          SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+        cohorts AS (
+          SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id),
+        sizes AS (
+          SELECT cohort_wk, COUNT(1) AS cohort_users FROM cohorts GROUP BY cohort_wk),
+        act AS (
+          SELECT c.cohort_wk, u.wk - c.cohort_wk AS off, COUNT(1) AS n_active
+          FROM uw u JOIN cohorts c USING (user_id)
+          GROUP BY 1, 2)
+        SELECT a.cohort_wk, a.off, s.cohort_users, a.n_active,
+               round(CAST(a.n_active AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6) AS retention
+        FROM act a JOIN sizes s USING (cohort_wk)
+        ORDER BY a.cohort_wk, a.off"""),
+      "Cohort retention matrix: users cohorted by first-event week, " +
+        "per-week-offset active fraction — two user-keyed shuffles, then " +
+        "tiny cohort x offset arithmetic with cohort sizes broadcast back; " +
+        "the canonical product-analytics rollup."),
+
+    // ---------------------------------------------------------------- q189
+    Q(
+      "q189_event_transitions",
+      (s, dir) => {
+        // First-order Markov transition matrix over each user's event
+        // stream: lag(event_type) within the per-user time order gives
+        // (from, to) bigrams; counts row-normalize into transition
+        // probabilities. The window partitions by user_id — thousands of
+        // small frames, never a global sort — and the output collapses
+        // to the |types|^2 frame, so the only corpus-sized work is one
+        // user-keyed shuffle. The row-normalizer joins back from the
+        // tiny per-from totals (broadcast), not a second window.
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+        val bigrams = table(s, dir, "events")
+          .withColumn("from_type", lag("event_type", 1).over(w))
+          .filter(col("from_type").isNotNull)
+          .groupBy(col("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = bigrams.groupBy("from_type")
+          .agg(sum("n").as("n_from"))
+        bigrams.join(broadcast(totals), Seq("from_type"))
+          .selectExpr("from_type", "to_type", "n",
+            "cast(n_from as bigint) as n_from",
+            "round(cast(n as double) / cast(n_from as double), 6) as p")
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH lagged AS (
+          SELECT user_id, event_type AS to_type,
+                 lag(event_type, 1) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_ms(ts), event_id) AS from_type
+          FROM events),
+        bigrams AS (
+          SELECT from_type, to_type, COUNT(1) AS n
+          FROM lagged WHERE from_type IS NOT NULL
+          GROUP BY 1, 2),
+        totals AS (
+          SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+          FROM bigrams GROUP BY from_type)
+        SELECT b.from_type, b.to_type, b.n, t.n_from,
+               round(CAST(b.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
+        FROM bigrams b JOIN totals t USING (from_type)
+        ORDER BY b.from_type, b.to_type"""),
+      "First-order Markov transition matrix over per-user event streams: " +
+        "lag within user-partitioned time order, counts row-normalized " +
+        "via broadcast per-from totals — one user-keyed shuffle, " +
+        "|types|^2 output; the user-journey flow map.")
   )
 }

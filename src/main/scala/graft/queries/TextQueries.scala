@@ -5194,6 +5194,397 @@ object TextQueries {
         "the join, exact intersection verify; the oracle's unfiltered " +
         "ground-truth join proves the prefix theorem loses no pair — " +
         "recall 1.0 by construction, unlike the three banding families.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q190
+    Q(
+      "q190_dup_auc",
+      (s, dir) => {
+        // Threshold-free successor to q173's binned calibration: the
+        // EXACT ROC-AUC of the cheap quality signal (stopword density,
+        // integer per-mille) as a predictor of verified near-dup
+        // membership — Mann-Whitney U with tie half-credit, computed
+        // from per-distinct-score positive/negative counts. Scale: the
+        // corpus collapses to a <= 1001-row score frame (per-mille
+        // buckets) after one map pass + doc-keyed left join; the
+        // cumulative-below term is a broadcast theta self-join on that
+        // tiny frame (the q155 no-global-window discipline), and the
+        // result is one row of exact integers + one IEEE division.
+        val dup = verifiedNearDupPairs(s, dir)
+        val members = dup.select(col("id_a").as("doc_id"))
+          .union(dup.select(col("id_b").as("doc_id")))
+          .distinct().withColumn("isdup", lit(1))
+        val sc = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("score", expr(
+            "size(filter(toks, x -> x in ('the','a','of','and','to'))) * 1000 div size(toks)"))
+          .select("doc_id", "score")
+          .join(members, Seq("doc_id"), "left")
+          .groupBy("score")
+          .agg(sum(coalesce(col("isdup"), lit(0))).as("np"),
+            sum(when(col("isdup").isNull, 1).otherwise(0)).as("nn"))
+        sc.as("a")
+          .join(broadcast(sc.as("b")), col("b.score") < col("a.score"), "left")
+          .groupBy(col("a.score").as("score"), col("a.np").as("np"),
+            col("a.nn").as("nn"))
+          .agg(coalesce(sum("b.nn"), lit(0L)).as("cum_nn"))
+          .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+            sum(expr("np * (2 * cum_nn + nn)")).as("u2"))
+          .selectExpr("cast(n_pos as bigint) as n_pos",
+            "cast(n_neg as bigint) as n_neg", "cast(u2 as bigint) as u2",
+            "round(cast(u2 as double) / (2.0d * n_pos * n_neg), 6) as auc")
+      },
+      Some(s"""
+        WITH $duckVerifiedPairs,
+        members AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM ver UNION ALL SELECT id_b FROM ver)),
+        d AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to'))) * 1000
+                   // len(string_split(text, ' ')) AS score
+          FROM documents),
+        sc AS (
+          SELECT score,
+                 SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS np,
+                 SUM(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END) AS nn
+          FROM d LEFT JOIN members m USING (doc_id)
+          GROUP BY score),
+        below AS (
+          SELECT a.score, a.np, a.nn, COALESCE(SUM(b.nn), 0) AS cum_nn
+          FROM sc a LEFT JOIN sc b ON b.score < a.score
+          GROUP BY a.score, a.np, a.nn)
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(nn) AS BIGINT) AS n_neg,
+               CAST(SUM(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+               round(CAST(SUM(np * (2 * cum_nn + nn)) AS DOUBLE)
+                     / (2.0 * SUM(np) * SUM(nn)), 6) AS auc
+        FROM below"""),
+      "Exact ROC-AUC (Mann-Whitney with tie half-credit) of the cheap " +
+        "stopword-density signal against verified near-dup truth — the " +
+        "threshold-free version of q173's calibration; corpus collapses " +
+        "to a <= 1001-row per-mille score frame, cumulative term via " +
+        "broadcast theta self-join on it, one exact-integer output row."),
+
+    // ---------------------------------------------------------------- q191
+    Q(
+      "q191_winnowing",
+      (s, dir) => {
+        // Winnowing (MOSS-style) LOCAL fingerprinting — the 5th near-dup
+        // candidate family: instead of banding global signatures, select
+        // each window's minimum bigram hash as a positional fingerprint.
+        // Guarantee: any shared token run spanning >= w + 1 bigrams
+        // yields at least one shared fingerprint (a shared window's min
+        // is the same hash), so coverage is LOCAL — it catches shared
+        // passages, not just whole-doc similarity, at ~1/w the index
+        // size of full shingle posting. Candidates = docs sharing >= 2
+        // kept fingerprints; the df > 20 stop-fingerprint broadcast
+        // anti-join bounds the posting self-join exactly like q48's
+        // stop-shingle discipline.
+        val W = 4
+        val fp = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .withColumn("hs", expr("word_ngram_hash48(toks, 2)"))
+          .withColumn("fps", expr(
+            s"array_distinct(transform(sequence(0, size(hs) - $W), i -> array_min(slice(hs, i + 1, $W))))"))
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+        val stop = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > StopShingleDf).select("fp")
+        val kept = fp.join(broadcast(stop), Seq("fp"), "left_anti")
+        kept.as("a")
+          .join(kept.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(toks)),
+                   i -> ${duckMd5long("toks[i] || ' ' || toks[i + 1]")}) AS hs
+          FROM t WHERE len(toks) >= 5),
+        f AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(0, len(hs) - 3),
+                   i -> list_min(list_slice(hs, i + 1, i + 4)))) AS fps
+          FROM h),
+        fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        stop AS (
+          SELECT fp FROM fp GROUP BY fp HAVING COUNT(1) > $StopShingleDf),
+        kept AS (
+          SELECT doc_id, fp FROM fp
+          WHERE fp NOT IN (SELECT fp FROM stop)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(1) AS n_shared
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, n_shared FROM pairs
+        WHERE n_shared >= 2
+        ORDER BY id_a, id_b"""),
+      "Winnowing local fingerprints (window-min of bigram hashes, w=4): " +
+        "the passage-level candidate family — any shared run past w+1 " +
+        "bigrams must share a fingerprint, at ~1/w the posting size; " +
+        "stop-fingerprint anti-join bounds the candidate self-join, " +
+        "pairs verified by shared-fingerprint counts.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q192
+    Q(
+      "q192_stupid_backoff",
+      (s, dir) => {
+        // Stupid-backoff trigram LM scoring (the web-scale LM-quality
+        // recipe: no discount renormalization, just a 0.4 backoff
+        // factor): train trigram/bigram/unigram counts on the 70%
+        // salted-hash split, score held-out docs per trigram position
+        //   S(w3|w1w2) = c123/c12          if the trigram was seen
+        //              = 0.4 * c23/c(w2)   else if the bigram was seen
+        //              = 0.16 * (c3+0.5)/(N+0.5V)  (smoothed floor)
+        // and report per-doc cross-entropy plus how many positions
+        // resolved at each backoff level — the sequence-fidelity signal
+        // one level past q125's bigram model. Scale: the three count
+        // tables are vocab-sized and EQUI-JOINED on their n-gram keys
+        // (never broadcast); only the 1-row (N, V) frame broadcasts;
+        // per-doc fold in sorted trigram order (the q125 discipline:
+        // c123 > 0 implies c12 > 0, c23 > 0 implies c(w2) > 0, so no
+        // division is ever null-guarded incorrectly).
+        val splitHash = md5long("concat('sb|', cast(doc_id as string))")
+        val docs = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("is_train", expr(s"$splitHash % 10 < 7"))
+        val trainToks = docs.filter(col("is_train"))
+          .select(explode(col("toks")).as("tok"))
+        val uni = trainToks.groupBy("tok").agg(count(lit(1)).as("c1"))
+        val nv = trainToks.agg(count(lit(1)).as("n"),
+          countDistinct("tok").as("v"))
+        val bi = docs.filter(col("is_train") && size(col("toks")) >= 2)
+          .selectExpr("explode(word_ngrams(toks, 2)) as bg")
+          .groupBy("bg").agg(count(lit(1)).as("c2"))
+        val tri = docs.filter(col("is_train") && size(col("toks")) >= 3)
+          .selectExpr("explode(word_ngrams(toks, 3)) as tg")
+          .groupBy("tg").agg(count(lit(1)).as("c3g"))
+        docs.filter(!col("is_train") && size(col("toks")) >= 3)
+          .selectExpr("doc_id", "explode(word_ngrams(toks, 3)) as tg")
+          .groupBy("doc_id", "tg").agg(count(lit(1)).as("tf"))
+          .join(tri, Seq("tg"), "left")
+          .withColumn("w12", expr("substring_index(tg, ' ', 2)"))
+          .withColumn("w23", expr("substring_index(tg, ' ', -2)"))
+          .withColumn("w2", expr("substring_index(w23, ' ', 1)"))
+          .withColumn("w3", expr("substring_index(tg, ' ', -1)"))
+          .join(bi.withColumnRenamed("bg", "w12").withColumnRenamed("c2", "c12"),
+            Seq("w12"), "left")
+          .join(bi.withColumnRenamed("bg", "w23").withColumnRenamed("c2", "c23"),
+            Seq("w23"), "left")
+          .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c1", "cw2"),
+            Seq("w2"), "left")
+          .join(uni.withColumnRenamed("tok", "w3").withColumnRenamed("c1", "cw3"),
+            Seq("w3"), "left")
+          .crossJoin(broadcast(nv))
+          .withColumn("lvl", expr(
+            "case when c3g is not null then 3 when c23 is not null then 2 else 1 end"))
+          .withColumn("contrib", expr(
+            """cast(tf as double) * ln(case
+                 when c3g is not null then cast(c3g as double) / cast(c12 as double)
+                 when c23 is not null then 0.4d * cast(c23 as double) / cast(cw2 as double)
+                 else 0.16d * (cast(coalesce(cw3, 0) as double) + 0.5d)
+                      / (cast(n as double) + 0.5d * cast(v as double)) end)"""))
+          .groupBy("doc_id")
+          .agg(
+            expr(
+              """aggregate(
+                   transform(array_sort(collect_list(struct(tg, contrib))), p -> p.contrib),
+                   cast(0 as double), (a, v) -> a + v)""").as("lsum"),
+            sum("tf").as("ntg"),
+            sum(expr("case when lvl = 3 then tf else 0 end")).as("n_tri"),
+            sum(expr("case when lvl = 2 then tf else 0 end")).as("n_bi"),
+            sum(expr("case when lvl = 1 then tf else 0 end")).as("n_uni"))
+          .selectExpr("doc_id", "cast(ntg as bigint) as ntg",
+            "cast(n_tri as bigint) as n_tri", "cast(n_bi as bigint) as n_bi",
+            "cast(n_uni as bigint) as n_uni",
+            "round(-lsum / cast(ntg as double), 6) as xent3")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 (${duckMd5long("'sb|' || cast(doc_id as varchar)")} % 10 < 7) AS is_train
+          FROM documents),
+        tt AS (SELECT unnest(toks) AS tok FROM d WHERE is_train),
+        uni AS (SELECT tok, COUNT(1) AS c1 FROM tt GROUP BY tok),
+        nv AS (SELECT COUNT(1) AS n, COUNT(DISTINCT tok) AS v FROM tt),
+        bi AS (
+          SELECT bg, COUNT(1) AS c2 FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM d WHERE is_train AND len(toks) >= 2)
+          GROUP BY bg),
+        tri AS (
+          SELECT tg, COUNT(1) AS c3g FROM (
+            SELECT unnest(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tg
+            FROM d WHERE is_train AND len(toks) >= 3)
+          GROUP BY tg),
+        te AS (
+          SELECT doc_id, tg, COUNT(1) AS tf FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tg
+            FROM d WHERE NOT is_train AND len(toks) >= 3)
+          GROUP BY doc_id, tg),
+        sc AS (
+          SELECT te.doc_id, te.tg, te.tf,
+                 CASE WHEN t.c3g IS NOT NULL THEN 3
+                      WHEN b23.c2 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+                 CAST(te.tf AS DOUBLE) * ln(CASE
+                   WHEN t.c3g IS NOT NULL
+                     THEN CAST(t.c3g AS DOUBLE) / CAST(b12.c2 AS DOUBLE)
+                   WHEN b23.c2 IS NOT NULL
+                     THEN 0.4 * CAST(b23.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+                   ELSE 0.16 * (CAST(COALESCE(u3.c1, 0) AS DOUBLE) + 0.5)
+                        / (CAST(nv.n AS DOUBLE) + 0.5 * CAST(nv.v AS DOUBLE)) END) AS contrib
+          FROM te
+          LEFT JOIN tri t USING (tg)
+          LEFT JOIN bi b12
+            ON b12.bg = string_split(te.tg, ' ')[1] || ' ' || string_split(te.tg, ' ')[2]
+          LEFT JOIN bi b23
+            ON b23.bg = string_split(te.tg, ' ')[2] || ' ' || string_split(te.tg, ' ')[3]
+          LEFT JOIN uni u2 ON u2.tok = string_split(te.tg, ' ')[2]
+          LEFT JOIN uni u3 ON u3.tok = string_split(te.tg, ' ')[3], nv),
+        agg AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), list(contrib ORDER BY tg)),
+                   (a, v) -> a + v) AS lsum,
+                 CAST(SUM(tf) AS BIGINT) AS ntg,
+                 CAST(SUM(CASE WHEN lvl = 3 THEN tf ELSE 0 END) AS BIGINT) AS n_tri,
+                 CAST(SUM(CASE WHEN lvl = 2 THEN tf ELSE 0 END) AS BIGINT) AS n_bi,
+                 CAST(SUM(CASE WHEN lvl = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_uni
+          FROM sc GROUP BY doc_id)
+        SELECT doc_id, ntg, n_tri, n_bi, n_uni,
+               round(-lsum / CAST(ntg AS DOUBLE), 6) AS xent3
+        FROM agg ORDER BY doc_id"""),
+      "Stupid-backoff trigram LM: train on the 70% salted split, score " +
+        "held-out docs with 0.4-factor backoff through trigram/bigram/" +
+        "smoothed-unigram levels plus per-level resolution counts — " +
+        "n-gram-keyed equi-joins only (models never broadcast), sorted " +
+        "per-doc fold; the sequence-fidelity signal past q125.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q193
+    Q(
+      "q193_bootstrap_ci",
+      (s, dir) => {
+        // Deterministic bootstrap: how stable is a corpus metric (mean
+        // tokens per doc) under resampling? 16 half-sample replicas —
+        // doc d joins replica b iff md5('bs|b|d') is even — each replica
+        // mean computed exactly (bigint token sums / counts), and the
+        // replica spread (min/max/range across the 16 means) is the
+        // confidence band, reported beside the full-corpus mean. All
+        // replicas run in ONE pass: a 16-way map-side explode feeding a
+        // 16-group partial aggregate — no per-replica scans, no data
+        // movement beyond one tiny shuffle; the spread summary is a
+        // 1-row broadcast back onto the 16-row frame. Deterministic by
+        // construction (salted hashes), so the oracle replays it bit-
+        // for-bit — the statistical-rigor primitive behind error bars
+        // on any corpus dashboard.
+        val repHash = md5long("concat('bs|', cast(b as string), '|', cast(doc_id as string))")
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+        val reps = d
+          .withColumn("b", explode(expr("sequence(0, 15)")))
+          .filter(expr(s"$repHash % 2 = 0"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tok_sum"))
+          .withColumn("mean_tok", expr(
+            "round(cast(tok_sum as double) / cast(n_docs as double), 6)"))
+        val band = reps.agg(
+          min("mean_tok").as("boot_lo"), max("mean_tok").as("boot_hi"))
+        val full = d.agg(expr(
+          "round(cast(sum(ntok) as double) / cast(count(1) as double), 6)").as("full_mean"))
+        reps.crossJoin(broadcast(band)).crossJoin(broadcast(full))
+          .selectExpr("cast(b as int) as b", "n_docs",
+            "cast(tok_sum as bigint) as tok_sum", "mean_tok",
+            "boot_lo", "boot_hi",
+            "round(boot_hi - boot_lo, 6) as boot_range", "full_mean")
+          .orderBy("b")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          FROM documents),
+        reps AS (
+          SELECT b, COUNT(1) AS n_docs,
+                 CAST(SUM(ntok) AS BIGINT) AS tok_sum,
+                 round(CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS mean_tok
+          FROM (SELECT doc_id, ntok, unnest(range(0, 16)) AS b FROM d)
+          WHERE ${duckMd5long("'bs|' || cast(b as varchar) || '|' || cast(doc_id as varchar)")} % 2 = 0
+          GROUP BY b),
+        band AS (
+          SELECT MIN(mean_tok) AS boot_lo, MAX(mean_tok) AS boot_hi FROM reps),
+        f AS (
+          SELECT round(CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS full_mean
+          FROM d)
+        SELECT CAST(b AS INTEGER) AS b, n_docs, tok_sum, mean_tok,
+               boot_lo, boot_hi, round(boot_hi - boot_lo, 6) AS boot_range,
+               full_mean
+        FROM reps, band, f
+        ORDER BY b"""),
+      "Deterministic half-sample bootstrap of mean tokens/doc: 16 salted-" +
+        "hash replicas in ONE pass (16-way map-side explode into a " +
+        "16-group partial aggregate — no per-replica scans), exact " +
+        "integer sums, replica spread broadcast back as the confidence " +
+        "band beside the full-corpus mean."),
+
+    // ---------------------------------------------------------------- q194
+    Q(
+      "q194_source_quantiles",
+      (s, dir) => {
+        // Per-source exact quantile table (deciles of doc token count):
+        // the per-GROUP order-statistics capability — q98's GlobalRank
+        // two-phase shape with source as the segment, so every source
+        // ranks independently (nothing sorts more than ~rows/32) and the
+        // decile values are EXACT order statistics, not sketch
+        // estimates: q_k = value at rank ceil(k * n_src / 10). The
+        // k-explode happens AFTER ranking (map-only x9 on the ranked
+        // frame, then a rank-equality filter keeps 9 rows per source).
+        // This is the cross-source comparability table that decides
+        // per-source length cutoffs — sketch-free, reproducible.
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+        graft.operators.GlobalRank
+          .withGlobalRank(d, "source", "ntok", "doc_id")
+          .withColumn("k", explode(expr("sequence(1, 9)")))
+          .filter(expr("rn = (n_seg * k + 9) div 10"))
+          .selectExpr("source", "cast(k as int) as k",
+            "cast(n_seg as bigint) as n_docs", "ntok as q_ntok")
+          .orderBy("source", "k")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          FROM documents),
+        ranked AS (
+          SELECT source, ntok,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY ntok, doc_id) AS rn,
+                 COUNT(1) OVER (PARTITION BY source) AS n_seg
+          FROM d),
+        e AS (
+          SELECT source, unnest(range(1, 10)) AS k, rn, n_seg, ntok FROM ranked)
+        SELECT source, CAST(k AS INTEGER) AS k,
+               CAST(n_seg AS BIGINT) AS n_docs, ntok AS q_ntok
+        FROM e
+        WHERE rn = (n_seg * k + 9) // 10
+        ORDER BY source, k"""),
+      "Per-source exact decile table of doc token counts: segmented " +
+        "GlobalRank two-phase ranks (source = segment, no single-task " +
+        "sort) + rank-equality selection — exact order statistics, not " +
+        "sketches; the cross-source length-cutoff table.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
