@@ -2287,5 +2287,402 @@ object CoreQueries {
         "lag within user-partitioned time order, counts row-normalized " +
         "via broadcast per-from totals — one user-keyed shuffle, " +
         "|types|^2 output; the user-journey flow map.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q195
+    Q(
+      "q195_seasonal_anomaly",
+      (s, dir) => {
+        // Seasonal-baseline anomaly screen over the event stream: daily
+        // event counts vs the per-WEEKDAY mean/sd baseline (weekly
+        // seasonality is the dominant cycle in product telemetry), with
+        // z > 2 flagging anomalous days. All moments derive from exact
+        // integer sums (n, sum(c), sum(c^2)) so mean/variance are exact
+        // rationals evaluated by one shared IEEE expression tree — no
+        // cross-engine variance drift. Scale: one day-keyed aggregate
+        // (map-side combine) collapses the corpus to the days frame;
+        // the 7-row weekday baseline broadcasts back onto it.
+        val daily = table(s, dir, "events")
+          .selectExpr("unix_millis(ts) div 86400000 as day")
+          .groupBy("day").agg(count(lit(1)).as("cnt"))
+        val base = daily
+          .withColumn("wd", expr("day % 7"))
+          .groupBy("wd")
+          .agg(count(lit(1)).as("n"), sum("cnt").as("s1"),
+            sum(expr("cnt * cnt")).as("s2"))
+        daily.withColumn("wd", expr("day % 7"))
+          .join(broadcast(base), Seq("wd"))
+          .withColumn("sd", expr(
+            "sqrt(cast(n * s2 - s1 * s1 as double) / cast(n * n as double))"))
+          .selectExpr("day", "cast(wd as bigint) as wd", "cnt",
+            "round(cast(s1 as double) / cast(n as double), 6) as wd_mean",
+            "round(sd, 6) as wd_sd",
+            """round(case when sd = 0.0d then 0.0d
+                     else cast(cnt * n - s1 as double) / (cast(n as double) * sd)
+                     end, 6) as z""",
+            """(case when sd = 0.0d then 0.0d
+                else abs(cast(cnt * n - s1 as double) / (cast(n as double) * sd))
+                end) > 2.0d as is_anom""")
+          .orderBy("day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT epoch_ms(ts) // 86400000 AS day, COUNT(1) AS cnt
+          FROM events GROUP BY 1),
+        base AS (
+          SELECT day % 7 AS wd, COUNT(1) AS n,
+                 CAST(SUM(cnt) AS BIGINT) AS s1,
+                 CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+          FROM daily GROUP BY 1),
+        j AS (
+          SELECT d.day, b.wd, d.cnt, b.n, b.s1, b.s2,
+                 sqrt(CAST(b.n * b.s2 - b.s1 * b.s1 AS DOUBLE)
+                      / CAST(b.n * b.n AS DOUBLE)) AS sd
+          FROM daily d JOIN base b ON d.day % 7 = b.wd)
+        SELECT day, CAST(wd AS BIGINT) AS wd, cnt,
+               round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS wd_mean,
+               round(sd, 6) AS wd_sd,
+               round(CASE WHEN sd = 0.0 THEN 0.0
+                     ELSE CAST(cnt * n - s1 AS DOUBLE) / (CAST(n AS DOUBLE) * sd)
+                     END, 6) AS z,
+               (CASE WHEN sd = 0.0 THEN 0.0
+                ELSE abs(CAST(cnt * n - s1 AS DOUBLE) / (CAST(n AS DOUBLE) * sd))
+                END) > 2.0 AS is_anom
+        FROM j ORDER BY day"""),
+      "Seasonal anomaly screen: daily event counts vs per-weekday " +
+        "mean/sd baselines from exact integer moment sums — one day-" +
+        "keyed aggregate, 7-row baseline broadcast back, z > 2 flags; " +
+        "no cross-engine variance drift."),
+
+    // ---------------------------------------------------------------- q196
+    Q(
+      "q196_rfm_segments",
+      (s, dir) => {
+        // RFM customer segmentation: per-user Recency (days since last
+        // event, vs the corpus max day), Frequency (event count), and
+        // Monetary (exact decimal value sum), each cut into quintiles
+        // by GlobalRank's two-phase exact ranks — the no-single-task
+        // spelling of ntile(5) over a users-sized frame (billions of
+        // users at 100 TB; a bare Window.orderBy would funnel them
+        // through one task). Quintile code r*100+f*10+m (r=5 most
+        // recent, f=5 most frequent, m=5 highest spend), reported as
+        // segment sizes + per-segment metric means. Three rank passes
+        // over the users frame — each a bucketed shuffle, nothing
+        // corpus-sized after the first user-keyed aggregate.
+        import graft.operators.GlobalRank
+        val maxDay = table(s, dir, "events")
+          .agg(max(expr("unix_millis(ts) div 86400000")).as("max_day"))
+        val users = table(s, dir, "events")
+          .selectExpr("user_id", "unix_millis(ts) div 86400000 as day",
+            "cast(value as decimal(18,2)) as v")
+          .groupBy("user_id")
+          .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
+            sum("v").as("mon"))
+          .crossJoin(broadcast(maxDay))
+          .withColumn("rec", col("max_day") - col("last_day"))
+          .withColumn("seg", lit(0))
+        def quint(df: org.apache.spark.sql.DataFrame, v: String, q: String,
+            asc: Boolean) = {
+          val in = if (asc) df else df.withColumn("__neg", col(v) * -1)
+          val ranked = GlobalRank.withGlobalRank(
+            in, "seg", if (asc) v else "__neg", "user_id")
+          ranked.withColumn(q, expr("(rn - 1) * 5 div n_seg + 1"))
+            .drop("rn", "n_seg", "__neg")
+        }
+        // r: LOW recency days = best -> rank descending puts recent last;
+        // we rank rec ASC negated so quintile 5 = most recent
+        val scored = quint(quint(quint(users, "rec", "r_q", asc = false),
+          "freq", "f_q", asc = true), "mon", "m_q", asc = true)
+        scored
+          .withColumn("rfm", expr("r_q * 100 + f_q * 10 + m_q"))
+          .groupBy("rfm")
+          .agg(count(lit(1)).as("n_users"),
+            expr("round(cast(sum(rec) as double) / count(1), 6)").as("avg_rec"),
+            expr("round(cast(sum(freq) as double) / count(1), 6)").as("avg_freq"),
+            expr("round(cast(sum(mon) as double) / count(1), 6)").as("avg_mon"))
+          .selectExpr("cast(rfm as bigint) as rfm", "n_users",
+            "avg_rec", "avg_freq", "avg_mon")
+          .orderBy("rfm")
+      },
+      Some("""
+        WITH md AS (
+          SELECT MAX(epoch_ms(ts) // 86400000) AS max_day FROM events),
+        u AS (
+          SELECT user_id,
+                 MAX(epoch_ms(ts) // 86400000) AS last_day,
+                 COUNT(1) AS freq,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS mon
+          FROM events GROUP BY user_id),
+        m AS (
+          SELECT u.user_id, md.max_day - u.last_day AS rec, u.freq, u.mon
+          FROM u, md),
+        ranked AS (
+          SELECT user_id, rec, freq, mon,
+                 (ROW_NUMBER() OVER (ORDER BY -rec, user_id) - 1) * 5
+                   // COUNT(1) OVER () + 1 AS r_q,
+                 (ROW_NUMBER() OVER (ORDER BY freq, user_id) - 1) * 5
+                   // COUNT(1) OVER () + 1 AS f_q,
+                 (ROW_NUMBER() OVER (ORDER BY mon, user_id) - 1) * 5
+                   // COUNT(1) OVER () + 1 AS m_q
+          FROM m)
+        SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm,
+               COUNT(1) AS n_users,
+               round(CAST(SUM(rec) AS DOUBLE) / COUNT(1), 6) AS avg_rec,
+               round(CAST(SUM(freq) AS DOUBLE) / COUNT(1), 6) AS avg_freq,
+               round(CAST(SUM(mon) AS DOUBLE) / COUNT(1), 6) AS avg_mon
+        FROM ranked
+        GROUP BY 1 ORDER BY 1"""),
+      "RFM segmentation: per-user recency/frequency/monetary from one " +
+        "user-keyed aggregate, three quintile cuts via GlobalRank's " +
+        "two-phase exact ranks (the distributed ntile(5) — no single-" +
+        "task window over a users-sized frame), segment sizes + means."),
+
+    // ---------------------------------------------------------------- q197
+    Q(
+      "q197_benford",
+      (s, dir) => {
+        // Benford first-digit audit of lineitem prices — the classic
+        // fabricated-data screen: observed leading-digit distribution
+        // vs Benford's log10(1 + 1/d) expectation, per-digit chi-square
+        // contributions and the total statistic broadcast onto every
+        // row. First digit via string head of the floored integer part
+        // (no log10-of-value boundary risk); expectations are literal-
+        // arithmetic IEEE, observed counts exact integers. Scale: one
+        // map pass + 9-group aggregate; everything after is 9-row math.
+        val digits = table(s, dir, "lineitem")
+          .selectExpr(
+            "cast(substring(cast(cast(floor(l_extendedprice) as bigint) as string), 1, 1) as int) as d")
+          .filter(col("d").between(1, 9))
+          .groupBy("d").agg(count(lit(1)).as("n_obs"))
+        val tot = digits.agg(sum("n_obs").as("n_tot"))
+        val scored = digits.crossJoin(broadcast(tot))
+          .withColumn("p_ben", expr("log10(1.0d + 1.0d / cast(d as double))"))
+          .withColumn("chi_term", expr(
+            """(cast(n_obs as double) - cast(n_tot as double) * p_ben)
+               * (cast(n_obs as double) - cast(n_tot as double) * p_ben)
+               / (cast(n_tot as double) * p_ben)"""))
+        val chi2 = scored.agg(
+          expr("round(sum(cast(round(chi_term, 9) as decimal(28,12))), 6)").as("chi2"))
+        scored.crossJoin(broadcast(chi2))
+          .selectExpr("d", "n_obs", "cast(n_tot as bigint) as n_tot",
+            "round(p_ben, 6) as p_benford",
+            "round(cast(n_obs as double) / cast(n_tot as double), 6) as p_obs",
+            "round(chi_term, 6) as chi_term",
+            "cast(chi2 as double) as chi2")
+          .orderBy("d")
+      },
+      Some("""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d,
+                 COUNT(1) AS n_obs
+          FROM lineitem
+          WHERE CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) BETWEEN 1 AND 9
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM digits),
+        scored AS (
+          SELECT d, n_obs, n_tot,
+                 log10(1.0 + 1.0 / CAST(d AS DOUBLE)) AS p_ben,
+                 (CAST(n_obs AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+                 * (CAST(n_obs AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+                 / (CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE))) AS chi_term
+          FROM digits, tot),
+        c AS (
+          SELECT round(SUM(CAST(round(chi_term, 9) AS DECIMAL(28,12))), 6) AS chi2
+          FROM scored)
+        SELECT d, n_obs, n_tot, round(p_ben, 6) AS p_benford,
+               round(CAST(n_obs AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS p_obs,
+               round(chi_term, 6) AS chi_term,
+               CAST(chi2 AS DOUBLE) AS chi2
+        FROM scored, c
+        ORDER BY d"""),
+      "Benford first-digit audit of prices: observed vs log10(1+1/d) " +
+        "expectation with per-digit and total chi-square — string-head " +
+        "digit extraction (no log boundary risk), exact counts, one map " +
+        "pass + 9-row arithmetic; the fabricated-data screen."),
+
+    // ---------------------------------------------------------------- q198
+    Q(
+      "q198_dq_audit",
+      (s, dir) => {
+        // Declarative data-quality rule panel over the star schema —
+        // the five integrity classes a warehouse gate checks before
+        // publishing a snapshot: (1) fact->dim referential orphans,
+        // (2) dims with no facts, (3) duplicate primary keys, (4)
+        // mandatory-field blanks, (5) domain violations (non-positive
+        // measures). Each rule is an independent aggregate/anti-join
+        // shape over its own table; results union into the verdict
+        // frame. Scale: every rule is one keyed shuffle or map-side
+        // count; the panel parallelizes trivially (union of independent
+        // subtrees — Spark schedules them concurrently).
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        val cust = table(s, dir, "customer")
+        def row(name: String, bad: org.apache.spark.sql.DataFrame,
+            total: org.apache.spark.sql.DataFrame) =
+          bad.crossJoin(total).selectExpr(s"'$name' as check_name",
+            "cast(n_bad as bigint) as n_bad",
+            "cast(n_total as bigint) as n_total", "n_bad = 0 as ok")
+        val orphans = row("lineitem_orphan_orderkey",
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n_bad")),
+          li.agg(count(lit(1)).as("n_total")))
+        val childless = row("orders_without_lineitems",
+          ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n_bad")),
+          ord.agg(count(lit(1)).as("n_total")))
+        val dupkeys = row("lineitem_dup_pk",
+          li.groupBy("l_orderkey", "l_linenumber")
+            .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+            .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_bad")),
+          li.agg(count(lit(1)).as("n_total")))
+        val blanks = row("customer_blank_name",
+          cust.filter(col("c_name").isNull || trim(col("c_name")) === "")
+            .agg(count(lit(1)).as("n_bad")),
+          cust.agg(count(lit(1)).as("n_total")))
+        val domain = row("lineitem_nonpositive_measures",
+          li.filter(col("l_quantity") <= 0 || col("l_extendedprice") <= 0)
+            .agg(count(lit(1)).as("n_bad")),
+          li.agg(count(lit(1)).as("n_total")))
+        orphans.unionByName(childless).unionByName(dupkeys)
+          .unionByName(blanks).unionByName(domain)
+          .orderBy("check_name")
+      },
+      Some("""
+        WITH checks AS (
+          SELECT 'lineitem_orphan_orderkey' AS check_name,
+                 (SELECT COUNT(1) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey)) AS n_bad,
+                 (SELECT COUNT(1) FROM lineitem) AS n_total
+          UNION ALL
+          SELECT 'orders_without_lineitems',
+                 (SELECT COUNT(1) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                    WHERE l.l_orderkey = o.o_orderkey)),
+                 (SELECT COUNT(1) FROM orders)
+          UNION ALL
+          SELECT 'lineitem_dup_pk',
+                 (SELECT COALESCE(SUM(c - 1), 0) FROM (
+                    SELECT COUNT(1) AS c FROM lineitem
+                    GROUP BY l_orderkey, l_linenumber HAVING COUNT(1) > 1)),
+                 (SELECT COUNT(1) FROM lineitem)
+          UNION ALL
+          SELECT 'customer_blank_name',
+                 (SELECT COUNT(1) FROM customer
+                  WHERE c_name IS NULL OR trim(c_name) = ''),
+                 (SELECT COUNT(1) FROM customer)
+          UNION ALL
+          SELECT 'lineitem_nonpositive_measures',
+                 (SELECT COUNT(1) FROM lineitem
+                  WHERE l_quantity <= 0 OR l_extendedprice <= 0),
+                 (SELECT COUNT(1) FROM lineitem))
+        SELECT check_name, CAST(n_bad AS BIGINT) AS n_bad,
+               CAST(n_total AS BIGINT) AS n_total, n_bad = 0 AS ok
+        FROM checks ORDER BY check_name"""),
+      "Data-quality rule panel: referential orphans both directions, " +
+        "duplicate PKs, blank mandatory fields, measure-domain checks — " +
+        "five independent anti-join/aggregate subtrees unioned into one " +
+        "verdict frame; the pre-publish warehouse gate."),
+
+    // ---------------------------------------------------------------- q199
+    Q(
+      "q199_column_profile",
+      (s, dir) => {
+        // Column profiling — the stats panel a catalog publishes per
+        // column: row/null/distinct counts plus min/max, emitted as one
+        // uniform (column, metrics) frame. Numeric min/max surface as
+        // doubles, temporal as epoch millis, strings by lexical order —
+        // all cross-engine exact. Scale: each column profiles in its
+        // own aggregate subtree (count distinct = one shuffle each) and
+        // the subtrees union — at 100 TB you profile the columns you
+        // need, each a single pass with map-side partials.
+        val li = table(s, dir, "lineitem")
+        def num(c: String) = li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("double").as("min_v"),
+          max(col(c)).cast("double").as("max_v"))
+          .selectExpr(s"'$c' as col_name", "n_rows",
+            "cast(n_null as bigint) as n_null", "n_distinct",
+            "round(min_v, 6) as min_v", "round(max_v, 6) as max_v",
+            "cast(null as string) as min_s", "cast(null as string) as max_s")
+        def str(c: String) = li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("min_s"), max(col(c)).as("max_s"))
+          .selectExpr(s"'$c' as col_name", "n_rows",
+            "cast(n_null as bigint) as n_null", "n_distinct",
+            "cast(null as double) as min_v", "cast(null as double) as max_v",
+            "min_s", "max_s")
+        def ts(c: String) = li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          // NTZ parquet timestamp -> TimestampType is exact under the
+          // pinned-UTC session (the o_orderdate convention above)
+          unix_millis(min(col(c)).cast("timestamp")).as("min_ms"),
+          unix_millis(max(col(c)).cast("timestamp")).as("max_ms"))
+          .selectExpr(s"'$c' as col_name", "n_rows",
+            "cast(n_null as bigint) as n_null", "n_distinct",
+            "cast(min_ms as double) as min_v", "cast(max_ms as double) as max_v",
+            "cast(null as string) as min_s", "cast(null as string) as max_s")
+        num("l_quantity").unionByName(num("l_extendedprice"))
+          .unionByName(num("l_discount"))
+          .unionByName(str("l_returnflag")).unionByName(str("l_linestatus"))
+          .unionByName(ts("l_shipdate"))
+          .orderBy("col_name")
+      },
+      Some("""
+        WITH p AS (
+          SELECT 'l_quantity' AS col_name, COUNT(1) AS n_rows,
+                 CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 COUNT(DISTINCT l_quantity) AS n_distinct,
+                 round(CAST(MIN(l_quantity) AS DOUBLE), 6) AS min_v,
+                 round(CAST(MAX(l_quantity) AS DOUBLE), 6) AS max_v,
+                 CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', COUNT(1),
+                 CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 COUNT(DISTINCT l_extendedprice),
+                 round(CAST(MIN(l_extendedprice) AS DOUBLE), 6),
+                 round(CAST(MAX(l_extendedprice) AS DOUBLE), 6),
+                 NULL, NULL
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', COUNT(1),
+                 CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 COUNT(DISTINCT l_discount),
+                 round(CAST(MIN(l_discount) AS DOUBLE), 6),
+                 round(CAST(MAX(l_discount) AS DOUBLE), 6),
+                 NULL, NULL
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', COUNT(1),
+                 CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 COUNT(DISTINCT l_returnflag),
+                 NULL, NULL, MIN(l_returnflag), MAX(l_returnflag)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_linestatus', COUNT(1),
+                 CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 COUNT(DISTINCT l_linestatus),
+                 NULL, NULL, MIN(l_linestatus), MAX(l_linestatus)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_shipdate', COUNT(1),
+                 CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 COUNT(DISTINCT l_shipdate),
+                 CAST(epoch_ms(MIN(l_shipdate)) AS DOUBLE),
+                 CAST(epoch_ms(MAX(l_shipdate)) AS DOUBLE),
+                 NULL, NULL
+          FROM lineitem)
+        SELECT * FROM p ORDER BY col_name"""),
+      "Column profiling panel: per-column row/null/exact-distinct " +
+        "counts + typed min/max (numeric as double, temporal as epoch " +
+        "ms, strings lexical) — independent single-pass aggregate " +
+        "subtrees unioned; the catalog stats publisher.")
   )
 }
