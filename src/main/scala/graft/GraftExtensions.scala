@@ -66,6 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CdcCuts].getName, "cdc_cuts"),
       TextExpressions.cdcCutsBuilder))
     ext.injectFunction((
+      FunctionIdentifier("window_mins"),
+      new ExpressionInfo(classOf[graft.functions.WindowMins].getName, "window_mins"),
+      TextExpressions.windowMinsBuilder))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => graft.functions.BloomMightContain(exprs(0), exprs(1))))

@@ -354,4 +354,39 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(resynced.subsetOf(cutsEdited),
       s"content-defined cuts did not re-synchronize: base=$cutsBase edited=$cutsEdited")
   }
+
+  test("window_mins equals the transform/slice/array_min HOF spelling on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "word_ngram_hash48(split(text, ' '), 2) as hs")
+    for (w <- Seq(1, 4, 7)) {
+      val diff = docs.filter(s"size(hs) >= $w")
+        .selectExpr("doc_id",
+          s"window_mins(hs, $w) as a",
+          s"transform(sequence(0, size(hs) - $w), i -> array_min(slice(hs, i + 1, $w))) as b")
+        .filter("a != b")
+      assert(diff.count() === 0, s"window_mins diverged from the HOF at w=$w")
+    }
+  }
+
+  test("window_mins edge cases: shorter-than-window, nulls, and interpreted == codegen") {
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      val got = spark.sql(
+        """SELECT
+             window_mins(array(cast(5 as bigint), 3, 9, 1, 7), 3) as basic,
+             window_mins(array(cast(5 as bigint), 3), 3) as short,
+             window_mins(cast(array() as array<bigint>), 2) as empty,
+             window_mins(array(cast(null as bigint), 4, 2, cast(null as bigint)), 2) as withnull,
+             window_mins(array(cast(null as bigint), cast(null as bigint)), 2) as allnull,
+             window_mins(cast(null as array<bigint>), 2) as nullarr""").collect()(0)
+      assert(got.getSeq[Any](0) === Seq(3L, 1L, 1L), s"mode=$codegen basic")
+      assert(got.getSeq[Any](1) === Seq.empty, s"mode=$codegen short")
+      assert(got.getSeq[Any](2) === Seq.empty, s"mode=$codegen empty")
+      // array_min semantics: nulls ignored, all-null window -> null element
+      assert(got.getSeq[Any](3) === Seq(4L, 2L, 2L), s"mode=$codegen withnull")
+      assert(got.getSeq[Any](4) === Seq(null), s"mode=$codegen allnull")
+      assert(got.isNullAt(5), s"mode=$codegen nullarr")
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }
