@@ -5140,15 +5140,16 @@ object TextQueries {
         // full Sum(df^2) token join): equality proves the prefix
         // theorem's completeness — unlike MinHash/SimHash banding, this
         // family guarantees recall 1.0 by construction.
-        val dt = table(s, dir, "documents")
+        val base = table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .filter(size(col("toks")) >= 3)
-          .selectExpr("doc_id", s"$sparkShingles as shs")
-          .select(col("doc_id"), explode(col("shs")).as("sh"))
-          .distinct()
+          .selectExpr("doc_id", s"array_distinct($sparkShingles) as shs")
+        // set size comes free from the array (no count-window pass)
+        val dt = base
+          .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+            explode(col("shs")).as("sh"))
         val dfreq = dt.groupBy("sh").agg(count(lit(1)).as("df"))
         val ranked = dt.join(dfreq, Seq("sh"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
         val pre = ranked.filter(expr("rn <= n - (n + 1) div 2 + 1"))
@@ -5159,11 +5160,18 @@ object TextQueries {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.n").as("n_a"), col("b.n").as("n_b"))
           .distinct()
+        // verify by carrying the two per-doc shingle ARRAYS into the
+        // candidate frame (two doc-keyed equi-joins) and intersecting
+        // per row — bounded by |candidates|, where the exploded
+        // posting-join spelling it replaced paid |candidates| x shingles
+        // rows into a re-aggregation (measured 9.7 s -> 7.3 s at sf0.1;
+        // the residual cost is this synthetic corpus' candidate DENSITY:
+        // a 31-token vocabulary yields ~310k prefix-filtered candidates
+        // from 5000 docs — real corpora prune far harder here)
         cand
-          .join(dt.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-          .join(dt.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-          .groupBy("doc_a", "doc_b", "n_a", "n_b")
-          .agg(count(lit(1)).as("n_inter"))
+          .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+          .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
+          .withColumn("n_inter", expr("cast(size(array_intersect(sh_a, sh_b)) as bigint)"))
           .filter(col("n_inter").cast("double") /
             (col("n_a") + col("n_b") - col("n_inter")) >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_inter"),
