@@ -2684,5 +2684,286 @@ object CoreQueries {
         "counts + typed min/max (numeric as double, temporal as epoch " +
         "ms, strings lexical) — independent single-pass aggregate " +
         "subtrees unioned; the catalog stats publisher.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q201
+    Q(
+      "q201_market_basket",
+      (s, dir) => {
+        // Market-basket association rules over order baskets: pairwise
+        // part co-occurrence with support / confidence / lift, top-20
+        // by lift. The pair generator is the order-keyed self-join —
+        // fanout is C(basket,2) per ORDER (baskets are small), never
+        // corpus^2 — then everything is (part, part)-keyed aggregation
+        // with the part-support frame joined back (parts-sized, equi;
+        // the 1-row order total broadcasts). Exact integer counts into
+        // one shared double tree for the ratios.
+        val items = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = items.select("ok").distinct().agg(count(lit(1)).as("n_ord"))
+        val psup = items.groupBy("pk").agg(count(lit(1)).as("sup"))
+        val pairs = items.as("a")
+          .join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+          .agg(count(lit(1)).as("sup_ab"))
+          .filter(col("sup_ab") >= 3)
+        pairs
+          .join(psup.select(col("pk").as("pa"), col("sup").as("sup_a")), Seq("pa"))
+          .join(psup.select(col("pk").as("pb"), col("sup").as("sup_b")), Seq("pb"))
+          .crossJoin(broadcast(nOrders))
+          .selectExpr("pa", "pb", "sup_ab", "sup_a", "sup_b",
+            "round(cast(sup_ab as double) / cast(n_ord as double), 6) as support",
+            "round(cast(sup_ab as double) / cast(sup_a as double), 6) as conf_a_b",
+            """round(cast(sup_ab as double) * cast(n_ord as double)
+               / (cast(sup_a as double) * cast(sup_b as double)), 6) as lift""")
+          .orderBy(col("lift").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT ok) AS n_ord FROM items),
+        psup AS (SELECT pk, COUNT(1) AS sup FROM items GROUP BY pk),
+        pairs AS (
+          SELECT a.pk AS pa, b.pk AS pb, COUNT(1) AS sup_ab
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING COUNT(1) >= 3)
+        SELECT p.pa, p.pb, p.sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+               round(CAST(p.sup_ab AS DOUBLE) / CAST(n.n_ord AS DOUBLE), 6) AS support,
+               round(CAST(p.sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE), 6) AS conf_a_b,
+               round(CAST(p.sup_ab AS DOUBLE) * CAST(n.n_ord AS DOUBLE)
+                     / (CAST(sa.sup AS DOUBLE) * CAST(sb.sup AS DOUBLE)), 6) AS lift
+        FROM pairs p
+        JOIN psup sa ON p.pa = sa.pk
+        JOIN psup sb ON p.pb = sb.pk, n
+        ORDER BY lift DESC, p.pa, p.pb
+        LIMIT 20"""),
+      "Market-basket association rules: order-keyed pair self-join " +
+        "(fanout bounded by basket size), pair-keyed aggregation, " +
+        "support joins equi-keyed, order total broadcast — top-20 " +
+        "co-purchase rules by lift from exact counts."),
+
+    // ---------------------------------------------------------------- q202
+    Q(
+      "q202_spatial_pairs",
+      (s, dir) => {
+        // Grid-bucketed spatial self-join — the distance-join capability:
+        // customers get deterministic planar coordinates (salted-hash
+        // integers / 100, so both engines hold the identical doubles) on
+        // a 100 x 100 plane; find all pairs within Euclidean distance 1.
+        // Candidate generation maps each LEFT point onto its 3x3 cell
+        // neighborhood (map-side x9 explode) and equi-joins the RIGHT
+        // side on the exact cell — the same bucket-join discipline as
+        // LSH banding, applied to space; a distance predicate alone
+        // would be a cartesian. Exact integer cell ids (hash div 100 —
+        // no float floors), exact verify on the shared double tree.
+        val hx = graft.functions.HashConventions
+          .md5long48("concat('gx|', cast(c_custkey as string))")
+        val hy = graft.functions.HashConventions
+          .md5long48("concat('gy|', cast(c_custkey as string))")
+        val pts = table(s, dir, "customer")
+          .selectExpr("c_custkey as id", s"$hx % 10000 as xi", s"$hy % 10000 as yi")
+          .selectExpr("id", "xi div 100 as cx", "yi div 100 as cy",
+            "cast(xi as double) / 100.0d as x", "cast(yi as double) / 100.0d as y")
+        val lhs = pts
+          .withColumn("dx", explode(expr("array(-1, 0, 1)")))
+          .withColumn("dy", explode(expr("array(-1, 0, 1)")))
+          .selectExpr("id as id_a", "x as xa", "y as ya",
+            "cx + dx as jcx", "cy + dy as jcy")
+        lhs.join(pts.selectExpr("id as id_b", "x as xb", "y as yb",
+            "cx as jcx", "cy as jcy"), Seq("jcx", "jcy"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 1.0d"))
+          .selectExpr("id_a", "id_b",
+            "round(sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)), 6) as dist")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH pts AS (
+          SELECT c_custkey AS id,
+                 ${graft.functions.HashConventions.duckMd5long48("'gx|' || cast(c_custkey as varchar)")} % 10000 AS xi,
+                 ${graft.functions.HashConventions.duckMd5long48("'gy|' || cast(c_custkey as varchar)")} % 10000 AS yi
+          FROM customer),
+        p AS (
+          SELECT id, xi // 100 AS cx, yi // 100 AS cy,
+                 CAST(xi AS DOUBLE) / 100.0 AS x,
+                 CAST(yi AS DOUBLE) / 100.0 AS y
+          FROM pts),
+        lhs AS (
+          SELECT id AS id_a, x AS xa, y AS ya,
+                 cx + dx.v AS jcx, cy + dy.v AS jcy
+          FROM p,
+               (SELECT unnest([-1, 0, 1]) AS v) dx,
+               (SELECT unnest([-1, 0, 1]) AS v) dy)
+        SELECT l.id_a, r.id AS id_b,
+               round(sqrt((l.xa - r.x) * (l.xa - r.x)
+                          + (l.ya - r.y) * (l.ya - r.y)), 6) AS dist
+        FROM lhs l JOIN p r ON l.jcx = r.cx AND l.jcy = r.cy
+        WHERE l.id_a < r.id
+          AND (l.xa - r.x) * (l.xa - r.x) + (l.ya - r.y) * (l.ya - r.y) <= 1.0
+        ORDER BY l.id_a, id_b"""),
+      "Grid-bucketed spatial distance join: deterministic planar coords, " +
+        "3x3 cell-neighborhood explode equi-joined on exact integer cell " +
+        "ids (LSH bucket-join discipline applied to space — no cartesian), " +
+        "exact Euclidean verify; all pairs within distance 1."),
+
+    // ---------------------------------------------------------------- q203
+    Q(
+      "q203_ab_test",
+      (s, dir) => {
+        // A/B test readout with a two-proportion z-test: users split by
+        // salted hash into variants, conversion = the user's FIRST event
+        // (by time) is a purchase (any-purchase-ever saturates to 100%
+        // on this corpus — a degenerate readout), pooled-variance z from
+        // exact integer counts through one shared IEEE tree,
+        // significance at |z| > 1.96. Scale: one per-user window pass
+        // (user-partitioned, never a global sort) collapses the corpus;
+        // everything after is 2-row arithmetic with the 1-row test
+        // statistic broadcast back. The deterministic split is the same
+        // salted-hash machinery as the train/test splits (q182) —
+        // assignment reproducible at any cluster size.
+        val vHash = graft.functions.HashConventions
+          .md5long48("concat('ab|', cast(user_id as string))")
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+        val users = table(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .selectExpr("user_id", s"$vHash % 2 as variant",
+            "case when event_type = 'purchase' then 1 else 0 end as conv")
+        val arms = users.groupBy("variant")
+          .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+        val z = arms.agg(
+          sum(when(col("variant") === 0, col("n_users"))).as("n0"),
+          sum(when(col("variant") === 0, col("n_conv"))).as("c0"),
+          sum(when(col("variant") === 1, col("n_users"))).as("n1"),
+          sum(when(col("variant") === 1, col("n_conv"))).as("c1"))
+          // degenerate arms (0% or 100% pooled conversion) have zero
+          // pooled variance: define z = 0 instead of dividing by it
+          .withColumn("z", expr(
+            """case when c0 + c1 = 0 or c0 + c1 = n0 + n1 then 0.0d
+               else (cast(c1 as double) / cast(n1 as double)
+                - cast(c0 as double) / cast(n0 as double))
+               / sqrt((cast(c0 + c1 as double) / cast(n0 + n1 as double))
+                      * (1.0d - cast(c0 + c1 as double) / cast(n0 + n1 as double))
+                      * (1.0d / cast(n0 as double) + 1.0d / cast(n1 as double))) end"""))
+          .selectExpr("round(z, 6) as z", "abs(z) > 1.96d as significant")
+        arms.crossJoin(broadcast(z))
+          .selectExpr("cast(variant as bigint) as variant", "n_users",
+            "cast(n_conv as bigint) as n_conv",
+            "round(cast(n_conv as double) / cast(n_users as double), 6) as conv_rate",
+            "z", "significant")
+          .orderBy("variant")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts), event_id) AS rn
+          FROM events),
+        u AS (
+          SELECT user_id,
+                 ${graft.functions.HashConventions.duckMd5long48("'ab|' || cast(user_id as varchar)")} % 2 AS variant,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+          FROM f WHERE rn = 1),
+        arms AS (
+          SELECT variant, COUNT(1) AS n_users,
+                 CAST(SUM(conv) AS BIGINT) AS n_conv
+          FROM u GROUP BY variant),
+        w AS (
+          SELECT CAST(SUM(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS c1
+          FROM arms),
+        zr AS (
+          SELECT CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+                 ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) END AS zv
+          FROM w),
+        zt AS (
+          SELECT round(zv, 6) AS z, abs(zv) > 1.96 AS significant FROM zr)
+        SELECT CAST(a.variant AS BIGINT) AS variant, a.n_users, a.n_conv,
+               round(CAST(a.n_conv AS DOUBLE) / CAST(a.n_users AS DOUBLE), 6) AS conv_rate,
+               zt.z, zt.significant
+        FROM arms a, zt
+        ORDER BY a.variant"""),
+      "A/B readout with two-proportion z-test: salted-hash variant split, " +
+        "conversion per user in one keyed aggregate, pooled-variance z " +
+        "from exact counts through one shared IEEE tree, |z| > 1.96 " +
+        "significance broadcast onto the 2-row arm table."),
+
+    // ---------------------------------------------------------------- q204
+    Q(
+      "q204_ols_fit",
+      (s, dir) => {
+        // Distributed OLS via normal equations — exact linear-model
+        // training in ONE aggregation pass: regress l_extendedprice on
+        // (1, l_quantity, l_discount) by accumulating the 9 moment sums
+        // (X'X and X'y entries, each a round-then-DECIMAL sum, exact and
+        // order-independent) and solving the 3x3 system by Cramer's rule
+        // on the 1-row frame. This is the closed-form complement of the
+        // iterative trainers (k-means q90, power iteration q157, NB
+        // q182): no broadcast loop, one map-side-combinable aggregate at
+        // any scale, coefficients bit-identical across partitionings.
+        def m(e: String) = s"sum(cast(round($e, 9) as decimal(28,12)))"
+        table(s, dir, "lineitem")
+          .selectExpr("l_quantity as q", "l_discount as d", "l_extendedprice as y")
+          .agg(
+            count(lit(1)).as("n"),
+            expr(s"${m("q")} as sq"), expr(s"${m("d")} as sd"),
+            expr(s"${m("q * q")} as sqq"), expr(s"${m("q * d")} as sqd"),
+            expr(s"${m("d * d")} as sdd"),
+            expr(s"${m("y")} as sy"), expr(s"${m("q * y")} as sqy"),
+            expr(s"${m("d * y")} as sdy"))
+          .selectExpr("cast(n as double) as n",
+            "cast(sq as double) as sq", "cast(sd as double) as sd",
+            "cast(sqq as double) as sqq", "cast(sqd as double) as sqd",
+            "cast(sdd as double) as sdd", "cast(sy as double) as sy",
+            "cast(sqy as double) as sqy", "cast(sdy as double) as sdy")
+          .withColumn("det", expr(
+            """n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+               + sd * (sq * sqd - sqq * sd)"""))
+          .selectExpr("cast(n as bigint) as n_rows",
+            """round((sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)
+               + sd * (sqy * sqd - sqq * sdy)) / det, 6) as beta0""",
+            """round((n * (sqy * sdd - sqd * sdy) - sy * (sq * sdd - sqd * sd)
+               + sd * (sq * sdy - sqy * sd)) / det, 6) as beta1""",
+            """round((n * (sqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+               + sy * (sq * sqd - sqq * sd)) / det, 6) as beta2""")
+      },
+      Some("""
+        WITH mm AS (
+          SELECT CAST(COUNT(1) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(round(l_quantity, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sq,
+                 CAST(SUM(CAST(round(l_discount, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sd,
+                 CAST(SUM(CAST(round(l_quantity * l_quantity, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sqq,
+                 CAST(SUM(CAST(round(l_quantity * l_discount, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sqd,
+                 CAST(SUM(CAST(round(l_discount * l_discount, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sdd,
+                 CAST(SUM(CAST(round(l_extendedprice, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(l_quantity * l_extendedprice, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sqy,
+                 CAST(SUM(CAST(round(l_discount * l_extendedprice, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sdy
+          FROM lineitem),
+        d AS (
+          SELECT *, n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd)
+                    + sd * (sq * sqd - sqq * sd) AS det
+          FROM mm)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round((sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)
+                      + sd * (sqy * sqd - sqq * sdy)) / det, 6) AS beta0,
+               round((n * (sqy * sdd - sqd * sdy) - sy * (sq * sdd - sqd * sd)
+                      + sd * (sq * sdy - sqy * sd)) / det, 6) AS beta1,
+               round((n * (sqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+                      + sy * (sq * sqd - sqq * sd)) / det, 6) AS beta2
+        FROM d"""),
+      "Distributed OLS by normal equations: 9 exact decimal moment sums " +
+        "in ONE map-side-combinable pass, 3x3 Cramer solve on the 1-row " +
+        "frame — closed-form model training, coefficients bit-identical " +
+        "across partitionings; complements the iterative trainers.")
   )
 }

@@ -5595,6 +5595,82 @@ object TextQueries {
         "GlobalRank two-phase ranks (source = segment, no single-task " +
         "sort) + rank-equality selection — exact order statistics, not " +
         "sketches; the cross-source length-cutoff table.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q200
+    Q(
+      "q200_lsh_design",
+      (s, dir) => {
+        // LSH index-design audit: for candidate (bands b x rows r)
+        // configurations, the S-curve catch probability p = 1-(1-s^r)^b
+        // evaluated at every VERIFIED near-dup pair's exact Jaccard s —
+        // the table that picks the banding scheme before a 100 TB index
+        // build. Catch probabilities use integer-exponent multiplication
+        // chains and the s50 threshold (1/b)^(1/r) uses sqrt chains
+        // (r, b powers of 2), so every number is an exact IEEE tree both
+        // engines share. Scale: the pair front is candidate-bounded; the
+        // configs explode is x4 on that tiny frame; output is 4 rows.
+        val ver = verifiedNearDupPairs(s, dir)
+          .withColumn("cfg", explode(expr(
+            """array(named_struct('b', 2, 'r', 2), named_struct('b', 4, 'r', 4),
+                     named_struct('b', 2, 'r', 8), named_struct('b', 8, 'r', 2))""")))
+          .selectExpr("cfg.b as b", "cfg.r as r", "jaccard as s")
+          .withColumn("sr", expr(
+            """case when r = 2 then s * s
+                    when r = 4 then s * s * s * s
+                    else s * s * s * s * s * s * s * s end"""))
+          .withColumn("p", expr(
+            """case when b = 2 then 1.0d - (1.0d - sr) * (1.0d - sr)
+                    when b = 4 then 1.0d - (1.0d - sr) * (1.0d - sr) * (1.0d - sr) * (1.0d - sr)
+                    else 1.0d - (1.0d - sr) * (1.0d - sr) * (1.0d - sr) * (1.0d - sr)
+                         * (1.0d - sr) * (1.0d - sr) * (1.0d - sr) * (1.0d - sr) end"""))
+        ver.groupBy("b", "r")
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("round(cast(sum(cast(round(p, 12) as decimal(28,12))) as double)"
+              + " / count(1), 6)").as("mean_p"),
+            sum(expr("case when p >= 0.9d then 1 else 0 end")).as("n_reliable"))
+          .withColumn("s50", expr(
+            """case when r = 2 then sqrt(1.0d / cast(b as double))
+                    when r = 4 then sqrt(sqrt(1.0d / cast(b as double)))
+                    else sqrt(sqrt(sqrt(1.0d / cast(b as double)))) end"""))
+          .selectExpr("b", "r", "n_pairs", "mean_p",
+            "cast(n_reliable as bigint) as n_reliable", "round(s50, 6) as s50")
+          .orderBy("b", "r")
+      },
+      Some(s"""
+        WITH $duckVerifiedPairs,
+        cfgs AS (
+          SELECT unnest([{'b': 2, 'r': 2}, {'b': 4, 'r': 4},
+                         {'b': 2, 'r': 8}, {'b': 8, 'r': 2}],
+                 recursive := true)),
+        e AS (
+          SELECT c.b, c.r, v.jaccard AS s,
+                 CASE WHEN c.r = 2 THEN v.jaccard * v.jaccard
+                      WHEN c.r = 4 THEN v.jaccard * v.jaccard * v.jaccard * v.jaccard
+                      ELSE v.jaccard * v.jaccard * v.jaccard * v.jaccard
+                           * v.jaccard * v.jaccard * v.jaccard * v.jaccard END AS sr
+          FROM ver v, cfgs c),
+        pe AS (
+          SELECT b, r, s,
+                 CASE WHEN b = 2 THEN 1.0 - (1.0 - sr) * (1.0 - sr)
+                      WHEN b = 4 THEN 1.0 - (1.0 - sr) * (1.0 - sr) * (1.0 - sr) * (1.0 - sr)
+                      ELSE 1.0 - (1.0 - sr) * (1.0 - sr) * (1.0 - sr) * (1.0 - sr)
+                           * (1.0 - sr) * (1.0 - sr) * (1.0 - sr) * (1.0 - sr) END AS p
+          FROM e)
+        SELECT b, r, COUNT(1) AS n_pairs,
+               round(CAST(SUM(CAST(round(p, 12) AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(1), 6) AS mean_p,
+               CAST(SUM(CASE WHEN p >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_reliable,
+               round(CASE WHEN r = 2 THEN sqrt(1.0 / CAST(b AS DOUBLE))
+                          WHEN r = 4 THEN sqrt(sqrt(1.0 / CAST(b AS DOUBLE)))
+                          ELSE sqrt(sqrt(sqrt(1.0 / CAST(b AS DOUBLE)))) END, 6) AS s50
+        FROM pe
+        GROUP BY b, r
+        ORDER BY b, r"""),
+      "LSH design table: S-curve catch probability 1-(1-s^r)^b at every " +
+        "verified pair's exact Jaccard for 4 (bands x rows) configs, " +
+        "plus the (1/b)^(1/r) threshold via sqrt chains — the banding " +
+        "scheme chooser run before an index build; 4-row output.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
