@@ -2965,5 +2965,192 @@ object CoreQueries {
         "in ONE map-side-combinable pass, 3x3 Cramer solve on the 1-row " +
         "frame — closed-form model training, coefficients bit-identical " +
         "across partitionings; complements the iterative trainers.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q205
+    Q(
+      "q205_survival_curve",
+      (s, dir) => {
+        // Kaplan-Meier survival curve of user LIFETIME (days between
+        // first and last observed event — every user uncensored in this
+        // fixed window): at each distinct lifetime L, d = users ending
+        // at L, n_risk = users with lifetime >= L, and the survivor
+        // S(L) = prod_{l <= L} (1 - d_l/n_l). Scale: one user-keyed
+        // aggregate collapses the corpus to a users frame, one lifetime
+        // aggregate collapses THAT to <= observation-window rows (a
+        // constant), and the running product runs on the tiny frame via
+        // a prefix self-join + per-row sorted fold — the q155 no-
+        // global-window discipline; factors are exact-count divisions
+        // folded in lifetime order (IEEE-identical both engines).
+        val life = table(s, dir, "events")
+          .selectExpr("user_id", "unix_millis(ts) div 86400000 as day")
+          .groupBy("user_id")
+          .agg((max("day") - min("day")).as("lt"))
+        val byLt = life.groupBy("lt").agg(count(lit(1)).as("d"))
+        val nTot = byLt.agg(sum("d").as("n_all"))
+        // n_risk(L) = n_all - sum of d at lifetimes < L (tiny self-join)
+        val risk = byLt.as("a")
+          .join(broadcast(byLt.as("b")), col("b.lt") < col("a.lt"), "left")
+          .groupBy(col("a.lt").as("lt"), col("a.d").as("d"))
+          .agg(coalesce(sum("b.d"), lit(0L)).as("ended_before"))
+          .crossJoin(broadcast(nTot))
+          .withColumn("n_risk", col("n_all") - col("ended_before"))
+          .withColumn("factor", expr(
+            "1.0d - cast(d as double) / cast(n_risk as double)"))
+        // S(L): per-row fold over the (l' <= L) prefix in lifetime order
+        risk.as("x")
+          .join(broadcast(risk.selectExpr("lt as lt2", "factor as f2")),
+            col("lt2") <= col("x.lt"))
+          .groupBy(col("x.lt").as("lt"), col("x.d").as("d"),
+            col("x.n_risk").as("n_risk"))
+          .agg(expr(
+            """round(aggregate(
+                 transform(array_sort(collect_list(struct(lt2, f2))), p -> p.f2),
+                 cast(1.0 as double), (acc, v) -> acc * v), 6)""").as("survival"))
+          .selectExpr("lt", "cast(d as bigint) as d",
+            "cast(n_risk as bigint) as n_risk", "survival")
+          .orderBy("lt")
+      },
+      Some("""
+        WITH life AS (
+          SELECT user_id,
+                 MAX(epoch_ms(ts) // 86400000) - MIN(epoch_ms(ts) // 86400000) AS lt
+          FROM events GROUP BY user_id),
+        bylt AS (SELECT lt, COUNT(1) AS d FROM life GROUP BY lt),
+        n AS (SELECT CAST(SUM(d) AS BIGINT) AS n_all FROM bylt),
+        risk AS (
+          SELECT a.lt, a.d,
+                 n.n_all - COALESCE(SUM(b.d), 0) AS n_risk
+          FROM bylt a LEFT JOIN bylt b ON b.lt < a.lt, n
+          GROUP BY a.lt, a.d, n.n_all),
+        f AS (
+          SELECT lt, d, n_risk,
+                 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+          FROM risk),
+        surv AS (
+          SELECT x.lt, x.d, x.n_risk,
+                 round(list_reduce(
+                   list_prepend(CAST(1.0 AS DOUBLE),
+                     list(y.factor ORDER BY y.lt)),
+                   (acc, v) -> acc * v), 6) AS survival
+          FROM f x JOIN f y ON y.lt <= x.lt
+          GROUP BY x.lt, x.d, x.n_risk)
+        SELECT lt, CAST(d AS BIGINT) AS d, CAST(n_risk AS BIGINT) AS n_risk,
+               survival
+        FROM surv ORDER BY lt"""),
+      "Kaplan-Meier lifetime curve: user-keyed aggregate to a users " +
+        "frame, lifetime aggregate to a bounded-constant frame, running " +
+        "survivor product via prefix self-join + sorted fold (no global " +
+        "window) — exact-count factors, IEEE-identical folds."),
+
+    // ---------------------------------------------------------------- q206
+    Q(
+      "q206_word_dropout",
+      (s, dir) => {
+        // Deterministic text augmentation: 10% word dropout keyed by
+        // salted hash of (doc, position) — the reproducible-augmentation
+        // primitive (same example always drops the same words, any
+        // cluster size, any partitioning). Map-only: one compiled
+        // filter-transform per row, no shuffle at all; the fingerprint
+        // of the augmented text proves byte-identical reconstruction
+        // cross-engine. Positions are 0-based in the hash key.
+        table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("kept", expr(
+            """filter(transform(toks, (t, i) -> named_struct('t', t, 'i', i)),
+                 p -> cast(conv(substr(md5(concat('wd|', cast(doc_id as string),
+                        '|', cast(p.i as string))), 1, 12), 16, 10) as bigint) % 10 != 0)"""))
+          .selectExpr("doc_id", "size(toks) as n_orig", "size(kept) as n_kept",
+            "size(toks) - size(kept) as n_dropped",
+            "substr(md5(array_join(transform(kept, p -> p.t), ' ')), 1, 12) as aug_fp")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        k AS (
+          SELECT doc_id, toks,
+                 list_transform(
+                   list_filter(range(1, len(toks) + 1),
+                     i -> CAST(concat('0x', substr(md5(concat('wd|',
+                            cast(doc_id as varchar), '|',
+                            cast(i - 1 as varchar))), 1, 12)) AS BIGINT) % 10 != 0),
+                   i -> toks[i]) AS kept
+          FROM d)
+        SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_orig,
+               CAST(len(kept) AS INTEGER) AS n_kept,
+               CAST(len(toks) - len(kept) AS INTEGER) AS n_dropped,
+               substr(md5(array_to_string(kept, ' ')), 1, 12) AS aug_fp
+        FROM k ORDER BY doc_id"""),
+      "Deterministic 10% word dropout keyed by salted (doc, position) " +
+        "hash — reproducible augmentation at any partitioning, map-only " +
+        "compiled filter-transform; augmented-text fingerprints prove " +
+        "byte-identical reconstruction cross-engine."),
+
+    // ---------------------------------------------------------------- q207
+    Q(
+      "q207_phrase_search",
+      (s, dir) => {
+        // Exact phrase search through a POSITIONAL inverted index — the
+        // scalable path for quoted-phrase queries: posting lists keyed
+        // (token, doc, position), the corpus' most frequent trigram
+        // elected as the query phrase (1 row, broadcast), and the three
+        // term postings chained by (doc, pos+k) equi-joins — at 100 TB
+        // this touches only the three terms' postings, never the corpus.
+        // The oracle computes the SAME counts by naive per-doc trigram
+        // scanning: equality proves the index path returns exactly the
+        // brute-force answer.
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val phrase = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .selectExpr("explode(word_ngrams(toks, 3)) as tg")
+          .groupBy("tg").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("tg")).limit(1)
+          .selectExpr("tg", "split(tg, ' ')[0] as w0", "split(tg, ' ')[1] as w1",
+            "split(tg, ' ')[2] as w2")
+        // one posting sub-list per term (each toks join is broadcast-
+        // filtered to that term only), chained on (doc, pos+k) — pos is
+        // unique per doc, so the chain joins are 1:1 lookups
+        val t0 = toks.join(broadcast(phrase.select("tg", "w0")),
+          col("tok") === col("w0")).select(col("doc_id"), col("pos"), col("tg"))
+        val t1 = toks.join(broadcast(phrase.select("w1")),
+          col("tok") === col("w1"))
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        val t2 = toks.join(broadcast(phrase.select("w2")),
+          col("tok") === col("w2"))
+          .select(col("doc_id"), (col("pos") - 2).as("pos"))
+        t0.join(t1, Seq("doc_id", "pos"))
+          .join(t2, Seq("doc_id", "pos"))
+          .groupBy("doc_id", "tg")
+          .agg(count(lit(1)).as("n_occ"))
+          .selectExpr("doc_id", "tg as phrase", "n_occ")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        tg AS (
+          SELECT unnest(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tg
+          FROM t WHERE len(toks) >= 3),
+        phrase AS (
+          SELECT tg, string_split(tg, ' ') AS w
+          FROM (SELECT tg, COUNT(1) AS f FROM tg GROUP BY tg
+                ORDER BY f DESC, tg LIMIT 1)),
+        hits AS (
+          SELECT t.doc_id, p.tg,
+                 len(list_filter(range(1, len(t.toks) - 1),
+                   i -> t.toks[i] = p.w[1] AND t.toks[i + 1] = p.w[2]
+                        AND t.toks[i + 2] = p.w[3])) AS n_occ
+          FROM t, phrase p)
+        SELECT doc_id, tg AS phrase, CAST(n_occ AS BIGINT) AS n_occ
+        FROM hits WHERE n_occ > 0
+        ORDER BY doc_id"""),
+      "Exact phrase search via positional postings: (token, doc, pos) " +
+        "index, elected phrase broadcast, terms chained by (doc, pos+k) " +
+        "equi-joins — touches only the query terms' postings at scale; " +
+        "oracle's brute-force trigram scan proves exact equality.")
   )
 }
