@@ -215,6 +215,77 @@ object Multimodal {
     }
   }
 
+  /**
+   * Temporal motion energy over a concatenated-PPM "video" payload: walk
+   * the frame boundaries ([[MediaCodecs.decodePpmAt]]), and for every
+   * CONSECUTIVE frame pair (f, f+1) accumulate the sum of absolute
+   * per-byte pixel differences (SAD — the block-matching primitive of
+   * every video codec). Reports (`idCol`, n_frames: int, n_pairs: int,
+   * sad_sum: long, wsad_sum: long, max_pair_sad: long), where wsad_sum
+   * weights pair f by `1 + f % 97` so a right total from the wrong pair
+   * positions cannot pass. Frames of mismatched dimensions fail loudly
+   * (SAD over different geometries is meaningless). Static scenes read
+   * sad 0; cuts/high motion read large — the scene-change / dead-video
+   * screen. Map-only: one payload resident per core, previous frame
+   * buffer only, dropped after the walk.
+   */
+  def ppmMotionStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("n_pairs", IntegerType, nullable = true),
+      StructField("sad_sum", LongType, nullable = true),
+      StructField("wsad_sum", LongType, nullable = true),
+      StructField("max_pair_sad", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null)
+          Row(r.getLong(idIdx), null, null, null, null, null)
+        else {
+          var off = 0
+          var f = 0
+          var pairs = 0
+          var sad = 0L
+          var wsad = 0L
+          var maxSad = 0L
+          var prev: Array[Byte] = null
+          while (off < payload.length) {
+            val (img, used) = MediaCodecs.decodePpmAt(payload, off)
+            if (prev != null) {
+              if (prev.length != img.rgb.length)
+                throw new IllegalArgumentException(
+                  s"ppmMotionStats: frame ${f} geometry changed mid-video " +
+                    s"(${prev.length} vs ${img.rgb.length} pixel bytes) — " +
+                    "SAD over mismatched frames is meaningless")
+              var pairSad = 0L
+              var i = 0
+              while (i < img.rgb.length) {
+                val d = (img.rgb(i) & 0xff) - (prev(i) & 0xff)
+                pairSad += (if (d < 0) -d else d)
+                i += 1
+              }
+              sad += pairSad
+              wsad += (1L + (f - 1) % 97) * pairSad
+              if (pairSad > maxSad) maxSad = pairSad
+              pairs += 1
+            }
+            prev = img.rgb
+            off += used
+            f += 1
+          }
+          Row(r.getLong(idIdx), f, pairs, sad, wsad, maxSad)
+        }
+      }
+    }
+  }
+
   /** Feature resize: shrink a feature vector to `newDim` by averaging equal
     * buckets (image thumbnail / embedding truncation shape). Pure
     * arithmetic — nothing to stub. Expressed as a column op so it stays in

@@ -702,5 +702,51 @@ object MediaQueries {
         "curation; the oracle replays the full 3x3 stencil including the " +
         "zero-padded tail row, so neighbor indexing and BMP row stride are " +
         "both locked; map-only, payloads die in-stage.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q208
+    Q(
+      "q208_video_motion",
+      (s, dir) => {
+        // The TEMPORAL feature of the video leg (q180 walks frames, this
+        // differences them): per-video sum of absolute pixel differences
+        // between consecutive PPM frames — the block-matching SAD
+        // primitive; static scenes read 0, cuts read large, and the
+        // dead-video screen drops payloads whose every pair is silent.
+        // wsad weights pair p by (1 + p), so right totals from wrong
+        // pair positions cannot pass. The oracle replays every pair's
+        // SAD from the position-derived frame bytes arithmetically.
+        // Scale: synth + walk fuse into one map-only pass; only the 6
+        // fixed-width columns survive the stage.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .ppmMotionStats(videoPayloads(docs), "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 1 + doc_id % 4 AS nf, $duckBytes AS vals
+          FROM documents),
+        ps AS (
+          SELECT doc_id, n, nf,
+                 list_transform(range(0, nf - 1), p ->
+                   3 * list_sum(list_transform(range(0, 12), i ->
+                     abs(vals[CAST(((p + 1) * 12 + i) % n + 1 AS INTEGER)]
+                         - vals[CAST((p * 12 + i) % n + 1 AS INTEGER)])))) AS psads
+          FROM b)
+        SELECT doc_id,
+               CAST(nf AS INTEGER) AS n_frames,
+               CAST(nf - 1 AS INTEGER) AS n_pairs,
+               CAST(coalesce(list_sum(psads), 0) AS BIGINT) AS sad_sum,
+               CAST(coalesce(list_sum(list_transform(range(0, nf - 1), p ->
+                 (1 + p) * psads[CAST(p + 1 AS INTEGER)])), 0) AS BIGINT) AS wsad_sum,
+               CAST(coalesce(list_max(psads), 0) AS BIGINT) AS max_pair_sad
+        FROM ps
+        ORDER BY doc_id"""),
+      "Video motion energy: consecutive-frame SAD over the real PPM " +
+        "container walk (the codec block-matching primitive) with pair-" +
+        "position weights — scene-change vs static-video separation, " +
+        "fully oracle-replayed; map-only, payloads die in-stage.")
   )
 }

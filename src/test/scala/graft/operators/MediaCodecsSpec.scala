@@ -467,6 +467,32 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("ppmMotionStats: hand-checked pair SADs, weights, static scene, nulls, geometry contract") {
+    def gray(v: Int) = MediaCodecs.encodePpm(1, 1, Array.fill(3)(v.toByte))
+    // frames 10, 20, 40: pair0 sad = 3*10 = 30, pair1 sad = 3*20 = 60
+    // sad = 90; wsad = 1*30 + 2*60 = 150; max = 60
+    val video = gray(10) ++ gray(20) ++ gray(40)
+    val static0 = gray(7) ++ gray(7)
+    val single = gray(99)
+    val out = Multimodal.ppmMotionStats(
+      payloadDf(Seq(1L -> video, 2L -> static0, 3L -> single, 4L -> null)),
+      "id", "payload").orderBy("id").collect()
+    assert(out(0).getInt(1) === 3 && out(0).getInt(2) === 2)
+    assert(out(0).getLong(3) === 90L && out(0).getLong(4) === 150L)
+    assert(out(0).getLong(5) === 60L)
+    assert(out(1).getLong(3) === 0L && out(1).getLong(5) === 0L)
+    assert(out(2).getInt(2) === 0 && out(2).getLong(3) === 0L)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(3))
+    // mid-video geometry change fails loudly
+    val bad = gray(1) ++ MediaCodecs.encodePpm(2, 1, Array.fill(6)(1.toByte))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.ppmMotionStats(
+        payloadDf(Seq(9L -> bad)), "id", "payload").collect()
+    }
+    assert(ex.getMessage.contains("geometry changed") ||
+      String.valueOf(ex.getCause).contains("geometry changed"))
+  }
+
   test("bmpSobelStats: hand-checked 3x3 stencil, edge image, no-interior, nulls") {
     def grayBmp(w: Int, h: Int, vals: Seq[Int]) =
       MediaCodecs.encodeBmp24(w, h,
