@@ -473,4 +473,54 @@ class PlanShapesSpec extends AnyFunSuite {
         s"runtime bloom filter not injected:\n$p")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("spatial pairs joins on exact grid cells, never a cartesian (q202)") {
+    val p = plan("q202_spatial_pairs")
+    // the 3x3 neighborhood explode turns the distance predicate into an
+    // equi-join on (jcx, jcy); a CartesianProduct/BNLJ here would be the
+    // all-pairs disaster the grid exists to prevent
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("AUC cumulative term stays on the tiny broadcast self-join (q190)") {
+    val p = plan("q190_dup_auc")
+    // the <= 1001-row score frame's theta self-join must be the broadcast
+    // nested loop (bounded by construction), NOT a single-task window
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("RFM quintiles rank via GlobalRank buckets, no global window (q196)") {
+    val p = plan("q196_rfm_segments")
+    // every row_number in the plan must be partitioned (GlobalRank's
+    // bucket-local ranks); an unpartitioned window would funnel the
+    // users frame through one task
+    val windows = p.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(windows.nonEmpty, p)
+    // GlobalRank's local windows sort within (seg, bucket): the
+    // partition spec appears in the same Arguments line
+    assert(p.contains("bucket"), p)
+  }
+
+  test("phrase search touches only term postings via broadcast terms (q207)") {
+    val p = plan("q207_phrase_search")
+    // each posting leg is filtered by a BROADCAST of the 1-row phrase
+    // before the (doc, pos) chain joins — the corpus-sized side never
+    // shuffles against an unfiltered corpus-sized side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("market-basket pair join is order-keyed, support joins equi (q201)") {
+    val p = plan("q201_market_basket")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the 1-row order-total broadcast-back
+    // (scalar Cross BuildRight); the pair/support joins are all equi
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross BuildRight")), p)
+    assert(bnlj.size <= 1, p)
+    // top-20 by lift must not globally sort the pair frame
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
