@@ -516,8 +516,11 @@ class PlanShapesSpec extends AnyFunSuite {
     val p = plan("q201_market_basket")
     assert(!p.contains("CartesianProduct"), p)
     // the only nested-loop is the 1-row order-total broadcast-back
-    // (scalar Cross BuildRight); the pair/support joins are all equi
-    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    // (scalar Cross BuildRight); the pair/support joins are all equi.
+    // Filter to TREE lines ("- " prefix): the formatted details section
+    // repeats bare operator names without the join type.
+    val bnlj = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("- ")).toSeq
     assert(bnlj.forall(_.contains("Cross BuildRight")), p)
     assert(bnlj.size <= 1, p)
     // top-20 by lift must not globally sort the pair frame
