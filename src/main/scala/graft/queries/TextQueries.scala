@@ -5671,6 +5671,71 @@ object TextQueries {
         "verified pair's exact Jaccard for 4 (bands x rows) configs, " +
         "plus the (1/b)^(1/r) threshold via sqrt chains — the banding " +
         "scheme chooser run before an index build; 4-row output.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q209
+    Q(
+      "q209_weighted_median",
+      (s, dir) => {
+        // Per-source WEIGHTED median of doc length (weight = n_chars):
+        // the char-mass midpoint — "half the characters live in docs of
+        // <= this many tokens" — which differs from q194's count median
+        // whenever long docs carry the mass. Exact weighted order
+        // statistic: smallest v with cumweight(v) * 2 >= total. Scale:
+        // one (source, value) aggregate collapses the corpus to the
+        // value-DOMAIN frame (token counts are bounded, so this is
+        // sources x |domain|, corpus-independent); the prefix sum runs
+        // as a self-join on that bounded frame (the q155 no-global-
+        // window discipline) and the median election is a min over
+        // qualifying values. For unbounded domains the same query runs
+        // over GlobalRank's bucket machinery instead.
+        val d = table(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("v"),
+            col("n_chars").as("w"))
+          .groupBy("source", "v").agg(sum("w").as("wv"))
+        val tot = d.groupBy("source").agg(sum("wv").as("wtot"),
+          count(lit(1)).as("n_vals"))
+        d.as("a")
+          .join(broadcast(d.selectExpr("source", "v as v2", "wv as wv2")),
+            Seq("source"))
+          .filter(col("v2") <= col("a.v"))
+          .groupBy(col("source"), col("a.v").as("v"))
+          .agg(sum("wv2").as("cumw"))
+          .join(broadcast(tot), Seq("source"))
+          .filter(col("cumw") * 2 >= col("wtot"))
+          .groupBy("source", "wtot", "n_vals")
+          .agg(min("v").as("w_median"))
+          .selectExpr("source", "w_median",
+            "cast(wtot as bigint) as char_mass",
+            "cast(n_vals as bigint) as n_vals")
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+                 CAST(SUM(n_chars) AS BIGINT) AS wv
+          FROM documents GROUP BY 1, 2),
+        tot AS (
+          SELECT source, CAST(SUM(wv) AS BIGINT) AS wtot,
+                 COUNT(1) AS n_vals
+          FROM d GROUP BY source),
+        cum AS (
+          SELECT a.source, a.v, CAST(SUM(b.wv) AS BIGINT) AS cumw
+          FROM d a JOIN d b ON a.source = b.source AND b.v <= a.v
+          GROUP BY a.source, a.v)
+        SELECT c.source, MIN(c.v) AS w_median, t.wtot AS char_mass,
+               CAST(t.n_vals AS BIGINT) AS n_vals
+        FROM cum c JOIN tot t ON c.source = t.source
+        WHERE c.cumw * 2 >= t.wtot
+        GROUP BY c.source, t.wtot, t.n_vals
+        ORDER BY c.source"""),
+      "Per-source weighted median (char-mass midpoint): one (source, " +
+        "value) aggregate collapses the corpus to the bounded value-" +
+        "domain frame, prefix weights via self-join on it (no global " +
+        "window), exact election — weighted order statistics beyond " +
+        "q194's count quantiles.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's

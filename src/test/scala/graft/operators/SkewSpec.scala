@@ -64,6 +64,42 @@ class SkewSpec extends AnyFunSuite {
     assert(got.exceptAll(fact.join(dim, Seq("k"))).count() === 0)
   }
 
+  test("AQE skew-join splitting engages on a hot key (the runtime complement of salting)") {
+    import spark.implicits._
+    // Manual salting (Skew.saltedJoin / q46) is the PLANNED answer to skew;
+    // AQE's OptimizeSkewedJoin is the RUNTIME one — it splits oversized
+    // shuffle partitions after seeing real sizes. Lock that the library's
+    // declarative join shape keeps that door open: thresholds floored so
+    // the tiny fixture's hot key trips it, plan shows skew=true after
+    // execution. A future edit that wraps join keys in non-equi
+    // expressions would silently lose this and fail here.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = (1 to 50000).map(i => (if (i % 10 == 0) 7L else 42L, i.toLong))
+        .toDF("k", "payload")
+      val dim = (1 to 200).flatMap(i => Seq((42L, s"hot$i"), (7L, s"cold$i")))
+        .toDF("k", "name")
+      // the action must run through THIS DataFrame's QueryExecution —
+      // a write builds its own and leaves this plan isFinalPlan=false
+      val j = fact.join(dim, Seq("k")).agg(count(lit(1)))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE skew-join did not engage — the equi-join shape may have degraded:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("invalid arguments are rejected loudly") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("k", "v")
