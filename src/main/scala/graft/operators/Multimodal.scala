@@ -779,6 +779,72 @@ object Multimodal {
    * double round 6). The speech-pipeline pre-filter that decides which
    * audio is worth transcribing; fused map-only shape as [[wavStats]].
    */
+  /**
+   * Integer spectral energies over decoded 16-bit PCM — the frequency-
+   * domain feature class (spectrogram bands) with EXACT arithmetic: for
+   * every 8-sample frame, the 8-point DFT bins k in {0, 2, 4} have
+   * twiddle factors in {0, +-1} only, so their energies are exact
+   * integers: e0 = (sum x)^2 (DC), e2 = (x0-x2+x4-x6)^2 + (x1-x3+x5-x7)^2
+   * (mid band), e4 = (sum (-1)^n x_n)^2 (Nyquist). Reports per payload
+   * (`idCol`, n_frames: long, e0_sum, e2_sum, e4_sum: long,
+   * hf_frames: long — frames whose Nyquist energy exceeds DC, the
+   * high-frequency/noise census — and we4_sum: long weighting each
+   * frame's e4 by `1 + f % 97` so right totals from wrong frame
+   * positions cannot pass). Trailing partial frame dropped. Map-only.
+   */
+  def wavSpectralStats(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("e0_sum", LongType, nullable = true),
+      StructField("e2_sum", LongType, nullable = true),
+      StructField("e4_sum", LongType, nullable = true),
+      StructField("hf_frames", LongType, nullable = true),
+      StructField("we4_sum", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val wav = MediaCodecs.decodeWav(payload)
+          val n = wav.samples.length
+          val nFrames = n / 8
+          var e0 = 0L; var e2 = 0L; var e4 = 0L
+          var hf = 0L; var we4 = 0L
+          var f = 0
+          while (f < nFrames) {
+            val b = f * 8
+            var s = 0L; var alt = 0L
+            var re2 = 0L; var im2 = 0L
+            var i = 0
+            while (i < 8) {
+              val x = wav.samples(b + i).toLong
+              s += x
+              if (i % 2 == 0) { alt += x; re2 += (if (i % 4 == 0) x else -x) }
+              else { alt -= x; im2 += (if (i % 4 == 1) -x else x) }
+              i += 1
+            }
+            val f0 = s * s
+            val f2 = re2 * re2 + im2 * im2
+            val f4 = alt * alt
+            e0 += f0; e2 += f2; e4 += f4
+            if (f4 > f0) hf += 1
+            we4 += (1L + f % 97) * f4
+            f += 1
+          }
+          Row(r.getLong(idIdx), nFrames.toLong, e0, e2, e4, hf, we4)
+        }
+      }
+    }
+  }
+
   def wavVadStats(
       df: DataFrame,
       idCol: String,

@@ -748,5 +748,75 @@ object MediaQueries {
         "container walk (the codec block-matching primitive) with pair-" +
         "position weights — scene-change vs static-video separation, " +
         "fully oracle-replayed; map-only, payloads die in-stage.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q210
+    Q(
+      "q210_audio_spectrum",
+      (s, dir) => {
+        // The FREQUENCY-DOMAIN audio feature class with exact
+        // arithmetic: 8-point DFT per frame over decoded PCM, keeping
+        // the bins whose twiddle factors are all 0/+-1 — DC (k=0), mid
+        // band (k=2), Nyquist (k=4) — so every energy is an exact
+        // INTEGER: e0 = (sum x)^2, e2 = (x0-x2+x4-x6)^2 +
+        // (x1-x3+x5-x7)^2, e4 = (sum (-1)^n x)^2. hf_frames counts
+        // frames whose Nyquist energy beats DC (rapid sample
+        // alternation - the aliasing/noise census); we4 weights each
+        // frame's e4 by (1 + frame_no), locking frame positions. The
+        // oracle replays every frame's three bins from the position-
+        // derived sample bytes. Map-only; payloads die in-stage.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .wavSpectralStats(wavPayloads(docs), "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 list_transform($duckBytes, v -> (v - 64) * 256) AS x
+          FROM documents),
+        fr AS (
+          SELECT doc_id, n // 8 AS nf,
+                 list_transform(range(0, n // 8), p ->
+                   list_sum(list_transform(range(0, 8),
+                     i -> x[CAST(p * 8 + i + 1 AS INTEGER)]))) AS ss,
+                 list_transform(range(0, n // 8), p ->
+                   x[CAST(p * 8 + 1 AS INTEGER)] - x[CAST(p * 8 + 3 AS INTEGER)]
+                   + x[CAST(p * 8 + 5 AS INTEGER)] - x[CAST(p * 8 + 7 AS INTEGER)]) AS re2,
+                 list_transform(range(0, n // 8), p ->
+                   - x[CAST(p * 8 + 2 AS INTEGER)] + x[CAST(p * 8 + 4 AS INTEGER)]
+                   - x[CAST(p * 8 + 6 AS INTEGER)] + x[CAST(p * 8 + 8 AS INTEGER)]) AS im2,
+                 list_transform(range(0, n // 8), p ->
+                   list_sum(list_transform(range(0, 8),
+                     i -> CASE WHEN i % 2 = 0
+                               THEN x[CAST(p * 8 + i + 1 AS INTEGER)]
+                               ELSE -x[CAST(p * 8 + i + 1 AS INTEGER)] END))) AS alts
+          FROM b),
+        e AS (
+          SELECT doc_id, nf,
+                 list_transform(range(0, nf), p ->
+                   ss[CAST(p + 1 AS INTEGER)] * ss[CAST(p + 1 AS INTEGER)]) AS f0,
+                 list_transform(range(0, nf), p ->
+                   re2[CAST(p + 1 AS INTEGER)] * re2[CAST(p + 1 AS INTEGER)]
+                   + im2[CAST(p + 1 AS INTEGER)] * im2[CAST(p + 1 AS INTEGER)]) AS f2,
+                 list_transform(range(0, nf), p ->
+                   alts[CAST(p + 1 AS INTEGER)] * alts[CAST(p + 1 AS INTEGER)]) AS f4
+          FROM fr)
+        SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+               CAST(coalesce(list_sum(f0), 0) AS BIGINT) AS e0_sum,
+               CAST(coalesce(list_sum(f2), 0) AS BIGINT) AS e2_sum,
+               CAST(coalesce(list_sum(f4), 0) AS BIGINT) AS e4_sum,
+               CAST(coalesce(list_sum(list_transform(range(0, nf), p ->
+                 CASE WHEN f4[CAST(p + 1 AS INTEGER)] > f0[CAST(p + 1 AS INTEGER)]
+                      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS hf_frames,
+               CAST(coalesce(list_sum(list_transform(range(0, nf), p ->
+                 (1 + p % 97) * f4[CAST(p + 1 AS INTEGER)])), 0) AS BIGINT) AS we4_sum
+        FROM e
+        ORDER BY doc_id"""),
+      "Integer spectral energies from decoded PCM: per-frame 8-point DFT " +
+        "bins k in {0,2,4} (twiddles all 0/+-1, so energies are exact " +
+        "integers) — DC vs mid vs Nyquist separation, high-frequency " +
+        "frame census, position-weighted checksum; the frequency-domain " +
+        "feature class fully oracle-replayed. Map-only.")
   )
 }

@@ -493,6 +493,33 @@ class MediaCodecsSpec extends AnyFunSuite {
       String.valueOf(ex.getCause).contains("geometry changed"))
   }
 
+  test("wavSpectralStats: hand-checked DFT bins, hf census, weights, tail drop, nulls") {
+    // frame A: constant 1s -> pure DC: e0 = 64, e2 = 0, e4 = 0
+    // frame B: alternating +-1 -> pure Nyquist: e4 = 64, e0 = e2 = 0 (hf)
+    // frame C: cos(k=2) pattern 1,0,-1,0,... -> e2 = 16, e0 = e4 = 0
+    val a = Array.fill[Short](8)(1)
+    val b = Array.tabulate[Short](8)(i => if (i % 2 == 0) 1 else -1)
+    val c = Array.tabulate[Short](8)(i =>
+      Seq(1, 0, -1, 0)(i % 4).toShort)
+    def wav(s: Array[Short]) = MediaCodecs.encodeWavPcm16(8000, 1, s)
+    val out = Multimodal.wavSpectralStats(
+      payloadDf(Seq(
+        1L -> wav(a ++ b ++ c),
+        2L -> wav(Array.fill[Short](7)(5)), // < 1 frame -> all zero
+        3L -> null)),
+      "id", "payload").orderBy("id").collect()
+    val r = out(0)
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 64L, "e0")
+    assert(r.getLong(3) === 16L, "e2")
+    assert(r.getLong(4) === 64L, "e4")
+    assert(r.getLong(5) === 1L, "hf census: only the alternating frame")
+    // we4 weights frame f by 1 + f: the Nyquist energy sits at f=1 -> 2*64
+    assert(r.getLong(6) === 128L, "position-weighted e4")
+    assert(out(1).getLong(1) === 0L && out(1).getLong(2) === 0L)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(4))
+  }
+
   test("bmpSobelStats: hand-checked 3x3 stencil, edge image, no-interior, nulls") {
     def grayBmp(w: Int, h: Int, vals: Seq[Int]) =
       MediaCodecs.encodeBmp24(w, h,
