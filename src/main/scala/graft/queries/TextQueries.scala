@@ -5736,6 +5736,72 @@ object TextQueries {
         "domain frame, prefix weights via self-join on it (no global " +
         "window), exact election — weighted order statistics beyond " +
         "q194's count quantiles.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q211
+    Q(
+      "q211_chi2_features",
+      (s, dir) => {
+        // Chi-square feature selection — the vocab-pruning signal for
+        // the q182 classifier family: for each (token, lang), the 2x2
+        // presence/absence chi-square from EXACT document counts
+        //   a = docs of lang containing tok,  b = other-lang docs with tok,
+        //   c = lang docs without tok,        d = the rest,
+        //   chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)),
+        // top-20 strongest token-language associations. Scale: one
+        // presence distinct (doc-keyed shuffle), one (tok, lang)
+        // aggregate, token totals equi-joined (vocab-sized, never
+        // broadcast), the 5-row lang totals + 1-row N broadcast;
+        // TakeOrdered for the top-20 — no global sort.
+        val pres = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val a = pres.groupBy("tok", "lang").agg(count(lit(1)).as("a"))
+        val nt = pres.groupBy("tok").agg(countDistinct("doc_id").as("nt"))
+        val nl = table(s, dir, "documents").groupBy("lang")
+          .agg(count(lit(1)).as("nl"))
+        val nn = table(s, dir, "documents").agg(count(lit(1)).as("nn"))
+        a.join(nt, Seq("tok"))
+          .join(broadcast(nl), Seq("lang"))
+          .crossJoin(broadcast(nn))
+          .withColumn("chi2", expr(
+            """cast(nn as double)
+               * (cast(a as double) * cast(nn - nt - nl + a as double)
+                  - cast(nt - a as double) * cast(nl - a as double))
+               * (cast(a as double) * cast(nn - nt - nl + a as double)
+                  - cast(nt - a as double) * cast(nl - a as double))
+               / (cast(nt as double) * cast(nn - nt as double)
+                  * cast(nl as double) * cast(nn - nl as double))"""))
+          .selectExpr("lang", "tok", "cast(a as bigint) as n_in_lang",
+            "cast(nt as bigint) as n_with_tok", "round(chi2, 6) as chi2")
+          .orderBy(col("chi2").desc, col("lang"), col("tok"))
+          .limit(20)
+      },
+      Some("""
+        WITH pres AS (
+          SELECT DISTINCT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+        a AS (SELECT tok, lang, COUNT(1) AS a FROM pres GROUP BY 1, 2),
+        nt AS (SELECT tok, COUNT(DISTINCT doc_id) AS nt FROM pres GROUP BY tok),
+        nl AS (SELECT lang, COUNT(1) AS nl FROM documents GROUP BY lang),
+        nn AS (SELECT COUNT(1) AS nn FROM documents)
+        SELECT a.lang, a.tok, CAST(a.a AS BIGINT) AS n_in_lang,
+               CAST(nt.nt AS BIGINT) AS n_with_tok,
+               round(CAST(nn.nn AS DOUBLE)
+                 * (CAST(a.a AS DOUBLE) * CAST(nn.nn - nt.nt - nl.nl + a.a AS DOUBLE)
+                    - CAST(nt.nt - a.a AS DOUBLE) * CAST(nl.nl - a.a AS DOUBLE))
+                 * (CAST(a.a AS DOUBLE) * CAST(nn.nn - nt.nt - nl.nl + a.a AS DOUBLE)
+                    - CAST(nt.nt - a.a AS DOUBLE) * CAST(nl.nl - a.a AS DOUBLE))
+                 / (CAST(nt.nt AS DOUBLE) * CAST(nn.nn - nt.nt AS DOUBLE)
+                    * CAST(nl.nl AS DOUBLE) * CAST(nn.nn - nl.nl AS DOUBLE)), 6) AS chi2
+        FROM a JOIN nt USING (tok) JOIN nl ON a.lang = nl.lang, nn
+        ORDER BY chi2 DESC, a.lang, a.tok
+        LIMIT 20"""),
+      "Chi-square (token, lang) feature selection from exact 2x2 " +
+        "document counts: presence distinct + (tok, lang) aggregate, " +
+        "vocab-sized token totals equi-joined (never broadcast), tiny " +
+        "lang/N frames broadcast, TakeOrdered top-20 — the vocab-" +
+        "pruning companion to the NB classifier.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
