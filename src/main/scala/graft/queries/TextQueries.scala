@@ -5802,6 +5802,163 @@ object TextQueries {
         "vocab-sized token totals equi-joined (never broadcast), tiny " +
         "lang/N frames broadcast, TakeOrdered top-20 — the vocab-" +
         "pruning companion to the NB classifier.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q212
+    Q(
+      "q212_nb_crossval",
+      (s, dir) => {
+        // 3-fold cross-validation of the q182 NB classifier ENTIRELY
+        // in-plan — the model-selection step: instead of three training
+        // passes, per-fold counts are derived by SUBTRACTION from the
+        // global counts (train_f = all - fold_f), so the corpus is
+        // token-scanned ONCE; each fold's model stays (fold, lang, tok)-
+        // keyed and equi-joined (never broadcast — only the 15-row
+        // class frame broadcasts), test docs score against their own
+        // fold's model, and the readout is per-fold accuracy plus the
+        // mean and spread across folds. Same exact-decimal argmax and
+        // round-ln conventions as q182, fold-parameterized.
+        val foldHash = md5long("concat('cv|', cast(doc_id as string))")
+        val docs = table(s, dir, "documents")
+          .withColumn("fold", expr(s"$foldHash % 3"))
+        val docToks = docs.select(col("doc_id"), col("lang"), col("fold"),
+          explode(split(col("text"), " ")).as("tok"))
+        val cAll = docToks.groupBy("lang", "tok").agg(count(lit(1)).as("c_all"))
+        val cFold = docToks.groupBy("fold", "lang", "tok")
+          .agg(count(lit(1)).as("c_f"))
+        val folds = cAll
+          .withColumn("fold", explode(expr("sequence(cast(0 as bigint), cast(2 as bigint))")))
+          .join(cFold, Seq("fold", "lang", "tok"), "left")
+          .withColumn("cnt", expr("c_all - coalesce(c_f, cast(0 as bigint))"))
+          .filter(col("cnt") > 0)
+        val nTok = folds.groupBy("fold", "lang").agg(sum("cnt").as("n_tok"))
+        val vocab = folds.select("fold", "tok").distinct()
+          .groupBy("fold").agg(count(lit(1)).as("v"))
+        val dAll = docs.groupBy("lang").agg(count(lit(1)).as("d_all"))
+        val dFold = docs.groupBy("fold", "lang").agg(count(lit(1)).as("d_f"))
+        val pri = dAll
+          .withColumn("fold", explode(expr("sequence(cast(0 as bigint), cast(2 as bigint))")))
+          .join(dFold, Seq("fold", "lang"), "left")
+          .withColumn("docs_c", expr("d_all - coalesce(d_f, cast(0 as bigint))"))
+        val tot = pri.groupBy("fold").agg(sum("docs_c").as("docs_tot"))
+        val cls = pri.join(nTok, Seq("fold", "lang"))
+          .join(vocab, Seq("fold")).join(tot, Seq("fold"))
+          .selectExpr("fold", "lang as cls", "n_tok", "v",
+            "round(ln(cast(docs_c as double) / cast(docs_tot as double)), 6) as prior")
+        val testToks = docToks.selectExpr("fold", "doc_id", "lang as actual", "tok")
+          .groupBy("fold", "doc_id", "actual", "tok").agg(count(lit(1)).as("tf"))
+        val picked = testToks
+          .join(broadcast(cls), Seq("fold"))
+          .join(folds.selectExpr("fold", "lang as cls", "tok", "cnt"),
+            Seq("fold", "cls", "tok"), "left")
+          .withColumn("contrib", expr(
+            """cast(tf as double)
+               * round(ln(cast(coalesce(cnt, cast(0 as bigint)) + 1 as double)
+                          / cast(n_tok + v as double)), 6)"""))
+          .groupBy("fold", "doc_id", "actual", "cls", "prior")
+          .agg(sum(expr("cast(round(contrib, 12) as decimal(28,12))")).as("ssum"))
+          .withColumn("total", expr("cast(prior as decimal(28,12)) + ssum"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("fold", "doc_id")
+              .orderBy(col("total").desc, col("cls").asc)))
+          .filter(col("rn") === 1)
+        val perFold = picked.groupBy("fold")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("cls") === col("actual"), 1).otherwise(0)).as("n_correct"))
+          .withColumn("accuracy", expr(
+            "round(cast(n_correct as double) / cast(n_test as double), 6)"))
+        val summary = perFold.agg(
+          expr("round(cast(sum(cast(round(accuracy, 6) as decimal(28,12))) as double) / count(1), 6)").as("mean_acc"),
+          expr("round(max(accuracy) - min(accuracy), 6)").as("acc_range"))
+        perFold.crossJoin(broadcast(summary))
+          .selectExpr("cast(fold as bigint) as fold", "n_test",
+            "cast(n_correct as bigint) as n_correct", "accuracy",
+            "mean_acc", "acc_range")
+          .orderBy("fold")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, text,
+                 ${duckMd5long("'cv|' || cast(doc_id as varchar)")} % 3 AS fold
+          FROM documents),
+        dt AS (
+          SELECT doc_id, lang, fold, unnest(string_split(text, ' ')) AS tok
+          FROM d),
+        call AS (SELECT lang, tok, COUNT(1) AS c_all FROM dt GROUP BY 1, 2),
+        cfold AS (SELECT fold, lang, tok, COUNT(1) AS c_f FROM dt GROUP BY 1, 2, 3),
+        grid AS (
+          SELECT c.lang, c.tok, c.c_all, f.f AS fold
+          FROM call c CROSS JOIN (SELECT unnest(range(0, 3)) AS f) f),
+        folds AS (
+          SELECT g.fold, g.lang, g.tok,
+                 g.c_all - COALESCE(k.c_f, 0) AS cnt
+          FROM grid g
+          LEFT JOIN cfold k ON k.fold = g.fold AND k.lang = g.lang AND k.tok = g.tok
+          WHERE g.c_all - COALESCE(k.c_f, 0) > 0),
+        ntok AS (SELECT fold, lang, CAST(SUM(cnt) AS BIGINT) AS n_tok
+                 FROM folds GROUP BY 1, 2),
+        voc AS (SELECT fold, COUNT(DISTINCT tok) AS v FROM folds GROUP BY fold),
+        dall AS (SELECT lang, COUNT(1) AS d_all FROM d GROUP BY lang),
+        dfold AS (SELECT fold, lang, COUNT(1) AS d_f FROM d GROUP BY 1, 2),
+        dgrid AS (
+          SELECT a.lang, a.d_all, f.f AS fold
+          FROM dall a CROSS JOIN (SELECT unnest(range(0, 3)) AS f) f),
+        pri AS (
+          SELECT g.fold, g.lang,
+                 g.d_all - COALESCE(k.d_f, 0) AS docs_c
+          FROM dgrid g
+          LEFT JOIN dfold k ON k.fold = g.fold AND k.lang = g.lang),
+        tot AS (SELECT fold, CAST(SUM(docs_c) AS BIGINT) AS docs_tot
+                FROM pri GROUP BY fold),
+        cls AS (
+          SELECT p.fold, p.lang AS cls, n.n_tok, voc.v,
+                 round(ln(CAST(p.docs_c AS DOUBLE) / CAST(t.docs_tot AS DOUBLE)), 6) AS prior
+          FROM pri p
+          JOIN ntok n ON n.fold = p.fold AND n.lang = p.lang
+          JOIN voc ON voc.fold = p.fold
+          JOIN tot t ON t.fold = p.fold),
+        te AS (
+          SELECT fold, doc_id, lang AS actual, tok, COUNT(1) AS tf
+          FROM dt GROUP BY 1, 2, 3, 4),
+        sc AS (
+          SELECT te.fold, te.doc_id, te.actual, c.cls, c.prior,
+                 SUM(CAST(ROUND(
+                   CAST(te.tf AS DOUBLE)
+                   * ROUND(ln(CAST(COALESCE(k.cnt, 0) + 1 AS DOUBLE)
+                              / CAST(c.n_tok + c.v AS DOUBLE)), 6), 12)
+                   AS DECIMAL(28,12))) AS ssum
+          FROM te
+          JOIN cls c ON c.fold = te.fold
+          LEFT JOIN folds k ON k.fold = te.fold AND k.lang = c.cls AND k.tok = te.tok
+          GROUP BY 1, 2, 3, 4, 5),
+        ranked AS (
+          SELECT fold, doc_id, actual, cls,
+                 ROW_NUMBER() OVER (PARTITION BY fold, doc_id
+                   ORDER BY (CAST(prior AS DECIMAL(28,12)) + ssum) DESC, cls) AS rn
+          FROM sc),
+        pf AS (
+          SELECT fold, COUNT(1) AS n_test,
+                 CAST(SUM(CASE WHEN cls = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+          FROM ranked WHERE rn = 1
+          GROUP BY fold),
+        acc AS (
+          SELECT fold, n_test, n_correct,
+                 round(CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE), 6) AS accuracy
+          FROM pf),
+        summ AS (
+          SELECT round(CAST(SUM(CAST(round(accuracy, 6) AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(1), 6) AS mean_acc,
+                 round(MAX(accuracy) - MIN(accuracy), 6) AS acc_range
+          FROM acc)
+        SELECT CAST(a.fold AS BIGINT) AS fold, a.n_test, a.n_correct,
+               a.accuracy, s.mean_acc, s.acc_range
+        FROM acc a, summ s
+        ORDER BY a.fold"""),
+      "3-fold NB cross-validation in one plan: per-fold models derived " +
+        "by count SUBTRACTION from global counts (corpus token-scanned " +
+        "once), (fold, lang, tok)-keyed equi-joins, 15-row class frame " +
+        "broadcast, q182's exact-decimal argmax — per-fold accuracy " +
+        "plus mean/spread; the model-selection step.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
