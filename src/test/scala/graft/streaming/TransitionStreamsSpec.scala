@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TransitionStreams: aggregated streamed (from, to) emits equal the
+  * oracle-checked batch q189 transition counts on closed batches, state
+  * bridges micro-batch boundaries, and the monotone contract is loud. */
+class TransitionStreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("TransitionStreamsSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("aggregated streamed transitions equal batch q189 counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.queries.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[TransEvent].collect().toSeq
+    assert(fixture.nonEmpty)
+    val sorted = fixture.sortBy(r => (r.ms, r.event_id))
+    val (b1, rest) = sorted.splitAt(sorted.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+
+    val mem = MemoryStream[TransEvent]
+    val name = s"trans_stream_${System.nanoTime()}"
+    val q = TransitionStreams.transitions(spark, mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table(name)
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.SparkEntry.queries("q189_event_transitions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(streamed === batch,
+      s"streamed transition counts diverge from batch q189: " +
+        s"only-streamed=${streamed.keySet -- batch.keySet} " +
+        s"only-batch=${batch.keySet -- streamed.keySet}")
+  }
+
+  test("a transition spanning a micro-batch boundary is still emitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TransEvent]
+    val name = s"trans_carry_${System.nanoTime()}"
+    val q = TransitionStreams.transitions(spark, mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(Seq(TransEvent(7L, 100L, 1L, "view")))
+      q.processAllAvailable()
+      mem.addData(Seq(TransEvent(7L, 200L, 2L, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(1) === "view" && rows(0).getString(2) === "purchase")
+  }
+
+  test("out-of-order arrival fails the query loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TransEvent]
+    val name = s"trans_ooo_${System.nanoTime()}"
+    val q = TransitionStreams.transitions(spark, mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(Seq(TransEvent(1L, 100L, 10L, "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(TransEvent(1L, 50L, 11L, "view")))
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("out-of-order")),
+        s"expected the monotone-ingest contract, got: ${messages(ex)}")
+    } finally q.stop()
+  }
+}
