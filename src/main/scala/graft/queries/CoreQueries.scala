@@ -3152,5 +3152,79 @@ object CoreQueries {
         "index, elected phrase broadcast, terms chained by (doc, pos+k) " +
         "equi-joins — touches only the query terms' postings at scale; " +
         "oracle's brute-force trigram scan proves exact equality.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q213
+    Q(
+      "q213_holt_forecast",
+      (s, dir) => {
+        // Holt double-exponential smoothing (level + trend) over each
+        // event type's daily count series — the forecasting class:
+        // one-step-ahead forecast plus in-sample MAE. alpha = 0.5 and
+        // beta = 0.25 are dyadic, and the recurrence
+        //   l' = a*x + (1-a)(l+b);  b' = B(l'-l) + (1-B)b
+        // folds in fixed day order with the error sum carried IN the
+        // fold state, so every double is one shared IEEE tree — the
+        // q80 EWMA discipline extended to vector state. Scale: the
+        // corpus collapses to the (type, day) frame in one aggregate;
+        // the fold runs per type over a bounded day list (gather-once-
+        // fold-once; task memory = one series).
+        val daily = table(s, dir, "events")
+          .selectExpr("event_type", "unix_millis(ts) div 86400000 as day")
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        daily.groupBy("event_type")
+          .agg(expr(
+            """aggregate(
+                 transform(array_sort(collect_list(struct(day, cnt))), p -> cast(p.cnt as double)),
+                 cast(null as struct<l: double, b: double, e: double, n: int>),
+                 (acc, x) -> case when acc is null
+                   then named_struct('l', x, 'b', cast(0 as double),
+                                     'e', cast(0 as double), 'n', 1)
+                   else named_struct(
+                     'l', 0.5d * x + 0.5d * (acc.l + acc.b),
+                     'b', 0.25d * ((0.5d * x + 0.5d * (acc.l + acc.b)) - acc.l)
+                          + 0.75d * acc.b,
+                     'e', acc.e + abs(x - (acc.l + acc.b)),
+                     'n', acc.n + 1) end)""").as("st"))
+          .selectExpr("event_type", "cast(st.n as bigint) as n_days",
+            "round(st.l, 6) as level", "round(st.b, 6) as trend",
+            "round(st.l + st.b, 6) as forecast_next",
+            """case when st.n > 1
+               then round(st.e / cast(st.n - 1 as double), 6)
+               else cast(0 as double) end as mae""")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                 COUNT(1) AS cnt
+          FROM events GROUP BY 1, 2),
+        ser AS (
+          SELECT event_type,
+                 list(CAST(cnt AS DOUBLE) ORDER BY day) AS vs
+          FROM daily GROUP BY event_type),
+        folded AS (
+          SELECT event_type, len(vs) AS n,
+                 list_reduce(
+                   list_transform(vs, v -> [v, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]),
+                   (acc, x) -> [
+                     CAST(0.5 AS DOUBLE) * x[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                     CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * x[1]
+                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+                        + CAST(0.75 AS DOUBLE) * acc[2],
+                     acc[3] + abs(x[1] - (acc[1] + acc[2]))]) AS st
+          FROM ser)
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               round(st[1], 6) AS level, round(st[2], 6) AS trend,
+               round(st[1] + st[2], 6) AS forecast_next,
+               CASE WHEN n > 1 THEN round(st[3] / CAST(n - 1 AS DOUBLE), 6)
+                    ELSE CAST(0 AS DOUBLE) END AS mae
+        FROM folded
+        ORDER BY event_type"""),
+      "Holt level+trend forecasting per event type: corpus collapses to " +
+        "the (type, day) frame, then a fixed-order fold with (level, " +
+        "trend, error-sum) vector state — one-step forecast + in-sample " +
+        "MAE, bit-identical IEEE cross-engine; the q80 EWMA discipline " +
+        "extended to the forecasting class.")
   )
 }
