@@ -3226,5 +3226,125 @@ object CoreQueries {
         "trend, error-sum) vector state — one-step forecast + in-sample " +
         "MAE, bit-identical IEEE cross-engine; the q80 EWMA discipline " +
         "extended to the forecasting class.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q214
+    Q(
+      "q214_session_paths",
+      (s, dir) => {
+        // Sequence-pattern mining one level past q189's bigrams: the
+        // top-10 FULL session paths (the ordered event-type string of
+        // each 30-minute-gap session) by frequency — the "what do whole
+        // journeys look like" readout. Scale: q40's sessionization
+        // (per-user windows — thousands of small frames), one
+        // (user, session) aggregate building each path with a sorted
+        // fold (task memory = one session), then a path-keyed count and
+        // TakeOrdered — no global sort, nothing corpus-sized after the
+        // session aggregate.
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+        val paths = table(s, dir, "events")
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("prev", lag("ms", 1).over(w))
+          .withColumn("new_s", expr(
+            "case when prev is null or ms - prev > 1800000 then 1 else 0 end"))
+          .withColumn("sid", sum("new_s").over(w))
+          .groupBy("user_id", "sid")
+          .agg(expr(
+            """array_join(transform(
+                 array_sort(collect_list(struct(ms, event_id, event_type))),
+                 p -> p.event_type), '>')""").as("path"))
+        paths.groupBy("path")
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(10)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+                 lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS prev
+          FROM events),
+        s AS (
+          SELECT user_id, event_id, event_type, ms,
+                 SUM(CASE WHEN prev IS NULL OR ms - prev > 1800000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ms, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e),
+        p AS (
+          SELECT user_id, sid,
+                 array_to_string(list(event_type ORDER BY ms, event_id), '>') AS path
+          FROM s GROUP BY user_id, sid)
+        SELECT path, COUNT(1) AS n_sessions
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 10"""),
+      "Top-10 full session paths (30-min-gap sessions, ordered event-" +
+        "type strings): per-user windows, per-session sorted fold, " +
+        "path-keyed count + TakeOrdered — whole-journey sequence mining " +
+        "past q189's bigram matrix."),
+
+    // ---------------------------------------------------------------- q215
+    Q(
+      "q215_windowed_conversion",
+      (s, dir) => {
+        // Windowed conversion: for each 'view', did the SAME user
+        // 'purchase' within the next hour? — q86's funnel with the
+        // time-window constraint real conversion metrics carry. The
+        // match is AsofJoin.forward with tolerance (union + carry-
+        // forward shape: ONE user-keyed shuffle, no join in the plan,
+        // the same operator the tick-data q59 uses), then a per-day
+        // aggregate of view/conversion counts. Nulling past-tolerance
+        // matches is exact by the as-of argument: if the nearest
+        // purchase is outside the hour, every later one is too.
+        val ev = table(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_millis(col("ts")).as("v_ms"),
+            col("event_id"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_millis(col("ts")).as("p_ms"),
+            col("event_id").as("p_id"))
+        graft.operators.AsofJoin
+          .forward(views, buys, Seq("user_id"), "v_ms", "p_ms",
+            tieBreak = Seq("p_id"), tolerance = Some(3600000L))
+          .selectExpr("v_ms div 86400000 as day",
+            "case when asof.p_id is not null then 1 else 0 end as conv")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_views"), sum("conv").as("n_conv"))
+          .selectExpr("day", "n_views", "cast(n_conv as bigint) as n_conv",
+            "round(cast(n_conv as double) / cast(n_views as double), 6) as conv_rate")
+          .orderBy("day")
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS v_ms
+          FROM events WHERE event_type = 'view'),
+        b AS (
+          SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms
+          FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT v.event_id, v.v_ms, b.p_id,
+                 row_number() OVER (PARTITION BY v.event_id
+                   ORDER BY b.p_ms ASC, b.p_id ASC) AS rn
+          FROM v JOIN b
+            ON b.user_id = v.user_id
+           AND b.p_ms >= v.v_ms
+           AND b.p_ms <= v.v_ms + 3600000),
+        c AS (
+          SELECT v.v_ms // 86400000 AS day,
+                 CASE WHEN j.p_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+          FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+            ON v.event_id = j.event_id)
+        SELECT day, COUNT(1) AS n_views,
+               CAST(SUM(conv) AS BIGINT) AS n_conv,
+               round(CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE), 6) AS conv_rate
+        FROM c GROUP BY day
+        ORDER BY day"""),
+      "Windowed conversion (purchase within 1h of view) via forward " +
+        "as-of with tolerance — one user-keyed shuffle, no join in the " +
+        "plan, exact window nulling; per-day view/conversion rates, the " +
+        "time-constrained funnel metric.")
   )
 }
