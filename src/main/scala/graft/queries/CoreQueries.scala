@@ -3346,5 +3346,67 @@ object CoreQueries {
         "as-of with tolerance — one user-keyed shuffle, no join in the " +
         "plan, exact window nulling; per-day view/conversion rates, the " +
         "time-constrained funnel metric.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q216
+    Q(
+      "q216_attribution",
+      (s, dir) => {
+        // Last-touch attribution: every purchase credits the user's most
+        // recent NON-purchase event within the trailing 7 days (the
+        // marketing "which channel gets the sale" allocation; purchases
+        // with no touch in the window land in '(none)'). The match is
+        // AsofJoin.backward with tolerance — the same union+carry shape
+        // as q08/q59/q215 (ONE user-keyed shuffle, no join in the plan);
+        // the readout is a channel-sized aggregate with the 1-row total
+        // broadcast back for shares.
+        val ev = table(s, dir, "events")
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_millis(col("ts")).as("p_ms"),
+            col("event_id").as("p_id"))
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), unix_millis(col("ts")).as("t_ms"),
+            col("event_id").as("t_id"), col("event_type"))
+        val credited = graft.operators.AsofJoin
+          .backward(buys, touches, Seq("user_id"), "p_ms", "t_ms",
+            tieBreak = Seq("t_id"), tolerance = Some(7L * 24 * 3600 * 1000))
+          .selectExpr("coalesce(asof.event_type, '(none)') as channel")
+        val tot = credited.agg(count(lit(1)).as("n_tot"))
+        credited.groupBy("channel")
+          .agg(count(lit(1)).as("n_purchases"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("channel", "n_purchases",
+            "round(cast(n_purchases as double) / cast(n_tot as double), 6) as share")
+          .orderBy("channel")
+      },
+      Some("""
+        WITH b AS (
+          SELECT user_id, event_id AS p_id, epoch_ms(ts) AS p_ms
+          FROM events WHERE event_type = 'purchase'),
+        t AS (
+          SELECT user_id, event_id AS t_id, epoch_ms(ts) AS t_ms, event_type
+          FROM events WHERE event_type <> 'purchase'),
+        j AS (
+          SELECT b.p_id, t.event_type,
+                 row_number() OVER (PARTITION BY b.p_id
+                   ORDER BY t.t_ms DESC, t.t_id DESC) AS rn
+          FROM b JOIN t
+            ON t.user_id = b.user_id
+           AND t.t_ms <= b.p_ms
+           AND t.t_ms >= b.p_ms - 7 * 24 * 3600 * 1000),
+        c AS (
+          SELECT COALESCE(j.event_type, '(none)') AS channel
+          FROM b LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+            ON b.p_id = j.p_id),
+        tot AS (SELECT COUNT(1) AS n_tot FROM c)
+        SELECT channel, COUNT(1) AS n_purchases,
+               round(CAST(COUNT(1) AS DOUBLE) / CAST(tot.n_tot AS DOUBLE), 6) AS share
+        FROM c, tot
+        GROUP BY channel, tot.n_tot
+        ORDER BY channel"""),
+      "Last-touch attribution: each purchase credits the latest non-" +
+        "purchase event within 7 days via backward as-of WITH tolerance " +
+        "(union+carry, one user-keyed shuffle, no join in the plan) — " +
+        "channel-sized aggregate, shares from the broadcast total.")
   )
 }
