@@ -3408,5 +3408,102 @@ object CoreQueries {
         "purchase event within 7 days via backward as-of WITH tolerance " +
         "(union+carry, one user-keyed shuffle, no join in the plan) — " +
         "channel-sized aggregate, shares from the broadcast total.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q217
+    Q(
+      "q217_ridge_fit",
+      (s, dir) => {
+        // Ridge regression beside q204's OLS from the SAME sufficient
+        // statistics — the regularization concept with ZERO extra
+        // passes: once the 9 moment sums exist, any lambda is pure
+        // 1-row arithmetic (lambda * n added to the two non-intercept
+        // diagonal entries of X'X; the intercept stays unpenalized).
+        // Output: both fits side by side plus the coefficient
+        // shrinkage ratios — the readout that says what the penalty
+        // actually did. At 100 TB this is THE argument for sufficient-
+        // statistics training: the corpus pass is shared across every
+        // hyperparameter.
+        def m(e: String) = s"sum(cast(round($e, 9) as decimal(28,12)))"
+        val lam = "100.0d"
+        table(s, dir, "lineitem")
+          .selectExpr("l_quantity as q", "l_discount as d", "l_extendedprice as y")
+          .agg(
+            count(lit(1)).as("n"),
+            expr(s"${m("q")} as sq"), expr(s"${m("d")} as sd"),
+            expr(s"${m("q * q")} as sqq"), expr(s"${m("q * d")} as sqd"),
+            expr(s"${m("d * d")} as sdd"),
+            expr(s"${m("y")} as sy"), expr(s"${m("q * y")} as sqy"),
+            expr(s"${m("d * y")} as sdy"))
+          .selectExpr("cast(n as double) as n",
+            "cast(sq as double) as sq", "cast(sd as double) as sd",
+            "cast(sqq as double) as sqq", "cast(sqd as double) as sqd",
+            "cast(sdd as double) as sdd", "cast(sy as double) as sy",
+            "cast(sqy as double) as sqy", "cast(sdy as double) as sdy")
+          .selectExpr("n", "sq", "sd", "sqd", "sy", "sqy", "sdy",
+            "sqq as oqq", "sdd as odd",
+            s"sqq + $lam as rqq", s"sdd + $lam as rdd")
+          .withColumn("odet", expr(
+            """n * (oqq * odd - sqd * sqd) - sq * (sq * odd - sqd * sd)
+               + sd * (sq * sqd - oqq * sd)"""))
+          .withColumn("rdet", expr(
+            """n * (rqq * rdd - sqd * sqd) - sq * (sq * rdd - sqd * sd)
+               + sd * (sq * sqd - rqq * sd)"""))
+          .selectExpr("cast(n as bigint) as n_rows",
+            """round((n * (sqy * odd - sqd * sdy) - sy * (sq * odd - sqd * sd)
+               + sd * (sq * sdy - sqy * sd)) / odet, 6) as ols_b1""",
+            """round((n * (oqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+               + sy * (sq * sqd - oqq * sd)) / odet, 6) as ols_b2""",
+            """round((n * (sqy * rdd - sqd * sdy) - sy * (sq * rdd - sqd * sd)
+               + sd * (sq * sdy - sqy * sd)) / rdet, 6) as ridge_b1""",
+            """round((n * (rqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+               + sy * (sq * sqd - rqq * sd)) / rdet, 6) as ridge_b2""",
+            """round(((n * (sqy * rdd - sqd * sdy) - sy * (sq * rdd - sqd * sd)
+               + sd * (sq * sdy - sqy * sd)) / rdet)
+               / ((n * (sqy * odd - sqd * sdy) - sy * (sq * odd - sqd * sd)
+               + sd * (sq * sdy - sqy * sd)) / odet), 6) as shrink_b1""")
+      },
+      Some("""
+        WITH mm AS (
+          SELECT CAST(COUNT(1) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(round(l_quantity, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sq,
+                 CAST(SUM(CAST(round(l_discount, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sd,
+                 CAST(SUM(CAST(round(l_quantity * l_quantity, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sqq,
+                 CAST(SUM(CAST(round(l_quantity * l_discount, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sqd,
+                 CAST(SUM(CAST(round(l_discount * l_discount, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sdd,
+                 CAST(SUM(CAST(round(l_extendedprice, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(round(l_quantity * l_extendedprice, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sqy,
+                 CAST(SUM(CAST(round(l_discount * l_extendedprice, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sdy
+          FROM lineitem),
+        e AS (
+          SELECT n, sq, sd, sqd, sy, sqy, sdy,
+                 sqq AS oqq, sdd AS odd,
+                 sqq + 100.0 AS rqq, sdd + 100.0 AS rdd
+          FROM mm),
+        d AS (
+          SELECT *,
+                 n * (oqq * odd - sqd * sqd) - sq * (sq * odd - sqd * sd)
+                   + sd * (sq * sqd - oqq * sd) AS odet,
+                 n * (rqq * rdd - sqd * sqd) - sq * (sq * rdd - sqd * sd)
+                   + sd * (sq * sqd - rqq * sd) AS rdet
+          FROM e)
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round((n * (sqy * odd - sqd * sdy) - sy * (sq * odd - sqd * sd)
+                      + sd * (sq * sdy - sqy * sd)) / odet, 6) AS ols_b1,
+               round((n * (oqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+                      + sy * (sq * sqd - oqq * sd)) / odet, 6) AS ols_b2,
+               round((n * (sqy * rdd - sqd * sdy) - sy * (sq * rdd - sqd * sd)
+                      + sd * (sq * sdy - sqy * sd)) / rdet, 6) AS ridge_b1,
+               round((n * (rqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+                      + sy * (sq * sqd - rqq * sd)) / rdet, 6) AS ridge_b2,
+               round(((n * (sqy * rdd - sqd * sdy) - sy * (sq * rdd - sqd * sd)
+                      + sd * (sq * sdy - sqy * sd)) / rdet)
+                     / ((n * (sqy * odd - sqd * sdy) - sy * (sq * odd - sqd * sd)
+                      + sd * (sq * sdy - sqy * sd)) / odet), 6) AS shrink_b1
+        FROM d"""),
+      "Ridge beside OLS from the SAME 9 moment sums (lambda on the non-" +
+        "intercept diagonal, intercept unpenalized) — regularized " +
+        "training as 1-row arithmetic over shared sufficient statistics; " +
+        "one corpus pass serves every hyperparameter.")
   )
 }
