@@ -5959,6 +5959,116 @@ object TextQueries {
         "once), (fold, lang, tok)-keyed equi-joins, 15-row class frame " +
         "broadcast, q182's exact-decimal argmax — per-fold accuracy " +
         "plus mean/spread; the model-selection step.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q218
+    Q(
+      "q218_isotonic_calibration",
+      (s, dir) => {
+        // Isotonic (PAV) calibration of the cheap quality signal against
+        // dup truth — the monotone successor to q173's binned curve and
+        // the standard probability-calibration step for any cheap
+        // classifier: fit the best NON-DECREASING rate curve over the
+        // score axis. Exact fit via the minimax characterization
+        //   iso[i] = max_{j<=i} min_{k>=i} mean(pos_j..pos_k)
+        // evaluated over prefix sums — mathematically identical to the
+        // pool-adjacent-violators stack algorithm, but expressible as
+        // one shared nested-HOF tree in BOTH engines (no iteration).
+        // Scale: the corpus collapses to the <= 101-row per-cent score
+        // frame (bounded DOMAIN, corpus-independent) in one map pass +
+        // doc-keyed join; the O(m^3) minimax runs on ONE row of arrays
+        // where m <= 101 — constant work, documented as such.
+        val dup = verifiedNearDupPairs(s, dir)
+        val members = dup.select(col("id_a").as("doc_id"))
+          .union(dup.select(col("id_b").as("doc_id")))
+          .distinct().withColumn("isdup", lit(1))
+        val sc = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("score", expr(
+            "size(filter(toks, x -> x in ('the','a','of','and','to'))) * 100 div size(toks)"))
+          .select("doc_id", "score")
+          .join(members, Seq("doc_id"), "left")
+          .groupBy("score")
+          .agg(sum(coalesce(col("isdup"), lit(0))).as("np"),
+            count(lit(1)).as("n"))
+        sc.agg(expr("array_sort(collect_list(struct(score, np, n)))").as("a"))
+          .selectExpr("a",
+            "transform(a, p -> p.score) as ss",
+            // prefix sums with a leading 0: cp[k+1] = sum of np[1..k]
+            """transform(sequence(0, size(a)), i ->
+                 aggregate(slice(a, 1, i), cast(0 as bigint), (acc, p) -> acc + p.np)) as cp""",
+            """transform(sequence(0, size(a)), i ->
+                 aggregate(slice(a, 1, i), cast(0 as bigint), (acc, p) -> acc + p.n)) as cn""")
+          .selectExpr("a", "ss", "cp", "cn",
+            """transform(sequence(1, size(a)), i ->
+                 array_max(transform(sequence(1, i), j ->
+                   array_min(transform(sequence(i, size(a)), k ->
+                     cast(element_at(cp, k + 1) - element_at(cp, j) as double)
+                     / cast(element_at(cn, k + 1) - element_at(cn, j) as double))))))
+               as iso""")
+          .selectExpr(
+            "posexplode(a) as (i, p)", "iso")
+          .selectExpr("p.score as score", "cast(p.n as bigint) as n_docs",
+            "cast(p.np as bigint) as n_dup",
+            "round(cast(p.np as double) / cast(p.n as double), 6) as rate_raw",
+            "round(element_at(iso, i + 1), 6) as rate_iso")
+          .orderBy("score")
+      },
+      Some(s"""
+        WITH $duckVerifiedPairs,
+        members AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM ver UNION ALL SELECT id_b FROM ver)),
+        d AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to'))) * 100
+                   // len(string_split(text, ' ')) AS score
+          FROM documents),
+        sc AS (
+          SELECT score,
+                 SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS np,
+                 COUNT(1) AS n
+          FROM d LEFT JOIN members m USING (doc_id)
+          GROUP BY score),
+        arr AS (
+          SELECT list(score ORDER BY score) AS ss,
+                 list(np ORDER BY score) AS nps,
+                 list(n ORDER BY score) AS ns
+          FROM sc),
+        pre AS (
+          SELECT ss, nps, ns, len(ss) AS m,
+                 list_transform(range(0, len(ss) + 1), i ->
+                   list_sum(list_concat([CAST(0 AS BIGINT)],
+                     list_slice(nps, 1, CAST(i AS INTEGER))))) AS cp,
+                 list_transform(range(0, len(ss) + 1), i ->
+                   list_sum(list_concat([CAST(0 AS BIGINT)],
+                     list_slice(ns, 1, CAST(i AS INTEGER))))) AS cn
+          FROM arr),
+        iso AS (
+          SELECT ss, nps, ns, m, cp, cn,
+                 list_transform(range(1, m + 1), i ->
+                   list_max(list_transform(range(1, i + 1), j ->
+                     list_min(list_transform(range(i, m + 1), k ->
+                       CAST(cp[CAST(k + 1 AS INTEGER)] - cp[CAST(j AS INTEGER)] AS DOUBLE)
+                       / CAST(cn[CAST(k + 1 AS INTEGER)] - cn[CAST(j AS INTEGER)] AS DOUBLE)))))) AS iso
+          FROM pre),
+        rows_out AS (
+          SELECT unnest(range(1, m + 1)) AS i, ss, nps, ns, iso
+          FROM iso)
+        SELECT ss[CAST(i AS INTEGER)] AS score,
+               CAST(ns[CAST(i AS INTEGER)] AS BIGINT) AS n_docs,
+               CAST(nps[CAST(i AS INTEGER)] AS BIGINT) AS n_dup,
+               round(CAST(nps[CAST(i AS INTEGER)] AS DOUBLE)
+                     / CAST(ns[CAST(i AS INTEGER)] AS DOUBLE), 6) AS rate_raw,
+               round(iso[CAST(i AS INTEGER)], 6) AS rate_iso
+        FROM rows_out
+        ORDER BY score"""),
+      "Isotonic (PAV) calibration of the quality signal vs dup truth " +
+        "via the exact minimax characterization over prefix sums — the " +
+        "best monotone rate curve, one shared nested-HOF tree in both " +
+        "engines; corpus collapses to the bounded <= 101-row per-cent " +
+        "score domain, O(m^3) on one row is constant work.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
