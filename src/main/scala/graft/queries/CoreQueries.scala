@@ -3505,5 +3505,192 @@ object CoreQueries {
         "intercept diagonal, intercept unpenalized) — regularized " +
         "training as 1-row arithmetic over shared sufficient statistics; " +
         "one corpus pass serves every hyperparameter.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q219
+    Q(
+      "q219_psi_drift",
+      (s, dir) => {
+        // Population Stability Index — THE production feature-drift
+        // monitor (the time-axis complement of q136's per-source token
+        // KL): reference deciles of event `value` from the first 15
+        // days (EXACT order statistics via GlobalRank's two-phase
+        // shape), current-window counts bucketed against those
+        // boundaries, PSI = sum (p-q) ln(p/q) with 0.5-count smoothing
+        // so empty buckets stay finite. Scale: one rank pass over the
+        // reference half, boundaries collapse to a 9-element broadcast
+        // array, both halves bucket map-only, 10-row arithmetic after.
+        val ev = table(s, dir, "events")
+          .selectExpr("event_id", "value",
+            "unix_millis(ts) div 86400000 as day")
+        val d0 = ev.agg(min("day").as("d0"))
+        val tagged = ev.crossJoin(broadcast(d0))
+          .withColumn("is_ref", expr("day < d0 + 15"))
+        val ref = tagged.filter(col("is_ref")).withColumn("seg", lit(0))
+        val bounds = graft.operators.GlobalRank
+          .withGlobalRank(ref.select("seg", "event_id", "value"),
+            "seg", "value", "event_id")
+          .withColumn("k", explode(expr("sequence(1, 9)")))
+          .filter(expr("rn = (n_seg * k + 9) div 10"))
+          .groupBy("seg")
+          .agg(expr("array_sort(collect_list(struct(k, value)))").as("bs"))
+          .selectExpr("transform(bs, p -> p.value) as barr")
+        val bucketed = tagged.crossJoin(broadcast(bounds))
+          .withColumn("bucket", expr("size(filter(barr, b -> value > b))"))
+          .groupBy("bucket")
+          .agg(sum(expr("case when is_ref then 1 else 0 end")).as("n_ref"),
+            sum(expr("case when is_ref then 0 else 1 end")).as("n_cur"))
+        val tot = bucketed.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+        val terms = bucketed.crossJoin(broadcast(tot))
+          .withColumn("p", expr(
+            "(cast(n_ref as double) + 0.5d) / (cast(tr as double) + 5.0d)"))
+          .withColumn("q", expr(
+            "(cast(n_cur as double) + 0.5d) / (cast(tc as double) + 5.0d)"))
+          .withColumn("term", expr("(p - q) * ln(p / q)"))
+        val psi = terms.agg(expr(
+          "round(sum(cast(round(term, 12) as decimal(28,12))), 6)").as("psi"))
+        terms.crossJoin(broadcast(psi))
+          .selectExpr("cast(bucket as int) as bucket",
+            "cast(n_ref as bigint) as n_ref", "cast(n_cur as bigint) as n_cur",
+            "round(p, 6) as p_ref", "round(q, 6) as p_cur",
+            "round(term, 6) as psi_term", "cast(psi as double) as psi")
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, value, epoch_ms(ts) // 86400000 AS day
+          FROM events),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        tagged AS (
+          SELECT e.event_id, e.value, e.day < d0.d0 + 15 AS is_ref
+          FROM ev e, d0),
+        ranked AS (
+          SELECT value,
+                 ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+                 COUNT(1) OVER () AS n_seg
+          FROM tagged WHERE is_ref),
+        bs AS (
+          SELECT list(value ORDER BY k) AS barr FROM (
+            SELECT k.k, r.value
+            FROM ranked r CROSS JOIN (SELECT unnest(range(1, 10)) AS k) k
+            WHERE r.rn = (r.n_seg * k.k + 9) // 10)),
+        bucketed AS (
+          SELECT len(list_filter(bs.barr, b -> t.value > b)) AS bucket,
+                 CAST(SUM(CASE WHEN t.is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                 CAST(SUM(CASE WHEN t.is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+          FROM tagged t, bs
+          GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                 CAST(SUM(n_cur) AS BIGINT) AS tc
+          FROM bucketed),
+        terms AS (
+          SELECT b.bucket, b.n_ref, b.n_cur,
+                 (CAST(b.n_ref AS DOUBLE) + 0.5) / (CAST(tot.tr AS DOUBLE) + 5.0) AS p,
+                 (CAST(b.n_cur AS DOUBLE) + 0.5) / (CAST(tot.tc AS DOUBLE) + 5.0) AS q
+          FROM bucketed b, tot),
+        t2 AS (
+          SELECT *, (p - q) * ln(p / q) AS term FROM terms),
+        psi AS (
+          SELECT round(SUM(CAST(round(term, 12) AS DECIMAL(28,12))), 6) AS psi
+          FROM t2)
+        SELECT CAST(t2.bucket AS INTEGER) AS bucket, t2.n_ref, t2.n_cur,
+               round(t2.p, 6) AS p_ref, round(t2.q, 6) AS p_cur,
+               round(t2.term, 6) AS psi_term, CAST(psi.psi AS DOUBLE) AS psi
+        FROM t2, psi
+        ORDER BY t2.bucket"""),
+      "Population Stability Index: reference deciles from the first 15 " +
+        "days via GlobalRank's exact two-phase order statistics, both " +
+        "windows bucketed map-only against the 9-element broadcast " +
+        "boundary array, smoothed (p-q)ln(p/q) terms — the production " +
+        "numeric-drift monitor beside q136's token KL."),
+
+    // ---------------------------------------------------------------- q220
+    Q(
+      "q220_temporal_join",
+      (s, dir) => {
+        // Temporal-table (AS OF VALIDITY) join: probe rows enrich
+        // against the SCD2 history q89 builds — key equality + the
+        // validity-interval predicate `valid_from <= t < valid_to`
+        // (open tail NULL = current row). Probe times are placed
+        // deterministically inside the history window (orders' own
+        // dates don't overlap the event fixture — documented synthetic
+        // placement; the semantics under test are the interval match,
+        // left-preservation of pre-history probes, and the q45
+        // equi+range shape: ONE shuffle on the user key, range as
+        // residual, fanout bounded by intervals-per-user).
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"), col("event_type"))
+        val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+        val hist = ev
+          .withColumn("chg",
+            when(lag("event_type", 1).over(w).isNull ||
+              lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("island", sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "island", "event_type")
+          .agg(min("ms").as("vf"))
+          .withColumn("vt", lead("vf", 1).over(
+            Window.partitionBy("user_id").orderBy("island")))
+          .select(col("user_id").as("ukey"), col("event_type").as("state"),
+            col("vf"), col("vt"))
+        val span = ev.agg(min("ms").as("lo"), max("ms").as("hi"),
+          (max("user_id") + 1).as("u"))
+        val probes = table(s, dir, "orders")
+          .crossJoin(broadcast(span))
+          .selectExpr("o_orderkey", "o_custkey % u as ukey",
+            "lo + (o_orderkey * 9973) % (hi - lo + 1) as t",
+            "cast(o_totalprice as decimal(18,2)) as price")
+        probes
+          .join(hist,
+            probes("ukey") === hist("ukey") && col("t") >= col("vf") &&
+              (col("vt").isNull || col("t") < col("vt")), "left")
+          .selectExpr("coalesce(state, '(pre)') as state", "price")
+          .groupBy("state")
+          .agg(count(lit(1)).as("n_orders"),
+            expr("cast(sum(price) as double)").as("revenue"))
+          .orderBy("state")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        isl AS (
+          SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+                      ORDER BY ms, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS island
+          FROM e),
+        hist AS (
+          SELECT user_id AS ukey, event_type AS state, MIN(ms) AS vf,
+                 lead(MIN(ms)) OVER (PARTITION BY user_id ORDER BY island) AS vt
+          FROM isl GROUP BY user_id, island, event_type),
+        span AS (
+          SELECT MIN(epoch_ms(ts)) AS lo, MAX(epoch_ms(ts)) AS hi,
+                 MAX(user_id) + 1 AS u
+          FROM events),
+        probes AS (
+          SELECT o.o_orderkey, o.o_custkey % s.u AS ukey,
+                 s.lo + (o.o_orderkey * 9973) % (s.hi - s.lo + 1) AS t,
+                 CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+          FROM orders o, span s),
+        j AS (
+          SELECT COALESCE(h.state, '(pre)') AS state, p.price
+          FROM probes p LEFT JOIN hist h
+            ON h.ukey = p.ukey AND p.t >= h.vf
+           AND (h.vt IS NULL OR p.t < h.vt))
+        SELECT state, COUNT(1) AS n_orders,
+               CAST(SUM(price) AS DOUBLE) AS revenue
+        FROM j GROUP BY state
+        ORDER BY state"""),
+      "Temporal-table join against the q89 SCD2 history: key equality + " +
+        "validity-interval residual (open tail = current), pre-history " +
+        "probes preserved as '(pre)' — the q45 equi+range shape, one " +
+        "user-keyed shuffle, fanout bounded by intervals-per-user.")
   )
 }
