@@ -3692,5 +3692,77 @@ object CoreQueries {
         "validity-interval residual (open tail = current), pre-history " +
         "probes preserved as '(pre)' — the q45 equi+range shape, one " +
         "user-keyed shuffle, fanout bounded by intervals-per-user.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q221
+    Q(
+      "q221_funnel_timing",
+      (s, dir) => {
+        // Funnel TIMING — q86 says who converts, this says how fast:
+        // per user, the first click, the first view at-or-after it, the
+        // first purchase at-or-after that (the sequential-first chain),
+        // then the EXACT median of both stage gaps across converting
+        // users via GlobalRank's two-phase rank (users-frame medians —
+        // no single-task percentile buffer). Three conditional
+        // user-keyed aggregates + two rank passes; everything after is
+        // 1-row arithmetic.
+        import graft.operators.GlobalRank
+        val ev = table(s, dir, "events")
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+            col("event_type"))
+        val c = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ms").as("c_ms"))
+        val v = ev.filter(col("event_type") === "view").join(c, "user_id")
+          .filter(col("ms") >= col("c_ms"))
+          .groupBy("user_id", "c_ms").agg(min("ms").as("v_ms"))
+        val p = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+          .filter(col("ms") >= col("v_ms"))
+          .groupBy("user_id", "c_ms", "v_ms").agg(min("ms").as("p_ms"))
+        val gaps = p.selectExpr("user_id", "v_ms - c_ms as g1", "p_ms - v_ms as g2")
+          .withColumn("seg", lit(0))
+        val m1 = GlobalRank.withGlobalRank(
+          gaps.select("seg", "user_id", "g1"), "seg", "g1", "user_id")
+          .filter(expr("rn = (n_seg + 1) div 2"))
+          .select(col("g1").as("med_g1_ms"), col("n_seg").as("n_conv"))
+        val m2 = GlobalRank.withGlobalRank(
+          gaps.select("seg", "user_id", "g2"), "seg", "g2", "user_id")
+          .filter(expr("rn = (n_seg + 1) div 2"))
+          .select(col("g2").as("med_g2_ms"))
+        m1.crossJoin(broadcast(m2))
+          .selectExpr("cast(n_conv as bigint) as n_conv",
+            "med_g1_ms", "med_g2_ms")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        c AS (
+          SELECT user_id, MIN(ms) AS c_ms FROM e
+          WHERE event_type = 'click' GROUP BY user_id),
+        v AS (
+          SELECT e.user_id, c.c_ms, MIN(e.ms) AS v_ms
+          FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'view' AND e.ms >= c.c_ms
+          GROUP BY e.user_id, c.c_ms),
+        p AS (
+          SELECT e.user_id, v.c_ms, v.v_ms, MIN(e.ms) AS p_ms
+          FROM e JOIN v USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ms >= v.v_ms
+          GROUP BY e.user_id, v.c_ms, v.v_ms),
+        gaps AS (
+          SELECT user_id, v_ms - c_ms AS g1, p_ms - v_ms AS g2 FROM p),
+        r1 AS (
+          SELECT g1, ROW_NUMBER() OVER (ORDER BY g1, user_id) AS rn,
+                 COUNT(1) OVER () AS n FROM gaps),
+        r2 AS (
+          SELECT g2, ROW_NUMBER() OVER (ORDER BY g2, user_id) AS rn,
+                 COUNT(1) OVER () AS n FROM gaps)
+        SELECT CAST(r1.n AS BIGINT) AS n_conv,
+               r1.g1 AS med_g1_ms, r2.g2 AS med_g2_ms
+        FROM r1, r2
+        WHERE r1.rn = (r1.n + 1) // 2 AND r2.rn = (r2.n + 1) // 2"""),
+      "Funnel stage timing: sequential-first chain (first click -> first " +
+        "view after -> first purchase after) via conditional user-keyed " +
+        "aggregates, exact stage-gap medians via GlobalRank two-phase " +
+        "ranks — how fast conversion happens, not just whether.")
   )
 }

@@ -6069,6 +6069,69 @@ object TextQueries {
         "best monotone rate curve, one shared nested-HOF tree in both " +
         "engines; corpus collapses to the bounded <= 101-row per-cent " +
         "score domain, O(m^3) on one row is constant work.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q222
+    Q(
+      "q222_corpus_diversity",
+      (s, dir) => {
+        // Corpus diversity (self-similarity) audit — the generation-
+        // quality metric: mean pairwise bigram Jaccard over a
+        // deterministic 30-doc sample (salted-hash bottom-k, the q70
+        // machinery). High mean = mode collapse / templated corpus; low
+        // = diverse. Scale: the sample is CONSTANT-size regardless of
+        // corpus (one TakeOrdered by hash), so the C(30,2) = 435 exact
+        // pair comparisons are constant work — the audit never touches
+        // corpus^2; the full-corpus estimate tightens by re-running
+        // with a different salt, not a bigger k.
+        val k = 30
+        val sample = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .selectExpr("doc_id",
+            "array_distinct(word_ngrams(toks, 2)) as bgs",
+            md5long("concat('dv|', cast(doc_id as string))") + " as h")
+          .orderBy("h", "doc_id").limit(k)
+          .select("doc_id", "bgs")
+        val pairs = sample.as("a")
+          .join(broadcast(sample.as("b")),
+            col("a.doc_id") < col("b.doc_id"))
+          .withColumn("jac", expr(
+            """cast(size(array_intersect(a.bgs, b.bgs)) as double)
+               / size(array_union(a.bgs, b.bgs))"""))
+        pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          expr("round(cast(sum(cast(round(jac, 12) as decimal(28,12))) as double)"
+            + " / count(1), 6)").as("mean_jaccard"),
+          expr("round(min(jac), 6)").as("min_jaccard"),
+          expr("round(max(jac), 6)").as("max_jaccard"))
+          .selectExpr("cast(n_pairs as bigint) as n_pairs",
+            "mean_jaccard", "min_jaccard", "max_jaccard")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bgs,
+                 ${duckMd5long("'dv|' || cast(doc_id as varchar)")} AS h
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        sample AS (
+          SELECT doc_id, bgs FROM d ORDER BY h, doc_id LIMIT 30),
+        pairs AS (
+          SELECT CAST(len(list_intersect(a.bgs, b.bgs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.bgs, b.bgs))) AS jac
+          FROM sample a JOIN sample b ON a.doc_id < b.doc_id)
+        SELECT CAST(COUNT(1) AS BIGINT) AS n_pairs,
+               round(CAST(SUM(CAST(round(jac, 12) AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(1), 6) AS mean_jaccard,
+               round(MIN(jac), 6) AS min_jaccard,
+               round(MAX(jac), 6) AS max_jaccard
+        FROM pairs"""),
+      "Corpus diversity audit: mean pairwise bigram Jaccard over a " +
+        "deterministic salted-hash bottom-30 sample — constant-size " +
+        "sample, constant 435-pair work at any corpus size; the mode-" +
+        "collapse / templating screen for generated corpora.")
   )
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
