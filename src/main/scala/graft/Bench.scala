@@ -1,6 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Best-of-`reps` wall time per query, plus an error count: a query that
+    * crashes must not silently "bench" at ~0 s (it would shrink the total and
+    * mask a regression between the correctness run and the bench run).
+    */
+  private def runSuite(spark: SparkSession, sfDir: String, reps: Int)
+      : (Seq[(String, Double)], Int, Seq[String]) = {
+    var errors = 0
+    val errNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    // sorted order: stable timings across rounds (Map order is hash-random)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // BEST of `reps` runs: host stalls and first-run codegen/JIT cost
+      // inflate individual samples only — the minimum is the query's real
+      // cost, so round-over-round deltas track the CODE (the r4 bench's
+      // single-sample tail produced two phantom regressions)
+      var failed = false
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: executes the COMPLETE plan (count() would let Catalyst
+        // prune output columns and eliminate final sorts — under-measuring)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => failed = true }
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (failed) { errors += 1; errNames += name }
+      name -> samples.min
+    }
+    (results, errors, errNames.toSeq)
+  }
+
+  // 3-decimal (ms) precision: full-precision doubles made the JSON line
+  // outgrow the driver's stdout tail capture at 62 queries (r3 parse fail)
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,30 +54,32 @@ object Bench {
     // tolerate garbage ("0", "abc"): a bad env var must not abort the bench
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
-    // sorted order: stable timings across rounds (Map order is hash-random)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // BEST of `reps` runs: host stalls and first-run codegen/JIT cost
-      // inflate individual samples only — the minimum is the query's real
-      // cost, so round-over-round deltas track the CODE (the r4 bench's
-      // single-sample tail produced two phantom regressions)
-      val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: executes the COMPLETE plan (count() would let Catalyst
-        // prune output columns and eliminate final sorts — under-measuring)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> samples.min
-    }
-    // 3-decimal (ms) precision: full-precision doubles made the JSON line
-    // outgrow the driver's stdout tail capture at 62 queries (r3 parse fail)
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    val (results, errors, errNames) = runSuite(spark, sfDir, reps)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Full per-query detail FIRST (may be truncated by the driver's stdout
+    // tail capture at 200+ queries — r4/r5 both lost this line) ...
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Secondary scale factor, single rep: the 2x gate is only ever exercised
+    // at one SF — emitting a second total makes the scaling SLOPE visible
+    // round-over-round, not just the level. Opt-out with SPARK_GRAFT_SF2_DIR="".
+    val sf2 = sys.env.getOrElse("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    val sf2Total: Option[(Double, Int)] =
+      if (sf2.nonEmpty && sf2 != sfDir && new java.io.File(sf2).isDirectory) {
+        val (r2, e2, _) = runSuite(spark, sf2, 1)
+        Some((r2.map(_._2).sum, e2))
+      } else None
+
+    // ... then a COMPACT machine-parsable summary LAST, guaranteed to fit the
+    // tail capture regardless of suite size (the r5 verdict's top item).
+    val errJson = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sf2Json = sf2Total
+      .map { case (t, e) => s""","sf2":"$sf2","total_sf2":${fmt(t)},"errors_sf2":$e""" }
+      .getOrElse("")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errors,"error_queries":$errJson,"sf":"$sfDir"$sf2Json}""")
     spark.stop()
   }
 }

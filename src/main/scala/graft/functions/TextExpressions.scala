@@ -508,9 +508,13 @@ object CdcCuts {
  * window; this is one O(n) monotonic-deque pass emitted as a single
  * static call inside whole-stage codegen (~13x on the q191 hot path).
  *
- * Null semantics match the HOF: array_min ignores null elements, so a
- * window's min is over its non-null values and an all-null window yields
- * a null element; size(hs) < w yields an empty array; null input -> null.
+ * Null semantics match the HOF FOR size(hs) >= w (the q191 guard, and
+ * what the equivalence spec exercises): array_min ignores null elements,
+ * so a window's min is over its non-null values and an all-null window
+ * yields a null element; null input -> null. For size(hs) < w the two
+ * spellings DIVERGE: sequence(0, size-w) with size < w produces a
+ * descending sequence and slice(...) then raises a runtime error, whereas
+ * this expression extends the contract safely to an empty array.
  */
 case class WindowMins(child: Expression, window: Int) extends UnaryExpression {
 
@@ -645,9 +649,15 @@ object TextExpressions {
   /** Shared builder for `window_mins` (array<long> + foldable window). */
   val windowMinsBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"window_mins expects 2 arguments, got ${exprs.length}")
+    // foldability guard first: a column reference as the window arg would
+    // otherwise throw an opaque unresolved/NPE from eval(null) at parse time
+    require(exprs(1).foldable,
+      s"window_mins window must be a foldable (literal) integer, got ${exprs(1).sql}")
     val w = exprs(1).eval(null) match {
       case i: Int  => i
       case l: Long => math.toIntExact(l)
+      case null =>
+        throw new IllegalArgumentException("window_mins window must not be null")
       case other =>
         throw new IllegalArgumentException(
           s"window_mins window must be a foldable integer, got $other")

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding TRAINER and APPLIER at arbitrary merge count — the
+ * generalization of q156's 3 unrolled rounds into a driver-loop operator
+ * (the `Ann.kmeansFit` pattern: per-round 1-row elections stay DataFrames,
+ * `localCheckpoint` pins each round so round r+1 never recomputes rounds
+ * 1..r; the driver never sees corpus data).
+ *
+ * Model: the classic word-level BPE of Sennrich et al. 2016 ("Neural
+ * Machine Translation of Rare Words with Subword Units") restricted to the
+ * library's whitespace token model — train on the DISTINCT-WORD table
+ * (vocab-sized, never corpus text), elect the globally most frequent
+ * adjacent symbol pair each round (count-desc, pair-asc tie-break), merge
+ * it everywhere into a fresh single-character placeholder symbol, repeat.
+ * `replace()` merges left-to-right non-overlapping in Spark and DuckDB
+ * alike, which IS greedy BPE application — the q156 contract, now held for
+ * any `nMerges`.
+ *
+ * Placeholder alphabet: merge r becomes the single character with code
+ * point `baseCp + r - 1` (default 1 — the C0 control range, disjoint from
+ * printable corpus text). Single-character symbols keep every adjacent
+ * pair a 2-character substring, so each round's pair scan stays one
+ * `substring(w, i, 2)` pass. The corpus-cleanliness precondition (no word
+ * already contains a placeholder code point) is enforced loudly inside the
+ * plan with `raise_error` — a silent collision would corrupt every later
+ * merge.
+ *
+ * The 100 TB shape: one corpus scan builds the (word, count) table — the
+ * only corpus-sized shuffle; every training round then runs over the
+ * vocab-sized table (pair explode ~ avg word length x vocab), elects a
+ * 1-row winner via `TakeOrderedAndProject`, and broadcasts it back into
+ * `replace()`. Application to new text is map-only: the trained merge
+ * table collapses to ONE array-of-struct row broadcast to every task and
+ * folded per word with the `aggregate` HOF.
+ *
+ * Reference context: the reference engine has no tokenizer
+ * (spark-2.4/…/DefaultSource.scala:24 is a tick-data connector); this is
+ * beyond-reference LLM-pipeline surface (SURVEY.md §2.5).
+ */
+object Bpe {
+
+  /** The library's whitespace word-count table: one row per distinct word
+    * with its corpus frequency — BPE's training input. One hash shuffle. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+
+  /**
+   * Train `nMerges` BPE merge rounds over a `(wordCol, countCol)` table.
+   * Returns the merge table `(round int, pair string, sym string, n bigint)`
+   * in training order; `pair` is spelled in the CURRENT symbol alphabet of
+   * its round (earlier placeholders may appear inside it), `sym` is the
+   * single placeholder character the pair merged into. Stops early (fewer
+   * than `nMerges` rows) if the vocabulary runs out of adjacent pairs —
+   * real trainers stop, they don't loop on an empty election.
+   *
+   * Control plane: one 1-row `localCheckpoint` + one `isEmpty` probe per
+   * round (the bounded per-round driver reads `Dedup.clusters` documents);
+   * corpus/vocab data never reaches the driver.
+   */
+  def fit(
+      spark: SparkSession,
+      words: DataFrame,
+      wordCol: String,
+      countCol: String,
+      nMerges: Int,
+      baseCp: Int = 1): DataFrame = {
+    require(nMerges >= 1, s"nMerges ($nMerges) must be positive")
+    // Spark's chr() is mod-256 and the placeholder must stay ONE character
+    // in both engines: keep the whole placeholder range single-byte-safe
+    require(baseCp >= 1 && baseCp + nMerges <= 256,
+      s"placeholder code points [$baseCp, ${baseCp + nMerges}) must fit in [1, 256)")
+    val reserved = Set("w", "wcnt", "pair", "sym", "n", "round", "__bp")
+    // the training frame is rebuilt with exactly (w, wcnt); only name
+    // collisions on the INPUT columns we read matter
+    require(words.columns.contains(wordCol) && words.columns.contains(countCol),
+      s"words must carry $wordCol and $countCol")
+    // loud precondition INSIDE the projected column (the kmeansFit/GlobalRank
+    // pattern — pruning can never drop it): no word may already contain a
+    // placeholder code point, and words/counts must be non-null
+    val placeholderClass =
+      "[" + "\\x%02x".format(baseCp) + "-" + "\\x%02x".format(baseCp + nMerges - 1) + "]"
+    val guarded = when(
+      col(wordCol).isNull || col(countCol).isNull ||
+        col(wordCol).rlike(placeholderClass),
+      raise_error(concat(
+        lit(s"Bpe.fit: $wordCol/$countCol must be non-null and contain no " +
+          s"placeholder code points in [$baseCp, ${baseCp + nMerges}); got word "),
+        coalesce(col(wordCol), lit("null")))).cast("string"))
+      .otherwise(col(wordCol))
+    var wc = words
+      .select(guarded.as("w"), col(countCol).cast("long").as("wcnt"))
+      .localCheckpoint(true)
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val sym = (baseCp + r - 1).toChar.toString
+      // this round's election: every adjacent 2-char pair, wcnt-weighted,
+      // top-1 by (n desc, pair asc) — TakeOrderedAndProject, 1 row
+      val top = wc.filter(length(col("w")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wcnt").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .select(lit(r).as("round"), col("pair"), lit(sym).as("sym"), col("n"))
+        .localCheckpoint(true)
+      if (top.isEmpty) {
+        exhausted = true
+      } else {
+        rounds += top
+        // merge the winner everywhere; Column-API replace keeps the control
+        // character out of any SQL text that would need parsing
+        wc = wc.crossJoin(broadcast(top.select(col("pair").as("__bp"))))
+          .withColumn("w", replace(col("w"), col("__bp"), lit(sym)))
+          .select("w", "wcnt")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    require(rounds.nonEmpty,
+      "Bpe.fit: vocabulary has no adjacent pairs — nothing to train on")
+    rounds.reduce(_.unionByName(_))
+  }
+
+  /** [[fit]] straight from a corpus text column. */
+  def fitOnText(
+      spark: SparkSession,
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      baseCp: Int = 1): DataFrame =
+    fit(spark, wordCounts(df, textCol), "w", "wcnt", nMerges, baseCp)
+
+  /** The trained model as ONE broadcastable row: `__ms`, the merge structs
+    * sorted by round (sort_array on struct arrays orders by the first
+    * field — training order is the fold order, and BPE application is
+    * order-sensitive). */
+  private def mergeArray(merges: DataFrame): DataFrame =
+    merges.agg(sort_array(collect_list(struct(
+      col("round"), col("pair"), col("sym")))).as("__ms"))
+
+  /**
+   * Apply a trained merge table to a word/text column: appends `out` =
+   * `col` with every merge replayed in training order (greedy
+   * left-to-right within each round — exactly the trainer's own merge
+   * semantics, so train-time and apply-time tokenizations agree).
+   * Map-only: the model is a 1-row broadcast; the fold is the `aggregate`
+   * HOF over nMerges structs per row. The HOF evaluates interpreted —
+   * acceptable on the tokenizer-apply path where the per-row work IS the
+   * nMerges replace chain; a codegen'd spelling would run the same chain.
+   */
+  def applyMerges(df: DataFrame, textCol: String, merges: DataFrame,
+      out: String): DataFrame = {
+    require(!df.columns.contains("__ms"), "input column __ms is reserved")
+    df.crossJoin(broadcast(mergeArray(merges)))
+      .withColumn(out,
+        expr(s"aggregate(__ms, $textCol, (acc, m) -> replace(acc, m.pair, m.sym))"))
+      .drop("__ms")
+  }
+
+  /**
+   * Trained-model token counting: appends `out` = the number of BPE
+   * symbols in `textCol` under `merges` — per whitespace word, apply the
+   * merge chain and count characters (every character IS one symbol once
+   * merges collapse pairs into single placeholders), then sum across
+   * words. This is the token column `Packer.withSequenceOffsets` /
+   * `Chunker` budgets accept — context-window packing under the REAL
+   * trained tokenizer instead of the whitespace approximation (q106).
+   * Empty text counts 0 symbols. Map-only + 1-row model broadcast.
+   */
+  def tokenCounts(df: DataFrame, textCol: String, merges: DataFrame,
+      out: String): DataFrame = {
+    require(!df.columns.contains("__ms"), "input column __ms is reserved")
+    df.crossJoin(broadcast(mergeArray(merges)))
+      .withColumn(out, expr(
+        s"""aggregate(
+              transform(split($textCol, ' '),
+                w0 -> length(aggregate(__ms, w0, (acc, m) -> replace(acc, m.pair, m.sym)))),
+              0L, (a, x) -> a + cast(x as bigint))"""))
+      .drop("__ms")
+  }
+}

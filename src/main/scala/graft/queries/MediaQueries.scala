@@ -713,7 +713,7 @@ object MediaQueries {
         // between consecutive PPM frames — the block-matching SAD
         // primitive; static scenes read 0, cuts read large, and the
         // dead-video screen drops payloads whose every pair is silent.
-        // wsad weights pair p by (1 + p), so right totals from wrong
+        // wsad weights pair p by (1 + p % 97), so right totals from wrong
         // pair positions cannot pass. The oracle replays every pair's
         // SAD from the position-derived frame bytes arithmetically.
         // Scale: synth + walk fuse into one map-only pass; only the 6
@@ -740,7 +740,7 @@ object MediaQueries {
                CAST(nf - 1 AS INTEGER) AS n_pairs,
                CAST(coalesce(list_sum(psads), 0) AS BIGINT) AS sad_sum,
                CAST(coalesce(list_sum(list_transform(range(0, nf - 1), p ->
-                 (1 + p) * psads[CAST(p + 1 AS INTEGER)])), 0) AS BIGINT) AS wsad_sum,
+                 (1 + p % 97) * psads[CAST(p + 1 AS INTEGER)])), 0) AS BIGINT) AS wsad_sum,
                CAST(coalesce(list_max(psads), 0) AS BIGINT) AS max_pair_sad
         FROM ps
         ORDER BY doc_id"""),

@@ -63,6 +63,13 @@ def main():
         if Path(p).exists():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+    # Fail fast on a mistyped --only name: matching nothing would print
+    # "0 pass, 0 fail" and exit 0 — a silently green verification.
+    if ONLY:
+        missing = sorted(ONLY - set(oracle))
+        if missing:
+            print(f"ERROR: --only names not in oracle_sql.json: {missing}")
+            sys.exit(2)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if ONLY and name not in ONLY:
