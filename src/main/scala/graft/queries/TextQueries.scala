@@ -6132,7 +6132,152 @@ object TextQueries {
         "deterministic salted-hash bottom-30 sample — constant-size " +
         "sample, constant 435-pair work at any corpus size; the mode-" +
         "collapse / templating screen for generated corpora.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q223
+    Q(
+      "q223_bpe_fit",
+      (s, dir) => {
+        // The TRAINED tokenizer at production merge count — Bpe.fit
+        // generalizes q156's 3 unrolled rounds into a driver-loop trainer
+        // (the Ann.kmeansFit pattern: per-round 1-row elections stay
+        // checkpointed DataFrames, never driver data). 16 merge rounds
+        // over the distinct-word table; the oracle replays every round as
+        // a generated CTE chain, so each round's winner AND its exact
+        // wcnt-weighted frequency are locked cross-engine — one wrong
+        // tie-break or a stale pair count anywhere in 16 rounds fails the
+        // row. Scale: one corpus scan builds the word table; every round
+        // after is vocab-sized with a 1-row TakeOrderedAndProject winner
+        // broadcast back into replace().
+        val docs = table(s, dir, "documents").select("text")
+        val merges = graft.operators.Bpe.fitOnText(s, docs, "text", bpeFitMerges)
+        merges.select(col("round"),
+            bpeSpell(col("pair")).as("merge_rule"),
+            concat(lit("<"), col("round").cast("string"), lit(">")).as("sym"),
+            col("n"))
+          .orderBy("round")
+      },
+      Some(s"""
+        WITH ${duckBpeFitCtes(bpeFitMerges)}
+        SELECT round, merge_rule, sym, n FROM (
+          ${(1 to bpeFitMerges).map(r =>
+            s"""SELECT CAST($r AS INTEGER) AS round,
+                ${duckBpeSpell("pair")} AS merge_rule,
+                '<$r>' AS sym, n FROM m$r""").mkString("\n          UNION ALL ")})
+        ORDER BY round"""),
+      "Trained BPE at 16 merges: the q156 loop as a real driver-loop " +
+        "trainer (Bpe.fit, kmeansFit pattern) — every round's merge rule " +
+        "and exact frequency oracle-replayed through a generated 16-round " +
+        "CTE chain; vocab-sized rounds, 1-row broadcast winners."),
+
+    // ---------------------------------------------------------------- q224
+    Q(
+      "q224_bpe_pack",
+      (s, dir) => {
+        // The trained model APPLIED where it matters: token counting and
+        // context-window packing under the 16-merge tokenizer (q106/q107
+        // budgeted on whitespace counts — this is the real-tokenizer
+        // version the verdict asked for). Bpe.tokenCounts folds the merge
+        // table per word (1-row model broadcast, aggregate HOF) and
+        // Packer.withSequenceOffsets turns the counts into exact global
+        // sequence offsets (two-phase bucketed — no single-task window).
+        // The oracle replays all 16 merges per word AND the offset
+        // arithmetic, so a single mis-merged word shifts every later
+        // offset and fails the row — byte-identical token counts, as
+        // specified.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val merges = graft.operators.Bpe.fitOnText(s, docs, "text", bpeFitMerges)
+        val counted = graft.operators.Bpe
+          .tokenCounts(docs, "text", merges, "n_bpe_tok")
+          .select("doc_id", "n_bpe_tok")
+        graft.operators.Packer
+          .withSequenceOffsets(counted, "doc_id", "n_bpe_tok", ctxLen = 128)
+          .select("doc_id", "n_bpe_tok", "tok_offset",
+            "first_seq", "last_seq", "n_seqs")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${duckBpeFitCtes(bpeFitMerges)},
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w0 FROM documents),
+        merged AS (
+          SELECT doc_id, ${duckBpeMergedWord("w0", bpeFitMerges)} AS mw FROM toks),
+        cnt AS (
+          SELECT doc_id, CAST(SUM(length(mw)) AS BIGINT) AS n_bpe_tok
+          FROM merged GROUP BY doc_id),
+        off AS (
+          SELECT doc_id, n_bpe_tok,
+                 CAST(COALESCE(SUM(n_bpe_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+          FROM cnt)
+        SELECT doc_id, n_bpe_tok, tok_offset,
+               tok_offset // 128 AS first_seq,
+               (tok_offset + greatest(n_bpe_tok, 1) - 1) // 128 AS last_seq,
+               (tok_offset + greatest(n_bpe_tok, 1) - 1) // 128
+                 - tok_offset // 128 + 1 AS n_seqs
+        FROM off ORDER BY doc_id"""),
+      "Trained-BPE packing: 16-merge token counts (Bpe.tokenCounts, 1-row " +
+        "model broadcast + per-word merge fold) fed to Packer's two-phase " +
+        "global offsets — context-window budgeting under the REAL trained " +
+        "tokenizer; the oracle replays every merge and every offset.")
   )
+
+  /** Merge count for the trained-BPE rows (q223/q224) — 16 per the r5
+    * verdict's "oracle-green at 16+ merges" bar. A `def`, NOT a `val`:
+    * the oracle strings in `all` are built during object init, and a val
+    * declared below `all` would still read 0 there (init order), silently
+    * generating a 0-round oracle. */
+  private def bpeFitMerges = 16
+
+  /** Readable spelling of a merge pair: placeholder chars chr(1..n)
+    * decoded to <1>..<n> (Column-API fold keeps control characters out of
+    * parsed SQL text). */
+  private def bpeSpell(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (1 to bpeFitMerges).foldLeft(c) { (acc, k) =>
+      org.apache.spark.sql.functions.replace(
+        acc, lit(k.toChar.toString), lit(s"<$k>"))
+    }
+
+  /** DuckDB twin of [[bpeSpell]]. */
+  private def duckBpeSpell(e: String): String =
+    (1 to bpeFitMerges).foldLeft(e) { (acc, k) => s"replace($acc, chr($k), '<$k>')" }
+
+  /** Generated DuckDB twin of [[graft.operators.Bpe.fit]] at `n` merges:
+    * CTEs wc0 (word counts) and, per round r, m_r (1-row winner:
+    * pair, n — count-desc pair-asc tie-break) + wc_r (merged spellings).
+    * The exact q156 chain shape, generated instead of hand-unrolled. */
+  private def duckBpeFitCtes(n: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and wc_r
+    // referencing wc_{r-1} both directly and through m_r would expand the
+    // base scan 2^n times (16 rounds = 65536 parquet opens — observed as
+    // "Too many open files"); materializing pins each round to one pass
+    val sb = new StringBuilder
+    sb.append("""wc0 AS MATERIALIZED (
+          SELECT w, COUNT(1) AS wcnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY w)""")
+    for (r <- 1 to n) {
+      sb.append(s""",
+        m$r AS MATERIALIZED (
+          SELECT pair, CAST(n AS BIGINT) AS n FROM (
+            SELECT pair, SUM(wcnt) AS n
+            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w)),
+                    i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+                  FROM wc${r - 1} WHERE length(w) >= 2)
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
+        wc$r AS MATERIALIZED (
+          SELECT replace(w, (SELECT pair FROM m$r), chr($r)) AS w, wcnt
+          FROM wc${r - 1})""")
+    }
+    sb.toString
+  }
+
+  /** Nested-replace application of all `n` trained merges to word `e` —
+    * the DuckDB twin of [[graft.operators.Bpe.applyMerges]]'s fold. */
+  private def duckBpeMergedWord(e: String, n: Int): String =
+    (1 to n).foldLeft(e) { (acc, r) =>
+      s"replace($acc, (SELECT pair FROM m$r), chr($r))"
+    }
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
     * scorer, shared with the q99 fusion. The "query" is the 3 globally
