@@ -1,7 +1,7 @@
 package graft.operators
 
 /**
- * Zero-dependency encoders/decoders for three public byte layouts, so the
+ * Zero-dependency encoders/decoders for four public byte layouts, so the
  * multimodal pipeline ([[Multimodal]]) faces REAL format bytes instead of a
  * stub:
  *
@@ -13,6 +13,9 @@ package graft.operators
  *    heights accepted on decode).
  *  - PPM: Netpbm P6 — ASCII header (`P6`, width, height, maxval, with
  *    `#` comments) followed by binary RGB triplets.
+ *  - PNG: signature + CRC-checked chunks, 8-bit RGB/RGBA, zlib-deflated
+ *    IDAT scanlines (java.util.zip), all five per-row filters — the one
+ *    widely-used web image container decodable with zero dependencies.
  *
  * Everything is plain byte arithmetic on `Array[Byte]` — no javax.imageio,
  * no sound API — so the decoders run identically inside executor tasks on
@@ -326,7 +329,201 @@ object MediaCodecs {
       pos + need - off)
   }
 
+  // ------------------------------------------------------------------ PNG
+
+  /** Decoded PNG image: `channels` is 3 (RGB) or 4 (RGBA); `pix` is
+    * top-down row-major channel-interleaved bytes
+    * (`channels * width * height`), filters reversed. */
+  final case class Png(width: Int, height: Int, channels: Int, pix: Array[Byte])
+
+  /** PNG's 8-byte file signature. */
+  private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /**
+   * Encode 8-bit RGB (`channels=3`, color type 2) or RGBA (`channels=4`,
+   * color type 6) pixels as a real PNG: signature, IHDR, one IDAT holding
+   * the zlib-deflated filtered scanlines, IEND — CRCs computed per spec.
+   * Row y uses filter type `y % 5`, so every one of the five PNG filters
+   * (None/Sub/Up/Average/Paeth) appears in any image of >= 5 rows and a
+   * decoder that mishandles ANY filter fails round-trip immediately.
+   * Deflate runs at the fixed default level — decode(encode(x)) == x is
+   * the contract; the compressed byte stream itself is not.
+   */
+  def encodePng(width: Int, height: Int, channels: Int, pix: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"PNG dimensions ${width}x$height must be positive")
+    require(channels == 3 || channels == 4, s"PNG channels ($channels) must be 3 or 4")
+    require(pix.length == channels * width * height,
+      s"pixel array length ${pix.length} != $channels*$width*$height")
+    val bpp = channels
+    val stride = width * bpp
+    // filter every scanline: 1 filter-type byte + filtered row bytes
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = pix(y * stride + x) & 0xff
+        val a = if (x >= bpp) pix(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) pix((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) pix((y - 1) * stride + x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        raw(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zBuf.toByteArray
+    val ihdr = new Array[Byte](13)
+    putBeInt(ihdr, 0, width); putBeInt(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (channels == 3) 2 else 6).toByte // color type
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // compression/filter/interlace
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    writePngChunk(out, "IHDR", ihdr)
+    writePngChunk(out, "IDAT", z)
+    writePngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /**
+   * Parse a PNG byte stream: validate the signature, walk chunks (CRC-32
+   * checked on every chunk — corrupt bytes must fail the task, not decode
+   * into garbage features), require 8-bit color type 2/6 non-interlaced,
+   * inflate the concatenated IDAT stream, reverse the per-row filter.
+   * Ancillary chunks (tEXt, gAMA, ...) are skipped like the WAV walker
+   * skips LIST — real web-scraped PNGs carry them.
+   */
+  def decodePng(bytes: Array[Byte]): Png = {
+    require(bytes.length >= 8 && (0 until 8).forall(i => (bytes(i) & 0xff) == PngSig(i)),
+      s"not PNG: signature ${bytes.take(8).map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    var pos = 8
+    var header: Option[(Int, Int, Int)] = None // (width, height, channels)
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended && pos + 8 <= bytes.length) {
+      val len = beInt(bytes, pos)
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"PNG chunk at $pos claims $len bytes beyond the payload end")
+      val ctype = ascii(bytes, pos + 4, 4)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      val stored = beInt(bytes, pos + 8 + len) & 0xffffffffL
+      require(crc.getValue == stored,
+        f"PNG chunk '$ctype' CRC mismatch: computed ${crc.getValue}%08x stored $stored%08x")
+      ctype match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len != 13")
+          val w = beInt(bytes, pos + 8)
+          val h = beInt(bytes, pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xff
+          val colorType = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(w > 0 && h > 0, s"PNG dimensions ${w}x$h must be positive")
+          require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth (only 8)")
+          require(colorType == 2 || colorType == 6,
+            s"unsupported PNG color type $colorType (only RGB=2/RGBA=6)")
+          require(interlace == 0, s"unsupported PNG interlace $interlace (only none)")
+          header = Some((w, h, if (colorType == 2) 3 else 4))
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => ended = true
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    val (width, height, channels) = header.getOrElse(
+      throw new IllegalArgumentException("PNG has no IHDR chunk"))
+    require(idat.size() > 0, "PNG has no IDAT data")
+    val bpp = channels
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || inflater.finished(),
+          "PNG IDAT stream stalled (truncated or needs dictionary)")
+        got += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"PNG IDAT is not valid zlib: ${e.getMessage}")
+    } finally inflater.end()
+    require(got == raw.length,
+      s"PNG IDAT inflates to $got bytes, expected ${raw.length} (${height} rows x ${1 + stride})")
+    // reverse per-row filters in place into the output pixel array
+    val pix = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"PNG row $y has invalid filter type $ft")
+      var x = 0
+      while (x < stride) {
+        val f = raw(y * (1 + stride) + 1 + x) & 0xff
+        val a = if (x >= bpp) pix(y * stride + x - bpp) & 0xff else 0
+        val b = if (y > 0) pix((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) pix((y - 1) * stride + x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        pix(y * stride + x) = ((f + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Png(width, height, channels, pix)
+  }
+
+  /** The Paeth predictor (PNG spec §9.4): nearest of a (left), b (up),
+    * c (up-left) to a + b - c, ties a > b > c. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def writePngChunk(
+      out: java.io.ByteArrayOutputStream, ctype: String, data: Array[Byte]): Unit = {
+    val lenB = new Array[Byte](4); putBeInt(lenB, 0, data.length); out.write(lenB, 0, 4)
+    val typeB = ctype.getBytes("US-ASCII"); out.write(typeB, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeB); crc.update(data)
+    val crcB = new Array[Byte](4); putBeInt(crcB, 0, crc.getValue.toInt); out.write(crcB, 0, 4)
+  }
+
   // ------------------------------------------------------- byte utilities
+
+  private def putBeInt(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = ((v >>> 24) & 0xff).toByte
+    out(off + 1) = ((v >>> 16) & 0xff).toByte
+    out(off + 2) = ((v >>> 8) & 0xff).toByte
+    out(off + 3) = (v & 0xff).toByte
+  }
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
   private def putAscii(out: Array[Byte], off: Int, s: String): Unit = {
     var i = 0

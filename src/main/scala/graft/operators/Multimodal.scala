@@ -38,6 +38,8 @@ object Multimodal {
    *    `[1, sampleRate, channels, nFrames, band-mean amplitudes…]`
    *  - `BM` -> 24-bit BMP: `[2, width, height, 3, band-mean pixel values…]`
    *  - `P6` -> Netpbm PPM: `[3, width, height, 3, band-mean pixel values…]`
+   *  - `\x89PNG` -> 8-bit RGB/RGBA PNG (zlib IDAT, all five row filters):
+   *    `[4, width, height, channels, band-mean pixel values…]`
    *
    * Feature layout: slot 0 is the format code, slots 1-3 are format
    * metadata, and the remaining `dim - 4` slots are the means of `dim - 4`
@@ -63,6 +65,11 @@ object Multimodal {
         val ppm = MediaCodecs.decodePpm(payload)
         build(3f, ppm.width.toFloat, ppm.height.toFloat, 3f,
           ppm.rgb.map(b => (b & 0xff).toDouble))
+      } else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') {
+        val png = MediaCodecs.decodePng(payload)
+        build(4f, png.width.toFloat, png.height.toFloat, png.channels.toFloat,
+          png.pix.map(b => (b & 0xff).toDouble))
       } else {
         throw new IllegalArgumentException(
           s"unknown media magic (first bytes: ${payload.take(4).map(b => f"$b%02x").mkString(" ")})")
@@ -347,6 +354,53 @@ object Multimodal {
           }
           Row(r.getLong(idIdx), payload.length.toLong, wav.sampleRate, wav.channels,
             wav.samples.length.toLong, sum, max)
+        }
+      }
+    }
+  }
+
+  /**
+   * Decode a PNG binary column ([[MediaCodecs.decodePng]]: CRC-checked
+   * chunks, zlib IDAT, all five row filters reversed) into exact typed
+   * stats: (`idCol`, width: int, height: int, channels: int, sum_px: long,
+   * wsum_px: long, max_px: int). `wsum_px` weights decoded byte p by
+   * `1 + p % 97`, so a right total from wrong positions — ANY filter
+   * mis-reversal shifts bytes — cannot pass. No n_bytes column on
+   * purpose: the deflated payload length is compressor-dependent, not a
+   * decode contract. Same null/loudness/streaming contract as
+   * [[wavStats]]; map-only, payloads die in-stage.
+   */
+  def pngStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sum_px", LongType, nullable = true),
+      StructField("wsum_px", LongType, nullable = true),
+      StructField("max_px", IntegerType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val png = MediaCodecs.decodePng(payload)
+          var sum = 0L
+          var wsum = 0L
+          var max = 0
+          var i = 0
+          while (i < png.pix.length) {
+            val v = png.pix(i) & 0xff
+            sum += v
+            wsum += (1L + i % 97) * v
+            if (v > max) max = v
+            i += 1
+          }
+          Row(r.getLong(idIdx), png.width, png.height, png.channels, sum, wsum, max)
         }
       }
     }

@@ -818,5 +818,99 @@ object MediaQueries {
         "integers) — DC vs mid vs Nyquist separation, high-frequency " +
         "frame census, position-weighted checksum; the frequency-domain " +
         "feature class fully oracle-replayed. Map-only.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q225
+    Q(
+      "q225_png_decode",
+      (s, dir) => {
+        // The fourth real container — PNG, the web-scrape image format:
+        // text bytes become width-4 RGB or RGBA pixels (channels alternate
+        // by doc parity, covering both color types), encoded through
+        // MediaCodecs.encodePng with row filter y % 5 (all FIVE PNG
+        // filters in every image — height is floored at 5), zlib-deflated,
+        // CRC-stamped; decodePng walks chunks, checks CRCs, inflates, and
+        // reverses the filters. The oracle re-derives every stat
+        // arithmetically from the text bytes (it never sees PNG bytes, so
+        // the whole deflate+filter round trip must be byte-exact);
+        // wsum_px's position weights mean a single mis-reversed filter
+        // row shifts bytes and fails the hash. Deliberately no n_bytes:
+        // compressed length is compressor detail, not decode contract.
+        // Scale: synth + decode fuse into one map-only pass; payloads die
+        // in-stage, 7 fixed-width columns survive.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .pngStats(pngPayloads(docs), "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 CAST(3 + doc_id % 2 AS INTEGER) AS c,
+                 $duckBytes AS vals
+          FROM documents),
+        g AS (
+          SELECT doc_id, n, c,
+                 greatest(5, CAST(ceil(n / (4.0 * c)) AS INTEGER)) AS h
+          FROM b),
+        px AS (
+          SELECT doc_id, n, c, h,
+                 list_transform(range(0, 4 * h * c), i ->
+                   vals[CAST(i % greatest(n, 1) + 1 AS INTEGER)]) AS p
+          FROM g JOIN b USING (doc_id, n, c))
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN NULL ELSE CAST(4 AS INTEGER) END AS width,
+               CASE WHEN n = 0 THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+               CASE WHEN n = 0 THEN NULL ELSE c END AS channels,
+               CASE WHEN n = 0 THEN NULL ELSE CAST(list_sum(p) AS BIGINT) END AS sum_px,
+               CASE WHEN n = 0 THEN NULL ELSE
+                 CAST(list_sum(list_transform(range(0, len(p)), i ->
+                   (1 + i % 97) * p[CAST(i + 1 AS INTEGER)])) AS BIGINT) END AS wsum_px,
+               CASE WHEN n = 0 THEN NULL ELSE CAST(list_max(p) AS INTEGER) END AS max_px
+        FROM px
+        ORDER BY doc_id"""),
+      "Real PNG decode: text bytes as width-4 RGB/RGBA pixels (color type " +
+        "alternating by doc parity), encoded with all five row filters, " +
+        "zlib-deflated, CRC-stamped — decoded back through chunk walk + " +
+        "inflate + filter reversal; position-weighted wsum_px locks every " +
+        "byte to its place, all stats re-derived arithmetically by the " +
+        "oracle from text alone. Map-only, payloads die in-stage.")
   )
+
+  /** (doc_id, payload): each document's UTF-8 bytes as a width-4 PNG —
+    * RGB for even doc_ids, RGBA for odd (both color types exercised);
+    * height `max(5, ceil(n / (4 * channels)))` so every image carries all
+    * five row filters (encodePng uses filter `y % 5`); flattened pixel
+    * byte i is `text[i % n]` (modular wrap — every stat derivable from
+    * text arithmetic alone). Null/empty text -> null payload. */
+  private def pngPayloads(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val textIdx = docs.schema.fieldIndex("text")
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val text = r.getString(textIdx)
+        if (text == null || text.isEmpty) Row(id, null)
+        else {
+          val bytes = text.getBytes("UTF-8")
+          val n = bytes.length
+          val channels = 3 + (id % 2).toInt
+          val width = 4
+          val height = math.max(5,
+            math.ceil(n / (width.toDouble * channels)).toInt)
+          val pix = new Array[Byte](width * height * channels)
+          var i = 0
+          while (i < pix.length) {
+            pix(i) = bytes(i % n)
+            i += 1
+          }
+          Row(id, graft.operators.MediaCodecs.encodePng(width, height, channels, pix))
+        }
+      }
+    }
+  }
 }

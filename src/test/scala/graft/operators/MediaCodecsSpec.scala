@@ -543,4 +543,130 @@ class MediaCodecsSpec extends AnyFunSuite {
       out(2).getInt(3) === 0 && out(2).getLong(4) === 0L)
     assert(out(3).isNullAt(1) && out(3).isNullAt(2) && out(3).isNullAt(4))
   }
+
+  // -------------------------------------------------------------- PNG
+
+  /** Golden 3x6 RGB PNG produced by an INDEPENDENT public implementation
+    * (CPython zlib/struct: filters computed per the PNG spec with filter
+    * type y % 5, zlib.compress IDAT, zlib.crc32 chunk CRCs), including an
+    * ancillary tEXt chunk between IHDR and IDAT to exercise the skip
+    * path. Pixels: (r,g,b)[y][x] = (10y+x, 100+3y, 255-7x). */
+  private val goldenPng = hex(
+    "89504e470d0a1a0a0000000d49484452000000030000000608020000008987b35b" +
+      "0000001a74455874436f6d6d656e7400696e646570656e64656e7420676f6c6465" +
+      "6e566b6bab0000003a49444154789c636048f9cf98f28329e5232357fa7f46869f" +
+      "40c4c4c5cc0041cc22160d6c4c7f818805c86364002106a3e2ffc6c53f4c8a3f02" +
+      "00d7340f6c8a8947d70000000049454e44ae426082")
+
+  private def goldenPngPixels: Array[Byte] = {
+    val out = new Array[Byte](3 * 3 * 6)
+    for (y <- 0 until 6; x <- 0 until 3) {
+      out(3 * (y * 3 + x)) = ((10 * y + x) & 0xff).toByte
+      out(3 * (y * 3 + x) + 1) = ((100 + 3 * y) & 0xff).toByte
+      out(3 * (y * 3 + x) + 2) = ((255 - 7 * x) & 0xff).toByte
+    }
+    out
+  }
+
+  test("decodePng reads the CPython-zlib golden byte-exactly (all 5 filters, tEXt skipped)") {
+    val png = MediaCodecs.decodePng(goldenPng)
+    assert(png.width === 3 && png.height === 6 && png.channels === 3)
+    assert(png.pix.toSeq === goldenPngPixels.toSeq)
+  }
+
+  test("PNG round-trip: RGB and RGBA, extremes, filter-complete heights") {
+    // >= 5 rows means encodePng's y % 5 filter schedule uses every filter
+    for (channels <- Seq(3, 4)) {
+      val w = 5; val h = 7
+      val pix = Array.tabulate(w * h * channels) { i =>
+        ((i * 41 + 7) % 256 match {
+          case v if i % 11 == 0 => 0 // force extremes into the data
+          case v if i % 13 == 0 => 255
+          case v => v
+        }).toByte
+      }
+      val round = MediaCodecs.decodePng(MediaCodecs.encodePng(w, h, channels, pix))
+      assert(round.width === w && round.height === h && round.channels === channels)
+      assert(round.pix.toSeq === pix.toSeq, s"channels=$channels round trip")
+    }
+    // 1x1 minimum
+    val one = MediaCodecs.decodePng(MediaCodecs.encodePng(1, 1, 3, Array[Byte](1, 2, 3)))
+    assert(one.pix.toSeq === Seq[Byte](1, 2, 3))
+  }
+
+  test("decodePng fails loudly on corrupt payloads") {
+    // wrong signature
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng("nope".getBytes)
+    }.getMessage.contains("signature"))
+    // flipped pixel byte inside IDAT -> CRC mismatch must be caught
+    val corrupt = goldenPng.clone()
+    corrupt(goldenPng.length - 20) = (corrupt(goldenPng.length - 20) ^ 0x55).toByte
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(corrupt)
+    }.getMessage.contains("CRC"))
+    // truncated mid-chunk (45 bytes = signature + IHDR + a partial tEXt
+    // header whose declared length overruns the payload)
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(goldenPng.take(45))
+    }.getMessage.toLowerCase.contains("chunk"))
+    // truncated BETWEEN chunks: walker runs out before any IDAT
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(goldenPng.take(40))
+    }.getMessage.toLowerCase.contains("idat"))
+    // unsupported color type (grayscale=0): rebuild IHDR with new CRC so
+    // only the color-type check can fire
+    val gray = goldenPng.clone()
+    gray(8 + 8 + 9) = 0 // IHDR payload byte 9 = color type
+    val crc = new java.util.zip.CRC32()
+    crc.update(gray, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    gray(8 + 8 + 13) = ((cv >>> 24) & 0xff).toByte
+    gray(8 + 8 + 14) = ((cv >>> 16) & 0xff).toByte
+    gray(8 + 8 + 15) = ((cv >>> 8) & 0xff).toByte
+    gray(8 + 8 + 16) = (cv & 0xff).toByte
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(gray)
+    }.getMessage.contains("color type"))
+    // encoder contract checks
+    assertThrows[IllegalArgumentException] {
+      MediaCodecs.encodePng(0, 1, 3, Array.emptyByteArray)
+    }
+    assertThrows[IllegalArgumentException] {
+      MediaCodecs.encodePng(2, 2, 5, new Array[Byte](20))
+    }
+    assertThrows[IllegalArgumentException] {
+      MediaCodecs.encodePng(2, 2, 3, new Array[Byte](11))
+    }
+  }
+
+  test("RealMediaDecoder dispatches PNG magic to code-4 features") {
+    val dec = new Multimodal.RealMediaDecoder(6)
+    val f = dec.decode(goldenPng)
+    assert(f(0) === 4f && f(1) === 3f && f(2) === 6f && f(3) === 3f)
+    // two band means over the 54 decoded bytes (27 each), exact from pixels
+    val px = goldenPngPixels.map(_ & 0xff)
+    assert(f(4) === (px.take(27).sum / 27.0).toFloat)
+    assert(f(5) === (px.drop(27).sum / 27.0).toFloat)
+  }
+
+  test("pngStats emits exact position-weighted stats from real PNG bytes") {
+    val rgba = Array.tabulate(4 * 5 * 4)(i => ((i * 17 + 3) % 256).toByte)
+    val df = payloadDf(Seq(
+      1L -> goldenPng,
+      2L -> MediaCodecs.encodePng(4, 5, 4, rgba),
+      3L -> null))
+    val out = Multimodal.pngStats(df, "id", "payload").orderBy("id").collect()
+    val px1 = goldenPngPixels.map(_ & 0xff)
+    assert(out(0).getInt(1) === 3 && out(0).getInt(2) === 6 && out(0).getInt(3) === 3)
+    assert(out(0).getLong(4) === px1.map(_.toLong).sum)
+    assert(out(0).getLong(5) ===
+      px1.zipWithIndex.map { case (v, i) => (1L + i % 97) * v }.sum)
+    assert(out(0).getInt(6) === px1.max)
+    val px2 = rgba.map(_ & 0xff)
+    assert(out(1).getInt(1) === 4 && out(1).getInt(2) === 5 && out(1).getInt(3) === 4)
+    assert(out(1).getLong(4) === px2.map(_.toLong).sum)
+    assert(out(1).isNullAt(1) === false)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(4) && out(2).isNullAt(6))
+  }
 }
