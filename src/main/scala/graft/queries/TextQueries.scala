@@ -833,55 +833,7 @@ object TextQueries {
       },
       Some(s"""
         WITH RECURSIVE
-        corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
-        base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
-        sig AS (
-          SELECT doc_id, len(toks) AS n_tokens,
-                 CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len,
-                 list_transform(range(1, len(toks) - 3), i ->
-                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-                   toks[i+3] || ' ' || toks[i+4]) AS g5
-          FROM base),
-        sig2 AS (
-          SELECT doc_id, n_tokens, avg_token_len,
-                 CASE WHEN len(g5) > 0
-                      THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5)
-                      ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
-          FROM sig),
-        posts AS (
-          SELECT doc_id, unnest(list_distinct($duckShingles)) AS shingle
-          FROM base WHERE len(toks) >= 3),
-        evalset AS (
-          SELECT DISTINCT unnest($duckShingles) AS shingle
-          FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id < 10)
-          WHERE len(toks) >= 3),
-        contam AS (
-          SELECT p.doc_id, CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(1) AS contam_frac
-          FROM posts p LEFT JOIN evalset e ON p.shingle = e.shingle
-          GROUP BY p.doc_id),
-        exact AS (
-          SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
-          FROM corpus),
-        sigs AS (
-          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
-          FROM base WHERE len(toks) >= 3),
-        banded AS (
-          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
-          UNION ALL
-          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
-          WHERE a.doc_id < b.doc_id),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b AS src, id_a AS dst FROM pairs),
-        reach(id, r) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-        cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        $duckCurationCtes
         SELECT s.doc_id, s.n_tokens, s.avg_token_len,
                (s.n_tokens >= 20 AND s.avg_token_len BETWEEN 2.0 AND 8.0) AS quality_ok,
                s.dup_frac, s.dup_frac <= 0.2 AS repetition_ok,
@@ -6220,6 +6172,241 @@ object TextQueries {
         "model broadcast + per-word merge fold) fed to Packer's two-phase " +
         "global offsets — context-window budgeting under the REAL trained " +
         "tokenizer; the oracle replays every merge and every offset.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q226
+    Q(
+      "q226_pipeline_e2e",
+      (s, dir) => {
+        // The WHOLE pretraining-data pipeline in one oracle row — the
+        // composition the r5 verdict asked for: Curation keep-list (q60)
+        // -> contamination span SURGERY on survivors (q113) ->
+        // Mixture.sampleByRates (q74's hash thresholds) -> assignSplits
+        // (q110) -> Packer context-window offsets (q105), with per-stage
+        // row/token accounting AND first-drop attribution rows. Stage
+        // contracts compose end to end: one column-name or hash-salt
+        // mismatch anywhere shifts every later stage's counts and fails
+        // the row. Output: (ord, stage, n_rows, n_tokens) — stages 0-5
+        // are the surviving corpus after each stage (tokens post-surgery
+        // from stage 2 on), rows 10+ attribute every dropped doc to its
+        // FIRST failing stage with the token count it held when dropped.
+        // Scale: each stage is its standalone query's verified shape;
+        // the verdict and post-surgery frames are pinned once
+        // (localCheckpoint, rows x 4 narrow columns) because SIX
+        // accounting branches read them — recomputing LSH + connected
+        // components per branch would sextuple the dominant cost.
+        val docs = table(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") >= 10)
+        val evalDocs = docs.filter(col("doc_id") < 10)
+        val keep = graft.operators.Curation
+          .keepList(s, corpus, evalDocs, "doc_id", "text")
+          .select("doc_id", "n_tokens", "kept", "drop_reason")
+          .localCheckpoint(true)
+        // -- stage 2: span surgery on survivors (q113's machinery) -------
+        val withToks = corpus
+          .join(keep.filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+          .withColumn("toks", split(col("text"), " "))
+        val posts = withToks.filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            posexplode(expr("word_ngram_hash48(toks, 3)")).as(Seq("pos0", "h")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+        val evalSh = evalDocs.withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(explode(expr("array_distinct(word_ngram_hash48(toks, 3))")).as("h"))
+          .distinct()
+        val before = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val upto = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cuts = posts.join(broadcast(evalSh), Seq("h"))
+          .select("doc_id", "pos")
+          .withColumn("prev_end", max(col("pos") + 2).over(before))
+          .withColumn("new_isl",
+            (col("pos") > coalesce(col("prev_end"), lit(-2)) + 1).cast("int"))
+          .withColumn("isl", sum("new_isl").over(upto))
+          .groupBy("doc_id", "isl")
+          .agg(min("pos").as("s0"), (max(col("pos")) + lit(2)).as("e0"))
+          .groupBy("doc_id")
+          .agg(sum(col("e0") - col("s0") + 1).as("cut"))
+        val surg = keep.filter(col("kept"))
+          .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+          .join(cuts, Seq("doc_id"), "left")
+          .withColumn("tokens_kept",
+            col("n_tokens").cast("long") - coalesce(col("cut"), lit(0L)))
+          .select("doc_id", "lang", "n_tokens", "tokens_kept")
+          .localCheckpoint(true)
+        // -- stages 3-4: mixture + splits (hash-threshold, replayable) ---
+        val mixed = graft.operators.Mixture.sampleByRates(
+          surg, "lang", "doc_id",
+          rates = Map("en" -> 0.85, "zh" -> 1.0), defaultRate = 0.7, salt = "e2e_mix")
+        val spl = graft.operators.Mixture.assignSplits(
+            mixed, "doc_id", "e2e_split",
+            Seq(("train", 80), ("val", 10), ("test", 10)))
+          .localCheckpoint(true)
+        val train = spl.filter(col("split") === "train")
+          .select("doc_id", "tokens_kept")
+        // -- stage 5: context-window packing over the train split --------
+        val nCtx = graft.operators.Packer
+          .withSequenceOffsets(train, "doc_id", "tokens_kept", ctxLen = 128)
+          .agg(coalesce(max(col("last_seq")) + 1, lit(0L)).as("n_ctx"))
+        def stageRow(ord: Int, name: String,
+            df: org.apache.spark.sql.DataFrame, tokCol: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col(tokCol).cast("long")), lit(0L)).as("n_tokens"))
+            .select(lit(ord).as("ord"), lit(name).as("stage"),
+              col("n_rows"), col("n_tokens"))
+        val packedRow = train
+          .agg(coalesce(sum(col("tokens_kept")), lit(0L)).as("n_tokens"))
+          .crossJoin(broadcast(nCtx))
+          .select(lit(5).as("ord"), lit("packed_ctx128").as("stage"),
+            col("n_ctx").as("n_rows"), col("n_tokens"))
+        val dropCuration = keep.filter(!col("kept"))
+          .groupBy("drop_reason")
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("n_tokens"))
+          .select(
+            expr("""case drop_reason when 'quality' then 10
+                    when 'repetition' then 11 when 'contaminated' then 12
+                    when 'exact_dup' then 13 else 14 end""").as("ord"),
+            concat(lit("drop:"), col("drop_reason")).as("stage"),
+            col("n_rows"), col("n_tokens"))
+        stageRow(0, "corpus", keep, "n_tokens")
+          .unionAll(stageRow(1, "curation", keep.filter(col("kept")), "n_tokens"))
+          .unionAll(stageRow(2, "surgery", surg, "tokens_kept"))
+          .unionAll(stageRow(3, "mixture", mixed, "tokens_kept"))
+          .unionAll(stageRow(4, "split_train", train, "tokens_kept"))
+          .unionAll(packedRow)
+          .unionAll(dropCuration)
+          .unionAll(stageRow(15, "drop:mixture",
+            surg.join(mixed.select("doc_id"), Seq("doc_id"), "left_anti"), "tokens_kept"))
+          .unionAll(stageRow(16, "drop:split_val",
+            spl.filter(col("split") === "val"), "tokens_kept"))
+          .unionAll(stageRow(17, "drop:split_test",
+            spl.filter(col("split") === "test"), "tokens_kept"))
+          .orderBy("ord", "stage")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        $duckCurationCtes,
+        verdicts AS (
+          SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+                 ((s.n_tokens >= 20 AND s.avg_token_len BETWEEN 2.0 AND 8.0)
+                   AND s.dup_frac <= 0.2
+                   AND COALESCE(c.contam_frac, CAST(0.0 AS DOUBLE)) <= 0.5
+                   AND e.is_canonical
+                   AND COALESCE(cc.cluster_id, s.doc_id) = s.doc_id) AS kept,
+                 CASE WHEN NOT (s.n_tokens >= 20 AND s.avg_token_len BETWEEN 2.0 AND 8.0) THEN 'quality'
+                      WHEN NOT s.dup_frac <= 0.2 THEN 'repetition'
+                      WHEN NOT COALESCE(c.contam_frac, CAST(0.0 AS DOUBLE)) <= 0.5 THEN 'contaminated'
+                      WHEN NOT e.is_canonical THEN 'exact_dup'
+                      WHEN NOT COALESCE(cc.cluster_id, s.doc_id) = s.doc_id THEN 'near_dup'
+                      ELSE '(kept)' END AS drop_reason
+          FROM sig2 s
+          JOIN exact e ON s.doc_id = e.doc_id
+          LEFT JOIN contam c ON s.doc_id = c.doc_id
+          LEFT JOIN cc ON s.doc_id = cc.id),
+        kpos AS (
+          SELECT b.doc_id, unnest(range(1, len(b.toks) - 1)) AS pos, b.toks
+          FROM base b JOIN verdicts v ON b.doc_id = v.doc_id AND v.kept
+          WHERE len(b.toks) >= 3),
+        khash AS (
+          SELECT doc_id, pos,
+                 ${duckMd5long("toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2]")} AS h
+          FROM kpos),
+        epos AS (
+          SELECT unnest(range(1, len(toks) - 1)) AS pos, toks
+          FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id < 10)
+          WHERE len(toks) >= 3),
+        evh AS (
+          SELECT DISTINCT ${duckMd5long("toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2]")} AS h
+          FROM epos),
+        fl AS (SELECT doc_id, pos FROM khash JOIN evh USING (h)),
+        pe AS (
+          SELECT doc_id, pos,
+                 MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM fl),
+        isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN pos > COALESCE(prev_end, -2) + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM pe),
+        spans AS (
+          SELECT doc_id, isl, MIN(pos) AS s0, MAX(pos) + 2 AS e0
+          FROM isl GROUP BY doc_id, isl),
+        cuts AS (
+          SELECT doc_id, CAST(SUM(e0 - s0 + 1) AS BIGINT) AS cut
+          FROM spans GROUP BY doc_id),
+        surg AS (
+          SELECT v.doc_id, d.lang, v.n_tokens,
+                 CAST(v.n_tokens - COALESCE(c.cut, 0) AS BIGINT) AS tokens_kept
+          FROM verdicts v
+          JOIN documents d ON v.doc_id = d.doc_id
+          LEFT JOIN cuts c ON v.doc_id = c.doc_id
+          WHERE v.kept),
+        mixd AS (
+          SELECT * FROM surg
+          WHERE ${duckMd5long("'e2e_mix|' || CAST(doc_id AS VARCHAR)")} % 1000000
+                < CASE lang WHEN 'en' THEN 850000 WHEN 'zh' THEN 1000000 ELSE 700000 END),
+        mixdrop AS (
+          SELECT * FROM surg
+          WHERE ${duckMd5long("'e2e_mix|' || CAST(doc_id AS VARCHAR)")} % 1000000
+                >= CASE lang WHEN 'en' THEN 850000 WHEN 'zh' THEN 1000000 ELSE 700000 END),
+        spl AS (
+          SELECT *, CASE WHEN sh < 80 THEN 'train' WHEN sh < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT *, ${duckMd5long("'e2e_split|' || CAST(doc_id AS VARCHAR)")} % 100 AS sh
+                FROM mixd)),
+        train AS (SELECT doc_id, tokens_kept FROM spl WHERE split = 'train'),
+        packt AS (
+          SELECT doc_id, tokens_kept,
+                 COALESCE(SUM(tokens_kept) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM train),
+        nctx AS (
+          SELECT CAST(COALESCE(MAX((tok_offset + greatest(tokens_kept, 1) - 1) // 128) + 1, 0) AS BIGINT) AS n
+          FROM packt)
+        SELECT ord, stage, n_rows, n_tokens FROM (
+          SELECT CAST(0 AS INTEGER) AS ord, 'corpus' AS stage,
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM verdicts) AS n_rows,
+                 (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM verdicts) AS n_tokens
+          UNION ALL SELECT CAST(1 AS INTEGER), 'curation',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM verdicts WHERE kept),
+                 (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM verdicts WHERE kept)
+          UNION ALL SELECT CAST(2 AS INTEGER), 'surgery',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM surg),
+                 (SELECT CAST(COALESCE(SUM(tokens_kept), 0) AS BIGINT) FROM surg)
+          UNION ALL SELECT CAST(3 AS INTEGER), 'mixture',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM mixd),
+                 (SELECT CAST(COALESCE(SUM(tokens_kept), 0) AS BIGINT) FROM mixd)
+          UNION ALL SELECT CAST(4 AS INTEGER), 'split_train',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM train),
+                 (SELECT CAST(COALESCE(SUM(tokens_kept), 0) AS BIGINT) FROM train)
+          UNION ALL SELECT CAST(5 AS INTEGER), 'packed_ctx128',
+                 (SELECT n FROM nctx),
+                 (SELECT CAST(COALESCE(SUM(tokens_kept), 0) AS BIGINT) FROM train)
+          UNION ALL SELECT CAST(CASE drop_reason WHEN 'quality' THEN 10 WHEN 'repetition' THEN 11
+                        WHEN 'contaminated' THEN 12 WHEN 'exact_dup' THEN 13 ELSE 14 END AS INTEGER),
+                 'drop:' || drop_reason,
+                 CAST(COUNT(1) AS BIGINT),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+            FROM verdicts WHERE NOT kept GROUP BY drop_reason
+          UNION ALL SELECT CAST(15 AS INTEGER), 'drop:mixture',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM mixdrop),
+                 (SELECT CAST(COALESCE(SUM(tokens_kept), 0) AS BIGINT) FROM mixdrop)
+          UNION ALL SELECT CAST(16 AS INTEGER), 'drop:split_val',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM spl WHERE split = 'val'),
+                 (SELECT CAST(COALESCE(SUM(tokens_kept), 0) AS BIGINT) FROM spl WHERE split = 'val')
+          UNION ALL SELECT CAST(17 AS INTEGER), 'drop:split_test',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM spl WHERE split = 'test'),
+                 (SELECT CAST(COALESCE(SUM(tokens_kept), 0) AS BIGINT) FROM spl WHERE split = 'test'))
+        ORDER BY ord, stage"""),
+      "The end-to-end pretraining pipeline as one oracle row: Curation " +
+        "keep-list -> contamination span surgery -> mixture sampling -> " +
+        "train/val/test splits -> context-window packing, with per-stage " +
+        "row/token accounting and first-drop attribution — every stage its " +
+        "standalone query's verified shape, composed; one salt or column " +
+        "mismatch anywhere fails the row.")
   )
 
   /** Merge count for the trained-BPE rows (q223/q224) — 16 per the r5
@@ -6278,6 +6465,63 @@ object TextQueries {
     (1 to n).foldLeft(e) { (acc, r) =>
       s"replace($acc, (SELECT pair FROM m$r), chr($r))"
     }
+
+  /** The verified curation CTE chain (corpus = docs >= 10, eval = docs
+    * < 10) shared by q60 (per-doc verdicts) and q226 (the end-to-end
+    * pipeline composition): quality/repetition signals, contamination,
+    * exact dedup, MinHash-LSH pairs, recursive-CTE connected components —
+    * each stage the SAME SQL fragment its standalone query verified
+    * (q29/q55/q56/q23/q57). Ends at `cc(id, cluster_id)`; callers join
+    * sig2/exact/contam/cc into verdicts. Requires WITH RECURSIVE. */
+  private def duckCurationCtes: String = s"""corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+        base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
+        sig AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(LENGTH(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len,
+                 list_transform(range(1, len(toks) - 3), i ->
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                   toks[i+3] || ' ' || toks[i+4]) AS g5
+          FROM base),
+        sig2 AS (
+          SELECT doc_id, n_tokens, avg_token_len,
+                 CASE WHEN len(g5) > 0
+                      THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5)
+                      ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
+          FROM sig),
+        posts AS (
+          SELECT doc_id, unnest(list_distinct($duckShingles)) AS shingle
+          FROM base WHERE len(toks) >= 3),
+        evalset AS (
+          SELECT DISTINCT unnest($duckShingles) AS shingle
+          FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id < 10)
+          WHERE len(toks) >= 3),
+        contam AS (
+          SELECT p.doc_id, CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(1) AS contam_frac
+          FROM posts p LEFT JOIN evalset e ON p.shingle = e.shingle
+          GROUP BY p.doc_id),
+        exact AS (
+          SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+          FROM corpus),
+        sigs AS (
+          SELECT doc_id, ${duckMinhashSelect.mkString(", ")}
+          FROM base WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, doc_id FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, doc_id FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
 
   /** (doc_id, bm25) for every document matching >= 1 query term — q94's
     * scorer, shared with the q99 fusion. The "query" is the 3 globally
