@@ -29,14 +29,16 @@ import org.apache.spark.sql.functions._
  * correctness.
  *
  * EXECUTION SEMANTICS (deliberate trade, documented): construction runs
- * the bounds-sketch pass EAGERLY (`localCheckpoint(true)`) — calling this
- * method executes one Spark job as a side effect, because the tiny bounds
- * frame feeds two downstream broadcast builds that would otherwise each
- * re-scan the input. The checkpointed frame lives in non-replicated
- * executor storage with truncated lineage: if an executor holding it is
- * lost, downstream actions fail unrecoverably and the operator must be
- * re-invoked (a `persist()` would keep lineage but leak a CacheManager
- * entry per call with no unpersist point — worse for long-lived sessions).
+ * the bounds-sketch pass EAGERLY — calling this method executes one Spark
+ * job as a side effect, because the tiny bounds frame feeds two downstream
+ * broadcast builds that would otherwise each re-scan the input. HOW it is
+ * pinned is the `recoverable` knob ([[Pinned]]): the default
+ * `localCheckpoint(true)` truncates lineage (executor loss mid-job fails
+ * downstream actions unrecoverably — re-invoke the operator; right for
+ * interactive/test/bench sessions), while `recoverable = true` persists
+ * with lineage kept so a multi-hour 100 TB job survives executor loss at
+ * the price of a CacheManager entry per call (see [[Pinned]] for the
+ * clearCache guidance).
  */
 object GlobalRank {
 
@@ -52,7 +54,8 @@ object GlobalRank {
       segCol: String,
       valCol: String,
       tieCol: String,
-      nBuckets: Int = 32): DataFrame = {
+      nBuckets: Int = 32,
+      recoverable: Boolean = false): DataFrame = {
     require(nBuckets >= 2, s"nBuckets ($nBuckets) must be at least 2")
     // fail fast instead of silently overwriting (withColumn) and then
     // deleting (drop) a caller column that shares an internal name
@@ -60,13 +63,16 @@ object GlobalRank {
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
     val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
-    // localCheckpoint (tiny segments-row frame): the bounds sketch feeds
-    // BOTH the offsets branch and the main ranking branch, and each
-    // broadcast build would otherwise re-run the full percentile pass
-    // over the input — checkpointing pins it to exactly one corpus scan
-    val bounds = df.groupBy(segCol).agg(
-      expr(s"approx_percentile($valCol, array($qs), 1000)").as("bnds"))
-      .localCheckpoint(true)
+    // pinned (tiny segments-row frame): the bounds sketch feeds BOTH the
+    // offsets branch and the main ranking branch, and each broadcast
+    // build would otherwise re-run the full percentile pass over the
+    // input — pinning holds it to exactly one corpus scan (mode per the
+    // object doc: checkpoint by default, lineage-kept persist when
+    // recoverable)
+    val bounds = Pinned.pin(
+      df.groupBy(segCol).agg(
+        expr(s"approx_percentile($valCol, array($qs), 1000)").as("bnds")),
+      recoverable)
     // The null check lives INSIDE the bucket expression so pruning can
     // never remove it: a null value would otherwise land in bucket 0 /
     // null and then be silently DROPPED by the (segCol, bucket) equi-joins

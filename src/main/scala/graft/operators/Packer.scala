@@ -33,12 +33,13 @@ import org.apache.spark.sql.functions._
  * non-null non-negative count. Violations fail loudly (raise_error /
  * require), mirroring [[GlobalRank]]'s null contract.
  *
- * EXECUTION SEMANTICS: construction runs the bounds sketch EAGERLY
- * (`localCheckpoint(true)`) — one Spark job fires as a side effect, and
- * the checkpointed 1-row frame is executor-local with truncated lineage
- * (executor loss -> downstream failure -> re-invoke). See [[GlobalRank]]
- * for the full rationale; the alternatives (recompute per branch, or a
- * never-unpersisted cache entry per call) cost more.
+ * EXECUTION SEMANTICS: construction runs the bounds sketch EAGERLY — one
+ * Spark job fires as a side effect. The pin mode is the `recoverable`
+ * knob ([[Pinned]]): default `localCheckpoint(true)` (truncated lineage,
+ * executor loss -> downstream failure -> re-invoke; right for short
+ * sessions), or lineage-kept persist for multi-hour jobs that must
+ * survive executor loss. See [[GlobalRank]] / [[Pinned]] for the full
+ * rationale and the CacheManager-entry trade.
  */
 object Packer {
 
@@ -54,7 +55,8 @@ object Packer {
       orderCol: String,
       nTokCol: String,
       ctxLen: Int,
-      nBuckets: Int = 32): DataFrame = {
+      nBuckets: Int = 32,
+      recoverable: Boolean = false): DataFrame = {
     require(ctxLen >= 1, s"ctxLen ($ctxLen) must be at least 1")
     require(nBuckets >= 2, s"nBuckets ($nBuckets) must be at least 2")
     val reserved =
@@ -63,12 +65,14 @@ object Packer {
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
     val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
-    // localCheckpoint (1-row frame): both downstream branches broadcast
-    // it; checkpointing pins the percentile pass to one corpus scan
-    // (GlobalRank's reasoning)
-    val bounds = df.select(
-      expr(s"approx_percentile($orderCol, array($qs), 1000)").as("bnds"))
-      .localCheckpoint(true)
+    // pinned (1-row frame): both downstream branches broadcast it;
+    // pinning holds the percentile pass to one corpus scan (GlobalRank's
+    // reasoning; `recoverable` trades lineage-kept persist for the
+    // default checkpoint — see Pinned)
+    val bounds = Pinned.pin(
+      df.select(
+        expr(s"approx_percentile($orderCol, array($qs), 1000)").as("bnds")),
+      recoverable)
     // null checks live INSIDE the bucket expression so pruning can never
     // drop them: a null key or count would otherwise corrupt every offset
     // after it silently. Fail loudly instead (GlobalRank's contract).

@@ -6171,7 +6171,68 @@ object TextQueries {
       "Trained-BPE packing: 16-merge token counts (Bpe.tokenCounts, 1-row " +
         "model broadcast + per-word merge fold) fed to Packer's two-phase " +
         "global offsets — context-window budgeting under the REAL trained " +
-        "tokenizer; the oracle replays every merge and every offset.")
+        "tokenizer; the oracle replays every merge and every offset."),
+
+    // ---------------------------------------------------------------- q227
+    Q(
+      "q227_bpe_chunk_budget",
+      (s, dir) => {
+        // Chunker under the trained tokenizer — the other half of the
+        // "Chunker/Packer accept the trained model" contract (q224 is
+        // Packer's): slidingTokenWindows cuts 32-word chunks, then
+        // Bpe.tokenCounts prices each CHUNK in trained-BPE symbols — the
+        // budget-audit a context-window pipeline runs to know whether its
+        // word-count chunking stays under the model's real token budget.
+        // Per-doc summary: chunk count, total/max/min chunk cost, and the
+        // count of chunks over a 96-symbol budget. The oracle replays the
+        // word slicing AND all 16 merges per word per chunk. Scale:
+        // chunking is map-only Generate; pricing is the 1-row model
+        // broadcast + per-word fold; the summary is one doc-keyed
+        // aggregate.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val merges = graft.operators.Bpe.fitOnText(s, docs, "text", bpeFitMerges)
+        val chunks = graft.operators.Chunker
+          .slidingTokenWindows(docs, "text", window = 32, stride = 32)
+          .select("doc_id", "chunk_no", "chunk_text")
+        graft.operators.Bpe
+          .tokenCounts(chunks, "chunk_text", merges, "chunk_bpe")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum("chunk_bpe").as("total_bpe"),
+            max("chunk_bpe").as("max_chunk_bpe"),
+            min("chunk_bpe").as("min_chunk_bpe"),
+            sum(when(col("chunk_bpe") > 96, 1L).otherwise(0L)).as("n_over_budget"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${duckBpeFitCtes(bpeFitMerges)},
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        chunks AS (
+          SELECT doc_id, CAST(st // 32 AS BIGINT) AS chunk_no,
+                 list_slice(ws, CAST(st + 1 AS INTEGER), CAST(st + 32 AS INTEGER)) AS cw
+          FROM toks, unnest(range(0, len(ws), 32)) AS u(st)),
+        priced AS (
+          -- merges apply at ROW level (unnest first): DuckDB rejects the
+          -- (SELECT pair FROM m_r) scalar subqueries inside a lambda
+          SELECT doc_id, chunk_no,
+                 CAST(COALESCE(SUM(length(${duckBpeMergedWord("w0", bpeFitMerges)})), 0) AS BIGINT) AS chunk_bpe
+          FROM (SELECT doc_id, chunk_no, unnest(cw) AS w0 FROM chunks)
+          GROUP BY doc_id, chunk_no)
+        SELECT doc_id,
+               CAST(COUNT(1) AS BIGINT) AS n_chunks,
+               CAST(SUM(chunk_bpe) AS BIGINT) AS total_bpe,
+               CAST(MAX(chunk_bpe) AS BIGINT) AS max_chunk_bpe,
+               CAST(MIN(chunk_bpe) AS BIGINT) AS min_chunk_bpe,
+               CAST(SUM(CASE WHEN chunk_bpe > 96 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_budget
+        FROM priced GROUP BY doc_id
+        ORDER BY doc_id"""),
+      "Trained-BPE chunk budgeting: 32-word sliding chunks priced in " +
+        "16-merge BPE symbols with an over-budget census — the audit that " +
+        "tells a pipeline whether word-count chunking respects the real " +
+        "tokenizer's context budget; map-only chunking, 1-row model " +
+        "broadcast, doc-keyed summary.")
   ) ++ Seq(
 
     // ---------------------------------------------------------------- q226

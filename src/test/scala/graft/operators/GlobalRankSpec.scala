@@ -67,6 +67,20 @@ class GlobalRankSpec extends AnyFunSuite {
       s"expected the loud null-contract error, got: $ex")
   }
 
+  test("recoverable (lineage-kept persist) mode ranks identically to the checkpoint default") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), length(col("text")).as("v"))
+    val base = GlobalRank
+      .withGlobalRank(docs, "lang", "v", "doc_id", nBuckets = 8)
+      .select("doc_id", "rn", "n_seg")
+    val rec = GlobalRank
+      .withGlobalRank(docs, "lang", "v", "doc_id", nBuckets = 8, recoverable = true)
+      .select("doc_id", "rn", "n_seg")
+    assert(rec.exceptAll(base).count() === 0 && base.exceptAll(rec).count() === 0,
+      "recoverable mode must produce bit-identical ranks")
+    spark.catalog.clearCache() // the documented unpersist point for recoverable pins
+  }
+
   test("ntileExpr reproduces ntile() across n and k") {
     for (n <- Seq(1, 3, 4, 7, 10, 103); k <- Seq(2, 4, 5)) {
       val df = spark.range(1, n + 1).toDF("rn").withColumn("n", lit(n.toLong))

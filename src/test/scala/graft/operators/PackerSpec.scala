@@ -98,4 +98,17 @@ class PackerSpec extends AnyFunSuite {
     assert(globals.forall(_.contains("b_tot#")),
       s"global windows may only touch the tiny aggregate frame, got:\n${globals.mkString("\n")}")
   }
+
+  test("recoverable (lineage-kept persist) mode packs identically to the checkpoint default") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val base = Packer.withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 64)
+      .select("doc_id", "tok_offset", "first_seq", "last_seq", "n_seqs")
+    val rec = Packer
+      .withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 64, recoverable = true)
+      .select("doc_id", "tok_offset", "first_seq", "last_seq", "n_seqs")
+    assert(rec.exceptAll(base).count() === 0 && base.exceptAll(rec).count() === 0,
+      "recoverable mode must produce bit-identical offsets")
+    spark.catalog.clearCache() // the documented unpersist point for recoverable pins
+  }
 }
