@@ -448,6 +448,11 @@ object MediaCodecs {
     val (width, height, channels) = header.getOrElse(
       throw new IllegalArgumentException("PNG has no IHDR chunk"))
     require(idat.size() > 0, "PNG has no IDAT data")
+    // overflow guard BEFORE any sizing arithmetic: a hostile header like
+    // 65536x65536 RGBA wraps Int in height*(1+stride) — fail with the real
+    // reason, not a NegativeArraySizeException three lines later
+    require(height.toLong * (1L + width.toLong * channels) <= Int.MaxValue - 8,
+      s"PNG ${width}x$height x$channels exceeds the decodable size bound")
     val bpp = channels
     val stride = width * bpp
     val raw = new Array[Byte](height * (1 + stride))
