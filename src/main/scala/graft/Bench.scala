@@ -75,11 +75,15 @@ object Bench {
 
     // ... then a COMPACT machine-parsable summary LAST, guaranteed to fit the
     // tail capture regardless of suite size (the r5 verdict's top item).
+    // reps are part of the record: the main total is best-of-`reps` (warm),
+    // the sf2 total is single-rep and so carries ~0.7s/query codegen —
+    // comparable ACROSS rounds (same convention each round), not across SFs
     val errJson = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sf2Json = sf2Total
-      .map { case (t, e) => s""","sf2":"$sf2","total_sf2":${fmt(t)},"errors_sf2":$e""" }
+      .map { case (t, e) =>
+        s""","sf2":"$sf2","total_sf2":${fmt(t)},"errors_sf2":$e,"reps_sf2":1""" }
       .getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errors,"error_queries":$errJson,"sf":"$sfDir"$sf2Json}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errors,"reps":$reps,"error_queries":$errJson,"sf":"$sfDir"$sf2Json}""")
     spark.stop()
   }
 }

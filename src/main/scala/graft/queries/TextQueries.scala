@@ -1912,6 +1912,9 @@ object TextQueries {
         // count on this corpus, so the same 15k-budget cut selects a
         // different (more honest) document prefix. Same scale shape as
         // q83: Packer's two-phase running sum, map-only budget cut.
+        // (The regex proxy is kept for its single-pass cost; the TRAINED
+        // tokenizer budgets — exact counts under a fitted merge table —
+        // are q224/q227 via Bpe.fit/tokenCounts.)
         val docs = table(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_tok",

@@ -640,6 +640,31 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG round-trip property: random dims/channels/pixels, 60 shapes") {
+    // adversarial shapes a hand fixture can't cover: 1-pixel rows (Sub
+    // filter degenerate), single columns (left neighbor always absent),
+    // heights < 5 (partial filter schedule), both channel counts, and
+    // pixel streams from three generators (constant, ramp, LCG noise)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val shapeGen = org.scalacheck.Gen.zip(
+      Gen.chooseNum(1, 9), Gen.chooseNum(1, 9), Gen.oneOf(3, 4), Gen.chooseNum(0, 2))
+    for (i <- 0 until 60) {
+      val (w, h, c, kind) = shapeGen.apply(Gen.Parameters.default, Seed(97L + i)).get
+      val pix = Array.tabulate(w * h * c) { j =>
+        (kind match {
+          case 0 => 170
+          case 1 => j % 256
+          case _ => (j * 1103515245 + 12345 + i) >>> 16
+        }).toByte
+      }
+      val round = MediaCodecs.decodePng(MediaCodecs.encodePng(w, h, c, pix))
+      assert(round.width === w && round.height === h && round.channels === c,
+        s"shape $i: ${w}x$h x$c kind=$kind")
+      assert(round.pix.toSeq === pix.toSeq, s"pixels diverged at shape $i: ${w}x$h x$c kind=$kind")
+    }
+  }
+
   test("RealMediaDecoder dispatches PNG magic to code-4 features") {
     val dec = new Multimodal.RealMediaDecoder(6)
     val f = dec.decode(goldenPng)
