@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
  * 1-row winner via `TakeOrderedAndProject`, and broadcasts it back into
  * `replace()`. Application to new text is map-only: the trained merge
  * table collapses to ONE array-of-struct row broadcast to every task and
- * folded per word with the `aggregate` HOF.
+ * folded per word with the `aggregate` HOF — and because it is a
+ * stream-static broadcast, [[applyMerges]]/[[tokenCounts]] run UNCHANGED
+ * on a streaming frame (train once offline, tokenize the live ingest
+ * tail with the frozen model; BpeStreamsSpec locks streaming == batch).
  *
  * Reference context: the reference engine has no tokenizer
  * (spark-2.4/…/DefaultSource.scala:24 is a tick-data connector); this is
