@@ -331,19 +331,22 @@ object MediaCodecs {
 
   // ------------------------------------------------------------------ PNG
 
-  /** Decoded PNG image: `channels` is 3 (RGB) or 4 (RGBA); `pix` is
-    * top-down row-major channel-interleaved bytes
-    * (`channels * width * height`), filters reversed. */
+  /** Decoded PNG image: `channels` is 1 (grayscale), 2 (gray+alpha),
+    * 3 (RGB — including palette images, which decode expanded through
+    * their PLTE) or 4 (RGBA); `pix` is top-down row-major
+    * channel-interleaved bytes (`channels * width * height`), filters
+    * reversed. */
   final case class Png(width: Int, height: Int, channels: Int, pix: Array[Byte])
 
   /** PNG's 8-byte file signature. */
   private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
   /**
-   * Encode 8-bit RGB (`channels=3`, color type 2) or RGBA (`channels=4`,
-   * color type 6) pixels as a real PNG: signature, IHDR, one IDAT holding
-   * the zlib-deflated filtered scanlines, IEND — CRCs computed per spec.
-   * Row y uses filter type `y % 5`, so every one of the five PNG filters
+   * Encode 8-bit pixels as a real PNG — `channels` selects the color
+   * type: 1 = grayscale (0), 2 = gray+alpha (4), 3 = RGB (2),
+   * 4 = RGBA (6). Signature, IHDR, one IDAT holding the zlib-deflated
+   * filtered scanlines, IEND — CRCs computed per spec. Row y uses filter
+   * type `y % 5`, so every one of the five PNG filters
    * (None/Sub/Up/Average/Paeth) appears in any image of >= 5 rows and a
    * decoder that mishandles ANY filter fails round-trip immediately.
    * Deflate runs at the fixed default level — decode(encode(x)) == x is
@@ -351,7 +354,7 @@ object MediaCodecs {
    */
   def encodePng(width: Int, height: Int, channels: Int, pix: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0, s"PNG dimensions ${width}x$height must be positive")
-    require(channels == 3 || channels == 4, s"PNG channels ($channels) must be 3 or 4")
+    require(channels >= 1 && channels <= 4, s"PNG channels ($channels) must be 1..4")
     require(pix.length == channels * width * height,
       s"pixel array length ${pix.length} != $channels*$width*$height")
     val bpp = channels
@@ -390,7 +393,10 @@ object MediaCodecs {
     val ihdr = new Array[Byte](13)
     putBeInt(ihdr, 0, width); putBeInt(ihdr, 4, height)
     ihdr(8) = 8 // bit depth
-    ihdr(9) = (if (channels == 3) 2 else 6).toByte // color type
+    // channels -> PNG color type: gray, gray+alpha, truecolor, truecolor+alpha
+    ihdr(9) = (channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    }).toByte
     ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // compression/filter/interlace
     val out = new java.io.ByteArrayOutputStream()
     PngSig.foreach(out.write)
@@ -403,16 +409,20 @@ object MediaCodecs {
   /**
    * Parse a PNG byte stream: validate the signature, walk chunks (CRC-32
    * checked on every chunk — corrupt bytes must fail the task, not decode
-   * into garbage features), require 8-bit color type 2/6 non-interlaced,
-   * inflate the concatenated IDAT stream, reverse the per-row filter.
-   * Ancillary chunks (tEXt, gAMA, ...) are skipped like the WAV walker
-   * skips LIST — real web-scraped PNGs carry them.
+   * into garbage features), require 8-bit non-interlaced color type
+   * 0/2/3/4/6 (grayscale, RGB, palette, gray+alpha, RGBA — the full
+   * direct + indexed 8-bit family web corpora carry), inflate the
+   * concatenated IDAT stream, reverse the per-row filter. Palette images
+   * unfilter on their 1-byte indices (per spec) and then expand through
+   * PLTE into 3-channel RGB. Ancillary chunks (tEXt, gAMA, ...) are
+   * skipped like the WAV walker skips LIST.
    */
   def decodePng(bytes: Array[Byte]): Png = {
     require(bytes.length >= 8 && (0 until 8).forall(i => (bytes(i) & 0xff) == PngSig(i)),
       s"not PNG: signature ${bytes.take(8).map(b => f"${b & 0xff}%02x").mkString(" ")}")
     var pos = 8
-    var header: Option[(Int, Int, Int)] = None // (width, height, channels)
+    var header: Option[(Int, Int, Int)] = None // (width, height, colorType)
+    var palette: Option[Array[Byte]] = None
     val idat = new java.io.ByteArrayOutputStream()
     var ended = false
     while (!ended && pos + 8 <= bytes.length) {
@@ -435,25 +445,33 @@ object MediaCodecs {
           val interlace = bytes(pos + 20) & 0xff
           require(w > 0 && h > 0, s"PNG dimensions ${w}x$h must be positive")
           require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth (only 8)")
-          require(colorType == 2 || colorType == 6,
-            s"unsupported PNG color type $colorType (only RGB=2/RGBA=6)")
+          require(Set(0, 2, 3, 4, 6).contains(colorType),
+            s"unsupported PNG color type $colorType (only 0/2/3/4/6)")
           require(interlace == 0, s"unsupported PNG interlace $interlace (only none)")
-          header = Some((w, h, if (colorType == 2) 3 else 4))
+          header = Some((w, h, colorType))
+        case "PLTE" =>
+          require(len > 0 && len % 3 == 0 && len <= 768,
+            s"PLTE length $len is not a 1..256-entry RGB table")
+          palette = Some(java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len))
         case "IDAT" => idat.write(bytes, pos + 8, len)
         case "IEND" => ended = true
         case _ => // ancillary chunk: skip
       }
       pos += 12 + len
     }
-    val (width, height, channels) = header.getOrElse(
+    val (width, height, colorType) = header.getOrElse(
       throw new IllegalArgumentException("PNG has no IHDR chunk"))
     require(idat.size() > 0, "PNG has no IDAT data")
+    // bytes per pixel IN THE FILTERED STREAM: palette rows filter on their
+    // 1-byte indices (spec §9.2) and expand only after reconstruction
+    val bpp = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
     // overflow guard BEFORE any sizing arithmetic: a hostile header like
     // 65536x65536 RGBA wraps Int in height*(1+stride) — fail with the real
     // reason, not a NegativeArraySizeException three lines later
-    require(height.toLong * (1L + width.toLong * channels) <= Int.MaxValue - 8,
-      s"PNG ${width}x$height x$channels exceeds the decodable size bound")
-    val bpp = channels
+    require(height.toLong * (1L + width.toLong * bpp) <= Int.MaxValue - 8,
+      s"PNG ${width}x$height bpp=$bpp exceeds the decodable size bound")
     val stride = width * bpp
     val raw = new Array[Byte](height * (1 + stride))
     val inflater = new java.util.zip.Inflater()
@@ -496,7 +514,26 @@ object MediaCodecs {
       }
       y += 1
     }
-    Png(width, height, channels, pix)
+    if (colorType == 3) {
+      // palette expansion AFTER reconstruction: each index becomes its
+      // PLTE RGB triple; out-of-range indices fail loudly (a silent
+      // clamp would fabricate pixel values)
+      val plte = palette.getOrElse(
+        throw new IllegalArgumentException("palette PNG has no PLTE chunk"))
+      val nEntries = plte.length / 3
+      val out = new Array[Byte](3 * width * height)
+      var i = 0
+      while (i < pix.length) {
+        val idx = pix(i) & 0xff
+        require(idx < nEntries,
+          s"PNG palette index $idx out of range (palette has $nEntries entries)")
+        out(3 * i) = plte(3 * idx)
+        out(3 * i + 1) = plte(3 * idx + 1)
+        out(3 * i + 2) = plte(3 * idx + 2)
+        i += 1
+      }
+      Png(width, height, 3, out)
+    } else Png(width, height, bpp, pix)
   }
 
   /** The Paeth predictor (PNG spec §9.4): nearest of a (left), b (up),

@@ -825,8 +825,9 @@ object MediaQueries {
       "q225_png_decode",
       (s, dir) => {
         // The fourth real container — PNG, the web-scrape image format:
-        // text bytes become width-4 RGB or RGBA pixels (channels alternate
-        // by doc parity, covering both color types), encoded through
+        // text bytes become width-4 pixels whose channel count cycles
+        // 1/2/3/4 by doc_id (grayscale, gray+alpha, RGB, RGBA — all four
+        // direct color types), encoded through
         // MediaCodecs.encodePng with row filter y % 5 (all FIVE PNG
         // filters in every image — height is floored at 5), zlib-deflated,
         // CRC-stamped; decodePng walks chunks, checks CRCs, inflates, and
@@ -846,7 +847,7 @@ object MediaQueries {
       Some(s"""
         WITH b AS (
           SELECT doc_id, octet_length(encode(text)) AS n,
-                 CAST(3 + doc_id % 2 AS INTEGER) AS c,
+                 CAST(1 + doc_id % 4 AS INTEGER) AS c,
                  $duckBytes AS vals
           FROM documents),
         g AS (
@@ -869,7 +870,8 @@ object MediaQueries {
                CASE WHEN n = 0 THEN NULL ELSE CAST(list_max(p) AS INTEGER) END AS max_px
         FROM px
         ORDER BY doc_id"""),
-      "Real PNG decode: text bytes as width-4 RGB/RGBA pixels (color type " +
+      "Real PNG decode: text bytes as width-4 pixels cycling all four " +
+        "direct color types by doc_id (color type " +
         "alternating by doc parity), encoded with all five row filters, " +
         "zlib-deflated, CRC-stamped — decoded back through chunk walk + " +
         "inflate + filter reversal; position-weighted wsum_px locks every " +
@@ -878,7 +880,8 @@ object MediaQueries {
   )
 
   /** (doc_id, payload): each document's UTF-8 bytes as a width-4 PNG —
-    * RGB for even doc_ids, RGBA for odd (both color types exercised);
+    * channel count cycling 1/2/3/4 by doc_id (grayscale, gray+alpha,
+    * RGB, RGBA — all four direct color types exercised);
     * height `max(5, ceil(n / (4 * channels)))` so every image carries all
     * five row filters (encodePng uses filter `y % 5`); flattened pixel
     * byte i is `text[i % n]` (modular wrap — every stat derivable from
@@ -898,7 +901,7 @@ object MediaQueries {
         else {
           val bytes = text.getBytes("UTF-8")
           val n = bytes.length
-          val channels = 3 + (id % 2).toInt
+          val channels = 1 + (id % 4).toInt
           val width = 4
           val height = math.max(5,
             math.ceil(n / (width.toDouble * channels)).toInt)

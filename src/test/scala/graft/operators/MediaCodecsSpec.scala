@@ -574,9 +574,28 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(png.pix.toSeq === goldenPngPixels.toSeq)
   }
 
-  test("PNG round-trip: RGB and RGBA, extremes, filter-complete heights") {
+  /** Golden 4x5 PALETTE (color type 3) PNG from CPython zlib/struct:
+    * 6-entry PLTE, index[y][x] = (y*4+x) % 6, filter y % 5 over the
+    * 1-byte INDICES (spec §9.2) — locks unfiltering-before-expansion. */
+  private val goldenPalettePng = hex(
+    "89504e470d0a1a0a0000000d49484452000000040000000508030000005573bde9" +
+      "00000012504c5445ff000000ff000000ff0a141ec89664000000e21f8ca7000000" +
+      "1f49444154789c6360606462666461fccdc8f4ef1f0b0bf37f06060616101700" +
+      "383f05163d0257060000000049454e44ae426082")
+
+  test("decodePng expands the CPython palette golden through its PLTE") {
+    val png = MediaCodecs.decodePng(goldenPalettePng)
+    assert(png.width === 4 && png.height === 5 && png.channels === 3)
+    val plte = Seq(
+      Seq(255, 0, 0), Seq(0, 255, 0), Seq(0, 0, 255),
+      Seq(10, 20, 30), Seq(200, 150, 100), Seq(0, 0, 0))
+    val expected = (0 until 20).flatMap(i => plte(i % 6))
+    assert(png.pix.map(_ & 0xff).toSeq === expected)
+  }
+
+  test("PNG round-trip: all four direct color types, extremes, filter-complete heights") {
     // >= 5 rows means encodePng's y % 5 filter schedule uses every filter
-    for (channels <- Seq(3, 4)) {
+    for (channels <- Seq(1, 2, 3, 4)) {
       val w = 5; val h = 7
       val pix = Array.tabulate(w * h * channels) { i =>
         ((i * 41 + 7) % 256 match {
@@ -614,10 +633,10 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       MediaCodecs.decodePng(goldenPng.take(40))
     }.getMessage.toLowerCase.contains("idat"))
-    // unsupported color type (grayscale=0): rebuild IHDR with new CRC so
+    // invalid color type (5 does not exist): rebuild IHDR with new CRC so
     // only the color-type check can fire
     val gray = goldenPng.clone()
-    gray(8 + 8 + 9) = 0 // IHDR payload byte 9 = color type
+    gray(8 + 8 + 9) = 5 // IHDR payload byte 9 = color type
     val crc = new java.util.zip.CRC32()
     crc.update(gray, 12, 4 + 13)
     val cv = crc.getValue.toInt
@@ -648,7 +667,7 @@ class MediaCodecsSpec extends AnyFunSuite {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val shapeGen = org.scalacheck.Gen.zip(
-      Gen.chooseNum(1, 9), Gen.chooseNum(1, 9), Gen.oneOf(3, 4), Gen.chooseNum(0, 2))
+      Gen.chooseNum(1, 9), Gen.chooseNum(1, 9), Gen.oneOf(1, 2, 3, 4), Gen.chooseNum(0, 2))
     for (i <- 0 until 60) {
       val (w, h, c, kind) = shapeGen.apply(Gen.Parameters.default, Seed(97L + i)).get
       val pix = Array.tabulate(w * h * c) { j =>
