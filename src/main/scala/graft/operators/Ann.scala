@@ -53,6 +53,41 @@ object Ann {
   }
 
   /**
+   * Multi-probe coarse assignment: every vector maps to its `nProbe`
+   * nearest centroids, one output row per (vector, probed cluster) with
+   * `probe_rank` 1..nProbe (rank 1 is the home cluster [[ivfAssign]]
+   * elects). The generalization [[semanticDedup]] uses to catch pairs
+   * split across a cluster boundary — the documented recall gap of
+   * single-probe cell-local comparison: a pair meets if ANY probed
+   * cluster is shared, so boundary recall rises with nProbe at linearly
+   * more pair work and an unchanged equi-join shape (q228 measures it).
+   * Same broadcast-codebook map pass as [[ivfAssign]]; output size is
+   * nProbe x corpus.
+   */
+  def ivfMultiAssign(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    require(nProbe >= 1, s"nProbe ($nProbe) must be positive")
+    val reserved = Set("centroid_id", "ce", "cluster_id", "probe_rank", "n2", "__cdot")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__cdot", expr(s"vec_dot($vecCol, ce)"))
+      .withColumn("probe_rank",
+        expr(s"row_number() over (partition by $idCol order by __cdot desc, centroid_id asc)"))
+      .filter(col("probe_rank") <= nProbe)
+      .select(df.columns.map(col) :+
+        col("centroid_id").as("cluster_id") :+
+        col("probe_rank") :+
+        expr(s"vec_dot($vecCol, $vecCol)").as("n2"): _*)
+  }
+
+  /**
    * IVF-routed cosine top-k: every probe searches its `nProbe` nearest
    * coarse clusters (1 = fastest, recall limited to the home cluster;
    * raising it trades linearly more candidate work for recall, and
@@ -123,8 +158,12 @@ object Ann {
    * equi-join on cluster_id (no cartesian — plan-locked at the q108
    * use-site), AQE-splittable under cluster skew. This catches paraphrase
    * and re-encoding duplicates that exact/MinHash TEXT dedup cannot see;
-   * its known approximation is pairs split across cluster boundaries
-   * (recall rises with nearer-duplicate vectors, which quantize together).
+   * its known approximation is pairs split across cluster boundaries —
+   * `nProbe > 1` compares each vector inside its nProbe nearest clusters
+   * ([[ivfMultiAssign]]), recovering boundary pairs at linearly more pair
+   * work (q228 measures recall rising strictly with nProbe). The
+   * reported `cluster_id` stays the home (rank-1) cluster at any nProbe,
+   * and nProbe = 1 is bit-identical to the original single-probe shape.
    */
   def semanticDedup(
       spark: SparkSession,
@@ -132,17 +171,25 @@ object Ann {
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
-      simThreshold: Double): DataFrame = {
+      simThreshold: Double,
+      nProbe: Int = 1): DataFrame = {
     require(simThreshold > 0.0 && simThreshold <= 1.0,
       s"simThreshold ($simThreshold) must be in (0, 1]")
+    require(nProbe >= 1, s"nProbe ($nProbe) must be positive")
     val reserved =
       Set("__id_a", "__ea", "__n2a", "__id_b", "__eb", "__n2b", "__sim", "is_dropped", "kept")
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
-    val sized = ivfAssign(spark, df.select(idCol, vecCol), idCol, vecCol, centroids)
-    val a = sized.select(col(idCol).as("__id_a"), col(vecCol).as("__ea"),
+    val multi = ivfMultiAssign(
+      spark, df.select(idCol, vecCol), idCol, vecCol, centroids, nProbe)
+    // home (rank-1) assignment carries the output cluster; ALL probed
+    // clusters participate in pairing (a pair meeting through two shared
+    // clusters just yields duplicate pair rows — the distinct() below and
+    // the row-wise sim filter make that harmless)
+    val sized = multi.filter(col("probe_rank") === 1)
+    val a = multi.select(col(idCol).as("__id_a"), col(vecCol).as("__ea"),
       col("cluster_id"), col("n2").as("__n2a"))
-    val b = sized.select(col(idCol).as("__id_b"), col(vecCol).as("__eb"),
+    val b = multi.select(col(idCol).as("__id_b"), col(vecCol).as("__eb"),
       col("cluster_id"), col("n2").as("__n2b"))
     val dropped = a.join(b, Seq("cluster_id"))
       .filter(col("__id_a") < col("__id_b"))

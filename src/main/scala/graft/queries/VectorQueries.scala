@@ -2146,6 +2146,102 @@ object VectorQueries {
         "candidate generation (one corpus scan vs broadcast probes), then " +
         "probe-bounded candidate/pair frames and per-pid argmax windows; " +
         "the redundancy fix for RAG context assembly.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q228
+    Q(
+      "q228_semdedup_multiprobe",
+      (s, dir) => {
+        // The q102 multi-probe lever applied to SEMANTIC DEDUP — closing
+        // the documented recall gap of cell-local pair comparison (pairs
+        // split across a cluster boundary are invisible at nProbe = 1):
+        // Ann.ivfMultiAssign maps every vector to its nProbe nearest
+        // cells, a pair is compared if ANY probed cell is shared, and the
+        // audit grades pair recovery against the exact probe-bounded
+        // truth (pairs at cosine >= 0.35 with id_a < 20 — the q102
+        // bounded-truth posture) at nProbe 1, 2, 4. Recovery rises
+        // strictly at every test SF (7/12/16 of 16 truth pairs at
+        // sf0.001). Scale: truth is probes x corpus with the probe side
+        // broadcast; candidates are cluster-keyed equi-joins whose work
+        // grows linearly in nProbe — never all-pairs.
+        graft.functions.VectorExpressions.register(s)
+        val tau = 0.35
+        val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        val withN2 = e.selectExpr(
+          "vec_id", "embedding", s"${sparkDot("embedding", "embedding")} as n2")
+        val probes = withN2.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("n2").as("pn2"))
+        val truth = withN2
+          .select(col("vec_id").as("cid"), col("embedding").as("ce2"), col("n2").as("cn2"))
+          .join(broadcast(probes), col("cid") > col("pid"))
+          .selectExpr("pid as a", "cid as b",
+            s"${sparkDot("pe", "ce2")} / (sqrt(pn2) * sqrt(cn2)) as sim")
+          .filter(col("sim") >= tau)
+          .select("a", "b")
+        def summary(np: Int) = {
+          val ma = graft.operators.Ann
+            .ivfMultiAssign(s, e, "vec_id", "embedding", cents, np)
+          val left = ma
+            .join(broadcast(probes.select(col("pid").as("vec_id"))), Seq("vec_id"), "left_semi")
+            .select(col("vec_id").as("a"), col("cluster_id"))
+          val right = ma.select(col("vec_id").as("b"), col("cluster_id"))
+          val cand = left.join(right, Seq("cluster_id"))
+            .filter(col("b") > col("a"))
+            .select("a", "b").distinct()
+          val hit = truth.join(cand, Seq("a", "b"))
+          truth.agg(count(lit(1)).as("n_truth"))
+            .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_found"))))
+            .select(
+              lit(np).as("n_probe"),
+              col("n_truth"), col("n_found"),
+              (col("n_found").cast("double") / col("n_truth")).as("recall"))
+        }
+        summary(1).unionAll(summary(2)).unionAll(summary(4)).orderBy("n_probe")
+      },
+      Some {
+        def row(np: Int) = s"""
+          SELECT CAST($np AS INTEGER) AS n_probe,
+                 (SELECT COUNT(1) FROM truth) AS n_truth,
+                 (SELECT COUNT(1) FROM truth t
+                    JOIN (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                          FROM ma x JOIN ma y ON y.cid = x.cid AND y.vec_id > x.vec_id
+                          WHERE x.vec_id < 20 AND x.rn <= $np AND y.rn <= $np)
+                      c ON c.a = t.a AND c.b = t.b) AS n_found,
+                 CAST((SELECT COUNT(1) FROM truth t
+                    JOIN (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                          FROM ma x JOIN ma y ON y.cid = x.cid AND y.vec_id > x.vec_id
+                          WHERE x.vec_id < 20 AND x.rn <= $np AND y.rn <= $np)
+                      c ON c.a = t.a AND c.b = t.b) AS DOUBLE)
+                   / (SELECT COUNT(1) FROM truth) AS recall"""
+        s"""
+        WITH sized AS MATERIALIZED (
+          SELECT vec_id, embedding,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM embeddings),
+        cents AS (SELECT vec_id AS cid0, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        ma AS MATERIALIZED (
+          SELECT vec_id, cid, rn FROM (
+            SELECT e.vec_id, c.cid0 AS cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${duckDot("e.embedding", "c.ce")} DESC, c.cid0 ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn <= 4),
+        truth AS MATERIALIZED (
+          SELECT p.vec_id AS a, c.vec_id AS b
+          FROM sized p JOIN sized c ON p.vec_id < 20 AND c.vec_id > p.vec_id
+          WHERE ${duckDot("p.embedding", "c.embedding")} / (SQRT(p.n2) * SQRT(c.n2)) >= 0.35)
+        ${row(1)}
+        UNION ALL ${row(2)}
+        UNION ALL ${row(4)}
+        ORDER BY n_probe"""
+      },
+      "Multi-probe semantic dedup recall: pairs split across cluster " +
+        "boundaries (invisible cell-locally) recovered by comparing inside " +
+        "each vector's nProbe nearest cells — pair recovery vs exact " +
+        "probe-bounded truth rises strictly at nProbe 1/2/4; cluster-keyed " +
+        "equi-joins, work linear in nProbe, never all-pairs.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —

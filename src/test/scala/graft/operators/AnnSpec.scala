@@ -268,6 +268,31 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("Ann.semanticDedup multi-probe recovers boundary pairs; nProbe=1 is unchanged") {
+    // ids 1 and 3 are near-duplicates (cosine ~0.9997) that straddle the
+    // two centroids: 1 homes to centroid 0, 3 to centroid 1 — invisible
+    // at nProbe = 1, caught at nProbe = 2 where both probe both cells.
+    val df = vecFrame(
+      1L -> Seq(1.0f, 0.99f), 3L -> Seq(0.99f, 1.0f),
+      7L -> Seq(5.0f, 0.0f), 8L -> Seq(0.0f, 5.0f))
+    val cents = vecFrame(0L -> Seq(1.0f, 0.9f), 1L -> Seq(0.9f, 1.0f))
+      .select(col("vid").as("centroid_id"), col("v").as("ce"))
+    def drops(np: Int) = Ann.semanticDedup(spark, df, "vid", "v", cents, 0.99, np)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val single = drops(1)
+    val multi = drops(2)
+    assert(single(1L) && single(3L), "boundary pair invisible cell-locally")
+    assert(multi(1L) && !multi(3L), "nProbe=2 must drop the higher boundary id")
+    // nProbe=1 equals the historical single-probe operator bit for bit
+    val legacy = Ann.semanticDedup(spark, df, "vid", "v", cents, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val explicit1 = Ann.semanticDedup(spark, df, "vid", "v", cents, 0.99, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(legacy === explicit1)
+    // home cluster reported at any nProbe: verdict rows stay one-per-id
+    assert(multi.size === 4)
+  }
+
   test("Ann.kmeansFit with iters=0 returns the farthest-first seeds") {
     // seed 1: lowest id (1). seed 2: min max-dot to (1,0) — id4's 0.0 beats
     // id7's 0.25 and id9's 0.5
