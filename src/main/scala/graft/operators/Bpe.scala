@@ -169,6 +169,28 @@ object Bpe {
   }
 
   /**
+   * Decode a merge table's placeholder spellings back to SURFACE text:
+   * appends `out` = `textCol` with every placeholder recursively expanded
+   * to the characters it stands for. Expansion replays the merge list in
+   * REVERSE training order — round r's pair may contain placeholders from
+   * rounds < r, so replacing chr(r) by pair_r from the last round down to
+   * the first fully grounds every symbol. This is how the trained
+   * vocabulary ships to humans and to other tokenizer runtimes (q229):
+   * fit emits rules in placeholder alphabet, decode emits "ing"/"the".
+   * Map-only, 1-row reversed-model broadcast.
+   */
+  def decodeSpellings(df: DataFrame, textCol: String, merges: DataFrame,
+      out: String): DataFrame = {
+    require(!df.columns.contains("__msr"), "input column __msr is reserved")
+    val rev = merges.agg(reverse(sort_array(collect_list(struct(
+      col("round"), col("pair"), col("sym"))))).as("__msr"))
+    df.crossJoin(broadcast(rev))
+      .withColumn(out,
+        expr(s"aggregate(__msr, $textCol, (acc, m) -> replace(acc, m.sym, m.pair))"))
+      .drop("__msr")
+  }
+
+  /**
    * Trained-model token counting: appends `out` = the number of BPE
    * symbols in `textCol` under `merges` — per whitespace word, apply the
    * merge chain and count characters (every character IS one symbol once

@@ -6235,7 +6235,47 @@ object TextQueries {
         "16-merge BPE symbols with an over-budget census — the audit that " +
         "tells a pipeline whether word-count chunking respects the real " +
         "tokenizer's context budget; map-only chunking, 1-row model " +
-        "broadcast, doc-keyed summary.")
+        "broadcast, doc-keyed summary."),
+
+    // ---------------------------------------------------------------- q229
+    Q(
+      "q229_bpe_vocab",
+      (s, dir) => {
+        // The shipped tokenizer VOCABULARY: q223 emits merge rules in the
+        // placeholder alphabet (<1><2>…); this decodes each trained
+        // symbol back to its SURFACE spelling by replaying the merge list
+        // in reverse training order (round r's pair may contain earlier
+        // placeholders, so last-to-first replacement fully grounds every
+        // symbol) — the vocab.txt a tokenizer job hands to humans and to
+        // other runtimes, with each token's corpus frequency and decoded
+        // length. The oracle replays the reverse expansion chain, so one
+        // wrong expansion order anywhere scrambles the spellings.
+        // Scale: the merge table is nMerges rows — this query is
+        // model-sized, not corpus-sized.
+        val docs = table(s, dir, "documents").select("text")
+        val merges = graft.operators.Bpe.fitOnText(s, docs, "text", bpeFitMerges)
+        graft.operators.Bpe
+          .decodeSpellings(merges, "pair", merges, "token")
+          .selectExpr("round", "token", "n",
+            "cast(length(token) as integer) as token_len")
+          .orderBy("round")
+      },
+      Some {
+        def rev(e: String) = (bpeFitMerges to 1 by -1).foldLeft(e) { (acc, k) =>
+          s"replace($acc, chr($k), (SELECT pair FROM m$k))"
+        }
+        s"""
+        WITH ${duckBpeFitCtes(bpeFitMerges)}
+        SELECT round, token, n, CAST(length(token) AS INTEGER) AS token_len FROM (
+          ${(1 to bpeFitMerges).map(r =>
+            s"""SELECT CAST($r AS INTEGER) AS round, ${rev("pair")} AS token, n
+                FROM m$r""").mkString("\n          UNION ALL ")})
+        ORDER BY round"""
+      },
+      "The shipped BPE vocabulary: every trained symbol decoded to its " +
+        "surface spelling (reverse-order merge expansion) with corpus " +
+        "frequency and decoded length — vocab.txt for humans and other " +
+        "tokenizer runtimes; model-sized, not corpus-sized.")
   ) ++ Seq(
 
     // ---------------------------------------------------------------- q226

@@ -103,6 +103,21 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeSpellings inverts applyMerges exactly (surface round trip)") {
+    val words = wordsDf("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val m = Bpe.fit(spark, words, "w", "wcnt", nMerges = 3)
+    val applied = Bpe.applyMerges(words, "w", m, "mw")
+    val back = Bpe.decodeSpellings(applied, "mw", m, "decoded")
+      .collect().map(r => r.getAs[String]("w") -> r.getAs[String]("decoded")).toMap
+    assert(back === Map("low" -> "low", "lower" -> "lower",
+      "newest" -> "newest", "widest" -> "widest"),
+      "reverse-order expansion must ground every placeholder")
+    // the vocab view decodes each merged symbol to a real subword
+    val vocab = Bpe.decodeSpellings(m, "pair", m, "token")
+      .orderBy("round").collect().map(_.getAs[String]("token")).toSeq
+    assert(vocab === Seq("es", "est", "lo"))
+  }
+
   test("16-merge fit on real documents: applying merges back is lossless in weight") {
     // invariant: merging never changes the wcnt-weighted WORD count, and
     // symbol counts decrease monotonically round over round
