@@ -242,4 +242,59 @@ object Dedup {
     }
     labels
   }
+
+  /**
+   * Exact duplicated-SPAN detection — the substring-level counterpart of
+   * document-level dedup (the operation behind "remove any 50-token span
+   * that repeats anywhere in the corpus" from the published train-data
+   * dedup recipes). Every k-token gram that occurs more than once ANYWHERE
+   * (cross-doc or within-doc) marks its start position; per document,
+   * overlapping/adjacent duplicated grams merge (gaps-and-islands on start
+   * positions: a gap > k starts a new island) into MAXIMAL duplicated
+   * spans. Returns one row per input doc:
+   * (idCol, n_tok, n_dup_spans, dup_tokens, max_span, dup_ratio) where
+   * dup_tokens is the exact token count covered by the span union.
+   *
+   * Scale shape: one gram-keyed aggregation (map-side combinable counts,
+   * never position lists) + one gram-keyed semi-join fanning each
+   * occurrence once, a doc-keyed window bounded by per-doc gram counts,
+   * and a doc-keyed final aggregate. No all-pairs anywhere; a hot gram
+   * costs its occurrence count, not its count squared.
+   */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"gram size k ($k) must be positive")
+    val toks = docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+    val grams = toks
+      .filter(col("n_tok") >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, n_tok - $k), i -> concat_ws(' ', slice(toks, i + 1, $k)))")))
+      .withColumnRenamed("pos", "p")
+      .withColumnRenamed("col", "gram")
+    val dupGrams = grams
+      .groupBy("gram").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select("gram")
+    val dupOcc = grams.join(dupGrams, Seq("gram"), "left_semi").select(col(idCol), col("p"))
+    val w = Window.partitionBy(idCol).orderBy("p")
+    val islands = dupOcc
+      .withColumn("new_island",
+        coalesce((col("p") - lag("p", 1).over(w) > k).cast("int"), lit(1)))
+      .withColumn("island", sum(col("new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands
+      .groupBy(col(idCol), col("island"))
+      .agg(min("p").as("first_p"), max("p").as("last_p"))
+      .withColumn("span_len", col("last_p") - col("first_p") + k)
+    val perDoc = spans.groupBy(idCol).agg(
+      count(lit(1)).as("n_dup_spans"),
+      sum(col("span_len").cast("long")).as("dup_tokens"),
+      max("span_len").as("max_span"))
+    toks.select(col(idCol), col("n_tok"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_spans", "dup_tokens", "max_span"))
+      .withColumn("dup_ratio",
+        col("dup_tokens").cast("double") / col("n_tok").cast("double"))
+  }
 }

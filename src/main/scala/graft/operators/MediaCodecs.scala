@@ -536,6 +536,327 @@ object MediaCodecs {
     } else Png(width, height, bpp, pix)
   }
 
+  // ------------------------------------------------------------------ GIF
+
+  /** Decoded GIF frame: `indices` is top-down row-major palette indices
+    * (width * height, deinterlaced if the file was interlaced), `palette`
+    * is the active color table's RGB bytes (3 * entries). */
+  final case class Gif(width: Int, height: Int, indices: Array[Byte], palette: Array[Byte]) {
+    /** Palette lookup: channel `ch` (0=R,1=G,2=B) of pixel `i`, 0..255. */
+    def channel(i: Int, ch: Int): Int = palette(3 * (indices(i) & 0xff) + ch) & 0xff
+  }
+
+  /**
+   * Encode palette indices as a real single-frame GIF89a: header, logical
+   * screen descriptor, global color table, image descriptor, variable-width
+   * LZW-compressed index stream in <=255-byte sub-blocks, trailer. The LZW
+   * layer is the whole point — GIF is the only mainstream image container
+   * whose compression (12-bit-capped variable-width LZW, LSB-first bit
+   * packing, clear/EOI codes, dictionary reset at 4096) is decodable with
+   * zero dependencies, and a one-bit slip in the width-change schedule
+   * corrupts every pixel after it. `palette` must be a power-of-two entry
+   * count (2..256 RGB triples); every index must be in range.
+   */
+  def encodeGif(width: Int, height: Int, indices: Array[Byte], palette: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"GIF dimensions ${width}x$height must be positive")
+    require(width <= 0xffff && height <= 0xffff,
+      s"GIF dimensions ${width}x$height exceed the 16-bit field")
+    require(indices.length == width * height,
+      s"index array length ${indices.length} != $width*$height")
+    require(palette.length % 3 == 0 && palette.length >= 6 && palette.length <= 768,
+      s"palette byte length ${palette.length} is not 2..256 RGB triples")
+    val entries = palette.length / 3
+    require((entries & (entries - 1)) == 0,
+      s"GIF color table must have a power-of-two entry count, got $entries")
+    val tableBits = 31 - Integer.numberOfLeadingZeros(entries) // log2(entries)
+    var i = 0
+    while (i < indices.length) {
+      require((indices(i) & 0xff) < entries,
+        s"palette index ${indices(i) & 0xff} at $i out of range (palette has $entries entries)")
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor: dims, GCT flag + color resolution + size
+    out.write(width & 0xff); out.write(width >>> 8)
+    out.write(height & 0xff); out.write(height >>> 8)
+    out.write(0x80 | ((tableBits - 1) << 4) | (tableBits - 1)) // GCT present
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    out.write(palette, 0, palette.length)
+    // image descriptor: full-screen, no local table, not interlaced
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(width & 0xff); out.write(width >>> 8)
+    out.write(height & 0xff); out.write(height >>> 8)
+    out.write(0)
+    val minCode = math.max(2, tableBits) // GIF floors the LZW root size at 2
+    out.write(minCode)
+    writeGifSubBlocks(out, lzwEncode(indices, minCode))
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /**
+   * Parse a GIF87a/89a byte stream: logical screen + global color table,
+   * skip extension blocks (0x21: label + sub-blocks — GCE, comments,
+   * application extensions), decode the FIRST image descriptor's LZW index
+   * stream (honoring a local color table and the four-pass interlace row
+   * order when flagged). Truncation, bad magic, out-of-range codes, and an
+   * index stream that over/under-fills the frame all fail loudly.
+   */
+  def decodeGif(bytes: Array[Byte]): Gif = {
+    require(bytes.length >= 13, s"GIF too short: ${bytes.length} bytes")
+    val magic = ascii(bytes, 0, 6)
+    require(magic == "GIF89a" || magic == "GIF87a", s"not GIF: magic $magic")
+    val globalW = leShort(bytes, 6)
+    val globalH = leShort(bytes, 8)
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    var globalPalette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 0x07) + 1))
+      require(pos + n <= bytes.length, s"GIF global color table truncated at $pos")
+      globalPalette = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n
+    }
+    while (pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 => // extension: label byte then sub-blocks to a 0 terminator
+          pos += 2
+          while ({
+            require(pos < bytes.length, "GIF extension truncated")
+            val n = bytes(pos) & 0xff
+            pos += 1 + n
+            n != 0
+          }) ()
+        case 0x2c => // image descriptor
+          require(pos + 10 <= bytes.length, s"GIF image descriptor truncated at $pos")
+          val w = leShort(bytes, pos + 5)
+          val h = leShort(bytes, pos + 7)
+          val ipacked = bytes(pos + 9) & 0xff
+          val interlaced = (ipacked & 0x40) != 0
+          pos += 10
+          var palette = globalPalette
+          if ((ipacked & 0x80) != 0) { // local color table wins
+            val n = 3 * (1 << ((ipacked & 0x07) + 1))
+            require(pos + n <= bytes.length, s"GIF local color table truncated at $pos")
+            palette = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+            pos += n
+          }
+          require(palette != null, "GIF image has neither global nor local color table")
+          require(w > 0 && h > 0, s"GIF frame dimensions ${w}x$h must be positive")
+          require(pos < bytes.length, "GIF LZW min code size missing")
+          val minCode = bytes(pos) & 0xff
+          require(minCode >= 2 && minCode <= 8, s"GIF LZW min code size $minCode out of 2..8")
+          pos += 1
+          // assemble the sub-block data, then LZW-decode it
+          val data = new java.io.ByteArrayOutputStream()
+          while ({
+            require(pos < bytes.length, "GIF image data truncated")
+            val n = bytes(pos) & 0xff
+            require(pos + 1 + n <= bytes.length, s"GIF sub-block at $pos truncated")
+            data.write(bytes, pos + 1, n)
+            pos += 1 + n
+            n != 0
+          }) ()
+          val flat = lzwDecode(data.toByteArray, minCode, w * h)
+          val indices =
+            if (!interlaced) flat
+            else { // four-pass interlace: rows 0,8,16.. / 4,12.. / 2,6.. / 1,3..
+              val outIdx = new Array[Byte](w * h)
+              var src = 0
+              var pass = 0
+              val starts = Array(0, 4, 2, 1)
+              val steps = Array(8, 8, 4, 2)
+              while (pass < 4) {
+                var y = starts(pass)
+                while (y < h) {
+                  System.arraycopy(flat, src, outIdx, y * w, w)
+                  src += w
+                  y += steps(pass)
+                }
+                pass += 1
+              }
+              outIdx
+            }
+          val entries = palette.length / 3
+          var i = 0
+          while (i < indices.length) {
+            require((indices(i) & 0xff) < entries,
+              s"GIF pixel $i index ${indices(i) & 0xff} out of palette range $entries")
+            i += 1
+          }
+          return Gif(w, h, indices, palette)
+        case 0x3b =>
+          throw new IllegalArgumentException("GIF trailer reached before any image frame")
+        case b =>
+          throw new IllegalArgumentException(f"unknown GIF block 0x$b%02x at $pos")
+      }
+    }
+    throw new IllegalArgumentException(
+      s"GIF ended without an image frame (screen ${globalW}x$globalH)")
+  }
+
+  /**
+   * GIF-flavor LZW compression of a symbol stream. Codes are emitted
+   * LSB-first at a width that starts at `minCode`+1 bits and grows to a
+   * 12-bit cap; the dictionary seeds with the 2^minCode root codes plus
+   * CLEAR and EOI, and is reset via an explicit CLEAR whenever it would
+   * outgrow 4096 entries. The width-change schedule is the decoder-derived
+   * one: a code is written with exactly the bits the decoder needs for the
+   * largest value it could legally receive at that point (its `next` table
+   * slot — the KwKwK case), which is what keeps encoder and decoder widths
+   * in lockstep without any out-of-band signaling.
+   */
+  private def lzwEncode(symbols: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    var codeSize = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += codeSize
+      while (nbits >= 8) {
+        out.write((acc & 0xff).toInt)
+        acc >>>= 8
+        nbits -= 8
+      }
+    }
+    // dictionary: (prefix code, next symbol) -> code, keyed prefix<<8|symbol
+    var dict = new scala.collection.mutable.LongMap[Int]()
+    var next = eoi + 1
+    put(clear)
+    var cur = symbols(0) & 0xff
+    var i = 1
+    while (i < symbols.length) {
+      val k = symbols(i) & 0xff
+      val key = (cur.toLong << 8) | k
+      dict.get(key) match {
+        case Some(code) => cur = code
+        case None =>
+          put(cur)
+          if (next == 4096) { // table full: reset (the decoder mirrors this)
+            put(clear)
+            dict = new scala.collection.mutable.LongMap[Int]()
+            next = eoi + 1
+            codeSize = minCode + 1
+          } else {
+            dict.update(key, next)
+            next += 1
+            // decoder's widest legal next read is value `next` (KwKwK)
+            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          }
+          cur = k
+      }
+      i += 1
+    }
+    put(cur)
+    // The decoder adds one more dictionary entry when it reads this final
+    // data code (unless it is the first code after a clear, when it has no
+    // prev to pair) — if that entry lands exactly on 2^codeSize it widens
+    // before reading EOI, so EOI must be written at the widened size too.
+    if (next > eoi + 1 && next == (1 << codeSize) && codeSize < 12) codeSize += 1
+    put(eoi)
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-flavor LZW decompression: the exact mirror of [[lzwEncode]] —
+    * LSB-first reads, width grows when the next table slot would need an
+    * extra bit, KwKwK handled, CLEAR resets, EOI ends. Exactly `expect`
+    * symbols must come out. */
+  private def lzwDecode(data: Array[Byte], minCode: Int, expect: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](expect)
+    var produced = 0
+    var acc = 0L
+    var nbits = 0
+    var pos = 0
+    var codeSize = minCode + 1
+    // dictionary as prefix-linked strings: code -> (prefix code, last byte)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val strBuf = new Array[Byte](4096)
+    var next = eoi + 1
+    var prev = -1
+    def emit(code: Int): Int = { // writes code's string, returns first byte
+      var c = code
+      var n = 0
+      while (c >= clear) { strBuf(n) = suffix(c); n += 1; c = prefix(c) }
+      val first = c
+      require(produced + n + 1 <= expect,
+        s"GIF LZW produced more than the expected $expect pixels")
+      out(produced) = first.toByte
+      produced += 1
+      var j = n - 1
+      while (j >= 0) { out(produced) = strBuf(j); produced += 1; j -= 1 }
+      first
+    }
+    var done = false
+    while (!done) {
+      while (nbits < codeSize && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << nbits
+        nbits += 8
+        pos += 1
+      }
+      require(nbits >= codeSize, s"GIF LZW stream truncated at bit ${8 * pos}")
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>>= codeSize
+      nbits -= codeSize
+      if (code == clear) {
+        next = eoi + 1
+        codeSize = minCode + 1
+        prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        require(code < clear, s"GIF LZW first code $code after clear is not a root")
+        require(produced < expect, s"GIF LZW produced more than the expected $expect pixels")
+        out(produced) = code.toByte
+        produced += 1
+        prev = code
+      } else {
+        require(code <= next && code < 4096,
+          s"GIF LZW code $code out of range (table has $next entries)")
+        val first =
+          if (code < next) emit(code)
+          else { // KwKwK: the new string is string(prev) + first(string(prev))
+            val f = emit(prev)
+            require(produced < expect,
+              s"GIF LZW produced more than the expected $expect pixels")
+            out(produced) = f.toByte
+            produced += 1
+            f
+          }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first.toByte
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    require(produced == expect,
+      s"GIF LZW produced $produced pixels, expected $expect")
+    out
+  }
+
+  private def writeGifSubBlocks(out: java.io.ByteArrayOutputStream, data: Array[Byte]): Unit = {
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n)
+      out.write(data, off, n)
+      off += n
+    }
+  }
+
   /** The Paeth predictor (PNG spec §9.4): nearest of a (left), b (up),
     * c (up-left) to a + b - c, ties a > b > c. */
   private def paeth(a: Int, b: Int, c: Int): Int = {

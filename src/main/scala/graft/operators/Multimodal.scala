@@ -40,6 +40,8 @@ object Multimodal {
    *  - `P6` -> Netpbm PPM: `[3, width, height, 3, band-mean pixel values…]`
    *  - `\x89PNG` -> 8-bit RGB/RGBA PNG (zlib IDAT, all five row filters):
    *    `[4, width, height, channels, band-mean pixel values…]`
+   *  - `GIF8` -> GIF87a/89a (variable-width LZW, palette):
+   *    `[5, width, height, 3, band-mean palette-expanded RGB values…]`
    *
    * Feature layout: slot 0 is the format code, slots 1-3 are format
    * metadata, and the remaining `dim - 4` slots are the means of `dim - 4`
@@ -70,6 +72,18 @@ object Multimodal {
         val png = MediaCodecs.decodePng(payload)
         build(4f, png.width.toFloat, png.height.toFloat, png.channels.toFloat,
           png.pix.map(b => (b & 0xff).toDouble))
+      } else if (payload.length >= 4 &&
+        payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8') {
+        val gif = MediaCodecs.decodeGif(payload)
+        val sig = new Array[Double](3 * gif.indices.length)
+        var i = 0
+        while (i < gif.indices.length) {
+          sig(3 * i) = gif.channel(i, 0)
+          sig(3 * i + 1) = gif.channel(i, 1)
+          sig(3 * i + 2) = gif.channel(i, 2)
+          i += 1
+        }
+        build(5f, gif.width.toFloat, gif.height.toFloat, 3f, sig)
       } else {
         throw new IllegalArgumentException(
           s"unknown media magic (first bytes: ${payload.take(4).map(b => f"$b%02x").mkString(" ")})")
@@ -401,6 +415,54 @@ object Multimodal {
             i += 1
           }
           Row(r.getLong(idIdx), png.width, png.height, png.channels, sum, wsum, max)
+        }
+      }
+    }
+  }
+
+  /**
+   * Decode a GIF binary column into exact typed stats over the
+   * palette-EXPANDED pixels: (`idCol`, width, height, n_colors,
+   * sum_rgb: long, wsum_idx: long, max_idx: int) — sum_rgb sums the
+   * palette RGB bytes of every pixel (so both the LZW index stream AND the
+   * color table must decode byte-exactly), wsum_idx position-weights the
+   * raw indices (a single LZW slip shifts every later pixel and breaks
+   * it), n_colors is the active color table's entry count. Same
+   * null/loudness/streaming contract as [[wavStats]]: map-only, payloads
+   * die in-stage.
+   */
+  def gifStats(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_colors", IntegerType, nullable = true),
+      StructField("sum_rgb", LongType, nullable = true),
+      StructField("wsum_idx", LongType, nullable = true),
+      StructField("max_idx", IntegerType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        if (payload == null)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val gif = MediaCodecs.decodeGif(payload)
+          var sumRgb = 0L
+          var wsumIdx = 0L
+          var maxIdx = 0
+          var i = 0
+          while (i < gif.indices.length) {
+            val idx = gif.indices(i) & 0xff
+            sumRgb += gif.channel(i, 0) + gif.channel(i, 1) + gif.channel(i, 2)
+            wsumIdx += (1L + i % 97) * idx
+            if (idx > maxIdx) maxIdx = idx
+            i += 1
+          }
+          Row(r.getLong(idIdx), gif.width, gif.height, gif.palette.length / 3,
+            sumRgb, wsumIdx, maxIdx)
         }
       }
     }

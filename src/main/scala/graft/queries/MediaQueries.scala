@@ -877,6 +877,64 @@ object MediaQueries {
         "inflate + filter reversal; position-weighted wsum_px locks every " +
         "byte to its place, all stats re-derived arithmetically by the " +
         "oracle from text alone. Map-only, payloads die in-stage.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q230
+    Q(
+      "q230_gif_decode",
+      (s, dir) => {
+        // The fifth real container — GIF, the only mainstream image format
+        // whose COMPRESSION layer (12-bit-capped variable-width LZW with
+        // clear/EOI codes and LSB-first bit packing) is zero-dependency
+        // decodable. Text bytes become width-6 palette indices in a
+        // GIF89a with an arithmetic 128-entry color table; decodeGif
+        // walks blocks, reassembles sub-blocks, LZW-decompresses, and
+        // expands the palette. The oracle re-derives every stat from text
+        // bytes alone (it never sees GIF bytes): wsum_idx position-weights
+        // raw indices, so a single LZW width-schedule slip shifts every
+        // later pixel and fails the hash; sum_rgb runs the indices through
+        // the palette arithmetic, locking the color-table bytes too.
+        // Scale: synth + decode fuse into one map-only pass; payloads die
+        // in-stage, 7 fixed-width columns survive.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Multimodal
+          .gifStats(gifPayloads(docs), "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 $duckBytes AS vals
+          FROM documents),
+        g AS (
+          SELECT doc_id, n,
+                 greatest(1, CAST(ceil(n / 6.0) AS INTEGER)) AS h
+          FROM b),
+        px AS (
+          SELECT doc_id, n, h,
+                 list_transform(range(0, 6 * h), i ->
+                   vals[CAST(i % greatest(n, 1) + 1 AS INTEGER)]) AS p
+          FROM g JOIN b USING (doc_id, n))
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN NULL ELSE CAST(6 AS INTEGER) END AS width,
+               CASE WHEN n = 0 THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+               CASE WHEN n = 0 THEN NULL ELSE CAST(128 AS INTEGER) END AS n_colors,
+               CASE WHEN n = 0 THEN NULL ELSE
+                 CAST(list_sum(list_transform(p, v ->
+                   v + (3 * v) % 256 + (7 * v) % 251)) AS BIGINT) END AS sum_rgb,
+               CASE WHEN n = 0 THEN NULL ELSE
+                 CAST(list_sum(list_transform(range(0, len(p)), i ->
+                   (1 + i % 97) * p[CAST(i + 1 AS INTEGER)])) AS BIGINT) END AS wsum_idx,
+               CASE WHEN n = 0 THEN NULL ELSE CAST(list_max(p) AS INTEGER) END AS max_idx
+        FROM px
+        ORDER BY doc_id"""),
+      "Real GIF decode: text bytes as width-6 palette indices LZW-" +
+        "compressed into a GIF89a with an arithmetic 128-entry color " +
+        "table, decoded back through block walk + sub-block reassembly + " +
+        "variable-width LZW + palette expansion — the position-weighted " +
+        "index checksum locks every pixel to its place and the RGB sum " +
+        "locks the color table, all re-derived by the oracle from text " +
+        "alone. Map-only, payloads die in-stage.")
   )
 
   /** (doc_id, payload): each document's UTF-8 bytes as a width-4 PNG —
@@ -912,6 +970,48 @@ object MediaQueries {
             i += 1
           }
           Row(id, graft.operators.MediaCodecs.encodePng(width, height, channels, pix))
+        }
+      }
+    }
+  }
+
+  /** (doc_id, payload): each document's UTF-8 bytes as width-6 palette
+    * indices (wrapping via i % n) in a real single-frame GIF89a with a
+    * 128-entry global color table whose entry i is
+    * (i, (3*i) % 256, (7*i) % 251) — the palette itself is arithmetic, so
+    * the oracle re-derives decoded RGB sums from text bytes alone. */
+  private def gifPayloads(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val textIdx = docs.schema.fieldIndex("text")
+    docs.mapPartitions { rows =>
+      val palette = new Array[Byte](3 * 128)
+      var e = 0
+      while (e < 128) {
+        palette(3 * e) = e.toByte
+        palette(3 * e + 1) = ((3 * e) % 256).toByte
+        palette(3 * e + 2) = ((7 * e) % 251).toByte
+        e += 1
+      }
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val text = r.getString(textIdx)
+        if (text == null || text.isEmpty) Row(id, null)
+        else {
+          val bytes = text.getBytes("UTF-8")
+          val n = bytes.length
+          val width = 6
+          val height = math.max(1, (n + width - 1) / width)
+          val indices = new Array[Byte](width * height)
+          var i = 0
+          while (i < indices.length) {
+            indices(i) = bytes(i % n)
+            i += 1
+          }
+          Row(id, graft.operators.MediaCodecs.encodeGif(width, height, indices, palette))
         }
       }
     }

@@ -6511,6 +6511,76 @@ object TextQueries {
         "row/token accounting and first-drop attribution — every stage its " +
         "standalone query's verified shape, composed; one salt or column " +
         "mismatch anywhere fails the row.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q231
+    Q(
+      "q231_dup_spans",
+      (s, dir) => {
+        // SUBSTRING-level dedup — the published train-data recipe "drop
+        // any k-token span that repeats anywhere in the corpus" needs
+        // exact duplicated-span extents, not just doc-level verdicts.
+        // Dedup.dupSpans marks every 8-gram occurring more than once
+        // (cross-doc or within-doc), then merges overlapping marks per
+        // doc (gaps-and-islands on start positions) into MAXIMAL spans.
+        // Scale: gram-keyed count agg (map-side combinable, never
+        // position lists) + left-semi fan of occurrences, doc-keyed
+        // window, doc-keyed final agg — a hot gram costs its occurrence
+        // count, never count².
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Dedup.dupSpans(docs, "doc_id", "text", k = 8)
+          .selectExpr(
+            "doc_id",
+            "cast(n_tok as int) as n_tok",
+            "cast(n_dup_spans as bigint) as n_dup_spans",
+            "cast(dup_tokens as bigint) as dup_tokens",
+            "cast(max_span as int) as max_span",
+            "dup_ratio")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        occ AS (
+          SELECT doc_id, CAST(u.i AS INTEGER) AS p,
+                 array_to_string(list_slice(ts, u.i + 1, u.i + 8), ' ') AS gram
+          FROM toks, unnest(range(0, len(ts) - 8 + 1)) AS u(i)
+          WHERE len(ts) >= 8),
+        dup AS (
+          SELECT gram FROM occ GROUP BY gram HAVING COUNT(1) > 1),
+        docc AS (
+          SELECT doc_id, p FROM occ JOIN dup USING (gram)),
+        isl AS (
+          SELECT doc_id, p,
+                 CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+                      OR lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                      THEN 1 ELSE 0 END AS new_island
+          FROM docc),
+        isl2 AS (
+          SELECT doc_id, p,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM isl),
+        spans AS (
+          SELECT doc_id, island, max(p) - min(p) + 8 AS span_len
+          FROM isl2 GROUP BY doc_id, island),
+        per_doc AS (
+          SELECT doc_id, COUNT(1) AS n_dup_spans,
+                 SUM(span_len) AS dup_tokens, MAX(span_len) AS max_span
+          FROM spans GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(ts) AS INTEGER) AS n_tok,
+               CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(COALESCE(max_span, 0) AS INTEGER) AS max_span,
+               CAST(COALESCE(dup_tokens, 0) AS DOUBLE)
+                 / CAST(len(ts) AS DOUBLE) AS dup_ratio
+        FROM toks t LEFT JOIN per_doc USING (doc_id)
+        ORDER BY doc_id"""),
+      "Exact duplicated-span detection (the substring-dedup recipe): every " +
+        "8-gram repeating anywhere in the corpus marks its position; " +
+        "per-doc gaps-and-islands merges marks into maximal spans with " +
+        "exact covered-token counts — gram-keyed count agg + semi-join " +
+        "fan, no position lists, no all-pairs.")
   )
 
   /** Merge count for the trained-BPE rows (q223/q224) — 16 per the r5

@@ -713,4 +713,190 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1) === false)
     assert(out(2).isNullAt(1) && out(2).isNullAt(4) && out(2).isNullAt(6))
   }
+
+  // ------------------------------------------------------------------ GIF
+
+  /** 4-entry palette: black, red, green, blue. */
+  private val gifPalette4: Array[Byte] =
+    Array(0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255).map(_.toByte)
+
+  /**
+   * Hand-assembled GIF89a golden, derived field by field from the spec
+   * (NOT by running the encoder): 3x1 image, 4-entry GCT, indices
+   * [1, 1, 1]. The LZW stream at min code size 2 (clear=4, EOI=5, 3-bit
+   * codes) is hand-traced: emit clear(4), root 1, then the KwKwK entry 6
+   * ("1,1" — referenced before the decoder has stored it), then EOI(5).
+   * LSB-first packing of 4,1,6,5 at 3 bits: 4 | 1<<3 | 6<<6 | 5<<9 =
+   * 0xB8C -> bytes 8C 0B.
+   */
+  private val goldenGif: Array[Byte] =
+    Array[Int](
+      'G', 'I', 'F', '8', '9', 'a',
+      0x03, 0x00, 0x01, 0x00, // 3x1 logical screen
+      0x91, // GCT present, 2-bit color resolution, 4 entries
+      0x00, 0x00, // background, aspect
+      0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255, // GCT: black/red/green/blue
+      0x2c, 0x00, 0x00, 0x00, 0x00, 0x03, 0x00, 0x01, 0x00, 0x00, // descriptor
+      0x02, // LZW min code size
+      0x02, 0x8c, 0x0b, // one 2-byte sub-block: the hand-packed LZW stream
+      0x00, 0x3b // terminator, trailer
+    ).map(_.toByte)
+
+  test("decodeGif reads the hand-assembled LZW golden (KwKwK case) byte-exactly") {
+    val gif = MediaCodecs.decodeGif(goldenGif)
+    assert(gif.width === 3 && gif.height === 1)
+    assert(gif.indices.toSeq === Seq[Byte](1, 1, 1))
+    assert(gif.palette.toSeq === gifPalette4.toSeq)
+    // palette expansion: index 1 is pure red
+    assert(gif.channel(0, 0) === 255 && gif.channel(0, 1) === 0 && gif.channel(0, 2) === 0)
+  }
+
+  test("encodeGif emits the identical hand-derived bytes for the golden image") {
+    val bytes = MediaCodecs.encodeGif(3, 1, Array[Byte](1, 1, 1), gifPalette4)
+    assert(bytes.toSeq === goldenGif.toSeq)
+  }
+
+  test("decodeGif skips extension blocks and honors a local color table") {
+    val base = MediaCodecs.encodeGif(3, 1, Array[Byte](1, 1, 1), gifPalette4)
+    // splice a Graphic Control Extension between the color table and the
+    // image descriptor (offset 6+7+12 = 25): 21 F9 04 <4 bytes> 00
+    val gce = Array[Int](0x21, 0xf9, 0x04, 0x00, 0x0a, 0x00, 0x00, 0x00).map(_.toByte)
+    val spliced = base.take(25) ++ gce ++ base.drop(25)
+    val gif = MediaCodecs.decodeGif(spliced)
+    assert(gif.indices.toSeq === Seq[Byte](1, 1, 1))
+    // flip on the local-table flag and append an inverted 4-entry table
+    // right after the image descriptor (ends at 25+10 in the unspliced
+    // bytes); the local table must win over the global one
+    val local = gifPalette4.map(b => (~b).toByte)
+    val withLocal = base.take(25 + 9) ++ Array[Byte]((0x80 | 0x01).toByte) ++
+      local ++ base.drop(25 + 10)
+    val gifL = MediaCodecs.decodeGif(withLocal)
+    assert(gifL.palette.toSeq === local.toSeq)
+    assert(gifL.indices.toSeq === Seq[Byte](1, 1, 1))
+  }
+
+  test("decodeGif deinterlaces the four-pass row order") {
+    // 1x8 column: rows 0..7; interlaced storage order is 0,4,2,6,1,3,5,7
+    val palette8 = Array.tabulate(8 * 3)(i => (10 * (i / 3)).toByte)
+    val stored = Array[Byte](0, 4, 2, 6, 1, 3, 5, 7)
+    val base = MediaCodecs.encodeGif(1, 8, stored, palette8)
+    // image descriptor starts at 13 + 24 (GCT); its packed byte is 9 past
+    val pOff = 13 + 24 + 9
+    assert(base(pOff) === 0)
+    val interlaced = base.clone()
+    interlaced(pOff) = 0x40.toByte
+    val gif = MediaCodecs.decodeGif(interlaced)
+    assert(gif.indices.toSeq === Seq.tabulate(8)(_.toByte))
+  }
+
+  test("GIF round-trip survives dictionary growth to 12 bits and clear resets") {
+    // 60000 LCG-noise indices over a 128-entry palette: the dictionary
+    // outgrows 9/10/11-bit widths, hits the 4096 cap, and resets at least
+    // once — every width transition and the reset path are exercised
+    val palette = Array.tabulate(128 * 3)(i => ((i * 31 + 7) % 256).toByte)
+    val indices = Array.tabulate(60000)(j => (((j * 1103515245 + 12345) >>> 17) % 128).toByte)
+    val gif = MediaCodecs.decodeGif(MediaCodecs.encodeGif(250, 240, indices, palette))
+    assert(gif.width === 250 && gif.height === 240)
+    assert(gif.indices.toSeq === indices.toSeq)
+    assert(gif.palette.toSeq === palette.toSeq)
+  }
+
+  test("GIF encoder widens EOI when the final data code fills 2^codeSize") {
+    // 127 symbols whose 126 consecutive pairs are all distinct: the
+    // decoder's table hits exactly 256 (= 2^8) on the FINAL data code, so
+    // it reads EOI at 9 bits — and with all-8-bit codes the 8-bit EOI ends
+    // flush on the stream end, so an encoder that doesn't mirror the final
+    // entry-add truncates ("truncated at bit 1032", the sf0.001 q230 bug).
+    val palette = Array.tabulate(128 * 3)(i => ((i * 31 + 7) % 256).toByte)
+    val indices = Array.tabulate(127)(_.toByte)
+    val gif = MediaCodecs.decodeGif(MediaCodecs.encodeGif(127, 1, indices, palette))
+    assert(gif.indices.toSeq === indices.toSeq)
+    // the same boundary at a mid-byte width (minCode=2: table fills 8 on
+    // the final code of [0,1,2] — EOI must be written at 4 bits)
+    val g2 = MediaCodecs.decodeGif(MediaCodecs.encodeGif(3, 1, Array[Byte](0, 1, 2), gifPalette4))
+    assert(g2.indices.toSeq === Seq[Byte](0, 1, 2))
+  }
+
+  test("GIF round-trip property: random dims/palette sizes/pixel kinds") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val shapeGen = Gen.zip(
+      Gen.chooseNum(1, 40), Gen.chooseNum(1, 40), Gen.oneOf(1, 2, 3, 7), Gen.chooseNum(0, 2))
+    for (i <- 0 until 40) {
+      val (w, h, bits, kind) = shapeGen.apply(Gen.Parameters.default, Seed(31L + i)).get
+      val entries = 1 << bits
+      val palette = Array.tabulate(entries * 3)(j => ((j * 13 + i) % 256).toByte)
+      val indices = Array.tabulate(w * h) { j =>
+        (kind match {
+          case 0 => 1 % entries // constant: KwKwK-heavy runs
+          case 1 => j % entries // ramp
+          case _ => ((j * 1103515245 + 12345 + i) >>> 16) % entries
+        }).toByte
+      }
+      val round = MediaCodecs.decodeGif(MediaCodecs.encodeGif(w, h, indices, palette))
+      assert(round.width === w && round.height === h, s"shape $i: ${w}x$h bits=$bits kind=$kind")
+      assert(round.indices.toSeq === indices.toSeq,
+        s"indices diverged at shape $i: ${w}x$h bits=$bits kind=$kind")
+      assert(round.palette.toSeq === palette.toSeq, s"palette diverged at shape $i")
+    }
+  }
+
+  test("decodeGif fails loudly on corrupt payloads") {
+    val good = MediaCodecs.encodeGif(3, 1, Array[Byte](1, 1, 1), gifPalette4)
+    // wrong magic
+    val badMagic = good.clone(); badMagic(0) = 'J'
+    val e1 = intercept[IllegalArgumentException](MediaCodecs.decodeGif(badMagic))
+    assert(e1.getMessage.contains("not GIF"))
+    // truncated mid color table
+    intercept[IllegalArgumentException](MediaCodecs.decodeGif(good.take(20)))
+    // trailer before any image frame
+    val noImage = good.take(25) :+ 0x3b.toByte
+    val e2 = intercept[IllegalArgumentException](MediaCodecs.decodeGif(noImage))
+    assert(e2.getMessage.contains("trailer"))
+    // truncated LZW data (chop inside the sub-block): produced < expected
+    val chopped = good.take(good.length - 4) ++ Array[Byte](0, 0x3b)
+    intercept[IllegalArgumentException](MediaCodecs.decodeGif(chopped))
+    // unknown block type where a descriptor should be
+    val badBlock = good.clone(); badBlock(25) = 0x7f
+    val e3 = intercept[IllegalArgumentException](MediaCodecs.decodeGif(badBlock))
+    assert(e3.getMessage.contains("unknown GIF block"))
+    // encoder contracts: non-power-of-two palette, out-of-range index
+    intercept[IllegalArgumentException](
+      MediaCodecs.encodeGif(1, 1, Array[Byte](0), Array.fill(9)(0.toByte)))
+    intercept[IllegalArgumentException](
+      MediaCodecs.encodeGif(1, 1, Array[Byte](5), gifPalette4))
+  }
+
+  test("RealMediaDecoder dispatches GIF magic to code-5 features") {
+    val dec = new Multimodal.RealMediaDecoder(6)
+    val f = dec.decode(goldenGif)
+    assert(f(0) === 5f && f(1) === 3f && f(2) === 1f && f(3) === 3f)
+    // 3 red pixels -> 9 RGB bytes [255,0,0]*3; bands of 4 and 5 bytes
+    val sig = Array(255, 0, 0, 255, 0, 0, 255, 0, 0)
+    assert(f(4) === (sig.take(4).sum / 4.0).toFloat)
+    assert(f(5) === (sig.drop(4).sum / 5.0).toFloat)
+  }
+
+  test("gifStats emits exact palette-locked stats from real GIF bytes") {
+    val palette = Array.tabulate(16 * 3)(j => ((j * 5 + 1) % 256).toByte)
+    val indices = Array.tabulate(30)(j => (j % 16).toByte)
+    val df = payloadDf(Seq(
+      1L -> goldenGif,
+      2L -> MediaCodecs.encodeGif(5, 6, indices, palette),
+      3L -> null))
+    val out = Multimodal.gifStats(df, "id", "payload").orderBy("id").collect()
+    assert(out(0).getInt(1) === 3 && out(0).getInt(2) === 1 && out(0).getInt(3) === 4)
+    assert(out(0).getLong(4) === 3L * 255) // three red pixels
+    assert(out(0).getLong(5) === (1 + 2 + 3).toLong) // weights 1,2,3 on index 1
+    assert(out(0).getInt(6) === 1)
+    val sumRgb2 = indices.map { ix =>
+      (0 until 3).map(ch => palette(3 * (ix & 0xff) + ch) & 0xff).sum.toLong
+    }.sum
+    assert(out(1).getInt(1) === 5 && out(1).getInt(2) === 6 && out(1).getInt(3) === 16)
+    assert(out(1).getLong(4) === sumRgb2)
+    assert(out(1).getLong(5) ===
+      indices.zipWithIndex.map { case (v, i) => (1L + i % 97) * (v & 0xff) }.sum)
+    assert(out(1).getInt(6) === 15)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(4) && out(2).isNullAt(6))
+  }
 }
