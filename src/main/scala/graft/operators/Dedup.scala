@@ -262,10 +262,75 @@ object Dedup {
    * costs its occurrence count, not its count squared.
    */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    require(k >= 1, s"gram size k ($k) must be positive")
-    val toks = docs
+    val toks = tokenized(docs, idCol, textCol)
+    val spans = dupIslands(toks, idCol, k)
+    val perDoc = spans.groupBy(idCol).agg(
+      count(lit(1)).as("n_dup_spans"),
+      sum(col("span_len").cast("long")).as("dup_tokens"),
+      max("span_len").as("max_span"))
+    toks.select(col(idCol), col("n_tok"))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_spans", "dup_tokens", "max_span"))
+      .withColumn("dup_ratio",
+        col("dup_tokens").cast("double") / col("n_tok").cast("double"))
+  }
+
+  /**
+   * Substring-dedup SURGERY — [[dupSpans]] actually applied: every token
+   * covered by a duplicated k-gram span is REMOVED from the text (the
+   * aggressive all-occurrences variant of the published "delete repeated
+   * 50-token spans" recipe; deleting every occurrence rather than keeping
+   * one canonical copy is the deterministic choice that needs no global
+   * occurrence election). Returns one row per input doc:
+   * (idCol, clean_text, n_tok, n_removed) where clean_text re-joins the
+   * surviving tokens with single spaces and n_removed is the exact covered
+   * token count (a doc that was entirely duplicated spans becomes the
+   * empty string, not a dropped row — row-count preservation is what lets
+   * this stage compose into pipelines).
+   *
+   * Scale shape: [[dupIslands]]'s gram-agg + semi-join + doc-keyed window,
+   * then the per-doc span set (bounded by n_tok/k entries) collects into
+   * ONE array column and a single codegen'd `filter` HOF drops covered
+   * tokens in O(n_tok x spans) per doc — never an exploded token-level
+   * join, so clean-up costs one doc-keyed aggregation regardless of how
+   * duplicated the corpus is.
+   */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+    val spanSets = dupIslands(toks, idCol, k)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("first_p").as("f"), col("last_p").as("l")))
+        .as("spans"),
+        sum(col("span_len").cast("long")).as("n_removed"))
+    toks
+      .join(spanSets, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        expr(s"concat_ws(' ', filter(toks, (t, j) -> spans IS NULL OR " +
+          s"NOT exists(spans, sp -> j >= sp.f AND j <= sp.l + ${k - 1})))")
+          .as("clean_text"),
+        col("n_tok"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** (idCol, toks, n_tok): whitespace tokenization shared by the span
+    * family; `split`/`concat_ws(' ')` round-trip exactly (consecutive
+    * delimiters become empty-string tokens and re-join identically). */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol), split(col(textCol), " ").as("toks"))
       .withColumn("n_tok", size(col("toks")))
+
+  /**
+   * Maximal duplicated-span extents per doc: (idCol, island, first_p,
+   * last_p, span_len) — every k-gram occurring more than once anywhere
+   * marks its start; per-doc gaps-and-islands (a gap > k between
+   * consecutive starts opens a new island) merges overlapping/adjacent
+   * marks. `span_len` counts tokens first_p .. last_p + k - 1. Shared by
+   * [[dupSpans]] (census) and [[removeDupSpans]] (surgery).
+   */
+  private def dupIslands(toks: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"gram size k ($k) must be positive")
     val grams = toks
       .filter(col("n_tok") >= k)
       .select(col(idCol), posexplode(expr(
@@ -278,23 +343,13 @@ object Dedup {
       .select("gram")
     val dupOcc = grams.join(dupGrams, Seq("gram"), "left_semi").select(col(idCol), col("p"))
     val w = Window.partitionBy(idCol).orderBy("p")
-    val islands = dupOcc
+    dupOcc
       .withColumn("new_island",
         coalesce((col("p") - lag("p", 1).over(w) > k).cast("int"), lit(1)))
       .withColumn("island", sum(col("new_island"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = islands
       .groupBy(col(idCol), col("island"))
       .agg(min("p").as("first_p"), max("p").as("last_p"))
       .withColumn("span_len", col("last_p") - col("first_p") + k)
-    val perDoc = spans.groupBy(idCol).agg(
-      count(lit(1)).as("n_dup_spans"),
-      sum(col("span_len").cast("long")).as("dup_tokens"),
-      max("span_len").as("max_span"))
-    toks.select(col(idCol), col("n_tok"))
-      .join(perDoc, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_dup_spans", "dup_tokens", "max_span"))
-      .withColumn("dup_ratio",
-        col("dup_tokens").cast("double") / col("n_tok").cast("double"))
   }
 }

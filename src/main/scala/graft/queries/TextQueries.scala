@@ -6580,7 +6580,72 @@ object TextQueries {
         "8-gram repeating anywhere in the corpus marks its position; " +
         "per-doc gaps-and-islands merges marks into maximal spans with " +
         "exact covered-token counts — gram-keyed count agg + semi-join " +
-        "fan, no position lists, no all-pairs.")
+        "fan, no position lists, no all-pairs.",
+    ),
+
+    // ---------------------------------------------------------------- q232
+    Q(
+      "q232_dup_span_surgery",
+      (s, dir) => {
+        // q231's spans actually APPLIED: every token covered by a
+        // duplicated 8-gram span is removed from the text (aggressive
+        // all-occurrences variant — deterministic, no global occurrence
+        // election), docs preserved as rows even when fully erased.
+        // Scale: dupIslands' gram-agg + semi-join + doc window, then the
+        // per-doc span set (≤ n_tok/8 entries) collects into ONE array
+        // column and a codegen'd filter HOF drops covered tokens — never
+        // an exploded token-level join. The oracle rebuilds the clean
+        // text from an independent covered-position set (distinct
+        // exploded positions), cross-checking the island arithmetic.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Dedup.removeDupSpans(docs, "doc_id", "text", k = 8)
+          .selectExpr(
+            "doc_id",
+            "clean_text",
+            "cast(n_tok as int) as n_tok",
+            "cast(n_removed as bigint) as n_removed")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        occ AS (
+          SELECT doc_id, CAST(u.i AS INTEGER) AS p,
+                 array_to_string(list_slice(ts, u.i + 1, u.i + 8), ' ') AS gram
+          FROM toks, unnest(range(0, len(ts) - 8 + 1)) AS u(i)
+          WHERE len(ts) >= 8),
+        dup AS (
+          SELECT gram FROM occ GROUP BY gram HAVING COUNT(1) > 1),
+        docc AS (
+          SELECT doc_id, p FROM occ JOIN dup USING (gram)),
+        cov AS (
+          SELECT DISTINCT doc_id, CAST(p + u.i AS INTEGER) AS j
+          FROM docc, unnest(range(0, 8)) AS u(i)),
+        tok AS (
+          SELECT doc_id, CAST(u.i AS INTEGER) AS j,
+                 ts[CAST(u.i + 1 AS INTEGER)] AS t
+          FROM toks, unnest(range(0, len(ts))) AS u(i)),
+        kept AS (
+          SELECT tok.doc_id, tok.j, tok.t
+          FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+          WHERE cov.j IS NULL),
+        clean AS (
+          SELECT doc_id, string_agg(t, ' ' ORDER BY j) AS clean_text
+          FROM kept GROUP BY doc_id),
+        rem AS (
+          SELECT doc_id, COUNT(1) AS n_removed FROM cov GROUP BY doc_id)
+        SELECT t.doc_id,
+               COALESCE(clean_text, '') AS clean_text,
+               CAST(len(ts) AS INTEGER) AS n_tok,
+               CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN clean USING (doc_id) LEFT JOIN rem USING (doc_id)
+        ORDER BY doc_id"""),
+      "Substring-dedup surgery: q231's duplicated-span extents applied — " +
+        "covered tokens removed everywhere (aggressive variant), rows " +
+        "preserved even when fully erased; per-doc span sets collect into " +
+        "one array and a codegen'd filter HOF cuts tokens, while the " +
+        "oracle rebuilds clean text from an independently-derived " +
+        "covered-position set.")
   )
 
   /** Merge count for the trained-BPE rows (q223/q224) — 16 per the r5

@@ -192,4 +192,43 @@ class DedupSessionizeSpec extends AnyFunSuite {
     assert(out(3L) === 2L, "gap > threshold starts a session")
     assert(out(4L) === 1L, "numbering restarts per key")
   }
+
+  test("Dedup.removeDupSpans cuts exactly the covered tokens, keeps rows") {
+    import spark.implicits._
+    // docs 1 & 2 share the 3-gram "a b c" (both occurrences removed);
+    // doc 3 repeats "x y z" internally twice; doc 4 is clean; doc 5 is
+    // ENTIRELY one duplicated gram (matches doc 6) -> empty clean_text.
+    val docs = Seq(
+      (1L, "p q a b c r s"),
+      (2L, "a b c t u v w"),
+      (3L, "x y z m n x y z"),
+      (4L, "one two three four"),
+      (5L, "dup gram here"),
+      (6L, "dup gram here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(out.size === 6, "every input doc survives as a row")
+    assert(out(1L) === (("p q r s", 3L)))
+    assert(out(2L) === (("t u v w", 3L)))
+    assert(out(3L) === (("m n", 6L)), "both internal occurrences cut")
+    assert(out(4L) === (("one two three four", 0L)))
+    assert(out(5L) === (("", 3L)), "fully-duplicated doc becomes empty, not dropped")
+    assert(out(6L) === (("", 3L)))
+  }
+
+  test("Dedup.removeDupSpans n_removed agrees with dupSpans dup_tokens") {
+    val docs = graft.queries.Tables.table(spark, Sf, "documents")
+      .select("doc_id", "text")
+    val census = Dedup.dupSpans(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("dup_tokens"))
+    val surgery = Dedup.removeDupSpans(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("n_removed").as("dup_tokens"))
+    assert(census.exceptAll(surgery).count() === 0 &&
+      surgery.exceptAll(census).count() === 0,
+      "census and surgery must count the same covered tokens")
+  }
 }
