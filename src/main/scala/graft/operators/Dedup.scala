@@ -313,6 +313,53 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /**
+   * C4-style global segment dedup — KEEP-FIRST variant. The text splits
+   * into consecutive non-overlapping w-token segments (the "lines" of a
+   * corpus that carries no newlines; C4 deduplicated three-sentence spans
+   * the same way); each distinct segment keeps exactly ONE occurrence
+   * corpus-wide — the globally first by (idCol, seg_no) — and every later
+   * occurrence is deleted. Returns one row per input doc:
+   * (idCol, clean_text, n_seg, n_seg_removed) with rows preserved even
+   * when every segment of a doc loses its election.
+   *
+   * Contrast with [[removeDupSpans]]: that removes ALL occurrences of
+   * duplicated material (decontamination-style surgery); this retains one
+   * canonical copy (training-mixture-preserving dedup), which requires a
+   * global election instead of a local predicate.
+   *
+   * Scale shape: one segment-keyed aggregation electing min(struct(id,
+   * seg_no)) — map-side combinable, no position lists — then one
+   * segment-keyed join fanning each occurrence once, and one doc-keyed
+   * aggregate re-assembling surviving segments via
+   * array_sort(collect_list(struct)) bounded by n_tok/w entries per doc.
+   * A segment duplicated a million times costs its occurrence count once
+   * through the join, never count squared.
+   */
+  def keepFirstSegments(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"segment width w ($w) must be positive")
+    val segs = tokenized(docs, idCol, textCol)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(n_tok / ${w}.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))")))
+      .withColumnRenamed("pos", "seg_no")
+      .withColumnRenamed("col", "seg")
+    val firsts = segs
+      .groupBy("seg")
+      .agg(min(struct(col(idCol).as("id"), col("seg_no").as("sn"))).as("first_occ"))
+    segs
+      .join(firsts, Seq("seg"))
+      .withColumn("kept",
+        col(idCol) === col("first_occ.id") && col("seg_no") === col("first_occ.sn"))
+      .groupBy(idCol)
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN " +
+            "struct(seg_no, seg) END)), x -> x.seg)")).as("clean_text"),
+        count(lit(1)).as("n_seg"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_seg_removed"))
+  }
+
   /** (idCol, toks, n_tok): whitespace tokenization shared by the span
     * family; `split`/`concat_ws(' ')` round-trip exactly (consecutive
     * delimiters become empty-string tokens and re-join identically). */

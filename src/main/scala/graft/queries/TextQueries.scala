@@ -6646,6 +6646,53 @@ object TextQueries {
         "one array and a codegen'd filter HOF cuts tokens, while the " +
         "oracle rebuilds clean text from an independently-derived " +
         "covered-position set.")
+    ,
+
+    // ---------------------------------------------------------------- q233
+    Q(
+      "q233_keep_first_segments",
+      (s, dir) => {
+        // C4-style global segment dedup, keep-first variant: text splits
+        // into non-overlapping 10-token segments; each distinct segment
+        // keeps exactly its globally-first occurrence (min (doc_id,
+        // seg_no)) and later occurrences are deleted. Needs a GLOBAL
+        // election — contrast q232, which removes all occurrences via a
+        // local predicate. Scale: segment-keyed min-struct agg (map-side
+        // combinable) + one segment-keyed join + doc-keyed reassembly.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        graft.operators.Dedup.keepFirstSegments(docs, "doc_id", "text", w = 10)
+          .selectExpr(
+            "doc_id",
+            "clean_text",
+            "cast(n_seg as int) as n_seg",
+            "cast(n_seg_removed as bigint) as n_seg_removed")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        segs AS (
+          SELECT doc_id, CAST(u.i AS INTEGER) AS seg_no,
+                 array_to_string(list_slice(ts, u.i * 10 + 1, u.i * 10 + 10), ' ') AS seg
+          FROM toks, unnest(range(0, CAST(ceil(len(ts) / 10.0) AS INTEGER))) AS u(i)),
+        ranked AS (
+          SELECT doc_id, seg_no, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+          FROM segs),
+        clean AS (
+          SELECT doc_id,
+                 string_agg(seg, ' ' ORDER BY seg_no) FILTER (WHERE rn = 1) AS clean_text,
+                 CAST(COUNT(1) AS INTEGER) AS n_seg,
+                 CAST(COUNT(1) FILTER (WHERE rn > 1) AS BIGINT) AS n_seg_removed
+          FROM ranked GROUP BY doc_id)
+        SELECT doc_id, COALESCE(clean_text, '') AS clean_text, n_seg, n_seg_removed
+        FROM clean ORDER BY doc_id"""),
+      "C4-style global segment dedup (keep-first): non-overlapping " +
+        "10-token segments, each distinct segment keeps only its " +
+        "corpus-wide first occurrence by (doc_id, seg_no) — a global " +
+        "min-struct election + segment-keyed join, versus q232's " +
+        "all-occurrences surgery; oracle re-elects with a row_number " +
+        "window.")
   )
 
   /** Merge count for the trained-BPE rows (q223/q224) — 16 per the r5

@@ -220,6 +220,56 @@ class DedupSessionizeSpec extends AnyFunSuite {
     assert(out(6L) === (("", 3L)))
   }
 
+  test("Dedup.keepFirstSegments keeps exactly the globally-first occurrence") {
+    import spark.implicits._
+    // w=2 segments. "a b" appears in doc 1 (seg 0), doc 1 again (seg 2),
+    // and doc 2 (seg 0): only doc 1 seg 0 survives. Tail segments shorter
+    // than w are segments too ("e" in doc 2). Doc 3 is all-duplicate ->
+    // empty clean_text but still a row.
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "a b e"),
+      (3L, "c d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.keepFirstSegments(docs, "doc_id", "text", w = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_seg"),
+          r.getAs[Long]("n_seg_removed"))))
+      .toMap
+    assert(out(1L) === (("a b c d", 3L, 1L)), "second in-doc occurrence cut")
+    assert(out(2L) === (("e", 2L, 1L)), "cross-doc later occurrence cut, tail kept")
+    assert(out(3L) === (("", 1L, 1L)), "fully-duplicated doc empties but survives")
+  }
+
+  test("Dedup.keepFirstSegments: union of survivors has no duplicate segment") {
+    val docs = graft.queries.Tables.table(spark, Sf, "documents")
+      .select("doc_id", "text")
+    val cleaned = Dedup.keepFirstSegments(docs, "doc_id", "text", w = 10)
+    val resegmented = cleaned
+      .filter(length(col("clean_text")) > 0)
+      .select(col("doc_id"), split(col("clean_text"), " ").as("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1), " +
+          "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))")).as("seg"))
+    // Note: re-joining survivors shifts segment boundaries, so this is a
+    // conservative check on the ELECTION itself, done pre-reassembly:
+    val segsKeptTwice = graft.operators.Dedup
+      .keepFirstSegments(docs, "doc_id", "text", w = 10)
+      .agg(sum("n_seg").as("total"), sum("n_seg_removed").as("removed"))
+      .collect()(0)
+    val distinctSegs = docs
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1), " +
+          "i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))")).as("seg"))
+      .select("seg").distinct().count()
+    assert(segsKeptTwice.getAs[Long]("total") - segsKeptTwice.getAs[Long]("removed")
+      === distinctSegs,
+      "survivor count must equal the number of distinct segments")
+    assert(resegmented.count() > 0)
+  }
+
   test("Dedup.removeDupSpans n_removed agrees with dupSpans dup_tokens") {
     val docs = graft.queries.Tables.table(spark, Sf, "documents")
       .select("doc_id", "text")
