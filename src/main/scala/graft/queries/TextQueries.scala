@@ -6693,7 +6693,141 @@ object TextQueries {
         "min-struct election + segment-keyed join, versus q232's " +
         "all-occurrences surgery; oracle re-elects with a row_number " +
         "window.")
+    ,
+
+    // ---------------------------------------------------------------- q234
+    Q(
+      "q234_logit_quality_fit",
+      (s, dir) => {
+        // Distributed batch-GD classifier (Logit.fit, the kmeansFit
+        // driver-loop pattern): Elliott fast-sigmoid link (exp-free —
+        // every op exactly-rounded IEEE, so weights are bit-identical
+        // across engines), gradients via the exact-DECIMAL sum spelling.
+        // Features: min-max-scaled token count, distinct-token ratio and
+        // 'spark'-token rate; label = rate above corpus mean. Each of
+        // the 8 iterations is ONE corpus scan collapsing map-side to 5
+        // scalar sums; weights travel as plan literals. The oracle
+        // replays all 8 unrolled iterations in materialized CTEs.
+        val raw = table(s, dir, "documents").select(
+          col("doc_id"),
+          expr("cast(size(split(text, ' ')) as double)").as("ntok"),
+          expr("cast(size(array_distinct(split(text, ' '))) as double) " +
+            "/ cast(size(split(text, ' ')) as double)").as("uniq"),
+          expr("cast(size(filter(split(text, ' '), t -> t = 'spark')) as double) " +
+            "/ cast(size(split(text, ' ')) as double)").as("rate"))
+        val stats = raw.agg(
+          min("ntok").as("ntok_min"), max("ntok").as("ntok_max"),
+          min("uniq").as("uniq_min"), max("uniq").as("uniq_max"),
+          min("rate").as("rate_min"), max("rate").as("rate_max"),
+          expr("cast(sum(cast(round(rate, 9) as decimal(28,12))) as double) " +
+            "/ cast(count(1) as double)").as("rate_mean"))
+        val feats = raw.crossJoin(broadcast(stats))
+          .select(
+            col("doc_id"),
+            ((col("ntok") - col("ntok_min")) / (col("ntok_max") - col("ntok_min"))).as("x1"),
+            ((col("uniq") - col("uniq_min")) / (col("uniq_max") - col("uniq_min"))).as("x2"),
+            ((col("rate") - col("rate_min")) / (col("rate_max") - col("rate_min"))).as("x3"),
+            when(col("rate") > col("rate_mean"), 1.0).otherwise(0.0).as("y"))
+          .localCheckpoint(true) // scanned iters+1 times below
+        val xs = Seq("x1", "x2", "x3")
+        val w = graft.operators.Logit.fit(feats, xs, "y", logitIters, logitLr)
+        val p = graft.operators.Logit.prob(w, xs)
+        feats
+          .agg(
+            sum(when((p >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L)).as("n_correct"),
+            count(lit(1)).as("n"),
+            sum(col("y")).cast("bigint").as("n_pos"))
+          .select(
+            round(lit(w(0)), 6).as("b"),
+            round(lit(w(1)), 6).as("w_ntok"),
+            round(lit(w(2)), 6).as("w_uniq"),
+            round(lit(w(3)), 6).as("w_rate"),
+            round(col("n_correct").cast("double") / col("n").cast("double"), 6)
+              .as("accuracy"),
+            col("n_pos"))
+      },
+      Some(duckLogitSql),
+      "Distributed gradient-descent quality classifier: Elliott-link " +
+        "logistic-style fit over three scaled doc features, 8 driver-loop " +
+        "iterations of one map-collapsing corpus scan each, exact-DECIMAL " +
+        "gradient sums making every weight bit-identical across engines; " +
+        "oracle replays the full unrolled descent in materialized CTEs.")
   )
+
+  /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
+    * init-order gotcha: `all`'s oracle strings are built during object
+    * init and a below-`all` val reads 0 there). */
+  private def logitIters = 8
+  private def logitLr = 2.0
+
+  /** Generated DuckDB twin of [[graft.operators.Logit.fit]] for q234:
+    * feature CTEs (raw → stats → feats, same min-max + exact-DECIMAL
+    * mean-rate spelling as the Spark side), then per iteration K a probs
+    * CTE p_K (Elliott link under w_{K-1}) and a weights CTE w_K (exact
+    * DECIMAL gradient sums, lr step) — MATERIALIZED because each w_K is
+    * referenced twice and DuckDB inlines plain CTEs exponentially. */
+  private def duckLogitSql: String = {
+    val probs = (k: Int) =>
+      s"""p_$k AS MATERIALIZED (
+         |  SELECT f.y, f.x1, f.x2, f.x3,
+         |         0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+         |  FROM (SELECT f.y, f.x1, f.x2, f.x3,
+         |               w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+         |        FROM feats f CROSS JOIN w_${k - 1} w) f)""".stripMargin
+    val step = (k: Int) =>
+      s"""w_$k AS MATERIALIZED (
+         |  SELECT w.b - $logitLr * (g.g0 / g.n) AS b,
+         |         w.w1 - $logitLr * (g.g1 / g.n) AS w1,
+         |         w.w2 - $logitLr * (g.g2 / g.n) AS w2,
+         |         w.w3 - $logitLr * (g.g3 / g.n) AS w3
+         |  FROM w_${k - 1} w CROSS JOIN (
+         |    SELECT CAST(COUNT(1) AS DOUBLE) AS n,
+         |           CAST(SUM(CAST(round(p - y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+         |           CAST(SUM(CAST(round((p - y) * x1, 9) AS DECIMAL(28,12))) AS DOUBLE) AS g1,
+         |           CAST(SUM(CAST(round((p - y) * x2, 9) AS DECIMAL(28,12))) AS DOUBLE) AS g2,
+         |           CAST(SUM(CAST(round((p - y) * x3, 9) AS DECIMAL(28,12))) AS DOUBLE) AS g3
+         |    FROM p_$k) g)""".stripMargin
+    val rounds = (1 to logitIters).map(k => probs(k) + ",\n" + step(k)).mkString(",\n")
+    s"""
+       |WITH raw AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(len(ts) AS DOUBLE) AS ntok,
+       |         CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS uniq,
+       |         CAST(len(list_filter(ts, t -> t = 'spark')) AS DOUBLE)
+       |           / CAST(len(ts) AS DOUBLE) AS rate
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+       |stats AS MATERIALIZED (
+       |  SELECT min(ntok) AS ntok_min, max(ntok) AS ntok_max,
+       |         min(uniq) AS uniq_min, max(uniq) AS uniq_max,
+       |         min(rate) AS rate_min, max(rate) AS rate_max,
+       |         CAST(SUM(CAST(round(rate, 9) AS DECIMAL(28,12))) AS DOUBLE)
+       |           / CAST(COUNT(1) AS DOUBLE) AS rate_mean
+       |  FROM raw),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         (ntok - ntok_min) / (ntok_max - ntok_min) AS x1,
+       |         (uniq - uniq_min) / (uniq_max - uniq_min) AS x2,
+       |         (rate - rate_min) / (rate_max - rate_min) AS x3,
+       |         CASE WHEN rate > rate_mean THEN 1.0 ELSE 0.0 END AS y
+       |  FROM raw CROSS JOIN stats),
+       |w_0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |$rounds,
+       |p_f AS (
+       |  SELECT f.y,
+       |         0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+       |  FROM (SELECT f.y,
+       |               w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 AS z
+       |        FROM feats f CROSS JOIN w_$logitIters w) f),
+       |acc AS (
+       |  SELECT round(CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / CAST(COUNT(1) AS DOUBLE), 6) AS accuracy,
+       |         CAST(SUM(y) AS BIGINT) AS n_pos
+       |  FROM p_f)
+       |SELECT round(w.b, 6) AS b, round(w.w1, 6) AS w_ntok,
+       |       round(w.w2, 6) AS w_uniq, round(w.w3, 6) AS w_rate,
+       |       acc.accuracy, acc.n_pos
+       |FROM w_$logitIters w CROSS JOIN acc""".stripMargin
+  }
 
   /** Merge count for the trained-BPE rows (q223/q224) — 16 per the r5
     * verdict's "oracle-green at 16+ merges" bar. A `def`, NOT a `val`:
