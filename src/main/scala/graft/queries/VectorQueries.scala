@@ -2242,6 +2242,151 @@ object VectorQueries {
         "each vector's nProbe nearest cells — pair recovery vs exact " +
         "probe-bounded truth rises strictly at nProbe 1/2/4; cluster-keyed " +
         "equi-joins, work linear in nProbe, never all-pairs.")
+    ,
+
+    // ---------------------------------------------------------------- q235
+    Q(
+      "q235_ivfpq_search",
+      (s, dir) => {
+        // The COMPOSED production ANN index (Faiss IVFPQ shape, no-residual
+        // variant): coarse IVF routing restricts candidates to each probe's
+        // nProbe=2 nearest cells, PQ asymmetric distance (q165's LUT) ranks
+        // them WITHOUT touching candidate floats, the ADC top-10 shortlist
+        // alone is re-ranked in full precision, and each final hit carries
+        // an in_exact3 flag against the global brute-force top-3 — the
+        // recall audit built into the result. Scale: index = codes + cell
+        // ids only (floats never shuffle in the candidate path), LUT is
+        // probes x 32 broadcast, candidate work is O(probed-cell sizes),
+        // re-rank fetches full vectors for probes x 10 rows only.
+        val e = table(s, dir, "embeddings")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+        val cellOf = graft.operators.Ann
+          .ivfAssign(s, e.select("vec_id", "embedding"), "vec_id", "embedding", cents)
+          .select("vec_id", "cluster_id")
+        val probeCells = e.filter(col("vec_id") < 20)
+          .crossJoin(broadcast(cents))
+          .withColumn("cdot", expr("vec_dot(embedding, ce)"))
+          .withColumn("rn", expr(
+            "row_number() over (partition by vec_id order by cdot desc, centroid_id asc)"))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id").as("pid"), col("centroid_id").as("cluster_id"))
+        val probesV = doubleVecs(s, dir).filter(col("vec_id") < 20)
+          .select(col("vec_id").as("pid"), col("v").as("pv"))
+        val lut = probesV.crossJoin(broadcast(pqCentroids(s, dir)))
+          .selectExpr("pid", "m", "cid",
+            """aggregate(zip_with(slice(pv, m * 8 + 1, 8), sc,
+                 (x, c) -> (x - c) * (x - c)), cast(0 as double), (acc, x) -> acc + x) as d2m""")
+        val shortlist = pqAssigned(s, dir).select("vec_id", "m", "cid")
+          .join(cellOf, Seq("vec_id"))
+          .join(probeCells, Seq("cluster_id"))
+          .filter(col("vec_id") =!= col("pid"))
+          .join(broadcast(lut), Seq("pid", "m", "cid"))
+          .groupBy("pid", "vec_id")
+          .agg(sum(expr("cast(round(d2m, 9) as decimal(28,12))")).as("ad2"))
+          .withColumn("arn", expr(
+            "row_number() over (partition by pid order by ad2 asc, vec_id asc)"))
+          .filter(col("arn") <= 10)
+        val reranked = shortlist
+          .join(doubleVecs(s, dir), Seq("vec_id"))
+          .join(broadcast(probesV), Seq("pid"))
+          .withColumn("ed2", expr(
+            """aggregate(zip_with(v, pv, (x, p) -> (x - p) * (x - p)),
+                 cast(0 as double), (acc, x) -> acc + x)"""))
+          .withColumn("rank", expr(
+            "row_number() over (partition by pid order by ed2 asc, vec_id asc)"))
+          .filter(col("rank") <= 3)
+        val exact3 = doubleVecs(s, dir)
+          .crossJoin(broadcast(probesV))
+          .filter(col("vec_id") =!= col("pid"))
+          .withColumn("ed2", expr(
+            """aggregate(zip_with(v, pv, (x, p) -> (x - p) * (x - p)),
+                 cast(0 as double), (acc, x) -> acc + x)"""))
+          .withColumn("rn", expr(
+            "row_number() over (partition by pid order by ed2 asc, vec_id asc)"))
+          .filter(col("rn") <= 3)
+          .select(col("pid"), col("vec_id"), lit(true).as("in_exact3"))
+        reranked
+          .join(exact3, Seq("pid", "vec_id"), "left")
+          .selectExpr("pid", "rank", "vec_id",
+            "round(cast(ad2 as double), 6) as ad2_r",
+            "round(ed2, 6) as ed2_r",
+            "coalesce(in_exact3, false) as in_exact3")
+          .orderBy("pid", "rank")
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        $duckAssigned,
+        $duckPqCtes,
+        probes AS (SELECT vec_id AS pid, v AS pv FROM v WHERE vec_id < 20),
+        pcell AS (
+          SELECT vec_id AS pid, centroid_id AS cluster_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cdot DESC, centroid_id ASC) AS rn FROM dots)
+          WHERE rn <= 2 AND vec_id < 20),
+        lut AS (
+          SELECT p.pid, c.m, c.cid,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 9), j ->
+                     (p.pv[CAST(c.m * 8 + j AS INTEGER)] - c.sc[CAST(j AS INTEGER)])
+                       * (p.pv[CAST(c.m * 8 + j AS INTEGER)] - c.sc[CAST(j AS INTEGER)]))),
+                   (acc, x) -> acc + x) AS d2m
+          FROM probes p CROSS JOIN pqc c),
+        shortlist AS (
+          SELECT pid, vec_id, ad2 FROM (
+            SELECT pid, vec_id, ad2,
+                   row_number() OVER (PARTITION BY pid
+                                      ORDER BY ad2 ASC, vec_id ASC) AS arn
+            FROM (
+              SELECT pc.pid, q.vec_id,
+                     SUM(CAST(round(l.d2m, 9) AS DECIMAL(28,12))) AS ad2
+              FROM pqa q
+              JOIN assigned a ON a.vec_id = q.vec_id
+              JOIN pcell pc ON pc.cluster_id = a.cluster_id
+              JOIN lut l ON l.pid = pc.pid AND l.m = q.m AND l.cid = q.cid
+              WHERE q.vec_id <> pc.pid
+              GROUP BY pc.pid, q.vec_id))
+          WHERE arn <= 10),
+        rr AS (
+          SELECT pid, vec_id, ad2, ed2,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY ed2 ASC, vec_id ASC) AS rank
+          FROM (
+            SELECT s.pid, s.vec_id, s.ad2,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, 65), j ->
+                       (e.v[CAST(j AS INTEGER)] - p.pv[CAST(j AS INTEGER)])
+                         * (e.v[CAST(j AS INTEGER)] - p.pv[CAST(j AS INTEGER)]))),
+                     (acc, x) -> acc + x) AS ed2
+            FROM shortlist s
+            JOIN v e ON e.vec_id = s.vec_id
+            JOIN probes p ON p.pid = s.pid)),
+        exact3 AS (
+          SELECT pid, vec_id FROM (
+            SELECT p.pid, e.vec_id,
+                   row_number() OVER (PARTITION BY p.pid ORDER BY
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, 65), j ->
+                         (e.v[CAST(j AS INTEGER)] - p.pv[CAST(j AS INTEGER)])
+                           * (e.v[CAST(j AS INTEGER)] - p.pv[CAST(j AS INTEGER)]))),
+                       (acc, x) -> acc + x) ASC, e.vec_id ASC) AS rn
+            FROM v e CROSS JOIN probes p
+            WHERE e.vec_id <> p.pid)
+          WHERE rn <= 3)
+        SELECT r.pid, r.rank, r.vec_id,
+               round(CAST(r.ad2 AS DOUBLE), 6) AS ad2_r,
+               round(r.ed2, 6) AS ed2_r,
+               (e3.vec_id IS NOT NULL) AS in_exact3
+        FROM rr r LEFT JOIN exact3 e3 ON e3.pid = r.pid AND e3.vec_id = r.vec_id
+        WHERE r.rank <= 3
+        ORDER BY r.pid, r.rank"""),
+      "Composed IVF-PQ index search (the Faiss IVFPQ shape): coarse cells " +
+        "bound the candidate set, PQ asymmetric-distance LUTs rank it with " +
+        "codes only, the ADC top-10 is re-ranked full-precision, and every " +
+        "hit carries an in_exact3 recall flag vs brute-force truth — " +
+        "floats never enter the candidate join.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
