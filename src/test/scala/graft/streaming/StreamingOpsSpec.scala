@@ -86,6 +86,49 @@ class StreamingOpsSpec extends AnyFunSuite {
       "streaming aHash rows must equal batch")
   }
 
+  test("PNG and GIF decode operators run unchanged on a binary stream") {
+    import spark.implicits._
+    // this round's codecs under the same live-ingest contract: the
+    // zlib-inflate PNG walk and the variable-width-LZW GIF walk are
+    // per-row mapPartitions decodes with no state, so streaming rows must
+    // equal batch rows byte-for-byte.
+    val payloads = docs.limit(50).collect().map { r =>
+      val bytes = r.getString(2).getBytes("UTF-8")
+      val h = math.max(1, (bytes.length + 4) / 5)
+      val rgb = new Array[Byte](15 * h)
+      bytes.indices.foreach { i =>
+        rgb(3 * i) = bytes(i); rgb(3 * i + 1) = bytes(i); rgb(3 * i + 2) = bytes(i)
+      }
+      val png = graft.operators.MediaCodecs.encodePng(5, h, 3, rgb)
+      val idx = bytes.map(b => (b & 0x7f).toByte)
+      val palette = Array.tabulate(128 * 3)(i => ((i / 3 * 2) & 0xff).toByte)
+      val gif = graft.operators.MediaCodecs.encodeGif(
+        idx.length, 1, idx, palette)
+      (r.getLong(0), png, gif)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    def run(f: DataFrame => DataFrame): (Set[Seq[Any]], Set[Seq[Any]]) = {
+      val mem = MemoryStream[(Long, Array[Byte], Array[Byte])]
+      mem.addData(payloads.toIndexedSeq)
+      val name = s"stream_media2_${System.nanoTime()}"
+      val q = f(mem.toDF().toDF("doc_id", "png", "gif"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val batchDf = f(spark.createDataset(payloads.toIndexedSeq)
+        .toDF("doc_id", "png", "gif"))
+      (spark.table(name).collect().map(_.toSeq).toSet,
+        batchDf.collect().map(_.toSeq).toSet)
+    }
+    val (sPng, bPng) = run(df =>
+      graft.operators.Multimodal.pngStats(df, "doc_id", "png"))
+    assert(sPng === bPng && bPng.size === 50,
+      "streaming PNG stats rows must equal batch")
+    val (sGif, bGif) = run(df =>
+      graft.operators.Multimodal.gifStats(df, "doc_id", "gif"))
+    assert(sGif === bGif && bGif.size === 50,
+      "streaming GIF stats rows must equal batch")
+  }
+
   test("Mixture.sampleByRates runs unchanged on a stream; output equals batch") {
     val rates = Map("src1" -> 0.8, "src2" -> 0.5, "src4" -> 0.0)
     def mix(df: DataFrame): DataFrame =
