@@ -337,13 +337,7 @@ object Dedup {
    * through the join, never count squared.
    */
   def keepFirstSegments(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    require(w >= 1, s"segment width w ($w) must be positive")
-    val segs = tokenized(docs, idCol, textCol)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, cast(ceil(n_tok / ${w}.0) as int) - 1), " +
-          s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))")))
-      .withColumnRenamed("pos", "seg_no")
-      .withColumnRenamed("col", "seg")
+    val segs = segments(docs, idCol, textCol, w)
     val firsts = segs
       .groupBy("seg")
       .agg(min(struct(col(idCol).as("id"), col("seg_no").as("sn"))).as("first_occ"))
@@ -358,6 +352,21 @@ object Dedup {
             "struct(seg_no, seg) END)), x -> x.seg)")).as("clean_text"),
         count(lit(1)).as("n_seg"),
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_seg_removed"))
+  }
+
+  /** (idCol, seg_no, seg): the consecutive non-overlapping w-token
+    * segmentation shared by [[keepFirstSegments]] and the streaming
+    * keep-first screen ([[graft.streaming.DedupStreams]]) — a pure
+    * projection (map-only), so the identical spelling runs on batch and
+    * streaming frames. The tail shorter than w is a segment too. */
+  def segments(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"segment width w ($w) must be positive")
+    tokenized(docs, idCol, textCol)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(n_tok / ${w}.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))")))
+      .withColumnRenamed("pos", "seg_no")
+      .withColumnRenamed("col", "seg")
   }
 
   /** (idCol, toks, n_tok): whitespace tokenization shared by the span

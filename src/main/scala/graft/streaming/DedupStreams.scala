@@ -16,6 +16,14 @@ final case class BandVerdict(doc_id: Long, band_no: Int, band_key: String, novel
 final case class HashClaim(h: String, doc_id: Long)
 final case class HashVerdict(doc_id: Long, h: String, novel: Boolean)
 
+/** One w-token segment occurrence / its keep-first verdict (the streaming
+  * twin of [[graft.operators.Dedup.keepFirstSegments]]'s election). */
+final case class SegClaim(doc_id: Long, seg_no: Int, seg: String)
+final case class SegVerdict(doc_id: Long, seg_no: Int, seg: String, kept: Boolean)
+
+/** State per distinct segment: the canonical (first) occurrence. */
+final case class SegOwner(doc_id: Long, seg_no: Int)
+
 /**
  * Streaming near-duplicate screening — the live-ingest tail of the batch
  * incremental dedup (q79): documents arrive on a stream, and each is graded
@@ -110,6 +118,65 @@ object DedupStreams {
             state.update(minId)
           }
           rs.iterator.map(c => HashVerdict(c.doc_id, key, !claimed))
+        })
+  }
+
+  /**
+   * Streaming keep-first segment dedup — the live-ingest twin of
+   * [[graft.operators.Dedup.keepFirstSegments]] (q233): every
+   * non-overlapping w-token segment keeps exactly ONE occurrence ever,
+   * the globally first by (doc_id, seg_no); every later occurrence gets
+   * `kept = false`. Emits one [[SegVerdict]] per segment occurrence —
+   * reassembly into clean text is a per-doc aggregation downstream
+   * (batch-side, or foreachBatch in the pipeline).
+   *
+   * Unlike the band/hash SCREENS above (state-at-batch-open: same-batch
+   * collisions don't flag each other), this is a full ELECTION: within a
+   * micro-batch the minimal (doc_id, seg_no) occurrence wins, matching
+   * the batch operator's min-struct election exactly. Parity with the
+   * batch result therefore needs only the MONOTONE-INGEST contract —
+   * docs must arrive in nondecreasing (doc_id, seg_no) order across
+   * micro-batches — and the contract is LOUD: an arrival ordered before
+   * an already-elected owner throws (append mode cannot retract the
+   * earlier verdict), rather than silently diverging from batch.
+   *
+   * State bound: one (long, int) owner per distinct segment —
+   * O(distinct segments), hash-partitioned by the state store; cap with
+   * a state TTL in production when the contract is "dedup against the
+   * last N days".
+   */
+  def keepFirstSegmentScreen(
+      spark: SparkSession,
+      docs: DataFrame,
+      w: Int): Dataset[SegVerdict] = {
+    import spark.implicits._
+    graft.operators.Dedup.segments(docs, "doc_id", "text", w)
+      .select(col("doc_id"), col("seg_no").cast("int").as("seg_no"), col("seg"))
+      .as[SegClaim]
+      .groupByKey(_.seg)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (seg: String, rows: Iterator[SegClaim], state: GroupState[SegOwner]) => {
+          val rs = rows.toArray.sortBy(r => (r.doc_id, r.seg_no))
+          if (rs.isEmpty) Iterator.empty
+          else {
+          val prior = state.getOption
+          prior.foreach { p =>
+            if (rs.nonEmpty &&
+              (rs(0).doc_id < p.doc_id ||
+                (rs(0).doc_id == p.doc_id && rs(0).seg_no < p.seg_no)))
+              throw new IllegalStateException(
+                s"DedupStreams.keepFirstSegmentScreen: monotone-ingest contract " +
+                  s"violated for segment '${seg.take(40)}': occurrence " +
+                  s"(${rs(0).doc_id}, ${rs(0).seg_no}) arrived after owner " +
+                  s"(${p.doc_id}, ${p.seg_no}) was already elected — batch " +
+                  s"parity is unrecoverable in append mode")
+          }
+          if (prior.isEmpty)
+            state.update(SegOwner(rs(0).doc_id, rs(0).seg_no))
+          val owner = state.get
+          rs.iterator.map(r => SegVerdict(r.doc_id, r.seg_no, r.seg,
+            prior.isEmpty && r.doc_id == owner.doc_id && r.seg_no == owner.seg_no))
+          }
         })
   }
 }

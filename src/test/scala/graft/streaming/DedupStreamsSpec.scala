@@ -112,4 +112,64 @@ class DedupStreamsSpec extends AnyFunSuite {
     assert(!bands.exists(_.getLong(0) == 1L), "sub-3-token docs have no shingles")
     assert(bands.count(_.getLong(0) == 2L) === 2, "one claim per band")
   }
+
+  test("streaming keep-first segment election equals batch q233 under monotone ingest") {
+    val verdicts = twoBatchStream(df =>
+      DedupStreams.keepFirstSegmentScreen(spark, df, w = 10).toDF())
+    // reassemble streamed survivors into per-doc clean text + counters,
+    // compare against the batch operator on the full corpus
+    val streamed = verdicts
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN " +
+            "struct(seg_no, seg) END)), x -> x.seg)")).as("clean_text"),
+        count(lit(1)).as("n_seg"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_seg_removed"))
+    val batch = graft.operators.Dedup
+      .keepFirstSegments(docs, "doc_id", "text", w = 10)
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "streaming election must reproduce the batch keep-first result exactly")
+    assert(batch.filter(col("n_seg_removed") > 0).count() > 0,
+      "fixture must actually contain duplicated segments or parity proves nothing")
+  }
+
+  test("keep-first segment screen: intra-batch election + loud monotone contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val name = s"segfirst_${System.nanoTime()}"
+    val q = DedupStreams.keepFirstSegmentScreen(
+        spark, mem.toDF().toDF("doc_id", "text"), w = 2)
+      .toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: docs 5 and 7 share "a b" -> FULL election inside the
+      // batch (unlike the screens): doc 5 keeps, doc 7 does not
+      mem.addData(Seq((5L, "a b x y"), (7L, "a b z w")))
+      q.processAllAvailable()
+      // batch 2: doc 9 brings "a b" again -> not kept
+      mem.addData(Seq((9L, "a b q r")))
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(2)) -> r.getBoolean(3)).toMap
+      assert(out((5L, "a b")) && !out((7L, "a b")),
+        "intra-batch duplicates elect exactly one keeper")
+      assert(!out((9L, "a b")), "later batches lose to the stored owner")
+      assert(out((5L, "x y")) && out((7L, "z w")) && out((9L, "q r")),
+        "unique segments keep")
+      // batch 3: doc 1 (ordered BEFORE owner 5) re-claims "a b" -> the
+      // monotone contract must fail the query loudly, not emit kept=false
+      mem.addData(Seq((1L, "a b early")))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def rootChain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => String.valueOf(e.getMessage)).toSeq
+      assert(rootChain(ex).exists(_.contains("monotone-ingest contract")),
+        s"expected the loud contract failure, got: ${rootChain(ex).mkString(" <- ")}")
+    } finally q.stop()
+  }
 }
