@@ -6752,6 +6752,114 @@ object TextQueries {
         "iterations of one map-collapsing corpus scan each, exact-DECIMAL " +
         "gradient sums making every weight bit-identical across engines; " +
         "oracle replays the full unrolled descent in materialized CTEs.")
+    ,
+
+    // ---------------------------------------------------------------- q236
+    Q(
+      "q236_url_dedup",
+      (s, dir) => {
+        // URL-level dedup — the FIRST dedup pass of a crawl pipeline,
+        // before any content hashing: tracking-tagged shares, www/port/
+        // trailing-slash variants and re-crawls of one page collapse to
+        // one canonical key via the codegen'd canonical_url expression
+        // (fragment strip, case, www, default ports, trailing slashes,
+        // utm_/fbclid removal, byte-order param sort). URLs are
+        // synthesized deterministically from doc fields so every rule is
+        // exercised; the oracle replays both the construction and each
+        // canonicalization rule in portable string SQL. Scale: map-only
+        // canonicalization inside WholeStageCodegen + ONE hash aggregate
+        // on the canonical key.
+        graft.functions.UrlExpressions.register(s)
+        table(s, dir, "documents")
+          .selectExpr("doc_id", "source")
+          .withColumn("url", expr(
+            """concat(
+                 case when doc_id % 2 = 0 then 'HTTP://WWW.' else 'https://' end,
+                 source, '.Example.com',
+                 case when doc_id % 2 = 0 then ':80' else ':443' end,
+                 '/',
+                 case when doc_id % 3 = 0 then 'Arch/'
+                      when doc_id % 3 = 1 then 'Arch'
+                      else 'b/c/' end,
+                 '?utm_source=feed&z=', cast(doc_id % 5 as string),
+                 '&A=1&fbclid=xyz',
+                 '#frag-', cast(doc_id as string))"""))
+          .withColumn("canonical_url", expr("canonical_url(url)"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+          .orderBy("canonical_url")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 concat(
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://' END,
+                   source, '.Example.com',
+                   CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END,
+                   '/',
+                   CASE WHEN doc_id % 3 = 0 THEN 'Arch/'
+                        WHEN doc_id % 3 = 1 THEN 'Arch'
+                        ELSE 'b/c/' END,
+                   '?utm_source=feed&z=', CAST(doc_id % 5 AS VARCHAR),
+                   '&A=1&fbclid=xyz',
+                   '#frag-', CAST(doc_id AS VARCHAR)) AS url
+          FROM documents),
+        nofrag AS (SELECT doc_id, split_part(url, '#', 1) AS u FROM raw),
+        parts AS (
+          SELECT doc_id,
+                 lower(split_part(u, '://', 1)) AS scheme,
+                 split_part(u, '://', 2) AS rest
+          FROM nofrag),
+        seg AS (
+          SELECT doc_id, scheme,
+                 lower(split_part(split_part(rest, '/', 1), '?', 1)) AS auth,
+                 CASE WHEN position('/' IN rest) > 0
+                      THEN substr(rest, position('/' IN rest)) ELSE '' END AS pq
+          FROM parts),
+        dewww AS (
+          SELECT doc_id, scheme,
+                 CASE WHEN starts_with(auth, 'www.') THEN substr(auth, 5)
+                      ELSE auth END AS a, pq
+          FROM seg),
+        hp AS (
+          SELECT doc_id, scheme,
+                 CASE WHEN position(':' IN a) > 0 THEN split_part(a, ':', 1)
+                      ELSE a END AS host,
+                 CASE WHEN position(':' IN a) > 0 THEN split_part(a, ':', 2)
+                      ELSE '' END AS port, pq
+          FROM dewww),
+        hp2 AS (
+          SELECT doc_id, scheme, host,
+                 CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE ':' || port END AS portseg, pq
+          FROM hp),
+        pathq AS (
+          SELECT doc_id, scheme, host, portseg,
+                 rtrim(split_part(pq, '?', 1), '/') AS path,
+                 CASE WHEN position('?' IN pq) > 0 THEN split_part(pq, '?', 2)
+                      ELSE '' END AS query
+          FROM hp2),
+        canon AS (
+          SELECT doc_id,
+                 concat(scheme, '://', host, portseg, path,
+                   CASE WHEN len(kept) > 0
+                        THEN concat('?', array_to_string(kept, '&'))
+                        ELSE '' END) AS canonical_url
+          FROM (
+            SELECT *, list_sort(list_filter(string_split(query, '&'), p ->
+                     p <> ''
+                     AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_')
+                     AND NOT lower(split_part(p, '=', 1))
+                         IN ('fbclid', 'gclid', 'msclkid', 'ref'))) AS kept
+            FROM pathq))
+        SELECT canonical_url, COUNT(1) AS n_docs, MIN(doc_id) AS keeper
+        FROM canon GROUP BY canonical_url ORDER BY canonical_url"""),
+      "URL-level dedup, the first pass of crawl curation: the codegen'd " +
+        "canonical_url expression collapses tracking params, www/port/" +
+        "slash variants and fragments to one canonical key (byte-order " +
+        "param sort), then one hash aggregate elects the keeper; the " +
+        "oracle replays every canonicalization rule in portable SQL.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
