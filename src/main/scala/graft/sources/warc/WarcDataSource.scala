@@ -41,8 +41,9 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
 }
 
 /** Validated options: `path` (required), `extensions` (CSV of accepted
-  * file suffixes, default ".warc,.warc.gz"). */
-final case class WarcOptions(path: String, extensions: Seq[String])
+  * file suffixes, default ".warc,.warc.gz"), `maxFilesPerTrigger`
+  * (streaming admission control, 0 = unbounded). */
+final case class WarcOptions(path: String, extensions: Seq[String], maxFilesPerTrigger: Int)
 
 object WarcOptions {
   def from(get: String => Option[String]): WarcOptions = {
@@ -52,7 +53,13 @@ object WarcOptions {
       .split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
     if (exts.isEmpty)
       throw new IllegalArgumentException("'extensions' must name at least one file suffix")
-    WarcOptions(path, exts)
+    val mft = get("maxFilesPerTrigger").map(_.trim) match {
+      case None => 0
+      case Some(s) => s.toIntOption.filter(_ >= 0).getOrElse(
+        throw new IllegalArgumentException(
+          "'maxFilesPerTrigger' must be a non-negative integer"))
+    }
+    WarcOptions(path, exts, mft)
   }
 }
 
@@ -77,7 +84,7 @@ class WarcTable(opts: WarcOptions) extends Table with SupportsRead {
   override def schema(): StructType = WarcSchema.schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(opts)

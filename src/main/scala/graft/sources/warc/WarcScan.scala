@@ -98,6 +98,11 @@ class WarcScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(store, required.fieldNames, typeKeep)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(
+      opts, required.fieldNames, typeKeep, opts.maxFilesPerTrigger, store)
 }
 
 final case class WarcFilePartition(file: String) extends InputPartition
