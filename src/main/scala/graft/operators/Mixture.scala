@@ -136,6 +136,28 @@ object Mixture {
    * be positive and non-null — zero/negative/null fail loudly (a zero
    * weight would divide to infinity and a null would silently drop).
    */
+  /** The A-Res race-key spelling shared by [[weightedSample]],
+    * [[weightedSamplePerGroup]] and the STREAMING reservoir
+    * ([[graft.streaming.MixtureStreams]]): u from the salted hash,
+    * round(-ln(u)/w, 9), loud null/non-positive contracts. One spelling =
+    * streaming and batch race with bit-identical keys, which is what makes
+    * the streaming reservoir equal the batch sample under ANY ingest
+    * order (keys are content-derived, not arrival-derived). */
+  private[graft] def raceKeyExpr(
+      keyCol: String, weightCol: String, salt: String, opName: String): String = {
+    val hash = graft.functions.HashConventions
+      .md5long48(s"concat('$salt|', cast($keyCol as string))")
+    val guardedHash =
+      s"""case when $keyCol is null then cast(raise_error(
+            '$opName: $keyCol is null — the contract requires a non-null unique row key') as bigint)
+          else $hash end"""
+    val u = s"(cast(($guardedHash) % 1000000 as double) + 1.0d) / 1000000.0d"
+    s"""case when $weightCol is null or $weightCol <= 0
+          then cast(raise_error(
+            '$opName: $weightCol must be positive and non-null') as double)
+        else round(-ln($u) / cast($weightCol as double), 9) end"""
+  }
+
   def weightedSample(
       df: DataFrame,
       keyCol: String,
@@ -146,18 +168,7 @@ object Mixture {
     val reserved = Set("wkey")
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
-    val hash = graft.functions.HashConventions
-      .md5long48(s"concat('$salt|', cast($keyCol as string))")
-    val guardedHash =
-      s"""case when $keyCol is null then cast(raise_error(
-            'Mixture.weightedSample: $keyCol is null — the contract requires a non-null unique row key') as bigint)
-          else $hash end"""
-    val u = s"(cast(($guardedHash) % 1000000 as double) + 1.0d) / 1000000.0d"
-    val wkey =
-      s"""case when $weightCol is null or $weightCol <= 0
-            then cast(raise_error(
-              'Mixture.weightedSample: $weightCol must be positive and non-null') as double)
-          else round(-ln($u) / cast($weightCol as double), 9) end"""
+    val wkey = raceKeyExpr(keyCol, weightCol, salt, "Mixture.weightedSample")
     df.withColumn("wkey", expr(wkey))
       .orderBy(col("wkey"), col(keyCol))
       .limit(k)
@@ -193,18 +204,7 @@ object Mixture {
     val reserved = Set("wkey", "rank")
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
-    val hash = graft.functions.HashConventions
-      .md5long48(s"concat('$salt|', cast($keyCol as string))")
-    val guardedHash =
-      s"""case when $keyCol is null then cast(raise_error(
-            'Mixture.weightedSamplePerGroup: $keyCol is null — the contract requires a non-null unique row key') as bigint)
-          else $hash end"""
-    val u = s"(cast(($guardedHash) % 1000000 as double) + 1.0d) / 1000000.0d"
-    val wkey =
-      s"""case when $weightCol is null or $weightCol <= 0
-            then cast(raise_error(
-              'Mixture.weightedSamplePerGroup: $weightCol must be positive and non-null') as double)
-          else round(-ln($u) / cast($weightCol as double), 9) end"""
+    val wkey = raceKeyExpr(keyCol, weightCol, salt, "Mixture.weightedSamplePerGroup")
     val guardedGroup =
       s"""case when $groupCol is null then cast(raise_error(
             'Mixture.weightedSamplePerGroup: $groupCol is null — a null stratum has no defined quota') as string)
