@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -318,5 +319,78 @@ object Mixture {
       .filter(col("mix_copy") < col("mix_full") ||
         expr(s"$guardedHash % 1000000") < col("mix_thresh"))
       .drop("mix_copies", "mix_full", "mix_thresh")
+  }
+
+  /**
+   * Budget-constrained mixture WATERFILLING — the allocation step of
+   * pretraining-mixture design: distribute `budget` tokens across sources
+   * proportionally to `wCol` (the desired mixture weight), but never give
+   * a source more than `capCol` (the tokens it actually has — "at most
+   * one epoch of wiki, fill the rest from web"). The optimum is
+   * a_i = min(cap_i, lambda * w_i) with a common water level lambda; this
+   * computes it CLOSED-FORM, no iteration: sort sources by cap/weight
+   * ascending (saturation order — the set of capped sources is always a
+   * prefix), take prefix sums, and a source saturates iff
+   * `cap_i * (W - cumw_{i-1}) <= (B - cumcap_{i-1}) * w_i` — the
+   * cross-multiplied comparison keeps the entire decision in EXACT
+   * integer arithmetic (weights, caps, budget are bigints); doubles enter
+   * only in the final unsaturated allocation division. When the budget
+   * exceeds total availability every source caps.
+   *
+   * Input `perSource(srcCol, wCol: bigint > 0, capCol: bigint >= 0)` —
+   * one row per source. The frame is sources-sized (tiny by construction:
+   * a mixture has tens of sources, not millions), so the two global
+   * windows here are over a broadcast-scale frame; the CORPUS never
+   * enters this operator — callers aggregate it to per-source stats
+   * first, which is one map-collapsing pass.
+   *
+   * Returns (srcCol, w, cap, saturated, allocation) with allocation
+   * rounded to 6 decimals and Σ allocation = budget (up to that
+   * rounding) whenever budget <= Σ cap.
+   */
+  def waterfillAllocations(
+      perSource: DataFrame,
+      srcCol: String,
+      wCol: String,
+      capCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget ($budget) must be non-negative")
+    val byRatio = Window.orderBy(
+      (col("cap") * lit(1.0) / col("w")).asc, col(srcCol).asc)
+    val cum = byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val guarded = perSource.select(
+      col(srcCol),
+      expr(s"""case when $wCol is null or $wCol <= 0
+                 then cast(raise_error(
+                   'Mixture.waterfillAllocations: $wCol must be positive and non-null') as bigint)
+               else cast($wCol as bigint) end""").as("w"),
+      expr(s"""case when $capCol is null or $capCol < 0
+                 then cast(raise_error(
+                   'Mixture.waterfillAllocations: $capCol must be non-negative and non-null') as bigint)
+               else cast($capCol as bigint) end""").as("cap"))
+    guarded
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("cumcap", sum(col("cap")).over(cum))
+      .withColumn("totw", sum(col("w")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("totcap", sum(col("cap")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // prefix sums EXCLUDING the current row
+      .withColumn("pw", col("cumw") - col("w"))
+      .withColumn("pcap", col("cumcap") - col("cap"))
+      .withColumn("saturated",
+        lit(budget) >= col("totcap") ||
+          col("cap") * (col("totw") - col("pw")) <= (lit(budget) - col("pcap")) * col("w"))
+      // water level from the saturation boundary (exact-int numerator/denominator)
+      .withColumn("satcap", sum(when(col("saturated"), col("cap")).otherwise(0L)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("unsatw", sum(when(col("saturated"), 0L).otherwise(col("w"))).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("allocation",
+        when(col("saturated"), col("cap").cast("double"))
+          .otherwise(round(
+            (lit(budget) - col("satcap")).cast("double") * col("w").cast("double")
+              / col("unsatw").cast("double"), 6)))
+      .select(col(srcCol), col("w"), col("cap"), col("saturated"), col("allocation"))
   }
 }

@@ -6860,6 +6860,63 @@ object TextQueries {
         "slash variants and fragments to one canonical key (byte-order " +
         "param sort), then one hash aggregate elects the keeper; the " +
         "oracle replays every canonicalization rule in portable SQL.")
+    ,
+
+    // ---------------------------------------------------------------- q237
+    Q(
+      "q237_mixture_waterfill",
+      (s, dir) => {
+        // Pretraining-mixture ALLOCATION: distribute a 60%-of-corpus token
+        // budget across sources proportionally to doc count, capped by
+        // each source's actual tokens ("at most one epoch of wiki") —
+        // closed-form waterfilling: sort by cap/weight, prefix sums, and
+        // the cross-multiplied saturation test keeps the whole decision
+        // in EXACT bigint arithmetic (doubles only in the final
+        // unsaturated division). The corpus collapses to one sources-
+        // sized frame in a single map-combining pass; the operator's
+        // global windows run over that tiny frame only. The 1-row total
+        // collect is documented driver control (the kmeansFit pattern).
+        val per = table(s, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("w"),
+            sum(expr("size(split(text, ' '))").cast("long")).as("cap"))
+        val tot = per.agg(sum("cap")).head().getLong(0)
+        graft.operators.Mixture
+          .waterfillAllocations(per, "source", "w", "cap", 6L * tot / 10L)
+          .orderBy("source")
+      },
+      Some("""
+        WITH per AS (
+          SELECT source, CAST(COUNT(1) AS BIGINT) AS w,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap
+          FROM documents GROUP BY source),
+        tot AS (SELECT (6 * SUM(cap)) // 10 AS b FROM per),
+        s AS (
+          SELECT source, w, cap,
+                 SUM(w) OVER (ORDER BY cap * 1.0 / w, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS pw,
+                 SUM(cap) OVER (ORDER BY cap * 1.0 / w, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cap AS pcap,
+                 SUM(w) OVER () AS totw, SUM(cap) OVER () AS totcap
+          FROM per),
+        sat AS (
+          SELECT *, (b >= totcap OR cap * (totw - pw) <= (b - pcap) * w) AS saturated
+          FROM s CROSS JOIN tot),
+        lvl AS (
+          SELECT *,
+                 SUM(CASE WHEN saturated THEN cap ELSE 0 END) OVER () AS satcap,
+                 SUM(CASE WHEN saturated THEN 0 ELSE w END) OVER () AS unsatw
+          FROM sat)
+        SELECT source, w, cap, saturated,
+               CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                    ELSE round(CAST(b - satcap AS DOUBLE) * CAST(w AS DOUBLE)
+                           / CAST(unsatw AS DOUBLE), 6) END AS allocation
+        FROM lvl ORDER BY source"""),
+      "Mixture waterfilling: budget split proportional to weight under " +
+        "per-source availability caps, closed-form via saturation-ordered " +
+        "prefix sums with cross-multiplied EXACT bigint comparisons — no " +
+        "iteration, corpus collapses to a sources-sized frame first; the " +
+        "oracle replays the identical window algebra.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the

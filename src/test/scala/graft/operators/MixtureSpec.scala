@@ -292,4 +292,52 @@ class MixtureSpec extends AnyFunSuite {
         "source", "doc_id", Map("a" -> 0.5), 0.5, "t")
     }
   }
+
+  test("waterfillAllocations: hand-computed saturation, budget conservation") {
+    import spark.implicits._
+    // weights 1:1:2, caps 10/100/100, budget 90. Level starts at 90/4 =
+    // 22.5 -> 'a' (cap 10 < 22.5) saturates; remaining 80 over weights
+    // 1:2 -> b = 26.666667, c = 53.333333 (both under cap).
+    val per = Seq(("a", 1L, 10L), ("b", 1L, 100L), ("c", 2L, 100L))
+      .toDF("source", "w", "cap")
+    val out = Mixture.waterfillAllocations(per, "source", "w", "cap", 90L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(out("a") === ((true, 10.0)))
+    assert(out("b") === ((false, 26.666667)))
+    assert(out("c") === ((false, 53.333333)))
+    assert(math.abs(out.values.map(_._2).sum - 90.0) < 1e-5,
+      "allocations must conserve the budget")
+  }
+
+  test("waterfillAllocations: budget over availability caps everything; edges loud") {
+    import spark.implicits._
+    val per = Seq(("a", 5L, 10L), ("b", 1L, 20L)).toDF("source", "w", "cap")
+    val all = Mixture.waterfillAllocations(per, "source", "w", "cap", 1000L)
+      .collect().map(r => (r.getBoolean(3), r.getDouble(4))).toSeq
+    assert(all === Seq((true, 10.0), (true, 20.0)), "over-budget saturates all")
+    val zero = Mixture.waterfillAllocations(per, "source", "w", "cap", 0L)
+      .agg(sum("allocation")).head().getDouble(0)
+    assert(zero === 0.0, "zero budget allocates nothing")
+    intercept[IllegalArgumentException] {
+      Mixture.waterfillAllocations(per, "source", "w", "cap", -1L)
+    }
+    val err = intercept[Exception] {
+      Mixture.waterfillAllocations(
+        Seq(("a", 0L, 10L)).toDF("source", "w", "cap"),
+        "source", "w", "cap", 5L).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("waterfillAllocations: cascading saturation fills in cap/weight order") {
+    import spark.implicits._
+    // equal weights, caps 1/2/1000, budget 12: level 4 -> a AND b saturate
+    // (cascade: after a caps at 1, level (12-1)/2 = 5.5 still > 2), c gets 9
+    val per = Seq(("a", 1L, 1L), ("b", 1L, 2L), ("c", 1L, 1000L))
+      .toDF("source", "w", "cap")
+    val out = Mixture.waterfillAllocations(per, "source", "w", "cap", 12L)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out === Map("a" -> 1.0, "b" -> 2.0, "c" -> 9.0))
+  }
 }
