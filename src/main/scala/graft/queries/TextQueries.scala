@@ -6917,6 +6917,113 @@ object TextQueries {
         "prefix sums with cross-multiplied EXACT bigint comparisons — no " +
         "iteration, corpus collapses to a sources-sized frame first; the " +
         "oracle replays the identical window algebra.")
+    ,
+
+    // ---------------------------------------------------------------- q238
+    Q(
+      "q238_budget_fill",
+      (s, dir) => {
+        // q237's allocations REALIZED: per source, keep documents in
+        // salted-hash order while the cumulative token count stays within
+        // the waterfilled allocation (greedy prefix — deterministic,
+        // growth-stable, never exceeds budget). The per-source cumsum is
+        // the Packer two-phase shape SEGMENTED by source: hash-mod
+        // buckets, per-(source,bucket) totals, a (sources x 16)-row
+        // broadcast offset frame, and within-bucket windows bounded by
+        // rows/16 per source — no source-sized sort partition anywhere.
+        val hash = graft.functions.HashConventions
+          .md5long48("concat('fill|', cast(doc_id as string))")
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("size(split(text, ' '))").cast("long").as("n_tok"))
+        val per = docs.groupBy("source")
+          .agg(count(lit(1)).as("w"), sum("n_tok").as("cap"))
+        val tot = per.agg(sum("cap")).head().getLong(0)
+        val alloc = graft.operators.Mixture
+          .waterfillAllocations(per, "source", "w", "cap", 6L * tot / 10L)
+          .select(col("source"), col("allocation"))
+        val w = org.apache.spark.sql.expressions.Window
+        val bucketed = docs
+          .withColumn("h", expr(hash))
+          .withColumn("bucket", expr("cast(h % 16 as int)"))
+        val offsets = bucketed.groupBy("source", "bucket")
+          .agg(sum("n_tok").as("b_tot"))
+          .withColumn("b_off", coalesce(
+            sum("b_tot").over(w.partitionBy("source").orderBy("bucket")
+              .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+          .select("source", "bucket", "b_off")
+        val wLocal = w.partitionBy("source", "bucket").orderBy("h", "doc_id")
+          .rowsBetween(w.unboundedPreceding, -1)
+        bucketed
+          .withColumn("loc_off", coalesce(sum("n_tok").over(wLocal), lit(0L)))
+          .join(broadcast(offsets), Seq("source", "bucket"))
+          .withColumn("tok_offset", col("b_off") + col("loc_off"))
+          .join(broadcast(alloc), Seq("source"))
+          .withColumn("kept",
+            (col("tok_offset") + col("n_tok")).cast("double") <= col("allocation"))
+          .groupBy("source")
+          .agg(
+            first("allocation").as("allocation"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+          .withColumn("fill_ratio",
+            round(col("tok_kept").cast("double") / col("allocation"), 6))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 ${graft.functions.HashConventions
+                   .duckMd5long48("'fill|' || cast(doc_id as varchar)")} AS h
+          FROM documents),
+        per AS (
+          SELECT source, CAST(COUNT(1) AS BIGINT) AS w,
+                 CAST(SUM(n_tok) AS BIGINT) AS cap
+          FROM docs GROUP BY source),
+        tot AS (SELECT (6 * SUM(cap)) // 10 AS b FROM per),
+        s AS (
+          SELECT source, w, cap,
+                 SUM(w) OVER (ORDER BY cap * 1.0 / w, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS pw,
+                 SUM(cap) OVER (ORDER BY cap * 1.0 / w, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cap AS pcap,
+                 SUM(w) OVER () AS totw, SUM(cap) OVER () AS totcap
+          FROM per),
+        sat AS (
+          SELECT *, (b >= totcap OR cap * (totw - pw) <= (b - pcap) * w) AS saturated
+          FROM s CROSS JOIN tot),
+        lvl AS (
+          SELECT *,
+                 SUM(CASE WHEN saturated THEN cap ELSE 0 END) OVER () AS satcap,
+                 SUM(CASE WHEN saturated THEN 0 ELSE w END) OVER () AS unsatw
+          FROM sat),
+        alloc AS (
+          SELECT source,
+                 CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                      ELSE round(CAST(b - satcap AS DOUBLE) * CAST(w AS DOUBLE)
+                             / CAST(unsatw AS DOUBLE), 6) END AS allocation
+          FROM lvl),
+        cum AS (
+          SELECT d.*, a.allocation,
+                 COALESCE(SUM(n_tok) OVER (PARTITION BY d.source
+                   ORDER BY h % 16, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM docs d JOIN alloc a ON a.source = d.source),
+        verdicts AS (
+          SELECT *, CAST(tok_offset + n_tok AS DOUBLE) <= allocation AS kept
+          FROM cum)
+        SELECT source, any_value(allocation) AS allocation,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+               round(CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS DOUBLE)
+                 / any_value(allocation), 6) AS fill_ratio
+        FROM verdicts GROUP BY source ORDER BY source"""),
+      "Budget realization: q237's waterfilled allocations applied as a " +
+        "deterministic greedy hash-order prefix per source — two-phase " +
+        "bucketed cumsum segmented by source (no source-sized sort " +
+        "partition), broadcast offset/allocation frames; the oracle " +
+        "replays waterfill AND selection in one chain.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the

@@ -321,9 +321,13 @@ class PlanShapesSpec extends AnyFunSuite {
     // partition column — either nothing before the frame (unordered) or
     // only ASC/DESC-marked order columns. The ONLY allowed global frames
     // are the tiny aggregate inputs: GlobalRank/Packer offset sums over
-    // their nBuckets-row counts (sum(cnt#/b_tot#) and the n_seg total.
+    // their nBuckets-row counts (sum(cnt#/b_tot#), the n_seg total, and
+    // Mixture.waterfillAllocations' prefix/total sums over its
+    // sources-sized per-source frame (reserved aliases cumw/cumcap/totw/
+    // satcap/unsatw — the corpus never enters that operator).
     // This audit caught q69's corpus-sized Window.partitionBy() in round 5.
-    val allowed = Seq("sum(cnt#", "sum(b_tot#")
+    val allowed = Seq("sum(cnt#", "sum(b_tot#",
+      "AS cumw#", "AS cumcap#", "AS totw#", "AS satcap#", "AS unsatw#")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
       plan.linesIterator.filter(_.contains("windowspecdefinition(")).flatMap { line =>
