@@ -7024,6 +7024,44 @@ object TextQueries {
         "bucketed cumsum segmented by source (no source-sized sort " +
         "partition), broadcast offset/allocation frames; the oracle " +
         "replays waterfill AND selection in one chain.")
+    ,
+
+    // ---------------------------------------------------------------- q239
+    Q(
+      "q239_html_extract",
+      (s, dir) => {
+        // Text extraction from markup — the stage between crawl payloads
+        // and text curation: each doc is wrapped in a full HTML shell
+        // (head/title/style to drop, comment, h1, &nbsp;-separated body,
+        // trailing script) and the codegen'd strip_html expression must
+        // recover EXACTLY `source + ' ' + text`. The oracle replays the
+        // CONSTRUCTION, not the parser — an independent ground truth the
+        // stripper has to land on byte-for-byte, 500x per SF. Map-only,
+        // one WholeStageCodegen span.
+        graft.functions.HtmlExpressions.register(s)
+        table(s, dir, "documents")
+          .selectExpr("doc_id", "source", "text")
+          .withColumn("html", expr(
+            """concat('<html><!-- crawl ', cast(doc_id as string),
+                 ' --><head><title>t</title><style>p{margin:0}</style></head><body><h1>',
+                 source, '</h1><p>', replace(text, ' ', '&nbsp;'),
+                 '</p><script>var j = 1;</script></body></html>')"""))
+          .selectExpr(
+            "doc_id",
+            "strip_html(html) as clean_text",
+            "cast(length(strip_html(html)) as int) as n_clean_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               source || ' ' || text AS clean_text,
+               CAST(len(source || ' ' || text) AS INTEGER) AS n_clean_chars
+        FROM documents ORDER BY doc_id"""),
+      "HTML text extraction: the strip_html native expression (comment/" +
+        "script/style/head removal with contents, tags as block " +
+        "boundaries, entity decode, whitespace collapse) recovers the " +
+        "exact pre-markup text from a fully-dressed HTML shell — the " +
+        "oracle replays the construction, not the parser.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
