@@ -69,10 +69,15 @@ class CrawlPipelineSpec extends AnyFunSuite {
         val canon = if (i % 3 == 2) i - 1 else i
         val uri = s"HTTP://WWW.site${canon % 4}.example:80/p/$canon" +
           (if (i % 3 == 2) "?utm_source=feed" else "")
-        val body =
+        val words =
           if (i >= 40 && i < 45) page(40, 30 + (i - 40))
           else if (i >= 50 && i < 55) page(5, i)
           else page(40, i)
+        // realistic payload: an HTTP response message whose body is HTML —
+        // the pipeline must peel BOTH layers before text curation
+        val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<html><head><title>t</title></head><body><p>$words</p>" +
+          "<script>var x=1;</script></body></html>"
         g.write(rec(i, "response", uri, body))
         if (i % 3 == 0) g.write(rec(1000 + i, "request", uri, s"GET /p/$canon"))
       }
@@ -81,16 +86,25 @@ class CrawlPipelineSpec extends AnyFunSuite {
     seg("CC-SEG-0.warc.gz", 0 until 30)
     seg("CC-SEG-1.warc.gz", 30 until 60)
 
-    // ---- stage 1: scan with pushed type filter, payload -> text
+    // ---- stage 1: scan with pushed type filter; peel HTTP then HTML
     graft.functions.UrlExpressions.register(spark)
+    graft.functions.HtmlExpressions.register(spark)
     val responses = spark.read.format("warc").load(dir.toString)
       .filter(col("record_type") === "response")
       .select(
         expr("cast(regexp_extract(record_id, '<urn:uuid:p-(\\\\d+)>', 1) as bigint)")
           .as("doc_id"),
         col("target_uri"),
-        expr("cast(payload as string)").as("text"))
+        expr("cast(payload as string)").as("http"))
+      .withColumn("status",
+        expr("cast(regexp_extract(http, '^HTTP/1.1 (\\\\d+)', 1) as int)"))
+      .withColumn("text", expr(
+        "strip_html(substring(http, locate('\\r\\n\\r\\n', http) + 4))"))
+      .drop("http")
     assert(responses.count() === 60, "request records never leave the scan")
+    assert(responses.filter(col("status") === 200).count() === 60)
+    assert(responses.filter(col("text").rlike("^\\w+ ")).count() === 60,
+      "HTML shells must strip back to plain word text")
 
     // ---- stage 2: URL-level dedup election (min doc_id per canonical url)
     val urlKept = responses
