@@ -7062,6 +7062,66 @@ object TextQueries {
         "boundaries, entity decode, whitespace collapse) recovers the " +
         "exact pre-markup text from a fully-dressed HTML shell — the " +
         "oracle replays the construction, not the parser.")
+    ,
+
+    // ---------------------------------------------------------------- q240
+    Q(
+      "q240_kneser_ney",
+      (s, dir) => {
+        // Interpolated Kneser-Ney bigram smoothing (d = 0.75) — the
+        // standard LM smoothing, beside q141's add-k bigram and q146's
+        // backoff: discounted ML head + continuation tail weighted by the
+        // context's type fan-out. Everything derives from four EXACT
+        // count frames (bigram counts, context totals, forward/backward
+        // type counts, distinct-bigram total) built by map-combinable
+        // aggregates; doubles enter only in the final scoring arithmetic
+        // (exactly-rounded ops, bit-identical cross-engine). Scored on
+        // the 20 most frequent bigrams (count desc, lexicographic ties)
+        // — a TakeOrderedAndProject, never a global sort.
+        val bg = table(s, dir, "documents")
+          .select(split(col("text"), " ").as("toks"))
+          .select(posexplode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] as w1, toks[i + 1] as w2))")))
+          .select(col("col.w1").as("w1"), col("col.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val ctx = bg.groupBy("w1")
+          .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+        val bwd = bg.groupBy("w2").agg(count(lit(1)).as("n1b"))
+        val tot = bg.agg(count(lit(1)).as("tot"))
+        bg
+          .join(broadcast(ctx), Seq("w1"))
+          .join(broadcast(bwd), Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("w1", "w2", "c12",
+            """round((greatest(cast(c12 as double) - 0.75d, 0d) / cast(c1 as double))
+                 + ((0.75d * cast(n1f as double) / cast(c1 as double))
+                    * (cast(n1b as double) / cast(tot as double))), 6) as p_kn""")
+          .orderBy(col("c12").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""
+        WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        occ AS (
+          SELECT toks[CAST(u.i + 1 AS INTEGER)] AS w1,
+                 toks[CAST(u.i + 2 AS INTEGER)] AS w2
+          FROM d, unnest(range(0, len(toks) - 1)) AS u(i)),
+        bg AS (SELECT w1, w2, CAST(COUNT(1) AS BIGINT) AS c12
+               FROM occ GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                       CAST(COUNT(1) AS BIGINT) AS n1f
+                FROM bg GROUP BY w1),
+        bwd AS (SELECT w2, CAST(COUNT(1) AS BIGINT) AS n1b FROM bg GROUP BY w2),
+        tot AS (SELECT CAST(COUNT(1) AS BIGINT) AS tot FROM bg)
+        SELECT w1, w2, c12,
+               round((greatest(CAST(c12 AS DOUBLE) - 0.75, 0) / CAST(c1 AS DOUBLE))
+                 + ((0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))
+                    * (CAST(n1b AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS p_kn
+        FROM bg JOIN ctx USING (w1) JOIN bwd USING (w2) CROSS JOIN tot
+        ORDER BY c12 DESC, w1, w2 LIMIT 20"""),
+      "Interpolated Kneser-Ney bigram smoothing: discounted ML head plus " +
+        "type-fan-out-weighted continuation tail, built entirely from " +
+        "four exact map-combinable count frames — doubles only in the " +
+        "final exactly-rounded scoring; top-20 via TakeOrderedAndProject.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
