@@ -3764,5 +3764,82 @@ object CoreQueries {
         "view after -> first purchase after) via conditional user-keyed " +
         "aggregates, exact stage-gap medians via GlobalRank two-phase " +
         "ranks — how fast conversion happens, not just whether.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q241
+    Q(
+      "q241_mann_kendall",
+      (s, dir) => {
+        // Mann-Kendall monotone-trend test per nation over monthly revenue
+        // — the nonparametric drift monitor (is this series trending,
+        // without assuming a model?). The corpus collapses FIRST to a
+        // (nation x month) frame via one map-combining exact-DECIMAL
+        // aggregate; the pairwise sign stage is a nation-keyed self-join
+        // over that BOUNDED frame (80 months -> <=3160 pairs per nation,
+        // independent of corpus size — the pre-aggregate is what makes
+        // the O(n^2) statistic scale-safe). S and the tie-free normal
+        // approximation z derive exactly: decimal sums compare exactly,
+        // integer pair counts, doubles only in tau/z.
+        val monthly = table(s, dir, "orders")
+          .join(broadcast(table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), date_trunc("month", col("o_orderdate")).as("m"))
+          .agg(sum(expr("cast(round(o_totalprice, 9) as decimal(28,12))")).as("x"))
+        val a = monthly.select(col("nation"), col("m").as("m1"), col("x").as("x1"))
+        val b = monthly.select(col("nation"), col("m").as("m2"), col("x").as("x2"))
+        a.join(b, Seq("nation"))
+          .filter(col("m1") < col("m2"))
+          .groupBy("nation")
+          .agg(
+            sum(when(col("x2") > col("x1"), 1L)
+              .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s"),
+            (countDistinct(col("m1")) + lit(1)).as("n_months"))
+          .selectExpr(
+            "nation", "cast(n_months as bigint) as n_months", "s",
+            "round(cast(s as double) / (n_months * (n_months - 1) / 2), 6) as tau",
+            """round(case when s > 0 then (cast(s as double) - 1.0d)
+                            / sqrt(n_months * (n_months - 1) * (2 * n_months + 5) / 18.0d)
+                          when s < 0 then (cast(s as double) + 1.0d)
+                            / sqrt(n_months * (n_months - 1) * (2 * n_months + 5) / 18.0d)
+                          else 0.0d end, 6) as z""",
+            """case when s > 0 then 'increasing'
+                    when s < 0 then 'decreasing' else 'none' end as trend""")
+          .orderBy("nation")
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT n.n_name AS nation, date_trunc('month', o.o_orderdate) AS m,
+                 SUM(CAST(round(o.o_totalprice, 9) AS DECIMAL(28,12))) AS x
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY nation, m),
+        pairs AS (
+          SELECT a.nation,
+                 CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+                 a.m AS m1
+          FROM monthly a JOIN monthly b
+            ON a.nation = b.nation AND a.m < b.m),
+        st AS (
+          SELECT nation, CAST(SUM(sgn) AS BIGINT) AS s,
+                 CAST(COUNT(DISTINCT m1) + 1 AS BIGINT) AS n_months
+          FROM pairs GROUP BY nation)
+        SELECT nation, n_months, s,
+               round(CAST(s AS DOUBLE) / (n_months * (n_months - 1) / 2), 6) AS tau,
+               round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                            / sqrt(n_months * (n_months - 1) * (2 * n_months + 5) / 18.0)
+                          WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                            / sqrt(n_months * (n_months - 1) * (2 * n_months + 5) / 18.0)
+                          ELSE 0.0 END, 6) AS z,
+               CASE WHEN s > 0 THEN 'increasing'
+                    WHEN s < 0 THEN 'decreasing' ELSE 'none' END AS trend
+        FROM st ORDER BY nation"""),
+      "Mann-Kendall trend test per nation: monthly exact-DECIMAL revenue " +
+        "series (corpus collapses first, so the O(months^2) sign stage is " +
+        "bounded at <=3160 pairs/nation forever), S/tau/z with the " +
+        "continuity-corrected normal approximation — nonparametric drift " +
+        "monitoring beside q219's PSI.")
   )
 }
