@@ -73,11 +73,32 @@ class WarcScan(
     store: Bi5Store,
     required: StructType,
     typeKeep: Option[Set[String]])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** On-disk (compressed) byte total of the matched files — a deliberate
+    * UNDER-estimate for gzip (decompressed rows are larger), which errs
+    * toward broadcasting a small crawl side; row count is unknowable
+    * without parsing, so only sizeInBytes is reported. */
+  override def estimateStatistics(): Statistics = {
+    var bytes = 0L
+    def walk(p: String): Unit =
+      if (store.isDirectory(p)) store.children(p).foreach { e =>
+        if (e.isDir) walk(e.path)
+        else if (opts.extensions.exists(e.path.toLowerCase.endsWith)) bytes += e.size
+      }
+      else if (opts.extensions.exists(p.toLowerCase.endsWith))
+        bytes += (try store.fileSize(p) catch { case _: Exception => 0L })
+    if (store.exists(opts.path)) walk(opts.path)
+    val total = bytes
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
 
   override def description(): String = {
     val t = typeKeep.map(s => s.toSeq.sorted.mkString("record_type IN (", ",", ")"))

@@ -132,6 +132,16 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(missing.count() === 0, "missing root lists empty, never throws")
   }
 
+  test("scan reports compressed-byte statistics (broadcast-decision feed)") {
+    val dir = fixtureDir()
+    val df = spark.read.format("warc").load(dir.toString)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val expected = Seq("plain.warc", "multi.warc.gz")
+      .map(n => dir.resolve(n).toFile.length()).sum
+    assert(stats.sizeInBytes === BigInt(expected),
+      s"sizeInBytes must equal the matched files' on-disk total, got ${stats.sizeInBytes}")
+  }
+
   test("payload-pruned scan still returns exact lengths (bytes skipped, not read)") {
     val dir = fixtureDir()
     val lens = spark.read.format("warc").load(dir.toString)
