@@ -7122,6 +7122,84 @@ object TextQueries {
         "type-fan-out-weighted continuation tail, built entirely from " +
         "four exact map-combinable count frames — doubles only in the " +
         "final exactly-rounded scoring; top-20 via TakeOrderedAndProject.")
+    ,
+
+    // ---------------------------------------------------------------- q242
+    Q(
+      "q242_filter_agreement",
+      (s, dir) => {
+        // Cohen's kappa between two INDEPENDENT quality filters — the
+        // audit that tells a curation team whether two rules measure the
+        // same thing or genuinely complement (kappa ~ 1: redundant,
+        // drop one; kappa ~ 0: orthogonal signals). Rule A = the q29
+        // length/shape gate; rule B = the q146 entropy gate, thresholded
+        // on round(entropy, 6) — the rounded value is the one PROVEN
+        // bit-equal cross-engine by q146, so the label can never flip on
+        // a last-ulp log2 difference. One map-only labeling pass + one
+        // 4-cell contingency aggregate; kappa is pure 1-row arithmetic.
+        graft.functions.TextExpressions.register(s)
+        val labeled = table(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("alen", graft.operators.TextSignals
+            .avgTokenLen(col("text"), col("n_tokens")))
+          .withColumn("a",
+            col("n_tokens") >= 20 && col("alen") >= 2.0 && col("alen") <= 8.0)
+          .withColumn("b", expr("round(token_entropy(toks), 6) >= 4.0d"))
+        labeled
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+          .selectExpr("n", "n11", "n10", "n01", "n00",
+            "cast(n11 + n00 as double) / cast(n as double) as po_raw",
+            """cast((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) as double)
+                 / (cast(n as double) * cast(n as double)) as pe_raw""")
+          .selectExpr("n", "n11", "n10", "n01", "n00",
+            "round(po_raw, 6) as po", "round(pe_raw, 6) as pe",
+            "round((po_raw - pe_raw) / (1.0d - pe_raw), 6) as kappa")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        cnt AS (SELECT doc_id, tok, COUNT(1) AS c FROM tk GROUP BY doc_id, tok),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+        p AS (SELECT c.doc_id, c.tok, CAST(c.c AS DOUBLE) / t.n AS p
+              FROM cnt c JOIN tot t USING (doc_id)),
+        ent AS (SELECT doc_id,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(-(p * log2(p)) ORDER BY tok)), (a, v) -> a + v) AS h
+                FROM p GROUP BY doc_id),
+        lab AS (
+          SELECT d.doc_id,
+                 (len(d.toks) >= 20
+                  AND (CAST(len(d.text) - (len(d.toks) - 1) AS DOUBLE) / len(d.toks)) >= 2.0
+                  AND (CAST(len(d.text) - (len(d.toks) - 1) AS DOUBLE) / len(d.toks)) <= 8.0) AS a,
+                 round(e.h, 6) >= 4.0 AS b
+          FROM d JOIN ent e USING (doc_id)),
+        cells AS (
+          SELECT CAST(COUNT(1) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                 CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                 CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                 CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          FROM lab),
+        raw AS (
+          SELECT *, CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po_raw,
+                 CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe_raw
+          FROM cells)
+        SELECT n, n11, n10, n01, n00,
+               round(po_raw, 6) AS po, round(pe_raw, 6) AS pe,
+               round((po_raw - pe_raw) / (1.0 - pe_raw), 6) AS kappa
+        FROM raw"""),
+      "Cohen's kappa between two independent curation filters (q29 " +
+        "length/shape gate vs q146 entropy gate): one map-only labeling " +
+        "pass, one 4-cell contingency aggregate, kappa as 1-row exact " +
+        "arithmetic; the entropy label thresholds on the round-6 value " +
+        "q146 proves bit-equal cross-engine.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
