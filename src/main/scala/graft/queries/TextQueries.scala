@@ -7200,6 +7200,79 @@ object TextQueries {
         "pass, one 4-cell contingency aggregate, kappa as 1-row exact " +
         "arithmetic; the entropy label thresholds on the round-6 value " +
         "q146 proves bit-equal cross-engine.")
+    ,
+
+    // ---------------------------------------------------------------- q243
+    Q(
+      "q243_quantile_normalize",
+      (s, dir) => {
+        // Cross-source quantile normalization — the batch-effect remover:
+        // each doc's length score maps onto the POOLED distribution at
+        // its within-source percentile, so a systematically-short source
+        // stops dragging every downstream length filter. Two EXACT
+        // GlobalRank passes (per-source ranks, then pooled ranks — both
+        // two-phase bucketed, no source- or corpus-sized sort task); the
+        // 100-point pooled grid picks rows at integer-ceil target ranks
+        // (pure bigint arithmetic) and broadcasts into the final map-side
+        // lookup join.
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("size(split(text, ' '))").cast("long").as("score"))
+        val bySrc = graft.operators.GlobalRank
+          .withGlobalRank(docs, "source", "score", "doc_id")
+          .withColumn("p",
+            (col("rn").cast("double") - lit(0.5)) / col("n_seg").cast("double"))
+          .withColumn("bin", expr("cast(ceil(p * 100) as int)"))
+          .select("doc_id", "source", "score", "p", "bin")
+        val pooled = graft.operators.GlobalRank
+          .withGlobalRank(docs.withColumn("all", lit("all")), "all", "score", "doc_id")
+          .select(col("rn").as("prn"), col("score").as("pooled_score"),
+            col("n_seg").as("n_all"))
+        val grid = pooled
+          .crossJoin(broadcast(
+            s.range(1, 101).toDF("g")))
+          .filter(col("prn") === expr("cast((g * n_all + 99) div 100 as bigint)"))
+          .select(col("g").cast("int").as("bin"), col("pooled_score"))
+        bySrc
+          .join(broadcast(grid), Seq("bin"))
+          .selectExpr("doc_id", "source", "score",
+            "round(p, 6) as pct_in_source",
+            "pooled_score as norm_score")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+          FROM documents),
+        by_src AS (
+          SELECT doc_id, source, score,
+                 row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+                 COUNT(1) OVER (PARTITION BY source) AS n_seg
+          FROM docs),
+        p AS (
+          SELECT doc_id, source, score,
+                 (CAST(rn AS DOUBLE) - 0.5) / CAST(n_seg AS DOUBLE) AS p
+          FROM by_src),
+        pooled AS (
+          SELECT score AS pooled_score,
+                 row_number() OVER (ORDER BY score, doc_id) AS prn,
+                 COUNT(1) OVER () AS n_all
+          FROM docs),
+        grid AS (
+          SELECT CAST(g.g AS INTEGER) AS bin, pooled_score
+          FROM pooled, (SELECT unnest(range(1, 101)) AS g) g
+          WHERE prn = (g.g * n_all + 99) // 100)
+        SELECT doc_id, source, score,
+               round(p, 6) AS pct_in_source,
+               pooled_score AS norm_score
+        FROM p JOIN grid ON grid.bin = CAST(ceil(p.p * 100) AS INTEGER)
+        ORDER BY doc_id"""),
+      "Cross-source quantile normalization: within-source percentile " +
+        "(exact two-phase GlobalRank, no per-source sort task) mapped " +
+        "onto the pooled distribution through a 100-point broadcast grid " +
+        "picked at integer-ceil target ranks — the batch-effect remover " +
+        "for systematically-biased sources.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
