@@ -7273,6 +7273,93 @@ object TextQueries {
         "onto the pooled distribution through a 100-point broadcast grid " +
         "picked at integer-ceil target ranks — the batch-effect remover " +
         "for systematically-biased sources.")
+    ,
+
+    // ---------------------------------------------------------------- q244
+    Q(
+      "q244_spearman",
+      (s, dir) => {
+        // Exact tie-aware Spearman rank correlation between two doc
+        // signals (token count vs distinct-token count) — the monotone-
+        // association complement of q44's Pearson: Pearson over AVERAGE
+        // ranks, the standard tie treatment. Ranks come from two exact
+        // two-phase GlobalRank passes (never a corpus-sized sort task);
+        // average ranks per tied value are one map-combinable aggregate
+        // (sum(rn)/cnt — consecutive-integer sums, so the average is an
+        // exact .0/.5 double) joined back value-keyed; the five moment
+        // sums ride the library's round-then-DECIMAL spelling, making
+        // rho bit-identical across engines and partitionings.
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("size(split(text, ' '))").cast("long").as("x"),
+            expr("size(array_distinct(split(text, ' ')))").cast("long").as("y"))
+        def avgRanks(valCol: String) = {
+          val ranked = graft.operators.GlobalRank
+            .withGlobalRank(
+              docs.withColumn("all", lit("all")), "all", valCol, "doc_id")
+          ranked.groupBy(valCol)
+            .agg((sum("rn").cast("double") / count(lit(1)).cast("double"))
+              .as(s"r_$valCol"))
+        }
+        val withRanks = docs
+          .join(avgRanks("x"), Seq("x"))
+          .join(avgRanks("y"), Seq("y"))
+        withRanks
+          .agg(
+            count(lit(1)).as("n"),
+            sum(expr("cast(round(r_x, 9) as decimal(28,12))")).as("sx"),
+            sum(expr("cast(round(r_y, 9) as decimal(28,12))")).as("sy"),
+            sum(expr("cast(round(r_x * r_x, 9) as decimal(28,12))")).as("sxx"),
+            sum(expr("cast(round(r_y * r_y, 9) as decimal(28,12))")).as("syy"),
+            sum(expr("cast(round(r_x * r_y, 9) as decimal(28,12))")).as("sxy"))
+          .selectExpr("cast(n as bigint) as n",
+            """round((cast(n as double) * cast(sxy as double)
+                      - cast(sx as double) * cast(sy as double))
+                 / (sqrt(cast(n as double) * cast(sxx as double)
+                         - cast(sx as double) * cast(sx as double))
+                    * sqrt(cast(n as double) * cast(syy as double)
+                           - cast(sy as double) * cast(sy as double))), 6)
+               as rho_spearman""")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+          FROM documents),
+        rkx AS (
+          SELECT x, CAST(SUM(rn) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS r_x
+          FROM (SELECT x, row_number() OVER (ORDER BY x, doc_id) AS rn FROM docs)
+          GROUP BY x),
+        rky AS (
+          SELECT y, CAST(SUM(rn) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS r_y
+          FROM (SELECT y, row_number() OVER (ORDER BY y, doc_id) AS rn FROM docs)
+          GROUP BY y),
+        j AS (
+          SELECT d.doc_id, r_x, r_y
+          FROM docs d JOIN rkx USING (x) JOIN rky USING (y)),
+        m AS (
+          SELECT CAST(COUNT(1) AS BIGINT) AS n,
+                 SUM(CAST(round(r_x, 9) AS DECIMAL(28,12))) AS sx,
+                 SUM(CAST(round(r_y, 9) AS DECIMAL(28,12))) AS sy,
+                 SUM(CAST(round(r_x * r_x, 9) AS DECIMAL(28,12))) AS sxx,
+                 SUM(CAST(round(r_y * r_y, 9) AS DECIMAL(28,12))) AS syy,
+                 SUM(CAST(round(r_x * r_y, 9) AS DECIMAL(28,12))) AS sxy
+          FROM j)
+        SELECT n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS rho_spearman
+        FROM m"""),
+      "Exact tie-aware Spearman: Pearson over average ranks — two " +
+        "two-phase GlobalRank passes, tied-value average ranks as one " +
+        "map-combinable aggregate joined back value-keyed, moment sums " +
+        "in round-then-DECIMAL; the monotone-association complement of " +
+        "q44's Pearson.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
