@@ -42,8 +42,15 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
 
 /** Validated options: `path` (required), `extensions` (CSV of accepted
   * file suffixes, default ".warc,.warc.gz"), `maxFilesPerTrigger`
-  * (streaming admission control, 0 = unbounded). */
-final case class WarcOptions(path: String, extensions: Seq[String], maxFilesPerTrigger: Int)
+  * (streaming admission control, 0 = unbounded), `listShards` (N > 0 runs
+  * the batch-planning listing as a Spark job over the root's immediate
+  * child subtrees instead of a serial driver walk — the bi5 source's
+  * extreme-file-count mode, for multi-dump buckets). */
+final case class WarcOptions(
+    path: String,
+    extensions: Seq[String],
+    maxFilesPerTrigger: Int,
+    listShards: Int)
 
 object WarcOptions {
   def from(get: String => Option[String]): WarcOptions = {
@@ -53,13 +60,13 @@ object WarcOptions {
       .split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty)
     if (exts.isEmpty)
       throw new IllegalArgumentException("'extensions' must name at least one file suffix")
-    val mft = get("maxFilesPerTrigger").map(_.trim) match {
+    def nonNegInt(name: String): Int = get(name).map(_.trim) match {
       case None => 0
       case Some(s) => s.toIntOption.filter(_ >= 0).getOrElse(
         throw new IllegalArgumentException(
-          "'maxFilesPerTrigger' must be a non-negative integer"))
+          s"'$name' must be a non-negative integer"))
     }
-    WarcOptions(path, exts, mft)
+    WarcOptions(path, exts, nonNegInt("maxFilesPerTrigger"), nonNegInt("listShards"))
   }
 }
 

@@ -41,15 +41,13 @@ class WarcMicroBatchStream(
     extends MicroBatchStream
     with SupportsAdmissionControl {
 
-  /** Sorted recursive listing — the batch scan's walk, shared contract. */
-  private def listSorted(): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    def walk(p: String): Unit =
-      if (store.isDirectory(p)) store.children(p).sortBy(_.path).foreach(e => walk(e.path))
-      else if (opts.extensions.exists(p.toLowerCase.endsWith)) out += p
-    if (store.exists(opts.path)) walk(opts.path)
-    out.result().sorted
-  }
+  /** Sorted listing of files strictly AFTER `from` — [[WarcLister.list]]
+    * with committed-subtree pruning, so an idle tail over a multi-dump
+    * archive re-lists the frontier's subtree and genuinely new directories,
+    * never the whole committed tree (the bi5 stream's `listBi5FilesSince`
+    * discipline, here over raw path order). */
+  private def listAfter(from: String): Vector[String] =
+    WarcLister.list(store, opts.path, opts.extensions, sincePath = from).map(_._1)
 
   override def initialOffset(): Offset = WarcStreamOffset("")
 
@@ -63,7 +61,7 @@ class WarcMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[WarcStreamOffset].lastPath
-    val pending = listSorted().filter(_ > from)
+    val pending = listAfter(from)
     val capped = limit match {
       case m: ReadMaxFiles => pending.take(m.maxFiles())
       case _               => pending
@@ -71,12 +69,12 @@ class WarcMicroBatchStream(
     if (capped.isEmpty) start else WarcStreamOffset(capped.last)
   }
 
-  override def deserializeOffset(json: String): Offset = WarcStreamOffset(json)
+  override def deserializeOffset(json: String): Offset = WarcStreamOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[WarcStreamOffset].lastPath
     val to = end.asInstanceOf[WarcStreamOffset].lastPath
-    listSorted().filter(p => p > from && p <= to)
+    listAfter(from).filter(_ <= to)
       .map(f => WarcFilePartition(f): InputPartition).toArray
   }
 
@@ -88,9 +86,46 @@ class WarcMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** Checkpoint offset: the last processed path verbatim (empty = initial).
-  * Paths cannot contain the characters an offset wrapper would need to
-  * escape, so the json IS the path — trivially stable across versions. */
+/** Checkpoint offset: the last processed path (empty = initial), emitted
+  * as a real JSON object `{"v":1,"path":...}` — POSIX paths may legally
+  * contain quotes, spaces, even newlines, and a raw-path offset with a
+  * newline in it would corrupt the checkpoint's line-oriented offset log.
+  * Parsing still accepts the legacy raw-path form so pre-v1 checkpoints
+  * keep resuming. */
 case class WarcStreamOffset(lastPath: String) extends Offset {
-  override def json(): String = lastPath
+  override def json(): String =
+    if (lastPath.isEmpty) ""
+    else {
+      val m = WarcStreamOffset.mapper
+      val node = m.createObjectNode()
+      node.put("v", 1)
+      node.put("path", lastPath)
+      m.writeValueAsString(node)
+    }
+}
+
+object WarcStreamOffset {
+  // Offset.equals compares json() strings, so json() runs several times per
+  // trigger; ObjectMapper construction is expensive and the instance is
+  // thread-safe after configuration — share one (the Bi5StreamOffset note).
+  private[warc] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Strict for the JSON form (an unrecognized object means the checkpoint
+    * was written by an incompatible version — fail loudly); any non-JSON
+    * string is a legacy raw-path offset and is accepted verbatim. */
+  def fromJson(json: String): WarcStreamOffset = {
+    if (json.isEmpty) return WarcStreamOffset("")
+    if (json.startsWith("{")) {
+      try {
+        val n = mapper.readTree(json)
+        if (n.path("v").asInt() == 1 && n.hasNonNull("path"))
+          return WarcStreamOffset(n.get("path").asText())
+      } catch { case scala.util.control.NonFatal(_) => }
+      throw new IllegalStateException(
+        s"Unrecognized warc streaming offset '$json' (expected {\"v\":1,\"path\":...}); " +
+          "the checkpoint was written by an incompatible version — restart the " +
+          "query with a fresh checkpointLocation.")
+    }
+    WarcStreamOffset(json) // legacy raw-path checkpoint
+  }
 }

@@ -79,21 +79,23 @@ class WarcScan(
 
   override def toBatch: Batch = this
 
+  /** ONE listing per scan, shared by statistics and partition planning —
+    * previously each ran its own full walk (and AQE may consult statistics
+    * more than once). `listShards > 0` runs the walk as a Spark job over
+    * the root's immediate child subtrees ([[WarcLister.listSharded]] — the
+    * bi5 source's extreme-file-count mode), so a 100k-segment bucket never
+    * serializes on a driver-side object-store crawl. */
+  private lazy val listed: Vector[(String, Long)] =
+    if (opts.listShards > 0)
+      WarcLister.listSharded(store, opts.path, opts.extensions, opts.listShards)
+    else WarcLister.list(store, opts.path, opts.extensions)
+
   /** On-disk (compressed) byte total of the matched files — a deliberate
     * UNDER-estimate for gzip (decompressed rows are larger), which errs
     * toward broadcasting a small crawl side; row count is unknowable
     * without parsing, so only sizeInBytes is reported. */
   override def estimateStatistics(): Statistics = {
-    var bytes = 0L
-    def walk(p: String): Unit =
-      if (store.isDirectory(p)) store.children(p).foreach { e =>
-        if (e.isDir) walk(e.path)
-        else if (opts.extensions.exists(e.path.toLowerCase.endsWith)) bytes += e.size
-      }
-      else if (opts.extensions.exists(p.toLowerCase.endsWith))
-        bytes += (try store.fileSize(p) catch { case _: Exception => 0L })
-    if (store.exists(opts.path)) walk(opts.path)
-    val total = bytes
+    val total = listed.map(_._2).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(total)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
@@ -106,16 +108,8 @@ class WarcScan(
     s"warc(${opts.path}) pushedTypeFilter=[$t]"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // recursive listing over the store seam; deterministic order
-    val out = Vector.newBuilder[String]
-    def walk(p: String): Unit =
-      if (store.isDirectory(p)) store.children(p).sortBy(_.path).foreach(e => walk(e.path))
-      else if (opts.extensions.exists(p.toLowerCase.endsWith))
-        out += p
-    if (store.exists(opts.path)) walk(opts.path)
-    out.result().map(f => WarcFilePartition(f): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    listed.map { case (f, _) => WarcFilePartition(f): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(store, required.fieldNames, typeKeep)

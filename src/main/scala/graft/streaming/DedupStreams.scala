@@ -174,8 +174,12 @@ object DedupStreams {
           if (prior.isEmpty)
             state.update(SegOwner(rs(0).doc_id, rs(0).seg_no))
           val owner = state.get
+          // kept = "is the elected owner", NOT "won in this batch": an
+          // at-least-once source re-delivering the owner's own occurrence
+          // passes the monotone check (equal, not before) and must get
+          // kept=true again — idempotent re-delivery, no silent flip.
           rs.iterator.map(r => SegVerdict(r.doc_id, r.seg_no, r.seg,
-            prior.isEmpty && r.doc_id == owner.doc_id && r.seg_no == owner.seg_no))
+            r.doc_id == owner.doc_id && r.seg_no == owner.seg_no))
           }
         })
   }

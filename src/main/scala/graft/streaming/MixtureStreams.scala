@@ -54,8 +54,14 @@ object MixtureStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (g: String, rows: Iterator[ResClaim], state: GroupState[ResState]) => {
           val prior = state.getOption
+          // .distinct BEFORE take(k): race keys are content-derived, so a
+          // re-delivered row (at-least-once source, or the same id in two
+          // batches) reproduces the SAME (wkey, id) tuple — dedup makes the
+          // fold genuinely idempotent. Without it a replayed reservoir
+          // member would occupy two of the k slots and evict a distinct row.
           val merged = (prior.map(p => p.ids.zip(p.wkeys).map { case (id, w) => (w, id) })
             .getOrElse(Seq.empty) ++ rows.map(r => (r.wkey, r.k)))
+            .distinct
             .sortBy(identity) // (wkey ASC, id ASC) — the batch race's order
             .take(k)
           val next = ResState(g, prior.map(_.version + 1).getOrElse(1L),
