@@ -70,6 +70,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WindowMins].getName, "window_mins"),
       TextExpressions.windowMinsBuilder))
     ext.injectFunction((
+      FunctionIdentifier("http_status"),
+      new ExpressionInfo(classOf[graft.functions.HttpStatus].getName, "http_status"),
+      (exprs: Seq[Expression]) => graft.functions.HttpStatus(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("http_body"),
+      new ExpressionInfo(classOf[graft.functions.HttpBody].getName, "http_body"),
+      (exprs: Seq[Expression]) => graft.functions.HttpBody(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_payload"),
+      new ExpressionInfo(classOf[graft.functions.DecodePayload].getName, "decode_payload"),
+      (exprs: Seq[Expression]) => graft.functions.DecodePayload(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
       (exprs: Seq[Expression]) => graft.functions.BloomMightContain(exprs(0), exprs(1))))

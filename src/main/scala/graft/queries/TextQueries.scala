@@ -7360,6 +7360,120 @@ object TextQueries {
         "map-combinable aggregate joined back value-keyed, moment sums " +
         "in round-then-DECIMAL; the monotone-association complement of " +
         "q44's Pearson.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q245
+    Q(
+      "q245_http_peel",
+      (s, dir) => {
+        // HTTP response peeling as first-class expressions — the stage
+        // between a WARC payload and strip_html, previously ad-hoc
+        // regexp/locate surgery at the crawl-spec use-sites. Each doc is
+        // wrapped per its kind class: a full response with an obs-FOLDED
+        // header (the fold must not fake a blank line), a headers-only
+        // message (no blank line => empty body), or a bare non-HTTP body
+        // (passthrough). http_status/http_body (native, codegen'd — the
+        // strip_html discipline) must recover exactly the constructed
+        // status and body; the oracle replays the CONSTRUCTION, never the
+        // parser. Map-only, one WholeStageCodegen span.
+        graft.functions.HttpExpressions.register(s)
+        table(s, dir, "documents")
+          .selectExpr("doc_id", "text",
+            "cast(doc_id % 5 as int) as kind",
+            "cast(200 + (doc_id % 3) * 100 as int) as code")
+          .withColumn("msg", expr(
+            """case
+                 when kind = 0 then concat('HTTP/1.1 ', cast(code as string),
+                   ' OK\r\nContent-Type: text/html\r\n')
+                 when kind = 1 then text
+                 else concat('HTTP/1.1 ', cast(code as string),
+                   ' OK\r\nContent-Type: text/html\r\nX-Trace: a\r\n b\r\n\r\n',
+                   text)
+               end"""))
+          .selectExpr(
+            "doc_id",
+            "http_status(msg) as status",
+            "http_body(msg) as body",
+            "cast(length(http_body(msg)) as int) as n_body_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 1 THEN NULL
+                    ELSE CAST(200 + (doc_id % 3) * 100 AS INTEGER) END AS status,
+               CASE WHEN doc_id % 5 = 0 THEN '' ELSE text END AS body,
+               CASE WHEN doc_id % 5 = 0 THEN 0
+                    ELSE CAST(len(text) AS INTEGER) END AS n_body_chars
+        FROM documents ORDER BY doc_id"""),
+      "HTTP response peeling: native http_status/http_body expressions " +
+        "(status-line grammar, first-blank-line body split, obs-fold and " +
+        "headers-only edges, bare-body passthrough) recover the exact " +
+        "constructed message parts — the oracle replays the construction, " +
+        "not the parser; single codegen'd pass."),
+
+    // ---------------------------------------------------------------- q246
+    Q(
+      "q246_decode_payload",
+      (s, dir) => {
+        // Charset-aware crawl payload decode — decode_payload(payload,
+        // content_type) replaces `cast(payload as string)` (a silent
+        // UTF-8 assumption that feeds mojibake into every downstream text
+        // operator on real ISO-8859-1/GBK/Shift-JIS responses). Four
+        // resolution paths, one kind class each: the payload's OWN
+        // Content-Type header (inside an HTTP envelope), an in-body
+        // <meta charset> sniff, a UTF-16LE byte-order mark, and a caller-
+        // supplied content_type argument. Bodies are accented (a/e/o ->
+        // á/é/ø, all Latin-1) and ENCODED in the declared charset with
+        // Spark's own encode(), so the expected decode is known by
+        // construction; the oracle replays the construction. Map-only.
+        graft.functions.HttpExpressions.register(s)
+        table(s, dir, "documents")
+          .selectExpr("doc_id",
+            "replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'o', 'ø') as acc",
+            "cast(doc_id % 4 as int) as kind")
+          .withColumn("payload", expr(
+            """case
+                 when kind = 0 then concat(
+                   encode('HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n\r\n', 'UTF-8'),
+                   encode(acc, 'ISO-8859-1'))
+                 when kind = 1 then encode(
+                   concat('<meta charset="iso-8859-1"><p>', acc, '</p>'), 'ISO-8859-1')
+                 when kind = 2 then concat(unhex('FFFE'), encode(acc, 'UTF-16LE'))
+                 else encode(acc, 'ISO-8859-1')
+               end"""))
+          .withColumn("ct", expr(
+            "case when kind = 3 then 'text/plain; charset=ISO-8859-1' " +
+              "else cast(null as string) end"))
+          .withColumn("decoded", expr("http_body(decode_payload(payload, ct))"))
+          .withColumn("expected", expr(
+            """case when kind = 1
+                 then concat('<meta charset="iso-8859-1"><p>', acc, '</p>')
+                 else acc end"""))
+          .selectExpr(
+            "doc_id",
+            "decoded = expected as decode_ok",
+            "cast(length(decoded) as int) as n_chars",
+            "http_status(decode_payload(payload, ct)) as status")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH accd AS (
+          SELECT doc_id,
+                 replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'o', 'ø') AS acc
+          FROM documents)
+        SELECT doc_id,
+               TRUE AS decode_ok,
+               CAST(len(CASE WHEN doc_id % 4 = 1
+                             THEN '<meta charset="iso-8859-1"><p>' || acc || '</p>'
+                             ELSE acc END) AS INTEGER) AS n_chars,
+               CASE WHEN doc_id % 4 = 0 THEN 200 ELSE NULL END AS status
+        FROM accd ORDER BY doc_id"""),
+      "Charset-aware payload decode: decode_payload resolves the body " +
+        "charset from the message's own Content-Type header, an in-body " +
+        "meta sniff, a BOM, or the caller-supplied content type (UTF-8-" +
+        "replacement fallback, never throws) — accented bodies encoded " +
+        "with Spark's own encode() round-trip exactly; the oracle " +
+        "replays the construction.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the

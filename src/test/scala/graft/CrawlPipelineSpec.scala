@@ -86,20 +86,20 @@ class CrawlPipelineSpec extends AnyFunSuite {
     seg("CC-SEG-0.warc.gz", 0 until 30)
     seg("CC-SEG-1.warc.gz", 30 until 60)
 
-    // ---- stage 1: scan with pushed type filter; peel HTTP then HTML
+    // ---- stage 1: scan with pushed type filter; charset-aware decode,
+    // then the native HTTP peel + HTML strip (no ad-hoc string surgery)
     graft.functions.UrlExpressions.register(spark)
     graft.functions.HtmlExpressions.register(spark)
+    graft.functions.HttpExpressions.register(spark)
     val responses = spark.read.format("warc").load(dir.toString)
       .filter(col("record_type") === "response")
       .select(
         expr("cast(regexp_extract(record_id, '<urn:uuid:p-(\\\\d+)>', 1) as bigint)")
           .as("doc_id"),
         col("target_uri"),
-        expr("cast(payload as string)").as("http"))
-      .withColumn("status",
-        expr("cast(regexp_extract(http, '^HTTP/1.1 (\\\\d+)', 1) as int)"))
-      .withColumn("text", expr(
-        "strip_html(substring(http, locate('\\r\\n\\r\\n', http) + 4))"))
+        expr("decode_payload(payload, content_type)").as("http"))
+      .withColumn("status", expr("http_status(http)"))
+      .withColumn("text", expr("strip_html(http_body(http))"))
       .drop("http")
     assert(responses.count() === 60, "request records never leave the scan")
     assert(responses.filter(col("status") === 200).count() === 60)
@@ -153,5 +153,46 @@ class CrawlPipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(prunedPlan.contains("PartitionFilters: [isnotnull(site"),
       s"site predicate must prune partitions at the scan:\n$prunedPlan")
+  }
+
+  test("non-UTF8 crawl pages decode correctly through the scan -> peel -> strip chain") {
+    // real Common Crawl segments are full of ISO-8859-1/GBK responses; a
+    // cast(payload as string) pipeline feeds mojibake downstream. Build a
+    // segment whose pages are genuinely NON-UTF8 encoded and assert the
+    // decoded text survives byte-exact end to end.
+    val dir = Files.createTempDirectory("crawlcharset")
+    def recBytes(id: Int, payload: Array[Byte]) = WarcCodec.encode(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:c-$id>",
+      "WARC-Target-URI" -> s"http://charset.example/$id",
+      "WARC-Date" -> "2024-07-01T00:00:00Z"), payload)
+    val latinText = "café naïve à-propos œuvre-free prose"
+    val latinPage = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n\r\n" +
+      s"<html><body><p>$latinText</p></body></html>")
+    val gbkText = "中文网页正文"
+    val gbkPage = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      s"""<html><head><meta charset="gbk"></head><body><p>$gbkText</p></body></html>"""
+    val f = new FileOutputStream(dir.resolve("CC-CHARSET-0.warc.gz").toFile)
+    val g = new GZIPOutputStream(f)
+    // œ is NOT in ISO-8859-1 — drop it from the Latin-1 page body first
+    g.write(recBytes(1, latinPage.replace("œuvre-free ", "").getBytes("ISO-8859-1")))
+    g.write(recBytes(2, gbkPage.getBytes("GBK")))
+    g.finish(); f.close()
+
+    graft.functions.HtmlExpressions.register(spark)
+    graft.functions.HttpExpressions.register(spark)
+    val decoded = spark.read.format("warc").load(dir.toString)
+      .select(
+        expr("cast(regexp_extract(record_id, '<urn:uuid:c-(\\\\d+)>', 1) as bigint)")
+          .as("doc_id"),
+        expr("decode_payload(payload, content_type)").as("http"))
+      .selectExpr("doc_id", "http_status(http) as status",
+        "strip_html(http_body(http)) as text")
+      .orderBy("doc_id").collect()
+    assert(decoded.map(_.getInt(1)).toSeq === Seq(200, 200))
+    assert(decoded(0).getString(2) === latinText.replace("œuvre-free ", ""),
+      "ISO-8859-1 header charset must decode the accents exactly")
+    assert(decoded(1).getString(2) === gbkText,
+      "GBK meta-sniffed page must decode the CJK body exactly")
   }
 }
