@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
  * alike, which IS greedy BPE application — the q156 contract, now held for
  * any `nMerges`.
  *
- * Placeholder alphabet: merge r becomes the single character with code
- * point `baseCp + r - 1` (default 1 — the C0 control range, disjoint from
- * printable corpus text). Single-character symbols keep every adjacent
+ * Placeholder alphabet: merge r becomes the single BMP character with
+ * code point `baseCp + r - 1` (default U+E000 — the Unicode private-use
+ * area: 6400 code points that no real corpus text carries, clear of every
+ * whitespace control the old C0 default collided with, and single-char in
+ * Spark and DuckDB alike). Single-character symbols keep every adjacent
  * pair a 2-character substring, so each round's pair scan stays one
  * `substring(w, i, 2)` pass. The corpus-cleanliness precondition (no word
  * already contains a placeholder code point) is enforced loudly inside the
@@ -46,10 +48,46 @@ import org.apache.spark.sql.functions._
  */
 object Bpe {
 
+  /** Default placeholder base: the Unicode private-use area (U+E000). */
+  val DefaultBaseCp: Int = 0xE000
+
+  /** The single-character placeholder of 1-based merge index `idx`. */
+  def placeholderSym(baseCp: Int, idx: Int): String = (baseCp + idx - 1).toChar.toString
+
+  /** Placeholders must be single BMP characters in Spark AND DuckDB, so
+    * the range has to stay below U+10000 and clear of the UTF-16
+    * surrogate block (U+D800..U+DFFF, not encodable as lone chars). */
+  private def requirePlaceholderRange(baseCp: Int, n: Int): Unit = {
+    val end = baseCp + n // exclusive
+    require(baseCp >= 1 && end <= 0x10000 && !(baseCp < 0xE000 && end > 0xD800),
+      s"placeholder code points [$baseCp, $end) must be single-char BMP and " +
+        "not cross the surrogate block [0xD800, 0xE000)")
+  }
+
+  /** Java-regex character class matching the whole placeholder range —
+    * the corpus-cleanliness guard's probe. */
+  private def placeholderClass(baseCp: Int, n: Int): String =
+    "[\\u%04x-\\u%04x]".format(baseCp, baseCp + n - 1)
+
   /** The library's whitespace word-count table: one row per distinct word
     * with its corpus frequency — BPE's training input. One hash shuffle. */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+
+  /** Adjacent word-BIGRAM units ("w1 w2", space kept inside the unit),
+    * weighted by corpus frequency — the training table that lets merges
+    * cross word boundaries (GPT-2-style space-inclusive tokens). The
+    * 31-word toy vocabulary a whitespace model caps out on yields ~900
+    * distinct bigram units, enough headroom for 512+ merges. One hash
+    * shuffle; docs with fewer than two words contribute nothing. */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(__toks) - 1),
+             i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"""))
+        .as("w"))
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
 
   /**
@@ -71,12 +109,9 @@ object Bpe {
       wordCol: String,
       countCol: String,
       nMerges: Int,
-      baseCp: Int = 1): DataFrame = {
+      baseCp: Int = DefaultBaseCp): DataFrame = {
     require(nMerges >= 1, s"nMerges ($nMerges) must be positive")
-    // Spark's chr() is mod-256 and the placeholder must stay ONE character
-    // in both engines: keep the whole placeholder range single-byte-safe
-    require(baseCp >= 1 && baseCp + nMerges <= 256,
-      s"placeholder code points [$baseCp, ${baseCp + nMerges}) must fit in [1, 256)")
+    requirePlaceholderRange(baseCp, nMerges)
     val reserved = Set("w", "wcnt", "pair", "sym", "n", "round", "__bp")
     // the training frame is rebuilt with exactly (w, wcnt); only name
     // collisions on the INPUT columns we read matter
@@ -85,11 +120,9 @@ object Bpe {
     // loud precondition INSIDE the projected column (the kmeansFit/GlobalRank
     // pattern — pruning can never drop it): no word may already contain a
     // placeholder code point, and words/counts must be non-null
-    val placeholderClass =
-      "[" + "\\x%02x".format(baseCp) + "-" + "\\x%02x".format(baseCp + nMerges - 1) + "]"
     val guarded = when(
       col(wordCol).isNull || col(countCol).isNull ||
-        col(wordCol).rlike(placeholderClass),
+        col(wordCol).rlike(placeholderClass(baseCp, nMerges)),
       raise_error(concat(
         lit(s"Bpe.fit: $wordCol/$countCol must be non-null and contain no " +
           s"placeholder code points in [$baseCp, ${baseCp + nMerges}); got word "),
@@ -102,7 +135,7 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
-      val sym = (baseCp + r - 1).toChar.toString
+      val sym = placeholderSym(baseCp, r)
       // this round's election: every adjacent 2-char pair, wcnt-weighted,
       // top-1 by (n desc, pair asc) — TakeOrderedAndProject, 1 row
       val top = wc.filter(length(col("w")) >= 2)
@@ -138,8 +171,107 @@ object Bpe {
       df: DataFrame,
       textCol: String,
       nMerges: Int,
-      baseCp: Int = 1): DataFrame =
+      baseCp: Int = DefaultBaseCp): DataFrame =
     fit(spark, wordCounts(df, textCol), "w", "wcnt", nMerges, baseCp)
+
+  /**
+   * BATCHED BPE trainer for production merge counts — `fit` elects one
+   * pair per round (the exact Sennrich sequence: 512 merges = 512 driver
+   * rounds), this variant elects a whole GREEDY CHAR-DISJOINT BATCH per
+   * round (the standard parallel-trainer optimization): rank this round's
+   * pair counts (count desc, pair asc), walk the top `candCap` in rank
+   * order accepting every pair that shares no character with an
+   * already-accepted pair of THIS round, stop at `min(acceptCap,
+   * nMerges - merged)`. Char-disjoint batch members cannot interact, so
+   * applying them together equals applying them one-by-one — each
+   * accepted merge is real, none records a stale count (unlike the
+   * unrestricted top-k heuristic). 512 merges train in ~20 rounds
+   * instead of 512.
+   *
+   * The election itself is a bounded driver step: the top-`candCap`
+   * (pair, count) rows — aggregate MODEL data, the `Logit.fit` gradient-
+   * row discipline, never corpus rows — are collected, the greedy walk
+   * runs driver-side, and the accepted batch returns to the plan as
+   * `candCap`-bounded literal `replace()` folds (codegen'd; no HOF on
+   * the training path). Rounds are `localCheckpoint`-pinned like `fit`.
+   *
+   * Output schema = `fit`'s (`round` = GLOBAL merge index in election
+   * order, `pair` in the current alphabet of its round, `sym`, `n`), so
+   * [[applyMerges]]/[[decodeSpellings]]/[[tokenCounts]] work unchanged.
+   * Training stops early when the vocabulary runs out of pairs or
+   * `maxRounds` is hit (both engines of an oracle replay see the same
+   * bound, so a fixed-round generated twin stays exact).
+   */
+  def fitBlocked(
+      spark: SparkSession,
+      words: DataFrame,
+      wordCol: String,
+      countCol: String,
+      nMerges: Int,
+      maxRounds: Int = 32,
+      candCap: Int = 512,
+      acceptCap: Int = 64,
+      baseCp: Int = DefaultBaseCp): DataFrame = {
+    require(nMerges >= 1, s"nMerges ($nMerges) must be positive")
+    require(maxRounds >= 1 && candCap >= 1 && acceptCap >= 1,
+      s"maxRounds ($maxRounds), candCap ($candCap), acceptCap ($acceptCap) must be positive")
+    requirePlaceholderRange(baseCp, nMerges)
+    require(words.columns.contains(wordCol) && words.columns.contains(countCol),
+      s"words must carry $wordCol and $countCol")
+    val guarded = when(
+      col(wordCol).isNull || col(countCol).isNull ||
+        col(wordCol).rlike(placeholderClass(baseCp, nMerges)),
+      raise_error(concat(
+        lit(s"Bpe.fitBlocked: $wordCol/$countCol must be non-null and contain no " +
+          s"placeholder code points in [$baseCp, ${baseCp + nMerges}); got word "),
+        coalesce(col(wordCol), lit("null")))).cast("string"))
+      .otherwise(col(wordCol))
+    var wc = words
+      .select(guarded.as("w"), col(countCol).cast("long").as("wcnt"))
+      .localCheckpoint(true)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var merged = 0
+    var round = 0
+    var exhausted = false
+    while (merged < nMerges && round < maxRounds && !exhausted) {
+      round += 1
+      // bounded model-sized collect: top-candCap (pair, n), rank order
+      val cand = wc.filter(length(col("w")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wcnt").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(candCap)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (cand.isEmpty) exhausted = true
+      else {
+        // greedy char-disjoint walk (rank-1 is never blocked => progress)
+        val cap = math.min(acceptCap, nMerges - merged)
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val used = scala.collection.mutable.Set.empty[Char]
+        var j = 0
+        while (j < cand.length && accepted.length < cap) {
+          val (p, n) = cand(j)
+          if (!p.exists(used.contains)) { accepted += ((p, n)); used ++= p }
+          j += 1
+        }
+        val batch = accepted.toSeq.zipWithIndex.map { case ((p, n), i) =>
+          (merged + i + 1, p, placeholderSym(baseCp, merged + i + 1), n)
+        }
+        rows ++= batch
+        // char-disjoint => the sequential literal fold IS the batch apply
+        wc = batch.foldLeft(wc) { case (df, (_, p, sym, _)) =>
+          df.withColumn("w", replace(col("w"), lit(p), lit(sym)))
+        }.select("w", "wcnt").localCheckpoint(true)
+        merged += batch.size
+      }
+    }
+    require(rows.nonEmpty,
+      "Bpe.fitBlocked: vocabulary has no adjacent pairs — nothing to train on")
+    import spark.implicits._
+    rows.toSeq.toDF("round", "pair", "sym", "n")
+  }
 
   /** The trained model as ONE broadcastable row: `__ms`, the merge structs
     * sorted by round (sort_array on struct arrays orders by the first

@@ -6262,7 +6262,7 @@ object TextQueries {
       },
       Some {
         def rev(e: String) = (bpeFitMerges to 1 by -1).foldLeft(e) { (acc, k) =>
-          s"replace($acc, chr($k), (SELECT pair FROM m$k))"
+          s"replace($acc, chr(${bpeCp(k)}), (SELECT pair FROM m$k))"
         }
         s"""
         WITH ${duckBpeFitCtes(bpeFitMerges)}
@@ -7474,6 +7474,87 @@ object TextQueries {
         "replacement fallback, never throws) — accented bodies encoded " +
         "with Spark's own encode() round-trip exactly; the oracle " +
         "replays the construction.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q247
+    Q(
+      "q247_bpe_blocked_fit",
+      (s, dir) => {
+        // PRODUCTION-SCALE BPE: 512 merges via the batched trainer
+        // (Bpe.fitBlocked) over word-BIGRAM units — merges cross word
+        // boundaries GPT-2-style, and the greedy char-disjoint batch
+        // election trains 512 merges in ~20 driver rounds instead of
+        // 512 (each round: one vocab-sized aggregate, one bounded
+        // model-row collect, a literal replace fold back into the plan).
+        // The oracle replays EVERY round as a generated CTE chain whose
+        // greedy walk is a linear recursive CTE — one wrong tie-break,
+        // one stale count, or one mis-ordered batch application anywhere
+        // in 512 merges scrambles every later round and fails the row.
+        val docs = table(s, dir, "documents").select("text")
+        val units = graft.operators.Bpe.bigramCounts(docs, "text")
+        val m = graft.operators.Bpe.fitBlocked(s, units, "w", "wcnt",
+          bpeBlkMerges, bpeBlkRounds, bpeBlkCandCap, bpeBlkAcceptCap)
+        m.selectExpr(
+            "round",
+            s"${bpeBlkSpell("substring(pair, 1, 1)")} as left_sym",
+            s"${bpeBlkSpell("substring(pair, 2, 1)")} as right_sym",
+            "n")
+          .orderBy("round")
+      },
+      Some(s"""
+        WITH $duckBpeBlockedCtes,
+        merges AS (
+          $duckBpeBlockedMerges)
+        SELECT CAST(midx AS INTEGER) AS round,
+               ${duckBpeBlkSpell("substring(pair, 1, 1)")} AS left_sym,
+               ${duckBpeBlkSpell("substring(pair, 2, 1)")} AS right_sym,
+               n
+        FROM merges ORDER BY round"""),
+      "512-merge batched BPE over word-bigram units: greedy char-" +
+        "disjoint batch election (disjoint batch members cannot " +
+        "interact, so batch apply == sequential apply), ~20 rounds, " +
+        "PUA placeholder alphabet; the oracle replays all 24 generated " +
+        "rounds with a recursive-CTE greedy walk."),
+
+    // ---------------------------------------------------------------- q248
+    Q(
+      "q248_bpe_blocked_compression",
+      (s, dir) => {
+        // The trained 512-merge model APPLIED: fold the full merge list
+        // over the original unit table (1-row model broadcast, the
+        // shared applyMerges path — proving the batched trainer's output
+        // drives the standard appliers unchanged) and audit the
+        // wcnt-weighted symbol compression. The oracle recomputes both
+        // totals from its own replayed chain's first and last round
+        // tables, so trainer AND applier must agree cross-engine.
+        val docs = table(s, dir, "documents").select("text")
+        val units = graft.operators.Bpe.bigramCounts(docs, "text")
+        val m = graft.operators.Bpe.fitBlocked(s, units, "w", "wcnt",
+          bpeBlkMerges, bpeBlkRounds, bpeBlkCandCap, bpeBlkAcceptCap)
+        val applied = graft.operators.Bpe.applyMerges(units, "w", m, "mw")
+        val stats = applied.agg(
+          count(lit(1)).cast("long").as("units"),
+          sum(expr("wcnt * length(w)")).cast("long").as("syms_before"),
+          sum(expr("wcnt * length(mw)")).cast("long").as("syms_after"))
+        m.agg(count(lit(1)).cast("long").as("n_merges"))
+          .crossJoin(broadcast(stats))
+          .selectExpr("n_merges", "units", "syms_before", "syms_after",
+            "round(cast(syms_after as double) / cast(syms_before as double), 6) as compression")
+      },
+      Some(s"""
+        WITH $duckBpeBlockedCtes,
+        merges AS (
+          $duckBpeBlockedMerges)
+        SELECT (SELECT CAST(COUNT(1) AS BIGINT) FROM merges) AS n_merges,
+               (SELECT CAST(COUNT(1) AS BIGINT) FROM bw0) AS units,
+               (SELECT CAST(SUM(wcnt * length(w)) AS BIGINT) FROM bw0) AS syms_before,
+               (SELECT CAST(SUM(wcnt * length(w)) AS BIGINT) FROM bw$bpeBlkRounds) AS syms_after,
+               round(CAST((SELECT SUM(wcnt * length(w)) FROM bw$bpeBlkRounds) AS DOUBLE)
+                     / CAST((SELECT SUM(wcnt * length(w)) FROM bw0) AS DOUBLE), 6) AS compression"""),
+      "512-merge model applied back through the shared applyMerges fold " +
+        "(1-row broadcast, batch order == training order): wcnt-weighted " +
+        "symbol compression audit, oracle-recomputed from the replayed " +
+        "chain's first and last round tables.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
@@ -7558,18 +7639,22 @@ object TextQueries {
     * generating a 0-round oracle. */
   private def bpeFitMerges = 16
 
-  /** Readable spelling of a merge pair: placeholder chars chr(1..n)
-    * decoded to <1>..<n> (Column-API fold keeps control characters out of
-    * parsed SQL text). */
+  /** Placeholder code point of merge k — [[graft.operators.Bpe]]'s
+    * default private-use-area base (a `def`: init-order gotcha). */
+  private def bpeCp(k: Int) = graft.operators.Bpe.DefaultBaseCp + k - 1
+
+  /** Readable spelling of a merge pair: placeholder chars (PUA
+    * U+E000+k-1) decoded to <1>..<n> (Column-API fold keeps non-text
+    * characters out of parsed SQL text). */
   private def bpeSpell(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (1 to bpeFitMerges).foldLeft(c) { (acc, k) =>
       org.apache.spark.sql.functions.replace(
-        acc, lit(k.toChar.toString), lit(s"<$k>"))
+        acc, lit(bpeCp(k).toChar.toString), lit(s"<$k>"))
     }
 
   /** DuckDB twin of [[bpeSpell]]. */
   private def duckBpeSpell(e: String): String =
-    (1 to bpeFitMerges).foldLeft(e) { (acc, k) => s"replace($acc, chr($k), '<$k>')" }
+    (1 to bpeFitMerges).foldLeft(e) { (acc, k) => s"replace($acc, chr(${bpeCp(k)}), '<$k>')" }
 
   /** Generated DuckDB twin of [[graft.operators.Bpe.fit]] at `n` merges:
     * CTEs wc0 (word counts) and, per round r, m_r (1-row winner:
@@ -7595,7 +7680,7 @@ object TextQueries {
                   FROM wc${r - 1} WHERE length(w) >= 2)
             GROUP BY pair ORDER BY n DESC, pair LIMIT 1)),
         wc$r AS MATERIALIZED (
-          SELECT replace(w, (SELECT pair FROM m$r), chr($r)) AS w, wcnt
+          SELECT replace(w, (SELECT pair FROM m$r), chr(${bpeCp(r)})) AS w, wcnt
           FROM wc${r - 1})""")
     }
     sb.toString
@@ -7605,8 +7690,95 @@ object TextQueries {
     * the DuckDB twin of [[graft.operators.Bpe.applyMerges]]'s fold. */
   private def duckBpeMergedWord(e: String, n: Int): String =
     (1 to n).foldLeft(e) { (acc, r) =>
-      s"replace($acc, (SELECT pair FROM m$r), chr($r))"
+      s"replace($acc, (SELECT pair FROM m$r), chr(${bpeCp(r)}))"
     }
+
+  /** q247/q248 hyperparameters (defs — init-order gotcha): 512 merges,
+    * 24 generated rounds (all three SFs converge in 20), candidate list
+    * 512, 64 accepted per round. */
+  private def bpeBlkMerges = 512
+  private def bpeBlkRounds = 24
+  private def bpeBlkCandCap = 512
+  private def bpeBlkAcceptCap = 64
+
+  /** Generated DuckDB twin of [[graft.operators.Bpe.fitBlocked]] over the
+    * word-BIGRAM unit table (`Bpe.bigramCounts`): per round r —
+    * `cand_r` (top-candCap pair counts, count-desc pair-asc rank),
+    * `sel_r` (the greedy char-disjoint walk as a LINEAR RECURSIVE CTE
+    * over rank order, carrying the used-character set; `taken` is the
+    * accept index, truncated by the remaining-merges budget — greedy
+    * acceptance has the prefix property, so truncation equals running
+    * with the smaller cap), `off_r` (cumulative merge count) and `bw_r`
+    * (the batch applied in accept order via `list_reduce` over an
+    * ark-ordered pair||chr(1)||sym merge list prepended with the word —
+    * DuckDB 1.0 has no 3-arg list_reduce). Placeholders are the PUA
+    * chars `chr(57343 + midx)` — [[graft.operators.Bpe.DefaultBaseCp]]. */
+  private def duckBpeBlockedCtes: String = {
+    val sb = new StringBuilder
+    sb.append("""bw0 AS MATERIALIZED (
+          SELECT w, CAST(COUNT(1) AS BIGINT) AS wcnt FROM (
+            SELECT toks[i] || ' ' || toks[i + 1] AS w
+            FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+                 unnest(range(1, len(toks))) u(i))
+          GROUP BY w),
+        off0 AS (SELECT 0 AS m)""")
+    for (r <- 1 to bpeBlkRounds) {
+      val ok = s"""(w.taken < $bpeBlkAcceptCap
+                     AND strpos(w.used, substring(c.pair, 1, 1)) = 0
+                     AND strpos(w.used, substring(c.pair, 2, 1)) = 0)"""
+      sb.append(s""",
+        cand$r AS MATERIALIZED (
+          SELECT pair, CAST(n AS BIGINT) AS n,
+                 CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rk
+          FROM (
+            SELECT pair, SUM(wcnt) AS n
+            FROM (SELECT wcnt, unnest(list_transform(range(1, length(w)),
+                    i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+                  FROM bw${r - 1} WHERE length(w) >= 2)
+            GROUP BY pair ORDER BY n DESC, pair LIMIT $bpeBlkCandCap)),
+        sel$r AS MATERIALIZED (
+          WITH RECURSIVE walk(rk, taken, used, pair, n) AS (
+            SELECT 0, 0, '', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+            UNION ALL
+            SELECT c.rk,
+                   CASE WHEN $ok THEN w.taken + 1 ELSE w.taken END,
+                   CASE WHEN $ok THEN w.used || c.pair ELSE w.used END,
+                   CASE WHEN $ok THEN c.pair ELSE CAST(NULL AS VARCHAR) END,
+                   CASE WHEN $ok THEN c.n ELSE CAST(NULL AS BIGINT) END
+            FROM walk w JOIN cand$r c ON c.rk = w.rk + 1)
+          SELECT pair, n, CAST(taken AS INTEGER) AS ark,
+                 CAST((SELECT m FROM off${r - 1}) + taken AS INTEGER) AS midx
+          FROM walk
+          WHERE pair IS NOT NULL
+            AND taken <= GREATEST(0, $bpeBlkMerges - (SELECT m FROM off${r - 1}))),
+        off$r AS MATERIALIZED (
+          SELECT COALESCE(CAST(MAX(midx) AS INTEGER), (SELECT m FROM off${r - 1})) AS m
+          FROM sel$r),
+        bw$r AS MATERIALIZED (
+          SELECT list_reduce(
+                   list_prepend(w, (SELECT COALESCE(
+                     list(pair || chr(1) || chr(57343 + midx) ORDER BY ark),
+                     CAST([] AS VARCHAR[])) FROM sel$r)),
+                   (acc, mm) -> replace(acc, string_split(mm, chr(1))[1],
+                                        string_split(mm, chr(1))[2])) AS w,
+                 wcnt
+          FROM bw${r - 1})""")
+    }
+    sb.toString
+  }
+
+  /** All accepted merges of the generated chain, in global order. */
+  private def duckBpeBlockedMerges: String =
+    (1 to bpeBlkRounds).map(r => s"SELECT midx, pair, n FROM sel$r")
+      .mkString("\n          UNION ALL ")
+
+  /** Spell ONE symbol char: PUA placeholder -> <k>, else the char. */
+  private def duckBpeBlkSpell(c: String): String =
+    s"CASE WHEN unicode($c) >= 57344 THEN ('<' || CAST(unicode($c) - 57343 AS VARCHAR) || '>') ELSE $c END"
+
+  /** Spark twin of [[duckBpeBlkSpell]] (ascii() returns the code point). */
+  private def bpeBlkSpell(c: String): String =
+    s"case when ascii($c) >= 57344 then concat('<', cast(ascii($c) - 57343 as string), '>') else $c end"
 
   /** The verified curation CTE chain (corpus = docs >= 10, eval = docs
     * < 10) shared by q60 (per-doc verdicts) and q226 (the end-to-end

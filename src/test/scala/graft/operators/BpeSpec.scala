@@ -39,10 +39,10 @@ class BpeSpec extends AnyFunSuite {
     val m = Bpe.fit(spark, words, "w", "wcnt", nMerges = 3)
       .orderBy("round").collect()
     assert(m.map(_.getAs[String]("pair")).toSeq ===
-      Seq("es", "t", "lo"))
+      Seq("es", "\uE000t", "lo"))
     assert(m.map(_.getAs[Long]("n")).toSeq === Seq(9L, 9L, 7L))
     assert(m.map(_.getAs[String]("sym")).toSeq ===
-      Seq("", "", ""))
+      Seq("\uE000", "\uE001", "\uE002"))
   }
 
   test("applyMerges reproduces the trainer's own final spellings") {
@@ -51,10 +51,10 @@ class BpeSpec extends AnyFunSuite {
     val applied = Bpe.applyMerges(words, "w", m, "mw")
       .orderBy("w").collect().map(r => r.getAs[String]("w") -> r.getAs[String]("mw")).toMap
     // newest -> new<1>t -> new<2> ; widest -> wid<2> ; low -> <3>w
-    assert(applied("newest") === "new")
-    assert(applied("widest") === "wid")
-    assert(applied("low") === "w")
-    assert(applied("lower") === "wer")
+    assert(applied("newest") === "new\uE001")
+    assert(applied("widest") === "wid\uE001")
+    assert(applied("low") === "\uE002w")
+    assert(applied("lower") === "\uE002wer")
   }
 
   test("tokenCounts equals summed merged-word lengths (and 0 for empty text)") {
@@ -77,7 +77,7 @@ class BpeSpec extends AnyFunSuite {
     val words = wordsDf("aaa" -> 1L)
     val m = Bpe.fit(spark, words, "w", "wcnt", nMerges = 1)
     val applied = Bpe.applyMerges(words, "w", m, "mw").collect().head.getAs[String]("mw")
-    assert(applied === "a")
+    assert(applied === "\uE000a")
   }
 
   test("training stops early when the vocabulary runs out of pairs") {
@@ -88,7 +88,7 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("placeholder collision and null inputs fail loudly") {
-    val dirty = wordsDf("ok" -> 1L, "badword" -> 1L)
+    val dirty = wordsDf("ok" -> 1L, "bad\uE000word" -> 1L)
     val e = intercept[Exception] {
       Bpe.fit(spark, dirty, "w", "wcnt", nMerges = 2).collect()
     }
@@ -98,9 +98,17 @@ class BpeSpec extends AnyFunSuite {
       Bpe.fit(spark, wordsDf("ab" -> 1L), "w", "wcnt", nMerges = 0)
     }
     assertThrows[IllegalArgumentException] {
-      // placeholder range must stay below 256 (Spark chr is mod-256)
-      Bpe.fit(spark, wordsDf("ab" -> 1L), "w", "wcnt", nMerges = 10, baseCp = 250)
+      // placeholder range must not cross the UTF-16 surrogate block
+      Bpe.fit(spark, wordsDf("ab" -> 1L), "w", "wcnt", nMerges = 10, baseCp = 0xD7FF)
     }
+    assertThrows[IllegalArgumentException] {
+      // ... and must stay single-char BMP
+      Bpe.fit(spark, wordsDf("ab" -> 1L), "w", "wcnt", nMerges = 10, baseCp = 0xFFFC)
+    }
+    // the old C0 default's whitespace trap is gone: a corpus word carrying
+    // a literal tab trains fine under the PUA default
+    val tabby = wordsDf("a\tb" -> 3L, "cd" -> 1L)
+    assert(Bpe.fit(spark, tabby, "w", "wcnt", nMerges = 2).count() >= 1L)
   }
 
   test("decodeSpellings inverts applyMerges exactly (surface round trip)") {
@@ -138,5 +146,55 @@ class BpeSpec extends AnyFunSuite {
       .agg(sum(expr("wcnt * length(w)")), sum(expr("wcnt * length(mw)")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     assert(after < before, s"16 merges must compress: $after !< $before")
+  }
+
+  test("fitBlocked with acceptCap=1 IS sequential fit (exact equivalence)") {
+    // a 1-pair batch is the classic election: same winner, same count,
+    // same placeholder — the batched trainer degenerates to Sennrich
+    val words = wordsDf("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val seq = Bpe.fit(spark, words, "w", "wcnt", nMerges = 5)
+      .orderBy("round").collect().map(r =>
+        (r.getAs[Int]("round"), r.getAs[String]("pair"), r.getAs[String]("sym"), r.getAs[Long]("n")))
+    val blk = Bpe.fitBlocked(spark, words, "w", "wcnt", nMerges = 5,
+      maxRounds = 16, acceptCap = 1)
+      .orderBy("round").collect().map(r =>
+        (r.getAs[Int]("round"), r.getAs[String]("pair"), r.getAs[String]("sym"), r.getAs[Long]("n")))
+    assert(blk.toSeq === seq.toSeq)
+  }
+
+  test("fitBlocked: batch members are char-disjoint and decode round-trips") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+    val units = Bpe.bigramCounts(docs, "text")
+    val m = Bpe.fitBlocked(spark, units, "w", "wcnt", nMerges = 64,
+      maxRounds = 8, acceptCap = 16)
+    val rows = m.orderBy("round").collect()
+    assert(rows.length === 64, "bigram units carry 64 merges easily")
+    assert(rows.map(_.getAs[Int]("round")).toSeq === (1 to 64),
+      "round is the contiguous global merge index")
+    assert(rows.forall(_.getAs[Long]("n") >= 1L))
+    // the model drives the shared appliers unchanged: decode inverts apply
+    val applied = Bpe.applyMerges(units, "w", m, "mw")
+    val back = Bpe.decodeSpellings(applied, "mw", m, "decoded")
+      .filter(col("w") =!= col("decoded")).count()
+    assert(back === 0L, "reverse expansion must ground every batched placeholder")
+    // compression is real
+    val Array(before, after) = applied
+      .agg(sum(expr("wcnt * length(w)")), sum(expr("wcnt * length(mw)")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(after < before)
+  }
+
+  test("fitBlocked trains 512 merges on bigram units in bounded rounds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+    val units = Bpe.bigramCounts(docs, "text")
+    val m = Bpe.fitBlocked(spark, units, "w", "wcnt", nMerges = 512,
+      maxRounds = 32, candCap = 512, acceptCap = 64)
+    val n = m.count()
+    assert(n === 512L, s"sf0.001 bigram units hold 512 merges, got $n")
+    // placeholders span the PUA range contiguously
+    val syms = m.orderBy("round").collect().map(_.getAs[String]("sym"))
+    assert(syms.head === "\uE000" && syms.last === (0xE000 + 511).toChar.toString)
   }
 }
