@@ -34,7 +34,7 @@ import graft.sources.bi5.Bi5Store
  */
 class WarcMicroBatchStream(
     opts: WarcOptions,
-    fieldNames: Array[String],
+    required: org.apache.spark.sql.types.StructType,
     typeKeep: Option[Set[String]],
     maxFilesPerTrigger: Int,
     store: Bi5Store)
@@ -79,7 +79,7 @@ class WarcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(store, fieldNames, typeKeep)
+    new WarcReaderFactory(store, required, typeKeep)
 
   override def commit(end: Offset): Unit = ()
 

@@ -112,25 +112,136 @@ class WarcScan(
     listed.map { case (f, _) => WarcFilePartition(f): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(store, required.fieldNames, typeKeep)
+    new WarcReaderFactory(store, required, typeKeep)
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(
-      opts, required.fieldNames, typeKeep, opts.maxFilesPerTrigger, store)
+      opts, required, typeKeep, opts.maxFilesPerTrigger, store)
 }
 
 final case class WarcFilePartition(file: String) extends InputPartition
 
 class WarcReaderFactory(
     store: Bi5Store,
-    fieldNames: Array[String],
+    required: StructType,
     typeKeep: Option[Set[String]])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      store, partition.asInstanceOf[WarcFilePartition].file, fieldNames, typeKeep)
+      store, partition.asInstanceOf[WarcFilePartition].file, required.fieldNames, typeKeep)
+
+  // Header-only scans (payload pruned away) — the dominant crawl-audit
+  // access pattern — emit ColumnarBatches: fixed-width-ish header fields
+  // decode straight into on-heap vectors and Spark's per-row reader
+  // pipeline disappears (the Bi5ColumnarReader discipline). Payload-bearing
+  // scans keep the row reader: one multi-MB binary per row has no
+  // vectorization win and batches would hold BatchRows payloads at once.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !required.fieldNames.contains("payload")
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new WarcColumnarReader(
+      store, partition.asInstanceOf[WarcFilePartition].file, required, typeKeep)
+}
+
+object WarcColumnarReader {
+  final val BatchRows = 4096
+}
+
+/**
+ * Vectorized header-only WARC reader: identical walk/filter/skip-corrupt
+ * semantics to [[WarcPartitionReader]] (same [[WarcCodec.RecordIterator]],
+ * payload bytes SKIPPED, never allocated) — only the output shape changes.
+ */
+class WarcColumnarReader(
+    store: Bi5Store,
+    file: String,
+    required: StructType,
+    typeKeep: Option[Set[String]])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import WarcColumnarReader.BatchRows
+
+  private[this] val fieldNames = required.fieldNames
+  private[this] val numFields = fieldNames.length
+  private[this] val fileBytes = file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private[this] val vectors =
+    org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      .allocateColumns(BatchRows, required)
+  private[this] val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+
+  private[this] var in: java.io.InputStream = _
+  private[this] var it: Iterator[WarcRecord] = _
+
+  private def ensureOpen(): Unit = if (it == null) {
+    it =
+      try {
+        val raw = store.open(file)
+        in = if (file.toLowerCase.endsWith(".gz"))
+          new GZIPInputStream(raw, 64 * 1024)
+        else new java.io.BufferedInputStream(raw, 64 * 1024)
+        val keep: WarcHeader => Boolean = typeKeep match {
+          case Some(ts) => h => h.recordType != null && ts.contains(h.recordType)
+          case None     => _ => true
+        }
+        new WarcCodec.RecordIterator(in, keep, wantPayload = false)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          close(); Iterator.empty // unopenable/garbage-gzip file: zero rows
+      }
+  }
+
+  private def hasMore: Boolean =
+    try it.hasNext
+    catch { case scala.util.control.NonFatal(_) => false } // mid-file garbage
+
+  private def putStr(
+      v: org.apache.spark.sql.execution.vectorized.OnHeapColumnVector,
+      row: Int, s: String): Unit =
+    if (s == null) v.putNull(row)
+    else v.putByteArray(row, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override def next(): Boolean = {
+    ensureOpen()
+    var i = 0
+    while (i < numFields) { vectors(i).reset(); i += 1 }
+    var row = 0
+    while (row < BatchRows && hasMore) {
+      val h = it.next().header
+      var c = 0
+      while (c < numFields) {
+        val v = vectors(c)
+        fieldNames(c) match {
+          case "record_id"      => putStr(v, row, h.recordId)
+          case "record_type"    => putStr(v, row, h.recordType)
+          case "target_uri"     => putStr(v, row, h.targetUri)
+          case "warc_date" =>
+            if (h.dateMicros == null) v.putNull(row)
+            else v.putLong(row, h.dateMicros)
+          case "content_type"   => putStr(v, row, h.contentType)
+          case "content_length" => v.putLong(row, h.contentLength)
+          case "source_file"    => v.putByteArray(row, fileBytes)
+          case other => throw new IllegalStateException(s"unknown WARC column $other")
+        }
+        c += 1
+      }
+      row += 1
+    }
+    batch.setNumRows(row)
+    row > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+  override def close(): Unit = {
+    if (in != null) { try in.close() catch { case _: Exception => () }; in = null }
+    batch.close()
+  }
 }
 
 class WarcPartitionReader(

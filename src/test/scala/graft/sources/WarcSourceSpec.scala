@@ -150,4 +150,36 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(lens("<urn:uuid:rec-3>") === "second page".length.toLong)
     assert(lens("<urn:uuid:rec-6>") === "second member".length.toLong)
   }
+
+  test("header-only scans read columnar; payload scans stay row; results identical") {
+    val dir = fixtureDir()
+    val headerCols = Seq("record_id", "record_type", "target_uri",
+      "warc_date", "content_type", "content_length", "source_file")
+    // pruned (header-only) scan: the vectorized path — plan shows the
+    // ColumnarToRow transition Spark inserts above a batch-emitting scan
+    val pruned = spark.read.format("warc").load(dir.toString)
+      .select(headerCols.map(col): _*)
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("ColumnarToRow"),
+      s"header-only scan must emit ColumnarBatches:\n$prunedPlan")
+    // payload-bearing scan: row reader (no multi-MB binaries batched)
+    val withPayload = spark.read.format("warc").load(dir.toString)
+    val payloadPlan = withPayload.queryExecution.executedPlan.toString
+    assert(!payloadPlan.contains("ColumnarToRow"),
+      s"payload scan must stay on the row reader:\n$payloadPlan")
+    // and the two paths agree field-for-field (skip-corrupt/filters shared)
+    val viaColumnar = pruned.collect()
+      .map(r => headerCols.map(c => Option(r.get(r.fieldIndex(c))).map(_.toString).orNull))
+      .sortBy(_.mkString("|"))
+    val viaRow = withPayload.select(headerCols.map(col): _*).collect()
+      .map(r => headerCols.map(c => Option(r.get(r.fieldIndex(c))).map(_.toString).orNull))
+      .sortBy(_.mkString("|"))
+    assert(viaColumnar.toSeq === viaRow.toSeq, "columnar == row, field for field")
+    // pushdown composes with the columnar path
+    val respOnly = spark.read.format("warc").load(dir.toString)
+      .filter(col("record_type") === "response")
+      .select("record_id")
+    assert(respOnly.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(respOnly.count() === 4)
+  }
 }
