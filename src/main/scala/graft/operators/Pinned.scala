@@ -17,11 +17,12 @@ import org.apache.spark.storage.StorageLevel
  *  - RECOVERABLE (`recoverable = true`): `persist(MEMORY_AND_DISK)` +
  *    eager materialization, lineage KEPT. An executor loss recomputes the
  *    lost blocks from lineage instead of failing the job — what a
- *    multi-hour 100 TB run wants. The cost: each call leaves a
- *    CacheManager entry the operator has no scope to unpersist (callers
- *    can `spark.catalog.clearCache()` between pipeline phases, or accept
- *    the entries for the life of the batch job — they are tiny frames:
- *    bounds sketches, per-round winners).
+ *    multi-hour 100 TB run wants. The cost: each bare `pin` call leaves a
+ *    CacheManager entry; a multi-PHASE pipeline should scope each phase
+ *    with [[withPinned]], which unpersists every frame pinned inside the
+ *    scope on exit (success or failure) — deterministic release instead
+ *    of `spark.catalog.clearCache()` hammers or entries living for the
+ *    whole batch job.
  *
  * Both modes materialize EAGERLY at the call, on purpose: every use-site
  * pins a frame that feeds two or more downstream branches, and a lazy pin
@@ -36,4 +37,35 @@ object Pinned {
       p.count() // materialize now: both downstream branches must reuse, not race
       p
     }
+
+  /**
+   * Scoped recoverable pinning: `body` receives a pin function; every
+   * frame pinned through it is unpersisted (blocking) when the body
+   * exits, on success AND on failure. Because pins are eager and results
+   * should be materialized before the phase ends anyway (that is what a
+   * phase boundary means), releasing at exit is safe; a caller that
+   * returns a LAZY frame still reading a pinned input must materialize
+   * it inside the scope.
+   *
+   * {{{
+   *   val phase1 = Pinned.withPinned() { pin =>
+   *     val verdicts = pin(buildVerdicts(...))   // read by 3 branches
+   *     (branchA(verdicts).collect(), branchB(verdicts).count())
+   *   } // verdicts' cache entry is gone here
+   * }}}
+   */
+  def withPinned[A](recoverable: Boolean = true)(body: (DataFrame => DataFrame) => A): A = {
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pinFn: DataFrame => DataFrame = { df =>
+      val p = pin(df, recoverable)
+      // localCheckpoint frames hold RDD blocks, not CacheManager entries;
+      // only persisted (recoverable) frames need scope-exit release
+      if (recoverable) pinned.synchronized { pinned += p }
+      p
+    }
+    try body(pinFn)
+    finally pinned.foreach { p =>
+      try p.unpersist(blocking = true) catch { case _: Exception => () }
+    }
+  }
 }

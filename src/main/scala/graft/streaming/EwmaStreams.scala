@@ -13,6 +13,13 @@ final case class EwmaCarry(n: Long, ewma: Double, lastOrd: Long)
 /** Per-key emit after each micro-batch that touched the key. */
 final case class EwmaEmit(key: String, n_events: Long, ewma: Double)
 
+/** Buffered-mode state: the folded recurrence plus the reorder buffer of
+  * not-yet-foldable points (parallel ord/value seqs — case-class state
+  * must stay encoder-friendly). */
+final case class EwmaBufCarry(
+    n: Long, ewma: Double, lastOrd: Long, maxOrd: Long,
+    bufOrds: Seq[Long], bufVals: Seq[Double])
+
 /**
  * Streaming EWMA — the live tail of the batch [[graft.operators.Ewma]]
  * fold. The recurrence `ewma = alpha*x + (1-alpha)*ewma` (seeded with the
@@ -69,6 +76,94 @@ object EwmaStreams {
             }
             state.update(EwmaCarry(n, e, last))
             Iterator.single(EwmaEmit(key, n, e))
+          }
+        })
+  }
+
+  /**
+   * BOUNDED OUT-OF-ORDER tolerance — the opt-in ingest-hardened twin of
+   * [[runningEwma]] (whose loud any-disorder contract stays the default).
+   * Arrivals enter a per-key reorder buffer; only points at or below the
+   * key's FRONTIER — `max(ord seen) - delay`, the watermark idea applied
+   * to the per-key order domain — are folded, in `ord` order, with the
+   * IDENTICAL IEEE recurrence. Any ingest whose disorder stays within
+   * `delay` therefore folds in exactly the same sequence as sorted ingest:
+   * streamed values are bit-identical to the batch fold over the folded
+   * prefix (parity spec under shuffled-within-delay ingest).
+   *
+   * The contract stays LOUD past the tolerance: a point arriving at or
+   * below the last FOLDED ord (disorder worse than `delay`) throws — it
+   * can no longer enter the recurrence in order, and silently dropping or
+   * mis-folding it would diverge from batch.
+   *
+   * Emission: one [[EwmaEmit]] per key per micro-batch in which the fold
+   * ADVANCED (a batch that only buffers emits nothing — the recurrence
+   * value hasn't changed). The trailing `delay` of points stays buffered
+   * until later arrivals push the frontier past them; feed a closing
+   * sentinel (or fall back to the batch fold) at end-of-stream.
+   *
+   * State bound: one carry plus the points within `delay` of each key's
+   * frontier — O(keys x delay-window), vs [[runningEwma]]'s O(keys).
+   */
+  def runningEwmaBuffered(
+      spark: SparkSession,
+      points: DataFrame,
+      alpha: Double,
+      delay: Long): Dataset[EwmaEmit] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(delay >= 0L, s"delay ($delay) must be non-negative")
+    import spark.implicits._
+    val a = alpha
+    val oneMinus = 1.0 - alpha
+    points.as[EwmaPoint]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[EwmaPoint], state: GroupState[EwmaBufCarry]) => {
+          val arrivals = rows.toArray
+          if (arrivals.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption.getOrElse(
+              EwmaBufCarry(0L, 0.0, Long.MinValue, Long.MinValue, Seq.empty, Seq.empty))
+            // beyond-tolerance disorder is still a loud failure
+            arrivals.foreach { r =>
+              if (prior.n > 0L && r.ord <= prior.lastOrd)
+                throw new IllegalStateException(
+                  s"EwmaStreams.runningEwmaBuffered: ord ${r.ord} for key '$key' arrived " +
+                    s"at/below the folded frontier (${prior.lastOrd}) — disorder exceeds " +
+                    s"the $delay-ord tolerance; replays/backfills belong to the batch fold")
+            }
+            val buf = (prior.bufOrds.zip(prior.bufVals) ++
+              arrivals.map(r => (r.ord, r.v))).sortBy(_._1)
+            // ord is unique per key by contract; a duplicate inside the
+            // buffer would fold twice SILENTLY — catch it while sorted
+            var d = 1
+            while (d < buf.length) {
+              if (buf(d)._1 == buf(d - 1)._1)
+                throw new IllegalStateException(
+                  s"EwmaStreams.runningEwmaBuffered: duplicate ord ${buf(d)._1} for key " +
+                    s"'$key' — ord must be unique per key (re-delivery is not reordering)")
+              d += 1
+            }
+            val maxOrd = math.max(prior.maxOrd, arrivals.map(_.ord).max)
+            val frontier = maxOrd - delay
+            val (ready, hold) = buf.partition(_._1 <= frontier)
+            if (ready.isEmpty) {
+              state.update(prior.copy(maxOrd = maxOrd,
+                bufOrds = buf.map(_._1), bufVals = buf.map(_._2)))
+              Iterator.empty
+            } else {
+              var n = prior.n
+              var e = prior.ewma
+              var last = prior.lastOrd
+              ready.foreach { case (ord, v) =>
+                e = if (n == 0L) v else a * v + oneMinus * e
+                n += 1
+                last = ord
+              }
+              state.update(EwmaBufCarry(n, e, last, maxOrd,
+                hold.map(_._1), hold.map(_._2)))
+              Iterator.single(EwmaEmit(key, n, e))
+            }
           }
         })
   }

@@ -88,4 +88,75 @@ class EwmaStreamsSpec extends AnyFunSuite {
       EwmaStreams.runningEwma(spark, Seq.empty[EwmaPoint].toDF(), alpha = 1.5)
     }
   }
+
+  test("buffered mode: shuffled-within-delay ingest folds bit-identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministically SHUFFLE each key's history within a disorder
+    // window of < 8 ords, then batch it arbitrarily: the reorder buffer
+    // must reconstruct exact ord order before folding
+    val shuffled = points
+      .sortBy(p => (p.ord / 8, (p.ord * 31 + p.key.hashCode) % 97, p.key))
+    val mem = MemoryStream[EwmaPoint]
+    val name = s"ewma_buf_${System.nanoTime()}"
+    val q = EwmaStreams.runningEwmaBuffered(spark, mem.toDF(), alpha = 0.3, delay = 8L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      shuffled.grouped(25).foreach { b => mem.addData(b); q.processAllAvailable() }
+      // closing sentinels push the frontier past every real point
+      mem.addData(Seq("a", "b", "c").map(k => EwmaPoint(k, 1000L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .withColumn("rn", expr("row_number() over (partition by key order by n_events desc)"))
+      .filter(col("rn") === 1)
+      .select("key", "n_events", "ewma")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // batch fold over the real points + the sentinel (which DID fold its
+    // key's trailing buffer; the sentinel itself stays buffered — frontier
+    // is maxOrd - delay < maxOrd, so n stops at the real 40)
+    val batch = graft.operators.Ewma
+      .perKey(points.toDF(), "key", Seq("ord"), "v", alpha = 0.3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, (n, e)) =>
+      assert(n === batch(k)._1, s"key $k: all real points must fold, sentinel buffered")
+      assert(java.lang.Double.doubleToLongBits(e) ===
+        java.lang.Double.doubleToLongBits(batch(k)._2),
+        s"key $k: buffered-streamed $e != batch ${batch(k)._2}")
+    }
+  }
+
+  test("buffered mode: disorder beyond the delay fails loudly; duplicates fail loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EwmaPoint]
+    val name = s"ewma_buf_ooo_${System.nanoTime()}"
+    val q = EwmaStreams.runningEwmaBuffered(spark, mem.toDF(), alpha = 0.5, delay = 3L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    try {
+      mem.addData((0L to 10L).map(o => EwmaPoint("k", o, o.toDouble)))
+      q.processAllAvailable() // frontier 7: ords 0..7 folded, 8..10 buffered
+      mem.addData(Seq(EwmaPoint("k", 5L, 9.9))) // below the folded frontier
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(messages(ex).exists(_.contains("exceeds")),
+        s"expected the beyond-tolerance error, got: $ex")
+    } finally q.stop()
+    val mem2 = MemoryStream[EwmaPoint]
+    val name2 = s"ewma_buf_dup_${System.nanoTime()}"
+    val q2 = EwmaStreams.runningEwmaBuffered(spark, mem2.toDF(), alpha = 0.5, delay = 5L)
+      .writeStream.format("memory").queryName(name2).outputMode("append").start()
+    try {
+      mem2.addData(Seq(EwmaPoint("k", 10L, 1.0), EwmaPoint("k", 10L, 2.0)))
+      val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(messages(ex2).exists(_.contains("duplicate ord")),
+        s"expected the duplicate-ord error, got: $ex2")
+    } finally q2.stop()
+  }
 }
