@@ -70,6 +70,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WindowMins].getName, "window_mins"),
       TextExpressions.windowMinsBuilder))
     ext.injectFunction((
+      FunctionIdentifier("canonical_url"),
+      new ExpressionInfo(classOf[graft.functions.CanonicalUrl].getName, "canonical_url"),
+      (exprs: Seq[Expression]) => graft.functions.CanonicalUrl(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("strip_html"),
+      new ExpressionInfo(classOf[graft.functions.StripHtml].getName, "strip_html"),
+      (exprs: Seq[Expression]) => graft.functions.StripHtml(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_host"),
+      new ExpressionInfo(classOf[graft.functions.UrlHost].getName, "url_host"),
+      (exprs: Seq[Expression]) => graft.functions.UrlHost(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("url_domain"),
+      new ExpressionInfo(classOf[graft.functions.UrlDomain].getName, "url_domain"),
+      (exprs: Seq[Expression]) => graft.functions.UrlDomain(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("robots_match"),
+      new ExpressionInfo(classOf[graft.functions.RobotsMatch].getName, "robots_match"),
+      (exprs: Seq[Expression]) => graft.functions.RobotsMatch(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("http_status"),
       new ExpressionInfo(classOf[graft.functions.HttpStatus].getName, "http_status"),
       (exprs: Seq[Expression]) => graft.functions.HttpStatus(exprs.head)))
@@ -77,6 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("http_body"),
       new ExpressionInfo(classOf[graft.functions.HttpBody].getName, "http_body"),
       (exprs: Seq[Expression]) => graft.functions.HttpBody(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("http_header"),
+      new ExpressionInfo(classOf[graft.functions.HttpHeaderValue].getName, "http_header"),
+      (exprs: Seq[Expression]) => graft.functions.HttpHeaderValue(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("decode_payload"),
       new ExpressionInfo(classOf[graft.functions.DecodePayload].getName, "decode_payload"),

@@ -56,6 +56,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * already a bare body and passes through unchanged. Header obs-folding
  * (continuation lines starting with SP/HT) never fakes a blank line, so
  * folded headers stay in the head.
+ *
+ * `http_header(s string, name string) -> string`: the FIRST value of the
+ * named header in the message head (case-insensitive name at line start,
+ * status line excluded; obs-folded continuation lines join the value with
+ * their breaks collapsed to spaces; value trimmed), or null when the
+ * header is absent, the string is not an HTTP message, or `name` is null.
  */
 case class HttpStatus(child: Expression) extends UnaryExpression {
 
@@ -109,6 +115,35 @@ case class HttpBody(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): HttpBody =
     copy(child = newChild)
+}
+
+case class HttpHeaderValue(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"http_header expects (string, string), got $other")
+    }
+
+  override protected def nullSafeEval(msg: Any, name: Any): Any =
+    HttpKit.header(msg.asInstanceOf[UTF8String], name.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, n) => s"""
+      UTF8String graftHdr = graft.functions.HttpKit.header($m, $n);
+      if (graftHdr == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftHdr; }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HttpHeaderValue =
+    copy(left = newLeft, right = newRight)
 }
 
 case class DecodePayload(left: Expression, right: Expression) extends BinaryExpression {
@@ -200,6 +235,20 @@ object HttpKit {
   def body(u: UTF8String): UTF8String = {
     if (u == null) return null
     UTF8String.fromString(bodyJava(u.toString))
+  }
+
+  /** First value of the named header, or null (see the class doc). */
+  def header(msg: UTF8String, name: UTF8String): UTF8String = {
+    if (msg == null || name == null) return null
+    val v = headerJava(msg.toString, name.toString)
+    if (v == null) null else UTF8String.fromString(v)
+  }
+
+  def headerJava(msg: String, name: String): String = {
+    if (!msg.startsWith("HTTP/") || name.isEmpty) return null
+    val sep = blankLine(msg)
+    val head = if (sep < 0) msg else msg.substring(0, sep)
+    headerValue(head, name.toLowerCase)
   }
 
   def bodyJava(s: String): String = {
@@ -338,12 +387,17 @@ object HttpKit {
           val nxt = head.indexOf('\n', end + 1)
           end = if (nxt < 0) head.length else nxt
         }
-        return head.substring(start + needle.length, end).replace("\r", " ").trim
+        // obs-fold is semantically one SP (RFC 9112): collapse each line
+        // break plus the continuation's leading whitespace to a space
+        return FoldBreak.matcher(head.substring(start + needle.length, end))
+          .replaceAll(" ").trim
       }
       at = head.indexOf('\n', start)
     }
     null
   }
+
+  private val FoldBreak = java.util.regex.Pattern.compile("[\\r\\n]+[ \\t]*")
 
   /** Charset.forName that never throws: unknown names decode as UTF-8. */
   private def charsetOf(name: String): Charset = {
@@ -366,12 +420,17 @@ object HttpExpressions {
     require(exprs.length == 2, s"decode_payload takes 2 arguments, got ${exprs.length}")
     DecodePayload(exprs(0), exprs(1))
   }
+  private val httpHeaderBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"http_header takes 2 arguments, got ${exprs.length}")
+    HttpHeaderValue(exprs(0), exprs(1))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(
       ("http_status", httpStatusBuilder),
       ("http_body", httpBodyBuilder),
+      ("http_header", httpHeaderBuilder),
       ("decode_payload", decodePayloadBuilder)).foreach { case (name, builder) =>
       val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
       if (!reg.functionExists(id)) {

@@ -32,6 +32,77 @@ import org.apache.spark.unsafe.types.UTF8String
  * is what makes a DuckDB `list_sort` replay bit-identical on non-ASCII
  * query strings.
  */
+/**
+ * `url_host(s)` — the canonical host of a URL: lowercased authority up to
+ * the first '/' or '?', userinfo (`user:pass@`) dropped, one leading
+ * "www." stripped, any port dropped. Null when the input is null or has
+ * no "://" (opaque strings have no host). The per-host key of every
+ * crawl census/politeness query.
+ *
+ * `url_domain(s)` — the registered-domain-LITE key: the host's last two
+ * labels, except that a second-level label from the well-known
+ * country-code set (co/com/net/org/ac/gov/edu + 2-letter TLD — e.g.
+ * "bbc.co.uk") keeps three. Hosts with fewer labels, IPv4 literals and
+ * bracketed IPv6 return whole. A deliberate simplification of the public
+ * suffix list (a data file this library will not vendor), DOCUMENTED as
+ * such — the aggregation key real crawl dashboards group by.
+ */
+case class UrlHost(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"url_host expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKit.host(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      UTF8String graftUrlHost = graft.functions.UrlKit.host($c);
+      if (graftUrlHost == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftUrlHost; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlHost =
+    copy(child = newChild)
+}
+
+case class UrlDomain(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"url_domain expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    UrlKit.domain(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      UTF8String graftUrlDom = graft.functions.UrlKit.domain($c);
+      if (graftUrlDom == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftUrlDom; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlDomain =
+    copy(child = newChild)
+}
+
 case class CanonicalUrl(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -58,6 +129,64 @@ case class CanonicalUrl(child: Expression) extends UnaryExpression {
 object UrlKit {
 
   private val TrackingKeys = Set("fbclid", "gclid", "msclkid", "ref")
+
+  /** Canonical host (see [[UrlHost]]), or null. */
+  def host(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val h = hostJava(u.toString)
+    if (h == null) null else UTF8String.fromString(h)
+  }
+
+  def hostJava(raw: String): String = {
+    val hash = raw.indexOf('#')
+    val s = if (hash >= 0) raw.substring(0, hash) else raw
+    val sep = s.indexOf("://")
+    if (sep < 0) return null
+    val rest = s.substring(sep + 3)
+    var aEnd = rest.length
+    var i = 0
+    var found = false
+    while (i < rest.length && !found) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?') { aEnd = i; found = true }
+      i += 1
+    }
+    var authority = rest.substring(0, aEnd).toLowerCase
+    val at = authority.lastIndexOf('@') // userinfo
+    if (at >= 0) authority = authority.substring(at + 1)
+    if (authority.startsWith("www.")) authority = authority.substring(4)
+    // bracketed IPv6 keeps its brackets; port is after the closing bracket
+    if (authority.startsWith("[")) {
+      val close = authority.indexOf(']')
+      return if (close < 0) authority else authority.substring(0, close + 1)
+    }
+    val colon = authority.lastIndexOf(':')
+    if (colon >= 0) authority.substring(0, colon) else authority
+  }
+
+  /** Second-level labels that act as country-code public suffixes in the
+    * LITE rule (kept deliberately small and documented). */
+  private val CcSecondLevel = Set("co", "com", "net", "org", "ac", "gov", "edu")
+
+  /** Registered-domain-lite (see [[UrlDomain]]), or null. */
+  def domain(u: UTF8String): UTF8String = {
+    if (u == null) return null
+    val h = hostJava(u.toString)
+    if (h == null) return null
+    UTF8String.fromString(domainOfHost(h))
+  }
+
+  def domainOfHost(host: String): String = {
+    if (host.startsWith("[")) return host // IPv6 literal
+    val labels = host.split("\\.", -1)
+    if (labels.length <= 2) return host
+    // IPv4 literal: all-numeric labels
+    if (labels.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9'))) return host
+    val n = labels.length
+    val keepThree = labels(n - 1).length == 2 && CcSecondLevel.contains(labels(n - 2))
+    val keep = if (keepThree && n >= 3) 3 else 2
+    labels.slice(n - keep, n).mkString(".")
+  }
 
   /** Shared by interpreted eval and generated code. */
   def canonical(u: UTF8String): UTF8String = {
@@ -138,12 +267,25 @@ object UrlExpressions {
     require(exprs.length == 1, s"canonical_url takes 1 argument, got ${exprs.length}")
     CanonicalUrl(exprs.head)
   }
+  private val urlHostBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"url_host takes 1 argument, got ${exprs.length}")
+    UrlHost(exprs.head)
+  }
+  private val urlDomainBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"url_domain takes 1 argument, got ${exprs.length}")
+    UrlDomain(exprs.head)
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("canonical_url")
-    if (!reg.functionExists(id)) {
-      reg.createOrReplaceTempFunction("canonical_url", canonicalUrlBuilder, "built-in")
+    Seq(
+      ("canonical_url", canonicalUrlBuilder),
+      ("url_host", urlHostBuilder),
+      ("url_domain", urlDomainBuilder)).foreach { case (name, builder) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
   }
 }

@@ -3841,5 +3841,193 @@ object CoreQueries {
         "bounded at <=3160 pairs/nation forever), S/tau/z with the " +
         "continuity-corrected normal approximation — nonparametric drift " +
         "monitoring beside q219's PSI.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q253
+    Q(
+      "q253_theil_sen",
+      (s, dir) => {
+        // Theil-Sen robust trend slope per nation — the ESTIMATOR paired
+        // with q241's Mann-Kendall TEST (same monthly collapse, same
+        // bounded pair stage): the median of all pairwise slopes
+        // (x_j - x_i)/(j - i) over month indices, immune to outlier
+        // months where OLS (q204) is not. Slopes are exact-decimal
+        // differences divided by integer month gaps (IEEE-identical
+        // cross-engine); the median is the midpoint average over a
+        // per-nation window of <= 3160 pair rows — bounded forever, the
+        // same reason the O(n^2) stage is scale-safe.
+        val monthly = table(s, dir, "orders")
+          .join(broadcast(table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            expr("year(o_orderdate) * 12 + month(o_orderdate)").as("mi"))
+          .agg(sum(expr("cast(round(o_totalprice, 9) as decimal(28,12))")).as("x"))
+        val a = monthly.select(col("nation"), col("mi").as("i1"), col("x").as("x1"))
+        val b = monthly.select(col("nation"), col("mi").as("i2"), col("x").as("x2"))
+        val slopes = a.join(b, Seq("nation"))
+          .filter(col("i1") < col("i2"))
+          .select(col("nation"),
+            expr("(cast(x2 as double) - cast(x1 as double)) / (i2 - i1)").as("slope"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("nation").orderBy("slope")
+        slopes
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("nation")))
+          .filter(col("rn") === expr("cast(floor((n + 1) / 2) as int)") ||
+            col("rn") === expr("cast(ceil(cast((n + 1) as double) / 2) as int)"))
+          .groupBy("nation")
+          .agg(max(col("n")).cast("long").as("n_pairs"),
+            round(avg(col("slope")), 6).as("sen_slope"))
+          .orderBy("nation")
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT n.n_name AS nation,
+                 year(o.o_orderdate) * 12 + month(o.o_orderdate) AS mi,
+                 SUM(CAST(round(o.o_totalprice, 9) AS DECIMAL(28,12))) AS x
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY nation, mi),
+        slopes AS (
+          SELECT a.nation,
+                 (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) / (b.mi - a.mi) AS slope
+          FROM monthly a JOIN monthly b
+            ON a.nation = b.nation AND a.mi < b.mi),
+        ranked AS (
+          SELECT nation, slope,
+                 row_number() OVER (PARTITION BY nation ORDER BY slope) AS rn,
+                 COUNT(1) OVER (PARTITION BY nation) AS n
+          FROM slopes)
+        SELECT nation, CAST(MAX(n) AS BIGINT) AS n_pairs,
+               round(AVG(slope), 6) AS sen_slope
+        FROM ranked
+        WHERE rn = CAST(floor((n + 1) / 2) AS INTEGER)
+           OR rn = CAST(ceil(CAST(n + 1 AS DOUBLE) / 2) AS INTEGER)
+        GROUP BY nation ORDER BY nation"""),
+      "Theil-Sen robust slope per nation: median of pairwise monthly " +
+        "slopes (exact-decimal diffs over integer month gaps), midpoint " +
+        "median over the bounded <=3160-pair frame — the outlier-immune " +
+        "estimator beside q241's Mann-Kendall test and q204's OLS."),
+
+    // ---------------------------------------------------------------- q254
+    Q(
+      "q254_benford_audit",
+      (s, dir) => {
+        // Benford first-digit audit over order totals — the classic
+        // fabricated-data screen a data-quality pipeline runs on any
+        // money-like column. First digits derive from the CENTS integer
+        // (multiplying by 100 never changes the leading digit, and a
+        // bigint's string form is engine-stable — no log10 on doubles,
+        // whose last-ulp is libm-dependent). Expected probabilities are
+        // 12-digit LITERALS (identical text both engines, bit-identical
+        // doubles); the chi-square contribution is IEEE arithmetic on
+        // exact counts. One map-side digit extraction + one 9-row
+        // aggregate; the digit table broadcasts.
+        val digits = table(s, dir, "orders")
+          .selectExpr(
+            "substring(cast(cast(round(o_totalprice * 100) as bigint) as string), 1, 1) as d")
+          .groupBy("d").agg(count(lit(1)).as("n"))
+        val expected = s.createDataFrame(Seq(
+          ("1", 0.301029995664), ("2", 0.176091259056), ("3", 0.124938736608),
+          ("4", 0.096910013008), ("5", 0.079181246048), ("6", 0.066946789631),
+          ("7", 0.057991946978), ("8", 0.051152522447), ("9", 0.045757490561)))
+          .toDF("d", "p_benford")
+        digits.crossJoin(broadcast(digits.agg(sum("n").as("n_total"))))
+          .join(broadcast(expected), Seq("d"))
+          .selectExpr("d", "n",
+            "round(cast(n as double) / cast(n_total as double), 6) as frac",
+            "p_benford",
+            """round(pow(cast(n as double) - cast(n_total as double) * p_benford, 2)
+                     / (cast(n_total as double) * p_benford), 6) as chi2_term""")
+          .orderBy("d")
+      },
+      Some("""
+        WITH digits AS (
+          SELECT substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS d,
+                 CAST(COUNT(1) AS BIGINT) AS n
+          FROM orders GROUP BY d),
+        expected AS (
+          SELECT d, CAST(p_raw AS DOUBLE) AS p_benford FROM (VALUES
+            ('1', 0.301029995664), ('2', 0.176091259056), ('3', 0.124938736608),
+            ('4', 0.096910013008), ('5', 0.079181246048), ('6', 0.066946789631),
+            ('7', 0.057991946978), ('8', 0.051152522447), ('9', 0.045757490561))
+            t(d, p_raw)),
+        tot AS (SELECT SUM(n) AS n_total FROM digits)
+        SELECT d, n,
+               round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS frac,
+               p_benford,
+               round(pow(CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * p_benford, 2)
+                     / (CAST(n_total AS DOUBLE) * p_benford), 6) AS chi2_term
+        FROM digits JOIN expected USING (d) CROSS JOIN tot
+        ORDER BY d"""),
+      "Benford first-digit audit: leading digits from the exact cents " +
+        "integer (no libm log10), literal 12-digit Benford expectations, " +
+        "per-digit chi-square contributions — the fabricated-data screen " +
+        "for money columns; map-side extraction + one 9-row aggregate."),
+
+    // ---------------------------------------------------------------- q255
+    Q(
+      "q255_kendall_tau_b",
+      (s, dir) => {
+        // Tie-corrected Kendall's tau-b between two POOLED monthly series
+        // (revenue vs order count) — the concordance complement of q244's
+        // Spearman and q44's Pearson: tau_b = (C - D) /
+        // sqrt((n0 - t_x)(n0 - t_y)) where t_x/t_y are tied-pair counts.
+        // The corpus collapses to ~80 month rows first; the pair stage is
+        // bounded at months^2/2 forever. Concordance compares exact
+        // DECIMAL revenue and integer counts — no float enters until the
+        // final tau arithmetic.
+        val monthly = table(s, dir, "orders")
+          .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("mi"))
+          .agg(sum(expr("cast(round(o_totalprice, 9) as decimal(28,12))")).as("x"),
+            count(lit(1)).as("y"))
+        val a = monthly.select(col("mi").as("i1"), col("x").as("x1"), col("y").as("y1"))
+        val b = monthly.select(col("mi").as("i2"), col("x").as("x2"), col("y").as("y2"))
+        a.join(b).filter(col("i1") < col("i2"))
+          .agg(
+            count(lit(1)).as("n0"),
+            sum(when((col("x1") < col("x2") && col("y1") < col("y2")) ||
+              (col("x1") > col("x2") && col("y1") > col("y2")), 1L).otherwise(0L)).as("c"),
+            sum(when((col("x1") < col("x2") && col("y1") > col("y2")) ||
+              (col("x1") > col("x2") && col("y1") < col("y2")), 1L).otherwise(0L)).as("d"),
+            sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("tx"),
+            sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("ty"))
+          .selectExpr("n0", "c", "d", "tx", "ty",
+            """round((cast(c as double) - cast(d as double))
+                 / sqrt(cast(n0 - tx as double) * cast(n0 - ty as double)), 6)
+               as tau_b""")
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+                 SUM(CAST(round(o_totalprice, 9) AS DECIMAL(28,12))) AS x,
+                 CAST(COUNT(1) AS BIGINT) AS y
+          FROM orders GROUP BY mi),
+        pairs AS (
+          SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+          FROM monthly a JOIN monthly b ON a.mi < b.mi)
+        SELECT CAST(COUNT(1) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN (x1 < x2 AND y1 < y2) OR (x1 > x2 AND y1 > y2)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN (x1 < x2 AND y1 > y2) OR (x1 > x2 AND y1 < y2)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+               CAST(SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+               round((CAST(SUM(CASE WHEN (x1 < x2 AND y1 < y2) OR (x1 > x2 AND y1 > y2)
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      - CAST(SUM(CASE WHEN (x1 < x2 AND y1 > y2) OR (x1 > x2 AND y1 < y2)
+                                      THEN 1 ELSE 0 END) AS DOUBLE))
+                 / sqrt(CAST(COUNT(1) - SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS DOUBLE)
+                        * CAST(COUNT(1) - SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS DOUBLE)), 6)
+               AS tau_b
+        FROM pairs"""),
+      "Tie-corrected Kendall tau-b between pooled monthly revenue and " +
+        "order count: concordant/discordant census over the bounded " +
+        "months^2 pair frame, ties counted per variable, exact-DECIMAL/" +
+        "integer comparisons — float only in the final tau arithmetic.")
   )
 }

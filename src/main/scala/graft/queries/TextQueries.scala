@@ -7555,6 +7555,225 @@ object TextQueries {
         "(1-row broadcast, batch order == training order): wcnt-weighted " +
         "symbol compression audit, oracle-recomputed from the replayed " +
         "chain's first and last round tables.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q249
+    Q(
+      "q249_http_header",
+      (s, dir) => {
+        // Generic header extraction — http_header(msg, name) completes
+        // the peel trio (q245 status/body): each doc's message carries
+        // headers built FROM its own columns (Content-Language = lang,
+        // X-Source = source folded across two lines for doc_id % 3 = 0),
+        // plus a probe for a header that is never present. The oracle
+        // replays the construction: lang/source come straight off the
+        // table, fold or not. Map-only, one codegen'd pass per column.
+        graft.functions.HttpExpressions.register(s)
+        table(s, dir, "documents")
+          .selectExpr("doc_id", "lang", "source")
+          .withColumn("msg", expr(
+            """concat('HTTP/1.1 200 OK\r\nContent-Language: ', lang,
+                 case when doc_id % 3 = 0
+                      then concat('\r\nX-Source: ', substring(source, 1, 3),
+                                  '\r\n ', substring(source, 4))
+                      else concat('\r\nX-Source: ', source) end,
+                 '\r\nServer: graft\r\n\r\nbody Content-Language: xx')"""))
+          .selectExpr(
+            "doc_id",
+            "http_header(msg, 'content-language') as content_language",
+            "http_header(msg, 'X-Source') as x_source",
+            "http_header(msg, 'X-Absent') as x_absent")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               lang AS content_language,
+               CASE WHEN doc_id % 3 = 0
+                    THEN (substring(source, 1, 3) || ' ' || substring(source, 4))
+                    ELSE source END AS x_source,
+               CAST(NULL AS VARCHAR) AS x_absent
+        FROM documents ORDER BY doc_id"""),
+      "Generic HTTP header extraction: http_header resolves names case-" +
+        "insensitively from the message head only (body text never " +
+        "scanned), joins obs-folded continuations as one SP, and returns " +
+        "null for absent headers — the oracle replays the construction."),
+
+    // ---------------------------------------------------------------- q250
+    Q(
+      "q250_crawl_domain_census",
+      (s, dir) => {
+        // The crawl dashboard's first query: docs keyed to URLs in four
+        // authority shapes (www + .com, subdomain + cc second-level
+        // .co.uk + default port, deep subdomain + .org + query, userinfo
+        // + .net), then a REGISTERED-DOMAIN census — url_domain collapses
+        // host variants to the registration key, url_host counts the
+        // distinct crawl hosts inside each. The oracle computes both keys
+        // straight from the construction branches (it never parses), so
+        // every normalization rule (www/userinfo/port strip, cc
+        // second-level keep-three) is locked. One hash aggregate.
+        graft.functions.UrlExpressions.register(s)
+        table(s, dir, "documents")
+          .selectExpr("doc_id", "source", "cast(doc_id % 4 as int) as kind")
+          .withColumn("url", expr(
+            """case kind
+                 when 0 then concat('https://WWW.', source, '.com/p/', doc_id)
+                 when 1 then concat('http://news.', source, '.co.uk:80/a/', doc_id)
+                 when 2 then concat('https://cdn.img.', source, '.org/x?id=', doc_id)
+                 else concat('http://user:pw@', source, '.net/home')
+               end"""))
+          .selectExpr("url_domain(url) as domain", "url_host(url) as host")
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"))
+          .orderBy("domain")
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN (source || '.com')
+                   WHEN 1 THEN (source || '.co.uk')
+                   WHEN 2 THEN (source || '.org')
+                   ELSE (source || '.net') END AS domain,
+                 CASE doc_id % 4
+                   WHEN 0 THEN (source || '.com')
+                   WHEN 1 THEN ('news.' || source || '.co.uk')
+                   WHEN 2 THEN ('cdn.img.' || source || '.org')
+                   ELSE (source || '.net') END AS host
+          FROM documents)
+        SELECT domain, CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM keyed GROUP BY domain ORDER BY domain"""),
+      "Registered-domain crawl census: url_domain (registered-domain-" +
+        "lite with the cc second-level keep-three rule) and url_host " +
+        "(www/userinfo/port strip) collapse four authority shapes to " +
+        "their registration keys — the oracle computes the keys from the " +
+        "construction branches, locking every normalization rule.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q251
+    Q(
+      "q251_robots_rules",
+      (s, dir) => {
+        // robots.txt parsing (RFC 9309) — the crawl-politeness contract:
+        // each doc carries a constructed robots file (comment line, a '*'
+        // group, a two-agent group with crawl-delay/sitemap, the empty-
+        // disallow allow-all idiom, a wildcard+anchor rule). Robots.rules
+        // must explode it into one row per (agent, rule): group
+        // assembly via per-FILE windows (robots files are tiny — no task
+        // ever holds more than one file's lines), multi-agent groups
+        // emit per agent, empty disallow vanishes. The oracle replays
+        // the construction as UNION ALL row templates.
+        val docs = table(s, dir, "documents")
+          .selectExpr("doc_id", "source", "cast(doc_id % 7 + 1 as string) as cd")
+        val txt = docs.withColumn("txt", expr(
+          """concat(
+               '# robots for ', source, '\n',
+               'User-agent: *\n',
+               'Disallow: /private/\n',
+               'Allow: /private/', source, '/\n',
+               '\n',
+               'User-agent: GraftBot\n',
+               'User-agent: fetchbot\n',
+               'Crawl-delay: ', cd, '\n',
+               'Disallow: /tmp/', source, '\n',
+               'Allow: /tmp/', source, '/ok\n',
+               'Disallow: /*.zip', chr(36), '\n',
+               'Disallow:\n',
+               'Sitemap: https://', source, '.com/map.xml\n')"""))
+        graft.operators.Robots.rules(txt, "doc_id", "txt")
+          .orderBy("doc_id", "agent", "rule", "value")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, source, CAST(doc_id % 7 + 1 AS VARCHAR) AS cd FROM documents),
+        bots AS (SELECT * FROM (VALUES ('graftbot'), ('fetchbot')) t(agent)),
+        rows AS (
+          SELECT doc_id, '*' AS agent, 'allow' AS rule,
+                 ('/private/' || source || '/') AS value FROM base
+          UNION ALL
+          SELECT doc_id, '*', 'disallow', '/private/' FROM base
+          UNION ALL
+          SELECT doc_id, agent, 'allow', ('/tmp/' || source || '/ok') FROM base, bots
+          UNION ALL
+          SELECT doc_id, agent, 'crawl-delay', cd FROM base, bots
+          UNION ALL
+          SELECT doc_id, agent, 'disallow', ('/tmp/' || source) FROM base, bots
+          UNION ALL
+          SELECT doc_id, agent, 'disallow', ('/*.zip' || chr(36)) FROM base, bots
+          UNION ALL
+          SELECT doc_id, agent, 'sitemap',
+                 ('https://' || source || '.com/map.xml') FROM base, bots)
+        SELECT doc_id, agent, rule, value,
+               CASE WHEN rule IN ('allow', 'disallow')
+                    THEN CAST(length(value) AS INTEGER) ELSE 0 END AS pattern_len
+        FROM rows ORDER BY doc_id, agent, rule, value"""),
+      "robots.txt parsing: RFC 9309 group assembly (consecutive user-" +
+        "agent lines share a group, rules emit once per agent), comment " +
+        "strip, empty-disallow allow-all idiom, case-insensitive keys — " +
+        "per-file windows only; the oracle replays the construction."),
+
+    // ---------------------------------------------------------------- q252
+    Q(
+      "q252_robots_verdicts",
+      (s, dir) => {
+        // Crawl-permission verdicts for one bot over six path shapes per
+        // host: specific-group precedence (GraftBot has its own group, so
+        // the '*' group's /private/ rules must NOT apply), longest-match
+        // election (the /tmp allow outranks the shorter disallow),
+        // wildcard+anchor matching (*.zip$), and the default-allow. The
+        // oracle computes every verdict from the construction branches.
+        // Scale: rules join paths host-keyed (equi); election is one
+        // max-by-struct aggregate.
+        val docs = table(s, dir, "documents")
+          .selectExpr("doc_id", "source", "cast(doc_id % 7 + 1 as string) as cd")
+        val txt = docs.withColumn("txt", expr(
+          """concat(
+               'User-agent: *\n',
+               'Disallow: /private/\n',
+               'Allow: /private/', source, '/\n',
+               'User-agent: GraftBot\n',
+               'User-agent: fetchbot\n',
+               'Crawl-delay: ', cd, '\n',
+               'Disallow: /tmp/', source, '\n',
+               'Allow: /tmp/', source, '/ok\n',
+               'Disallow: /*.zip', chr(36), '\n',
+               'Sitemap: https://', source, '.com/map.xml\n')"""))
+        val rules = graft.operators.Robots.rules(txt, "doc_id", "txt")
+        val paths = docs.select(col("doc_id"),
+          explode(expr(
+            """array('/private/x',
+                     concat('/private/', source, '/page'),
+                     concat('/tmp/', source, '/f'),
+                     '/open/y',
+                     '/files/a.zip',
+                     concat('/tmp/', source, '/ok-data'))""")).as("path"))
+        graft.operators.Robots
+          .verdicts(s, rules, "doc_id", paths, "path", "GraftBot")
+          .orderBy("doc_id", "path")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, source, unnest([
+            '/private/x',
+            '/private/' || source || '/page',
+            '/tmp/' || source || '/f',
+            '/open/y',
+            '/files/a.zip',
+            '/tmp/' || source || '/ok-data']) AS path
+          FROM documents)
+        SELECT doc_id, path,
+               (path <> '/files/a.zip' AND path <> ('/tmp/' || source || '/f')) AS allowed,
+               CASE WHEN path = '/files/a.zip' THEN ('/*.zip' || chr(36))
+                    WHEN path = ('/tmp/' || source || '/f') THEN ('/tmp/' || source)
+                    WHEN path = ('/tmp/' || source || '/ok-data')
+                      THEN ('/tmp/' || source || '/ok')
+                    ELSE NULL END AS matched_pattern
+        FROM p ORDER BY doc_id, path"""),
+      "robots.txt verdicts: RFC 9309 group selection (bot-specific group " +
+        "suppresses '*'), longest-match with allow-on-tie election via " +
+        "one max-by-struct aggregate, robots_match '*'/anchor matching, " +
+        "default allow — every verdict oracle-computed by construction.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the

@@ -117,6 +117,29 @@ class HttpExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("http_header: name lookup, folding, absence, non-message") {
+    def hdr(msg: String, name: String): Option[String] = {
+      val r = spark.sql(
+        s"select http_header('${msg.replace("'", "''")}', '$name')").head()
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "X-Long: part1\r\n part2\r\nServer: nginx\r\n\r\nbody Content-Type: fake"
+    assert(hdr(msg, "Content-Type") === Some("text/html; charset=utf-8"))
+    assert(hdr(msg, "content-type") === Some("text/html; charset=utf-8"),
+      "header names are case-insensitive")
+    assert(hdr(msg, "X-Long") === Some("part1 part2"),
+      "obs-fold is semantically one SP (RFC 9112)")
+    assert(hdr(msg, "Server") === Some("nginx"))
+    assert(hdr(msg, "Missing") === None)
+    assert(hdr(msg, "body") === None, "body text is never scanned for headers")
+    assert(hdr("not an http message", "Server") === None)
+    // headers-only message (no blank line) still resolves
+    assert(hdr("HTTP/1.1 204 No\r\nServer: x\r\n", "Server") === Some("x"))
+    // interpreted == codegen
+    assert(HttpKit.headerJava(msg, "x-long") === "part1 part2")
+  }
+
   test("interpreted eval equals codegen across constructed messages") {
     val df = spark.range(0, 200).toDF("id").selectExpr(
       """concat('HTTP/1.1 ', cast(200 + id % 300 as string), ' R\r\n',
