@@ -86,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.UrlDomain].getName, "url_domain"),
       (exprs: Seq[Expression]) => graft.functions.UrlDomain(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("scrub_pii"),
+      new ExpressionInfo(classOf[graft.functions.ScrubPii].getName, "scrub_pii"),
+      (exprs: Seq[Expression]) => graft.functions.ScrubPii(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("robots_match"),
       new ExpressionInfo(classOf[graft.functions.RobotsMatch].getName, "robots_match"),
       (exprs: Seq[Expression]) => graft.functions.RobotsMatch(exprs(0), exprs(1))))

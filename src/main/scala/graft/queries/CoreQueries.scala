@@ -4029,5 +4029,67 @@ object CoreQueries {
         "order count: concordant/discordant census over the bounded " +
         "months^2 pair frame, ties counted per variable, exact-DECIMAL/" +
         "integer comparisons — float only in the final tau arithmetic.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q257
+    Q(
+      "q257_cusum_changepoint",
+      (s, dir) => {
+        // CUSUM changepoint location over the pooled monthly revenue
+        // series — the "WHEN did the level shift" complement to q241/
+        // q253's "is there a trend": CUSUM_t = prefix_sum_t - t * mean,
+        // the classic cumulative deviation curve; the changepoint
+        // estimate is the month maximizing |CUSUM| (earliest month on
+        // exact ties). Prefix sums are exact DECIMAL over a window of
+        // the BOUNDED monthly frame (~80 rows — never corpus-sized);
+        // mean and the deviation curve are IEEE-identical doubles.
+        val monthly = table(s, dir, "orders")
+          .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate)").as("mi"))
+          .agg(sum(expr("cast(round(o_totalprice, 9) as decimal(28,12))")).as("x"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("mi").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = monthly.agg(
+          sum("x").as("sx"), count(lit(1)).as("n"))
+        // cusum_t/cusum_ps are RESERVED aliases in PlanShapesSpec's global-
+        // window allowlist: these two global frames run over the monthly
+        // AGGREGATE (~80 rows forever), never corpus rows
+        monthly
+          .withColumn("cusum_t", expr("cast(row_number() over (order by mi) as int)"))
+          .withColumn("cusum_ps", sum("x").over(w))
+          .crossJoin(broadcast(tot))
+          .selectExpr("mi", "cusum_t", "n",
+            """cast(cusum_ps as double) - cast(cusum_t as double)
+               * (cast(sx as double) / cast(n as double)) as cusum""")
+          .orderBy(expr("abs(cusum)").desc, col("mi"))
+          .limit(1)
+          .selectExpr("cast(n as bigint) as n_months",
+            "mi as cp_month_index", "cusum_t as cp_position",
+            "round(cusum, 6) as cusum_at_cp")
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+                 SUM(CAST(round(o_totalprice, 9) AS DECIMAL(28,12))) AS x
+          FROM orders GROUP BY mi),
+        tot AS (SELECT SUM(x) AS sx, CAST(COUNT(1) AS BIGINT) AS n FROM monthly),
+        curve AS (
+          SELECT mi,
+                 CAST(row_number() OVER (ORDER BY mi) AS INTEGER) AS t,
+                 SUM(x) OVER (ORDER BY mi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+          FROM monthly)
+        SELECT n AS n_months, mi AS cp_month_index, t AS cp_position,
+               round(CAST(ps AS DOUBLE)
+                     - CAST(t AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 AS cusum_at_cp
+        FROM curve CROSS JOIN tot
+        ORDER BY abs(CAST(ps AS DOUBLE)
+                     - CAST(t AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) DESC,
+                 mi
+        LIMIT 1"""),
+      "CUSUM changepoint: cumulative deviation curve over the bounded " +
+        "monthly frame (exact-DECIMAL prefix sums, IEEE deviation), " +
+        "argmax |CUSUM| with earliest-month tie-break — the level-shift " +
+        "locator beside the q241/q253 trend pair.")
   )
 }

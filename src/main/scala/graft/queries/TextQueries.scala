@@ -7774,6 +7774,50 @@ object TextQueries {
         "suppresses '*'), longest-match with allow-on-tie election via " +
         "one max-by-struct aggregate, robots_match '*'/anchor matching, " +
         "default allow — every verdict oracle-computed by construction.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q256
+    Q(
+      "q256_pii_scrub",
+      (s, dir) => {
+        // PII redaction — the scrub pass every published pretraining
+        // pipeline runs before tokenization: each doc's text gets a
+        // constructed contact block (email, E.164-grouped phone, IPv4,
+        // a Luhn-VALID card) plus a 16-digit Luhn-INVALID decoy that
+        // must survive untouched (it is neither a card nor inside the
+        // phone envelope). scrub_pii (native, codegen'd, precompiled
+        // patterns, documented rule order EMAIL>IP>CARD>PHONE) must land
+        // exactly on the constructed redaction; the oracle replays the
+        // construction. Map-only, one pass per row.
+        graft.functions.PiiExpressions.register(s)
+        table(s, dir, "documents")
+          .selectExpr("doc_id", "text")
+          .withColumn("dirty", expr(
+            """concat(text, ' contact user', cast(doc_id as string), '@mail',
+                 cast(doc_id % 5 as string), '.org or +1 555-01',
+                 lpad(cast(doc_id % 100 as string), 2, '0'), '-',
+                 lpad(cast(doc_id % 10000 as string), 4, '0'), ' ip 10.',
+                 cast(doc_id % 200 as string), '.0.', cast(doc_id % 250 as string),
+                 ' card 4242 4242 4242 4242 ref 1234567890123456')"""))
+          .withColumn("expected", expr(
+            "concat(text, ' contact <EMAIL> or <PHONE> ip <IP> " +
+              "card <CARD> ref 1234567890123456')"))
+          .selectExpr(
+            "doc_id",
+            "scrub_pii(dirty) = expected as scrub_ok",
+            "cast(length(scrub_pii(dirty)) as int) as n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               TRUE AS scrub_ok,
+               CAST(len(text || ' contact <EMAIL> or <PHONE> ip <IP> ' ||
+                        'card <CARD> ref 1234567890123456') AS INTEGER) AS n_chars
+        FROM documents ORDER BY doc_id"""),
+      "PII redaction: scrub_pii replaces emails, valid-octet IPv4s, " +
+        "Luhn-verified card numbers and E.164-envelope phones with typed " +
+        "placeholders in a documented rule order — the Luhn-invalid " +
+        "16-digit decoy survives; the oracle replays the construction.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the

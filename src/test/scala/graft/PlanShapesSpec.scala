@@ -326,8 +326,12 @@ class PlanShapesSpec extends AnyFunSuite {
     // sources-sized per-source frame (reserved aliases cumw/cumcap/totw/
     // satcap/unsatw — the corpus never enters that operator).
     // This audit caught q69's corpus-sized Window.partitionBy() in round 5.
+    // cusum_t/cusum_ps: q257's rank + prefix sum over the pooled MONTHLY
+    // aggregate (~80 rows at any corpus size — the frame is bounded by the
+    // calendar, not the data)
     val allowed = Seq("sum(cnt#", "sum(b_tot#",
-      "AS cumw#", "AS cumcap#", "AS totw#", "AS satcap#", "AS unsatw#")
+      "AS cumw#", "AS cumcap#", "AS totw#", "AS satcap#", "AS unsatw#",
+      "AS cusum_t#", "AS cusum_ps#")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
       plan.linesIterator.filter(_.contains("windowspecdefinition(")).flatMap { line =>
