@@ -17,6 +17,12 @@ final case class TransCarry(lastType: String, lastMs: Long, lastId: Long)
   * the live transition matrix. */
 final case class TransEmit(user_id: Long, from_type: String, to_type: String)
 
+/** Buffered-mode state: the fold carry plus the reorder buffer of
+  * not-yet-foldable events (parallel seqs — encoder-friendly). */
+final case class TransBufCarry(
+    lastType: String, lastMs: Long, lastId: Long, maxMs: Long,
+    bufMs: Seq[Long], bufIds: Seq[Long], bufTypes: Seq[String])
+
 /**
  * Streaming event-transition extraction — the live tail of the batch q189
  * Markov matrix (`CoreQueries` "q189_event_transitions"): q189's
@@ -70,6 +76,81 @@ object TransitionStreams {
             }
             state.update(TransCarry(lastType, lastMs, lastId))
             out.iterator
+          }
+        })
+  }
+
+  /**
+   * BOUNDED OUT-OF-ORDER tolerance — the [[EwmaStreams.runningEwmaBuffered]]
+   * discipline applied to the transition automaton: arrivals enter a
+   * per-user reorder buffer; only events at or below the user's frontier
+   * (`max ms seen - delayMs`) fold, in exact `(ms, event_id)` order, with
+   * the identical bigram emission — within-tolerance disorder produces the
+   * SAME transition stream as sorted ingest. Loud past the tolerance (an
+   * arrival at-or-before the last FOLDED event can no longer enter the
+   * sequence in order) and on duplicate `(ms, event_id)` keys. The
+   * trailing `delayMs` of events stays buffered until later arrivals push
+   * the frontier; emission happens only in batches where the fold
+   * advanced. State O(users x delay window).
+   */
+  def transitionsBuffered(
+      spark: SparkSession,
+      events: DataFrame,
+      delayMs: Long): Dataset[TransEmit] = {
+    require(delayMs >= 0L, s"delayMs ($delayMs) must be non-negative")
+    import spark.implicits._
+    events.as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[TransEvent], state: GroupState[TransBufCarry]) => {
+          val arrivals = rows.toArray
+          if (arrivals.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption.getOrElse(TransBufCarry(
+              null, Long.MinValue, Long.MinValue, Long.MinValue,
+              Seq.empty, Seq.empty, Seq.empty))
+            arrivals.foreach { r =>
+              if (prior.lastType != null &&
+                (r.ms < prior.lastMs ||
+                  (r.ms == prior.lastMs && r.event_id <= prior.lastId)))
+                throw new IllegalStateException(
+                  s"TransitionStreams.transitionsBuffered: event (ms=${r.ms}, " +
+                    s"event_id=${r.event_id}) for user $user arrived at/below the " +
+                    s"folded frontier (ms=${prior.lastMs}, event_id=${prior.lastId}) " +
+                    s"— disorder exceeds the ${delayMs}ms tolerance")
+            }
+            val buf = (prior.bufMs.lazyZip(prior.bufIds).lazyZip(prior.bufTypes).toSeq ++
+              arrivals.map(r => (r.ms, r.event_id, r.event_type)))
+              .sortBy(t => (t._1, t._2))
+            var d = 1
+            while (d < buf.length) {
+              if (buf(d)._1 == buf(d - 1)._1 && buf(d)._2 == buf(d - 1)._2)
+                throw new IllegalStateException(
+                  s"TransitionStreams.transitionsBuffered: duplicate (ms, event_id) " +
+                    s"(${buf(d)._1}, ${buf(d)._2}) for user $user — re-delivery is " +
+                    "not reordering")
+              d += 1
+            }
+            val maxMs = math.max(prior.maxMs, arrivals.map(_.ms).max)
+            val frontier = maxMs - delayMs
+            val (ready, hold) = buf.partition(_._1 <= frontier)
+            if (ready.isEmpty) {
+              state.update(prior.copy(maxMs = maxMs,
+                bufMs = buf.map(_._1), bufIds = buf.map(_._2), bufTypes = buf.map(_._3)))
+              Iterator.empty
+            } else {
+              var lastType = prior.lastType
+              var lastMs = prior.lastMs
+              var lastId = prior.lastId
+              val out = scala.collection.mutable.ArrayBuffer.empty[TransEmit]
+              ready.foreach { case (ms, id, typ) =>
+                if (lastType != null) out += TransEmit(user, lastType, typ)
+                lastType = typ; lastMs = ms; lastId = id
+              }
+              state.update(TransBufCarry(lastType, lastMs, lastId, maxMs,
+                hold.map(_._1), hold.map(_._2), hold.map(_._3)))
+              out.iterator
+            }
           }
         })
   }

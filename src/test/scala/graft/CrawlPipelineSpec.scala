@@ -194,5 +194,27 @@ class CrawlPipelineSpec extends AnyFunSuite {
       "ISO-8859-1 header charset must decode the accents exactly")
     assert(decoded(1).getString(2) === gbkText,
       "GBK meta-sniffed page must decode the CJK body exactly")
+
+    // the WHOLE text-extraction chain is stateless map-only expressions,
+    // so it runs UNCHANGED on the live crawl tail: stream the same
+    // segments and require streaming == batch row-for-row
+    graft.functions.PiiExpressions.register(spark)
+    val q = spark.readStream.format("warc").load(dir.toString)
+      .select(
+        expr("cast(regexp_extract(record_id, '<urn:uuid:c-(\\\\d+)>', 1) as bigint)")
+          .as("doc_id"),
+        expr("decode_payload(payload, content_type)").as("http"))
+      .selectExpr("doc_id", "http_status(http) as status",
+        "scrub_pii(strip_html(http_body(http))) as text")
+      .writeStream.format("memory").queryName("crawl_charset_tail")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "select doc_id, status, text from crawl_charset_tail order by doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val batchEquiv = decoded.map(r =>
+      (r.getLong(0), r.getInt(1), graft.functions.PiiKit.scrubJava(r.getString(2))))
+    assert(streamed.toSeq === batchEquiv.toSeq,
+      "decode -> peel -> strip -> scrub must agree streaming vs batch")
   }
 }

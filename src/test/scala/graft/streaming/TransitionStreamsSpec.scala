@@ -95,4 +95,72 @@ class TransitionStreamsSpec extends AnyFunSuite {
         s"expected the monotone-ingest contract, got: ${messages(ex)}")
     } finally q.stop()
   }
+
+  test("buffered mode: shuffled-within-delay ingest equals batch q189 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.queries.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[TransEvent].collect().toSeq
+    val span = fixture.map(_.ms).max - fixture.map(_.ms).min
+    val delay = math.max(span / 10, 1L)
+    // deterministic shuffle whose disorder stays within `delay`: sort by
+    // coarse time buckets of size `delay`, scramble inside each bucket
+    val shuffled = fixture.sortBy(r =>
+      (r.ms / delay, (r.event_id * 31 + r.user_id) % 97, r.event_id))
+    val mem = MemoryStream[TransEvent]
+    val name = s"trans_buf_${System.nanoTime()}"
+    val q = TransitionStreams.transitionsBuffered(spark, mem.toDF(), delayMs = delay)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      shuffled.grouped(math.max(shuffled.size / 5, 1)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      // closing sentinels per user push the frontier past all real events
+      val maxMs = fixture.map(_.ms).max
+      val closers = fixture.map(_.user_id).distinct.zipWithIndex.map { case (u, i) =>
+        TransEvent(u, maxMs + delay + 1000L, 1000000L + i, "close")
+      }
+      mem.addData(closers); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .filter(col("to_type") =!= "close") // drop the sentinel bigrams
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.SparkEntry.queries("q189_event_transitions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      "buffered streaming must reconstruct exact time order within the delay")
+  }
+
+  test("buffered mode: beyond-tolerance and duplicate arrivals fail loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val mem = MemoryStream[TransEvent]
+    val name = s"trans_buf_ooo_${System.nanoTime()}"
+    val q = TransitionStreams.transitionsBuffered(spark, mem.toDF(), delayMs = 100L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData((0 until 10).map(i => TransEvent(1L, i * 50L, i.toLong, "e" + (i % 3))))
+      q.processAllAvailable() // frontier 350: events up to ms 350 folded
+      mem.addData(Seq(TransEvent(1L, 10L, 99L, "late")))
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(messages(ex).exists(_.contains("exceeds")),
+        s"expected the tolerance error, got: ${messages(ex)}")
+    } finally q.stop()
+    val mem2 = MemoryStream[TransEvent]
+    val name2 = s"trans_buf_dup_${System.nanoTime()}"
+    val q2 = TransitionStreams.transitionsBuffered(spark, mem2.toDF(), delayMs = 100L)
+      .writeStream.format("memory").queryName(name2).outputMode("append").start()
+    try {
+      mem2.addData(Seq(
+        TransEvent(1L, 500L, 7L, "a"), TransEvent(1L, 500L, 7L, "a")))
+      val ex2 = intercept[StreamingQueryException] { q2.processAllAvailable() }
+      assert(messages(ex2).exists(_.contains("duplicate")),
+        s"expected the duplicate error, got: ${messages(ex2)}")
+    } finally q2.stop()
+  }
 }
