@@ -7817,7 +7817,47 @@ object TextQueries {
       "PII redaction: scrub_pii replaces emails, valid-octet IPv4s, " +
         "Luhn-verified card numbers and E.164-envelope phones with typed " +
         "placeholders in a documented rule order — the Luhn-invalid " +
-        "16-digit decoy survives; the oracle replays the construction.")
+        "16-digit decoy survives; the oracle replays the construction."),
+
+    // ---------------------------------------------------------------- q258
+    Q(
+      "q258_crawl_politeness_budget",
+      (s, dir) => {
+        // The crawl scheduler's capacity question: given each host's
+        // robots crawl-delay for our bot, how many pages/day may the
+        // fleet fetch per delay class? Robots.rules parses the per-host
+        // files (q251's construction — delay = doc_id % 7 + 1 for the
+        // graftbot group), then one aggregate: hosts per delay and the
+        // integer pages-per-day budget n_hosts * (86400 div delay). The
+        // oracle computes delays straight from the construction. Scale:
+        // parse is per-file-windowed; the census is one hash aggregate
+        // over host-sized rows.
+        val docs = table(s, dir, "documents")
+          .selectExpr("doc_id", "source", "cast(doc_id % 7 + 1 as string) as cd")
+        val txt = docs.withColumn("txt", expr(
+          """concat(
+               'User-agent: GraftBot\n',
+               'User-agent: fetchbot\n',
+               'Crawl-delay: ', cd, '\n',
+               'Disallow: /tmp/', source, '\n')"""))
+        graft.operators.Robots.rules(txt, "doc_id", "txt")
+          .filter(col("agent") === "graftbot" && col("rule") === "crawl-delay")
+          .selectExpr("cast(value as int) as crawl_delay")
+          .groupBy("crawl_delay")
+          .agg(count(lit(1)).as("n_hosts"))
+          .selectExpr("crawl_delay", "n_hosts",
+            "cast(n_hosts * (86400 div crawl_delay) as bigint) as pages_per_day")
+          .orderBy("crawl_delay")
+      },
+      Some("""
+        WITH d AS (SELECT CAST(doc_id % 7 + 1 AS INTEGER) AS crawl_delay FROM documents)
+        SELECT crawl_delay, CAST(COUNT(1) AS BIGINT) AS n_hosts,
+               CAST(COUNT(1) * (86400 // crawl_delay) AS BIGINT) AS pages_per_day
+        FROM d GROUP BY crawl_delay ORDER BY crawl_delay"""),
+      "Crawl politeness budget: per-delay host census and integer " +
+        "pages-per-day capacity from parsed robots crawl-delay rules — " +
+        "the scheduler feed; per-file parse windows, one host-sized " +
+        "aggregate, oracle-computed from the construction.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the

@@ -16,6 +16,12 @@ final case class FunnelCarry(n: Long, stage: Int, lastMs: Long, lastId: Long)
 /** Per-user emit after each micro-batch that touched the user. */
 final case class FunnelEmit(user_id: Long, n_events: Long, funnel_stage: Int)
 
+/** Buffered-mode state: the automaton carry plus the reorder buffer of
+  * not-yet-foldable events (parallel seqs — encoder-friendly). */
+final case class FunnelBufCarry(
+    n: Long, stage: Int, lastMs: Long, lastId: Long, maxMs: Long,
+    bufMs: Seq[Long], bufIds: Seq[Long], bufTypes: Seq[String])
+
 /**
  * Streaming funnel — the live tail of the batch q86 fold
  * (`CoreQueries` "q86_funnel"). The funnel automaton (stage s advances to
@@ -84,6 +90,84 @@ object FunnelStreams {
             }
             state.update(FunnelCarry(n, stage, lastMs, lastId))
             Iterator.single(FunnelEmit(user, n, stage))
+          }
+        })
+  }
+
+  /**
+   * BOUNDED OUT-OF-ORDER tolerance — the [[EwmaStreams.runningEwmaBuffered]]
+   * / [[TransitionStreams.transitionsBuffered]] discipline for the funnel
+   * automaton: arrivals buffer per user, only events at or below the
+   * frontier (`max ms seen - delayMs`) fold, in exact `(ms, event_id)`
+   * order, through the IDENTICAL step rule — within-tolerance disorder
+   * reaches the same stage as sorted ingest. Loud past the tolerance and
+   * on duplicate `(ms, event_id)` keys; emits only when the fold
+   * advanced; the trailing `delayMs` stays buffered until later arrivals
+   * move the frontier. State O(users x delay window).
+   */
+  def funnelStagesBuffered(
+      spark: SparkSession,
+      events: DataFrame,
+      delayMs: Long,
+      steps: Seq[String] = DefaultSteps): Dataset[FunnelEmit] = {
+    require(delayMs >= 0L, s"delayMs ($delayMs) must be non-negative")
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.forall(s => s != null && s.nonEmpty),
+      s"steps must be non-null and non-empty, got $steps")
+    import spark.implicits._
+    val stepArr = steps.toArray
+    events.as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBufCarry]) => {
+          val arrivals = rows.toArray
+          if (arrivals.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption.getOrElse(FunnelBufCarry(
+              0L, 0, Long.MinValue, Long.MinValue, Long.MinValue,
+              Seq.empty, Seq.empty, Seq.empty))
+            arrivals.foreach { r =>
+              if (prior.n > 0L &&
+                (r.ms < prior.lastMs ||
+                  (r.ms == prior.lastMs && r.event_id <= prior.lastId)))
+                throw new IllegalStateException(
+                  s"FunnelStreams.funnelStagesBuffered: event (ms=${r.ms}, " +
+                    s"event_id=${r.event_id}) for user $user arrived at/below the " +
+                    s"folded frontier (ms=${prior.lastMs}, event_id=${prior.lastId}) " +
+                    s"— disorder exceeds the ${delayMs}ms tolerance")
+            }
+            val buf = (prior.bufMs.lazyZip(prior.bufIds).lazyZip(prior.bufTypes).toSeq ++
+              arrivals.map(r => (r.ms, r.event_id, r.event_type)))
+              .sortBy(t => (t._1, t._2))
+            var d = 1
+            while (d < buf.length) {
+              if (buf(d)._1 == buf(d - 1)._1 && buf(d)._2 == buf(d - 1)._2)
+                throw new IllegalStateException(
+                  s"FunnelStreams.funnelStagesBuffered: duplicate (ms, event_id) " +
+                    s"(${buf(d)._1}, ${buf(d)._2}) for user $user — re-delivery is " +
+                    "not reordering")
+              d += 1
+            }
+            val maxMs = math.max(prior.maxMs, arrivals.map(_.ms).max)
+            val frontier = maxMs - delayMs
+            val (ready, hold) = buf.partition(_._1 <= frontier)
+            if (ready.isEmpty) {
+              state.update(prior.copy(maxMs = maxMs,
+                bufMs = buf.map(_._1), bufIds = buf.map(_._2), bufTypes = buf.map(_._3)))
+              Iterator.empty
+            } else {
+              var n = prior.n
+              var stage = prior.stage
+              var lastMs = prior.lastMs
+              var lastId = prior.lastId
+              ready.foreach { case (ms, id, typ) =>
+                if (stage < stepArr.length && typ == stepArr(stage)) stage += 1
+                n += 1; lastMs = ms; lastId = id
+              }
+              state.update(FunnelBufCarry(n, stage, lastMs, lastId, maxMs,
+                hold.map(_._1), hold.map(_._2), hold.map(_._3)))
+              Iterator.single(FunnelEmit(user, n, stage))
+            }
           }
         })
   }

@@ -119,4 +119,66 @@ class FunnelStreamsSpec extends AnyFunSuite {
       FunnelStreams.funnelStages(spark, Seq.empty[FunnelEvent].toDF(), Seq.empty)
     }
   }
+
+  test("buffered mode: shuffled-within-delay ingest reaches the exact batch stages") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.queries.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEvent].collect().toSeq
+    val span = fixture.map(_.ms).max - fixture.map(_.ms).min
+    val delay = math.max(span / 10, 1L)
+    val shuffled = fixture.sortBy(r =>
+      (r.ms / delay, (r.event_id * 37 + r.user_id) % 89, r.event_id))
+    val mem = MemoryStream[FunnelEvent]
+    val name = s"funnel_buf_${System.nanoTime()}"
+    val q = FunnelStreams.funnelStagesBuffered(spark, mem.toDF(), delayMs = delay)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      shuffled.grouped(math.max(shuffled.size / 5, 1)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      // per-user closing sentinels (a type outside the funnel steps) push
+      // the frontier past all real events without advancing any stage
+      val maxMs = fixture.map(_.ms).max
+      val closers = fixture.map(_.user_id).distinct.zipWithIndex.map { case (u, i) =>
+        FunnelEvent(u, maxMs + delay + 1000L, 2000000L + i, "noop-close")
+      }
+      mem.addData(closers); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .withColumn("rn",
+        expr("row_number() over (partition by user_id order by n_events desc)"))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "funnel_stage")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val batch = graft.SparkEntry.queries("q86_funnel")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (u, (n, st)) =>
+      assert(n === batch(u)._1,
+        s"user $u: all real events fold; the sentinel itself stays buffered")
+      assert(st === batch(u)._2, s"user $u: buffered stage $st != batch ${batch(u)._2}")
+    }
+  }
+
+  test("buffered mode: beyond-tolerance disorder fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val name = s"funnel_buf_ooo_${System.nanoTime()}"
+    val q = FunnelStreams.funnelStagesBuffered(spark, mem.toDF(), delayMs = 100L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData((0 until 10).map(i => FunnelEvent(1L, i * 50L, i.toLong, "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(FunnelEvent(1L, 10L, 99L, "view")))
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("exceeds")),
+        s"expected the tolerance error, got: ${messages(ex)}")
+    } finally q.stop()
+  }
 }
