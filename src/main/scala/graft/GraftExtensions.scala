@@ -86,6 +86,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.UrlDomain].getName, "url_domain"),
       (exprs: Seq[Expression]) => graft.functions.UrlDomain(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("blocklist_hits"),
+      new ExpressionInfo(classOf[graft.functions.BlocklistHits].getName, "blocklist_hits"),
+      (exprs: Seq[Expression]) => graft.functions.BlocklistHits(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("scrub_pii"),
       new ExpressionInfo(classOf[graft.functions.ScrubPii].getName, "scrub_pii"),
       (exprs: Seq[Expression]) => graft.functions.ScrubPii(exprs.head)))

@@ -7857,7 +7857,43 @@ object TextQueries {
       "Crawl politeness budget: per-delay host census and integer " +
         "pages-per-day capacity from parsed robots crawl-delay rules — " +
         "the scheduler feed; per-file parse windows, one host-sized " +
-        "aggregate, oracle-computed from the construction.")
+        "aggregate, oracle-computed from the construction."),
+
+    // ---------------------------------------------------------------- q259
+    Q(
+      "q259_blocklist_census",
+      (s, dir) => {
+        // Multi-phrase blocklist screening — the curation stage that dies
+        // on naive spellings: N contains-probes re-scan every doc once
+        // per phrase, while blocklist_hits walks an Aho-Corasick
+        // automaton built ONCE from the constant list and scans each doc
+        // once regardless of blocklist size. The oracle is the NAIVE
+        // algorithm (DuckDB list_filter + contains), so this row is a
+        // true cross-ALGORITHM check, not a construction replay: the
+        // automaton's fail-chain outputs must agree with brute force on
+        // every doc. Phrases deliberately overlap ('table' inside
+        // 'table value'), cross word boundaries, and include an
+        // absent probe. Map-only, one codegen'd pass.
+        graft.functions.BlocklistExpressions.register(s)
+        table(s, dir, "documents")
+          .selectExpr("doc_id",
+            """blocklist_hits(text, array(
+                 'table value', 'table', 'spark', 'window', 'merge batch',
+                 'key agg', 'zzz-absent')) as n_hits""")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(list_filter(
+                 ['table value', 'table', 'spark', 'window', 'merge batch',
+                  'key agg', 'zzz-absent'],
+                 p -> contains(text, p))) AS INTEGER) AS n_hits
+        FROM documents ORDER BY doc_id"""),
+      "Blocklist screening: Aho-Corasick distinct-phrase census (one " +
+        "text pass at ANY blocklist size, automaton built once from the " +
+        "foldable constant) cross-checked against DuckDB's brute-force " +
+        "contains filter — a cross-algorithm oracle, phrases overlapping " +
+        "and word-boundary-crossing.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
