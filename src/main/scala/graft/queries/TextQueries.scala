@@ -7893,7 +7893,68 @@ object TextQueries {
         "text pass at ANY blocklist size, automaton built once from the " +
         "foldable constant) cross-checked against DuckDB's brute-force " +
         "contains filter — a cross-algorithm oracle, phrases overlapping " +
-        "and word-boundary-crossing.")
+        "and word-boundary-crossing."),
+
+    // ---------------------------------------------------------------- q260
+    Q(
+      "q260_source_homogeneity",
+      (s, dir) => {
+        // Chi-square homogeneity between sources over the global top-12
+        // words — the "did my corpus mix drift" monitor: are sources
+        // drawing from the same word distribution? Counts are exact
+        // integers end to end (top-word election by total count with
+        // lexicographic ties, per-(source, word) cells, row/column
+        // margins); floats enter only in the expected-count division and
+        // the final chi-square terms (IEEE-identical). Scale: one corpus
+        // explode+count, a 12-row broadcast top-word semi-join, then
+        // margin joins on source-sized frames.
+        val words = table(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val cells = words.groupBy("source", "w").agg(count(lit(1)).as("n"))
+        val top = cells.groupBy("w").agg(sum("n").as("wtot"))
+          .orderBy(col("wtot").desc, col("w")).limit(12)
+        val kept = cells.join(broadcast(top), Seq("w"))
+        val rowTot = kept.groupBy("source").agg(sum("n").as("stot"))
+        val grand = kept.agg(sum("n").as("gtot"))
+        kept
+          .join(rowTot, Seq("source"))
+          .crossJoin(broadcast(grand))
+          .selectExpr("source", "w", "n",
+            """pow(cast(n as double)
+                   - cast(stot as double) * cast(wtot as double) / cast(gtot as double), 2)
+               / (cast(stot as double) * cast(wtot as double) / cast(gtot as double))
+               as term""")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(expr("cast(round(term, 9) as decimal(28,12))")).as("terms"))
+          .selectExpr("source", "n_cells",
+            "round(cast(terms as double), 6) as chi2_part")
+          .orderBy("source")
+      },
+      Some("""
+        WITH cells AS (
+          SELECT source, w, CAST(COUNT(1) AS BIGINT) AS n
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY source, w),
+        top AS (
+          SELECT w, SUM(n) AS wtot FROM cells GROUP BY w
+          ORDER BY wtot DESC, w LIMIT 12),
+        kept AS (SELECT c.source, c.w, c.n, t.wtot FROM cells c JOIN top t USING (w)),
+        rowtot AS (SELECT source, SUM(n) AS stot FROM kept GROUP BY source),
+        grand AS (SELECT SUM(n) AS gtot FROM kept)
+        SELECT k.source,
+               CAST(COUNT(1) AS BIGINT) AS n_cells,
+               round(CAST(SUM(CAST(round(
+                 pow(CAST(k.n AS DOUBLE)
+                     - CAST(r.stot AS DOUBLE) * CAST(k.wtot AS DOUBLE) / CAST(g.gtot AS DOUBLE), 2)
+                 / (CAST(r.stot AS DOUBLE) * CAST(k.wtot AS DOUBLE) / CAST(g.gtot AS DOUBLE)), 9)
+                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2_part
+        FROM kept k JOIN rowtot r USING (source) CROSS JOIN grand g
+        GROUP BY k.source ORDER BY k.source"""),
+      "Source-homogeneity chi-square over the global top-12 words: exact " +
+        "integer cells and margins, IEEE expected-count terms summed " +
+        "through round-then-DECIMAL — the corpus-mix drift monitor " +
+        "beside q219's PSI and q241's Mann-Kendall.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
