@@ -2387,6 +2387,100 @@ object VectorQueries {
         "codes only, the ADC top-10 is re-ranked full-precision, and every " +
         "hit carries an in_exact3 recall flag vs brute-force truth — " +
         "floats never enter the candidate join.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q261
+    Q(
+      "q261_matryoshka_prefilter",
+      (s, dir) => {
+        // Matryoshka-style adaptive retrieval (Kusupati et al. 2022's
+        // deployment pattern): candidate generation scores only the FIRST
+        // 8 of 64 dimensions — an 8x cheaper scan whose dot products ride
+        // the same codegen'd vec_dot — keeps the per-probe top-32, then
+        // re-ranks the shortlist with full-precision cosine; each final
+        // hit carries an in_exact5 recall flag vs brute-force truth (the
+        // q102/q235 audit discipline: recall is MEASURED, not asserted).
+        // Scale: the prefix scan is the only corpus-sized pass and it
+        // reads an 8-float slice; the full vectors surface only for the
+        // 32-row-per-probe shortlist. Probes constant (vec_id < 20).
+        graft.functions.VectorExpressions.register(s)
+        val e = table(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding",
+            "slice(embedding, 1, 8) as pre",
+            s"${sparkDot("embedding", "embedding")} as n2")
+        val probes = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+            col("pre").as("ppre"), col("n2").as("pn2"))
+        val cands = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("pre").as("cpre"), col("n2").as("cn2"))
+        val shortlist = cands.join(broadcast(probes), col("cid") =!= col("pid"))
+          .selectExpr("pid", "cid", "pe", "ce", "pn2", "cn2",
+            s"${sparkDot("ppre", "cpre")} as pre_dot")
+          .withColumn("prn", expr(
+            "row_number() over (partition by pid order by pre_dot desc, cid asc)"))
+          .filter(col("prn") <= 32)
+        val reranked = shortlist
+          .selectExpr("pid", "cid",
+            s"${sparkDot("pe", "ce")} / (sqrt(pn2) * sqrt(cn2)) as sim")
+          .withColumn("rank", expr(
+            "row_number() over (partition by pid order by sim desc, cid asc)"))
+          .filter(col("rank") <= 5)
+        val exact5 = cands.join(broadcast(probes), col("cid") =!= col("pid"))
+          .selectExpr("pid", "cid",
+            s"${sparkDot("pe", "ce")} / (sqrt(pn2) * sqrt(cn2)) as esim")
+          .withColumn("ern", expr(
+            "row_number() over (partition by pid order by esim desc, cid asc)"))
+          .filter(col("ern") <= 5)
+          .select(col("pid").as("epid"), col("cid").as("ecid"))
+        reranked
+          .join(exact5,
+            col("pid") === col("epid") && col("cid") === col("ecid"), "left")
+          .selectExpr("pid", "rank", "cid", "round(sim, 6) as sim_r",
+            "ecid is not null as in_exact5")
+          .orderBy("pid", "rank")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, embedding, embedding[1:8] AS pre,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id AS pid, embedding AS pe, pre AS ppre, n2 AS pn2
+          FROM e WHERE vec_id < 20),
+        shortlist AS (
+          SELECT pid, cid, pe, ce, pn2, cn2 FROM (
+            SELECT p.pid, c.vec_id AS cid, p.pe, c.embedding AS ce,
+                   p.pn2, c.n2 AS cn2,
+                   row_number() OVER (PARTITION BY p.pid ORDER BY
+                     ${duckDot("p.ppre", "c.pre")} DESC, c.vec_id ASC) AS prn
+            FROM e c CROSS JOIN probes p WHERE c.vec_id <> p.pid)
+          WHERE prn <= 32),
+        rr AS (
+          SELECT pid, cid, sim,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY sim DESC, cid ASC) AS rank
+          FROM (
+            SELECT pid, cid,
+                   ${duckDot("pe", "ce")} / (SQRT(pn2) * SQRT(cn2)) AS sim
+            FROM shortlist)),
+        exact5 AS (
+          SELECT pid, cid FROM (
+            SELECT p.pid, c.vec_id AS cid,
+                   row_number() OVER (PARTITION BY p.pid ORDER BY
+                     ${duckDot("p.pe", "c.embedding")} / (SQRT(p.pn2) * SQRT(c.n2)) DESC,
+                     c.vec_id ASC) AS ern
+            FROM e c CROSS JOIN probes p WHERE c.vec_id <> p.pid)
+          WHERE ern <= 5)
+        SELECT r.pid, r.rank, r.cid, round(r.sim, 6) AS sim_r,
+               (x.cid IS NOT NULL) AS in_exact5
+        FROM rr r LEFT JOIN exact5 x ON x.pid = r.pid AND x.cid = r.cid
+        WHERE r.rank <= 5
+        ORDER BY r.pid, r.rank"""),
+      "Matryoshka prefix-dimension retrieval: candidates scored on the " +
+        "first 8 of 64 dims (8x cheaper corpus pass), per-probe top-32 " +
+        "re-ranked full-precision, every hit carrying a measured " +
+        "in_exact5 flag vs brute-force truth — the adaptive-retrieval " +
+        "pattern beside IVF (q54) and IVF-PQ (q235).")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
