@@ -393,4 +393,53 @@ object Mixture {
               / col("unsatw").cast("double"), 6)))
       .select(col(srcCol), col("w"), col("cap"), col("saturated"), col("allocation"))
   }
+
+  /**
+   * Contrastive NEGATIVE sampling at corpus scale — per anchor row, up to
+   * `k` deterministic pseudo-random negatives from OTHER groups (other
+   * source/label), WITHOUT an anchors x corpus product: every row lands
+   * in one of `buckets` salted md5 hash buckets, an anchor meets only its
+   * own bucket's rows (one equi-join on the bucket key — per-anchor
+   * candidates ~ rows/buckets, tuned by sizing `buckets`), and the
+   * winners are the k smallest pair-salted hashes (negative-id
+   * tie-break). Same salt → same negatives under any partitioning.
+   *
+   * Returned: `(idCol, rank 1..k, neg_id, neg_group)`. An anchor whose
+   * bucket holds fewer than `k` cross-group rows returns what exists —
+   * the realistic edge; callers that need exactly k raise `buckets`
+   * density (lower `buckets`) or re-draw with a second salt. Contract:
+   * `idCol` values unique and string-castable, `groupCol` non-null
+   * (loud — a null group has no defined negatives).
+   */
+  def hashBucketNegatives(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      buckets: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k ($k) must be positive")
+    require(buckets >= 1, s"buckets ($buckets) must be positive")
+    val reserved = Set("__nb", "__cb", "__nid", "__ngrp", "__pk", "rank")
+    val clash = df.columns.toSet.intersect(reserved)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    val md48 = graft.functions.HashConventions.md5long48(
+      s"concat('$salt', ':bkt:', cast($idCol as string))")
+    val guardedGroup =
+      s"""case when $groupCol is null then cast(raise_error(
+            'Mixture.hashBucketNegatives: $groupCol is null — a null group has no defined negatives') as string)
+          else cast($groupCol as string) end"""
+    val anchors = df.selectExpr(idCol, s"$guardedGroup as __agrp",
+      s"$md48 % $buckets as __nb")
+    val cands = df.selectExpr(s"$idCol as __nid", s"$guardedGroup as __ngrp",
+      s"$md48 % $buckets as __cb")
+    anchors.join(cands, expr(s"__nb = __cb and __agrp <> __ngrp"))
+      .withColumn("__pk", expr(graft.functions.HashConventions.md5long48(
+        s"concat('$salt', ':pair:', cast($idCol as string), ':', cast(__nid as string))")))
+      .withColumn("rank", expr(
+        s"row_number() over (partition by $idCol order by __pk, __nid)"))
+      .filter(col("rank") <= k)
+      .selectExpr(idCol, "rank",
+        s"__nid as neg_${idCol}", "__ngrp as neg_group")
+  }
 }

@@ -7955,6 +7955,47 @@ object TextQueries {
         "integer cells and margins, IEEE expected-count terms summed " +
         "through round-then-DECIMAL — the corpus-mix drift monitor " +
         "beside q219's PSI and q241's Mann-Kendall.")
+  ) ++ Seq(
+
+    // ---------------------------------------------------------------- q262
+    Q(
+      "q262_contrastive_negatives",
+      (s, dir) => {
+        // Contrastive negative sampling — per anchor doc, 4 deterministic
+        // pseudo-random negatives from OTHER sources, WITHOUT an anchors
+        // x corpus product: salted md5 buckets bound each anchor's
+        // candidate set to ~rows/32 (one equi-join on the bucket key),
+        // pair-salted hashes elect the winners. Same salt → same sample
+        // under any partitioning (spec-locked); the oracle replays the
+        // identical hash arithmetic. The training-pair generator every
+        // contrastive/embedding pipeline needs.
+        val docs = table(s, dir, "documents").select("doc_id", "source")
+        graft.operators.Mixture
+          .hashBucketNegatives(docs, "doc_id", "source",
+            k = 4, buckets = 32, salt = "q262")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST('0x' || substr(md5('q262:bkt:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                   AS BIGINT) % 32 AS bk
+          FROM documents)
+        SELECT doc_id, rank, neg_doc_id, neg_group FROM (
+          SELECT a.doc_id,
+                 CAST(row_number() OVER (PARTITION BY a.doc_id ORDER BY
+                   CAST('0x' || substr(md5(concat('q262:pair:',
+                     CAST(a.doc_id AS VARCHAR), ':',
+                     CAST(c.doc_id AS VARCHAR))), 1, 12) AS BIGINT),
+                   c.doc_id) AS INTEGER) AS rank,
+                 c.doc_id AS neg_doc_id,
+                 c.source AS neg_group
+          FROM b a JOIN b c ON a.bk = c.bk AND a.source <> c.source) t
+        WHERE rank <= 4 ORDER BY doc_id, rank"""),
+      "Contrastive negative sampling: salted-hash buckets bound each " +
+        "anchor's candidates (never all-pairs), pair-salted hash election " +
+        "with id tie-break — deterministic under any partitioning; the " +
+        "oracle replays the exact hash arithmetic.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the

@@ -340,4 +340,46 @@ class MixtureSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(out === Map("a" -> 1.0, "b" -> 2.0, "c" -> 9.0))
   }
+
+  test("hashBucketNegatives: cross-group only, deterministic, bucket-bounded") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"grp${i % 5}")).toDF("id", "grp")
+    val neg = Mixture.hashBucketNegatives(docs, "id", "grp", k = 3, buckets = 8, salt = "s1")
+    val rows = neg.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    // never a same-group (or self) negative
+    rows.foreach { case (a, _, n, ng) =>
+      assert(a != n, s"anchor $a sampled itself")
+      assert(s"grp${a % 5}" != ng, s"anchor $a got a same-group negative $n")
+    }
+    // at most k per anchor, ranks contiguous from 1
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length), s"anchor $a ranks")
+    }
+    // negatives come from the anchor's OWN hash bucket (the scale bound)
+    def bkt(i: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s1:bkt:$i".getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5, 16) % 8
+    }
+    rows.foreach { case (a, _, n, _) => assert(bkt(a) === bkt(n)) }
+    // deterministic across runs and partitionings
+    val again = Mixture.hashBucketNegatives(
+      docs.repartition(7), "id", "grp", k = 3, buckets = 8, salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again === rows.map(t => (t._1, t._2, t._3)).toSet)
+    // a different salt draws a different sample
+    val other = Mixture.hashBucketNegatives(docs, "id", "grp", k = 3, buckets = 8, salt = "s2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(other !== rows.map(t => (t._1, t._2, t._3)).toSet)
+    // null group fails loudly
+    val dirty = Seq((1L, "a"), (2L, null)).toDF("id", "grp")
+    val e = intercept[Exception] {
+      Mixture.hashBucketNegatives(dirty, "id", "grp", 1, 4, "s").collect()
+    }
+    assert(e.getMessage.contains("null group") ||
+      Option(e.getCause).exists(_.getMessage.contains("null group")))
+  }
 }
