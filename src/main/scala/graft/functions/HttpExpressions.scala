@@ -299,8 +299,15 @@ object HttpKit {
       payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
       payload(3) == 'P' && payload(4) == '/'
     // a message head larger than 64 KiB is not a head — treat as bare body
-    val split = if (isHttp) blankLineBytes(payload, 64 * 1024) else -1
-    val bodyOff = if (split < 0) { if (isHttp) payload.length else 0 } else split
+    val headLimit = 64 * 1024
+    val split = if (isHttp) blankLineBytes(payload, headLimit) else -1
+    val bodyOff =
+      if (split >= 0) split
+      // headers-only message (the whole payload fits under the head limit)
+      else if (isHttp && payload.length <= headLimit) payload.length
+      // no separator within the limit on an over-limit payload: the comment's
+      // promise — the bytes are not an HTTP head, decode them as bare body
+      else 0
     val head = new String(payload, 0, bodyOff, Latin1)
     // 3. charset resolution
     var cs: Charset = null
@@ -344,12 +351,21 @@ object HttpKit {
   }
 
   /** Value of `charset=` inside a Content-Type-shaped string (first
-    * occurrence, case-insensitive, quotes tolerated), or null. */
+    * occurrence, case-insensitive, quotes tolerated), or null. The scan
+    * uses `regionMatches(true, ...)` on the original string — a lowercased
+    * copy can have different length (see [[headerValue]]). */
   private def charsetParam(ct: String): String = {
     if (ct == null) return null
-    val lower = ct.toLowerCase
-    val p = lower.indexOf("charset=")
-    if (p < 0) null else paramValue(ct, p + 8)
+    val needle = "charset="
+    val last = ct.length - needle.length
+    var i = 0
+    while (i <= last) {
+      if (ct.regionMatches(true, i, needle, 0, needle.length)) {
+        return paramValue(ct, i + needle.length)
+      }
+      i += 1
+    }
+    null
   }
 
   /** Parameter value starting at `from`: optional single/double quote,
@@ -371,14 +387,17 @@ object HttpKit {
 
   /** First value of a named header in an HTTP head (case-insensitive name
     * at line start; the value runs to the line break, with obs-folded
-    * continuation lines included), or null. */
+    * continuation lines included), or null. Case-insensitivity uses
+    * `regionMatches(true, ...)` directly on `head` — a separately
+    * lowercased copy can be LONGER than the original (U+0130 lowercases
+    * to two chars), which would misalign indices and break the
+    * never-throw contract on adversarial non-ASCII heads. */
   private def headerValue(head: String, lowerName: String): String = {
-    val lower = head.toLowerCase
     val needle = lowerName + ":"
-    var at = lower.indexOf('\n') // skip the status line
+    var at = head.indexOf('\n') // skip the status line
     while (at >= 0 && at + 1 < head.length) {
       val start = at + 1
-      if (lower.regionMatches(start, needle, 0, needle.length)) {
+      if (head.regionMatches(true, start, needle, 0, needle.length)) {
         var end = head.indexOf('\n', start)
         if (end < 0) end = head.length
         // obs-fold: continuation lines start with SP/HT

@@ -423,23 +423,30 @@ object Mixture {
     val reserved = Set("__nb", "__cb", "__nid", "__ngrp", "__pk", "rank")
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    // the salt is arbitrary caller text and the column names may need
+    // quoting — escape both before splicing into SQL fragments, so a
+    // quote in the salt (or a spaced/reserved column name) can't change
+    // the expression or fail to parse
+    val saltSql = salt.replace("'", "''")
+    val idQ = "`" + idCol.replace("`", "``") + "`"
+    val grpQ = "`" + groupCol.replace("`", "``") + "`"
     val md48 = graft.functions.HashConventions.md5long48(
-      s"concat('$salt', ':bkt:', cast($idCol as string))")
+      s"concat('$saltSql', ':bkt:', cast($idQ as string))")
     val guardedGroup =
-      s"""case when $groupCol is null then cast(raise_error(
-            'Mixture.hashBucketNegatives: $groupCol is null — a null group has no defined negatives') as string)
-          else cast($groupCol as string) end"""
-    val anchors = df.selectExpr(idCol, s"$guardedGroup as __agrp",
+      s"""case when $grpQ is null then cast(raise_error(
+            'Mixture.hashBucketNegatives: ${groupCol.replace("'", "''")} is null — a null group has no defined negatives') as string)
+          else cast($grpQ as string) end"""
+    val anchors = df.selectExpr(idQ, s"$guardedGroup as __agrp",
       s"$md48 % $buckets as __nb")
-    val cands = df.selectExpr(s"$idCol as __nid", s"$guardedGroup as __ngrp",
+    val cands = df.selectExpr(s"$idQ as __nid", s"$guardedGroup as __ngrp",
       s"$md48 % $buckets as __cb")
     anchors.join(cands, expr(s"__nb = __cb and __agrp <> __ngrp"))
       .withColumn("__pk", expr(graft.functions.HashConventions.md5long48(
-        s"concat('$salt', ':pair:', cast($idCol as string), ':', cast(__nid as string))")))
+        s"concat('$saltSql', ':pair:', cast($idQ as string), ':', cast(__nid as string))")))
       .withColumn("rank", expr(
-        s"row_number() over (partition by $idCol order by __pk, __nid)"))
+        s"row_number() over (partition by $idQ order by __pk, __nid)"))
       .filter(col("rank") <= k)
-      .selectExpr(idCol, "rank",
-        s"__nid as neg_${idCol}", "__ngrp as neg_group")
+      .selectExpr(idQ, "rank",
+        "__nid as `neg_" + idCol.replace("`", "``") + "`", "__ngrp as neg_group")
   }
 }

@@ -83,8 +83,8 @@ object EwmaStreams {
   /**
    * BOUNDED OUT-OF-ORDER tolerance — the opt-in ingest-hardened twin of
    * [[runningEwma]] (whose loud any-disorder contract stays the default).
-   * Arrivals enter a per-key reorder buffer; only points at or below the
-   * key's FRONTIER — `max(ord seen) - delay`, the watermark idea applied
+   * Arrivals enter a per-key reorder buffer; only points strictly below
+   * the key's FRONTIER — `max(ord seen) - delay`, the watermark idea applied
    * to the per-key order domain — are folded, in `ord` order, with the
    * IDENTICAL IEEE recurrence. Any ingest whose disorder stays within
    * `delay` therefore folds in exactly the same sequence as sorted ingest:
@@ -146,7 +146,12 @@ object EwmaStreams {
             }
             val maxOrd = math.max(prior.maxOrd, arrivals.map(_.ord).max)
             val frontier = maxOrd - delay
-            val (ready, hold) = buf.partition(_._1 <= frontier)
+            // fold STRICTLY below the frontier: a point at exactly
+            // maxOrd - delay has disorder exactly `delay` — still within
+            // the advertised tolerance — so folding it would make a
+            // later arrival at that exact disorder a false beyond-
+            // tolerance error (same rule as FunnelStreams/TransitionStreams)
+            val (ready, hold) = buf.partition(_._1 < frontier)
             if (ready.isEmpty) {
               state.update(prior.copy(maxOrd = maxOrd,
                 bufOrds = buf.map(_._1), bufVals = buf.map(_._2)))

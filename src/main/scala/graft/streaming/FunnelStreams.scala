@@ -97,7 +97,7 @@ object FunnelStreams {
   /**
    * BOUNDED OUT-OF-ORDER tolerance — the [[EwmaStreams.runningEwmaBuffered]]
    * / [[TransitionStreams.transitionsBuffered]] discipline for the funnel
-   * automaton: arrivals buffer per user, only events at or below the
+   * automaton: arrivals buffer per user, only events strictly below the
    * frontier (`max ms seen - delayMs`) fold, in exact `(ms, event_id)`
    * order, through the IDENTICAL step rule — within-tolerance disorder
    * reaches the same stage as sorted ingest. Loud past the tolerance and
@@ -150,7 +150,11 @@ object FunnelStreams {
             }
             val maxMs = math.max(prior.maxMs, arrivals.map(_.ms).max)
             val frontier = maxMs - delayMs
-            val (ready, hold) = buf.partition(_._1 <= frontier)
+            // fold STRICTLY below the frontier: an event at exactly
+            // maxMs - delayMs has disorder exactly delayMs — still within
+            // the advertised tolerance — so a later same-ms event with a
+            // smaller event_id must still be able to sort before it
+            val (ready, hold) = buf.partition(_._1 < frontier)
             if (ready.isEmpty) {
               state.update(prior.copy(maxMs = maxMs,
                 bufMs = buf.map(_._1), bufIds = buf.map(_._2), bufTypes = buf.map(_._3)))

@@ -83,7 +83,7 @@ object TransitionStreams {
   /**
    * BOUNDED OUT-OF-ORDER tolerance — the [[EwmaStreams.runningEwmaBuffered]]
    * discipline applied to the transition automaton: arrivals enter a
-   * per-user reorder buffer; only events at or below the user's frontier
+   * per-user reorder buffer; only events strictly below the user's frontier
    * (`max ms seen - delayMs`) fold, in exact `(ms, event_id)` order, with
    * the identical bigram emission — within-tolerance disorder produces the
    * SAME transition stream as sorted ingest. Loud past the tolerance (an
@@ -133,7 +133,11 @@ object TransitionStreams {
             }
             val maxMs = math.max(prior.maxMs, arrivals.map(_.ms).max)
             val frontier = maxMs - delayMs
-            val (ready, hold) = buf.partition(_._1 <= frontier)
+            // fold STRICTLY below the frontier: an event at exactly
+            // maxMs - delayMs has disorder exactly delayMs — still within
+            // the advertised tolerance — so a later same-ms event with a
+            // smaller event_id must still be able to sort before it
+            val (ready, hold) = buf.partition(_._1 < frontier)
             if (ready.isEmpty) {
               state.update(prior.copy(maxMs = maxMs,
                 bufMs = buf.map(_._1), bufIds = buf.map(_._2), bufTypes = buf.map(_._3)))

@@ -140,6 +140,41 @@ class HttpExpressionsSpec extends AnyFunSuite {
     assert(HttpKit.headerJava(msg, "x-long") === "part1 part2")
   }
 
+  test("http_header: non-ASCII header values whose lowercase changes length never throw") {
+    // U+0130 'İ' lowercases to TWO chars ("i" + combining dot): any scan
+    // that computes indices on a lowercased copy and slices the original
+    // misaligns and can throw. The header value here packs many of them
+    // BEFORE the header under lookup so misaligned indices would be loud.
+    val hostile = "HTTP/1.1 200 OK\r\n" +
+      "X-Adversarial: İİİİİİİİ\r\n" +
+      "Server: nginx\r\n\r\nbody"
+    assert(HttpKit.headerJava(hostile, "server") === "nginx")
+    assert(HttpKit.headerJava(hostile, "x-adversarial") === "İ" * 8)
+    // charset= scan has the same discipline: 'İ' before the parameter
+    val ct = "text/plainİİİ; charset=iso-8859-1"
+    val decoded = HttpKit.decodePayloadJava("café".getBytes("ISO-8859-1"), ct)
+    assert(decoded === "café", "charset param found despite preceding İ chars")
+  }
+
+  test("decode_payload: over-limit HTTP-prefixed payload with no blank line is bare body") {
+    // >64 KiB starting with "HTTP/" but never containing a blank line:
+    // the head limit's promise is BARE BODY — the whole payload decodes
+    // with full charset resolution, not as an ISO-8859-1 pseudo-head.
+    val tail = "café end".getBytes("UTF-8") // 0xC3 0xA9 distinguishes the paths
+    val big = new Array[Byte](70000 + tail.length)
+    val pre = "HTTP/1.1 200 OK\r\nX: ".getBytes("ISO-8859-1")
+    System.arraycopy(pre, 0, big, 0, pre.length)
+    java.util.Arrays.fill(big, pre.length, 70000, 'a'.toByte)
+    System.arraycopy(tail, 0, big, 70000, tail.length)
+    val out = HttpKit.decodePayloadJava(big, null)
+    assert(out.endsWith("café end"),
+      "UTF-8 body decode must run (ISO-8859-1 head decode would yield mojibake)")
+    assert(out.length === big.length - 1, "the 2-byte é collapses to one char")
+    // an under-limit headers-only message keeps the heads-only semantics
+    val small = "HTTP/1.1 204 No\r\nServer: x\r\n".getBytes("ISO-8859-1")
+    assert(HttpKit.decodePayloadJava(small, null) === "HTTP/1.1 204 No\r\nServer: x\r\n")
+  }
+
   test("interpreted eval equals codegen across constructed messages") {
     val df = spark.range(0, 200).toDF("id").selectExpr(
       """concat('HTTP/1.1 ', cast(200 + id % 300 as string), ' R\r\n',

@@ -382,4 +382,26 @@ class MixtureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null group") ||
       Option(e.getCause).exists(_.getMessage.contains("null group")))
   }
+
+  test("hashBucketNegatives: quoted salt and backtick-needing column names are safe") {
+    import spark.implicits._
+    // a salt containing a single quote must be ESCAPED into the SQL
+    // fragments, not break (or silently alter) the expressions
+    val docs = (0L until 60L).map(i => (i, s"grp${i % 3}")).toDF("id", "grp")
+    val q1 = Mixture.hashBucketNegatives(docs, "id", "grp", 2, 4, salt = "o'hara's")
+      .collect()
+    assert(q1.nonEmpty)
+    q1.foreach(r => assert(r.getLong(0) != r.getLong(2)))
+    // the escaped quote participates in the hash: a quote-bearing salt
+    // draws a DIFFERENT deterministic sample than its quote-stripped twin
+    val q2 = Mixture.hashBucketNegatives(docs, "id", "grp", 2, 4, salt = "oharas")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(q1.map(r => (r.getLong(0), r.getLong(2))).toSet !== q2)
+    // column names that need backtick quoting (spaces, reserved words)
+    val spaced = (0L until 60L).map(i => (i, s"grp${i % 3}"))
+      .toDF("doc id", "select")
+    val q3 = Mixture.hashBucketNegatives(spaced, "doc id", "select", 2, 4, "s")
+    assert(q3.columns.toSeq === Seq("doc id", "rank", "neg_doc id", "neg_group"))
+    assert(q3.count() > 0L)
+  }
 }

@@ -163,6 +163,33 @@ class FunnelStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("buffered mode: disorder of exactly delayMs is within tolerance (strict frontier)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val name = s"funnel_buf_edge_${System.nanoTime()}"
+    val delay = 100L
+    val q = FunnelStreams.funnelStagesBuffered(spark, mem.toDF(), delayMs = delay)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // frontier after batch 1 is 200 - 100 = 100: the (ms=100, id=5)
+      // event must stay BUFFERED (strictly-below rule) ...
+      mem.addData(Seq(
+        FunnelEvent(1L, 100L, 5L, "view"), FunnelEvent(1L, 200L, 9L, "purchase")))
+      q.processAllAvailable()
+      // ... so this same-ms, SMALLER-id arrival — disorder EXACTLY the
+      // advertised delayMs — still sorts before it instead of throwing
+      mem.addData(Seq(FunnelEvent(1L, 100L, 2L, "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(FunnelEvent(1L, 1000L, 99L, "noop-close")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table(name).orderBy(col("n_events").desc).first()
+    assert(last.getLong(1) === 3L, "all three real events folded")
+    assert(last.getInt(2) === 3,
+      "click->view->purchase folded in sorted order reaches stage 3")
+  }
+
   test("buffered mode: beyond-tolerance disorder fails loudly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

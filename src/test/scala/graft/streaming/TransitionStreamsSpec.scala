@@ -134,6 +134,31 @@ class TransitionStreamsSpec extends AnyFunSuite {
       "buffered streaming must reconstruct exact time order within the delay")
   }
 
+  test("buffered mode: disorder of exactly delayMs is within tolerance (strict frontier)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TransEvent]
+    val name = s"trans_buf_edge_${System.nanoTime()}"
+    val q = TransitionStreams.transitionsBuffered(spark, mem.toDF(), delayMs = 100L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // frontier after batch 1 is 200 - 100 = 100: (ms=100, id=5) must
+      // stay BUFFERED (strictly-below rule) ...
+      mem.addData(Seq(TransEvent(1L, 100L, 5L, "b"), TransEvent(1L, 200L, 9L, "c")))
+      q.processAllAvailable()
+      // ... so this same-ms, SMALLER-id arrival — disorder EXACTLY the
+      // advertised delayMs — still sorts before it instead of throwing
+      mem.addData(Seq(TransEvent(1L, 100L, 2L, "a")))
+      q.processAllAvailable()
+      mem.addData(Seq(TransEvent(1L, 1000L, 99L, "close")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val bigrams = spark.table(name)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(bigrams === Set(("a", "b"), ("b", "c")),
+      s"sorted-order bigrams a->b, b->c expected, got $bigrams")
+  }
+
   test("buffered mode: beyond-tolerance and duplicate arrivals fail loudly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
