@@ -69,11 +69,18 @@ object Bpe {
   private def placeholderClass(baseCp: Int, n: Int): String =
     "[\\u%04x-\\u%04x]".format(baseCp, baseCp + n - 1)
 
-  /** The library's whitespace word-count table: one row per distinct word
-    * with its corpus frequency — BPE's training input. One hash shuffle. */
-  def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(col(textCol), " ")).as("w"))
+  /** The library's word-count table: one row per distinct token with its
+    * corpus frequency — BPE's training input. Tokenization is the
+    * script-aware [[graft.functions.TokenizeText]] grammar (whitespace
+    * runs for spaced scripts, character bigrams for CJK segments), which
+    * degenerates exactly to split-on-space on clean spaced text, so a
+    * multilingual corpus trains real units instead of treating an entire
+    * unspaced CJK document as one giant "word". One hash shuffle. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.UnicodeExpressions.register(df.sparkSession)
+    df.select(explode(expr(s"tokenize_text(`$textCol`)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
+  }
 
   /** Adjacent word-BIGRAM units ("w1 w2", space kept inside the unit),
     * weighted by corpus frequency — the training table that lets merges
@@ -81,14 +88,16 @@ object Bpe {
     * 31-word toy vocabulary a whitespace model caps out on yields ~900
     * distinct bigram units, enough headroom for 512+ merges. One hash
     * shuffle; docs with fewer than two words contribute nothing. */
-  def bigramCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(split(col(textCol), " ").as("__toks"))
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.UnicodeExpressions.register(df.sparkSession)
+    df.select(expr(s"tokenize_text(`$textCol`)").as("__toks"))
       .filter(size(col("__toks")) >= 2)
       .select(explode(expr(
         """transform(sequence(1, size(__toks) - 1),
              i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"""))
         .as("w"))
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
+  }
 
   /**
    * Train `nMerges` BPE merge rounds over a `(wordCol, countCol)` table.

@@ -64,8 +64,13 @@ object Dedup {
     }
     // hash each shingle ONCE into hs; each permutation is then cheap
     // arithmetic (Catalyst does not share subexpressions across lambdas)
+    // script-aware tokens (whitespace runs / CJK char bigrams): unspaced
+    // CJK text shingles over bigram units instead of arriving as one
+    // un-shingleable "word"; degenerates to split-on-space on clean
+    // spaced text, so spaced-corpus signatures are unchanged
+    graft.functions.UnicodeExpressions.register(spark)
     val sigs = df
-      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("toks", expr(s"tokenize_text(`$textCol`)"))
       .filter(size(col("toks")) >= shingleN)
       .withColumn("hs", expr(s"word_ngram_hash48(toks, $shingleN)"))
       .selectExpr(idCol +: minhashes: _*)

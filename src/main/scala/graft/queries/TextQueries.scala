@@ -2654,24 +2654,39 @@ object TextQueries {
       "q126_canonical_dedup",
       (s, dir) => {
         // Canonical-form dedup: exact dedup AFTER text normalization
-        // (lowercase, strip non-alphanumerics, collapse whitespace) — the
-        // CCNet-style screen that catches trivially-mutated copies (case,
-        // punctuation, spacing) that byte-exact q23 misses and that are
-        // too cheap to send through MinHash. The corpus has no natural
-        // canonical twins (verified), so the query plants deterministic
-        // mutated copies of every 25th doc (uppercased + punctuation +
-        // doubled spaces, doc_id + 1000000) — the operator must group
-        // each twin with its source and elect the lowest id. Scale: one
-        // hash shuffle on the canonical md5 + one group-back equi-join,
-        // exactly the q23 shape; normalization is map-only codegen.
+        // (Unicode NFC, lowercase, strip non-alphanumerics, collapse
+        // whitespace) — the CCNet-style screen that catches trivially-
+        // mutated copies (case, punctuation, spacing, NFC/NFD spelling)
+        // that byte-exact q23 misses and that are too cheap to send
+        // through MinHash. The corpus has no natural canonical twins
+        // (verified), so the query plants deterministic mutated copies
+        // of every 25th doc (uppercased + punctuation + doubled spaces,
+        // doc_id + 1000000) — the operator must group each twin with its
+        // source and elect the lowest id. Every 40th doc additionally
+        // plants an NFC/NFD PAIR (+2000000 composed é, +3000000
+        // decomposed e+U+0301): visually identical strings whose bytes
+        // differ — they group with each other ONLY because the canonical
+        // form runs unicode_normalize first. Scale: one hash shuffle on
+        // the canonical md5 + one group-back equi-join, exactly the q23
+        // shape; normalization is map-only codegen.
+        graft.functions.UnicodeExpressions.register(s)
         val docs = table(s, dir, "documents").select("doc_id", "text")
         val twins = docs
           .filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(upper(col("text")), lit("  !!")).as("text"))
-        val canon = docs.unionByName(twins)
+        val nfcTwins = docs
+          .filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" caf\u00e9!")).as("text"))
+        val nfdTwins = docs
+          .filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" cafe\u0301!")).as("text"))
+        val canon = docs.unionByName(twins).unionByName(nfcTwins).unionByName(nfdTwins)
           .withColumn("canon", expr(
-            "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+            "trim(regexp_replace(regexp_replace(lower(unicode_normalize(text, 'NFC')), " +
+              "'[^a-z0-9 ]', ' '), ' +', ' '))"))
           .withColumn("ch", expr(md5long("canon")))
         val groups = canon.groupBy("ch")
           .agg(count(lit(1)).as("group_size"), min("doc_id").as("keep_id"))
@@ -2685,10 +2700,16 @@ object TextQueries {
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 1000000, upper(text) || '  !!' FROM documents
-          WHERE doc_id % 25 = 0),
+          WHERE doc_id % 25 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' caf' || chr(233) || '!' FROM documents
+          WHERE doc_id % 40 = 0
+          UNION ALL
+          SELECT doc_id + 3000000, text || ' cafe' || chr(769) || '!' FROM documents
+          WHERE doc_id % 40 = 0),
         canon AS (
           SELECT doc_id,
-                 ${duckMd5long("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS ch
+                 ${duckMd5long("trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS ch
           FROM uni),
         grp AS (
           SELECT ch, COUNT(1) AS group_size, MIN(doc_id) AS keep_id
@@ -7995,7 +8016,108 @@ object TextQueries {
       "Contrastive negative sampling: salted-hash buckets bound each " +
         "anchor's candidates (never all-pairs), pair-salted hash election " +
         "with id tie-break — deterministic under any partitioning; the " +
-        "oracle replays the exact hash arithmetic.")
+        "oracle replays the exact hash arithmetic."),
+
+    // ---------------------------------------------------------------- q263
+    Q(
+      "q263_unicode_normalize",
+      (s, dir) => {
+        // Unicode normalization over a constructed multilingual corpus:
+        // every doc gets a deterministic suffix by doc_id % 4 — an NFD
+        // spelling ("cafe" + U+0301), NFKC-foldable compatibility chars
+        // (U+FB01 ligature fi, U+FF21 fullwidth A), a CJK fixed point, or
+        // nothing — then unicode_normalize produces NFC and NFKC forms.
+        // The oracle checks NFC against DuckDB's own nfc_normalize and
+        // NFKC against the construction-replayed expected literals (md5
+        // of the full string, not just lengths). Map-only codegen'd pass;
+        // the capability every visually-identical-spelling dedup bug at
+        // crawl scale traces back to.
+        graft.functions.UnicodeExpressions.register(s)
+        val sfx = when(col("doc_id") % 4 === 0, lit(" cafe\u0301"))
+          .when(col("doc_id") % 4 === 1, lit(" \ufb01le \uff21"))
+          .when(col("doc_id") % 4 === 2, lit(" \u6f22\u5b57"))
+          .otherwise(lit(""))
+        table(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), sfx).as("t"))
+          .withColumn("nfc", expr("unicode_normalize(t, 'NFC')"))
+          .withColumn("nfkc", expr("unicode_normalize(t, 'NFKC')"))
+          .selectExpr("doc_id", "length(t) as len_raw", "length(nfc) as len_nfc",
+            "length(nfkc) as len_nfkc", "md5(nfkc) as nfkc_hash",
+            "nfc <> t as changed_nfc")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+                 text || CASE CAST(doc_id % 4 AS INTEGER)
+                   WHEN 0 THEN ' cafe' || chr(769)
+                   WHEN 1 THEN ' ' || chr(64257) || 'le ' || chr(65313)
+                   WHEN 2 THEN ' ' || chr(28450) || chr(23383)
+                   ELSE '' END AS t,
+                 text || CASE CAST(doc_id % 4 AS INTEGER)
+                   WHEN 0 THEN ' caf' || chr(233)
+                   WHEN 1 THEN ' file A'
+                   WHEN 2 THEN ' ' || chr(28450) || chr(23383)
+                   ELSE '' END AS nfkc_expected
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(t) AS INTEGER) AS len_raw,
+               CAST(length(nfc_normalize(t)) AS INTEGER) AS len_nfc,
+               CAST(length(nfkc_expected) AS INTEGER) AS len_nfkc,
+               md5(nfkc_expected) AS nfkc_hash,
+               nfc_normalize(t) <> t AS changed_nfc
+        FROM raw ORDER BY doc_id"""),
+      "unicode_normalize NFC/NFKC over a constructed NFD + compatibility-" +
+        "char + CJK corpus: NFC cross-checked against DuckDB's " +
+        "nfc_normalize, NFKC against construction-replayed expected " +
+        "strings (full md5) — codegen'd map-only pass."),
+
+    // ---------------------------------------------------------------- q264
+    Q(
+      "q264_tokenize_text",
+      (s, dir) => {
+        // Script-aware tokenization over a constructed mixed-script
+        // corpus: by doc_id % 3 each doc gains an unspaced CJK tail
+        // (5 codepoints -> 4 character bigrams), a mixed Latin-CJK run
+        // ("abc"+CJK+"def" -> 3 tokens), or nothing. tokenize_text's
+        // documented grammar (whitespace runs for spaced scripts, char
+        // bigrams for CJK segments) is locked by an md5 over the ENTIRE
+        // joined token stream per doc — the oracle replays whitespace
+        // tokens with string_split and the CJK expansion with explicit
+        // expected bigram lists. Map-only codegen'd pass; this grammar
+        // is what wordCounts/shingles now route through.
+        graft.functions.UnicodeExpressions.register(s)
+        val sfx = when(col("doc_id") % 3 === 0,
+            lit(" \u6f22\u5b57\u30c6\u30b9\u30c8"))
+          .when(col("doc_id") % 3 === 1, lit(" abc\u6f22\u5b57def"))
+          .otherwise(lit(""))
+        table(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), sfx).as("t"))
+          .withColumn("toks", expr("tokenize_text(t)"))
+          .selectExpr("doc_id", "size(toks) as n_toks",
+            "element_at(toks, -1) as last_tok",
+            "md5(array_join(toks, chr(30))) as tok_hash")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH dt AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN [chr(28450) || chr(23383), chr(23383) || chr(12486),
+                                chr(12486) || chr(12473), chr(12473) || chr(12488)]
+                   WHEN 1 THEN ['abc', chr(28450) || chr(23383), 'def']
+                   ELSE [] END AS extra
+          FROM documents),
+        toks AS (SELECT doc_id, list_concat(ws, extra) AS tk FROM dt)
+        SELECT doc_id,
+               CAST(len(tk) AS INTEGER) AS n_toks,
+               tk[len(tk)] AS last_tok,
+               md5(array_to_string(tk, chr(30))) AS tok_hash
+        FROM toks ORDER BY doc_id"""),
+      "tokenize_text grammar locked end-to-end: whitespace tokens + CJK " +
+        "character bigrams on a constructed mixed-script corpus, md5 over " +
+        "the full token stream; oracle replays the documented expansion " +
+        "explicitly.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
