@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * INT-SYMBOL batched BPE trainer — [[Bpe.fitBlocked]] past the
+ * single-character-placeholder ceiling. Symbols are ints (base = code
+ * point, merge k = `0x110000 + k - 1`, see
+ * [[graft.functions.BpeIntKit]]), so the merge count is unbounded by any
+ * character range, no corpus-cleanliness precondition exists (ids live
+ * above all of Unicode), and the trained model rides the plan as ONE
+ * compact spec literal inside a single [[graft.functions.BpeEncode]]
+ * expression — plan size is O(1) in the merge count where the string
+ * trainer's replace-fold was O(nMerges). 8192-merge GPT-class
+ * vocabularies train in ~52 rounds on the fixture corpus.
+ *
+ * Election per round (the [[Bpe.fitBlocked]] discipline in the int
+ * domain): rank this round's adjacent-pair counts (count desc, then
+ * (a, b) asc — int order), walk the top `candCap` in rank order
+ * accepting every pair that shares no SYMBOL with an already-accepted
+ * pair of this round, stop at `min(acceptCap, nMerges - merged)`.
+ * Symbol-disjoint batch members cannot interact, so applying the batch
+ * together equals applying its members one at a time in rank order —
+ * every accepted merge is real, none records a stale count. Rank-1 is
+ * never blocked, so every round with candidates makes progress.
+ *
+ * The per-round state is the trained spec itself: each round re-derives
+ * the working vocabulary as `bpe_encode(w, spec-so-far)` over the
+ * checkpointed word table (min-rank-first replay == the sequential
+ * merge history — later merges never enable earlier ones), so the only
+ * mutable state is a driver-side string and the plan never grows with
+ * rounds. The election is a bounded MODEL-sized collect (top-candCap
+ * (a, b, n) rows — the `Logit.fit` gradient-row discipline; corpus rows
+ * never reach the driver).
+ *
+ * Output: one row per merge, `(midx, rnd, a, b, id, n)` — global merge
+ * index, the election round it came from (the logged round count), the
+ * merged pair, its id, and the count it was elected at.
+ *
+ * Reference context: the reference engine has no tokenizer
+ * (spark-2.4/…/BI5DataSource.scala:24 is a tick-data connector); this is
+ * beyond-reference LLM-pipeline surface (SURVEY.md §2.5).
+ */
+object BpeInt {
+
+  /** First merge id — [[graft.functions.BpeIntKit.IdBase]]. */
+  val IdBase: Int = graft.functions.BpeIntKit.IdBase
+
+  /** Word 4-gram units (spaces kept inside the unit), weighted by corpus
+    * frequency — the training table with enough combinatorial headroom
+    * for 8k+ merges (the bigram table exhausts near 1k, 3-grams slow to
+    * a crawl past ~5k). Tokenization is the script-aware
+    * [[graft.functions.TokenizeText]] grammar; docs with fewer than four
+    * tokens contribute nothing. One hash shuffle. */
+  def fourgramCounts(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.UnicodeExpressions.register(df.sparkSession)
+    df.select(expr(s"tokenize_text(`$textCol`)").as("__toks"))
+      .filter(size(col("__toks")) >= 4)
+      .select(explode(expr(
+        """transform(sequence(1, size(__toks) - 3),
+             i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1),
+                         ' ', element_at(__toks, i + 2), ' ', element_at(__toks, i + 3)))"""))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+  }
+
+  def fitBlocked(
+      spark: SparkSession,
+      words: DataFrame,
+      wordCol: String,
+      countCol: String,
+      nMerges: Int,
+      maxRounds: Int = 64,
+      candCap: Int = 16384,
+      acceptCap: Int = 1024): DataFrame = {
+    require(nMerges >= 1, s"nMerges ($nMerges) must be positive")
+    require(nMerges + IdBase < graft.functions.BpeIntKit.SymLimit,
+      s"nMerges ($nMerges) exceeds the packed-symbol limit")
+    require(maxRounds >= 1 && candCap >= 1 && acceptCap >= 1,
+      s"maxRounds ($maxRounds), candCap ($candCap), acceptCap ($acceptCap) must be positive")
+    require(words.columns.contains(wordCol) && words.columns.contains(countCol),
+      s"words must carry $wordCol and $countCol")
+    graft.functions.BpeIntExpressions.register(spark)
+    // loud null contract INSIDE the projected column (pruning-proof); no
+    // placeholder-collision guard is needed — merge ids live above Unicode
+    val guarded = when(col(wordCol).isNull || col(countCol).isNull,
+      raise_error(lit(s"BpeInt.fitBlocked: $wordCol/$countCol must be non-null"))
+        .cast("string"))
+      .otherwise(col(wordCol))
+    val wc = words
+      .select(guarded.as("w"), col(countCol).cast("long").as("wcnt"))
+      .localCheckpoint(true)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Int, Long)]
+    val specSb = new java.lang.StringBuilder
+    var merged = 0
+    var round = 0
+    var exhausted = false
+    while (merged < nMerges && round < maxRounds && !exhausted) {
+      round += 1
+      // spec is pure digits/':'/';' — safe to splice into SQL text
+      val cand = wc
+        .withColumn("syms", expr(s"bpe_encode(w, '${specSb.toString}')"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+               i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"""))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("wcnt").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(candCap)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      if (cand.isEmpty) exhausted = true
+      else {
+        val cap = math.min(acceptCap, nMerges - merged)
+        val used = scala.collection.mutable.Set.empty[Int]
+        var taken = 0
+        var j = 0
+        while (j < cand.length && taken < cap) {
+          val (a, b, n) = cand(j)
+          if (!used.contains(a) && !used.contains(b)) {
+            taken += 1
+            val midx = merged + taken
+            rows += ((midx, round, a, b, IdBase + midx - 1, n))
+            used += a; used += b
+            if (specSb.length > 0) specSb.append(';')
+            specSb.append(a).append(':').append(b)
+          }
+          j += 1
+        }
+        merged += taken
+      }
+    }
+    require(rows.nonEmpty,
+      "BpeInt.fitBlocked: vocabulary has no adjacent pairs — nothing to train on")
+    import spark.implicits._
+    rows.toSeq.toDF("midx", "rnd", "a", "b", "id", "n")
+  }
+
+  /** The trained model as a [[graft.functions.BpeEncode]] spec string —
+    * a bounded MODEL-sized collect (one short row per merge). */
+  def specOf(merges: DataFrame): String = {
+    val ms = merges.select("midx", "a", "b").orderBy("midx")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    require(ms.nonEmpty, "BpeInt.specOf: empty merge table")
+    ms.zipWithIndex.foreach { case ((midx, _, _), i) =>
+      require(midx == i + 1, s"BpeInt.specOf: merge indices must be contiguous from 1, got $midx at $i")
+    }
+    ms.map { case (_, a, b) => s"$a:$b" }.mkString(";")
+  }
+
+  /** Surface spelling of every trained symbol id — the human-readable
+    * vocabulary dump. Driver-side recursive expansion over the
+    * model-sized merge list (id -> a b -> … -> code points). */
+  def spellings(merges: DataFrame): Seq[(Int, String)] = {
+    val ms = merges.select("midx", "a", "b").orderBy("midx")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val memo = scala.collection.mutable.Map.empty[Int, String]
+    def spell(sym: Int): String =
+      if (sym < IdBase) new String(Character.toChars(sym))
+      else memo.getOrElseUpdate(sym, {
+        val (_, a, b) = ms(sym - IdBase)
+        spell(a) + spell(b)
+      })
+    ms.map { case (midx, _, _) => (midx, spell(IdBase + midx - 1)) }.toSeq
+  }
+}

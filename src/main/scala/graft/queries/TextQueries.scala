@@ -8117,7 +8117,98 @@ object TextQueries {
       "tokenize_text grammar locked end-to-end: whitespace tokens + CJK " +
         "character bigrams on a constructed mixed-script corpus, md5 over " +
         "the full token stream; oracle replays the documented expansion " +
-        "explicitly.")
+        "explicitly."),
+
+    // ---------------------------------------------------------------- q265
+    Q(
+      "q265_bpe_int_fit",
+      (s, dir) => {
+        // GPT-CLASS VOCABULARY: 8192 BPE merges via the INT-SYMBOL
+        // batched trainer (BpeInt.fitBlocked) over word-4-gram units of
+        // a fixed 500-doc sample (tokenizer training is sample-based in
+        // production — the sample is identical at every SF, so the
+        // model cost is SF-invariant). Int symbols (merge k = 0x110000
+        // + k - 1) remove the single-character-placeholder ceiling the
+        // PUA trainer had, and the whole model rides ONE bpe_encode
+        // spec literal — plan size O(1) in merge count instead of an
+        // 8192-deep replace fold. ~52 symbol-disjoint election rounds
+        // (the rnd column logs them); the oracle replays EVERY round:
+        // candidate ranking, the greedy symbol-disjoint walk (a
+        // list_reduce fold carrying the used-symbol set), and the batch
+        // application as a window-parity pass over unnested positions.
+        // One wrong tie-break anywhere in 8192 merges scrambles every
+        // later round and fails the row.
+        val docs = table(s, dir, "documents")
+          .filter(col("doc_id") < 500).select("text")
+        val units = graft.operators.BpeInt.fourgramCounts(docs, "text")
+        graft.operators.BpeInt.fitBlocked(s, units, "w", "wcnt",
+          bpeIntMerges, bpeIntRounds, bpeIntCandCap, bpeIntAcceptCap)
+          .orderBy("midx")
+      },
+      Some(s"""
+        WITH $duckBpeIntCtes
+        SELECT midx, rnd, a, b, id, n FROM (
+          $duckBpeIntMerges
+        ) ORDER BY midx"""),
+      "8192-merge int-symbol batched BPE over word-4-gram units: " +
+        "unbounded-id representation (no placeholder alphabet), one-" +
+        "expression model application, greedy symbol-disjoint batches; " +
+        "the oracle replays all generated rounds — fold-walk election " +
+        "and window-parity batch apply — exactly."),
+
+    // ---------------------------------------------------------------- q266
+    Q(
+      "q266_bpe_int_compression",
+      (s, dir) => {
+        // The trained 8192-merge model APPLIED: re-encode the unit
+        // table under the final spec (one bpe_encode expression — the
+        // map-only application path) and report corpus compression:
+        // weighted symbol counts before/after, merges used, rounds
+        // used. The oracle recomputes the same stats from its replayed
+        // final table state — agreement proves the single-expression
+        // apply equals the round-by-round table mutation end to end.
+        graft.functions.BpeIntExpressions.register(s)
+        val docs = table(s, dir, "documents")
+          .filter(col("doc_id") < 500).select("text")
+        val units = graft.operators.BpeInt.fourgramCounts(docs, "text")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeInt.fitBlocked(s, units, "w", "wcnt",
+          bpeIntMerges, bpeIntRounds, bpeIntCandCap, bpeIntAcceptCap)
+        val spec = graft.operators.BpeInt.specOf(m)
+        val stats = m.agg(count(lit(1)).cast("int").as("merges"),
+          max("rnd").as("rounds"))
+        units
+          .withColumn("syms", expr(s"bpe_encode(w, '$spec')"))
+          .agg(
+            count(lit(1)).as("n_units"),
+            sum(expr("wcnt * length(w)")).as("base_syms"),
+            sum(expr("wcnt * size(syms)")).as("enc_syms"))
+          .crossJoin(broadcast(stats))
+          .selectExpr("n_units", "base_syms", "enc_syms",
+            "round(cast(enc_syms as double) / cast(base_syms as double), 6) as ratio",
+            "merges", "rounds")
+      },
+      Some(s"""
+        WITH $duckBpeIntCtes,
+        stats AS (
+          SELECT CAST(COUNT(*) AS INTEGER) AS merges,
+                 CAST(MAX(rnd) AS INTEGER) AS rounds
+          FROM ($duckBpeIntMerges)),
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                 CAST(SUM(wcnt * length(g)) AS BIGINT) AS base_syms
+          FROM bw0),
+        enc AS (
+          SELECT CAST(SUM(wcnt * len(syms)) AS BIGINT) AS enc_syms
+          FROM bw$bpeIntRounds)
+        SELECT n_units, base_syms, enc_syms,
+               round(CAST(enc_syms AS DOUBLE) / CAST(base_syms AS DOUBLE), 6) AS ratio,
+               merges, rounds
+        FROM base, enc, stats"""),
+      "The 8192-merge int-symbol model applied as one bpe_encode " +
+        "expression: corpus compression stats vs the oracle's replayed " +
+        "final table state — single-expression apply == round-by-round " +
+        "mutation.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
@@ -8255,6 +8346,110 @@ object TextQueries {
     (1 to n).foldLeft(e) { (acc, r) =>
       s"replace($acc, (SELECT pair FROM m$r), chr(${bpeCp(r)}))"
     }
+
+  /** q265/q266 hyperparameters (defs — init-order gotcha): 8192 merges,
+    * 64 generated rounds (all three SFs converge in ~53 on the fixed
+    * 500-doc 4-gram sample), candidate window 16384, up to 1024
+    * symbol-disjoint accepts per round. */
+  private def bpeIntMerges = 8192
+  private def bpeIntRounds = 64
+  private def bpeIntCandCap = 16384
+  private def bpeIntAcceptCap = 1024
+
+  /** Generated DuckDB twin of [[graft.operators.BpeInt.fitBlocked]] over
+    * the word-4-gram unit table of the 500-doc sample: per round r —
+    * `cand_r` (top-candCap int-pair counts, count-desc (a,b)-asc rank),
+    * `walk_r` (the greedy SYMBOL-DISJOINT walk as a single `list_reduce`
+    * fold over the rank-ordered candidate list, state = fixed-width
+    * taken counter || '.'-delimited used-symbol set || chr(2)-separated
+    * accepted list — a linear recursive CTE at candCap 16384 measured
+    * ~280x slower), `sel_r` (parse the accepted list; midx/id from the
+    * running offset), `off_r`, and `bw_r` (batch application as a
+    * WINDOW-PARITY pass: unnest positions, left-join the accepted map,
+    * gaps-and-islands run ids, odd positions of each match run start a
+    * merge — symbol-disjointness means consecutive matches only occur
+    * for (a,a) runs, where odd-parity IS greedy left-to-right). Merge
+    * ids are `1114111 + midx` ([[graft.operators.BpeInt.IdBase]]). */
+  private def duckBpeIntCtes: String = {
+    val sb = new StringBuilder
+    sb.append(s"""bw0 AS MATERIALIZED (
+          SELECT g, CAST(COUNT(1) AS BIGINT) AS wcnt,
+                 list_transform(range(1, length(g) + 1),
+                   i -> CAST(unicode(substring(g, i, 1)) AS INTEGER)) AS syms
+          FROM (
+            SELECT array_to_string(tk[i:i+3], ' ') AS g
+            FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id < 500),
+                 unnest(range(1, len(tk) - 2)) u(i))
+          GROUP BY g),
+        off0 AS (SELECT 0 AS m)""")
+    for (r <- 1 to bpeIntRounds) {
+      sb.append(s""",
+        cand$r AS MATERIALIZED (
+          SELECT a, b, CAST(n AS BIGINT) AS n,
+                 CAST(row_number() OVER (ORDER BY n DESC, a, b) AS INTEGER) AS rk
+          FROM (
+            SELECT syms[i] AS a, syms[i+1] AS b, SUM(wcnt) AS n
+            FROM bw${r - 1}, unnest(range(1, len(syms))) t(i)
+            GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT $bpeIntCandCap)),
+        walk$r AS MATERIALIZED (
+          SELECT string_split(st, chr(2))[3] AS accs FROM (
+            SELECT list_reduce(
+              list_prepend('000000' || chr(2) || chr(2),
+                (SELECT COALESCE(list(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)
+                                      ORDER BY rk), CAST([] AS VARCHAR[])) FROM cand$r)),
+              (st, c) -> CASE
+                WHEN CAST(substring(st, 1, 6) AS INT) >= cap
+                  OR strpos(st, '.' || string_split(c, '|')[1] || '.') > 0
+                  OR strpos(st, '.' || string_split(c, '|')[2] || '.') > 0
+                THEN st
+                ELSE concat(
+                  lpad(CAST(CAST(substring(st, 1, 6) AS INT) + 1 AS VARCHAR), 6, '0'),
+                  '.', string_split(c, '|')[1], '..', string_split(c, '|')[2], '.',
+                  substring(st, 7), ';', c)
+              END) AS st
+            FROM (SELECT GREATEST(0, LEAST($bpeIntAcceptCap,
+                    $bpeIntMerges - (SELECT m FROM off${r - 1}))) AS cap))),
+        sel$r AS MATERIALIZED (
+          SELECT CAST((SELECT m FROM off${r - 1}) + ark AS INTEGER) AS midx,
+                 $r AS rnd,
+                 CAST(string_split(e, '|')[1] AS INTEGER) AS a,
+                 CAST(string_split(e, '|')[2] AS INTEGER) AS b,
+                 CAST(1114111 + (SELECT m FROM off${r - 1}) + ark AS INTEGER) AS id
+          FROM (SELECT unnest(string_split(accs, ';')) AS e,
+                       generate_subscripts(string_split(accs, ';'), 1) - 1 AS ark
+                FROM walk$r) WHERE e <> ''),
+        off$r AS MATERIALIZED (
+          SELECT (SELECT m FROM off${r - 1}) + COALESCE(CAST(COUNT(*) AS INTEGER), 0) AS m
+          FROM sel$r),
+        bw$r AS MATERIALIZED (
+          SELECT g, wcnt, list(v ORDER BY i) AS syms FROM (
+            SELECT g, wcnt, i,
+                   CASE WHEN strt THEN mid
+                        WHEN COALESCE(lag(strt) OVER (PARTITION BY g ORDER BY i), FALSE) THEN NULL
+                        ELSE s END AS v
+            FROM (
+              SELECT g, wcnt, i, s, mid,
+                     (mid IS NOT NULL AND
+                      row_number() OVER (PARTITION BY g, f, isl ORDER BY i) % 2 = 1) AS strt
+              FROM (
+                SELECT p.g, p.wcnt, p.i, p.s, m.id AS mid,
+                       (m.id IS NOT NULL) AS f,
+                       p.i - row_number() OVER (PARTITION BY p.g, (m.id IS NOT NULL) ORDER BY p.i) AS isl
+                FROM (SELECT g, wcnt, i, syms[i] AS s,
+                             CASE WHEN i < len(syms) THEN syms[i+1] END AS s2
+                      FROM bw${r - 1}, unnest(range(1, len(syms)+1)) t(i)) p
+                LEFT JOIN sel$r m ON m.a = p.s AND m.b = p.s2)))
+          WHERE v IS NOT NULL
+          GROUP BY g, wcnt)""")
+    }
+    sb.toString
+  }
+
+  /** All accepted merges of the generated int-BPE chain, with counts. */
+  private def duckBpeIntMerges: String =
+    (1 to bpeIntRounds).map(r =>
+      s"SELECT s.midx, s.rnd, s.a, s.b, s.id, c.n FROM sel$r s JOIN cand$r c ON c.a = s.a AND c.b = s.b")
+      .mkString("\n          UNION ALL ")
 
   /** q247/q248 hyperparameters (defs — init-order gotcha): 512 merges,
     * 24 generated rounds (all three SFs converge in 20), candidate list
