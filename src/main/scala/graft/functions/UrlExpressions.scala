@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -103,6 +103,72 @@ case class UrlDomain(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * `url_domain(url, rules)` — the PSL-DRIVEN registered domain: the same
+ * host extraction as the 1-arg form, but the public suffix comes from a
+ * caller-supplied table in the Public Suffix List's own rule grammar
+ * (publicsuffix.org — public content this library does not vendor; pass
+ * the rules you need). `rules` is ';'- or newline-separated PSL lines:
+ * plain suffixes ("co.uk", "github.io"), wildcard rules ("*.ck" — any
+ * single label under .ck is itself a public suffix), and exception rules
+ * ("!city.ck" — carved back out of a wildcard). Matching follows the
+ * published algorithm: an exception match wins (its suffix drops one
+ * label), else the LONGEST matching rule, else the implicit default `*`
+ * (the bare TLD). The registered domain is the public suffix plus one
+ * label; a host that IS a public suffix (or an IP literal) returns
+ * whole. `rules` is pipeline configuration: it must be a foldable
+ * literal that parses, or analysis fails loudly; the parsed table rides
+ * the plan once (`addReferenceObj`), not per row.
+ */
+case class UrlDomainPsl(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val T = org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        if (!right.foldable) {
+          T.TypeCheckFailure("url_domain: the rules argument must be a foldable " +
+            "literal (a public-suffix table is pipeline configuration, not data)")
+        } else {
+          val r = right.eval(null)
+          if (r == null) T.TypeCheckFailure("url_domain: rules must be non-null")
+          else {
+            UrlKit.pslParseError(r.toString) match {
+              case null => T.TypeCheckSuccess
+              case err => T.TypeCheckFailure(s"url_domain: $err")
+            }
+          }
+        }
+      case other =>
+        T.TypeCheckFailure(s"url_domain expects (string, string), got $other")
+    }
+  }
+
+  @transient private lazy val table: UrlKit.PslTable =
+    UrlKit.pslParse(right.eval(null).toString)
+
+  override protected def nullSafeEval(url: Any, rules: Any): Any = {
+    val d = UrlKit.domainPsl(url.asInstanceOf[UTF8String], table)
+    if (d == null) null else d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pslTable", table, classOf[UrlKit.PslTable].getName)
+    nullSafeCodeGen(ctx, ev, (u, _) => s"""
+      UTF8String graftUrlDomP = graft.functions.UrlKit.domainPsl($u, $tRef);
+      if (graftUrlDomP == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftUrlDomP; }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlDomainPsl =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CanonicalUrl(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -186,6 +252,105 @@ object UrlKit {
     val keepThree = labels(n - 1).length == 2 && CcSecondLevel.contains(labels(n - 2))
     val keep = if (keepThree && n >= 3) 3 else 2
     labels.slice(n - keep, n).mkString(".")
+  }
+
+  /** Parsed PSL rule table (see [[UrlDomainPsl]]): plain suffixes,
+    * wildcard bases (the part after "*."), exception suffixes (after
+    * "!"). All lowercase label sequences. */
+  final class PslTable(
+      val plain: java.util.HashSet[String],
+      val wildcard: java.util.HashSet[String],
+      val exception: java.util.HashSet[String]) extends Serializable
+
+  /** Null when `rules` parses, else a loud description (analysis-time).
+    * Grammar: ';'/newline-separated PSL lines; blank lines and `//`
+    * comments skipped; a rule is dot-separated non-empty labels,
+    * optionally prefixed `*.` (wildcard) or `!` (exception). */
+  def pslParseError(rules: String): String = {
+    val lines = rules.split("[;\n]", -1).map(_.trim)
+    var sawRule = false
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.nonEmpty && !line.startsWith("//")) {
+        val body =
+          if (line.startsWith("!")) line.substring(1)
+          else if (line.startsWith("*.")) line.substring(2)
+          else line
+        if (body.isEmpty) return s"malformed rule '$line'"
+        val labels = body.split("\\.", -1)
+        if (labels.exists(_.isEmpty)) return s"malformed rule '$line' (empty label)"
+        if (body.contains("*")) return s"malformed rule '$line' (interior wildcards unsupported)"
+        sawRule = true
+      }
+      i += 1
+    }
+    if (!sawRule) return "rules contain no suffix rules"
+    null
+  }
+
+  def pslParse(rules: String): PslTable = {
+    val plain = new java.util.HashSet[String]()
+    val wild = new java.util.HashSet[String]()
+    val exc = new java.util.HashSet[String]()
+    rules.split("[;\n]", -1).map(_.trim).foreach { line =>
+      if (line.nonEmpty && !line.startsWith("//")) {
+        if (line.startsWith("!")) exc.add(line.substring(1).toLowerCase)
+        else if (line.startsWith("*.")) wild.add(line.substring(2).toLowerCase)
+        else plain.add(line.toLowerCase)
+      }
+    }
+    new PslTable(plain, wild, exc)
+  }
+
+  /** PSL-driven registered domain (see [[UrlDomainPsl]]), or null. */
+  def domainPsl(u: UTF8String, table: PslTable): UTF8String = {
+    if (u == null) return null
+    val h = hostJava(u.toString)
+    if (h == null) return null
+    UTF8String.fromString(domainOfHostPsl(h, table))
+  }
+
+  def domainOfHostPsl(host: String, table: PslTable): String = {
+    if (host.startsWith("[")) return host // IPv6 literal
+    val labels = host.split("\\.", -1)
+    val n = labels.length
+    if (labels.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9')))
+      return host // IPv4 literal
+    // public-suffix length in labels, per the published PSL algorithm
+    var psLen = -1
+    // exception rules win: the matched rule's suffix minus its first label
+    var k = 1
+    while (psLen < 0 && k <= n) {
+      if (table.exception.contains(suffixOf(labels, k))) psLen = k - 1
+      k += 1
+    }
+    if (psLen < 0) {
+      var best = 0
+      k = 1
+      while (k <= n) {
+        if (table.plain.contains(suffixOf(labels, k)) && k > best) best = k
+        // "*.X": one label plus the base — matches a (k)-label suffix whose
+        // trailing (k-1) labels are X
+        if (k >= 2 && table.wildcard.contains(suffixOf(labels, k - 1)) && k > best) best = k
+        k += 1
+      }
+      psLen = if (best == 0) 1 else best // implicit default rule `*`
+    }
+    if (psLen >= n) host // the host IS a public suffix
+    else suffixOf(labels, psLen + 1)
+  }
+
+  private def suffixOf(labels: Array[String], k: Int): String = {
+    val n = labels.length
+    val sb = new java.lang.StringBuilder
+    var i = n - k
+    while (i < n) {
+      if (i > n - k) sb.append('.')
+      sb.append(labels(i))
+      i += 1
+    }
+    sb.toString
   }
 
   /** Shared by interpreted eval and generated code. */
@@ -272,8 +437,10 @@ object UrlExpressions {
     UrlHost(exprs.head)
   }
   private val urlDomainBuilder: Seq[Expression] => Expression = { exprs =>
-    require(exprs.length == 1, s"url_domain takes 1 argument, got ${exprs.length}")
-    UrlDomain(exprs.head)
+    require(exprs.length == 1 || exprs.length == 2,
+      s"url_domain takes 1 (LITE) or 2 (PSL table) arguments, got ${exprs.length}")
+    if (exprs.length == 1) UrlDomain(exprs.head)
+    else UrlDomainPsl(exprs(0), exprs(1))
   }
 
   def register(spark: SparkSession): Unit = {

@@ -8208,7 +8208,65 @@ object TextQueries {
       "The 8192-merge int-symbol model applied as one bpe_encode " +
         "expression: corpus compression stats vs the oracle's replayed " +
         "final table state — single-expression apply == round-by-round " +
-        "mutation.")
+        "mutation."),
+
+    // ---------------------------------------------------------------- q267
+    Q(
+      "q267_url_domain_psl",
+      (s, dir) => {
+        // q250's registered-domain census with the PUBLIC-SUFFIX TABLE
+        // active: five constructed authority shapes exercise the three
+        // PSL rule kinds — a PRIVATE suffix (github.io: the user label
+        // is the registration key, which the LITE last-two-labels rule
+        // gets wrong), classic cc second-levels (co.uk, com.au), a
+        // wildcard rule (*.ck: every label under .ck is itself a public
+        // suffix), and an exception rule (!city.ck carved back out of
+        // the wildcard). The rules ride the expression as one foldable
+        // literal (parsed once, addReferenceObj — never per row). The
+        // oracle computes the expected keys straight from the
+        // construction branches, locking the published PSL algorithm:
+        // exception beats wildcard beats longest-plain beats default.
+        graft.functions.UrlExpressions.register(s)
+        val rules = "uk;co.uk;au;com.au;io;github.io;com;net;org;ck;*.ck;!city.ck"
+        table(s, dir, "documents")
+          .selectExpr("doc_id", "source", "cast(doc_id % 5 as int) as kind")
+          .withColumn("url", expr(
+            """case kind
+                 when 0 then concat('https://WWW.', source, '.github.io/blog/', doc_id)
+                 when 1 then concat('http://news.', source, '.co.uk:80/a/', doc_id)
+                 when 2 then concat('https://a.b.', source, '.com.au/x?id=', doc_id)
+                 when 3 then concat('http://shop.', source, '.ck/x')
+                 else concat('http://sub', cast(doc_id % 3 as string), '.city.ck/p')
+               end"""))
+          .selectExpr(s"url_domain(url, '$rules') as domain", "url_host(url) as host")
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"))
+          .orderBy("domain")
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN (source || '.github.io')
+                   WHEN 1 THEN (source || '.co.uk')
+                   WHEN 2 THEN (source || '.com.au')
+                   WHEN 3 THEN ('shop.' || source || '.ck')
+                   ELSE 'city.ck' END AS domain,
+                 CASE doc_id % 5
+                   WHEN 0 THEN (source || '.github.io')
+                   WHEN 1 THEN ('news.' || source || '.co.uk')
+                   WHEN 2 THEN ('a.b.' || source || '.com.au')
+                   WHEN 3 THEN ('shop.' || source || '.ck')
+                   ELSE ('sub' || CAST(doc_id % 3 AS VARCHAR) || '.city.ck') END AS host
+          FROM documents)
+        SELECT domain, CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM keyed GROUP BY domain ORDER BY domain"""),
+      "PSL-driven registered-domain census: private suffix (github.io), " +
+        "cc second-levels, wildcard (*.ck) and exception (!city.ck) " +
+        "rules over five constructed authority shapes — the oracle " +
+        "replays the construction, locking the published PSL precedence.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the

@@ -97,4 +97,53 @@ class UrlExpressionsSpec extends AnyFunSuite {
     val gen = df.selectExpr("url_domain(url) as d").collect().map(_.getString(0))
     assert(gen.forall(_ === "example.com"))
   }
+
+  test("url_domain PSL mode: plain, wildcard, exception rules; longest match wins") {
+    val rules = "uk;co.uk;au;com.au;io;github.io;com;ck;*.ck;!city.ck;jp;ac.jp"
+    def dom(u: String): String =
+      spark.sql(s"select url_domain('$u', '$rules')").head().getString(0)
+    // private suffixes the LITE rule gets wrong
+    assert(dom("https://alice.github.io/blog") === "alice.github.io",
+      "github.io is a public suffix: the registered domain keeps the user label")
+    assert(dom("https://www.proj.alice.github.io/x") === "alice.github.io")
+    // classic cc second-levels
+    assert(dom("http://news.bbc.co.uk/x") === "bbc.co.uk")
+    assert(dom("http://a.b.shop.com.au/x") === "shop.com.au")
+    // longest match: co.uk beats uk
+    assert(dom("http://x.y.uk/p") === "y.uk", "plain uk rule keeps two labels")
+    // wildcard *.ck: any single label under ck is itself a public suffix
+    assert(dom("http://shop.example.ck/x") === "shop.example.ck")
+    // exception !city.ck carves back out of the wildcard
+    assert(dom("http://sub.city.ck/x") === "city.ck")
+    assert(dom("http://city.ck/x") === "city.ck")
+    // implicit default rule `*`: unknown TLD keeps two labels
+    assert(dom("http://a.b.example.zz/x") === "example.zz")
+    // a host that IS a public suffix returns whole
+    assert(dom("http://github.io/") === "github.io")
+    // IP literals return whole; opaque input is null
+    assert(dom("http://192.168.0.1/x") === "192.168.0.1")
+    assert(spark.sql(s"select url_domain('not a url', '$rules')").head().isNullAt(0))
+    // interpreted == codegen
+    val t = UrlKit.pslParse(rules)
+    Seq("https://alice.github.io/blog", "http://sub.city.ck/x",
+      "http://a.b.shop.com.au/x").foreach { u =>
+      val interp = UrlKit.domainPsl(
+        org.apache.spark.unsafe.types.UTF8String.fromString(u), t)
+      assert(dom(u) === interp.toString)
+    }
+  }
+
+  test("url_domain PSL mode: rules contract is loud at analysis") {
+    import spark.implicits._
+    val df = Seq("http://x.com/").toDF("u")
+    val e1 = intercept[Exception] { df.selectExpr("url_domain(u, u)").collect() }
+    assert(e1.getMessage.contains("foldable"))
+    val e2 = intercept[Exception] { df.selectExpr("url_domain(u, ';;')").collect() }
+    assert(e2.getMessage.contains("url_domain"))
+    val e3 = intercept[Exception] { df.selectExpr("url_domain(u, 'a..b')").collect() }
+    assert(e3.getMessage.contains("empty label"))
+    // comments and newlines are the PSL file's own format and parse fine
+    val ok = df.selectExpr("url_domain(u, '// header\ncom\nco.uk')").head().getString(0)
+    assert(ok === "x.com")
+  }
 }
