@@ -108,8 +108,48 @@ class WarcScan(
     s"warc(${opts.path}) pushedTypeFilter=[$t]"
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    listed.map { case (f, _) => WarcFilePartition(f): InputPartition }.toArray
+  /** One partition per file by default. With `memberSplitBytes = N > 0`,
+    * each `.gz` file larger than N is INDEXED (gzip member boundaries —
+    * [[GzipMembers.memberOffsets]]; one decompression pass at planning,
+    * run as a Spark job when `listShards > 0`, a driver loop otherwise)
+    * and fanned into ranges of ~N compressed bytes, each starting at a
+    * member boundary. A file whose framing fails to index falls back to
+    * one whole-file partition (skip-corrupt: bad segments cost
+    * parallelism, never the job). Plain `.warc` files stay per-file —
+    * uncompressed records carry no self-delimiting member framing. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val target = opts.memberSplitBytes
+    if (target <= 0L)
+      return listed.map { case (f, _) => WarcFilePartition(f, 0L, Long.MaxValue): InputPartition }.toArray
+    val (oversized, whole) = listed.partition { case (f, size) =>
+      f.toLowerCase.endsWith(".gz") && size > target
+    }
+    val storeLocal = store
+    def indexOne(f: String): Vector[(Long, Long)] =
+      try {
+        val in = storeLocal.open(f)
+        val offsets =
+          try GzipMembers.memberOffsets(new java.io.BufferedInputStream(in, 64 * 1024))
+          finally in.close()
+        GzipMembers.ranges(offsets, target)
+      } catch {
+        case scala.util.control.NonFatal(_) => Vector((0L, Long.MaxValue))
+      }
+    val indexed: Seq[(String, Vector[(Long, Long)])] =
+      if (oversized.isEmpty) Seq.empty
+      else if (opts.listShards > 0) {
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        val paths = oversized.map(_._1)
+        sc.parallelize(paths, math.min(opts.listShards, paths.size))
+          .map(f => (f, indexOne(f))).collect().toSeq
+      } else oversized.map { case (f, _) => (f, indexOne(f)) }
+    val parts =
+      whole.map { case (f, _) => WarcFilePartition(f, 0L, Long.MaxValue) } ++
+        indexed.sortBy(_._1).flatMap { case (f, rs) =>
+          rs.map { case (s, e) => WarcFilePartition(f, s, e) }
+        }
+    parts.map(p => p: InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(store, required, typeKeep)
@@ -120,7 +160,45 @@ class WarcScan(
       opts, required, typeKeep, opts.maxFilesPerTrigger, store)
 }
 
-final case class WarcFilePartition(file: String) extends InputPartition
+/** `[start, end)` compressed byte range; `(0, Long.MaxValue)` = whole
+  * file. A non-zero `start` is always a gzip member boundary from the
+  * planning index. */
+final case class WarcFilePartition(file: String, start: Long = 0L, end: Long = Long.MaxValue)
+    extends InputPartition
+
+object WarcFilePartition {
+  /** Open `file` positioned and framed for `p`'s range: whole-file opens
+    * keep the suffix-based codec choice; ranged opens skip to the member
+    * boundary (looped skip — `InputStream.skip` may return short) and
+    * decompress only members starting inside the range. */
+  def openRecordStream(store: Bi5Store, p: WarcFilePartition): java.io.InputStream = {
+    val raw = store.open(p.file)
+    try {
+      if (p.start == 0L && p.end == Long.MaxValue) {
+        if (p.file.toLowerCase.endsWith(".gz"))
+          new GZIPInputStream(raw, 64 * 1024)
+        else new java.io.BufferedInputStream(raw, 64 * 1024)
+      } else {
+        var remaining = p.start
+        while (remaining > 0L) {
+          val skipped = raw.skip(remaining)
+          if (skipped <= 0L) {
+            // skip() can legally return 0; prove progress with a read
+            if (raw.read() < 0) throw new java.io.EOFException(
+              s"range start ${p.start} past EOF of ${p.file}")
+            remaining -= 1
+          } else remaining -= skipped
+        }
+        new GzipMembers.MemberRangeStream(
+          new java.io.BufferedInputStream(raw, 64 * 1024), p.start, p.end)
+      }
+    } catch {
+      case e: Throwable =>
+        try raw.close() catch { case _: Exception => () }
+        throw e
+    }
+  }
+}
 
 class WarcReaderFactory(
     store: Bi5Store,
@@ -130,7 +208,7 @@ class WarcReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      store, partition.asInstanceOf[WarcFilePartition].file, required.fieldNames, typeKeep)
+      store, partition.asInstanceOf[WarcFilePartition], required.fieldNames, typeKeep)
 
   // Header-only scans (payload pruned away) — the dominant crawl-audit
   // access pattern — emit ColumnarBatches: fixed-width-ish header fields
@@ -144,7 +222,7 @@ class WarcReaderFactory(
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new WarcColumnarReader(
-      store, partition.asInstanceOf[WarcFilePartition].file, required, typeKeep)
+      store, partition.asInstanceOf[WarcFilePartition], required, typeKeep)
 }
 
 object WarcColumnarReader {
@@ -158,7 +236,7 @@ object WarcColumnarReader {
  */
 class WarcColumnarReader(
     store: Bi5Store,
-    file: String,
+    part: WarcFilePartition,
     required: StructType,
     typeKeep: Option[Set[String]])
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
@@ -167,7 +245,7 @@ class WarcColumnarReader(
 
   private[this] val fieldNames = required.fieldNames
   private[this] val numFields = fieldNames.length
-  private[this] val fileBytes = file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private[this] val fileBytes = part.file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   private[this] val vectors =
     org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -181,10 +259,7 @@ class WarcColumnarReader(
   private def ensureOpen(): Unit = if (it == null) {
     it =
       try {
-        val raw = store.open(file)
-        in = if (file.toLowerCase.endsWith(".gz"))
-          new GZIPInputStream(raw, 64 * 1024)
-        else new java.io.BufferedInputStream(raw, 64 * 1024)
+        in = WarcFilePartition.openRecordStream(store, part)
         val keep: WarcHeader => Boolean = typeKeep match {
           case Some(ts) => h => h.recordType != null && ts.contains(h.recordType)
           case None     => _ => true
@@ -246,13 +321,13 @@ class WarcColumnarReader(
 
 class WarcPartitionReader(
     store: Bi5Store,
-    file: String,
+    part: WarcFilePartition,
     fieldNames: Array[String],
     typeKeep: Option[Set[String]])
     extends PartitionReader[InternalRow] {
 
   private val wantPayload = fieldNames.contains("payload")
-  private val fileUtf8 = UTF8String.fromString(file)
+  private val fileUtf8 = UTF8String.fromString(part.file)
 
   // open lazily so a file that fails to open contributes zero rows
   // (skip-corrupt) without failing the task
@@ -263,10 +338,7 @@ class WarcPartitionReader(
   private def ensureOpen(): Unit = if (it == null) {
     it =
       try {
-        val raw = store.open(file)
-        in = if (file.toLowerCase.endsWith(".gz"))
-          new GZIPInputStream(raw, 64 * 1024)
-        else new java.io.BufferedInputStream(raw, 64 * 1024)
+        in = WarcFilePartition.openRecordStream(store, part)
         val keep: WarcHeader => Boolean = typeKeep match {
           case Some(ts) => h => h.recordType != null && ts.contains(h.recordType)
           case None     => _ => true
