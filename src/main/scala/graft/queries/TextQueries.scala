@@ -8266,7 +8266,101 @@ object TextQueries {
       "PSL-driven registered-domain census: private suffix (github.io), " +
         "cc second-levels, wildcard (*.ck) and exception (!city.ck) " +
         "rules over five constructed authority shapes — the oracle " +
-        "replays the construction, locking the published PSL precedence.")
+        "replays the construction, locking the published PSL precedence."),
+
+    // ---------------------------------------------------------------- q268
+    Q(
+      "q268_pii_precision_audit",
+      (s, dir) => {
+        // MEASURED scrubber precision/recall (the q97 audit discipline
+        // applied to scrub_pii): six positive plants (email, IP, Luhn-
+        // valid card, mod-97-valid IBAN, issuable SSN, issuable NINO,
+        // diverse secret) paired with checksum/shape-invalid DECOYS
+        // (Luhn-invalid card, mod-97-invalid IBAN, never-issued SSN and
+        // NINO shapes, low-diversity filler token) — every doc gets one
+        // plant by doc_id % 12, the scrubbed output is compared byte-
+        // for-byte to the constructed expectation, and the audit emits
+        // exact caught/deviation counts plus an md5 over the full
+        // scrubbed byte stream per kind. The oracle constructs the
+        // expected outputs itself, so ANY false positive (a decoy
+        // touched) or false negative (a plant missed) breaks a count
+        // and the hash. Map-only + one hash aggregate.
+        graft.functions.PiiExpressions.register(s)
+        val plant = expr(
+          """case cast(doc_id % 12 as int)
+               when 0  then concat('u', cast(doc_id as string), '@ex.org')
+               when 1  then concat('10.', cast(doc_id % 200 as string), '.3.4')
+               when 2  then '4111 1111 1111 1111'
+               when 3  then '4111 1111 1111 1112'
+               when 4  then 'GB82 WEST 1234 5698 7654 32'
+               when 5  then 'GB82 WEST A234 5698 WXYZ 33'
+               when 6  then '123-45-6789'
+               when 7  then '666-45-6789'
+               when 8  then 'AB123456C'
+               when 9  then 'DA123456C'
+               when 10 then 'sk4live8Xp2Qz7Rb1Nm6Vc3Jd9'
+               else         'aaaaaaaaaaaaaaaaaaaaa1Ab'
+             end""")
+        val expected = expr(
+          """case cast(doc_id % 12 as int)
+               when 0  then '<EMAIL>'
+               when 1  then '<IP>'
+               when 2  then '<CARD>'
+               when 3  then '4111 1111 1111 1112'
+               when 4  then '<IBAN>'
+               when 5  then 'GB82 WEST A234 5698 WXYZ 33'
+               when 6  then '<SSN>'
+               when 7  then '666-45-6789'
+               when 8  then '<NINO>'
+               when 9  then 'DA123456C'
+               when 10 then '<SECRET>'
+               else         'aaaaaaaaaaaaaaaaaaaaa1Ab'
+             end""")
+        table(s, dir, "documents")
+          .selectExpr("doc_id", "text", "cast(doc_id % 12 as int) as kind")
+          .withColumn("dirty", concat(col("text"), lit(" "), plant))
+          .withColumn("want", concat(col("text"), lit(" "), expected))
+          .withColumn("got", expr("scrub_pii(dirty)"))
+          .groupBy("kind")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("got") === col("want"), 1L).otherwise(0L)).as("n_exact"),
+            expr("md5(concat_ws(chr(30), sort_array(collect_list(got))))").as("out_hash"))
+          .withColumn("expectation",
+            when(col("kind").isin(3, 5, 7, 9, 11), lit("keep")).otherwise(lit("scrub")))
+          .select("kind", "expectation", "n_docs", "n_exact", "out_hash")
+          .orderBy("kind")
+      },
+      Some("""
+        WITH plants AS (
+          SELECT doc_id, CAST(doc_id % 12 AS INTEGER) AS kind,
+                 text || ' ' ||
+                 CASE doc_id % 12
+                   WHEN 0  THEN '<EMAIL>'
+                   WHEN 1  THEN '<IP>'
+                   WHEN 2  THEN '<CARD>'
+                   WHEN 3  THEN '4111 1111 1111 1112'
+                   WHEN 4  THEN '<IBAN>'
+                   WHEN 5  THEN 'GB82 WEST A234 5698 WXYZ 33'
+                   WHEN 6  THEN '<SSN>'
+                   WHEN 7  THEN '666-45-6789'
+                   WHEN 8  THEN '<NINO>'
+                   WHEN 9  THEN 'DA123456C'
+                   WHEN 10 THEN '<SECRET>'
+                   ELSE         'aaaaaaaaaaaaaaaaaaaaa1Ab'
+                 END AS want
+          FROM documents)
+        SELECT kind,
+               CASE WHEN kind IN (3, 5, 7, 9, 11) THEN 'keep' ELSE 'scrub' END AS expectation,
+               CAST(COUNT(1) AS BIGINT) AS n_docs,
+               CAST(COUNT(1) AS BIGINT) AS n_exact,
+               md5(string_agg(want, chr(30) ORDER BY want)) AS out_hash
+        FROM plants GROUP BY kind ORDER BY kind"""),
+      "Planted-corpus scrubber audit with checksum-invalid decoys: exact " +
+        "caught/kept counts and a full-output md5 per plant kind — the " +
+        "oracle constructs every expected output, so any false positive " +
+        "or miss breaks the row; measured precision, not construction " +
+        "replay of positives alone.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the

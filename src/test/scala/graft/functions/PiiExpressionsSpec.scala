@@ -87,4 +87,48 @@ class PiiExpressionsSpec extends AnyFunSuite {
     assert(gen.toSeq === interp.toSeq)
     assert(gen.forall(_ === "<EMAIL> wrote from <IP>"))
   }
+
+  test("iban: mod-97 decides; grouped and compact forms; bad checksums survive") {
+    // the ISO 13616 worked example (valid)
+    assert(scrub("pay GB82 WEST 1234 5698 7654 32 now") === "pay <IBAN> now")
+    assert(scrub("pay GB82WEST12345698765432 now") === "pay <IBAN> now")
+    assert(scrub("acct DE89 3704 0044 0532 0130 00.") === "acct <IBAN>.")
+    // one-digit perturbation fails mod-97 and stays
+    assert(scrub("acct DE89 3704 0044 0532 0130 01.")
+      === "acct DE89 3704 0044 0532 0130 01.")
+    // too short for an IBAN even when mod-97-shaped
+    assert(scrub("code GB82 WEST 12") === "code GB82 WEST 12")
+    assert(PiiKit.ibanValid("GB82WEST12345698765432"))
+    assert(!PiiKit.ibanValid("GB82WEST12345698765433"))
+  }
+
+  test("ssn and nino: published shape rules; never-issued shapes survive") {
+    assert(scrub("ssn 123-45-6789 ok") === "ssn <SSN> ok")
+    assert(scrub("ssn 000-45-6789 ok") === "ssn 000-45-6789 ok", "area 000 never issued")
+    assert(scrub("ssn 666-45-6789 ok") === "ssn 666-45-6789 ok", "area 666 never issued")
+    assert(scrub("ssn 923-45-6789 ok") === "ssn 923-45-6789 ok", "area 9xx never issued")
+    assert(scrub("ssn 123-00-6789 ok") === "ssn 123-00-6789 ok", "group 00 never issued")
+    assert(scrub("ssn 123-45-0000 ok") === "ssn 123-45-0000 ok", "serial 0000 never issued")
+    assert(scrub("id 1123-45-6789") === "id <PHONE>",
+      "a leading extra digit blocks the SSN rule; the 10-digit run is phone-shaped")
+    assert(scrub("ni AB 123456 C done") === "ni <NINO> done")
+    assert(scrub("ni AB123456C done") === "ni <NINO> done")
+    assert(scrub("ni DA123456C done") === "ni DA123456C done", "D prefix never issued")
+    assert(scrub("ni AO123456C done") === "ni AO123456C done", "second letter O never issued")
+    assert(scrub("ni AB123456E done") === "ni AB123456E done", "suffix A-D only")
+  }
+
+  test("secrets: 24+ mixed-case digit-bearing diverse tokens; filler survives") {
+    assert(scrub("key sk4live8Xp2Qz7Rb1Nm6Vc3Jd9 end") === "key <SECRET> end")
+    assert(scrub("key aaaaaaaaaaaaaaaaaaaaaaa1A end")
+      === "key aaaaaaaaaaaaaaaaaaaaaaa1A end", "3 distinct chars fails the gate")
+    assert(scrub("key abcdefghijklmnopqrstuvwxyz end")
+      === "key abcdefghijklmnopqrstuvwxyz end", "no digit, no upper")
+    assert(scrub("hash 0123456789abcdef0123456789abcdef end")
+      === "hash 0123456789abcdef0123456789abcdef end", "no uppercase")
+    assert(scrub("tok A1b2-C3d4_E5f6+G7h8=I9j0KL end") === "tok <SECRET> end")
+    // scrubbed output is idempotent under every new rule too
+    val once = scrub("GB82 WEST 1234 5698 7654 32 123-45-6789 AB123456C sk4live8Xp2Qz7Rb1Nm6Vc3Jd9")
+    assert(PiiKit.scrubJava(once) === once)
+  }
 }
