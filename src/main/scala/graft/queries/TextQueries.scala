@@ -8360,7 +8360,88 @@ object TextQueries {
         "caught/kept counts and a full-output md5 per plant kind — the " +
         "oracle constructs every expected output, so any false positive " +
         "or miss breaks the row; measured precision, not construction " +
-        "replay of positives alone.")
+        "replay of positives alone."),
+
+    // ---------------------------------------------------------------- q269
+    Q(
+      "q269_crawl_frontier",
+      (s, dir) => {
+        // THE CRAWL SCHEDULER'S FEED — the composed per-host fetch
+        // schedule a frontier actually consumes, replaying three
+        // independently-verified stages in one query: registered-domain
+        // keys (q250's url_host/url_domain), RFC 9309 permission
+        // verdicts for our bot over the six probe paths (q252's
+        // construction: specific-group precedence, longest-match,
+        // wildcard+anchor), and the politeness capacity from the parsed
+        // crawl-delay (q258). One row per host: its domain rollup key,
+        // delay, allowed-path census, integer pages/day capacity, and
+        // the integer days-to-drain for its backlog. Scale: per-FILE
+        // robots windows, host-keyed equi-joins, one aggregate — no
+        // stage differs from its standalone plan-locked shape.
+        graft.functions.UrlExpressions.register(s)
+        val docs = table(s, dir, "documents")
+          .selectExpr("doc_id", "source", "cast(doc_id % 7 + 1 as string) as cd")
+        val txt = docs.withColumn("txt", expr(
+          """concat(
+               'User-agent: *\n',
+               'Disallow: /private/\n',
+               'Allow: /private/', source, '/\n',
+               'User-agent: GraftBot\n',
+               'User-agent: fetchbot\n',
+               'Crawl-delay: ', cd, '\n',
+               'Disallow: /tmp/', source, '\n',
+               'Allow: /tmp/', source, '/ok\n',
+               'Disallow: /*.zip', chr(36), '\n',
+               'Sitemap: https://', source, '.com/map.xml\n')"""))
+        val rules = graft.operators.Robots.rules(txt, "doc_id", "txt")
+          .localCheckpoint(true)
+        val delays = rules
+          .filter(col("agent") === "graftbot" && col("rule") === "crawl-delay")
+          .selectExpr("doc_id", "cast(value as int) as crawl_delay")
+        val paths = docs.select(col("doc_id"),
+          explode(expr(
+            """array('/private/x',
+                     concat('/private/', source, '/page'),
+                     concat('/tmp/', source, '/f'),
+                     '/open/y',
+                     '/files/a.zip',
+                     concat('/tmp/', source, '/ok-data'))""")).as("path"))
+        val allowed = graft.operators.Robots
+          .verdicts(s, rules, "doc_id", paths, "path", "GraftBot")
+          .groupBy("doc_id")
+          .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+        docs
+          .withColumn("url", expr(
+            "concat('https://www.h', cast(doc_id as string), '.', source, '.co.uk/x')"))
+          .selectExpr("doc_id", "url_host(url) as host", "url_domain(url) as domain")
+          .join(delays, Seq("doc_id"))
+          .join(allowed, Seq("doc_id"))
+          .withColumn("pages_per_day", expr("cast(86400 div crawl_delay as bigint)"))
+          .withColumn("backlog_pages", expr("cast((doc_id % 100 + 1) * 100 as int)"))
+          .withColumn("fetch_days", expr(
+            "cast((backlog_pages * crawl_delay + 86399) div 86400 as bigint)"))
+          .select("doc_id", "host", "domain", "crawl_delay", "n_allowed",
+            "pages_per_day", "backlog_pages", "fetch_days")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(doc_id % 7 + 1 AS INTEGER) AS crawl_delay,
+                 'h' || CAST(doc_id AS VARCHAR) || '.' || source || '.co.uk' AS host,
+                 source || '.co.uk' AS domain
+          FROM documents)
+        SELECT doc_id, host, domain, crawl_delay,
+               CAST(4 AS BIGINT) AS n_allowed,
+               CAST(86400 // crawl_delay AS BIGINT) AS pages_per_day,
+               CAST((doc_id % 100 + 1) * 100 AS INTEGER) AS backlog_pages,
+               CAST(((doc_id % 100 + 1) * 100 * crawl_delay + 86399) // 86400 AS BIGINT) AS fetch_days
+        FROM d ORDER BY doc_id"""),
+      "Composed crawl-frontier feed: url_host/url_domain keys + RFC 9309 " +
+        "verdicts (4 of the 6 probes allowed for GraftBot by the " +
+        "construction) + crawl-delay capacity and integer days-to-drain " +
+        "— the operational artifact a scheduler consumes, every stage " +
+        "replaying its standalone-verified shape.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
