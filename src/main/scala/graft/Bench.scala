@@ -67,7 +67,19 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query detail FIRST (may be truncated by the driver's stdout
     // tail capture at 200+ queries — r4/r5 both lost this line) ...
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(detail)
+    // ... and persisted to a FILE: the driver's 2000-char tail capture
+    // cannot hold 260+ per-query times, so round-over-round regression
+    // review (tools/bench_diff.py) reads this artifact instead
+    val qFile = sys.env.getOrElse("SPARK_GRAFT_QUERIES_OUT", "bench_queries.json")
+    if (qFile.nonEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(qFile),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => () } // never fail the bench
+    }
 
     // Secondary scale factor: the 2x gate is only ever exercised at one SF —
     // emitting a second total makes the scaling SLOPE visible round-over-round,

@@ -127,6 +127,53 @@ class EwmaStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark mode: shuffled-within-delay ingest folds bit-identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME shuffled-within-8 ingest as the bespoke buffered test,
+    // with ord carried as an event timestamp so Spark's watermark owns
+    // the frontier
+    // event times shifted off epoch zero: the initial watermark is 0 ms,
+    // so a ts=0 row would be dropped as late before the first batch runs
+    val base = 1000000L
+    val shuffled = points
+      .sortBy(p => (p.ord / 8, (p.ord * 31 + p.key.hashCode) % 97, p.key))
+      .map(p => EwmaTsPoint(p.key, new java.sql.Timestamp(base + p.ord), p.v))
+    val mem = MemoryStream[EwmaTsPoint]
+    val name = s"ewma_wm_${System.nanoTime()}"
+    val q = EwmaStreams
+      .runningEwmaWatermarked(spark, mem.toDF(), alpha = 0.3, delay = "8 milliseconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      shuffled.grouped(25).foreach { b => mem.addData(b); q.processAllAvailable() }
+      // the watermark lags one batch: two sentinel rounds — the first
+      // advances it past every real point, the second triggers the keys
+      // so the buffered tail folds (the sentinels themselves stay
+      // buffered: wm never passes the last round's event time)
+      Seq(base + 1000L, base + 2000L).foreach { ms =>
+        mem.addData(Seq("a", "b", "c").map(k =>
+          EwmaTsPoint(k, new java.sql.Timestamp(ms), 0.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .withColumn("rn", expr("row_number() over (partition by key order by n_events desc)"))
+      .filter(col("rn") === 1)
+      .select("key", "n_events", "ewma")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.operators.Ewma
+      .perKey(points.toDF(), "key", Seq("ord"), "v", alpha = 0.3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, (n, e)) =>
+      assert(n === batch(k)._1,
+        s"key $k: all real points fold under the watermark frontier")
+      assert(java.lang.Double.doubleToLongBits(e) ===
+        java.lang.Double.doubleToLongBits(batch(k)._2),
+        s"key $k: watermark-streamed $e != batch ${batch(k)._2}")
+    }
+  }
+
   test("buffered mode: disorder beyond the delay fails loudly; duplicates fail loudly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
