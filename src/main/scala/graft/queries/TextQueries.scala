@@ -8441,7 +8441,62 @@ object TextQueries {
         "verdicts (4 of the 6 probes allowed for GraftBot by the " +
         "construction) + crawl-delay capacity and integer days-to-drain " +
         "— the operational artifact a scheduler consumes, every stage " +
-        "replaying its standalone-verified shape.")
+        "replaying its standalone-verified shape."),
+
+    // ---------------------------------------------------------------- q270
+    Q(
+      "q270_multilingual_neardup",
+      (s, dir) => {
+        // The round's motivating failure, fixed end-to-end: every 20th
+        // doc gains a TWIN whose text is VISUALLY IDENTICAL but spelled
+        // NFD (combining acute) where the original is NFC, both carrying
+        // an unspaced CJK sentence. The dedup path — unicode_normalize
+        // NFC, then MinHash-LSH candidates over tokenize_text's grammar
+        // (CJK character bigrams) — must (a) produce IDENTICAL shingle
+        // streams for the pair under normalization, (b) DIFFERING
+        // streams without it (proving normalization is load-bearing,
+        // not decorative), and (c) surface the pair as an LSH candidate
+        // (identical tokens => identical signatures => same buckets).
+        // The oracle states all three from the construction.
+        graft.functions.UnicodeExpressions.register(s)
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val sfxNfc = " caf\u00e9 \u6f22\u5b57\u30c6\u30b9\u30c8 end"
+        val sfxNfd = " cafe\u0301 \u6f22\u5b57\u30c6\u30b9\u30c8 end"
+        val base = docs.select(col("doc_id"), concat(col("text"), lit(sfxNfc)).as("t"))
+        val twins = docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            concat(col("text"), lit(sfxNfd)).as("t"))
+        val corpus = base.unionByName(twins)
+          .withColumn("norm", expr("unicode_normalize(t, 'NFC')"))
+          .localCheckpoint(true)
+        val paired = graft.operators.Dedup
+          .minhashLshCandidates(s, corpus, "doc_id", "norm")
+          .filter(col("id_b") - col("id_a") === 5000000L)
+          .select(col("id_a").as("doc_id"), lit(true).as("lsh_paired"))
+        val sh = corpus.selectExpr("doc_id",
+          "array_sort(transform(sequence(1, size(tokenize_text(norm)) - 2), " +
+            "i -> concat_ws(' ', slice(tokenize_text(norm), i, 3)))) as shn",
+          "array_sort(transform(sequence(1, size(tokenize_text(t)) - 2), " +
+            "i -> concat_ws(' ', slice(tokenize_text(t), i, 3)))) as shr")
+        sh.filter(col("doc_id") < 5000000L && col("doc_id") % 20 === 0)
+          .join(sh.selectExpr("doc_id - 5000000 as doc_id",
+            "shn as shn2", "shr as shr2"), Seq("doc_id"))
+          .join(paired, Seq("doc_id"))
+          .selectExpr("doc_id",
+            "shn = shn2 as identical_normalized",
+            "shr = shr2 as identical_raw",
+            "lsh_paired")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, TRUE AS identical_normalized, FALSE AS identical_raw,
+               TRUE AS lsh_paired
+        FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id"""),
+      "Multilingual near-dup end to end: NFC/NFD twins with unspaced CJK " +
+        "— identical shingle streams under unicode_normalize + " +
+        "tokenize_text (and provably NOT without normalization), and the " +
+        "pair surfaces through the production MinHash-LSH path; the " +
+        "oracle states the construction.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
