@@ -60,11 +60,15 @@ object TextSignals {
       textCol: String,
       n: Int = 3): DataFrame = {
     graft.functions.TextExpressions.register(corpus.sparkSession)
+    graft.functions.UnicodeExpressions.register(corpus.sparkSession)
     val reserved = Set("__toks", "__shingle", "__hit", "n_sh", "n_overlap", "contam_frac")
     val clash = (corpus.columns ++ eval.columns).toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
+    // script-aware tokens (whitespace runs / CJK char bigrams): benchmark
+    // text in an unspaced script still shingles and still screens —
+    // degenerates exactly to split-on-space on clean spaced text
     def shingled(df: DataFrame) = df
-      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__toks", expr(s"tokenize_text(`$textCol`)"))
       .filter(size(col("__toks")) >= n)
     val posts = shingled(corpus).select(
       col(idCol),

@@ -65,4 +65,41 @@ class BpeStreamsSpec extends AnyFunSuite {
     assert(streamed === batch, "streaming token counts must equal batch exactly")
     assert(batch.values.sum > 0, "fixture must produce non-zero symbol counts")
   }
+
+  test("streaming int-BPE encode equals batch exactly (frozen 512-merge spec)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train the INT-SYMBOL model batch-side at a real merge count; the
+    // frozen spec string is the shipped artifact — bpe_encode is a
+    // stateless foldable-constant expression, so the streaming plan IS
+    // the batch plan (no stream-static join even needed)
+    graft.functions.BpeIntExpressions.register(spark)
+    val units = graft.operators.BpeInt.fourgramCounts(docs, "text")
+    val merges = graft.operators.BpeInt.fitBlocked(
+      spark, units, "w", "wcnt", nMerges = 512, maxRounds = 64)
+    val spec = graft.operators.BpeInt.specOf(merges)
+    val batch = docs
+      .selectExpr("doc_id", s"size(bpe_encode(text, '$spec')) as n_sym",
+        s"md5(array_join(transform(bpe_encode(text, '$spec'), x -> cast(x as string)), ',')) as h")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+
+    val rows = docs.as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val name = s"bpeint_stream_${System.nanoTime()}"
+    val q = mem.toDF().toDF("doc_id", "text")
+      .selectExpr("doc_id", s"size(bpe_encode(text, '$spec')) as n_sym",
+        s"md5(array_join(transform(bpe_encode(text, '$spec'), x -> cast(x as string)), ',')) as h")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData(rows.filter(_._1 < 250).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 >= 250).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(streamed === batch,
+      "streaming int-BPE encodings must equal batch symbol-for-symbol")
+    assert(batch.values.map(_._1.toLong).sum > 0)
+  }
 }
