@@ -81,6 +81,57 @@ case class BpeEncode(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `bpe_segment(text string, spec string) -> array<string>`: the SURFACE
+ * spelling of each token [[BpeEncode]] would produce — "ing"/"the " for
+ * humans and downstream runtimes instead of int ids. Same spec contract
+ * and replay; the id→spelling table is grounded once per plan from the
+ * spec (merge k spells as spelling(a) + spelling(b), recursively down to
+ * code points) and ships via `addReferenceObj`. `concat(bpe_segment(s))
+ * == s` by construction — segmentation is a partition of the text.
+ */
+case class BpeSegment(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        if (!right.foldable) {
+          TypeCheckResult.TypeCheckFailure(
+            "bpe_segment: spec must be a foldable literal (the trained merge " +
+              "list is model configuration, not data)")
+        } else {
+          val s = right.eval(null)
+          if (s == null) {
+            TypeCheckResult.TypeCheckFailure("bpe_segment: spec must be non-null")
+          } else {
+            BpeIntKit.parseError(s.toString) match {
+              case null => TypeCheckResult.TypeCheckSuccess
+              case err => TypeCheckResult.TypeCheckFailure(s"bpe_segment: $err")
+            }
+          }
+        }
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"bpe_segment expects (string, string), got $other")
+    }
+
+  @transient private lazy val spec: BpeIntKit.Spec =
+    BpeIntKit.parse(right.eval(null).toString)
+
+  override protected def nullSafeEval(text: Any, specArg: Any): Any =
+    BpeIntKit.segment(text.asInstanceOf[UTF8String], spec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val specRef = ctx.addReferenceObj("bpeSpec", spec, classOf[BpeIntKit.Spec].getName)
+    defineCodeGen(ctx, ev, (t, _) => s"graft.functions.BpeIntKit.segment($t, $specRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeSegment =
+    copy(left = newLeft, right = newRight)
+}
+
 object BpeIntKit {
 
   /** First merge id: one above the last Unicode code point. */
@@ -91,11 +142,34 @@ object BpeIntKit {
     * above any real vocabulary, loud if ever hit. */
   val SymLimit: Int = 1 << 21
 
-  /** Parsed model: pair (a,b) packed as `a * 2^21 + b` -> 1-based rank.
-    * `ids(rank - 1)` is the merged symbol id. */
-  final class Spec(val rank: java.util.HashMap[Long, Integer], val nMerges: Int)
-    extends Serializable {
+  /** Parsed model: pair (a,b) packed as `a * 2^21 + b` -> 1-based rank;
+    * `as`/`bs` carry the pair by rank index (spelling grounding). The
+    * spelling table is built lazily once per JVM holding the Spec. */
+  final class Spec(
+      val rank: java.util.HashMap[Long, Integer],
+      val as: Array[Int],
+      val bs: Array[Int],
+      val nMerges: Int) extends Serializable {
     def key(a: Int, b: Int): Long = a.toLong * SymLimit + b
+
+    /** Surface spelling of symbol `sym` (code point or merge id). */
+    @transient private lazy val spellings: Array[String] = {
+      val out = new Array[String](nMerges)
+      // parse validates that entry k only references ids < IdBase + k, so
+      // a single forward pass grounds every spelling
+      def sp(sym: Int): String =
+        if (sym < IdBase) new String(Character.toChars(sym)) else out(sym - IdBase)
+      var k = 0
+      while (k < nMerges) {
+        out(k) = sp(as(k)) + sp(bs(k))
+        k += 1
+      }
+      out
+    }
+
+    def spell(sym: Int): String =
+      if (sym < IdBase) new String(Character.toChars(sym))
+      else spellings(sym - IdBase)
   }
 
   /** Null when `spec` parses, else a loud description (analysis-time). */
@@ -117,6 +191,11 @@ object BpeIntKit {
       val b = java.lang.Long.parseLong(e.substring(c + 1))
       if (a >= SymLimit || b >= SymLimit || a < 0 || b < 0)
         return s"symbol out of range in '$e' (limit $SymLimit)"
+      // entry i (0-based) defines id IdBase + i; it may only reference
+      // ALREADY-DEFINED ids (training order) — a forward reference could
+      // never fire in encode and would leave segment spellings ungrounded
+      if (a >= IdBase + i || b >= IdBase + i)
+        return s"forward merge-id reference in '$e' (entry ${i + 1})"
       i += 1
     }
     if (entries.length + IdBase >= SymLimit) return s"too many merges (${entries.length})"
@@ -125,25 +204,45 @@ object BpeIntKit {
 
   def parse(spec: String): Spec = {
     val m = new java.util.HashMap[Long, Integer]()
-    if (spec.isEmpty) return new Spec(m, 0)
+    if (spec.isEmpty) return new Spec(m, Array.empty, Array.empty, 0)
     val entries = spec.split(";", -1)
+    val as = new Array[Int](entries.length)
+    val bs = new Array[Int](entries.length)
     var i = 0
     while (i < entries.length) {
       val e = entries(i)
       val c = e.indexOf(':')
       val a = Integer.parseInt(e.substring(0, c))
       val b = Integer.parseInt(e.substring(c + 1))
+      as(i) = a; bs(i) = b
       // first spelling wins: ranks are training order, a duplicate pair
       // later in the list could never fire anyway
       m.putIfAbsent(a.toLong * SymLimit + b, i + 1)
       i += 1
     }
-    new Spec(m, entries.length)
+    new Spec(m, as, bs, entries.length)
   }
 
   def encode(u: UTF8String, spec: Spec): ArrayData = {
     if (u == null) return null
-    val s = u.toString
+    val (syms, n) = encodeInts(u.toString, spec)
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) { out(k) = syms(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[encode]] with surface spellings instead of ids. */
+  def segment(u: UTF8String, spec: Spec): ArrayData = {
+    if (u == null) return null
+    val (syms, n) = encodeInts(u.toString, spec)
+    val out = new Array[Any](n)
+    var k = 0
+    while (k < n) { out(k) = UTF8String.fromString(spec.spell(syms(k))); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def encodeInts(s: String, spec: Spec): (Array[Int], Int) = {
     // code points
     var syms = new Array[Int](math.max(s.length, 1))
     var n = 0
@@ -184,10 +283,7 @@ object BpeIntKit {
         }
       }
     }
-    val out = new Array[Any](n)
-    var k = 0
-    while (k < n) { out(k) = syms(k); k += 1 }
-    new GenericArrayData(out)
+    (syms, n)
   }
 }
 
@@ -196,12 +292,20 @@ object BpeIntExpressions {
     require(exprs.length == 2, s"bpe_encode takes 2 arguments, got ${exprs.length}")
     BpeEncode(exprs(0), exprs(1))
   }
+  private val segmentBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"bpe_segment takes 2 arguments, got ${exprs.length}")
+    BpeSegment(exprs(0), exprs(1))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_encode")
-    if (!reg.functionExists(id)) {
-      reg.createOrReplaceTempFunction("bpe_encode", encodeBuilder, "built-in")
+    Seq(
+      ("bpe_encode", encodeBuilder),
+      ("bpe_segment", segmentBuilder)).foreach { case (name, builder) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
   }
 }
