@@ -106,4 +106,45 @@ class HostileInputSpec extends AnyFunSuite {
     val big = Seq.fill(50000)("abcdefgh плюс".charAt(rnd.nextInt(13))).mkString
     assert(ac.distinctHits(big) >= 0)
   }
+
+  test("round-8 kit never throws: unicode/tokenize/bpe/url-psl on seeded-random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(10_2026L)
+    // a real-shaped spec so bpe rules genuinely fire on random text
+    val spec = BpeIntKit.parse(
+      "97:98;99:100;1114112:101;32:116;1114115:104")
+    val psl = UrlKit.pslParse("com;co.uk;uk;io;github.io;*.ck;!city.ck")
+    val nfc = java.text.Normalizer.Form.NFC
+    (1 to 1000).foreach { _ =>
+      val n = rnd.nextInt(400)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        // full BMP including lone surrogates and the CJK/PUA ranges —
+        // kit-level calls must survive ill-formed strings too
+        sb.append(rnd.nextInt(0xFFFF).toChar)
+      }
+      val u = UTF8String.fromString(sb.toString)
+      assert(UnicodeKit.tokenize(u) != null)
+      assert(UnicodeKit.normalize(u, nfc) != null)
+      assert(BpeIntKit.encode(u, spec) != null)
+      assert(BpeIntKit.segment(u, spec) != null)
+      // url kit: null (no scheme) is fine, a throw is not
+      UrlKit.domainPsl(u, psl)
+      UrlKit.domainPsl(UTF8String.fromString("http://" + sb.toString.take(80)), psl)
+    }
+    // shaped adversaries
+    val shaped = Seq(
+      "", " ", "́́́", "\uD800", "\uDC00\uD800",
+      "漢" * 5000, "a" * 100000,
+      "http://" + ("a." * 500) + "com/x",
+      "http://" + ("漢" * 100) + ".ck/",
+      "http://[::1" /* unterminated bracket */)
+    shaped.foreach { s0 =>
+      val u = UTF8String.fromString(s0)
+      assert(UnicodeKit.tokenize(u) != null)
+      assert(BpeIntKit.segment(u, spec) != null)
+      UrlKit.domainPsl(u, psl)
+      assert(PiiKit.scrubJava(s0) != null)
+    }
+  }
 }
