@@ -8496,7 +8496,67 @@ object TextQueries {
         "— identical shingle streams under unicode_normalize + " +
         "tokenize_text (and provably NOT without normalization), and the " +
         "pair surfaces through the production MinHash-LSH path; the " +
-        "oracle states the construction.")
+        "oracle states the construction."),
+
+    // ---------------------------------------------------------------- q271
+    Q(
+      "q271_script_census",
+      (s, dir) => {
+        // Per-document SCRIPT composition — the routing signal a
+        // multilingual pipeline computes before choosing tokenizer,
+        // quality model and dedup grammar: codepoint counts by class
+        // (CJK ranges = tokenize_text's documented set, digits, Latin
+        // letters) over a constructed mixed-script corpus, with an
+        // integer-arithmetic routing label (20*n_cjk >= n_cp, i.e. the
+        // 5% gate — no float threshold to drift cross-engine). The
+        // Spark side counts through real Unicode regex classes; the
+        // oracle recomputes every count ARITHMETICALLY from the
+        // construction (the fixture text is pure lowercase ASCII —
+        // verified — so each suffix's contribution is a constant).
+        // Map-only codegen'd pass.
+        val sfx = when(col("doc_id") % 4 === 0,
+            lit(" \u6f22\u5b57\u30c6\u30b9\u30c8\u65e5\u672c\u8a9e\u306e\u6587"))
+          .when(col("doc_id") % 4 === 1, lit(" abc\u6f22\u5b57123"))
+          .when(col("doc_id") % 4 === 2, lit(" 4111 code 99"))
+          .otherwise(lit(""))
+        val cjkClass = "[\\u3040-\\u30ff\\u3400-\\u4dbf\\u4e00-\\u9fff" +
+          "\\uac00-\\ud7af\\uf900-\\ufaff]"
+        table(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), sfx).as("t"))
+          .withColumn("n_cp", expr("cast(length(t) as int)"))
+          .withColumn("n_cjk", expr(
+            s"cast(length(t) - length(regexp_replace(t, '$cjkClass', '')) as int)"))
+          .withColumn("n_digit", expr(
+            "cast(length(t) - length(regexp_replace(t, '[0-9]', '')) as int)"))
+          .withColumn("n_latin", expr(
+            "cast(length(regexp_replace(t, '[^a-zA-Z]', '')) as int)"))
+          .selectExpr("doc_id", "n_cp", "n_cjk", "n_digit", "n_latin",
+            "round(cast(n_cjk as double) / cast(n_cp as double), 6) as cjk_frac",
+            "case when 20 * n_cjk >= n_cp then 'mixed-cjk' else 'latin' end as route")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(length(text) +
+                   CASE doc_id % 4 WHEN 0 THEN 11 WHEN 1 THEN 9 WHEN 2 THEN 13
+                     ELSE 0 END AS INTEGER) AS n_cp,
+                 CAST(CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 2
+                   ELSE 0 END AS INTEGER) AS n_cjk,
+                 CAST(CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 6
+                   ELSE 0 END AS INTEGER) AS n_digit,
+                 CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) +
+                   CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 4
+                     ELSE 0 END AS INTEGER) AS n_latin
+          FROM documents)
+        SELECT doc_id, n_cp, n_cjk, n_digit, n_latin,
+               round(CAST(n_cjk AS DOUBLE) / CAST(n_cp AS DOUBLE), 6) AS cjk_frac,
+               CASE WHEN 20 * n_cjk >= n_cp THEN 'mixed-cjk' ELSE 'latin' END AS route
+        FROM d ORDER BY doc_id"""),
+      "Script census for multilingual routing: per-doc codepoint counts " +
+        "by class over a constructed mixed-script corpus — Spark counts " +
+        "through real Unicode regex classes, the oracle recomputes " +
+        "arithmetically from the construction; integer 5% routing gate.")
   )
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
