@@ -11,8 +11,14 @@ object Bench {
       : (Seq[(String, Double)], Int, Seq[String]) = {
     var errors = 0
     val errNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    // dev-only subset filter (comma-separated name substrings); the official
+    // driver bench never sets it, so round artifacts always cover the suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     // sorted order: stable timings across rounds (Map order is hash-random)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
       // BEST of `reps` runs: host stalls and first-run codegen/JIT cost
       // inflate individual samples only — the minimum is the query's real
       // cost, so round-over-round deltas track the CODE (the r4 bench's

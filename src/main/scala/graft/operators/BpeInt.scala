@@ -16,14 +16,25 @@ import org.apache.spark.sql.functions._
  * vocabularies train in ~52 rounds on the fixture corpus.
  *
  * Election per round (the [[Bpe.fitBlocked]] discipline in the int
- * domain): rank this round's adjacent-pair counts (count desc, then
- * (a, b) asc — int order), walk the top `candCap` in rank order
- * accepting every pair that shares no SYMBOL with an already-accepted
- * pair of this round, stop at `min(acceptCap, nMerges - merged)`.
- * Symbol-disjoint batch members cannot interact, so applying the batch
- * together equals applying its members one at a time in rank order —
- * every accepted merge is real, none records a stale count. Rank-1 is
- * never blocked, so every round with candidates makes progress.
+ * domain, with the tighter LEFT/RIGHT acceptance rule): rank this
+ * round's adjacent-pair counts (count desc, then (a, b) asc — int
+ * order), walk the top `candCap` in rank order accepting pair (a, b)
+ * iff `a` is not the RIGHT symbol of an already-accepted pair and `b`
+ * is not the LEFT symbol of one (for a self-pair (a, a) this reduces
+ * to "a appears on neither side"), stop at
+ * `min(acceptCap, nMerges - merged)`. Two occurrences of accepted
+ * pairs can only overlap when one's right symbol is the other's left
+ * symbol, so under this rule batch members never overlap — applying
+ * the batch together equals applying its members one at a time in
+ * rank order, every accepted merge is real, and none records a stale
+ * count (same-left pairs (a,b)/(a,d) and same-right pairs (a,b)/(c,b)
+ * are now batchable: their occurrences are position-disjoint by
+ * construction). Consecutive matched positions still only occur inside
+ * (a, a) self-pair runs — any other adjacency would put a symbol on
+ * both sides — so greedy left-to-right application remains the
+ * odd-parity-of-run rule the oracle replays. Rank-1 is never blocked,
+ * so every round with candidates makes progress; the wider batches cut
+ * the 8192-merge round count roughly 3x vs the symbol-disjoint rule.
  *
  * The per-round state is the trained spec itself: each round re-derives
  * the working vocabulary as `bpe_encode(w, spec-so-far)` over the
@@ -113,16 +124,21 @@ object BpeInt {
       if (cand.isEmpty) exhausted = true
       else {
         val cap = math.min(acceptCap, nMerges - merged)
-        val used = scala.collection.mutable.Set.empty[Int]
+        // L/R rule: reject (a, b) iff a is some accepted pair's RIGHT or b
+        // is some accepted pair's LEFT (self-pairs land in both sets) —
+        // occurrences of the accepted batch then never overlap, so batch
+        // application == sequential application in rank order
+        val usedL = scala.collection.mutable.Set.empty[Int]
+        val usedR = scala.collection.mutable.Set.empty[Int]
         var taken = 0
         var j = 0
         while (j < cand.length && taken < cap) {
           val (a, b, n) = cand(j)
-          if (!used.contains(a) && !used.contains(b)) {
+          if (!usedR.contains(a) && !usedL.contains(b)) {
             taken += 1
             val midx = merged + taken
             rows += ((midx, round, a, b, IdBase + midx - 1, n))
-            used += a; used += b
+            usedL += a; usedR += b
             if (specSb.length > 0) specSb.append(';')
             specSb.append(a).append(':').append(b)
           }

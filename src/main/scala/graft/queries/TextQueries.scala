@@ -8131,10 +8131,12 @@ object TextQueries {
         // + k - 1) remove the single-character-placeholder ceiling the
         // PUA trainer had, and the whole model rides ONE bpe_encode
         // spec literal — plan size O(1) in merge count instead of an
-        // 8192-deep replace fold. ~52 symbol-disjoint election rounds
-        // (the rnd column logs them); the oracle replays EVERY round:
-        // candidate ranking, the greedy symbol-disjoint walk (a
-        // list_reduce fold carrying the used-symbol set), and the batch
+        // 8192-deep replace fold. ~16 L/R-rule election rounds (accept
+        // (a,b) iff a is no accepted RIGHT and b is no accepted LEFT —
+        // batch occurrences then never overlap, so batch == sequential;
+        // the rnd column logs them); the oracle replays EVERY round:
+        // candidate ranking, the greedy L/R walk (a list_reduce fold
+        // carrying used-left and used-right sets), and the batch
         // application as a window-parity pass over unnested positions.
         // One wrong tie-break anywhere in 8192 merges scrambles every
         // later round and fails the row.
@@ -8152,7 +8154,7 @@ object TextQueries {
         ) ORDER BY midx"""),
       "8192-merge int-symbol batched BPE over word-4-gram units: " +
         "unbounded-id representation (no placeholder alphabet), one-" +
-        "expression model application, greedy symbol-disjoint batches; " +
+        "expression model application, greedy left/right-rule batches; " +
         "the oracle replays all generated rounds — fold-walk election " +
         "and window-parity batch apply — exactly."),
 
@@ -8696,9 +8698,10 @@ object TextQueries {
     }
 
   /** q265/q266 hyperparameters (defs — init-order gotcha): 8192 merges,
-    * 64 generated rounds (all three SFs converge in ~53 on the fixed
-    * 500-doc 4-gram sample), candidate window 16384, up to 1024
-    * symbol-disjoint accepts per round. */
+    * 64 generated rounds (all three SFs converge in ~16 under the
+    * L/R acceptance rule on the fixed 500-doc 4-gram sample; the slack
+    * is the exhaustion safety margin), candidate window 16384, up to
+    * 1024 accepts per round. */
   private def bpeIntMerges = 8192
   private def bpeIntRounds = 64
   private def bpeIntCandCap = 16384
@@ -8707,17 +8710,21 @@ object TextQueries {
   /** Generated DuckDB twin of [[graft.operators.BpeInt.fitBlocked]] over
     * the word-4-gram unit table of the 500-doc sample: per round r —
     * `cand_r` (top-candCap int-pair counts, count-desc (a,b)-asc rank),
-    * `walk_r` (the greedy SYMBOL-DISJOINT walk as a single `list_reduce`
-    * fold over the rank-ordered candidate list, state = fixed-width
-    * taken counter || '.'-delimited used-symbol set || chr(2)-separated
-    * accepted list — a linear recursive CTE at candCap 16384 measured
-    * ~280x slower), `sel_r` (parse the accepted list; midx/id from the
-    * running offset), `off_r`, and `bw_r` (batch application as a
-    * WINDOW-PARITY pass: unnest positions, left-join the accepted map,
+    * `walk_r` (the greedy LEFT/RIGHT-rule walk as a single `list_reduce`
+    * fold over the rank-ordered candidate list — accept (a,b) iff a is
+    * no accepted pair's RIGHT and b is no accepted pair's LEFT; state =
+    * fixed-width taken counter || '.'-wrapped used-LEFT set plus
+    * ','-wrapped used-RIGHT set || chr(2)-separated accepted list — a
+    * linear recursive CTE at candCap 16384 measured ~280x slower),
+    * `sel_r` (parse the accepted list; midx/id from the running
+    * offset), `off_r`, and `bw_r` (batch application as a WINDOW-PARITY
+    * pass: unnest positions, left-join the accepted map,
     * gaps-and-islands run ids, odd positions of each match run start a
-    * merge — symbol-disjointness means consecutive matches only occur
-    * for (a,a) runs, where odd-parity IS greedy left-to-right). Merge
-    * ids are `1114111 + midx` ([[graft.operators.BpeInt.IdBase]]). */
+    * merge — under the L/R rule consecutive matches still only occur
+    * for (a,a) runs, since any other adjacency puts a symbol on both
+    * sides of the accepted set, and there odd-parity IS greedy
+    * left-to-right). Merge ids are `1114111 + midx`
+    * ([[graft.operators.BpeInt.IdBase]]). */
   private def duckBpeIntCtes: String = {
     val sb = new StringBuilder
     sb.append(s"""bw0 AS MATERIALIZED (
@@ -8747,12 +8754,12 @@ object TextQueries {
                                       ORDER BY rk), CAST([] AS VARCHAR[])) FROM cand$r)),
               (st, c) -> CASE
                 WHEN CAST(substring(st, 1, 6) AS INT) >= cap
-                  OR strpos(st, '.' || string_split(c, '|')[1] || '.') > 0
+                  OR strpos(st, ',' || string_split(c, '|')[1] || ',') > 0
                   OR strpos(st, '.' || string_split(c, '|')[2] || '.') > 0
                 THEN st
                 ELSE concat(
                   lpad(CAST(CAST(substring(st, 1, 6) AS INT) + 1 AS VARCHAR), 6, '0'),
-                  '.', string_split(c, '|')[1], '..', string_split(c, '|')[2], '.',
+                  '.', string_split(c, '|')[1], '.,', string_split(c, '|')[2], ',',
                   substring(st, 7), ';', c)
               END) AS st
             FROM (SELECT GREATEST(0, LEAST($bpeIntAcceptCap,
