@@ -7503,10 +7503,12 @@ object TextQueries {
       (s, dir) => {
         // PRODUCTION-SCALE BPE: 512 merges via the batched trainer
         // (Bpe.fitBlocked) over word-BIGRAM units — merges cross word
-        // boundaries GPT-2-style, and the greedy char-disjoint batch
-        // election trains 512 merges in ~20 driver rounds instead of
-        // 512 (each round: one vocab-sized aggregate, one bounded
-        // model-row collect, a literal replace fold back into the plan).
+        // boundaries GPT-2-style, and the greedy L/R-rule batch
+        // election (accept ab iff a is no accepted RIGHT and b is no
+        // accepted LEFT — batch occurrences never overlap) trains 512
+        // merges in ~8 driver rounds instead of 512 (each round: one
+        // vocab-sized aggregate, one bounded model-row collect, a
+        // literal replace fold back into the plan).
         // The oracle replays EVERY round as a generated CTE chain whose
         // greedy walk is a linear recursive CTE — one wrong tie-break,
         // one stale count, or one mis-ordered batch application anywhere
@@ -7531,9 +7533,9 @@ object TextQueries {
                ${duckBpeBlkSpell("substring(pair, 2, 1)")} AS right_sym,
                n
         FROM merges ORDER BY round"""),
-      "512-merge batched BPE over word-bigram units: greedy char-" +
-        "disjoint batch election (disjoint batch members cannot " +
-        "interact, so batch apply == sequential apply), ~20 rounds, " +
+      "512-merge batched BPE over word-bigram units: greedy left/right-" +
+        "rule batch election (accepted occurrences never overlap, so " +
+        "batch apply == sequential apply), ~8 rounds, " +
         "PUA placeholder alphabet; the oracle replays all 24 generated " +
         "rounds with a recursive-CTE greedy walk."),
 
@@ -8807,8 +8809,9 @@ object TextQueries {
       .mkString("\n          UNION ALL ")
 
   /** q247/q248 hyperparameters (defs — init-order gotcha): 512 merges,
-    * 24 generated rounds (all three SFs converge in 20), candidate list
-    * 512, 64 accepted per round. */
+    * 24 generated rounds (all three SFs converge in ~8 under the L/R
+    * acceptance rule; the slack is the exhaustion margin), candidate
+    * list 512, 64 accepted per round. */
   private def bpeBlkMerges = 512
   private def bpeBlkRounds = 24
   private def bpeBlkCandCap = 512
@@ -8817,11 +8820,12 @@ object TextQueries {
   /** Generated DuckDB twin of [[graft.operators.Bpe.fitBlocked]] over the
     * word-BIGRAM unit table (`Bpe.bigramCounts`): per round r —
     * `cand_r` (top-candCap pair counts, count-desc pair-asc rank),
-    * `sel_r` (the greedy char-disjoint walk as a LINEAR RECURSIVE CTE
-    * over rank order, carrying the used-character set; `taken` is the
-    * accept index, truncated by the remaining-merges budget — greedy
-    * acceptance has the prefix property, so truncation equals running
-    * with the smaller cap), `off_r` (cumulative merge count) and `bw_r`
+    * `sel_r` (the greedy LEFT/RIGHT-rule walk as a LINEAR RECURSIVE CTE
+    * over rank order, carrying used-left and used-right char sets;
+    * `taken` is the accept index, truncated by the remaining-merges
+    * budget — greedy acceptance has the prefix property, so truncation
+    * equals running with the smaller cap), `off_r` (cumulative merge
+    * count) and `bw_r`
     * (the batch applied in accept order via `list_reduce` over an
     * ark-ordered pair||chr(1)||sym merge list prepended with the word —
     * DuckDB 1.0 has no 3-arg list_reduce). Placeholders are the PUA
@@ -8836,9 +8840,11 @@ object TextQueries {
           GROUP BY w),
         off0 AS (SELECT 0 AS m)""")
     for (r <- 1 to bpeBlkRounds) {
+      // L/R rule: reject pair ab iff a is an accepted pair's RIGHT char or
+      // b is an accepted pair's LEFT char (self-pairs land in both sets)
       val ok = s"""(w.taken < $bpeBlkAcceptCap
-                     AND strpos(w.used, substring(c.pair, 1, 1)) = 0
-                     AND strpos(w.used, substring(c.pair, 2, 1)) = 0)"""
+                     AND strpos(w.usedr, substring(c.pair, 1, 1)) = 0
+                     AND strpos(w.usedl, substring(c.pair, 2, 1)) = 0)"""
       sb.append(s""",
         cand$r AS MATERIALIZED (
           SELECT pair, CAST(n AS BIGINT) AS n,
@@ -8850,12 +8856,13 @@ object TextQueries {
                   FROM bw${r - 1} WHERE length(w) >= 2)
             GROUP BY pair ORDER BY n DESC, pair LIMIT $bpeBlkCandCap)),
         sel$r AS MATERIALIZED (
-          WITH RECURSIVE walk(rk, taken, used, pair, n) AS (
-            SELECT 0, 0, '', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+          WITH RECURSIVE walk(rk, taken, usedl, usedr, pair, n) AS (
+            SELECT 0, 0, '', '', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
             UNION ALL
             SELECT c.rk,
                    CASE WHEN $ok THEN w.taken + 1 ELSE w.taken END,
-                   CASE WHEN $ok THEN w.used || c.pair ELSE w.used END,
+                   CASE WHEN $ok THEN w.usedl || substring(c.pair, 1, 1) ELSE w.usedl END,
+                   CASE WHEN $ok THEN w.usedr || substring(c.pair, 2, 1) ELSE w.usedr END,
                    CASE WHEN $ok THEN c.pair ELSE CAST(NULL AS VARCHAR) END,
                    CASE WHEN $ok THEN c.n ELSE CAST(NULL AS BIGINT) END
             FROM walk w JOIN cand$r c ON c.rk = w.rk + 1)

@@ -162,7 +162,7 @@ class BpeSpec extends AnyFunSuite {
     assert(blk.toSeq === seq.toSeq)
   }
 
-  test("fitBlocked: batch members are char-disjoint and decode round-trips") {
+  test("fitBlocked: batches obey the L/R rule and decode round-trips") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("text")
     val units = Bpe.bigramCounts(docs, "text")
