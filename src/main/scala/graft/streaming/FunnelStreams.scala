@@ -22,6 +22,17 @@ final case class FunnelBufCarry(
     n: Long, stage: Int, lastMs: Long, lastId: Long, maxMs: Long,
     bufMs: Seq[Long], bufIds: Seq[Long], bufTypes: Seq[String])
 
+/** One funnel observation in EVENT TIME (the watermark variant's input):
+  * `ts` is the order domain, `event_id` breaks same-millisecond ties. */
+final case class FunnelTsEvent(
+    user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+
+/** Watermark-variant state: automaton carry + reorder buffer keyed by
+  * event-time millis (no maxMs — Spark's watermark owns the frontier). */
+final case class FunnelWmCarry(
+    n: Long, stage: Int, lastMs: Long, lastId: Long,
+    bufMs: Seq[Long], bufIds: Seq[Long], bufTypes: Seq[String])
+
 /**
  * Streaming funnel — the live tail of the batch q86 fold
  * (`CoreQueries` "q86_funnel"). The funnel automaton (stage s advances to
@@ -169,6 +180,85 @@ object FunnelStreams {
                 n += 1; lastMs = ms; lastId = id
               }
               state.update(FunnelBufCarry(n, stage, lastMs, lastId, maxMs,
+                hold.map(_._1), hold.map(_._2), hold.map(_._3)))
+              Iterator.single(FunnelEmit(user, n, stage))
+            }
+          }
+        })
+  }
+
+  /**
+   * WATERMARK-NATIVE buffered fold — [[funnelStagesBuffered]] with
+   * Spark's event-time watermark owning the frontier instead of the
+   * bespoke per-user `max(ms) - delayMs` (the
+   * [[EwmaStreams.runningEwmaWatermarked]] discipline applied to the
+   * funnel automaton). Input rows carry a real event timestamp;
+   * `withWatermark(ts, delay)` makes Spark track the global frontier and
+   * the fold consumes buffered events with event-time STRICTLY below
+   * `GroupState.getCurrentWatermarkMs` in exact `(ms, event_id)` order
+   * through the IDENTICAL step rule — within-tolerance disorder reaches
+   * the same stage as sorted ingest (parity spec under the same
+   * shuffled-within-delay ingest as the bespoke mode).
+   *
+   * Trade vs the bespoke mode, stated honestly: beyond-tolerance
+   * arrivals are DROPPED BY SPARK before they reach the fold (that IS
+   * the watermark mechanism — late-row handling becomes platform-owned
+   * and globally consistent across operators) where
+   * [[funnelStagesBuffered]] fails loudly; duplicate `(ms, event_id)`
+   * keys within the buffer remain a loud error here. The watermark also
+   * lags one micro-batch (it advances AFTER a batch completes), so the
+   * trailing window needs one more touching batch to flush than the
+   * bespoke mode. State O(users x delay window), per-user frontier
+   * state gone.
+   */
+  def funnelStagesWatermarked(
+      spark: SparkSession,
+      events: DataFrame,
+      delay: String,
+      steps: Seq[String] = DefaultSteps): Dataset[FunnelEmit] = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.forall(s => s != null && s.nonEmpty),
+      s"steps must be non-null and non-empty, got $steps")
+    import spark.implicits._
+    val stepArr = steps.toArray
+    events.withWatermark("ts", delay)
+      .as[FunnelTsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[FunnelTsEvent], state: GroupState[FunnelWmCarry]) => {
+          val arrivals = rows.toArray
+          if (arrivals.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption.getOrElse(FunnelWmCarry(
+              0L, 0, Long.MinValue, Long.MinValue, Seq.empty, Seq.empty, Seq.empty))
+            val buf = (prior.bufMs.lazyZip(prior.bufIds).lazyZip(prior.bufTypes).toSeq ++
+              arrivals.map(r => (r.ts.getTime, r.event_id, r.event_type)))
+              .sortBy(t => (t._1, t._2))
+            var d = 1
+            while (d < buf.length) {
+              if (buf(d)._1 == buf(d - 1)._1 && buf(d)._2 == buf(d - 1)._2)
+                throw new IllegalStateException(
+                  s"FunnelStreams.funnelStagesWatermarked: duplicate (ms, event_id) " +
+                    s"(${buf(d)._1}, ${buf(d)._2}) for user $user — re-delivery is " +
+                    "not reordering")
+              d += 1
+            }
+            val frontier = state.getCurrentWatermarkMs()
+            val (ready, hold) = buf.partition(_._1 < frontier)
+            if (ready.isEmpty) {
+              state.update(prior.copy(
+                bufMs = buf.map(_._1), bufIds = buf.map(_._2), bufTypes = buf.map(_._3)))
+              Iterator.empty
+            } else {
+              var n = prior.n
+              var stage = prior.stage
+              var lastMs = prior.lastMs
+              var lastId = prior.lastId
+              ready.foreach { case (ms, id, typ) =>
+                if (stage < stepArr.length && typ == stepArr(stage)) stage += 1
+                n += 1; lastMs = ms; lastId = id
+              }
+              state.update(FunnelWmCarry(n, stage, lastMs, lastId,
                 hold.map(_._1), hold.map(_._2), hold.map(_._3)))
               Iterator.single(FunnelEmit(user, n, stage))
             }

@@ -23,6 +23,17 @@ final case class TransBufCarry(
     lastType: String, lastMs: Long, lastId: Long, maxMs: Long,
     bufMs: Seq[Long], bufIds: Seq[Long], bufTypes: Seq[String])
 
+/** One transition observation in EVENT TIME (the watermark variant's
+  * input): `ts` is the order domain, `event_id` breaks same-ms ties. */
+final case class TransTsEvent(
+    user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+
+/** Watermark-variant state: fold carry + reorder buffer keyed by
+  * event-time millis (no maxMs — Spark's watermark owns the frontier). */
+final case class TransWmCarry(
+    lastType: String, lastMs: Long, lastId: Long,
+    bufMs: Seq[Long], bufIds: Seq[Long], bufTypes: Seq[String])
+
 /**
  * Streaming event-transition extraction — the live tail of the batch q189
  * Markov matrix (`CoreQueries` "q189_event_transitions"): q189's
@@ -152,6 +163,78 @@ object TransitionStreams {
                 lastType = typ; lastMs = ms; lastId = id
               }
               state.update(TransBufCarry(lastType, lastMs, lastId, maxMs,
+                hold.map(_._1), hold.map(_._2), hold.map(_._3)))
+              out.iterator
+            }
+          }
+        })
+  }
+
+  /**
+   * WATERMARK-NATIVE buffered fold — [[transitionsBuffered]] with
+   * Spark's event-time watermark owning the frontier instead of the
+   * bespoke per-user `max(ms) - delayMs` (the
+   * [[EwmaStreams.runningEwmaWatermarked]] discipline applied to the
+   * transition fold). `withWatermark(ts, delay)` makes Spark track the
+   * global frontier; buffered events with event-time STRICTLY below
+   * `GroupState.getCurrentWatermarkMs` fold in exact `(ms, event_id)`
+   * order with the identical bigram emission — within-tolerance disorder
+   * produces the SAME transition stream as sorted ingest (parity spec
+   * under the same shuffled-within-delay ingest as the bespoke mode).
+   *
+   * Trade vs the bespoke mode, stated honestly: beyond-tolerance
+   * arrivals are DROPPED BY SPARK before the fold sees them (that IS the
+   * watermark mechanism — late-row handling becomes platform-owned and
+   * globally consistent across operators) where [[transitionsBuffered]]
+   * fails loudly; duplicate `(ms, event_id)` keys within the buffer
+   * remain a loud error here. The watermark lags one micro-batch, so the
+   * trailing window needs one more touching batch to flush than the
+   * bespoke mode. State O(users x delay window), per-user frontier
+   * state gone.
+   */
+  def transitionsWatermarked(
+      spark: SparkSession,
+      events: DataFrame,
+      delay: String): Dataset[TransEmit] = {
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .as[TransTsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[TransTsEvent], state: GroupState[TransWmCarry]) => {
+          val arrivals = rows.toArray
+          if (arrivals.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption.getOrElse(TransWmCarry(
+              null, Long.MinValue, Long.MinValue, Seq.empty, Seq.empty, Seq.empty))
+            val buf = (prior.bufMs.lazyZip(prior.bufIds).lazyZip(prior.bufTypes).toSeq ++
+              arrivals.map(r => (r.ts.getTime, r.event_id, r.event_type)))
+              .sortBy(t => (t._1, t._2))
+            var d = 1
+            while (d < buf.length) {
+              if (buf(d)._1 == buf(d - 1)._1 && buf(d)._2 == buf(d - 1)._2)
+                throw new IllegalStateException(
+                  s"TransitionStreams.transitionsWatermarked: duplicate (ms, event_id) " +
+                    s"(${buf(d)._1}, ${buf(d)._2}) for user $user — re-delivery is " +
+                    "not reordering")
+              d += 1
+            }
+            val frontier = state.getCurrentWatermarkMs()
+            val (ready, hold) = buf.partition(_._1 < frontier)
+            if (ready.isEmpty) {
+              state.update(prior.copy(
+                bufMs = buf.map(_._1), bufIds = buf.map(_._2), bufTypes = buf.map(_._3)))
+              Iterator.empty
+            } else {
+              var lastType = prior.lastType
+              var lastMs = prior.lastMs
+              var lastId = prior.lastId
+              val out = scala.collection.mutable.ArrayBuffer.empty[TransEmit]
+              ready.foreach { case (ms, id, typ) =>
+                if (lastType != null) out += TransEmit(user, lastType, typ)
+                lastType = typ; lastMs = ms; lastId = id
+              }
+              state.update(TransWmCarry(lastType, lastMs, lastId,
                 hold.map(_._1), hold.map(_._2), hold.map(_._3)))
               out.iterator
             }

@@ -208,4 +208,62 @@ class FunnelStreamsSpec extends AnyFunSuite {
         s"expected the tolerance error, got: ${messages(ex)}")
     } finally q.stop()
   }
+
+  test("watermark mode: shuffled-within-delay ingest reaches the exact batch stages") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME shuffled-within-delay ingest as the bespoke buffered test,
+    // with ms carried as a real event timestamp so Spark's watermark owns
+    // the frontier (fixture event times are real epoch millis — safely off
+    // the initial 0-ms watermark)
+    val fixture = graft.queries.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEvent].collect().toSeq
+    val span = fixture.map(_.ms).max - fixture.map(_.ms).min
+    val delay = math.max(span / 10, 1L)
+    val shuffled = fixture.sortBy(r =>
+      (r.ms / delay, (r.event_id * 37 + r.user_id) % 89, r.event_id))
+      .map(r => FunnelTsEvent(r.user_id, new java.sql.Timestamp(r.ms),
+        r.event_id, r.event_type))
+    val mem = MemoryStream[FunnelTsEvent]
+    val name = s"funnel_wm_${System.nanoTime()}"
+    val q = FunnelStreams
+      .funnelStagesWatermarked(spark, mem.toDF(), s"$delay milliseconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      shuffled.grouped(math.max(shuffled.size / 5, 1)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      // the watermark lags one batch: two sentinel rounds — the first
+      // advances it past every real event, the second touches the users
+      // so the buffered tail folds (the sentinels themselves stay
+      // buffered: the watermark never passes the last round's event time)
+      val maxMs = fixture.map(_.ms).max
+      val users = fixture.map(_.user_id).distinct
+      Seq(maxMs + delay + 1000L, maxMs + delay + 2000L).zipWithIndex.foreach {
+        case (ms, r) =>
+          mem.addData(users.zipWithIndex.map { case (u, i) =>
+            FunnelTsEvent(u, new java.sql.Timestamp(ms),
+              2000000L + r * 100000L + i, "noop-close")
+          })
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .withColumn("rn",
+        expr("row_number() over (partition by user_id order by n_events desc)"))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "funnel_stage")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val batch = graft.SparkEntry.queries("q86_funnel")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (u, (n, st)) =>
+      assert(n === batch(u)._1,
+        s"user $u: all real events fold under the watermark frontier; " +
+          "the sentinels stay buffered")
+      assert(st === batch(u)._2, s"user $u: watermark stage $st != batch ${batch(u)._2}")
+    }
+  }
 }

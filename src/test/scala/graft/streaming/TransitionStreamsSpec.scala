@@ -188,4 +188,53 @@ class TransitionStreamsSpec extends AnyFunSuite {
         s"expected the duplicate error, got: ${messages(ex2)}")
     } finally q2.stop()
   }
+
+  test("watermark mode: shuffled-within-delay ingest equals batch q189 exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the SAME shuffled-within-delay ingest as the bespoke buffered test,
+    // with ms carried as a real event timestamp so Spark's watermark owns
+    // the frontier (fixture event times are real epoch millis — safely off
+    // the initial 0-ms watermark)
+    val fixture = graft.queries.Tables.table(spark, sfDir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .as[TransEvent].collect().toSeq
+    val span = fixture.map(_.ms).max - fixture.map(_.ms).min
+    val delay = math.max(span / 10, 1L)
+    val shuffled = fixture.sortBy(r =>
+      (r.ms / delay, (r.event_id * 31 + r.user_id) % 97, r.event_id))
+      .map(r => TransTsEvent(r.user_id, new java.sql.Timestamp(r.ms),
+        r.event_id, r.event_type))
+    val mem = MemoryStream[TransTsEvent]
+    val name = s"trans_wm_${System.nanoTime()}"
+    val q = TransitionStreams
+      .transitionsWatermarked(spark, mem.toDF(), s"$delay milliseconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      shuffled.grouped(math.max(shuffled.size / 5, 1)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      // two sentinel rounds (the watermark lags one batch); the sentinels
+      // themselves never fold, so no "close" bigrams can be emitted
+      val maxMs = fixture.map(_.ms).max
+      val users = fixture.map(_.user_id).distinct
+      Seq(maxMs + delay + 1000L, maxMs + delay + 2000L).zipWithIndex.foreach {
+        case (ms, r) =>
+          mem.addData(users.zipWithIndex.map { case (u, i) =>
+            TransTsEvent(u, new java.sql.Timestamp(ms),
+              1000000L + r * 100000L + i, "close")
+          })
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .filter(col("to_type") =!= "close") // defensive; sentinels never fold
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.SparkEntry.queries("q189_event_transitions")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      "watermark-mode streaming must reconstruct exact time order within the delay")
+  }
 }
