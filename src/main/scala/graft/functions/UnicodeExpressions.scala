@@ -91,6 +91,55 @@ case class UnicodeNormalize(left: Expression, right: Expression) extends BinaryE
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * `split_sentences(s string) -> array<string>` — sentence segmentation
+ * under a documented two-pass grammar chosen to be EXACTLY replayable by
+ * two RE2 `regexp_replace` passes (no lookaround — RE2 has none), so the
+ * DuckDB oracle can twin it verbatim:
+ *
+ *  - Terminators: `.` `!` `?` U+2026 `…` U+3002 `。` U+FF01 `！`
+ *    U+FF1F `？`. Closers (attach to the left sentence): `"` `'` `)`
+ *    `]` U+00BB `»` U+201D `”` U+2019 `’`. Whitespace: the RE2 `\s`
+ *    set — space, `\t`, `\n`, `\f`, `\r` (exactly; no Unicode spaces,
+ *    so both engines agree byte-for-byte).
+ *  - PASS 1 (spaced scripts): every maximal run `terminators+ closers*
+ *    whitespace+` ends a sentence after the closers; the whitespace run
+ *    is consumed. An ASCII terminator with no trailing whitespace does
+ *    NOT split ("3.14", "example.com").
+ *  - PASS 2 (unspaced scripts): every maximal run of CJK terminators
+ *    (U+2026/U+3002/U+FF01/U+FF1F) plus closers ends a sentence
+ *    unconditionally — CJK conventions put no space after `。`.
+ *  - Empty segments are dropped (consecutive boundaries, trailing
+ *    boundary at end of text); all other bytes are kept verbatim, so
+ *    segmentation is lossy exactly in the consumed boundary whitespace.
+ *  - null -> null; never throws (unpaired surrogates flow through).
+ *
+ * This is a heuristic splitter (abbreviations like "e.g. x" split — the
+ * cost of a grammar both engines can replay); the pipeline queries that
+ * consume it (sentence census, C4-style boilerplate removal) only need
+ * determinism and cross-engine agreement, not linguistic perfection.
+ */
+case class SplitSentences(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"split_sentences expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnicodeKit.splitSentences(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeKit.splitSentences($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SplitSentences =
+    copy(child = newChild)
+}
+
 case class TokenizeText(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -141,6 +190,81 @@ object UnicodeKit {
       (cp >= 0xF900 && cp <= 0xFAFF) ||
       (cp >= 0x20000 && cp <= 0x2A6DF)
 
+  /** Sentence terminators (the [[SplitSentences]] grammar):
+    * `. ! ?` + U+2026 … U+3002 。 U+FF01 ！ U+FF1F ？ (escapes — the
+    * file layer must never renormalize these). */
+  private def isTerm(c: Char): Boolean =
+    c == '.' || c == '!' || c == '?' ||
+      c == '\u2026' || c == '\u3002' || c == '\uFF01' || c == '\uFF1F'
+
+  /** Terminators that split WITHOUT trailing whitespace (pass 2). */
+  private def isCjkTerm(c: Char): Boolean =
+    c == '\u2026' || c == '\u3002' || c == '\uFF01' || c == '\uFF1F'
+
+  /** Closing quotes/brackets that attach to the left sentence:
+    * `" ' ) ]` + U+00BB » U+201D ” U+2019 ’. */
+  private def isCloser(c: Char): Boolean =
+    c == '"' || c == '\'' || c == ')' || c == ']' ||
+      c == '\u00BB' || c == '\u201D' || c == '\u2019'
+
+  /** EXACTLY the RE2 `\s` set — both engines must agree byte-for-byte. */
+  private def isSentWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  def splitSentences(u: UTF8String): ArrayData = {
+    if (u == null) return null
+    val s = u.toString
+    val n = s.length
+    // boundary list: (cut, resume) — the segment ends at `cut`
+    // (exclusive), the next starts at `resume` (pass-1 boundaries delete
+    // their whitespace run; pass-2 boundaries have resume == cut)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // PASS 1: maximal `terminators+ closers* ws+` (the regex
+    // `([terms]+[closers]*)[ws]+` with leftmost scan + continue-after)
+    var i = 0
+    while (i < n) {
+      if (isTerm(s.charAt(i))) {
+        var j = i
+        while (j < n && isTerm(s.charAt(j))) j += 1
+        var k = j
+        while (k < n && isCloser(s.charAt(k))) k += 1
+        if (k < n && isSentWs(s.charAt(k))) {
+          var m = k
+          while (m < n && isSentWs(s.charAt(m))) m += 1
+          cuts += ((k, m))
+          i = m
+        } else i = k
+      } else i += 1
+    }
+    // PASS 2: maximal `cjk-terminators+ closers*` splits unconditionally
+    // (positions computed on the original string — a pass-2 match can
+    // never span a pass-1-deleted whitespace run, since its character
+    // classes exclude whitespace)
+    i = 0
+    while (i < n) {
+      if (isCjkTerm(s.charAt(i))) {
+        var j = i
+        while (j < n && isCjkTerm(s.charAt(j))) j += 1
+        var k = j
+        while (k < n && isCloser(s.charAt(k))) k += 1
+        cuts += ((k, k))
+        i = k
+      } else i += 1
+    }
+    val sorted = cuts.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var c = 0
+    while (c < sorted.length) {
+      val (cut, resume) = sorted(c)
+      if (cut > start) out += UTF8String.fromString(s.substring(start, cut))
+      start = math.max(start, resume)
+      c += 1
+    }
+    if (start < n) out += UTF8String.fromString(s.substring(start))
+    new GenericArrayData(out.toArray)
+  }
+
   def tokenize(u: UTF8String): ArrayData = {
     if (u == null) return null
     val s = u.toString
@@ -190,12 +314,17 @@ object UnicodeExpressions {
     require(exprs.length == 1, s"tokenize_text takes 1 argument, got ${exprs.length}")
     TokenizeText(exprs.head)
   }
+  private val sentencesBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, s"split_sentences takes 1 argument, got ${exprs.length}")
+    SplitSentences(exprs.head)
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(
       ("unicode_normalize", normalizeBuilder),
-      ("tokenize_text", tokenizeBuilder)).foreach { case (name, builder) =>
+      ("tokenize_text", tokenizeBuilder),
+      ("split_sentences", sentencesBuilder)).foreach { case (name, builder) =>
       val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
       if (!reg.functionExists(id)) {
         reg.createOrReplaceTempFunction(name, builder, "built-in")

@@ -8560,8 +8560,161 @@ object TextQueries {
       "Script census for multilingual routing: per-doc codepoint counts " +
         "by class over a constructed mixed-script corpus — Spark counts " +
         "through real Unicode regex classes, the oracle recomputes " +
-        "arithmetically from the construction; integer 5% routing gate.")
+        "arithmetically from the construction; integer 5% routing gate.",
+    ),
+
+    // ---------------------------------------------------------------- q272
+    Q(
+      "q272_sentence_census",
+      (s, dir) => {
+        // SENTENCE SEGMENTATION — the unit every boilerplate /
+        // sentence-dedup pipeline stage works on. split_sentences is a
+        // native codegen'd expression under a documented two-pass
+        // grammar chosen to be EXACTLY replayable by two RE2
+        // regexp_replace passes (ASCII terminators need trailing
+        // whitespace — decimals/domains never split; CJK terminators
+        // split unconditionally; closers attach left; empties drop).
+        // Constructed corpus: four tail variants exercise terminator
+        // runs, closers, missing-terminator tails and unspaced CJK.
+        // Locked per doc by an md5 over the ENTIRE sentence stream —
+        // one boundary off anywhere fails the row. Map-only pass.
+        graft.functions.UnicodeExpressions.register(s)
+        table(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), sentenceTail).as("t"))
+          .withColumn("sents", expr("split_sentences(t)"))
+          .selectExpr("doc_id",
+            "cast(size(sents) as int) as n_sent",
+            "cast(length(element_at(sents, 1)) as int) as first_len",
+            "element_at(sents, -1) as last_sent",
+            "md5(array_join(sents, chr(30))) as sent_hash")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          $duckSentenceCorpus),
+        sx AS (SELECT doc_id, ${duckSplitSentences("t")} AS sents FROM d)
+        SELECT doc_id,
+               CAST(len(sents) AS INTEGER) AS n_sent,
+               CAST(length(sents[1]) AS INTEGER) AS first_len,
+               sents[len(sents)] AS last_sent,
+               md5(array_to_string(sents, chr(30))) AS sent_hash
+        FROM sx ORDER BY doc_id"""),
+      "split_sentences grammar locked end-to-end: native two-pass " +
+        "segmentation (ASCII terminators need whitespace, CJK split " +
+        "unconditionally, closers attach) vs the oracle's literal two-" +
+        "regexp_replace replay; md5 over the full per-doc stream."),
+
+    // ---------------------------------------------------------------- q273
+    Q(
+      "q273_sentence_boilerplate",
+      (s, dir) => {
+        // C4-STYLE SENTENCE BOILERPLATE REMOVAL: a sentence appearing in
+        // >= 5 distinct docs is boilerplate (nav chrome, license lines —
+        // here the constructed shared tails); per doc report kept/
+        // removed counts, the retained-character fraction and an md5
+        // over the KEPT stream in original order — the artifact a
+        // curation stage actually emits. Scale: sentence-df is one
+        // shuffle with map-side combine; the boilerplate set is bounded
+        // by corpus_size/df so it BROADCASTS back (no second wide
+        // shuffle); per-doc order is restored from carried positions,
+        // never from collect order.
+        graft.functions.UnicodeExpressions.register(s)
+        val sent = table(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), sentenceTail).as("t"))
+          .select(col("doc_id"),
+            posexplode(expr("split_sentences(t)")).as(Seq("pos", "sent")))
+        val boiler = sent.groupBy("sent")
+          .agg(countDistinct(col("doc_id")).as("sdf"))
+          .filter(col("sdf") >= 5)
+        sent.join(broadcast(boiler), Seq("sent"), "left")
+          .withColumn("boiler", col("sdf").isNotNull)
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast("int").as("n_sent"),
+            sum(when(col("boiler"), 1L).otherwise(0L)).cast("int").as("n_boiler"),
+            sum(when(col("boiler"), 0L)
+              .otherwise(length(col("sent")).cast("long"))).as("kept_chars"),
+            sum(length(col("sent")).cast("long")).as("all_chars"),
+            collect_list(struct(col("pos"), col("sent"), col("boiler"))).as("xs"))
+          .selectExpr("doc_id", "n_sent", "n_boiler",
+            "round(cast(kept_chars as double) / cast(all_chars as double), 6) as kept_frac",
+            "md5(array_join(transform(filter(sort_array(xs), x -> not x.boiler), " +
+              "x -> x.sent), chr(30))) as kept_hash")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          $duckSentenceCorpus),
+        sx AS (SELECT doc_id, ${duckSplitSentences("t")} AS sents FROM d),
+        se AS (SELECT doc_id, unnest(sents) AS sent,
+                      generate_subscripts(sents, 1) AS pos
+               FROM sx),
+        bl AS (SELECT sent FROM se GROUP BY sent
+               HAVING COUNT(DISTINCT doc_id) >= 5),
+        fl AS (SELECT se.doc_id, se.pos, se.sent,
+                      (bl.sent IS NOT NULL) AS boiler
+               FROM se LEFT JOIN bl ON bl.sent = se.sent)
+        SELECT doc_id,
+               CAST(COUNT(*) AS INTEGER) AS n_sent,
+               CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS INTEGER) AS n_boiler,
+               round(CAST(SUM(CASE WHEN boiler THEN 0 ELSE length(sent) END) AS DOUBLE)
+                     / CAST(SUM(length(sent)) AS DOUBLE), 6) AS kept_frac,
+               md5(array_to_string(
+                 list(sent ORDER BY pos) FILTER (WHERE NOT boiler),
+                 chr(30))) AS kept_hash
+        FROM fl GROUP BY doc_id ORDER BY doc_id"""),
+      "C4-style boilerplate removal at sentence granularity: df >= 5 " +
+        "sentences drop, per-doc kept fraction + md5 of the kept stream " +
+        "in original order; the boilerplate set broadcasts (bounded by " +
+        "corpus/df), order restored from positions.")
   )
+
+  /** q272/q273 per-variant appended sentence tails (doc_id % 4):
+    * terminator runs + closers (v0/v1), shared boilerplate sentences
+    * (v0/v1/v2 tails repeat across their variant's docs), a
+    * missing-terminator tail (v1), and unspaced CJK (v3 — escapes, the
+    * file-layer normalization gotcha). The DuckDB side is
+    * [[duckSentenceCorpus]]. */
+  private def sentenceTail =
+    when(col("doc_id") % 4 === 0,
+      lit(". Second sentence! Third one? Done."))
+      .when(col("doc_id") % 4 === 1,
+        lit("... Ellipsis run. Then \"quoted end.\" Tail without terminator"))
+      .when(col("doc_id") % 4 === 2,
+        lit(". All rights reserved. All rights reserved. Visit the archive index."))
+      .otherwise(lit(" \u6f22\u5b57\u3067\u3059\u3002\u6b21\u306e\u6587\uff01"))
+
+  /** DuckDB twin of `split_sentences(c)` — the EXACT two RE2
+    * `regexp_replace` passes of [[graft.functions.SplitSentences]]'s
+    * documented grammar (pass 1: terminators+closers+whitespace, ws
+    * consumed; pass 2: CJK terminators+closers unconditionally), then a
+    * chr(30)-marker split with empty segments filtered. The character
+    * classes are built with chr() so the oracle SQL stays pure ASCII
+    * (terminators U+2026 U+3002 U+FF01 U+FF1F; closers U+00BB U+201D
+    * U+2019). */
+  private def duckSplitSentences(c: String): String = {
+    val cjk = "chr(8230) || chr(12290) || chr(65281) || chr(65311)"
+    val clo = "chr(187) || chr(8221) || chr(8217)"
+    raw"""list_filter(string_split(regexp_replace(regexp_replace($c,
+          '([.!?' || $cjk || ']+["'')\]' || $clo || ']*)[\t\n\f\r ]+',
+          '\1' || chr(30), 'g'),
+          '([' || $cjk || ']+["'')\]' || $clo || ']*)',
+          '\1' || chr(30), 'g'),
+        chr(30)), x -> x <> '')"""
+  }
+
+  /** q272/q273 constructed sentence corpus: the DuckDB side of the
+    * per-variant appended tails (the Spark side spells the same strings;
+    * variant 3 is CJK via chr() — the pure-ASCII-SQL discipline). */
+  private def duckSentenceCorpus: String =
+    """SELECT doc_id, text || CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN '. Second sentence! Third one? Done.'
+         WHEN 1 THEN '... Ellipsis run. Then "quoted end." Tail without terminator'
+         WHEN 2 THEN '. All rights reserved. All rights reserved. Visit the archive index.'
+         ELSE ' ' || chr(28450) || chr(23383) || chr(12391) || chr(12377) ||
+              chr(12290) || chr(27425) || chr(12398) || chr(25991) || chr(65281)
+         END AS t
+       FROM documents"""
 
   /** q234 gradient-descent hyperparameters — `def`s, not `val`s (the
     * init-order gotcha: `all`'s oracle strings are built during object
