@@ -2480,7 +2480,112 @@ object VectorQueries {
         "first 8 of 64 dims (8x cheaper corpus pass), per-probe top-32 " +
         "re-ranked full-precision, every hit carrying a measured " +
         "in_exact5 flag vs brute-force truth — the adaptive-retrieval " +
-        "pattern beside IVF (q54) and IVF-PQ (q235).")
+        "pattern beside IVF (q54) and IVF-PQ (q235)."),
+
+    // ---------------------------------------------------------------- q274
+    Q(
+      "q274_binary_quant_search",
+      (s, dir) => {
+        // BINARY (1-bit) QUANTIZATION retrieval — the coarsest point on
+        // the compression ladder beside SQ8 (q77) and PQ (q164): each
+        // 64-dim float vector packs to TWO bigints (sign bit per dim,
+        // 32 dims per word — never 64, bit 63 through a signed-sum
+        // oracle would overflow), a 32x memory cut that turns candidate
+        // generation into two XOR+POPCNT per pair. Hamming pre-screen
+        // keeps the per-probe top-20 (ties by cid), exact cosine
+        // re-ranks the shortlist to top-5, and every hit carries a
+        // MEASURED in_exact5 flag vs brute-force truth (the q102/q235/
+        // q261 audit discipline). Scale: packing is map-only; the
+        // probe side is a bounded broadcast; the corpus-sized pass
+        // reads 16 bytes per vector instead of 256.
+        graft.functions.VectorExpressions.register(s)
+        def pack(w: Int) =
+          s"aggregate(sequence(0, 31), 0L, (acc, k) -> " +
+            s"acc + if(element_at(embedding, ${w * 32} + k + 1) > 0, shiftleft(1L, k), 0L))"
+        val bq = table(s, dir, "embeddings").selectExpr(
+          "vec_id", "embedding",
+          s"${pack(0)} as b0", s"${pack(1)} as b1",
+          s"${sparkDot("embedding", "embedding")} as n2")
+        val probes = bq.filter(col("vec_id") < 32).select(
+          col("vec_id").as("pid"), col("embedding").as("pe"),
+          col("b0").as("p0"), col("b1").as("p1"), col("n2").as("pn2"))
+        val screened = bq
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("b0"), col("b1"), col("n2").as("cn2"))
+          .join(broadcast(probes), col("cid") =!= col("pid"))
+          .selectExpr("pid", "cid", "pe", "ce", "pn2", "cn2",
+            "cast(bit_count(b0 ^ p0) + bit_count(b1 ^ p1) as int) as hamming")
+          .withColumn("hrk",
+            expr("row_number() over (partition by pid order by hamming asc, cid asc)"))
+          .filter(col("hrk") <= 20)
+        val reranked = screened
+          .selectExpr("pid", "cid", "hamming",
+            s"${sparkDot("pe", "ce")} / (sqrt(pn2) * sqrt(cn2)) as sim")
+          .withColumn("rank",
+            expr("row_number() over (partition by pid order by sim desc, cid asc)"))
+          .filter(col("rank") <= 5)
+        // brute-force truth for the measured-recall flag (bounded: the
+        // same broadcast probe x corpus product q33 prices)
+        val exact = bq
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+          .join(broadcast(probes.select("pid", "pe", "pn2")), col("cid") =!= col("pid"))
+          .selectExpr("pid", "cid",
+            s"${sparkDot("pe", "ce")} / (sqrt(pn2) * sqrt(cn2)) as esim")
+          .withColumn("erk",
+            expr("row_number() over (partition by pid order by esim desc, cid asc)"))
+          .filter(col("erk") <= 5)
+          .select(col("pid").as("xpid"), col("cid").as("xcid"))
+        reranked.join(broadcast(exact),
+            col("pid") === col("xpid") && col("cid") === col("xcid"), "left")
+          .selectExpr("pid", "rank", "cid", "hamming", "sim",
+            "(xpid is not null) as in_exact5")
+          .orderBy("pid", "rank")
+      },
+      Some(s"""
+        WITH bq AS (
+          SELECT vec_id, embedding,
+                 list_reduce(list_transform(range(0, 32), k -> CASE
+                   WHEN embedding[0 + k + 1] > 0 THEN (CAST(1 AS BIGINT) << k)
+                   ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS b0,
+                 list_reduce(list_transform(range(0, 32), k -> CASE
+                   WHEN embedding[32 + k + 1] > 0 THEN (CAST(1 AS BIGINT) << k)
+                   ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b) AS b1,
+                 ${duckDot("embedding", "embedding")} AS n2
+          FROM embeddings),
+        h AS (
+          SELECT p.vec_id AS pid, c.vec_id AS cid,
+                 CAST(bit_count(xor(p.b0, c.b0)) + bit_count(xor(p.b1, c.b1)) AS INTEGER) AS hamming,
+                 p.embedding AS pe, c.embedding AS ce, p.n2 AS pn2, c.n2 AS cn2
+          FROM bq p JOIN bq c ON p.vec_id < 32 AND c.vec_id <> p.vec_id),
+        r1 AS (
+          SELECT *, row_number() OVER (PARTITION BY pid ORDER BY hamming ASC, cid ASC) AS hrk
+          FROM h),
+        rr AS (
+          SELECT pid, cid, hamming,
+                 ${duckDot("pe", "ce")} / (SQRT(pn2) * SQRT(cn2)) AS sim
+          FROM r1 WHERE hrk <= 20),
+        r2 AS (
+          SELECT pid, cid, hamming, sim,
+                 row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid ASC) AS rank
+          FROM rr),
+        exacts AS (
+          SELECT pid, cid FROM (
+            SELECT p.vec_id AS pid, c.vec_id AS cid,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     ${duckDot("p.embedding", "c.embedding")} / (SQRT(p.n2) * SQRT(c.n2)) DESC,
+                     c.vec_id ASC) AS erk
+            FROM bq p JOIN bq c ON p.vec_id < 32 AND c.vec_id <> p.vec_id)
+          WHERE erk <= 5)
+        SELECT r.pid, r.rank, r.cid, r.hamming, r.sim,
+               (x.pid IS NOT NULL) AS in_exact5
+        FROM r2 r LEFT JOIN exacts x ON x.pid = r.pid AND x.cid = r.cid
+        WHERE r.rank <= 5
+        ORDER BY r.pid, r.rank"""),
+      "Binary 1-bit quantization retrieval: sign-bit packing to two " +
+        "bigints (32x memory cut), XOR+POPCNT Hamming pre-screen to " +
+        "top-20, exact cosine re-rank to top-5, measured in_exact5 " +
+        "recall vs brute-force truth — the coarsest compression rung " +
+        "beside SQ8/PQ/Matryoshka.")
   )
 
   /** The DuckDB twin of [[graft.operators.Ann.kmeansFit]] + final assign —
