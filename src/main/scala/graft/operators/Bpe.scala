@@ -349,16 +349,29 @@ object Bpe {
    * `Chunker` budgets accept — context-window packing under the REAL
    * trained tokenizer instead of the whitespace approximation (q106).
    * Empty text counts 0 symbols. Map-only + 1-row model broadcast.
+   *
+   * Fast path: when no merge pair contains a space (every word-trained
+   * model — `wordCounts` vocabularies cannot produce one), applying the
+   * chain to the WHOLE text and subtracting the space count is exactly
+   * the per-word sum — pairs and placeholder syms are space-free, so no
+   * occurrence can span a word boundary and spaces survive every
+   * replace. That is ONE fold per document instead of one per word
+   * (same replace work, a words-per-doc factor fewer HOF evaluations).
+   * A model with space-bearing pairs (bigram-unit training) takes the
+   * literal per-word branch, keeping the documented per-word semantics.
    */
   def tokenCounts(df: DataFrame, textCol: String, merges: DataFrame,
       out: String): DataFrame = {
     require(!df.columns.contains("__ms"), "input column __ms is reserved")
     df.crossJoin(broadcast(mergeArray(merges)))
       .withColumn(out, expr(
-        s"""aggregate(
-              transform(split($textCol, ' '),
-                w0 -> length(aggregate(__ms, w0, (acc, m) -> replace(acc, m.pair, m.sym)))),
-              0L, (a, x) -> a + cast(x as bigint))"""))
+        s"""if(exists(__ms, m -> contains(m.pair, ' ')),
+              aggregate(
+                transform(split($textCol, ' '),
+                  w0 -> length(aggregate(__ms, w0, (acc, m) -> replace(acc, m.pair, m.sym)))),
+                0L, (a, x) -> a + cast(x as bigint)),
+              cast(length(aggregate(__ms, $textCol, (acc, m) -> replace(acc, m.pair, m.sym)))
+                   - (length($textCol) - length(replace($textCol, ' ', ''))) as bigint))"""))
       .drop("__ms")
   }
 }

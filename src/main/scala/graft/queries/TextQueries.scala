@@ -8666,7 +8666,87 @@ object TextQueries {
       "C4-style boilerplate removal at sentence granularity: df >= 5 " +
         "sentences drop, per-doc kept fraction + md5 of the kept stream " +
         "in original order; the boilerplate set broadcasts (bounded by " +
-        "corpus/df), order restored from positions.")
+        "corpus/df), order restored from positions."),
+
+    // ---------------------------------------------------------------- q275
+    Q(
+      "q275_dsir_importance",
+      (s, dir) => {
+        // DSIR-STYLE DATA SELECTION (importance resampling toward a
+        // target domain, Xie et al. 2023's deployment shape): train a
+        // Laplace-smoothed unigram LM on the TARGET slice (lang='en')
+        // and one on the RAW corpus over the JOINT vocabulary, weight
+        // every doc by sum tf * ln(p_tgt/p_raw), and keep the top-100.
+        // Cross-engine float discipline is q109's: one shared ln
+        // expression tree per token, the per-doc fold in SORTED token
+        // order, round(,6) AFTER the fold — and the cut ranks on the
+        // ROUNDED weight with doc_id ties, so 1-ulp ln slack can never
+        // flip the selection. Scale: vocab counts are tok-keyed
+        // shuffles with map-side combine (the target count rides the
+        // same aggregate as a conditional sum — one pass, not two
+        // scans); scoring joins tok-keyed; the global top-100 is
+        // TakeOrderedAndProject, never a data-sized window.
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val totals = vocab.agg(
+          sum("cr").as("rawtot"), sum("ct").as("tgttot"),
+          count(lit(1)).as("v"))
+        val scored = toks.groupBy("doc_id", "lang", "tok")
+          .agg(count(lit(1)).as("tf"))
+          .join(vocab, Seq("tok"))
+          .crossJoin(broadcast(totals))
+          .withColumn("contrib", expr(
+            """cast(tf as double) * ln(
+                 (cast(ct + 1 as double) / cast(tgttot + v as double)) /
+                 (cast(cr + 1 as double) / cast(rawtot + v as double)))"""))
+          .groupBy("doc_id", "lang")
+          .agg(
+            sum("tf").as("dl"),
+            expr("""aggregate(
+                 transform(array_sort(collect_list(struct(tok, contrib))), p -> p.contrib),
+                 cast(0 as double), (a, v) -> a + v)""").as("wsum"))
+          .selectExpr("doc_id", "lang", "cast(dl as bigint) as dl",
+            "round(wsum, 6) as w")
+        scored.orderBy(col("w").desc, col("doc_id")).limit(100)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok, COUNT(1) AS cr,
+                 SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+          FROM toks GROUP BY tok),
+        tot AS (
+          SELECT CAST(SUM(cr) AS BIGINT) AS rawtot,
+                 CAST(SUM(ct) AS BIGINT) AS tgttot,
+                 CAST(COUNT(1) AS BIGINT) AS v
+          FROM vocab),
+        tft AS (
+          SELECT doc_id, lang, tok, COUNT(1) AS tf
+          FROM toks GROUP BY doc_id, lang, tok),
+        sc AS (
+          SELECT t.doc_id, t.lang, t.tok, t.tf,
+                 CAST(t.tf AS DOUBLE) * ln(
+                   (CAST(vb.ct + 1 AS DOUBLE) / CAST(tt.tgttot + tt.v AS DOUBLE)) /
+                   (CAST(vb.cr + 1 AS DOUBLE) / CAST(tt.rawtot + tt.v AS DOUBLE))) AS contrib
+          FROM tft t JOIN vocab vb USING (tok), tot tt),
+        agg AS (
+          SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS dl,
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(contrib ORDER BY tok)), (a, v) -> a + v), 6) AS w
+          FROM sc GROUP BY doc_id, lang)
+        SELECT doc_id, lang, dl, w
+        FROM agg ORDER BY w DESC, doc_id LIMIT 100"""),
+      "DSIR-style importance resampling: Laplace-smoothed target (en) " +
+        "vs raw unigram LMs over the joint vocab, per-doc log-ratio " +
+        "weights folded in sorted token order and rounded before the " +
+        "top-100 cut — selection can never flip on ln ulp slack; " +
+        "top-100 via TakeOrderedAndProject, not a global window.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):

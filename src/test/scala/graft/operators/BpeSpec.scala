@@ -71,6 +71,39 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Seq(10L, 0L, 8L))
   }
 
+  test("tokenCounts fast path == per-word fold; space-bearing pairs take the per-word branch") {
+    import spark.implicits._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "newest widest low"), (2L, ""), (3L, "lower  lower"), // double space
+      (4L, " leading trailing "))).toDF("doc_id", "text")
+    val words = wordsDf("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val m = Bpe.fit(spark, words, "w", "wcnt", nMerges = 3)
+    // space-free model: whole-text fold minus spaces == per-word sum
+    val fast = Bpe.tokenCounts(docs, "text", m, "n")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("n")).toSeq
+    val perWord = docs.crossJoin(
+        org.apache.spark.sql.functions.broadcast(
+          m.agg(org.apache.spark.sql.functions.sort_array(
+            org.apache.spark.sql.functions.collect_list(
+              org.apache.spark.sql.functions.struct($"round", $"pair", $"sym"))).as("__ms"))))
+      .withColumn("n", org.apache.spark.sql.functions.expr(
+        """aggregate(transform(split(text, ' '),
+             w0 -> length(aggregate(__ms, w0, (acc, mm) -> replace(acc, mm.pair, mm.sym)))),
+             0L, (a, x) -> a + cast(x as bigint))"""))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("n")).toSeq
+    assert(fast === perWord, "space-free model: fast path must equal the per-word fold")
+    // a model whose pair CONTAINS a space must take the per-word branch,
+    // where it can never match (words carry no spaces): counts unchanged
+    val spaced = Seq((1, "t t", "")).toDF("round", "pair", "sym")
+    val got = Bpe.tokenCounts(docs, "text", spaced, "n")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("n")).toSeq
+    val plainChars = docs.selectExpr(
+        "doc_id", "cast(length(replace(text, ' ', '')) as bigint) as n")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("n")).toSeq
+    assert(got === plainChars,
+      "space-bearing pair: per-word branch leaves every word untouched")
+  }
+
   test("greedy left-to-right merge matches replace() semantics on overlaps") {
     // "aaa" with pair "aa": replace merges left-to-right non-overlapping,
     // so round 1 yields <1>a (not a<1>) — the BPE apply convention.
