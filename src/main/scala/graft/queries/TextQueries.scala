@@ -8746,7 +8746,168 @@ object TextQueries {
         "vs raw unigram LMs over the joint vocab, per-doc log-ratio " +
         "weights folded in sorted token order and rounded before the " +
         "top-100 cut — selection can never flip on ln ulp slack; " +
-        "top-100 via TakeOrderedAndProject, not a global window.")
+        "top-100 via TakeOrderedAndProject, not a global window."),
+
+    // ---------------------------------------------------------------- q276
+    Q(
+      "q276_multilingual_pipeline",
+      (s, dir) => {
+        // THE ROUND-8 TEXT STACK COMPOSED (the q226/q269 operational-
+        // artifact discipline): one curation run over a constructed
+        // multilingual corpus — NFC normalization, sentence-level
+        // boilerplate scrub (df >= 5), script routing on the scrubbed
+        // text, canonical dedup on its md5 — emitting the per-stage
+        // accounting row a pipeline owner actually reads (docs in/out,
+        // docs affected, stage metric). Variants: NFD damage +
+        // boilerplate (v0), boilerplate-only (v1), a 40-codepoint CJK
+        // tail (v2 — routes mixed under the 5% integer gate), clean
+        // (v3), and a constant page (v4 — all its sentences are shared,
+        // so the scrub empties it and dedup collapses the class to one
+        // keeper; empty text routes mixed degenerately under 20*0 >= 0,
+        // the shared rule both engines apply). Scale: each stage is the
+        // already-locked shape (map-only passes, one sentence-df
+        // shuffle + bounded broadcast, hash-group dedup); at 100 TB the
+        // normalized frame would be pinned once across stages.
+        graft.functions.UnicodeExpressions.register(s)
+        val cjkTail = " " + ("\u6f22\u5b57\u3067\u3059" * 10) +
+          "\u3002\u6b21\u306e\u6587\uff01"
+        val raw = table(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 5 === 4,
+            lit("duplicate filler page. All rights reserved."))
+            .otherwise(concat(col("text"),
+              when(col("doc_id") % 5 === 0,
+                lit(" cafe\u0301. All rights reserved. Done."))
+                .when(col("doc_id") % 5 === 1,
+                  lit(". All rights reserved. Visit the index."))
+                .when(col("doc_id") % 5 === 2, lit(cjkTail))
+                .otherwise(lit("")))).as("t0"))
+        val norm = raw.withColumn("u", expr("unicode_normalize(t0, 'NFC')"))
+        val sent = norm.select(col("doc_id"),
+          posexplode(expr("split_sentences(u)")).as(Seq("pos", "sent")))
+        val bl = sent.groupBy("sent")
+          .agg(countDistinct(col("doc_id")).as("sdf")).filter(col("sdf") >= 5)
+        val scrub = sent.join(broadcast(bl), Seq("sent"), "left")
+          .withColumn("boiler", col("sdf").isNotNull)
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("boiler"), 1L).otherwise(0L)).as("nb"),
+            sum(when(col("boiler"), 0L)
+              .otherwise(length(col("sent")).cast("long"))).as("kept_chars"),
+            sum(length(col("sent")).cast("long")).as("all_chars"),
+            collect_list(struct(col("pos"), col("sent"), col("boiler"))).as("xs"))
+          .selectExpr("doc_id", "nb", "kept_chars", "all_chars",
+            "array_join(transform(filter(sort_array(xs), x -> not x.boiler), " +
+              "x -> x.sent), ' ') as kept")
+        val cjkClass = "[\\u3040-\\u30ff\\u3400-\\u4dbf\\u4e00-\\u9fff" +
+          "\\uac00-\\ud7af\\uf900-\\ufaff]"
+        val routed = scrub
+          .withColumn("n_cp", expr("cast(length(kept) as int)"))
+          .withColumn("n_cjk", expr(
+            s"cast(length(kept) - length(regexp_replace(kept, '$cjkClass', '')) as int)"))
+          .withColumn("mixed", expr("20 * n_cjk >= n_cp"))
+        val s1 = norm.agg(count(lit(1)).as("din"),
+            sum(when(col("u") =!= col("t0"), 1L).otherwise(0L)).as("aff"))
+          .selectExpr("1 as stage", "'normalize_nfc' as name",
+            "cast(din as bigint) as docs_in", "cast(din as bigint) as docs_out",
+            "cast(aff as bigint) as n_affected",
+            "round(cast(aff as double) / cast(din as double), 6) as metric")
+        val s2 = scrub.agg(count(lit(1)).as("din"),
+            sum(when(col("nb") > 0, 1L).otherwise(0L)).as("aff"),
+            sum("kept_chars").as("kc"), sum("all_chars").as("ac"))
+          .selectExpr("2 as stage", "'sentence_scrub' as name",
+            "cast(din as bigint) as docs_in", "cast(din as bigint) as docs_out",
+            "cast(aff as bigint) as n_affected",
+            "round(cast(kc as double) / cast(ac as double), 6) as metric")
+        val s3 = routed.agg(count(lit(1)).as("din"),
+            sum(when(col("mixed"), 1L).otherwise(0L)).as("aff"))
+          .selectExpr("3 as stage", "'script_route' as name",
+            "cast(din as bigint) as docs_in", "cast(din as bigint) as docs_out",
+            "cast(aff as bigint) as n_affected",
+            "round(cast(aff as double) / cast(din as double), 6) as metric")
+        val s4 = routed.agg(count(lit(1)).as("din"),
+            countDistinct(md5(col("kept"))).as("dout"))
+          .selectExpr("4 as stage", "'canonical_dedup' as name",
+            "cast(din as bigint) as docs_in", "cast(dout as bigint) as docs_out",
+            "cast(din - dout as bigint) as n_affected",
+            "round(cast(dout as double) / cast(din as double), 6) as metric")
+        s1.union(s2).union(s3).union(s4).orderBy("stage")
+      },
+      Some(s"""
+        WITH raw AS (
+          SELECT doc_id, CASE WHEN doc_id % 5 = 4
+            THEN 'duplicate filler page. All rights reserved.'
+            ELSE text || CASE CAST(doc_id % 5 AS INTEGER)
+              WHEN 0 THEN ' cafe' || chr(769) || '. All rights reserved. Done.'
+              WHEN 1 THEN '. All rights reserved. Visit the index.'
+              WHEN 2 THEN ' ' ||
+                repeat(chr(28450) || chr(23383) || chr(12391) || chr(12377), 10) ||
+                chr(12290) || chr(27425) || chr(12398) || chr(25991) || chr(65281)
+              ELSE '' END END AS t0
+          FROM documents),
+        norm AS (SELECT doc_id, t0, nfc_normalize(t0) AS u FROM raw),
+        sx AS (SELECT doc_id, ${duckSplitSentences("u")} AS sents FROM norm),
+        se AS (SELECT doc_id, unnest(sents) AS sent,
+                      generate_subscripts(sents, 1) AS pos FROM sx),
+        bl AS (SELECT sent FROM se GROUP BY sent
+               HAVING COUNT(DISTINCT doc_id) >= 5),
+        scrub AS (
+          SELECT f.doc_id,
+                 SUM(CASE WHEN f.boiler THEN 1 ELSE 0 END) AS nb,
+                 SUM(CASE WHEN f.boiler THEN 0 ELSE length(f.sent) END) AS kept_chars,
+                 SUM(length(f.sent)) AS all_chars,
+                 COALESCE(array_to_string(
+                   list(f.sent ORDER BY f.pos) FILTER (WHERE NOT f.boiler),
+                   ' '), '') AS kept
+          FROM (SELECT se.doc_id, se.pos, se.sent,
+                       (bl.sent IS NOT NULL) AS boiler
+                FROM se LEFT JOIN bl ON bl.sent = se.sent) f
+          GROUP BY f.doc_id),
+        routed AS (
+          SELECT doc_id, nb, kept_chars, all_chars, kept,
+                 length(kept) AS n_cp,
+                 length(kept) - length(regexp_replace(kept,
+                   '[' || chr(12352) || '-' || chr(12543) ||
+                          chr(13312) || '-' || chr(19903) ||
+                          chr(19968) || '-' || chr(40959) ||
+                          chr(44032) || '-' || chr(55215) ||
+                          chr(63744) || '-' || chr(64255) || ']',
+                   '', 'g')) AS n_cjk
+          FROM scrub)
+        SELECT * FROM (
+          SELECT 1 AS stage, 'normalize_nfc' AS name,
+                 CAST(COUNT(1) AS BIGINT) AS docs_in,
+                 CAST(COUNT(1) AS BIGINT) AS docs_out,
+                 CAST(SUM(CASE WHEN u <> t0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+                 round(CAST(SUM(CASE WHEN u <> t0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(1) AS DOUBLE), 6) AS metric
+          FROM norm
+          UNION ALL
+          SELECT 2, 'sentence_scrub', CAST(COUNT(1) AS BIGINT),
+                 CAST(COUNT(1) AS BIGINT),
+                 CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                 round(CAST(SUM(kept_chars) AS DOUBLE)
+                       / CAST(SUM(all_chars) AS DOUBLE), 6)
+          FROM scrub
+          UNION ALL
+          SELECT 3, 'script_route', CAST(COUNT(1) AS BIGINT),
+                 CAST(COUNT(1) AS BIGINT),
+                 CAST(SUM(CASE WHEN 20 * n_cjk >= n_cp THEN 1 ELSE 0 END) AS BIGINT),
+                 round(CAST(SUM(CASE WHEN 20 * n_cjk >= n_cp THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(COUNT(1) AS DOUBLE), 6)
+          FROM routed
+          UNION ALL
+          SELECT 4, 'canonical_dedup', CAST(COUNT(1) AS BIGINT),
+                 CAST(COUNT(DISTINCT md5(kept)) AS BIGINT),
+                 CAST(COUNT(1) - COUNT(DISTINCT md5(kept)) AS BIGINT),
+                 round(CAST(COUNT(DISTINCT md5(kept)) AS DOUBLE)
+                       / CAST(COUNT(1) AS DOUBLE), 6)
+          FROM routed)
+        ORDER BY stage"""),
+      "The round-8 text stack composed into one curation run: NFC " +
+        "normalize, df>=5 sentence scrub, script routing on the " +
+        "scrubbed text, canonical md5 dedup — four per-stage accounting " +
+        "rows (in/out/affected/metric), every stage the already-locked " +
+        "shape; the oracle replays the whole chain.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):
