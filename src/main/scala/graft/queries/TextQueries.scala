@@ -8907,7 +8907,87 @@ object TextQueries {
         "normalize, df>=5 sentence scrub, script routing on the " +
         "scrubbed text, canonical md5 dedup — four per-stage accounting " +
         "rows (in/out/affected/metric), every stage the already-locked " +
-        "shape; the oracle replays the whole chain.")
+        "shape; the oracle replays the whole chain."),
+
+    // ---------------------------------------------------------------- q277
+    Q(
+      "q277_sentence_chunks",
+      (s, dir) => {
+        // SENTENCE-ALIGNED CHUNKING — the packing rule RAG and pretrain
+        // chunkers actually use (never split a sentence; q71/q107 cut
+        // at token/char offsets): walk each doc's sentences in order,
+        // greedily filling chunks under a 200-char budget (+1 joiner
+        // char between sentences inside a chunk); a sentence longer
+        // than the budget gets its own chunk, never split. The fold is
+        // one aggregate HOF per doc over the sorted sentence array —
+        // map-only, no shuffle beyond the scan — and the oracle replays
+        // it as a list_reduce with a delimited VARCHAR state. Locked by
+        // the FULL chunk-assignment vector (md5 over the per-sentence
+        // chunk ids): one wrong boundary anywhere fails the row.
+        graft.functions.UnicodeExpressions.register(s)
+        table(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"), sentenceTail).as("t"))
+          .withColumn("sents", expr("split_sentences(t)"))
+          .withColumn("st", expr("""
+            aggregate(sents,
+              named_struct('idx', 0, 'used', 0, 'mx', 0,
+                           'ids', cast(array() as array<int>)),
+              (st, x) -> CASE
+                WHEN st.idx = 0 THEN named_struct(
+                  'idx', 1, 'used', cast(length(x) as int),
+                  'mx', cast(length(x) as int), 'ids', array(1))
+                WHEN st.used + 1 + length(x) <= 200 THEN named_struct(
+                  'idx', st.idx,
+                  'used', cast(st.used + 1 + length(x) as int),
+                  'mx', cast(greatest(st.mx, st.used + 1 + length(x)) as int),
+                  'ids', array_append(st.ids, st.idx))
+                ELSE named_struct(
+                  'idx', cast(st.idx + 1 as int),
+                  'used', cast(length(x) as int),
+                  'mx', cast(greatest(st.mx, length(x)) as int),
+                  'ids', array_append(st.ids, cast(st.idx + 1 as int)))
+              END)"""))
+          .selectExpr("doc_id",
+            "cast(size(sents) as int) as n_sent",
+            "st.idx as n_chunks",
+            "st.mx as max_chunk_chars",
+            "md5(array_join(transform(st.ids, i -> cast(i as string)), ',')) as ids_hash")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH d AS (
+          $duckSentenceCorpus),
+        sx AS (SELECT doc_id, ${duckSplitSentences("t")} AS sents FROM d),
+        folded AS (
+          SELECT doc_id, CAST(len(sents) AS INTEGER) AS n_sent,
+                 list_reduce(list_prepend('0|0|0|', sents), (st, x) -> CASE
+                   WHEN CAST(string_split(st, '|')[1] AS INT) = 0
+                     THEN '1|' || CAST(length(x) AS VARCHAR) || '|' ||
+                          CAST(length(x) AS VARCHAR) || '|1'
+                   WHEN CAST(string_split(st, '|')[2] AS INT) + 1 + length(x) <= 200
+                     THEN string_split(st, '|')[1] || '|' ||
+                          CAST(CAST(string_split(st, '|')[2] AS INT) + 1 + length(x) AS VARCHAR) || '|' ||
+                          CAST(GREATEST(CAST(string_split(st, '|')[3] AS INT),
+                            CAST(string_split(st, '|')[2] AS INT) + 1 + length(x)) AS VARCHAR) || '|' ||
+                          string_split(st, '|')[4] || ',' || string_split(st, '|')[1]
+                   ELSE CAST(CAST(string_split(st, '|')[1] AS INT) + 1 AS VARCHAR) || '|' ||
+                        CAST(length(x) AS VARCHAR) || '|' ||
+                        CAST(GREATEST(CAST(string_split(st, '|')[3] AS INT),
+                          length(x)) AS VARCHAR) || '|' ||
+                        string_split(st, '|')[4] || ',' ||
+                        CAST(CAST(string_split(st, '|')[1] AS INT) + 1 AS VARCHAR)
+                 END) AS st
+          FROM sx)
+        SELECT doc_id, n_sent,
+               CAST(string_split(st, '|')[1] AS INTEGER) AS n_chunks,
+               CAST(string_split(st, '|')[3] AS INTEGER) AS max_chunk_chars,
+               md5(string_split(st, '|')[4]) AS ids_hash
+        FROM folded ORDER BY doc_id"""),
+      "Sentence-aligned greedy chunking under a 200-char budget (+1 " +
+        "joiner; over-budget sentences chunk alone, never split): one " +
+        "aggregate-HOF fold per doc, the oracle replays it as a " +
+        "VARCHAR-state list_reduce; locked by an md5 over the full " +
+        "per-sentence chunk-id vector.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):
