@@ -8659,9 +8659,9 @@ object TextQueries {
                CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS INTEGER) AS n_boiler,
                round(CAST(SUM(CASE WHEN boiler THEN 0 ELSE length(sent) END) AS DOUBLE)
                      / CAST(SUM(length(sent)) AS DOUBLE), 6) AS kept_frac,
-               md5(array_to_string(
+               md5(COALESCE(array_to_string(
                  list(sent ORDER BY pos) FILTER (WHERE NOT boiler),
-                 chr(30))) AS kept_hash
+                 chr(30)), '')) AS kept_hash
         FROM fl GROUP BY doc_id ORDER BY doc_id"""),
       "C4-style boilerplate removal at sentence granularity: df >= 5 " +
         "sentences drop, per-doc kept fraction + md5 of the kept stream " +

@@ -28,9 +28,12 @@ final case class FunnelTsEvent(
     user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
 
 /** Watermark-variant state: automaton carry + reorder buffer keyed by
-  * event-time millis (no maxMs — Spark's watermark owns the frontier). */
+  * event-time millis. No maxMs (Spark's watermark owns the frontier) and
+  * no folded-frontier key (Spark drops late rows before the fold, so an
+  * arrival below the folded frontier is impossible — carrying one would
+  * imply a check that cannot fire). */
 final case class FunnelWmCarry(
-    n: Long, stage: Int, lastMs: Long, lastId: Long,
+    n: Long, stage: Int,
     bufMs: Seq[Long], bufIds: Seq[Long], bufTypes: Seq[String])
 
 /**
@@ -147,18 +150,10 @@ object FunnelStreams {
                     s"folded frontier (ms=${prior.lastMs}, event_id=${prior.lastId}) " +
                     s"— disorder exceeds the ${delayMs}ms tolerance")
             }
-            val buf = (prior.bufMs.lazyZip(prior.bufIds).lazyZip(prior.bufTypes).toSeq ++
-              arrivals.map(r => (r.ms, r.event_id, r.event_type)))
-              .sortBy(t => (t._1, t._2))
-            var d = 1
-            while (d < buf.length) {
-              if (buf(d)._1 == buf(d - 1)._1 && buf(d)._2 == buf(d - 1)._2)
-                throw new IllegalStateException(
-                  s"FunnelStreams.funnelStagesBuffered: duplicate (ms, event_id) " +
-                    s"(${buf(d)._1}, ${buf(d)._2}) for user $user — re-delivery is " +
-                    "not reordering")
-              d += 1
-            }
+            val buf = ReorderBuffer.mergeSorted(
+              prior.bufMs, prior.bufIds, prior.bufTypes,
+              arrivals.map(r => (r.ms, r.event_id, r.event_type)).toSeq,
+              "FunnelStreams.funnelStagesBuffered", user)
             val maxMs = math.max(prior.maxMs, arrivals.map(_.ms).max)
             val frontier = maxMs - delayMs
             // fold STRICTLY below the frontier: an event at exactly
@@ -230,19 +225,11 @@ object FunnelStreams {
           if (arrivals.isEmpty) Iterator.empty
           else {
             val prior = state.getOption.getOrElse(FunnelWmCarry(
-              0L, 0, Long.MinValue, Long.MinValue, Seq.empty, Seq.empty, Seq.empty))
-            val buf = (prior.bufMs.lazyZip(prior.bufIds).lazyZip(prior.bufTypes).toSeq ++
-              arrivals.map(r => (r.ts.getTime, r.event_id, r.event_type)))
-              .sortBy(t => (t._1, t._2))
-            var d = 1
-            while (d < buf.length) {
-              if (buf(d)._1 == buf(d - 1)._1 && buf(d)._2 == buf(d - 1)._2)
-                throw new IllegalStateException(
-                  s"FunnelStreams.funnelStagesWatermarked: duplicate (ms, event_id) " +
-                    s"(${buf(d)._1}, ${buf(d)._2}) for user $user — re-delivery is " +
-                    "not reordering")
-              d += 1
-            }
+              0L, 0, Seq.empty, Seq.empty, Seq.empty))
+            val buf = ReorderBuffer.mergeSorted(
+              prior.bufMs, prior.bufIds, prior.bufTypes,
+              arrivals.map(r => (r.ts.getTime, r.event_id, r.event_type)).toSeq,
+              "FunnelStreams.funnelStagesWatermarked", user)
             val frontier = state.getCurrentWatermarkMs()
             val (ready, hold) = buf.partition(_._1 < frontier)
             if (ready.isEmpty) {
@@ -252,13 +239,11 @@ object FunnelStreams {
             } else {
               var n = prior.n
               var stage = prior.stage
-              var lastMs = prior.lastMs
-              var lastId = prior.lastId
-              ready.foreach { case (ms, id, typ) =>
+              ready.foreach { case (_, _, typ) =>
                 if (stage < stepArr.length && typ == stepArr(stage)) stage += 1
-                n += 1; lastMs = ms; lastId = id
+                n += 1
               }
-              state.update(FunnelWmCarry(n, stage, lastMs, lastId,
+              state.update(FunnelWmCarry(n, stage,
                 hold.map(_._1), hold.map(_._2), hold.map(_._3)))
               Iterator.single(FunnelEmit(user, n, stage))
             }

@@ -29,9 +29,11 @@ final case class TransTsEvent(
     user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
 
 /** Watermark-variant state: fold carry + reorder buffer keyed by
-  * event-time millis (no maxMs — Spark's watermark owns the frontier). */
+  * event-time millis. No maxMs (Spark's watermark owns the frontier) and
+  * no folded-frontier key (Spark drops late rows before the fold, so an
+  * arrival below the folded frontier is impossible). */
 final case class TransWmCarry(
-    lastType: String, lastMs: Long, lastId: Long,
+    lastType: String,
     bufMs: Seq[Long], bufIds: Seq[Long], bufTypes: Seq[String])
 
 /**
@@ -130,18 +132,10 @@ object TransitionStreams {
                     s"folded frontier (ms=${prior.lastMs}, event_id=${prior.lastId}) " +
                     s"— disorder exceeds the ${delayMs}ms tolerance")
             }
-            val buf = (prior.bufMs.lazyZip(prior.bufIds).lazyZip(prior.bufTypes).toSeq ++
-              arrivals.map(r => (r.ms, r.event_id, r.event_type)))
-              .sortBy(t => (t._1, t._2))
-            var d = 1
-            while (d < buf.length) {
-              if (buf(d)._1 == buf(d - 1)._1 && buf(d)._2 == buf(d - 1)._2)
-                throw new IllegalStateException(
-                  s"TransitionStreams.transitionsBuffered: duplicate (ms, event_id) " +
-                    s"(${buf(d)._1}, ${buf(d)._2}) for user $user — re-delivery is " +
-                    "not reordering")
-              d += 1
-            }
+            val buf = ReorderBuffer.mergeSorted(
+              prior.bufMs, prior.bufIds, prior.bufTypes,
+              arrivals.map(r => (r.ms, r.event_id, r.event_type)).toSeq,
+              "TransitionStreams.transitionsBuffered", user)
             val maxMs = math.max(prior.maxMs, arrivals.map(_.ms).max)
             val frontier = maxMs - delayMs
             // fold STRICTLY below the frontier: an event at exactly
@@ -206,19 +200,11 @@ object TransitionStreams {
           if (arrivals.isEmpty) Iterator.empty
           else {
             val prior = state.getOption.getOrElse(TransWmCarry(
-              null, Long.MinValue, Long.MinValue, Seq.empty, Seq.empty, Seq.empty))
-            val buf = (prior.bufMs.lazyZip(prior.bufIds).lazyZip(prior.bufTypes).toSeq ++
-              arrivals.map(r => (r.ts.getTime, r.event_id, r.event_type)))
-              .sortBy(t => (t._1, t._2))
-            var d = 1
-            while (d < buf.length) {
-              if (buf(d)._1 == buf(d - 1)._1 && buf(d)._2 == buf(d - 1)._2)
-                throw new IllegalStateException(
-                  s"TransitionStreams.transitionsWatermarked: duplicate (ms, event_id) " +
-                    s"(${buf(d)._1}, ${buf(d)._2}) for user $user — re-delivery is " +
-                    "not reordering")
-              d += 1
-            }
+              null, Seq.empty, Seq.empty, Seq.empty))
+            val buf = ReorderBuffer.mergeSorted(
+              prior.bufMs, prior.bufIds, prior.bufTypes,
+              arrivals.map(r => (r.ts.getTime, r.event_id, r.event_type)).toSeq,
+              "TransitionStreams.transitionsWatermarked", user)
             val frontier = state.getCurrentWatermarkMs()
             val (ready, hold) = buf.partition(_._1 < frontier)
             if (ready.isEmpty) {
@@ -227,14 +213,12 @@ object TransitionStreams {
               Iterator.empty
             } else {
               var lastType = prior.lastType
-              var lastMs = prior.lastMs
-              var lastId = prior.lastId
               val out = scala.collection.mutable.ArrayBuffer.empty[TransEmit]
-              ready.foreach { case (ms, id, typ) =>
+              ready.foreach { case (_, _, typ) =>
                 if (lastType != null) out += TransEmit(user, lastType, typ)
-                lastType = typ; lastMs = ms; lastId = id
+                lastType = typ
               }
-              state.update(TransWmCarry(lastType, lastMs, lastId,
+              state.update(TransWmCarry(lastType,
                 hold.map(_._1), hold.map(_._2), hold.map(_._3)))
               out.iterator
             }

@@ -228,10 +228,14 @@ class TransitionStreamsSpec extends AnyFunSuite {
           q.processAllAvailable()
       }
     } finally q.stop()
+    // sentinels must NEVER fold (their event time stays at/above the final
+    // watermark) — a filter here would silently mask a frontier regression,
+    // so assert their absence and compare UNFILTERED
     val streamed = spark.table(name)
-      .filter(col("to_type") =!= "close") // defensive; sentinels never fold
       .groupBy("from_type", "to_type").count()
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(!streamed.keys.exists { case (f, t) => f == "close" || t == "close" },
+      "sentinel events folded — the watermark frontier leaked past the last batch")
     val batch = graft.SparkEntry.queries("q189_event_transitions")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(streamed === batch,
