@@ -12,7 +12,9 @@ object Bench {
     var errors = 0
     val errNames = scala.collection.mutable.ArrayBuffer.empty[String]
     // dev-only subset filter (comma-separated name substrings); the official
-    // driver bench never sets it, so round artifacts always cover the suite
+    // driver bench never sets it — and a filtered artifact must be SELF-
+    // IDENTIFYING (filter + skipped count land in the JSON), so a leaked
+    // env var can never silently under-cover the suite in a round artifact
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
     // sorted order: stable timings across rounds (Map order is hash-random)
@@ -71,10 +73,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // active SPARK_GRAFT_ONLY filter is part of the record: a filtered
+    // artifact names the filter and how many queries it skipped
+    val filterJson = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
+      .map { f =>
+        val esc = f.replace("\\", "\\\\").replace("\"", "\\\"")
+        s""","filter":"$esc","skipped":${SparkEntry.queries.size - results.size}"""
+      }
+      .getOrElse("")
     // Full per-query detail FIRST (may be truncated by the driver's stdout
     // tail capture at 200+ queries — r4/r5 both lost this line) ...
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$filterJson}"""
     println(detail)
     // ... and persisted to a FILE: the driver's 2000-char tail capture
     // cannot hold 260+ per-query times, so round-over-round regression
@@ -112,7 +122,7 @@ object Bench {
       .map { case (t, e) =>
         s""","sf2":"$sf2","total_sf2":${fmt(t)},"errors_sf2":$e,"reps_sf2":$repsSf2""" }
       .getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errors,"reps":$reps,"error_queries":$errJson,"sf":"$sfDir"$sf2Json}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errors,"reps":$reps,"error_queries":$errJson,"sf":"$sfDir"$sf2Json$filterJson}""")
     spark.stop()
   }
 }

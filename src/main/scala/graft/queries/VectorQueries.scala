@@ -2535,9 +2535,12 @@ object VectorQueries {
             expr("row_number() over (partition by pid order by esim desc, cid asc)"))
           .filter(col("erk") <= 5)
           .select(col("pid").as("xpid"), col("cid").as("xcid"))
+        // rank on raw sim; EMIT round(,6) — the cross-engine float
+        // discipline every sibling rerank query follows (the hash match
+        // must not rest on bit-identical division trees across engines)
         reranked.join(broadcast(exact),
             col("pid") === col("xpid") && col("cid") === col("xcid"), "left")
-          .selectExpr("pid", "rank", "cid", "hamming", "sim",
+          .selectExpr("pid", "rank", "cid", "hamming", "round(sim, 6) as sim",
             "(xpid is not null) as in_exact5")
           .orderBy("pid", "rank")
       },
@@ -2576,7 +2579,7 @@ object VectorQueries {
                      c.vec_id ASC) AS erk
             FROM bq p JOIN bq c ON p.vec_id < 32 AND c.vec_id <> p.vec_id)
           WHERE erk <= 5)
-        SELECT r.pid, r.rank, r.cid, r.hamming, r.sim,
+        SELECT r.pid, r.rank, r.cid, r.hamming, round(r.sim, 6) AS sim,
                (x.pid IS NOT NULL) AS in_exact5
         FROM r2 r LEFT JOIN exacts x ON x.pid = r.pid AND x.cid = r.cid
         WHERE r.rank <= 5

@@ -201,8 +201,12 @@ object EwmaStreams {
    * [[runningEwmaBuffered]] fails loudly; duplicate event-times within
    * the buffer remain a loud error here. The watermark also lags one
    * micro-batch (it advances AFTER a batch completes), so the trailing
-   * window needs one more touching batch to flush than the bespoke mode.
-   * State O(keys x delay window), per-key frontier state gone.
+   * window needs one more batch to flush than the bespoke mode — but NOT
+   * a batch touching this key: whenever points are held, an event-time
+   * timeout is armed at `max(held ms) + 1`, so any batch that advances
+   * the GLOBAL watermark past the held tail flushes it through the
+   * identical fold (an idle key's last points are never stranded in
+   * state). State O(keys x delay window), per-key frontier state gone.
    */
   def runningEwmaWatermarked(
       spark: SparkSession,
@@ -219,7 +223,10 @@ object EwmaStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[EwmaTsPoint], state: GroupState[EwmaWmCarry]) => {
           val arrivals = rows.toArray
-          if (arrivals.isEmpty) Iterator.empty
+          // a timeout invocation (no rows, armed below) flushes the held
+          // tail through the identical fold once the GLOBAL watermark
+          // passes it — no batch touching this key required
+          if (arrivals.isEmpty && !state.hasTimedOut) Iterator.empty
           else {
             val prior = state.getOption.getOrElse(
               EwmaWmCarry(0L, 0.0, Long.MinValue, Seq.empty, Seq.empty))
@@ -236,8 +243,11 @@ object EwmaStreams {
             }
             val frontier = state.getCurrentWatermarkMs()
             val (ready, hold) = buf.partition(_._1 < frontier)
+            // invocation cancels any armed timeout — re-arm while points
+            // are held (all held ms >= frontier, so the stamp is legal)
             if (ready.isEmpty) {
               state.update(prior.copy(bufMs = buf.map(_._1), bufVals = buf.map(_._2)))
+              if (buf.nonEmpty) state.setTimeoutTimestamp(buf.last._1 + 1)
               Iterator.empty
             } else {
               var n = prior.n
@@ -250,6 +260,7 @@ object EwmaStreams {
               }
               state.update(EwmaWmCarry(n, e, last,
                 hold.map(_._1), hold.map(_._2)))
+              if (hold.nonEmpty) state.setTimeoutTimestamp(hold.last._1 + 1)
               Iterator.single(EwmaEmit(key, n, e))
             }
           }

@@ -202,9 +202,12 @@ object FunnelStreams {
    * [[funnelStagesBuffered]] fails loudly; duplicate `(ms, event_id)`
    * keys within the buffer remain a loud error here. The watermark also
    * lags one micro-batch (it advances AFTER a batch completes), so the
-   * trailing window needs one more touching batch to flush than the
-   * bespoke mode. State O(users x delay window), per-user frontier
-   * state gone.
+   * trailing window needs one more batch to flush than the bespoke mode
+   * — but NOT a batch touching this user: whenever events are held, an
+   * event-time timeout is armed at `max(held ms) + 1`, so any batch that
+   * advances the GLOBAL watermark past the held tail flushes it through
+   * the identical fold (an idle user's last events are never stranded in
+   * state). State O(users x delay window), per-user frontier state gone.
    */
   def funnelStagesWatermarked(
       spark: SparkSession,
@@ -222,7 +225,10 @@ object FunnelStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[FunnelTsEvent], state: GroupState[FunnelWmCarry]) => {
           val arrivals = rows.toArray
-          if (arrivals.isEmpty) Iterator.empty
+          // a timeout invocation (no rows, armed below) flushes the held
+          // tail through the identical fold once the GLOBAL watermark
+          // passes it — no batch touching this user required
+          if (arrivals.isEmpty && !state.hasTimedOut) Iterator.empty
           else {
             val prior = state.getOption.getOrElse(FunnelWmCarry(
               0L, 0, Seq.empty, Seq.empty, Seq.empty))
@@ -232,9 +238,12 @@ object FunnelStreams {
               "FunnelStreams.funnelStagesWatermarked", user)
             val frontier = state.getCurrentWatermarkMs()
             val (ready, hold) = buf.partition(_._1 < frontier)
+            // invocation cancels any armed timeout — re-arm while events
+            // are held (all held ms >= frontier, so the stamp is legal)
             if (ready.isEmpty) {
               state.update(prior.copy(
                 bufMs = buf.map(_._1), bufIds = buf.map(_._2), bufTypes = buf.map(_._3)))
+              if (buf.nonEmpty) state.setTimeoutTimestamp(buf.last._1 + 1)
               Iterator.empty
             } else {
               var n = prior.n
@@ -245,6 +254,7 @@ object FunnelStreams {
               }
               state.update(FunnelWmCarry(n, stage,
                 hold.map(_._1), hold.map(_._2), hold.map(_._3)))
+              if (hold.nonEmpty) state.setTimeoutTimestamp(hold.last._1 + 1)
               Iterator.single(FunnelEmit(user, n, stage))
             }
           }

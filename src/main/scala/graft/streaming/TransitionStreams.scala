@@ -182,9 +182,12 @@ object TransitionStreams {
    * globally consistent across operators) where [[transitionsBuffered]]
    * fails loudly; duplicate `(ms, event_id)` keys within the buffer
    * remain a loud error here. The watermark lags one micro-batch, so the
-   * trailing window needs one more touching batch to flush than the
-   * bespoke mode. State O(users x delay window), per-user frontier
-   * state gone.
+   * trailing window needs one more batch to flush than the bespoke mode
+   * — but NOT a batch touching this user: whenever events are held, an
+   * event-time timeout is armed at `max(held ms) + 1`, so any batch that
+   * advances the GLOBAL watermark past the held tail flushes it through
+   * the identical fold (an idle user's last events are never stranded in
+   * state). State O(users x delay window), per-user frontier state gone.
    */
   def transitionsWatermarked(
       spark: SparkSession,
@@ -197,7 +200,10 @@ object TransitionStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[TransTsEvent], state: GroupState[TransWmCarry]) => {
           val arrivals = rows.toArray
-          if (arrivals.isEmpty) Iterator.empty
+          // a timeout invocation (no rows, armed below) flushes the held
+          // tail through the identical fold once the GLOBAL watermark
+          // passes it — no batch touching this user required
+          if (arrivals.isEmpty && !state.hasTimedOut) Iterator.empty
           else {
             val prior = state.getOption.getOrElse(TransWmCarry(
               null, Seq.empty, Seq.empty, Seq.empty))
@@ -207,9 +213,12 @@ object TransitionStreams {
               "TransitionStreams.transitionsWatermarked", user)
             val frontier = state.getCurrentWatermarkMs()
             val (ready, hold) = buf.partition(_._1 < frontier)
+            // invocation cancels any armed timeout — re-arm while events
+            // are held (all held ms >= frontier, so the stamp is legal)
             if (ready.isEmpty) {
               state.update(prior.copy(
                 bufMs = buf.map(_._1), bufIds = buf.map(_._2), bufTypes = buf.map(_._3)))
+              if (buf.nonEmpty) state.setTimeoutTimestamp(buf.last._1 + 1)
               Iterator.empty
             } else {
               var lastType = prior.lastType
@@ -220,6 +229,7 @@ object TransitionStreams {
               }
               state.update(TransWmCarry(lastType,
                 hold.map(_._1), hold.map(_._2), hold.map(_._3)))
+              if (hold.nonEmpty) state.setTimeoutTimestamp(hold.last._1 + 1)
               out.iterator
             }
           }

@@ -206,4 +206,34 @@ class EwmaStreamsSpec extends AnyFunSuite {
         s"expected the duplicate-ord error, got: $ex2")
     } finally q2.stop()
   }
+
+  test("watermark mode: an idle key's held tail flushes via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EwmaTsPoint]
+    val name = s"ewma_wm_timeout_${System.nanoTime()}"
+    val base = 1700000000000L
+    def pt(k: String, ms: Long, v: Double) =
+      EwmaTsPoint(k, new java.sql.Timestamp(ms), v)
+    val q = EwmaStreams
+      .runningEwmaWatermarked(spark, mem.toDF(), 0.5, "1000 milliseconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // key "a"'s points land in ONE batch and the key is then idle
+      mem.addData(Seq(pt("a", base, 10.0), pt("a", base + 10L, 20.0)))
+      q.processAllAvailable()
+      // only key "b" advances the GLOBAL watermark past "a"'s held tail;
+      // the armed timeout fires and folds it — no batch touches "a" again
+      mem.addData(Seq(pt("b", base + 100000L, 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(pt("b", base + 200000L, 2.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val a = spark.table(name).filter(col("key") === "a")
+      .orderBy(col("n_events").desc)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // fold: e1 = 10, e2 = 0.5*20 + 0.5*10 = 15
+    assert(a.nonEmpty && a.head === ((2L, 15.0)),
+      s"key a's idle tail must flush via the event-time timeout, got ${a.toSeq}")
+  }
 }

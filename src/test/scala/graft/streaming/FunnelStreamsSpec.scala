@@ -266,4 +266,36 @@ class FunnelStreamsSpec extends AnyFunSuite {
       assert(st === batch(u)._2, s"user $u: watermark stage $st != batch ${batch(u)._2}")
     }
   }
+
+  test("watermark mode: an idle user's held tail flushes via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelTsEvent]
+    val name = s"funnel_wm_timeout_${System.nanoTime()}"
+    val base = 1700000000000L
+    def ev(u: Long, ms: Long, id: Long, t: String) =
+      FunnelTsEvent(u, new java.sql.Timestamp(ms), id, t)
+    val q = FunnelStreams
+      .funnelStagesWatermarked(spark, mem.toDF(), "1000 milliseconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // user 1's complete funnel lands in ONE batch and is then idle
+      mem.addData(Seq(ev(1L, base, 1L, "click"), ev(1L, base + 10L, 2L, "view"),
+        ev(1L, base + 20L, 3L, "purchase")))
+      q.processAllAvailable()
+      // only user 2's events advance the GLOBAL watermark past user 1's
+      // held tail; the second batch's planning sees the advanced
+      // watermark and fires user 1's armed timeout — no batch ever
+      // touches user 1 again
+      mem.addData(Seq(ev(2L, base + 100000L, 10L, "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(2L, base + 200000L, 11L, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table(name).filter(col("user_id") === 1L)
+      .orderBy(col("n_events").desc)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(u1.nonEmpty && u1.head === ((3L, 3)),
+      s"user 1's idle tail must flush via the event-time timeout, got ${u1.toSeq}")
+  }
 }

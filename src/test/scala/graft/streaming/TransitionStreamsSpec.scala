@@ -241,4 +241,35 @@ class TransitionStreamsSpec extends AnyFunSuite {
     assert(streamed === batch,
       "watermark-mode streaming must reconstruct exact time order within the delay")
   }
+
+  test("watermark mode: an idle user's held tail flushes via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TransTsEvent]
+    val name = s"trans_wm_timeout_${System.nanoTime()}"
+    val base = 1700000000000L
+    def ev(u: Long, ms: Long, id: Long, t: String) =
+      TransTsEvent(u, new java.sql.Timestamp(ms), id, t)
+    val q = TransitionStreams
+      .transitionsWatermarked(spark, mem.toDF(), "1000 milliseconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // user 1's events land in ONE batch and the user is then idle
+      mem.addData(Seq(ev(1L, base, 1L, "view"), ev(1L, base + 10L, 2L, "click"),
+        ev(1L, base + 20L, 3L, "purchase")))
+      q.processAllAvailable()
+      // only user 2 advances the GLOBAL watermark past user 1's held
+      // tail; the armed timeout fires and folds it — no batch touches
+      // user 1 again
+      mem.addData(Seq(ev(2L, base + 100000L, 10L, "view")))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(2L, base + 200000L, 11L, "view")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table(name).filter(col("user_id") === 1L)
+      .select("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(u1 === Seq(("view", "click"), ("click", "purchase")),
+      s"user 1's idle tail must flush via the event-time timeout, got $u1")
+  }
 }
