@@ -244,7 +244,7 @@ object BpeIntKit {
 
   private def encodeInts(s: String, spec: Spec): (Array[Int], Int) = {
     // code points
-    var syms = new Array[Int](math.max(s.length, 1))
+    val syms = new Array[Int](math.max(s.length, 1))
     var n = 0
     var i = 0
     while (i < s.length) {
@@ -252,8 +252,20 @@ object BpeIntKit {
       syms(n) = cp; n += 1
       i += Character.charCount(cp)
     }
-    // min-rank-first replay
-    val rank = spec.rank
+    (syms, replayMinRank(syms, n, spec.rank, IdBase))
+  }
+
+  /** Min-rank-first merge replay IN PLACE over `syms(0 until n0)` —
+    * returns the new length. Repeatedly find the lowest-ranked pair
+    * present anywhere and merge ALL its occurrences left-to-right
+    * (non-overlapping), until no ranked pair remains; merge rank r gets
+    * id `idBase + r - 1`. Shared by the code-point ([[BpeEncode]]) and
+    * byte-level ([[BpeEncodeBytes]]) kits — pair keys pack as
+    * `a * SymLimit + b` in both. */
+  private[functions] def replayMinRank(
+      syms: Array[Int], n0: Int,
+      rank: java.util.HashMap[Long, Integer], idBase: Int): Int = {
+    var n = n0
     if (!rank.isEmpty) {
       var done = false
       while (!done && n >= 2) {
@@ -269,7 +281,7 @@ object BpeIntKit {
         if (best == Int.MaxValue) done = true
         else {
           // merge ALL its occurrences left-to-right (non-overlapping)
-          val id = IdBase + best - 1
+          val id = idBase + best - 1
           var w = 0
           j = 0
           while (j < n) {
@@ -283,7 +295,7 @@ object BpeIntKit {
         }
       }
     }
-    (syms, n)
+    n
   }
 }
 

@@ -85,18 +85,39 @@ object BpeInt {
       maxRounds: Int = 64,
       candCap: Int = 16384,
       acceptCap: Int = 1024): DataFrame = {
+    graft.functions.BpeIntExpressions.register(spark)
+    fitCore(spark, words, wordCol, countCol, nMerges, maxRounds, candCap,
+      acceptCap, IdBase, "bpe_encode", "BpeInt.fitBlocked")
+  }
+
+  /** The shared int-symbol election loop — [[fitBlocked]] parameterized
+    * by the encode function and id base so the byte-level trainer
+    * ([[BpeByte]]) runs the IDENTICAL election (L/R rule, tie-breaks,
+    * per-round re-derivation) over its own symbol space. */
+  private[operators] def fitCore(
+      spark: SparkSession,
+      words: DataFrame,
+      wordCol: String,
+      countCol: String,
+      nMerges: Int,
+      maxRounds: Int,
+      candCap: Int,
+      acceptCap: Int,
+      idBase: Int,
+      encodeFn: String,
+      who: String): DataFrame = {
     require(nMerges >= 1, s"nMerges ($nMerges) must be positive")
-    require(nMerges + IdBase < graft.functions.BpeIntKit.SymLimit,
+    require(nMerges + idBase < graft.functions.BpeIntKit.SymLimit,
       s"nMerges ($nMerges) exceeds the packed-symbol limit")
     require(maxRounds >= 1 && candCap >= 1 && acceptCap >= 1,
       s"maxRounds ($maxRounds), candCap ($candCap), acceptCap ($acceptCap) must be positive")
     require(words.columns.contains(wordCol) && words.columns.contains(countCol),
       s"words must carry $wordCol and $countCol")
-    graft.functions.BpeIntExpressions.register(spark)
     // loud null contract INSIDE the projected column (pruning-proof); no
-    // placeholder-collision guard is needed — merge ids live above Unicode
+    // placeholder-collision guard is needed — merge ids live above the
+    // base alphabet by construction (above Unicode / above byte 255)
     val guarded = when(col(wordCol).isNull || col(countCol).isNull,
-      raise_error(lit(s"BpeInt.fitBlocked: $wordCol/$countCol must be non-null"))
+      raise_error(lit(s"$who: $wordCol/$countCol must be non-null"))
         .cast("string"))
       .otherwise(col(wordCol))
     val wc = words
@@ -111,7 +132,7 @@ object BpeInt {
       round += 1
       // spec is pure digits/':'/';' — safe to splice into SQL text
       val cand = wc
-        .withColumn("syms", expr(s"bpe_encode(w, '${specSb.toString}')"))
+        .withColumn("syms", expr(s"$encodeFn(w, '${specSb.toString}')"))
         .filter(size(col("syms")) >= 2)
         .select(col("wcnt"), explode(expr(
           """transform(sequence(1, size(syms) - 1),
@@ -137,7 +158,7 @@ object BpeInt {
           if (!usedR.contains(a) && !usedL.contains(b)) {
             taken += 1
             val midx = merged + taken
-            rows += ((midx, round, a, b, IdBase + midx - 1, n))
+            rows += ((midx, round, a, b, idBase + midx - 1, n))
             usedL += a; usedR += b
             if (specSb.length > 0) specSb.append(';')
             specSb.append(a).append(':').append(b)
@@ -148,7 +169,7 @@ object BpeInt {
       }
     }
     require(rows.nonEmpty,
-      "BpeInt.fitBlocked: vocabulary has no adjacent pairs — nothing to train on")
+      s"$who: vocabulary has no adjacent pairs — nothing to train on")
     import spark.implicits._
     rows.toSeq.toDF("midx", "rnd", "a", "b", "id", "n")
   }
