@@ -8987,7 +8987,118 @@ object TextQueries {
         "joiner; over-budget sentences chunk alone, never split): one " +
         "aggregate-HOF fold per doc, the oracle replays it as a " +
         "VARCHAR-state list_reduce; locked by an md5 over the full " +
-        "per-sentence chunk-id vector.")
+        "per-sentence chunk-id vector."),
+
+    // ---------------------------------------------------------------- q278
+    Q(
+      "q278_bpe_byte_fit",
+      (s, dir) => {
+        // BYTE-LEVEL BPE at GPT-class scale: 8192 merges via the shared
+        // election core over the UTF-8 BYTE alphabet (base symbols
+        // 0-255, merge k = 256 + k - 1 — the GPT-2 id layout production
+        // runtimes consume), trained on word-4-gram units of the
+        // q264-style mixed-script 500-doc sample: the CJK tails make
+        // multibyte characters REAL here — merges cross UTF-8
+        // continuation-byte boundaries, which the code-point trainer
+        // (q265) cannot express. The oracle replays EVERY round of the
+        // same generated chain as q265 (candidate ranking, greedy L/R
+        // fold-walk, window-parity batch apply) with bw0 expanding each
+        // 4-gram to its UTF-8 bytes by the standard encoding arithmetic
+        // — one wrong byte boundary anywhere scrambles every later
+        // round and fails the row.
+        val units = graft.operators.BpeInt.fourgramCounts(bpeByteCorpus(s, dir), "t")
+        graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          bpeByteMerges, bpeByteRounds, bpeByteCandCap, bpeByteAcceptCap)
+          .orderBy("midx")
+      },
+      Some(s"""
+        WITH $duckBpeByteCtes
+        SELECT midx, rnd, a, b, id, n FROM (
+          $duckBpeByteMerges
+        ) ORDER BY midx"""),
+      "8192-merge BYTE-LEVEL batched BPE over the mixed-script 4-gram " +
+        "units: UTF-8 bytes as base symbols (GPT-2 id layout), merges " +
+        "crossing character boundaries, same L/R election as q265; the " +
+        "oracle expands bytes arithmetically and replays every round."),
+
+    // ---------------------------------------------------------------- q279
+    Q(
+      "q279_bpe_byte_artifact",
+      (s, dir) => {
+        // The PORTABLE ARTIFACT round-trip on the trained byte model:
+        // export merges.txt (#version header + spelling pairs in the
+        // published GPT-2 printable remap space) and vocab.json
+        // (spelling -> the exact emitted id; export is loud on
+        // duplicate spellings, so its success PROVES the vocab is a
+        // bijection), re-import the merge list by spelling resolution
+        // (the mechanism external runtimes use), and apply the IMPORTED
+        // spec: corpus compression stats, the weighted decode
+        // round-trip (bpe_decode_bytes(encode(w)) = w must hold for
+        // EVERY unit — the byte-level partition law), artifact line
+        // count, vocab size (jackson-parsed from the emitted JSON), and
+        // the spec==reimport bit. The oracle recomputes the stats from
+        // its replayed final table state and asserts the construction
+        // laws (all units round-trip, lines = merges + 1, vocab =
+        // 256 + merges).
+        graft.functions.BpeByteExpressions.register(s)
+        val units = graft.operators.BpeInt.fourgramCounts(bpeByteCorpus(s, dir), "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          bpeByteMerges, bpeByteRounds, bpeByteCandCap, bpeByteAcceptCap)
+          .localCheckpoint(true)
+        val mergesTxt = graft.operators.BpeArtifact.exportMerges(m)
+        val vocabJson = graft.operators.BpeArtifact.exportVocab(m)
+        val vocabSize = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(vocabJson).size()
+        val spec = graft.operators.BpeArtifact.importMerges(mergesTxt)
+        val specRoundtrip = spec == graft.operators.BpeByte.specOf(m)
+        val artifactLines = mergesTxt.split("\n").length
+        val stats = m.agg(count(lit(1)).cast("int").as("merges"),
+          max("rnd").as("rounds"))
+        units
+          .withColumn("syms", expr(s"bpe_encode_bytes(w, '$spec')"))
+          .agg(
+            count(lit(1)).as("n_units"),
+            sum(expr("wcnt * octet_length(w)")).as("base_bytes"),
+            sum(expr("wcnt * size(syms)")).as("enc_syms"),
+            sum(expr(s"case when bpe_decode_bytes(syms, '$spec') = w then 1 else 0 end"))
+              .as("decode_ok_units"))
+          .crossJoin(broadcast(stats))
+          .selectExpr("n_units", "base_bytes", "enc_syms",
+            "round(cast(enc_syms as double) / cast(base_bytes as double), 6) as ratio",
+            "merges", "rounds",
+            s"$artifactLines as artifact_lines",
+            s"$specRoundtrip as spec_roundtrip",
+            "decode_ok_units",
+            s"$vocabSize as vocab_size")
+      },
+      Some(s"""
+        WITH $duckBpeByteCtes,
+        stats AS (
+          SELECT CAST(COUNT(*) AS INTEGER) AS merges,
+                 CAST(MAX(rnd) AS INTEGER) AS rounds
+          FROM ($duckBpeByteMerges)),
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                 CAST(SUM(wcnt * strlen(g)) AS BIGINT) AS base_bytes
+          FROM bw0),
+        enc AS (
+          SELECT CAST(SUM(wcnt * len(syms)) AS BIGINT) AS enc_syms
+          FROM bw$bpeByteRounds)
+        SELECT n_units, base_bytes, enc_syms,
+               round(CAST(enc_syms AS DOUBLE) / CAST(base_bytes AS DOUBLE), 6) AS ratio,
+               merges, rounds,
+               CAST(merges + 1 AS INTEGER) AS artifact_lines,
+               TRUE AS spec_roundtrip,
+               n_units AS decode_ok_units,
+               CAST(256 + merges AS INTEGER) AS vocab_size
+        FROM base, enc, stats"""),
+      "The trained byte-level model through the merges.txt/vocab.json " +
+        "artifact: export -> spelling-resolved import -> single-" +
+        "expression apply; compression stats vs the replayed table, " +
+        "weighted decode round-trip law, artifact shape (lines, vocab " +
+        "bijection size), spec==reimport — the portability contract " +
+        "external tokenizer runtimes rely on.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):
@@ -9183,37 +9294,34 @@ object TextQueries {
   private def bpeIntCandCap = 16384
   private def bpeIntAcceptCap = 1024
 
-  /** Generated DuckDB twin of [[graft.operators.BpeInt.fitBlocked]] over
-    * the word-4-gram unit table of the 500-doc sample: per round r —
-    * `cand_r` (top-candCap int-pair counts, count-desc (a,b)-asc rank),
-    * `walk_r` (the greedy LEFT/RIGHT-rule walk as a single `list_reduce`
-    * fold over the rank-ordered candidate list — accept (a,b) iff a is
-    * no accepted pair's RIGHT and b is no accepted pair's LEFT; state =
-    * fixed-width taken counter || '.'-wrapped used-LEFT set plus
-    * ','-wrapped used-RIGHT set || chr(2)-separated accepted list — a
-    * linear recursive CTE at candCap 16384 measured ~280x slower),
-    * `sel_r` (parse the accepted list; midx/id from the running
-    * offset), `off_r`, and `bw_r` (batch application as a WINDOW-PARITY
-    * pass: unnest positions, left-join the accepted map,
-    * gaps-and-islands run ids, odd positions of each match run start a
-    * merge — under the L/R rule consecutive matches still only occur
-    * for (a,a) runs, since any other adjacency puts a symbol on both
-    * sides of the accepted set, and there odd-parity IS greedy
-    * left-to-right). Merge ids are `1114111 + midx`
-    * ([[graft.operators.BpeInt.IdBase]]). */
-  private def duckBpeIntCtes: String = {
+  /** Generated DuckDB twin of [[graft.operators.BpeInt.fitCore]] over an
+    * arbitrary symbol base — shared by the code-point (q265/q266) and
+    * byte-level (q278/q279) chains. `bw0Sql` must define
+    * `bw0(g, wcnt, syms)` (the unit table with its base-symbol int
+    * lists); per round r the chain generates — `cand_r` (top-candCap
+    * int-pair counts, count-desc (a,b)-asc rank), `walk_r` (the greedy
+    * LEFT/RIGHT-rule walk as a single `list_reduce` fold over the
+    * rank-ordered candidate list — accept (a,b) iff a is no accepted
+    * pair's RIGHT and b is no accepted pair's LEFT; state = fixed-width
+    * taken counter || '.'-wrapped used-LEFT set plus ','-wrapped
+    * used-RIGHT set || chr(2)-separated accepted list — a linear
+    * recursive CTE at candCap 16384 measured ~280x slower), `sel_r`
+    * (parse the accepted list; midx/id from the running offset),
+    * `off_r`, and `bw_r` (batch application as a WINDOW-PARITY pass:
+    * unnest positions, left-join the accepted map, gaps-and-islands run
+    * ids, odd positions of each match run start a merge — under the L/R
+    * rule consecutive matches still only occur for (a,a) runs, since
+    * any other adjacency puts a symbol on both sides of the accepted
+    * set, and there odd-parity IS greedy left-to-right). Merge ids are
+    * `idBase0 + midx` (idBase0 = IdBase - 1: 1114111 for the int chain,
+    * 255 for the byte chain). */
+  private def duckSymBpeCtes(bw0Sql: String, idBase0: Int, merges: Int,
+      rounds: Int, candCap: Int, acceptCap: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"""bw0 AS MATERIALIZED (
-          SELECT g, CAST(COUNT(1) AS BIGINT) AS wcnt,
-                 list_transform(range(1, length(g) + 1),
-                   i -> CAST(unicode(substring(g, i, 1)) AS INTEGER)) AS syms
-          FROM (
-            SELECT array_to_string(tk[i:i+3], ' ') AS g
-            FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id < 500),
-                 unnest(range(1, len(tk) - 2)) u(i))
-          GROUP BY g),
+    sb.append(bw0Sql)
+    sb.append(""",
         off0 AS (SELECT 0 AS m)""")
-    for (r <- 1 to bpeIntRounds) {
+    for (r <- 1 to rounds) {
       sb.append(s""",
         cand$r AS MATERIALIZED (
           SELECT a, b, CAST(n AS BIGINT) AS n,
@@ -9221,7 +9329,7 @@ object TextQueries {
           FROM (
             SELECT syms[i] AS a, syms[i+1] AS b, SUM(wcnt) AS n
             FROM bw${r - 1}, unnest(range(1, len(syms))) t(i)
-            GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT $bpeIntCandCap)),
+            GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT $candCap)),
         walk$r AS MATERIALIZED (
           SELECT string_split(st, chr(2))[3] AS accs FROM (
             SELECT list_reduce(
@@ -9238,14 +9346,14 @@ object TextQueries {
                   '.', string_split(c, '|')[1], '.,', string_split(c, '|')[2], ',',
                   substring(st, 7), ';', c)
               END) AS st
-            FROM (SELECT GREATEST(0, LEAST($bpeIntAcceptCap,
-                    $bpeIntMerges - (SELECT m FROM off${r - 1}))) AS cap))),
+            FROM (SELECT GREATEST(0, LEAST($acceptCap,
+                    $merges - (SELECT m FROM off${r - 1}))) AS cap))),
         sel$r AS MATERIALIZED (
           SELECT CAST((SELECT m FROM off${r - 1}) + ark AS INTEGER) AS midx,
                  $r AS rnd,
                  CAST(string_split(e, '|')[1] AS INTEGER) AS a,
                  CAST(string_split(e, '|')[2] AS INTEGER) AS b,
-                 CAST(1114111 + (SELECT m FROM off${r - 1}) + ark AS INTEGER) AS id
+                 CAST($idBase0 + (SELECT m FROM off${r - 1}) + ark AS INTEGER) AS id
           FROM (SELECT unnest(string_split(accs, ';')) AS e,
                        generate_subscripts(string_split(accs, ';'), 1) - 1 AS ark
                 FROM walk$r) WHERE e <> ''),
@@ -9276,11 +9384,88 @@ object TextQueries {
     sb.toString
   }
 
-  /** All accepted merges of the generated int-BPE chain, with counts. */
-  private def duckBpeIntMerges: String =
-    (1 to bpeIntRounds).map(r =>
+  /** All accepted merges of a generated symbol-BPE chain, with counts. */
+  private def duckSymBpeMerges(rounds: Int): String =
+    (1 to rounds).map(r =>
       s"SELECT s.midx, s.rnd, s.a, s.b, s.id, c.n FROM sel$r s JOIN cand$r c ON c.a = s.a AND c.b = s.b")
       .mkString("\n          UNION ALL ")
+
+  /** The q265/q266 chain: code-point base symbols over the word-4-gram
+    * unit table of the 500-doc sample (merge ids from 1114112 =
+    * [[graft.operators.BpeInt.IdBase]]). */
+  private def duckBpeIntCtes: String = duckSymBpeCtes(
+    s"""bw0 AS MATERIALIZED (
+          SELECT g, CAST(COUNT(1) AS BIGINT) AS wcnt,
+                 list_transform(range(1, length(g) + 1),
+                   i -> CAST(unicode(substring(g, i, 1)) AS INTEGER)) AS syms
+          FROM (
+            SELECT array_to_string(tk[i:i+3], ' ') AS g
+            FROM (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id < 500),
+                 unnest(range(1, len(tk) - 2)) u(i))
+          GROUP BY g)""",
+    1114111, bpeIntMerges, bpeIntRounds, bpeIntCandCap, bpeIntAcceptCap)
+
+  /** All accepted merges of the generated int-BPE chain, with counts. */
+  private def duckBpeIntMerges: String = duckSymBpeMerges(bpeIntRounds)
+
+  /** q278/q279 hyperparameters (defs — init-order gotcha): 8192 merges
+    * over the byte alphabet, 48 generated rounds (the L/R rule converges
+    * in ~16-20 on the mixed-script 4-gram sample; the slack is the
+    * exhaustion margin), candidate window 16384, up to 1024 accepts per
+    * round. */
+  private def bpeByteMerges = 8192
+  private def bpeByteRounds = 48
+  private def bpeByteCandCap = 16384
+  private def bpeByteAcceptCap = 1024
+
+  /** The q278/q279 training corpus: the q264 mixed-script construction
+    * (per doc_id % 3 an unspaced CJK tail or a mixed Latin-CJK run) over
+    * the fixed 500-doc sample — multibyte UTF-8 must be REAL for a
+    * byte-level trainer to mean anything. tokenize_text's locked grammar
+    * (q264) turns the tails into the explicit token lists the oracle
+    * replays. */
+  private def bpeByteCorpus(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" \u6f22\u5b57\u30c6\u30b9\u30c8"))
+          .when(col("doc_id") % 3 === 1, lit(" abc\u6f22\u5b57def"))
+          .otherwise(lit(""))).as("t"))
+
+  /** The q278/q279 chain: UTF-8 BYTE base symbols (standard encoding
+    * arithmetic per code point) over the word-4-gram units of the
+    * mixed-script corpus (merge ids from 256 =
+    * [[graft.operators.BpeByte.IdBase]]). */
+  private def duckBpeByteCtes: String = duckSymBpeCtes(
+    s"""bw0 AS MATERIALIZED (
+          SELECT g, CAST(COUNT(1) AS BIGINT) AS wcnt,
+                 flatten(list_transform(
+                   list_transform(range(1, length(g) + 1), i -> unicode(substring(g, i, 1))),
+                   cp -> CASE WHEN cp < 128 THEN [CAST(cp AS INTEGER)]
+                     WHEN cp < 2048 THEN [CAST(192 + cp // 64 AS INTEGER),
+                                          CAST(128 + cp % 64 AS INTEGER)]
+                     WHEN cp < 65536 THEN [CAST(224 + cp // 4096 AS INTEGER),
+                                           CAST(128 + (cp // 64) % 64 AS INTEGER),
+                                           CAST(128 + cp % 64 AS INTEGER)]
+                     ELSE [CAST(240 + cp // 262144 AS INTEGER),
+                           CAST(128 + (cp // 4096) % 64 AS INTEGER),
+                           CAST(128 + (cp // 64) % 64 AS INTEGER),
+                           CAST(128 + cp % 64 AS INTEGER)] END)) AS syms
+          FROM (
+            SELECT array_to_string(tk[i:i+3], ' ') AS g
+            FROM (SELECT list_concat(string_split(text, ' '),
+                         CASE CAST(doc_id % 3 AS INTEGER)
+                           WHEN 0 THEN [chr(28450) || chr(23383), chr(23383) || chr(12486),
+                                        chr(12486) || chr(12473), chr(12473) || chr(12488)]
+                           WHEN 1 THEN ['abc', chr(28450) || chr(23383), 'def']
+                           ELSE [] END) AS tk
+                  FROM documents WHERE doc_id < 500),
+                 unnest(range(1, len(tk) - 2)) u(i))
+          GROUP BY g)""",
+    255, bpeByteMerges, bpeByteRounds, bpeByteCandCap, bpeByteAcceptCap)
+
+  /** All accepted merges of the generated byte-BPE chain, with counts. */
+  private def duckBpeByteMerges: String = duckSymBpeMerges(bpeByteRounds)
 
   /** q247/q248 hyperparameters (defs — init-order gotcha): 512 merges,
     * 24 generated rounds (all three SFs converge in ~8 under the L/R
