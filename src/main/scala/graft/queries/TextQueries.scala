@@ -9098,7 +9098,63 @@ object TextQueries {
         "expression apply; compression stats vs the replayed table, " +
         "weighted decode round-trip law, artifact shape (lines, vocab " +
         "bijection size), spec==reimport — the portability contract " +
-        "external tokenizer runtimes rely on.")
+        "external tokenizer runtimes rely on."),
+
+    // ---------------------------------------------------------------- q280
+    Q(
+      "q280_extract_main",
+      (s, dir) => {
+        // MAIN-CONTENT extraction (the boilerpipe/jusText algorithm
+        // class): each doc is dressed as a full page whose shell would
+        // SURVIVE strip_html — the nav/header/aside/footer all carry
+        // long unlinked text that passes the content rules, so only the
+        // container-pruning stage can remove them — plus two in-article
+        // traps for the block rules: a short paragraph (length rule)
+        // and a link-heavy paragraph (integer link-density rule). Half
+        // the docs (kind = 1) carry a second article paragraph, locking
+        // the block-join. extract_main must recover EXACTLY the article
+        // paragraphs; the oracle replays the CONSTRUCTION (q239's
+        // discipline), not the parser. Map-only codegen'd pass.
+        graft.functions.HtmlExpressions.register(s)
+        table(s, dir, "documents")
+          .selectExpr("doc_id", "source", "text", "cast(doc_id % 2 as int) as kind")
+          .withColumn("html", expr(
+            """concat('<html><head><title>t</title></head><body>',
+                 '<nav>Primary navigation sections listing every archive category</nav>',
+                 '<header><h1>', source,
+                 ' site banner headline wording for the page</h1></header>',
+                 '<div id="main"><p>', text, '</p>',
+                 '<p>Too short to keep.</p>',
+                 '<p><a href="/l1">click here now</a> <a href="/l2">and also here</a> ok</p>',
+                 case when kind = 1 then concat('<p>', text, '</p>') else '' end,
+                 '</div><aside>Related reading selections curated for subscribers</aside>',
+                 '<footer>All rights reserved worldwide legal information text</footer>',
+                 '</body></html>')"""))
+          .selectExpr(
+            "doc_id",
+            "extract_main(html) as main_text",
+            "cast(length(extract_main(html)) as int) as n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH k AS (
+          SELECT doc_id, text, CAST(doc_id % 2 AS INTEGER) AS kind,
+                 length(replace(text, ' ', '')) >= 25 AS keep1
+          FROM documents),
+        e AS (
+          SELECT doc_id,
+                 CASE WHEN keep1 AND kind = 1 THEN text || chr(10) || text
+                      WHEN keep1 THEN text
+                      ELSE '' END AS main_text
+          FROM k)
+        SELECT doc_id, main_text,
+               CAST(length(main_text) AS INTEGER) AS n_chars
+        FROM e ORDER BY doc_id"""),
+      "Block-level main-content extraction: semantic containers pruned " +
+        "with contents (their text passes the content rules — only " +
+        "pruning removes it), 25-non-space length rule, integer 3x " +
+        "link-density rule, blocks joined by newline — the oracle " +
+        "replays the page construction byte-for-byte.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):

@@ -62,6 +62,7 @@ class HostileInputSpec extends AnyFunSuite {
       HttpKit.bodyJava(s0)
       HttpKit.headerJava(s0, "content-type")
       HtmlKit.stripJava(s0)
+      assert(HtmlKit.extractMainJava(s0) != null)
       assert(PiiKit.scrubJava(s0) != null)
     }
   }
