@@ -9154,7 +9154,229 @@ object TextQueries {
         "with contents (their text passes the content rules — only " +
         "pruning removes it), 25-non-space length rule, integer 3x " +
         "link-density rule, blocks joined by newline — the oracle " +
-        "replays the page construction byte-for-byte.")
+        "replays the page construction byte-for-byte."),
+
+    // ---------------------------------------------------------------- q281
+    Q(
+      "q281_crawl_capstone",
+      (s, dir) => {
+        // CRAWL-TO-CONTEXTS CAPSTONE: one accounted query rooted at REAL
+        // WARC bytes — format("warc") scan (record_type pushdown) ->
+        // charset-aware decode_payload + http_body peel (ISO-8859-1
+        // accented bodies: a cast-as-string pipeline would mojibake) ->
+        // extract_main (nav/footer shells whose text passes the content
+        // rules — only container pruning removes it) -> split_sentences
+        // df>=5 boilerplate scrub (a shared subscribe-line on every
+        // page) -> canonical-URL exact screen (planted utm_source
+        // re-crawls) -> MinHash-LSH + exact-Jaccard near-dup screen
+        // (planted one-token variants) -> hash-threshold mixture ->
+        // Packer ctx-128 contexts. Output: (ord, stage, n_rows, metric)
+        // per stage. The fixture is BUILT from the documents table
+        // (bounded, deterministic, content-addressed temp dir) and the
+        // oracle replays EVERY stage from the same construction — one
+        // wrong byte in decode, one wrong block in extraction, one wrong
+        // sentence boundary, election key, hash threshold or packing
+        // offset anywhere shifts a later stage's counts and fails the
+        // row.
+        graft.functions.HttpExpressions.register(s)
+        graft.functions.HtmlExpressions.register(s)
+        graft.functions.UnicodeExpressions.register(s)
+        graft.functions.UrlExpressions.register(s)
+        val warcDir = capstoneWarcFixture(s, dir)
+        val all = s.read.format("warc").load(warcDir)
+        val resp = all.filter(col("record_type") === "response")
+          .selectExpr("record_id", "target_uri", "payload", "content_length")
+          .withColumn("d", expr(
+            "cast(regexp_extract(record_id, 'cap-([0-9]+)-', 1) as bigint)"))
+          .withColumn("kind", expr(
+            "cast(regexp_extract(record_id, '-([0-9]+)>', 1) as int)"))
+          .withColumn("rid", expr("d * 3 + kind"))
+        val extracted = resp
+          .withColumn("html", expr(
+            "http_body(decode_payload(payload, cast(null as string)))"))
+          .withColumn("article", expr("extract_main(html)"))
+          .select("rid", "target_uri", "content_length", "html", "article")
+          .localCheckpoint(true) // read by 3 accounting branches + the scrub
+        val sent = extracted
+          .select(col("rid"), col("target_uri"),
+            posexplode(expr("split_sentences(article)")).as(Seq("pos", "sent")))
+        val boiler = sent.groupBy("sent")
+          .agg(countDistinct(col("rid")).as("sdf")).filter(col("sdf") >= 5)
+        val scrubbed = sent.join(broadcast(boiler), Seq("sent"), "left")
+          .filter(col("sdf").isNull)
+          .groupBy("rid", "target_uri")
+          .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, sent))), " +
+            "x -> x.sent), ' ')").as("scrubbed"))
+          .withColumn("toks", split(col("scrubbed"), " "))
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .localCheckpoint(true)
+        // exact screen: canonical-URL election (min rid per canonical key)
+        val urlKept = scrubbed
+          .withColumn("curl", expr("canonical_url(target_uri)"))
+          .withColumn("rk", expr(
+            "row_number() over (partition by curl order by rid)"))
+          .filter(col("rk") === 1).drop("rk")
+          .localCheckpoint(true)
+        // near-dup screen: LSH candidates, exact-Jaccard verify >= 0.5,
+        // min-id election (drop the larger side of every verified pair)
+        val cand = graft.operators.Dedup
+          .minhashLshCandidates(s, urlKept, "rid", "scrubbed")
+        val sh = urlKept.filter(size(col("toks")) >= 3)
+          .selectExpr("rid", "word_ngrams(toks, 3) as sh")
+        val dropB = cand
+          .join(sh.select(col("rid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("rid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .filter(expr("cast(size(array_intersect(sh_a, sh_b)) as double) " +
+            "/ size(array_union(sh_a, sh_b)) >= 0.5"))
+          .select(col("id_b").as("rid")).distinct()
+        val nearKept = urlKept.join(dropB, Seq("rid"), "left_anti")
+          .withColumn("src", expr("url_host(target_uri)"))
+          .select("src", "rid", "n_tok")
+          .localCheckpoint(true)
+        val mixed = graft.operators.Mixture.sampleByRates(
+          nearKept, "src", "rid", Map.empty, defaultRate = 0.8, salt = "cap_mix")
+          .localCheckpoint(true)
+        val nCtx = graft.operators.Packer
+          .withSequenceOffsets(mixed, "rid", "n_tok", ctxLen = 128)
+          .agg(coalesce(max(col("last_seq")) + 1, lit(0L)).as("n_rows"),
+            coalesce(sum(col("n_tok")), lit(0L)).as("metric"))
+        def row(ord: Int, name: String, df: org.apache.spark.sql.DataFrame,
+            metric: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).as("n_rows"),
+              coalesce(metric.cast("long"), lit(0L)).as("metric"))
+            .select(lit(ord).as("ord"), lit(name).as("stage"),
+              col("n_rows"), col("metric"))
+        row(0, "warc_records", all, sum(col("content_length")))
+          .unionAll(row(1, "responses", extracted, sum(col("content_length"))))
+          .unionAll(row(2, "decoded_html", extracted, sum(length(col("html")))))
+          .unionAll(row(3, "extracted", extracted, sum(length(col("article")))))
+          .unionAll(row(4, "scrubbed", scrubbed, sum(col("n_tok"))))
+          .unionAll(row(5, "url_dedup", urlKept, sum(col("n_tok"))))
+          .unionAll(row(6, "near_dedup", nearKept, sum(col("n_tok"))))
+          .unionAll(row(7, "mixture", mixed, sum(col("n_tok"))))
+          .unionAll(nCtx.select(lit(8).as("ord"), lit("packed_ctx128").as("stage"),
+            col("n_rows"), col("metric")))
+          .orderBy("ord")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'o', 'ø') AS acc
+          FROM documents),
+        recs AS (
+          SELECT doc_id, source, acc, 3 * doc_id AS rid, 0 AS kind FROM base
+          UNION ALL
+          SELECT doc_id, source, acc, 3 * doc_id + 1, 1 FROM base WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id, source, acc, 3 * doc_id + 2, 2 FROM base WHERE doc_id % 11 = 5),
+        pg AS (
+          SELECT rid, doc_id, kind,
+                 acc || CASE WHEN kind = 2 THEN ' zx' || CAST(doc_id AS VARCHAR)
+                             ELSE '' END || '.' AS p1
+          FROM recs),
+        doc2 AS (
+          SELECT rid, kind, p1,
+                 '$capHtmlPre' || p1 || '$capHtmlMid' AS html,
+                 CASE WHEN length(replace(p1, ' ', '')) >= 25
+                      THEN p1 || chr(10) || '$capBoiler'
+                      ELSE '$capBoiler' END AS article
+          FROM pg),
+        lens AS (
+          SELECT rid,
+                 CAST(length('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                     'Content-Type: text/html; charset=iso-8859-1' ||
+                     chr(13) || chr(10) || chr(13) || chr(10))
+                   + length(html) AS BIGINT) AS clen,
+                 CAST(length(html) AS BIGINT) AS hlen,
+                 CAST(length(article) AS BIGINT) AS alen
+          FROM doc2),
+        reqlens AS (
+          SELECT CAST(length('GET /p/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1' ||
+                     chr(13) || chr(10) || chr(13) || chr(10)) AS BIGINT) AS clen
+          FROM base WHERE doc_id % 5 = 0),
+        se AS (
+          SELECT rid, kind, unnest(sents) AS sent, generate_subscripts(sents, 1) AS pos
+          FROM (SELECT rid, kind, ${duckSplitSentences("article")} AS sents FROM doc2)),
+        bl AS (
+          SELECT sent FROM se GROUP BY sent HAVING COUNT(DISTINCT rid) >= 5),
+        scr AS (
+          SELECT rid, kind,
+                 array_to_string(list(s.sent ORDER BY s.pos), ' ') AS scrubbed
+          FROM se s LEFT JOIN bl ON bl.sent = s.sent
+          WHERE bl.sent IS NULL
+          GROUP BY rid, kind),
+        scrt AS (
+          SELECT rid, kind, scrubbed, string_split(scrubbed, ' ') AS toks,
+                 CAST(len(string_split(scrubbed, ' ')) AS BIGINT) AS n_tok
+          FROM scr),
+        uk AS (SELECT * FROM scrt WHERE kind <> 1),
+        sigs AS (
+          SELECT rid, ${duckMinhashSelect.mkString(", ")}
+          FROM uk WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, rid FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, rid FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.rid < b.rid),
+        shv AS (SELECT rid, $duckShingles AS sh FROM uk WHERE len(toks) >= 3),
+        dropb AS (
+          SELECT DISTINCT p.id_b AS rid
+          FROM pairs p JOIN shv a ON p.id_a = a.rid JOIN shv b ON p.id_b = b.rid
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        nk AS (SELECT * FROM uk WHERE rid NOT IN (SELECT rid FROM dropb)),
+        mixd AS (
+          SELECT * FROM nk
+          WHERE ${duckMd5long("'cap_mix|' || CAST(rid AS VARCHAR)")} % 1000000 < 800000),
+        packt AS (
+          SELECT rid, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY rid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM mixd),
+        nctx AS (
+          SELECT CAST(COALESCE(MAX((tok_offset + greatest(n_tok, 1) - 1) // 128) + 1, 0) AS BIGINT) AS n
+          FROM packt)
+        SELECT ord, stage, n_rows, metric FROM (
+          SELECT CAST(0 AS INTEGER) AS ord, 'warc_records' AS stage,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM recs)
+                   + (SELECT CAST(COUNT(*) AS BIGINT) FROM reqlens) AS n_rows,
+                 (SELECT CAST(COALESCE(SUM(clen), 0) AS BIGINT) FROM lens)
+                   + (SELECT CAST(COALESCE(SUM(clen), 0) AS BIGINT) FROM reqlens) AS metric
+          UNION ALL SELECT 1, 'responses',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM recs),
+                 (SELECT CAST(COALESCE(SUM(clen), 0) AS BIGINT) FROM lens)
+          UNION ALL SELECT 2, 'decoded_html',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM recs),
+                 (SELECT CAST(COALESCE(SUM(hlen), 0) AS BIGINT) FROM lens)
+          UNION ALL SELECT 3, 'extracted',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM recs),
+                 (SELECT CAST(COALESCE(SUM(alen), 0) AS BIGINT) FROM lens)
+          UNION ALL SELECT 4, 'scrubbed',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM scrt),
+                 (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM scrt)
+          UNION ALL SELECT 5, 'url_dedup',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM uk),
+                 (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM uk)
+          UNION ALL SELECT 6, 'near_dedup',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM nk),
+                 (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM nk)
+          UNION ALL SELECT 7, 'mixture',
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM mixd),
+                 (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM mixd)
+          UNION ALL SELECT 8, 'packed_ctx128',
+                 (SELECT n FROM nctx),
+                 (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM mixd)
+        ) ORDER BY ord"""),
+      "Crawl-to-contexts end to end from REAL WARC bytes: scan (type " +
+        "pushdown) -> charset-aware peel -> main-content extraction -> " +
+        "sentence boilerplate scrub -> canonical-URL exact screen -> " +
+        "MinHash+Jaccard near-dup screen -> hash mixture -> ctx-128 " +
+        "packing, each stage's rows and metric replayed by the oracle " +
+        "from the fixture construction.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):
@@ -9463,6 +9685,77 @@ object TextQueries {
 
   /** All accepted merges of the generated int-BPE chain, with counts. */
   private def duckBpeIntMerges: String = duckSymBpeMerges(bpeIntRounds)
+
+  /** q281 fixture strings (defs — init-order gotcha). The nav and
+    * footer text must PASS extract_main's content rules (long, unlinked)
+    * so only container pruning can remove them; the boilerplate sentence
+    * appears on every page so the df >= 5 scrub drops it. All pure
+    * ASCII except the article body (accented via the q246 replace). */
+  private def capBoiler = "Subscribe to our newsletter for updates and announcements today."
+  private def capHtmlPre = "<html><head><title>t</title></head><body>" +
+    "<nav>Primary navigation listing every site section and archive</nav><div><p>"
+  private def capHtmlMid = "</p><p>" + capBoiler + "</p></div>" +
+    "<footer>All rights reserved worldwide by the operator company</footer></body></html>"
+  private def capEnvelope =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n\r\n"
+
+  /** Build (once per sf dir, content-addressed temp path) the q281 WARC
+    * crawl fixture from the documents table: per doc a gzip WARC
+    * response whose payload is an ISO-8859-1 HTTP response wrapping the
+    * dressed page (article = accented text, kind suffix, terminator);
+    * planted utm_source re-crawls (doc_id % 7 = 3, identical payload),
+    * one-token near-dup variants (doc_id % 11 = 5, /v/ path), and
+    * request records (doc_id % 5 = 0). Four gzip segments by
+    * doc_id % 4. The collect is FIXTURE GENERATION over the bounded
+    * test corpus (500-5000 rows), not a data-path collect — the
+    * pipeline itself reads the bytes back through format("warc"). */
+  private def capstoneWarcFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_capstone_" + Integer.toHexString(dir.hashCode))
+    val marker = new java.io.File(base, "_COMPLETE")
+    if (!marker.exists()) {
+      if (base.exists()) {
+        base.listFiles().foreach(_.delete())
+      } else {
+        require(base.mkdirs(), s"cannot create fixture dir $base")
+      }
+      val rows = table(s, dir, "documents")
+        .selectExpr("doc_id", "source", "text").orderBy("doc_id").collect()
+      def acc(t: String): String =
+        t.replace('a', '\u00e1').replace('e', '\u00e9').replace('o', '\u00f8')
+      def respPayload(p1: String): Array[Byte] = {
+        val html = capHtmlPre + p1 + capHtmlMid
+        (capEnvelope + html).getBytes(iso)
+      }
+      val outs = (0 until 4).map { k =>
+        new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(new java.io.File(base, f"cap-seg-$k.warc.gz")))
+      }
+      rows.foreach { r =>
+        val d = r.getLong(0)
+        val src = r.getString(1)
+        val a = acc(r.getString(2))
+        val o = outs((d % 4).toInt)
+        def wr(typ: String, uri: String, payload: Array[Byte], k: Int): Unit =
+          o.write(graft.sources.warc.WarcCodec.encode(Seq(
+            "WARC-Type" -> typ,
+            "WARC-Record-ID" -> s"<urn:uuid:cap-$d-$k>",
+            "WARC-Target-URI" -> uri,
+            "WARC-Date" -> "2024-07-01T00:00:00Z"), payload))
+        val uriMain = s"https://WWW.$src.example/p/$d"
+        wr("response", uriMain, respPayload(a + "."), 0)
+        if (d % 7 == 3) wr("response", uriMain + "?utm_source=feed", respPayload(a + "."), 1)
+        if (d % 11 == 5)
+          wr("response", s"https://WWW.$src.example/v/$d", respPayload(a + " zx" + d + "."), 2)
+        if (d % 5 == 0) wr("request", uriMain, s"GET /p/$d HTTP/1.1\r\n\r\n".getBytes(iso), 3)
+      }
+      outs.foreach(_.close())
+      require(marker.createNewFile(), s"cannot write fixture marker $marker")
+    }
+    base.getAbsolutePath
+  }
 
   /** q278/q279 hyperparameters (defs — init-order gotcha): 8192 merges
     * over the byte alphabet, 48 generated rounds (the L/R rule converges
