@@ -888,6 +888,537 @@ object MediaCodecs {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
+  // -------------------------------------------------------------- JPEG
+
+  final case class Jpeg(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Zigzag scan order: zigzag index -> natural (row-major) index. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** IDCT basis: idctCos(u)(x) = C(u) * cos((2x + 1) * u * pi / 16),
+    * C(0) = 1/sqrt(2) else 1 — StrictMath for cross-JVM determinism. */
+  private val JpegIdctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+    c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+  }
+
+  /** Canonical Huffman decode table from the DHT BITS/HUFFVAL lists. */
+  private final class JpegHuff(bits: Array[Int], vals: Array[Byte]) {
+    // minCode/maxCode/valPtr per code length (1-16) — the standard
+    // canonical-code decode structure (JPEG spec F.2.2.3)
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        if (bits(l - 1) > 0) {
+          k += bits(l - 1)
+          code += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def symbol(len: Int, code: Int): Int = {
+      require(len <= 16 && maxCode(len) >= 0 && code <= maxCode(len),
+        s"JPEG: invalid Huffman code (len $len)")
+      vals(valPtr(len) + (code - minCode(len))) & 0xff
+    }
+    def has(len: Int, code: Int): Boolean = maxCode(len) >= 0 && code <= maxCode(len)
+  }
+
+  /**
+   * Baseline-sequential JPEG decode (SOF0: 8-bit Huffman DCT, the format
+   * the overwhelming majority of web images use): marker walk (APPn/COM
+   * skipped, DQT 8-bit tables, DHT canonical tables, DRI restart
+   * interval), interleaved MCU scan with per-component DC prediction and
+   * RSTn handling (predictor reset + byte realign), FF00 byte
+   * unstuffing, dequantize + dezigzag, naive double IDCT (StrictMath —
+   * deterministic across JVMs), level shift, sample-replication chroma
+   * upsampling for any h/v factors, and JFIF YCbCr -> RGB (1-component
+   * images replicate Y). Progressive (SOF2) and every other frame type
+   * fail loudly — skip-corrupt belongs to the CALLER's dispatch, a
+   * half-decoded image must never become features. Output rows are
+   * row-major RGB triplets.
+   */
+  def decodeJpeg(bytes: Array[Byte]): Jpeg = {
+    def u8(i: Int): Int = {
+      require(i < bytes.length, s"JPEG: unexpected end of input at byte $i")
+      bytes(i) & 0xff
+    }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    require(bytes.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8,
+      s"not JPEG: magic ${bytes.take(2).map(b => f"${b & 0xff}%02x").mkString(" ")}")
+
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var dri = 0
+    // frame state
+    var width = 0
+    var height = 0
+    var nComp = 0
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compTq: Array[Int] = null
+    var planes: Array[Array[Int]] = null
+    var planeW: Array[Int] = null
+    var planeH: Array[Int] = null
+    var sawFrame = false
+    var sawScan = false
+
+    var i = 2
+    var done = false
+    while (!done) {
+      // marker: skip fill bytes (FF FF ... xx)
+      require(u8(i) == 0xff, f"JPEG: expected marker at byte $i, got ${u8(i)}%02x")
+      while (u8(i + 1) == 0xff) i += 1
+      val marker = u8(i + 1)
+      i += 2
+      marker match {
+        case 0xd9 => // EOI
+          done = true
+        case 0xdb => // DQT
+          val end = i + u16(i)
+          var p = i + 2
+          while (p < end) {
+            val pq = u8(p) >> 4
+            val tq = u8(p) & 0x0f
+            require(pq == 0, s"JPEG: only 8-bit quant tables supported (Pq $pq)")
+            require(tq < 4, s"JPEG: quant table id $tq out of range")
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(k) = u8(p + 1 + k); k += 1 }
+            quant(tq) = t
+            p += 65
+          }
+          i = end
+        case 0xc4 => // DHT
+          val end = i + u16(i)
+          var p = i + 2
+          while (p < end) {
+            val tc = u8(p) >> 4
+            val th = u8(p) & 0x0f
+            require(tc <= 1 && th < 4, s"JPEG: bad Huffman table class/id ($tc, $th)")
+            val bits = new Array[Int](16)
+            var total = 0
+            var k = 0
+            while (k < 16) { bits(k) = u8(p + 1 + k); total += bits(k); k += 1 }
+            val vals = new Array[Byte](total)
+            k = 0
+            while (k < total) { vals(k) = bytes(p + 17 + k); k += 1 }
+            val tab = new JpegHuff(bits, vals)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            p += 17 + total
+          }
+          i = end
+        case 0xdd => // DRI
+          dri = u16(i + 2)
+          i += u16(i)
+        case 0xc0 => // SOF0 baseline
+          require(!sawFrame, "JPEG: multiple frame headers")
+          sawFrame = true
+          require(u8(i + 2) == 8, s"JPEG: only 8-bit precision supported (${u8(i + 2)})")
+          height = u16(i + 3)
+          width = u16(i + 5)
+          nComp = u8(i + 7)
+          require(width > 0 && height > 0, s"JPEG: bad dimensions ${width}x$height")
+          require(nComp == 1 || nComp == 3, s"JPEG: $nComp components unsupported")
+          compId = new Array[Int](nComp)
+          compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp)
+          compTq = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compId(c) = u8(i + 8 + 3 * c)
+            compH(c) = u8(i + 9 + 3 * c) >> 4
+            compV(c) = u8(i + 9 + 3 * c) & 0x0f
+            compTq(c) = u8(i + 10 + 3 * c)
+            require(compH(c) >= 1 && compH(c) <= 4 && compV(c) >= 1 && compV(c) <= 4,
+              s"JPEG: bad sampling factors ${compH(c)}x${compV(c)}")
+            c += 1
+          }
+          i += u16(i)
+        case m if m == 0xc2 || (m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) =>
+          throw new IllegalArgumentException(
+            f"JPEG: frame type SOF${m - 0xc0} unsupported (baseline SOF0 only)")
+        case 0xda => // SOS
+          require(sawFrame, "JPEG: scan before frame header")
+          require(!sawScan, "JPEG: multiple scans unsupported (baseline has one)")
+          sawScan = true
+          val ns = u8(i + 2)
+          require(ns == nComp, s"JPEG: scan components $ns != frame components $nComp")
+          val scanDc = new Array[JpegHuff](nComp)
+          val scanAc = new Array[JpegHuff](nComp)
+          var c = 0
+          while (c < ns) {
+            val cs = u8(i + 3 + 2 * c)
+            val idx = compId.indexOf(cs)
+            require(idx >= 0, s"JPEG: scan names unknown component $cs")
+            val td = u8(i + 4 + 2 * c) >> 4
+            val ta = u8(i + 4 + 2 * c) & 0x0f
+            scanDc(idx) = dcTabs(td)
+            scanAc(idx) = acTabs(ta)
+            require(scanDc(idx) != null && scanAc(idx) != null,
+              s"JPEG: scan references undefined Huffman table ($td/$ta)")
+            c += 1
+          }
+          i += u16(i)
+          // --- entropy-coded scan ---
+          val hMax = compH.max
+          val vMax = compV.max
+          val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+          val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+          planeW = Array.tabulate(nComp)(c0 => mcusX * compH(c0) * 8)
+          planeH = Array.tabulate(nComp)(c0 => mcusY * compV(c0) * 8)
+          planes = Array.tabulate(nComp)(c0 => new Array[Int](planeW(c0) * planeH(c0)))
+          c = 0
+          while (c < nComp) {
+            require(quant(compTq(c)) != null,
+              s"JPEG: component $c references undefined quant table ${compTq(c)}")
+            c += 1
+          }
+          var bitBuf = 0
+          var bitCnt = 0
+          def nextBit(): Int = {
+            if (bitCnt == 0) {
+              var b = u8(i); i += 1
+              if (b == 0xff) {
+                val b2 = u8(i); i += 1
+                require(b2 == 0x00,
+                  f"JPEG: marker FF$b2%02x inside entropy data (truncated scan?)")
+                b = 0xff
+              }
+              bitBuf = b
+              bitCnt = 8
+            }
+            bitCnt -= 1
+            (bitBuf >> bitCnt) & 1
+          }
+          def receive(n: Int): Int = {
+            var v = 0
+            var k = 0
+            while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+            v
+          }
+          def extend(v: Int, t: Int): Int =
+            if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+          def decodeHuff(tab: JpegHuff): Int = {
+            var code = nextBit()
+            var len = 1
+            while (!tab.has(len, code)) {
+              code = (code << 1) | nextBit()
+              len += 1
+              require(len <= 16, "JPEG: Huffman code longer than 16 bits")
+            }
+            tab.symbol(len, code)
+          }
+          val pred = new Array[Int](nComp)
+          val coef = new Array[Int](64)
+          val blk = new Array[Int](64)
+          def decodeBlock(c0: Int): Unit = {
+            java.util.Arrays.fill(coef, 0)
+            val t = decodeHuff(scanDc(c0))
+            require(t <= 11, s"JPEG: DC category $t out of range")
+            pred(c0) += extend(receive(t), t)
+            coef(0) = pred(c0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeHuff(scanAc(c0))
+              val r = rs >> 4
+              val ss = rs & 0x0f
+              if (ss == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                require(k < 64, "JPEG: AC coefficient index past 63")
+                coef(k) = extend(receive(ss), ss)
+                k += 1
+              }
+            }
+            // dequantize (zigzag-ordered) + IDCT into blk
+            val q = quant(compTq(c0))
+            val f = new Array[Double](64)
+            var z = 0
+            while (z < 64) { f(JpegZigzag(z)) = (coef(z) * q(z)).toDouble; z += 1 }
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var sum = 0.0
+                var u = 0
+                while (u < 8) {
+                  var v = 0
+                  while (v < 8) {
+                    sum += JpegIdctCos(v)(y) * JpegIdctCos(u)(x) * f(v * 8 + u)
+                    v += 1
+                  }
+                  u += 1
+                }
+                val px = StrictMath.round(sum / 4.0 + 128.0).toInt
+                blk(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+                x += 1
+              }
+              y += 1
+            }
+          }
+          var mcu = 0
+          val nMcus = mcusX * mcusY
+          var rstIdx = 0
+          while (mcu < nMcus) {
+            if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+              // restart: byte-align, expect RSTn in sequence, reset preds
+              bitCnt = 0
+              require(u8(i) == 0xff && u8(i + 1) == 0xd0 + rstIdx,
+                f"JPEG: expected RST$rstIdx at byte $i")
+              i += 2
+              rstIdx = (rstIdx + 1) % 8
+              java.util.Arrays.fill(pred, 0)
+            }
+            val mx = mcu % mcusX
+            val my = mcu / mcusX
+            var c0 = 0
+            while (c0 < nComp) {
+              var v0 = 0
+              while (v0 < compV(c0)) {
+                var h0 = 0
+                while (h0 < compH(c0)) {
+                  decodeBlock(c0)
+                  val ox = (mx * compH(c0) + h0) * 8
+                  val oy = (my * compV(c0) + v0) * 8
+                  var yy = 0
+                  while (yy < 8) {
+                    var xx = 0
+                    while (xx < 8) {
+                      planes(c0)((oy + yy) * planeW(c0) + ox + xx) = blk(yy * 8 + xx)
+                      xx += 1
+                    }
+                    yy += 1
+                  }
+                  h0 += 1
+                }
+                v0 += 1
+              }
+              c0 += 1
+            }
+            mcu += 1
+          }
+          // byte-align for the trailing marker
+          bitCnt = 0
+        case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => // APPn / COM
+          i += u16(i)
+        case 0x01 | _ if marker >= 0xd0 && marker <= 0xd7 =>
+          throw new IllegalArgumentException(
+            f"JPEG: unexpected restart/TEM marker FF$marker%02x outside a scan")
+        case other =>
+          // unknown-but-lengthed segment: skip by its declared length
+          i += u16(i)
+      }
+    }
+    require(sawScan, "JPEG: no scan data before EOI")
+    // color convert with sample-replication upsampling
+    val hMax = compH.max
+    val vMax = compV.max
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        if (nComp == 1) {
+          val g = planes(0)(y * planeW(0) + x)
+          out(o) = g.toByte; out(o + 1) = g.toByte; out(o + 2) = g.toByte
+        } else {
+          def sample(c0: Int): Int =
+            planes(c0)((y * compV(c0) / vMax) * planeW(c0) + (x * compH(c0) / hMax))
+          val yy = sample(0).toDouble
+          val cb = sample(1) - 128.0
+          val cr = sample(2) - 128.0
+          def clamp(d: Double): Byte = {
+            val v = StrictMath.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          out(o) = clamp(yy + 1.402 * cr)
+          out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg(width, height, out)
+  }
+
+  /** JPEG spec Annex K.3.3.1 luminance DC table (BITS, HUFFVAL 0-11). */
+  private val JpegK3DcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegK3DcVals: Array[Byte] =
+    Array[Byte](0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  /** Annex K.3.3.2 luminance AC table — only the two symbols this
+    * encoder emits, kept at their SPEC code lengths so the stream is a
+    * valid subset of the standard table: EOB (0x00, 4 bits '1010') and
+    * ZRL (0xF0, 11 bits). Shorter codes in the table are left unused by
+    * the encoder; the decode side handles any conforming table. */
+  private val JpegK5AcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val JpegK5AcVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81.toByte, 0x91.toByte, 0xa1.toByte, 0x08,
+    0x23, 0x42, 0xb1.toByte, 0xc1.toByte, 0x15, 0x52, 0xd1.toByte, 0xf0.toByte,
+    0x24, 0x33, 0x62, 0x72, 0x82.toByte, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83.toByte, 0x84.toByte, 0x85.toByte, 0x86.toByte, 0x87.toByte, 0x88.toByte, 0x89.toByte,
+    0x8a.toByte, 0x92.toByte, 0x93.toByte, 0x94.toByte, 0x95.toByte, 0x96.toByte, 0x97.toByte, 0x98.toByte,
+    0x99.toByte, 0x9a.toByte, 0xa2.toByte, 0xa3.toByte, 0xa4.toByte, 0xa5.toByte, 0xa6.toByte, 0xa7.toByte,
+    0xa8.toByte, 0xa9.toByte, 0xaa.toByte, 0xb2.toByte, 0xb3.toByte, 0xb4.toByte, 0xb5.toByte, 0xb6.toByte,
+    0xb7.toByte, 0xb8.toByte, 0xb9.toByte, 0xba.toByte, 0xc2.toByte, 0xc3.toByte, 0xc4.toByte, 0xc5.toByte,
+    0xc6.toByte, 0xc7.toByte, 0xc8.toByte, 0xc9.toByte, 0xca.toByte, 0xd2.toByte, 0xd3.toByte, 0xd4.toByte,
+    0xd5.toByte, 0xd6.toByte, 0xd7.toByte, 0xd8.toByte, 0xd9.toByte, 0xda.toByte, 0xe1.toByte, 0xe2.toByte,
+    0xe3.toByte, 0xe4.toByte, 0xe5.toByte, 0xe6.toByte, 0xe7.toByte, 0xe8.toByte, 0xe9.toByte, 0xea.toByte,
+    0xf1.toByte, 0xf2.toByte, 0xf3.toByte, 0xf4.toByte, 0xf5.toByte, 0xf6.toByte, 0xf7.toByte, 0xf8.toByte,
+    0xf9.toByte, 0xfa.toByte)
+
+  /**
+   * DC-ONLY baseline JPEG encoder (grayscale, 4:4:4 shape): one flat
+   * 8x8 block per entry of `blockVals` (natural values -1024..1016,
+   * quantized DC = v with the all-8s quant table, so the decoded block
+   * is EXACTLY `v / 8 + 128` clamped — integer when v is a multiple of
+   * 8). Blocks lay out row-major, `blocksWide` per row; the block count
+   * must fill the rectangle. Uses the Annex K tables above — the
+   * fixture generator for the decode path and the q282 oracle's
+   * arithmetic ground truth. `driEvery > 0` inserts DRI + RSTn markers
+   * every that many MCUs (restart handling must reset DC prediction).
+   */
+  def encodeJpegGrayDc(blockVals: Array[Int], blocksWide: Int, driEvery: Int = 0): Array[Byte] = {
+    require(blocksWide >= 1 && blockVals.nonEmpty && blockVals.length % blocksWide == 0,
+      s"blockVals (${blockVals.length}) must fill a rectangle $blocksWide wide")
+    require(blockVals.forall(v => v >= -1024 && v <= 1016 && v % 8 == 0),
+      "block values must be multiples of 8 in [-1024, 1016] (DC = v/8+128 exact)")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def seg(marker: Int, body: Int*): Unit = {
+      w(0xff, marker)
+      w((body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    w(0xff, 0xd8) // SOI
+    // DQT: table 0, all 8s
+    seg(0xdb, (Seq(0x00) ++ Seq.fill(64)(8)): _*)
+    // SOF0: 8-bit, h x w, 1 component (id 1, 1x1, quant 0)
+    val h = 8 * (blockVals.length / blocksWide)
+    val wdt = 8 * blocksWide
+    seg(0xc0, 8, h >> 8, h & 0xff, wdt >> 8, wdt & 0xff, 1, 1, 0x11, 0)
+    // DHT: DC table 0 + AC table 0 (Annex K luminance)
+    seg(0xc4, (Seq(0x00) ++ JpegK3DcBits ++ JpegK3DcVals.map(_.toInt)
+      ++ Seq(0x10) ++ JpegK5AcBits ++ JpegK5AcVals.map(_ & 0xff)): _*)
+    if (driEvery > 0) seg(0xdd, driEvery >> 8, driEvery & 0xff)
+    // SOS: 1 component, DC 0 / AC 0
+    seg(0xda, 1, 1, 0x00, 0, 63, 0)
+    // entropy: per block DC diff (Annex K DC codes) + EOB; FF stuffing
+    var bitBuf = 0
+    var bitCnt = 0
+    val scan = new java.io.ByteArrayOutputStream()
+    def putBits(code: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) {
+        bitBuf = (bitBuf << 1) | ((code >> k) & 1)
+        bitCnt += 1
+        if (bitCnt == 8) {
+          scan.write(bitBuf & 0xff)
+          if ((bitBuf & 0xff) == 0xff) scan.write(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        k -= 1
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) {
+      val pad = (bitBuf << (8 - bitCnt)) | ((1 << (8 - bitCnt)) - 1)
+      scan.write(pad & 0xff)
+      if ((pad & 0xff) == 0xff) scan.write(0x00)
+      bitBuf = 0; bitCnt = 0
+    }
+    // canonical DC codes from the BITS list (same construction the
+    // decoder walks): category -> (code, len)
+    val dcCode = new Array[(Int, Int)](12)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        var c = 0
+        while (c < JpegK3DcBits(l - 1)) {
+          dcCode(JpegK3DcVals(k) & 0xff) = (code, l)
+          code += 1; k += 1; c += 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    val eobCode = { // AC symbol 0x00 position in the canonical Annex K AC table
+      var code = 0
+      var k = 0
+      var found: (Int, Int) = null
+      var l = 1
+      while (l <= 16) {
+        var c = 0
+        while (c < JpegK5AcBits(l - 1)) {
+          if ((JpegK5AcVals(k) & 0xff) == 0x00) found = (code, l)
+          code += 1; k += 1; c += 1
+        }
+        code <<= 1
+        l += 1
+      }
+      found
+    }
+    var pred = 0
+    var rstIdx = 0
+    blockVals.zipWithIndex.foreach { case (v, bi) =>
+      if (driEvery > 0 && bi > 0 && bi % driEvery == 0) {
+        flushBits()
+        scan.write(0xff); scan.write(0xd0 + rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        pred = 0
+      }
+      val dcVal = v / 8 // quantized DC under the all-8s table
+      var diff = dcVal - pred
+      pred = dcVal
+      var cat = 0
+      var mag = if (diff < 0) -diff else diff
+      while (mag > 0) { cat += 1; mag >>= 1 }
+      val (code, len) = dcCode(cat)
+      putBits(code, len)
+      if (cat > 0) {
+        val extra = if (diff < 0) diff + (1 << cat) - 1 else diff
+        putBits(extra, cat)
+      }
+      putBits(eobCode._1, eobCode._2)
+    }
+    flushBits()
+    out.write(scan.toByteArray)
+    w(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
   private def putAscii(out: Array[Byte], off: Int, s: String): Unit = {
     var i = 0
     while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }

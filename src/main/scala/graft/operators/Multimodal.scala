@@ -42,6 +42,8 @@ object Multimodal {
    *    `[4, width, height, channels, band-mean pixel values…]`
    *  - `GIF8` -> GIF87a/89a (variable-width LZW, palette):
    *    `[5, width, height, 3, band-mean palette-expanded RGB values…]`
+   *  - `\xFF\xD8` -> baseline-sequential JPEG (SOF0 Huffman + IDCT +
+   *    YCbCr->RGB): `[6, width, height, 3, band-mean RGB values…]`
    *
    * Feature layout: slot 0 is the format code, slots 1-3 are format
    * metadata, and the remaining `dim - 4` slots are the means of `dim - 4`
@@ -84,6 +86,11 @@ object Multimodal {
           i += 1
         }
         build(5f, gif.width.toFloat, gif.height.toFloat, 3f, sig)
+      } else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8) {
+        val jpg = MediaCodecs.decodeJpeg(payload)
+        build(6f, jpg.width.toFloat, jpg.height.toFloat, 3f,
+          jpg.rgb.map(b => (b & 0xff).toDouble))
       } else {
         throw new IllegalArgumentException(
           s"unknown media magic (first bytes: ${payload.take(4).map(b => f"$b%02x").mkString(" ")})")

@@ -934,7 +934,98 @@ object MediaQueries {
         "variable-width LZW + palette expansion — the position-weighted " +
         "index checksum locks every pixel to its place and the RGB sum " +
         "locks the color table, all re-derived by the oracle from text " +
-        "alone. Map-only, payloads die in-stage.")
+        "alone. Map-only, payloads die in-stage."),
+
+    // ---------------------------------------------------------------- q282
+    Q(
+      "q282_jpeg_stats",
+      (s, dir) => {
+        // Real BASELINE JPEG decode — the dominant web image format,
+        // closing the crawl-realism gap beside PNG/GIF/BMP/PPM: each
+        // doc's text bytes become DC coefficients of a 4-blocks-wide
+        // grayscale JPEG (block b = text byte -> DC (b%64 - 32)*8 under
+        // the all-8s quant table -> decoded block EXACTLY b%64 + 96;
+        // tail padded with 128-blocks), Huffman-encoded with the Annex K
+        // tables, then decoded back through the FULL pipeline (marker
+        // walk, canonical Huffman, DC prediction, dequant + IDCT, level
+        // shift) AND dispatched through RealMediaDecoder (format code
+        // 6). The oracle re-derives width/height/sums/extremes/mean from
+        // text alone — any slip in either the encoder or decoder (a
+        // Huffman code, a predictor, one IDCT constant) shifts a block
+        // value and breaks the row. Map-only, payloads die in-stage.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("fmt_code", IntegerType, nullable = false),
+          StructField("width", IntegerType, nullable = false),
+          StructField("height", IntegerType, nullable = false),
+          StructField("px_sum", LongType, nullable = false),
+          StructField("px_min", IntegerType, nullable = false),
+          StructField("px_max", IntegerType, nullable = false),
+          StructField("mean_px", DoubleType, nullable = false)))
+        implicit val enc = RowEncoder.encoderFor(outSchema)
+        val idIdx = docs.schema.fieldIndex("doc_id")
+        val textIdx = docs.schema.fieldIndex("text")
+        docs.mapPartitions { rows =>
+          val dec = new graft.operators.Multimodal.RealMediaDecoder(5)
+          rows.map { r =>
+            val id = r.getLong(idIdx)
+            val bytes = r.getString(textIdx).getBytes("UTF-8")
+            val pad = (4 - bytes.length % 4) % 4
+            val vals = new Array[Int](bytes.length + pad)
+            var i = 0
+            while (i < bytes.length) {
+              vals(i) = ((bytes(i) & 0x3f) - 32) * 8
+              i += 1
+            }
+            val payload = graft.operators.MediaCodecs.encodeJpegGrayDc(vals, 4)
+            val img = graft.operators.MediaCodecs.decodeJpeg(payload)
+            val code = dec.decode(payload)(0).toInt
+            var sum = 0L
+            var mn = 255
+            var mx = 0
+            var k = 0
+            while (k < img.rgb.length) {
+              val v = img.rgb(k) & 0xff
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              k += 1
+            }
+            Row(id, code, img.width, img.height, sum, mn, mx,
+              BigDecimal(sum.toDouble / img.rgb.length)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }.orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 list_transform($duckBytes, v -> v % 64 + 96) AS px
+          FROM documents),
+        g AS (
+          SELECT doc_id, n, px,
+                 CAST((4 - n % 4) % 4 AS INTEGER) AS pad,
+                 CAST(8 * ((n + (4 - n % 4) % 4) / 4) AS INTEGER) AS h
+          FROM b),
+        st AS (
+          SELECT doc_id, pad, h,
+                 CAST(3 * 64 * (list_sum(px) + 128 * pad) AS BIGINT) AS px_sum,
+                 CAST(CASE WHEN pad > 0 THEN least(list_min(px), 128)
+                           ELSE list_min(px) END AS INTEGER) AS px_min,
+                 CAST(CASE WHEN pad > 0 THEN greatest(list_max(px), 128)
+                           ELSE list_max(px) END AS INTEGER) AS px_max
+          FROM g)
+        SELECT doc_id, CAST(6 AS INTEGER) AS fmt_code,
+               CAST(32 AS INTEGER) AS width, h AS height,
+               px_sum, px_min, px_max,
+               round(CAST(px_sum AS DOUBLE) / (32 * h * 3), 6) AS mean_px
+        FROM st ORDER BY doc_id"""),
+      "Baseline JPEG end to end: text-derived DC-only blocks Huffman-" +
+        "encoded with the Annex K tables, decoded back through marker " +
+        "walk + canonical Huffman + DC prediction + dequant + IDCT + " +
+        "level shift, dispatched via RealMediaDecoder magic (code 6); " +
+        "the oracle re-derives every stat arithmetically from text.")
   )
 
   /** (doc_id, payload): each document's UTF-8 bytes as a width-4 PNG —

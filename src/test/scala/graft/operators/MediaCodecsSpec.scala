@@ -899,4 +899,184 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(out(1).getInt(6) === 15)
     assert(out(2).isNullAt(1) && out(2).isNullAt(4) && out(2).isNullAt(6))
   }
+
+  // ------------------------------------------------------------------ JPEG
+
+  test("JPEG: DC-only grayscale goldens decode byte-exact (incl. DC prediction)") {
+    // one flat block: DC 16 under the all-8s table -> every pixel 16/8+128 = 130
+    val one = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegGrayDc(Array(16), 1))
+    assert(one.width === 8 && one.height === 8)
+    assert(one.rgb.length === 8 * 8 * 3)
+    assert(one.rgb.forall(b => (b & 0xff) == 130))
+    // four blocks, 2 wide: pixel value per block = v/8 + 128; the DC
+    // stream is DIFF-coded so wrong prediction scrambles blocks 2-4
+    val vals = Array(0, 64, -128, 256)
+    val img = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegGrayDc(vals, 2))
+    assert(img.width === 16 && img.height === 16)
+    val expect = vals.map(_ / 8 + 128)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val b = (y / 8) * 2 + (x / 8)
+      val got = img.rgb((y * 16 + x) * 3) & 0xff
+      assert(got === expect(b), s"pixel ($x, $y) in block $b")
+      assert((img.rgb((y * 16 + x) * 3 + 1) & 0xff) === got, "gray replicates to G")
+      assert((img.rgb((y * 16 + x) * 3 + 2) & 0xff) === got, "gray replicates to B")
+    }
+  }
+
+  test("JPEG: restart markers reset DC prediction and realign the bit stream") {
+    val vals = Array(320, -320, 320, -320, 640, 0)
+    val plain = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegGrayDc(vals, 2))
+    val rst = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegGrayDc(vals, 2, driEvery = 2))
+    assert(plain.rgb.toSeq === rst.rgb.toSeq,
+      "DRI/RSTn stream must decode identically to the unrestarted stream")
+  }
+
+  /** Test-side bit writer: an independent implementation of the entropy
+    * layer (byte stuffing, 1-padding) for hand-built scan streams. */
+  private class BitW {
+    val out = new java.io.ByteArrayOutputStream()
+    private var buf = 0
+    private var cnt = 0
+    def put(bits: String): Unit = bits.foreach { c =>
+      buf = (buf << 1) | (if (c == '1') 1 else 0)
+      cnt += 1
+      if (cnt == 8) {
+        out.write(buf & 0xff)
+        if ((buf & 0xff) == 0xff) out.write(0x00)
+        buf = 0; cnt = 0
+      }
+    }
+    def putVal(v: Int, n: Int): Unit =
+      put((0 until n).map(k => if (((v >> (n - 1 - k)) & 1) == 1) '1' else '0').mkString)
+    def done(): Array[Byte] = {
+      if (cnt > 0) {
+        val pad = (buf << (8 - cnt)) | ((1 << (8 - cnt)) - 1)
+        out.write(pad & 0xff)
+        if ((pad & 0xff) == 0xff) out.write(0x00)
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Annex K luminance table segments shared by the hand-built streams. */
+  private def jpegTestHeader(
+      w: Int, h: Int, comps: Seq[(Int, Int, Int)]): java.io.ByteArrayOutputStream = {
+    val o = new java.io.ByteArrayOutputStream()
+    def wr(vs: Int*): Unit = vs.foreach(v => o.write(v & 0xff))
+    def seg(marker: Int, body: Seq[Int]): Unit = {
+      wr(0xff, marker, (body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => o.write(v & 0xff))
+    }
+    wr(0xff, 0xd8)
+    seg(0xdb, Seq(0x00) ++ Seq.fill(64)(8))
+    seg(0xc0, Seq(8, h >> 8, h & 0xff, w >> 8, w & 0xff, comps.length) ++
+      comps.flatMap { case (id, hv, tq) => Seq(id, hv, tq) })
+    // Annex K luminance DC (class 0 id 0) + AC (class 1 id 0)
+    val dcBits = Seq(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = (0 to 11).toSeq
+    val acBits = Seq(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+    val acVals = Seq(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+      0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+      0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+      0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    seg(0xc4, Seq(0x00) ++ dcBits ++ dcVals ++ Seq(0x10) ++ acBits ++ acVals)
+    seg(0xda, Seq(comps.length) ++ comps.flatMap(c => Seq(c._1, 0x00)) ++ Seq(0, 63, 0))
+    o
+  }
+
+  test("JPEG: hand-built 4:2:0 color flat image decodes to the exact JFIF conversion") {
+    // 16x16, Y=130 (qdc 2), Cb=108 (qdc -20), Cr=148 (qdc 20); MCU order
+    // Y1 Y2 Y3 Y4 Cb Cr with EOB after each block. Annex K DC codes:
+    // cat0='00', cat2='011', cat5='110'; AC EOB='1010'.
+    val o = jpegTestHeader(16, 16, Seq((1, 0x22, 0), (2, 0x11, 0), (3, 0x11, 0)))
+    val bw = new BitW
+    bw.put("011"); bw.putVal(2, 2); bw.put("1010")      // Y1: DC 2
+    bw.put("00"); bw.put("1010")                         // Y2: diff 0
+    bw.put("00"); bw.put("1010")                         // Y3
+    bw.put("00"); bw.put("1010")                         // Y4
+    bw.put("110"); bw.putVal(-20 + 31, 5); bw.put("1010") // Cb: DC -20
+    bw.put("110"); bw.putVal(20, 5); bw.put("1010")       // Cr: DC 20
+    o.write(bw.done()); o.write(0xff); o.write(0xd9)
+    val img = MediaCodecs.decodeJpeg(o.toByteArray)
+    assert(img.width === 16 && img.height === 16)
+    // R = 130 + 1.402*20 = 158.04 -> 158; G = 130 + 6.88272 - 14.28272 =
+    // 122.6 -> 123; B = 130 - 35.44 = 94.56 -> 95
+    for (p <- 0 until 256) {
+      assert((img.rgb(3 * p) & 0xff) === 158, s"R at $p")
+      assert((img.rgb(3 * p + 1) & 0xff) === 123, s"G at $p")
+      assert((img.rgb(3 * p + 2) & 0xff) === 95, s"B at $p")
+    }
+  }
+
+  test("JPEG: a single AC coefficient matches an independent naive IDCT") {
+    // grayscale 8x8: DC 0, AC at zigzag 1 (u=1, v=0) = 40, quant 8 -> 320
+    val o = jpegTestHeader(8, 8, Seq((1, 0x11, 0)))
+    val bw = new BitW
+    bw.put("00")              // DC cat 0
+    bw.put("1111000")         // AC symbol 0x06 (run 0, size 6)
+    bw.putVal(40, 6)          // value 40
+    bw.put("1010")            // EOB
+    o.write(bw.done()); o.write(0xff); o.write(0xd9)
+    val img = MediaCodecs.decodeJpeg(o.toByteArray)
+    // independent IDCT: F(u=1, v=0) = 320, all else 0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val cu = 1.0 // C(1)
+      val cv = 1.0 / StrictMath.sqrt(2.0) // C(0)
+      val term = 0.25 * cu * cv *
+        StrictMath.cos((2 * x + 1) * 1 * StrictMath.PI / 16.0) *
+        StrictMath.cos((2 * y + 1) * 0 * StrictMath.PI / 16.0) * 320.0
+      val exp0 = StrictMath.round(term + 128.0).toInt
+      val exp = if (exp0 < 0) 0 else if (exp0 > 255) 255 else exp0
+      assert((img.rgb((y * 8 + x) * 3) & 0xff) === exp, s"pixel ($x, $y)")
+    }
+  }
+
+  test("JPEG: corrupt payloads fail loudly, progressive is rejected") {
+    val good = MediaCodecs.encodeJpegGrayDc(Array(16), 1)
+    // bad magic
+    val e1 = intercept[IllegalArgumentException] {
+      MediaCodecs.decodeJpeg("nope".getBytes("US-ASCII"))
+    }
+    assert(e1.getMessage.contains("not JPEG"))
+    // truncated scan: cut the last 4 bytes (EOI + scan tail)
+    val e2 = intercept[IllegalArgumentException] {
+      MediaCodecs.decodeJpeg(good.dropRight(4))
+    }
+    assert(e2.getMessage.contains("unexpected end") || e2.getMessage.contains("JPEG"))
+    // progressive (SOF2) rejected by frame type
+    val prog = good.clone()
+    val sofAt = {
+      var k = 2
+      while (!((prog(k) & 0xff) == 0xff && (prog(k + 1) & 0xff) == 0xc0)) k += 1
+      k
+    }
+    prog(sofAt + 1) = 0xc2.toByte
+    val e3 = intercept[IllegalArgumentException] { MediaCodecs.decodeJpeg(prog) }
+    assert(e3.getMessage.contains("SOF2"))
+    // garbage after SOI: marker expected
+    val e4 = intercept[IllegalArgumentException] {
+      MediaCodecs.decodeJpeg(Array(0xff, 0xd8, 0x12, 0x34).map(_.toByte))
+    }
+    assert(e4.getMessage.toLowerCase.contains("marker"))
+  }
+
+  test("JPEG: RealMediaDecoder dispatches magic FFD8 to format code 6") {
+    val dec = new Multimodal.RealMediaDecoder(6)
+    val f = dec.decode(MediaCodecs.encodeJpegGrayDc(Array(16, 16, 16, 16), 2))
+    assert(f(0) === 6f)
+    assert(f(1) === 16f && f(2) === 16f && f(3) === 3f)
+    // flat 130 image: both band means are exactly 130
+    assert(f(4) === 130f && f(5) === 130f)
+  }
 }
