@@ -9376,7 +9376,116 @@ object TextQueries {
         "sentence boilerplate scrub -> canonical-URL exact screen -> " +
         "MinHash+Jaccard near-dup screen -> hash mixture -> ctx-128 " +
         "packing, each stage's rows and metric replayed by the oracle " +
-        "from the fixture construction.")
+        "from the fixture construction."),
+
+    // ---------------------------------------------------------------- q283
+    Q(
+      "q283_quality_model",
+      (s, dir) => {
+        // MODEL-BASED QUALITY FILTER — the CCNet/fastText pattern
+        // composed from verified parts: HASHED CHAR-3-GRAM bucket rates
+        // as features (32 md5%32 buckets, the word_ngram_hash48 hashing
+        // discipline at character granularity — no vocabulary file to
+        // ship), min-max scaled against corpus bounds (the q234
+        // discipline); label = keyword-stuffing proxy ('spark'-token
+        // rate above the exact corpus mean — the spam-vs-reference
+        // signal quality classifiers are trained on; the model sees
+        // only hashed buckets and must FIND the keyword's ngrams);
+        // salted 80/20 train/held-out split (the Mixture hash-threshold
+        // spelling); Logit.fit on the TRAIN split only (Elliott link +
+        // exact-DECIMAL gradient sums: weights bit-identical across
+        // engines AND partitionings). Audit row: held-out confusion at
+        // the TRAIN-MEDIAN score threshold (per-million-quantized; the
+        // operating point a pipeline would tune, not a blind 0.5),
+        // accuracy/precision/recall, and exact Mann-Whitney AUC over
+        // the quantized score frame (the q190 shape — frames are
+        // split-sized, no data-sized global window). The oracle replays
+        // the full unrolled descent over its own train split plus the
+        // threshold election and audit.
+        val h32 = graft.functions.HashConventions.md5long48("g")
+        val raw = table(s, dir, "documents").select(
+          col("doc_id"),
+          expr("cast(size(filter(split(text, ' '), t -> t = 'spark')) as double) " +
+            "/ cast(size(split(text, ' ')) as double)").as("rate"),
+          expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+            .as("cg"))
+          .selectExpr(Seq("doc_id", "rate") ++ (0 until 32).map(j =>
+            s"cast(size(filter(cg, g -> $h32 % 32 = $j)) as double) " +
+              s"/ cast(size(cg) as double) as r${j + 1}"): _*)
+        val mnmx = (1 to 32).flatMap(j =>
+          Seq(min(s"r$j").as(s"mn$j"), max(s"r$j").as(s"mx$j"))) ++ Seq(
+          expr("cast(sum(cast(round(rate, 9) as decimal(28,12))) as double) " +
+            "/ cast(count(1) as double)").as("rate_mean"))
+        val stats = raw.agg(mnmx.head, mnmx.tail: _*)
+        val split = graft.functions.HashConventions
+          .md5long48("concat('q283_split|', cast(doc_id as string))")
+        val feats = raw.crossJoin(broadcast(stats))
+          .selectExpr(Seq("doc_id") ++ (1 to 32).map(j =>
+            s"coalesce((r$j - mn$j) / nullif(mx$j - mn$j, 0.0d), 0.0d) as x$j") ++ Seq(
+            "case when rate > rate_mean then 1.0d else 0.0d end as y",
+            s"$split % 100 < 80 as train"): _*)
+          .localCheckpoint(true) // scanned iters+1 times by the fit + audits
+        val xs = (1 to 32).map(j => s"x$j")
+        val w = graft.operators.Logit.fit(
+          feats.filter(col("train")), xs, "y", logitIters, logitLr)
+        val scored = feats
+          .withColumn("p", graft.operators.Logit.prob(w, xs))
+          .select(col("train"), col("y"),
+            expr("cast(floor(p * 1000000) as int)").as("spm"))
+          .localCheckpoint(true) // median + confusion + AUC branches
+        // train-median threshold: smallest train spm whose inclusive
+        // cumulative count reaches half the split (broadcast theta join
+        // on the split-sized distinct-score frame)
+        val tsc = scored.filter(col("train")).groupBy("spm")
+          .agg(count(lit(1)).as("c"))
+        val nTrain = scored.filter(col("train")).agg(count(lit(1)).as("n_train"))
+        val med = tsc.as("a")
+          .join(broadcast(tsc.as("b")), col("b.spm") <= col("a.spm"), "left")
+          .groupBy(col("a.spm").as("mspm"))
+          .agg(sum("b.c").as("cum"))
+          .crossJoin(broadcast(nTrain))
+          .filter(col("cum") * 2 >= col("n_train"))
+          .agg(min("mspm").as("med"), max(col("n_train")).as("n_train"))
+        val held = scored.filter(!col("train"))
+          .crossJoin(broadcast(med))
+          .withColumn("pred", (col("spm") > col("med")).cast("int"))
+        val conf = held.agg(
+          count(lit(1)).as("n_held"),
+          max(col("med")).as("med"),
+          max(col("n_train")).as("n_train"),
+          sum(expr("case when pred = 1 and y = 1.0d then 1 else 0 end")).as("tp"),
+          sum(expr("case when pred = 1 and y = 0.0d then 1 else 0 end")).as("fp"),
+          sum(expr("case when pred = 0 and y = 0.0d then 1 else 0 end")).as("tn"),
+          sum(expr("case when pred = 0 and y = 1.0d then 1 else 0 end")).as("fn"))
+        val sc = scored.filter(!col("train")).groupBy("spm").agg(
+          sum(expr("case when y = 1.0d then 1 else 0 end")).as("np"),
+          sum(expr("case when y = 0.0d then 1 else 0 end")).as("nn"))
+        val auc = sc.as("a")
+          .join(broadcast(sc.as("b")), col("b.spm") < col("a.spm"), "left")
+          .groupBy(col("a.spm"), col("a.np").as("np"), col("a.nn").as("nn"))
+          .agg(coalesce(sum("b.nn"), lit(0L)).as("cum_nn"))
+          .agg(sum("np").as("apos"), sum("nn").as("aneg"),
+            sum(expr("np * (2 * cum_nn + nn)")).as("u2"))
+        conf.crossJoin(broadcast(auc))
+          .selectExpr(
+            Seq("round(" + w(0) + "d, 6) as b") ++
+              (1 to 32).map(j => s"round(${w(j)}d, 6) as w$j") ++ Seq(
+              "cast(n_train as bigint) as n_train",
+              "cast(n_held as bigint) as n_held",
+              "cast(med as int) as med_spm",
+              "cast(tp as bigint) as tp", "cast(fp as bigint) as fp",
+              "cast(tn as bigint) as tn", "cast(fn as bigint) as fn",
+              "round(cast(tp + tn as double) / cast(n_held as double), 6) as acc",
+              "round(cast(tp as double) / nullif(cast(tp + fp as double), 0.0d), 6) as prec",
+              "round(cast(tp as double) / nullif(cast(tp + fn as double), 0.0d), 6) as rec",
+              "round(cast(u2 as double) / nullif(2.0d * apos * aneg, 0.0d), 6) as auc"): _*)
+      },
+      Some(duckQualityModelSql),
+      "Model-based quality filter, CCNet-style: hashed char-3-gram " +
+        "bucket features, salted train/held-out split, train-only " +
+        "Elliott-link gradient descent (bit-identical weights), held-out " +
+        "confusion + precision/recall + exact per-mille Mann-Whitney " +
+        "AUC; the oracle replays the unrolled descent and the audit.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):
@@ -9499,6 +9608,110 @@ object TextQueries {
        |       round(w.w2, 6) AS w_uniq, round(w.w3, 6) AS w_rate,
        |       acc.accuracy, acc.n_pos
        |FROM w_$logitIters w CROSS JOIN acc""".stripMargin
+  }
+
+  /** q283 oracle: the duckLogitSql discipline generalized to the 32
+    * hashed char-3-gram bucket features (min-max scaled), the keyword-
+    * rate label, a TRAIN-split-only fit, the train-median threshold
+    * election, and the held-out confusion + per-million Mann-Whitney
+    * AUC audit. */
+  private def duckQualityModelSql: String = {
+    val n = 32
+    val xs = (1 to n).map(j => s"x$j")
+    val zExpr = "w.b " + xs.zipWithIndex.map { case (x, i) => s"+ w.w${i + 1} * f.$x" }.mkString(" ")
+    val probs = (k: Int) =>
+      s"""p_$k AS MATERIALIZED (
+         |  SELECT f.y, ${xs.map(x => s"f.$x").mkString(", ")},
+         |         0.5 * (1.0 + z / (1.0 + abs(z))) AS p
+         |  FROM (SELECT f.y, ${xs.map(x => s"f.$x").mkString(", ")}, $zExpr AS z
+         |        FROM tr f CROSS JOIN w_${k - 1} w) f)""".stripMargin
+    val step = (k: Int) =>
+      s"""w_$k AS MATERIALIZED (
+         |  SELECT w.b - $logitLr * (g.g0 / g.n) AS b,
+         |         ${xs.zipWithIndex.map { case (_, i) =>
+               s"w.w${i + 1} - $logitLr * (g.g${i + 1} / g.n) AS w${i + 1}" }.mkString(",\n         ")}
+         |  FROM w_${k - 1} w CROSS JOIN (
+         |    SELECT CAST(COUNT(1) AS DOUBLE) AS n,
+         |           CAST(SUM(CAST(round(p - y, 9) AS DECIMAL(28,12))) AS DOUBLE) AS g0,
+         |           ${xs.zipWithIndex.map { case (x, i) =>
+               s"CAST(SUM(CAST(round((p - y) * $x, 9) AS DECIMAL(28,12))) AS DOUBLE) AS g${i + 1}" }
+                 .mkString(",\n           ")}
+         |    FROM p_$k) g)""".stripMargin
+    val rounds = (1 to logitIters).map(k => probs(k) + ",\n" + step(k)).mkString(",\n")
+    val h32 = graft.functions.HashConventions.duckMd5long48("g")
+    s"""
+       |WITH raw AS MATERIALIZED (
+       |  SELECT doc_id, rate,
+       |         ${(0 until n).map(j =>
+             s"CAST(len(list_filter(cg, g -> $h32 % 32 = $j)) AS DOUBLE) / CAST(len(cg) AS DOUBLE) AS r${j + 1}")
+               .mkString(",\n         ")}
+       |  FROM (SELECT doc_id,
+       |               CAST(len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS DOUBLE)
+       |                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS rate,
+       |               list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)) AS cg
+       |        FROM documents)),
+       |stats AS MATERIALIZED (
+       |  SELECT ${(1 to n).map(j => s"min(r$j) AS mn$j, max(r$j) AS mx$j").mkString(",\n         ")},
+       |         CAST(SUM(CAST(round(rate, 9) AS DECIMAL(28,12))) AS DOUBLE)
+       |           / CAST(COUNT(1) AS DOUBLE) AS rate_mean
+       |  FROM raw),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         ${(1 to n).map(j =>
+             s"COALESCE((r$j - mn$j) / nullif(mx$j - mn$j, 0.0), 0.0) AS x$j").mkString(",\n         ")},
+       |         CASE WHEN rate > rate_mean THEN 1.0 ELSE 0.0 END AS y,
+       |         ${graft.functions.HashConventions
+             .duckMd5long48("'q283_split|' || CAST(doc_id AS VARCHAR)")} % 100 < 80 AS train
+       |  FROM raw CROSS JOIN stats),
+       |tr AS MATERIALIZED (SELECT * FROM feats WHERE train),
+       |w_0 AS (SELECT 0.0 AS b, ${xs.zipWithIndex.map { case (_, i) => s"0.0 AS w${i + 1}" }.mkString(", ")}),
+       |$rounds,
+       |scored AS MATERIALIZED (
+       |  SELECT f.train, f.y,
+       |         CAST(floor(0.5 * (1.0 + z / (1.0 + abs(z))) * 1000000) AS INTEGER) AS spm
+       |  FROM (SELECT f.train, f.y, $zExpr AS z
+       |        FROM feats f CROSS JOIN w_$logitIters w) f),
+       |tsc AS (SELECT spm, COUNT(1) AS c FROM scored WHERE train GROUP BY spm),
+       |trc AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_train FROM scored WHERE train),
+       |medt AS (
+       |  SELECT MIN(mspm) AS med FROM (
+       |    SELECT a.spm AS mspm, SUM(b.c) AS cum
+       |    FROM tsc a LEFT JOIN tsc b ON b.spm <= a.spm
+       |    GROUP BY a.spm) CROSS JOIN trc
+       |  WHERE cum * 2 >= n_train),
+       |held AS MATERIALIZED (
+       |  SELECT y, spm, CASE WHEN spm > med THEN 1 ELSE 0 END AS pred
+       |  FROM scored CROSS JOIN medt WHERE NOT train),
+       |conf AS (
+       |  SELECT CAST(COUNT(1) AS BIGINT) AS n_held,
+       |         CAST(SUM(CASE WHEN pred = 1 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN pred = 1 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(SUM(CASE WHEN pred = 0 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |         CAST(SUM(CASE WHEN pred = 0 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM held),
+       |sc AS (
+       |  SELECT spm,
+       |         SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+       |         SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS nn
+       |  FROM held GROUP BY spm),
+       |below AS (
+       |  SELECT a.spm, a.np, a.nn, COALESCE(SUM(b.nn), 0) AS cum_nn
+       |  FROM sc a LEFT JOIN sc b ON b.spm < a.spm
+       |  GROUP BY a.spm, a.np, a.nn),
+       |aucr AS (
+       |  SELECT SUM(np) AS apos, SUM(nn) AS aneg,
+       |         SUM(np * (2 * cum_nn + nn)) AS u2
+       |  FROM below)
+       |SELECT round(w.b, 6) AS b,
+       |       ${xs.zipWithIndex.map { case (_, i) => s"round(w.w${i + 1}, 6) AS w${i + 1}" }.mkString(", ")},
+       |       trc.n_train, conf.n_held,
+       |       CAST(medt.med AS INTEGER) AS med_spm,
+       |       conf.tp, conf.fp, conf.tn, conf.fn,
+       |       round(CAST(tp + tn AS DOUBLE) / CAST(n_held AS DOUBLE), 6) AS acc,
+       |       round(CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0), 6) AS prec,
+       |       round(CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0), 6) AS rec,
+       |       round(CAST(u2 AS DOUBLE) / nullif(2.0 * apos * aneg, 0.0), 6) AS auc
+       |FROM w_$logitIters w CROSS JOIN conf CROSS JOIN aucr CROSS JOIN trc CROSS JOIN medt""".stripMargin
   }
 
   /** Merge count for the trained-BPE rows (q223/q224) — 16 per the r5
