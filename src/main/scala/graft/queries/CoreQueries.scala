@@ -1279,7 +1279,7 @@ object CoreQueries {
         s.sql("""
           SELECT doc_id, pos, word
           FROM documents_lv_v
-          LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+          LATERAL VIEW posexplode(tokenize_text(text)) t AS pos, word
           WHERE doc_id < 40
           ORDER BY doc_id, pos""")
       },
@@ -3055,7 +3055,7 @@ object CoreQueries {
         // of the augmented text proves byte-identical reconstruction
         // cross-engine. Positions are 0-based in the hash key.
         table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("kept", expr(
             """filter(transform(toks, (t, i) -> named_struct('t', t, 'i', i)),
                  p -> cast(conv(substr(md5(concat('wd|', cast(doc_id as string),
@@ -3101,9 +3101,9 @@ object CoreQueries {
         // scanning: equality proves the index path returns exactly the
         // brute-force answer.
         val toks = table(s, dir, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .select(col("doc_id"), posexplode(expr("tokenize_text(text)")).as(Seq("pos", "tok")))
         val phrase = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .selectExpr("explode(word_ngrams(toks, 3)) as tg")
           .groupBy("tg").agg(count(lit(1)).as("f"))

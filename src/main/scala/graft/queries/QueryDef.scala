@@ -40,6 +40,10 @@ object Tables {
     graft.functions.TextExpressions.register(spark)
     graft.functions.BloomExpressions.register(spark)
     graft.functions.CmsExpressions.register(spark)
+    // tokenize_text/unicode_normalize/split_sentences: the query layer
+    // tokenizes through the script-aware grammar everywhere (the r8
+    // split-debt retirement), so the registration is library-wide too
+    graft.functions.UnicodeExpressions.register(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")

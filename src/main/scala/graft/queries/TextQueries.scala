@@ -57,7 +57,7 @@ object TextQueries {
     val cand = graft.operators.Dedup
       .minhashLshCandidates(s, docs, "doc_id", "text")
     val sh = docs
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", expr("tokenize_text(text)"))
       .filter(size(col("toks")) >= 3)
       .selectExpr("doc_id", s"$sparkShingles as sh")
     cand
@@ -100,7 +100,7 @@ object TextQueries {
     * 2x2 LSH bands — the shared front of q24 (signatures) and q25 (buckets). */
   private def minhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.table(s, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", expr("tokenize_text(text)"))
       .filter(size(col("toks")) >= 3)
       // fused native expression: shingle + 48-bit md5 in one compiled loop
       // (spec-locked equal to the transform(word_ngrams(...), md5...) HOF)
@@ -112,7 +112,7 @@ object TextQueries {
   /** (doc_id, 16-bit simhash) signatures — the shared front of q26 and q35. */
   private def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.table(s, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
+      .withColumn("toks", expr("tokenize_text(text)"))
       .filter(size(col("toks")) >= 1)
       // hash each token ONCE; the 16 bit-majority votes then scan the
       // precomputed hash array instead of re-hashing per bit
@@ -160,7 +160,7 @@ object TextQueries {
     * wc4 carries (w, wcnt, w2, w3, w4) with merges applied as chr(1..3). */
   private def bpeChain(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val wc = Tables.table(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
+      .select(explode(expr("tokenize_text(text)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wcnt"))
     val m1 = bpeTop1(wc, "w", "p1", "n1")
     val wc2 = wc.crossJoin(broadcast(m1))
@@ -297,7 +297,7 @@ object TextQueries {
       "q27_jaccard_consecutive",
       (s, dir) => {
         val d = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"$sparkShingles as sh")
         val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -336,7 +336,7 @@ object TextQueries {
           s"when $geAll then '$l'"
         }.mkString(" ")
         table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .selectExpr(Seq("doc_id", "lang") ++ scores: _*)
           .selectExpr(
             "doc_id", "lang", "s_de", "s_en", "s_es", "s_fr", "s_zh",
@@ -368,7 +368,7 @@ object TextQueries {
       "q29_quality_score",
       (s, dir) =>
         table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("n_tokens", size(col("toks")))
           // shared signal definition (also drives the Curation operator)
           .withColumn("avg_token_len",
@@ -408,10 +408,10 @@ object TextQueries {
         table(s, dir, "documents")
           .selectExpr(
             "doc_id",
-            "size(split(text, ' ')) as n_ws_tokens",
+            "size(tokenize_text(text)) as n_ws_tokens",
             "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as n_re_tokens",
-            "size(filter(split(text, ' '), t -> length(t) > 5)) as n_long_tokens",
-            "size(array_distinct(split(text, ' '))) as n_distinct_tokens")
+            "size(filter(tokenize_text(text), t -> length(t) > 5)) as n_long_tokens",
+            "size(array_distinct(tokenize_text(text))) as n_distinct_tokens")
           .orderBy("doc_id"),
       Some("""
         SELECT doc_id,
@@ -427,7 +427,7 @@ object TextQueries {
       "q31_fingerprint",
       (s, dir) =>
         table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           // hash shingles once; inlining $hs into all four outputs would
           // re-run the md5 pass per column (no cross-expression sharing)
@@ -563,7 +563,7 @@ object TextQueries {
         // representation: stop shingles carry no signal and are excluded
         // from the set, exactly as stopwords are from bag-of-words models).
         val rawPosts = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"array_distinct($sparkShingles) as sh")
           .select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -624,7 +624,7 @@ object TextQueries {
         // on a last-bit log() difference between engines; the tfidf score
         // itself is emitted rounded (both engines' log are within 1 ulp).
         val toks = table(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .select(col("doc_id"), explode(expr("tokenize_text(text)")).as("term"))
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
@@ -697,7 +697,7 @@ object TextQueries {
         // own 5-gram multiset, no shuffle at any scale; the dup fraction is
         // an exact integer ratio, so it hashes identically cross-engine.
         table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 5)
           .selectExpr("doc_id", "word_ngrams(toks, 5) as g5")
           .select(
@@ -876,7 +876,7 @@ object TextQueries {
         // hitter is present. Integer arithmetic only — cross-engine exact.
         val k = 20
         val toks = table(s, dir, "documents")
-          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("lang"), explode(expr("tokenize_text(text)")).as("tok"))
         val exact = toks.groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
         val totals = exact.groupBy("lang")
           .agg(sum("freq").as("n_tokens"), count(lit(1)).as("n_distinct"))
@@ -954,7 +954,7 @@ object TextQueries {
         // per-doc; the doc-level false-positive count stays under 10%.
         val docs = table(s, dir, "documents")
         def shingleHashes(df: org.apache.spark.sql.DataFrame) = df
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"),
             explode(expr("array_distinct(word_ngram_hash48(toks, 3))")).as("h"))
@@ -1154,7 +1154,7 @@ object TextQueries {
         // corpus into ONE task at 100 TB).
         val docs = table(s, dir, "documents")
           .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"))
+            size(expr("tokenize_text(text)")).cast("long").as("n_tok"))
         graft.operators.Packer
           .withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 64)
           .select("doc_id", "n_tok", "tok_offset", "first_seq", "last_seq", "n_seqs")
@@ -1378,7 +1378,7 @@ object TextQueries {
         // window at any corpus size; the budget cut is a map-only filter
         // on the offset.
         val docs = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("n_tok", size(col("toks")).cast("long"))
           .withColumn("prio",
             expr("cast(size(filter(toks, x -> x in ('the','a','of','and','to'))) as bigint)"
@@ -1475,7 +1475,7 @@ object TextQueries {
         val depth = 5
         val md5long = graft.functions.HashConventions.md5long48 _
         val toks = table(s, dir, "documents")
-          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("lang"), explode(expr("tokenize_text(text)")).as("tok"))
           .withColumn("h", expr(md5long("tok")))
         val exact = toks.groupBy("lang", "tok", "h").agg(count(lit(1)).as("freq"))
         val totals = toks.groupBy("lang").agg(count(lit(1)).as("n_tokens"))
@@ -1527,7 +1527,7 @@ object TextQueries {
         // stage, everything integer-exact cross-engine.
         val dupDf = 5
         val posts = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"),
             posexplode(expr("word_ngram_hash48(toks, 3)")).as(Seq("pos0", "h")))
@@ -1714,7 +1714,7 @@ object TextQueries {
           .distinct()
         val posts = table(s, dir, "documents")
           .join(broadcast(sample), Seq("doc_id"), "left_semi")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"array_distinct($sparkShingles) as sh")
           .select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -1916,7 +1916,7 @@ object TextQueries {
         // tokenizer budgets — exact counts under a fitted merge table —
         // are q224/q227 via Bpe.fit/tokenCounts.)
         val docs = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("n_tok",
             graft.operators.TextSignals.bpeishTokenCount(col("text")))
           .withColumn("prio",
@@ -2002,7 +2002,7 @@ object TextQueries {
         // token order (the bm25 discipline) and round(,6) absorbs the ln
         // slack AFTER the exact-order fold and IEEE division.
         val toks = table(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), explode(expr("tokenize_text(text)")).as("tok"))
         val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val tot = lens.agg(sum("dl").as("tt"))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
@@ -2150,7 +2150,7 @@ object TextQueries {
         // touches corpus-sized data. Top-20 by count is the merge-table
         // head; counts exact integers.
         val words = table(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("w"))
+          .select(explode(expr("tokenize_text(text)")).as("w"))
           .filter(length(col("w")) >= 2)
         words.groupBy("w").agg(count(lit(1)).as("wcnt"))
           .select(col("wcnt"), explode(
@@ -2194,7 +2194,7 @@ object TextQueries {
         // summary is one doc-keyed aggregate. keep_frac is an IEEE
         // division of exact integer counts.
         val withToks = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
         val posts = withToks
           .filter(size(col("toks")) >= 3)
           .select(col("doc_id"), size(col("toks")).as("n_tok").cast("long").as("n_tok"),
@@ -2584,7 +2584,7 @@ object TextQueries {
         // bigram order, round(,6) AFTER the fold (the q109 discipline).
         val docs = table(s, dir, "documents")
         val bgs = docs
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 2)
           .selectExpr("doc_id", "word_ngrams(toks, 2) as bga")
           .select(col("doc_id"), explode(col("bga")).as("bg"))
@@ -2593,7 +2593,7 @@ object TextQueries {
           .withColumn("w1", expr("substring_index(bg, ' ', 1)"))
           .groupBy("w1").agg(sum("cbg").as("cw1"))
         val voc = docs
-          .select(explode(split(col("text"), " ")).as("tok"))
+          .select(explode(expr("tokenize_text(text)")).as("tok"))
           .agg(countDistinct("tok").as("v"))
         bgs.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
           .join(bgc, Seq("bg"))
@@ -2737,7 +2737,7 @@ object TextQueries {
         // no second shuffle beyond the doc_id rollup; left join keeps
         // docs with zero boilerplate.
         val sh = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"$sparkShingles as shs")
           .select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -2790,7 +2790,7 @@ object TextQueries {
         // a global window (the library's no-single-task-window audit) and
         // never touching corpus-sized data.
         val toks = table(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("tok"))
+          .select(explode(expr("tokenize_text(text)")).as("tok"))
         val tot = toks.agg(sum(lit(1L)).as("tt"))
         val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
           .orderBy(desc("c"), asc("tok")).limit(100)
@@ -2839,7 +2839,7 @@ object TextQueries {
         // order-independent); the closed-form slope then evaluates one
         // shared double expression tree over those exact sums.
         val toks = table(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("tok"))
+          .select(explode(expr("tokenize_text(text)")).as("tok"))
         val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
           .orderBy(desc("c"), asc("tok")).limit(100)
         top.as("a")
@@ -2921,7 +2921,7 @@ object TextQueries {
         // (longest run, then binary-smallest token) is identical in both
         // engines' default collation — pure integer arithmetic otherwise.
         table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .selectExpr("doc_id", "max_token_run(toks) as r")
           .selectExpr("doc_id", "r.run_tok as run_tok",
             "cast(r.max_run as bigint) as max_run")
@@ -2969,7 +2969,7 @@ object TextQueries {
         // map-only; the final rollup keys on source (tiny). Integer counts
         // divided once at the end — exact cross-engine.
         val docs = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("avg_token_len",
             graft.operators.TextSignals.avgTokenLen(col("text"), col("n_tokens")))
@@ -3038,7 +3038,7 @@ object TextQueries {
         // DECIMAL-summed (exact, order-independent); cosines divide
         // exact-decimal casts in one shared double tree, ties to idb.
         val tf = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"$sparkShingles as shs")
           .select(col("doc_id"), explode(col("shs")).as("tok"))
@@ -3133,7 +3133,7 @@ object TextQueries {
         // shares one expression tree (ln slack absorbed by round-then-
         // DECIMAL summation); one final rounded divide.
         val toks = table(s, dir, "documents")
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), explode(expr("tokenize_text(text)")).as("tok"))
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("ct"))
         val vtot = vocab.agg(sum("ct").as("tt"), count(lit(1)).as("v"))
         val stok = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
@@ -3262,7 +3262,7 @@ object TextQueries {
         val cand = graft.operators.Dedup.minhashLshCandidates(s, docs, "doc_id", "text")
         val cc = graft.operators.Dedup.clusters(cand).withColumnRenamed("id", "doc_id")
         val sig = docs
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("avg_token_len",
             graft.operators.TextSignals.avgTokenLen(col("text"), col("n_tokens")))
@@ -3349,7 +3349,7 @@ object TextQueries {
           .selectExpr("explode(array(10, 25, 50, 100)) as pct", "mx")
           .withColumn("cut", expr("cast(floor(mx * pct / 100.0) as bigint)"))
         val firstSeen = table(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), explode(expr("tokenize_text(text)")).as("tok"))
           .groupBy("tok").agg(min("doc_id").as("fd"))
         firstSeen.crossJoin(broadcast(cuts))
           .groupBy("pct", "cut")
@@ -3389,7 +3389,7 @@ object TextQueries {
         // map-side combine; the novelty join keys on (shingle) postings
         // and rolls up on doc_id. Pure integer counts, one final divide.
         val sh = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"array_distinct($sparkShingles) as shs")
           .select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -3433,7 +3433,7 @@ object TextQueries {
         // token distinct) + map-only signals folded into ONE corpus-wide
         // aggregation — the cheap 'run it every ingest' report.
         val docs = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("avg_token_len",
             graft.operators.TextSignals.avgTokenLen(col("text"), col("n_tokens")))
@@ -3504,7 +3504,7 @@ object TextQueries {
         // task at 100 TB. DCG is an ordered reduce (deterministic float sum
         // order); every ratio is one final IEEE divide, rounded.
         val toks = table(s, dir, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .select(col("doc_id"), posexplode(expr("tokenize_text(text)")).as(Seq("pos", "tok")))
         val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val stats = lens.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
         val qterms = toks.groupBy("tok").agg(count(lit(1)).as("f"))
@@ -3624,7 +3624,7 @@ object TextQueries {
         // SQL spellings need either a corpus-sized explode+group-by shuffle
         // for a per-ROW signal or an O(uniq x n) nested HOF.
         table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .selectExpr(
             "doc_id",
             "size(toks) as n_tokens",
@@ -3711,7 +3711,7 @@ object TextQueries {
         val cand = graft.operators.Dedup
           .minhashLshCandidates(s, docs, "doc_id", "text")
         val sh = docs
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"array_distinct($sparkShingles) as sh")
         cand
@@ -3851,7 +3851,7 @@ object TextQueries {
         // 2*Σi*x_i/(k*Σx) - (k+1)/k; cumulative shares divide exact
         // integer cumsums.
         val toks = table(s, dir, "documents")
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), explode(expr("tokenize_text(text)")).as("tok"))
         val perRaw = toks.groupBy("source").agg(count(lit(1)).as("toks"))
         val other = perRaw
           .select(col("source").as("s2"), col("toks").as("t2"))
@@ -3964,7 +3964,7 @@ object TextQueries {
         // is TakeOrderedAndProject. The shared-ln-tree + round(,6)
         // discipline keeps scores engine-identical.
         val docs = table(s, dir, "documents")
-        val withToks = docs.withColumn("toks", split(col("text"), " "))
+        val withToks = docs.withColumn("toks", expr("tokenize_text(text)"))
         val bg = withToks.filter(size(col("toks")) >= 2)
           .select(explode(expr(
             """transform(sequence(1, size(toks) - 1),
@@ -4039,7 +4039,7 @@ object TextQueries {
           s"when $geAll then '$l'"
         }.mkString(" ")
         val scored = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .selectExpr(Seq("doc_id", "lang") ++ scores: _*)
           .selectExpr("doc_id", "lang", s"case $caseChain end as predicted")
         val cm = scored.groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
@@ -4211,7 +4211,7 @@ object TextQueries {
         table(s, dir, "documents")
           .select(
             col("lang"),
-            size(split(col("text"), " ")).cast("long").as("ws"),
+            size(expr("tokenize_text(text)")).cast("long").as("ws"),
             graft.operators.TextSignals.bpeishTokenCount(col("text")).as("bpe"),
             length(col("text")).cast("long").as("ch"))
           .groupBy("lang")
@@ -4259,7 +4259,7 @@ object TextQueries {
         // The stage cut `1 + (rn-1)*4 div n` is exact integer arithmetic,
         // identical under DuckDB's floor division.
         val d = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("dl", size(col("toks")).cast("long"))
           .withColumn("ttr", expr(
             "round(cast(size(array_distinct(toks)) as double) / cast(dl as double), 9)"))
@@ -4421,7 +4421,7 @@ object TextQueries {
           .union(dup.select(col("id_b").as("doc_id")))
           .distinct().withColumn("isdup", lit(1))
         table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("stop_ratio", expr(
             "cast(size(filter(toks, x -> x in ('the','a','of','and','to'))) as double) / size(toks)"))
           .withColumn("bin", expr("cast(least(9, floor(stop_ratio * 10)) as int)"))
@@ -4587,7 +4587,7 @@ object TextQueries {
         // thresholds calibrated non-degenerate on the test corpus (every
         // rule both passes and fails real docs).
         table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("avg_token_len",
             graft.operators.TextSignals.avgTokenLen(col("text"), col("n_tokens")))
@@ -4780,7 +4780,7 @@ object TextQueries {
         val lens = "array(512, 1024, 2048)"
         table(s, dir, "documents")
           .selectExpr("doc_id",
-            "cast(size(split(text, ' ')) as bigint) as ws",
+            "cast(size(tokenize_text(text)) as bigint) as ws",
             "cast(length(text) as bigint) as byte",
             s"cast(regexp_count(text, '${graft.operators.TextSignals.BpeishPattern}') as bigint) as bpeish")
           .selectExpr("doc_id",
@@ -4872,7 +4872,7 @@ object TextQueries {
         val docs = table(s, dir, "documents")
           .withColumn("is_train", expr(s"$splitHash % 10 < 7"))
         val trainToks = docs.filter(col("is_train"))
-          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("lang"), explode(expr("tokenize_text(text)")).as("tok"))
         val counts = trainToks.groupBy("lang", "tok")
           .agg(count(lit(1)).as("cnt"))
         val nTok = trainToks.groupBy("lang").agg(count(lit(1)).as("n_tok"))
@@ -4888,7 +4888,7 @@ object TextQueries {
             "round(ln(cast(docs_c as double) / cast(docs_tot as double)), 6) as prior")
         val testToks = docs.filter(!col("is_train"))
           .select(col("doc_id"), col("lang").as("actual"),
-            explode(split(col("text"), " ")).as("tok"))
+            explode(expr("tokenize_text(text)")).as("tok"))
           .groupBy("doc_id", "actual", "tok").agg(count(lit(1)).as("tf"))
         val scored = testToks
           .crossJoin(broadcast(cls))
@@ -4978,7 +4978,7 @@ object TextQueries {
         // everything after runs on a sources-row frame.
         val perSrc = table(s, dir, "documents")
           .select(col("source"), col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("ntok"))
+            size(expr("tokenize_text(text)")).cast("long").as("ntok"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_toks"))
         val tot = perSrc.agg(sum("n_toks").as("tok_tot"))
@@ -5050,7 +5050,7 @@ object TextQueries {
         // is an 8-group aggregate.
         val d = table(s, dir, "documents")
           .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("ntok"))
+            size(expr("tokenize_text(text)")).cast("long").as("ntok"))
           .withColumn("seg", lit(0))
         val ranked = graft.operators.GlobalRank
           .withGlobalRank(d, "seg", "ntok", "doc_id")
@@ -5117,7 +5117,7 @@ object TextQueries {
         // theorem's completeness — unlike MinHash/SimHash banding, this
         // family guarantees recall 1.0 by construction.
         val base = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .selectExpr("doc_id", s"array_distinct($sparkShingles) as shs")
         // set size comes free from the array (no count-window pass)
@@ -5199,7 +5199,7 @@ object TextQueries {
           .union(dup.select(col("id_b").as("doc_id")))
           .distinct().withColumn("isdup", lit(1))
         val sc = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("score", expr(
             "size(filter(toks, x -> x in ('the','a','of','and','to'))) * 1000 div size(toks)"))
           .select("doc_id", "score")
@@ -5268,7 +5268,7 @@ object TextQueries {
         // stop-shingle discipline.
         val W = 4
         val fp = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 5)
           .withColumn("hs", expr("word_ngram_hash48(toks, 2)"))
           // native O(n) monotonic-deque window minimum (spec-locked equal
@@ -5341,7 +5341,7 @@ object TextQueries {
         // division is ever null-guarded incorrectly).
         val splitHash = md5long("concat('sb|', cast(doc_id as string))")
         val docs = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("is_train", expr(s"$splitHash % 10 < 7"))
         val trainToks = docs.filter(col("is_train"))
           .select(explode(col("toks")).as("tok"))
@@ -5478,7 +5478,7 @@ object TextQueries {
         // on any corpus dashboard.
         val repHash = md5long("concat('bs|', cast(b as string), '|', cast(doc_id as string))")
         val d = table(s, dir, "documents")
-          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+          .select(col("doc_id"), size(expr("tokenize_text(text)")).cast("long").as("ntok"))
         val reps = d
           .withColumn("b", explode(expr("sequence(0, 15)")))
           .filter(expr(s"$repHash % 2 = 0"))
@@ -5541,7 +5541,7 @@ object TextQueries {
         // per-source length cutoffs — sketch-free, reproducible.
         val d = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            size(split(col("text"), " ")).cast("long").as("ntok"))
+            size(expr("tokenize_text(text)")).cast("long").as("ntok"))
         graft.operators.GlobalRank
           .withGlobalRank(d, "source", "ntok", "doc_id")
           .withColumn("k", explode(expr("sequence(1, 9)")))
@@ -5667,7 +5667,7 @@ object TextQueries {
         // over GlobalRank's bucket machinery instead.
         val d = table(s, dir, "documents")
           .select(col("source"),
-            size(split(col("text"), " ")).cast("long").as("v"),
+            size(expr("tokenize_text(text)")).cast("long").as("v"),
             col("n_chars").as("w"))
           .groupBy("source", "v").agg(sum("w").as("wv"))
         val tot = d.groupBy("source").agg(sum("wv").as("wtot"),
@@ -5731,7 +5731,7 @@ object TextQueries {
         // TakeOrdered for the top-20 — no global sort.
         val pres = table(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
+            explode(array_distinct(expr("tokenize_text(text)"))).as("tok"))
         val a = pres.groupBy("tok", "lang").agg(count(lit(1)).as("a"))
         val nt = pres.groupBy("tok").agg(countDistinct("doc_id").as("nt"))
         val nl = table(s, dir, "documents").groupBy("lang")
@@ -5798,7 +5798,7 @@ object TextQueries {
         val docs = table(s, dir, "documents")
           .withColumn("fold", expr(s"$foldHash % 3"))
         val docToks = docs.select(col("doc_id"), col("lang"), col("fold"),
-          explode(split(col("text"), " ")).as("tok"))
+          explode(expr("tokenize_text(text)")).as("tok"))
         val cAll = docToks.groupBy("lang", "tok").agg(count(lit(1)).as("c_all"))
         val cFold = docToks.groupBy("fold", "lang", "tok")
           .agg(count(lit(1)).as("c_f"))
@@ -5959,7 +5959,7 @@ object TextQueries {
           .union(dup.select(col("id_b").as("doc_id")))
           .distinct().withColumn("isdup", lit(1))
         val sc = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("score", expr(
             "size(filter(toks, x -> x in ('the','a','of','and','to'))) * 100 div size(toks)"))
           .select("doc_id", "score")
@@ -6062,7 +6062,7 @@ object TextQueries {
         // with a different salt, not a bigger k.
         val k = 30
         val sample = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 2)
           .selectExpr("doc_id",
             "array_distinct(word_ngrams(toks, 2)) as bgs",
@@ -6330,12 +6330,12 @@ object TextQueries {
         // -- stage 2: span surgery on survivors (q113's machinery) -------
         val withToks = corpus
           .join(keep.filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
         val posts = withToks.filter(size(col("toks")) >= 3)
           .select(col("doc_id"),
             posexplode(expr("word_ngram_hash48(toks, 3)")).as(Seq("pos0", "h")))
           .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-        val evalSh = evalDocs.withColumn("toks", split(col("text"), " "))
+        val evalSh = evalDocs.withColumn("toks", expr("tokenize_text(text)"))
           .filter(size(col("toks")) >= 3)
           .select(explode(expr("array_distinct(word_ngram_hash48(toks, 3))")).as("h"))
           .distinct()
@@ -6731,11 +6731,11 @@ object TextQueries {
         // replays all 8 unrolled iterations in materialized CTEs.
         val raw = table(s, dir, "documents").select(
           col("doc_id"),
-          expr("cast(size(split(text, ' ')) as double)").as("ntok"),
-          expr("cast(size(array_distinct(split(text, ' '))) as double) " +
-            "/ cast(size(split(text, ' ')) as double)").as("uniq"),
-          expr("cast(size(filter(split(text, ' '), t -> t = 'spark')) as double) " +
-            "/ cast(size(split(text, ' ')) as double)").as("rate"))
+          expr("cast(size(tokenize_text(text)) as double)").as("ntok"),
+          expr("cast(size(array_distinct(tokenize_text(text))) as double) " +
+            "/ cast(size(tokenize_text(text)) as double)").as("uniq"),
+          expr("cast(size(filter(tokenize_text(text), t -> t = 'spark')) as double) " +
+            "/ cast(size(tokenize_text(text)) as double)").as("rate"))
         val stats = raw.agg(
           min("ntok").as("ntok_min"), max("ntok").as("ntok_max"),
           min("uniq").as("uniq_min"), max("uniq").as("uniq_max"),
@@ -6900,7 +6900,7 @@ object TextQueries {
         val per = table(s, dir, "documents")
           .groupBy("source")
           .agg(count(lit(1)).as("w"),
-            sum(expr("size(split(text, ' '))").cast("long")).as("cap"))
+            sum(expr("size(tokenize_text(text))").cast("long")).as("cap"))
         val tot = per.agg(sum("cap")).head().getLong(0)
         graft.operators.Mixture
           .waterfillAllocations(per, "source", "w", "cap", 6L * tot / 10L)
@@ -6956,7 +6956,7 @@ object TextQueries {
           .md5long48("concat('fill|', cast(doc_id as string))")
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            expr("size(split(text, ' '))").cast("long").as("n_tok"))
+            expr("size(tokenize_text(text))").cast("long").as("n_tok"))
         val per = docs.groupBy("source")
           .agg(count(lit(1)).as("w"), sum("n_tok").as("cap"))
         val tot = per.agg(sum("cap")).head().getLong(0)
@@ -7100,7 +7100,7 @@ object TextQueries {
         // the 20 most frequent bigrams (count desc, lexicographic ties)
         // — a TakeOrderedAndProject, never a global sort.
         val bg = table(s, dir, "documents")
-          .select(split(col("text"), " ").as("toks"))
+          .select(expr("tokenize_text(text)").as("toks"))
           .select(posexplode(expr(
             "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] as w1, toks[i + 1] as w2))")))
           .select(col("col.w1").as("w1"), col("col.w2").as("w2"))
@@ -7160,7 +7160,7 @@ object TextQueries {
         // 4-cell contingency aggregate; kappa is pure 1-row arithmetic.
         graft.functions.TextExpressions.register(s)
         val labeled = table(s, dir, "documents")
-          .withColumn("toks", split(col("text"), " "))
+          .withColumn("toks", expr("tokenize_text(text)"))
           .withColumn("n_tokens", size(col("toks")))
           .withColumn("alen", graft.operators.TextSignals
             .avgTokenLen(col("text"), col("n_tokens")))
@@ -7238,7 +7238,7 @@ object TextQueries {
         // lookup join.
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            expr("size(split(text, ' '))").cast("long").as("score"))
+            expr("size(tokenize_text(text))").cast("long").as("score"))
         val bySrc = graft.operators.GlobalRank
           .withGlobalRank(docs, "source", "score", "doc_id")
           .withColumn("p",
@@ -7312,8 +7312,8 @@ object TextQueries {
         // rho bit-identical across engines and partitionings.
         val docs = table(s, dir, "documents")
           .select(col("doc_id"),
-            expr("size(split(text, ' '))").cast("long").as("x"),
-            expr("size(array_distinct(split(text, ' ')))").cast("long").as("y"))
+            expr("size(tokenize_text(text))").cast("long").as("x"),
+            expr("size(array_distinct(tokenize_text(text)))").cast("long").as("y"))
         def avgRanks(valCol: String) = {
           val ranked = graft.operators.GlobalRank
             .withGlobalRank(
@@ -7932,7 +7932,7 @@ object TextQueries {
         // explode+count, a 12-row broadcast top-word semi-join, then
         // margin joins on source-sized frames.
         val words = table(s, dir, "documents")
-          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .select(col("source"), explode(expr("tokenize_text(text)")).as("w"))
         val cells = words.groupBy("source", "w").agg(count(lit(1)).as("n"))
         val top = cells.groupBy("w").agg(sum("n").as("wtot"))
           .orderBy(col("wtot").desc, col("w")).limit(12)
@@ -8688,7 +8688,7 @@ object TextQueries {
         // TakeOrderedAndProject, never a data-sized window.
         val toks = table(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            explode(split(col("text"), " ")).as("tok"))
+            explode(expr("tokenize_text(text)")).as("tok"))
         val vocab = toks.groupBy("tok").agg(
           count(lit(1)).as("cr"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
@@ -9405,8 +9405,8 @@ object TextQueries {
         val h32 = graft.functions.HashConventions.md5long48("g")
         val raw = table(s, dir, "documents").select(
           col("doc_id"),
-          expr("cast(size(filter(split(text, ' '), t -> t = 'spark')) as double) " +
-            "/ cast(size(split(text, ' ')) as double)").as("rate"),
+          expr("cast(size(filter(tokenize_text(text), t -> t = 'spark')) as double) " +
+            "/ cast(size(tokenize_text(text)) as double)").as("rate"),
           expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
             .as("cg"))
           .selectExpr(Seq("doc_id", "rate") ++ (0 until 32).map(j =>
@@ -10184,7 +10184,7 @@ object TextQueries {
   private def bm25Frame(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val toks = table(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), explode(expr("tokenize_text(text)")).as("tok"))
     val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = lens.agg(count(lit(1)).as("nd"), sum("dl").as("tt"))
     val qterms = toks.groupBy("tok").agg(count(lit(1)).as("f"))
