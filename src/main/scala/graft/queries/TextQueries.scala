@@ -9485,7 +9485,62 @@ object TextQueries {
         "bucket features, salted train/held-out split, train-only " +
         "Elliott-link gradient descent (bit-identical weights), held-out " +
         "confusion + precision/recall + exact per-mille Mann-Whitney " +
-        "AUC; the oracle replays the unrolled descent and the audit.")
+        "AUC; the oracle replays the unrolled descent and the audit."),
+
+    // ---------------------------------------------------------------- q284
+    Q(
+      "q284_packed_manifest",
+      (s, dir) => {
+        // PACKED-OUTPUT DELIVERY MANIFEST — the training-data handoff
+        // artifact: Packer ctx-256 offsets over the tokenized corpus,
+        // sharded deterministically (first_seq % 8), written as hive
+        // parquet with a per-shard manifest (row count, token sum, and
+        // an order-free exact-DECIMAL content hash of every row's
+        // order:ntok:first:last tuple), then READ BACK and re-manifested
+        // — readback_ok is the per-shard three-way equality, so a
+        // dropped row or corrupted file fails the delivery loudly. The
+        // oracle replays the packing cumsum, the shard assignment, and
+        // the content hash from the documents table; readback_ok must
+        // be TRUE on every shard (the write/read round trip is the part
+        // only Spark can execute — its failure shows up as a false).
+        val docs = table(s, dir, "documents")
+          .selectExpr("doc_id", "cast(size(tokenize_text(text)) as long) as n_tok")
+        val packed = graft.operators.Packer
+          .withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 256)
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_packed_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        graft.sources.Sinks
+          .writePackedManifest(packed, "doc_id", "n_tok", out, 8)
+          .orderBy("shard")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        pk AS (
+          SELECT doc_id, n_tok,
+                 COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+          FROM t),
+        sq AS (
+          SELECT doc_id, n_tok,
+                 tok_offset // 256 AS first_seq,
+                 (tok_offset + greatest(n_tok, 1) - 1) // 256 AS last_seq
+          FROM pk)
+        SELECT CAST(first_seq % 8 AS INTEGER) AS shard,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(CAST(SUM(CAST(${duckMd5long(
+                 "CAST(doc_id AS VARCHAR) || ':' || CAST(n_tok AS VARCHAR) || ':' || " +
+                   "CAST(first_seq AS VARCHAR) || ':' || CAST(last_seq AS VARCHAR)")}
+                 AS DECIMAL(38,0))) % 1000000007 AS DECIMAL(38,0)) AS BIGINT) AS content_hash,
+               TRUE AS readback_ok
+        FROM sq GROUP BY 1 ORDER BY shard"""),
+      "Delivery manifest for packed contexts: deterministic first_seq%8 " +
+        "sharded hive write + per-shard manifest (rows, tokens, exact " +
+        "order-free DECIMAL content hash mod 1e9+7) + read-back " +
+        "verification; the oracle replays packing, sharding and hashes " +
+        "from the corpus, and readback_ok certifies the round trip.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):

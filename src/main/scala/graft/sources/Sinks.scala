@@ -49,6 +49,65 @@ object Sinks {
   }
 
   /**
+   * PACKED-CONTEXT DELIVERY: deterministic sharded write of a
+   * [[graft.operators.Packer.withSequenceOffsets]] frame plus a per-file
+   * MANIFEST the consumer verifies the handoff against — the training-
+   * data equivalent of a checksum sidecar. Shard = `first_seq % nShards`
+   * (deterministic in the data, balanced since sequence indices are
+   * dense); each shard lands in one hive dir sorted by `orderCol`. The
+   * manifest row per shard: row count, token sum, and a CONTENT HASH —
+   * the exact 48-bit md5 of `order:ntok:first_seq:last_seq` per row,
+   * summed in DECIMAL(38) (exact at any scale, no collect, order-free)
+   * and reduced mod 1e9+7. After the write the data is READ BACK and
+   * re-manifested: `readback_ok` is the per-shard equality of all three
+   * fields, so a dropped row, a corrupted value, or a mis-sharded file
+   * fails the delivery loudly. The manifest itself is written as JSON
+   * beside the data (`<path>/_manifest`). Returns the verified manifest.
+   */
+  def writePackedManifest(
+      packed: DataFrame,
+      orderCol: String,
+      nTokCol: String,
+      path: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards ($nShards) must be positive")
+    Seq("first_seq", "last_seq").foreach(c =>
+      require(packed.columns.contains(c),
+        s"packed must carry $c — run Packer.withSequenceOffsets first"))
+    val h = graft.functions.HashConventions.md5long48(
+      s"concat(cast($orderCol as string), ':', cast($nTokCol as string), ':', " +
+        "cast(first_seq as string), ':', cast(last_seq as string))")
+    def manifestOf(df: DataFrame): DataFrame = df
+      .withColumn("shard", expr(s"cast(first_seq % $nShards as int)"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(nTokCol).cast("long")).as("n_tokens"),
+        expr(s"cast(sum(cast($h as decimal(38,0))) % 1000000007 as bigint)")
+          .as("content_hash"))
+    val out = packed.withColumn("shard", expr(s"cast(first_seq % $nShards as int)"))
+    out
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col(orderCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+    val expect = manifestOf(packed)
+    val back = manifestOf(
+      packed.sparkSession.read.parquet(path))
+      .withColumnRenamed("n_rows", "rb_rows")
+      .withColumnRenamed("n_tokens", "rb_tokens")
+      .withColumnRenamed("content_hash", "rb_hash")
+    val manifest = expect.join(back, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_rows"), col("n_tokens"), col("content_hash"),
+        (col("n_rows") === col("rb_rows") &&
+          col("n_tokens") === col("rb_tokens") &&
+          col("content_hash") === col("rb_hash")).as("readback_ok"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/_manifest")
+    manifest
+  }
+
+  /**
    * Bucketed + sorted managed table: joins/aggregations keyed on
    * `bucketCols` read it with no Exchange (and no Sort, when `sortCols`
    * covers the join key). Bucketing requires the table-catalog write path
