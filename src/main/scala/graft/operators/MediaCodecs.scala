@@ -1152,27 +1152,43 @@ object MediaCodecs {
             // dequantize (zigzag-ordered) + IDCT into blk
             val q = quant(compTq(c0))
             val f = new Array[Double](64)
+            var anyAc = false
             var z = 0
-            while (z < 64) { f(JpegZigzag(z)) = (coef(z) * q(z)).toDouble; z += 1 }
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var sum = 0.0
-                var u = 0
-                while (u < 8) {
-                  var v = 0
-                  while (v < 8) {
-                    sum += JpegIdctCos(v)(y) * JpegIdctCos(u)(x) * f(v * 8 + u)
-                    v += 1
+            while (z < 64) {
+              f(JpegZigzag(z)) = (coef(z) * q(z)).toDouble
+              if (z > 0 && coef(z) != 0) anyAc = true
+              z += 1
+            }
+            if (!anyAc) {
+              // DC-only block: every AC term of the IDCT sum is exactly
+              // 0.0, so the full loop reduces BIT-IDENTICALLY to the DC
+              // term — C(0)^2/4 * F00 — flat-filled (the dominant case
+              // in flat regions; ~64x less arithmetic per block)
+              val sum = JpegIdctCos(0)(0) * JpegIdctCos(0)(0) * f(0)
+              val px0 = StrictMath.round(sum / 4.0 + 128.0).toInt
+              val px = if (px0 < 0) 0 else if (px0 > 255) 255 else px0
+              java.util.Arrays.fill(blk, px)
+            } else {
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var sum = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    var v = 0
+                    while (v < 8) {
+                      sum += JpegIdctCos(v)(y) * JpegIdctCos(u)(x) * f(v * 8 + u)
+                      v += 1
+                    }
+                    u += 1
                   }
-                  u += 1
+                  val px = StrictMath.round(sum / 4.0 + 128.0).toInt
+                  blk(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+                  x += 1
                 }
-                val px = StrictMath.round(sum / 4.0 + 128.0).toInt
-                blk(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
-                x += 1
+                y += 1
               }
-              y += 1
             }
           }
           var mcu = 0

@@ -9402,16 +9402,25 @@ object TextQueries {
         // split-sized, no data-sized global window). The oracle replays
         // the full unrolled descent over its own train split plus the
         // threshold election and audit.
+        // hash each 3-gram ONCE into a bucket array (the BpeInt/minhash
+        // discipline — Catalyst does not share subexpressions across
+        // lambda bodies, so 32 filter(cg, md5...) lambdas would md5 every
+        // gram 32 times: measured 163 s at sf0.1; this shape is ~20x
+        // cheaper and arithmetically identical)
         val h32 = graft.functions.HashConventions.md5long48("g")
         val raw = table(s, dir, "documents").select(
           col("doc_id"),
           expr("cast(size(filter(tokenize_text(text), t -> t = 'spark')) as double) " +
             "/ cast(size(tokenize_text(text)) as double)").as("rate"),
-          expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-            .as("cg"))
+          expr("transform(transform(sequence(1, length(text) - 2), " +
+            s"i -> substring(text, i, 3)), g -> $h32 % 32)").as("hs"))
           .selectExpr(Seq("doc_id", "rate") ++ (0 until 32).map(j =>
-            s"cast(size(filter(cg, g -> $h32 % 32 = $j)) as double) " +
-              s"/ cast(size(cg) as double) as r${j + 1}"): _*)
+            s"cast(size(filter(hs, h -> h = $j)) as double) " +
+              s"/ cast(size(hs) as double) as r${j + 1}"): _*)
+          // pinned: the interpreted-HOF md5 pass is the dominant cost and
+          // BOTH stats and feats read this frame (one materialization,
+          // not two — measured ~2x)
+          .localCheckpoint(true)
         val mnmx = (1 to 32).flatMap(j =>
           Seq(min(s"r$j").as(s"mn$j"), max(s"r$j").as(s"mx$j"))) ++ Seq(
           expr("cast(sum(cast(round(rate, 9) as decimal(28,12))) as double) " +
@@ -9507,8 +9516,10 @@ object TextQueries {
           .selectExpr("doc_id", "cast(size(tokenize_text(text)) as long) as n_tok")
         val packed = graft.operators.Packer
           .withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 256)
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_packed_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        // fresh dir per invocation: parallel suites run this lambda
+        // concurrently and an Overwrite race would corrupt the read-back
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_packed_").toString
         graft.sources.Sinks
           .writePackedManifest(packed, "doc_id", "n_tok", out, 8)
           .orderBy("shard")
@@ -9698,12 +9709,13 @@ object TextQueries {
        |WITH raw AS MATERIALIZED (
        |  SELECT doc_id, rate,
        |         ${(0 until n).map(j =>
-             s"CAST(len(list_filter(cg, g -> $h32 % 32 = $j)) AS DOUBLE) / CAST(len(cg) AS DOUBLE) AS r${j + 1}")
+             s"CAST(len(list_filter(hs, h -> h = $j)) AS DOUBLE) / CAST(len(hs) AS DOUBLE) AS r${j + 1}")
                .mkString(",\n         ")}
        |  FROM (SELECT doc_id,
        |               CAST(len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS DOUBLE)
        |                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS rate,
-       |               list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)) AS cg
+       |               list_transform(list_transform(range(1, length(text) - 1),
+       |                 i -> substr(text, i, 3)), g -> $h32 % 32) AS hs
        |        FROM documents)),
        |stats AS MATERIALIZED (
        |  SELECT ${(1 to n).map(j => s"min(r$j) AS mn$j, max(r$j) AS mx$j").mkString(",\n         ")},
@@ -9977,8 +9989,13 @@ object TextQueries {
     * doc_id % 4. The collect is FIXTURE GENERATION over the bounded
     * test corpus (500-5000 rows), not a data-path collect — the
     * pipeline itself reads the bytes back through format("warc"). */
+  /** Fixture-build lock: parallel test suites may hit the same qNNN
+    * lambda concurrently (sbt runs suites in parallel in one JVM) — the
+    * build must be once-and-atomic per path. */
+  private val capstoneLock = new Object
+
   private def capstoneWarcFixture(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      s: org.apache.spark.sql.SparkSession, dir: String): String = capstoneLock.synchronized {
     val iso = java.nio.charset.StandardCharsets.ISO_8859_1
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_capstone_" + Integer.toHexString(dir.hashCode))
