@@ -305,6 +305,56 @@ object BpeByteKit {
     new GenericArrayData(out)
   }
 
+  /** The published GPT-2 pre-tokenization pattern (openai/gpt-2
+    * encoder.py, public knowledge), compiled once per JVM with
+    * UNICODE_CHARACTER_CLASS so `\\s` carries the python re.UNICODE
+    * semantics the original uses (`\\p{L}`/`\\p{N}` are Unicode in Java
+    * regex by default). The alternatives are TOTAL — every character is
+    * matched by one of them — so successive matches tile the input:
+    * concat(pieces) == input (the partition law the spec locks). */
+  private val Gpt2Pretokenize: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** The GPT-2 pre-tokenization split — see [[PretokenizeGpt2]]. */
+  def pretokenizeJava(s: String): Array[String] = {
+    if (s.isEmpty) return Array.empty
+    val m = Gpt2Pretokenize.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < s.length && m.find(pos)) {
+      require(m.start == pos,
+        s"pretokenize_gpt2: pattern left a gap at $pos — alternatives must be total")
+      out += m.group
+      pos = m.end
+    }
+    require(pos == s.length, s"pretokenize_gpt2: unmatched tail at $pos")
+    out.toArray
+  }
+
+  def pretokenize(u: UTF8String): ArrayData = {
+    if (u == null) return null
+    val pieces = pretokenizeJava(u.toString)
+    new GenericArrayData(pieces.map(p => UTF8String.fromString(p): Any))
+  }
+
+  /** [[encode]] within each GPT-2 pre-token, ids concatenated. */
+  def encodeGpt2(u: UTF8String, spec: Spec): ArrayData = {
+    if (u == null) return null
+    val pieces = pretokenizeJava(u.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    pieces.foreach { p =>
+      val bytes = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val syms = new Array[Int](math.max(bytes.length, 1))
+      var i = 0
+      while (i < bytes.length) { syms(i) = bytes(i) & 0xff; i += 1 }
+      val m = BpeIntKit.replayMinRank(syms, bytes.length, spec.rank, IdBase)
+      var k = 0
+      while (k < m) { out += syms(k); k += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def decode(ids: ArrayData, spec: Spec): UTF8String = {
     if (ids == null) return null
     val n = ids.numElements()
@@ -321,6 +371,80 @@ object BpeByteKit {
   }
 }
 
+/**
+ * `pretokenize_gpt2(text) -> array<string>`: the published GPT-2
+ * PRE-TOKENIZATION split (openai/gpt-2 encoder.py's pattern, public
+ * knowledge) — production byte-BPE runs WITHIN these pieces, so merges
+ * never cross word/space/punctuation boundaries. The pattern itself is
+ * the implementation (compiled once with UNICODE_CHARACTER_CLASS — the
+ * python re.UNICODE semantics the original uses):
+ *
+ *   's|'t|'re|'ve|'m|'ll|'d       (the seven contraction suffixes)
+ *   | ?\p{L}+ | ?\p{N}+          (optional ONE leading space + run)
+ *   | ?[^\s\p{L}\p{N}]+          (optional space + symbol run)
+ *   |\s+(?!\S) |\s+              (whitespace; the last space before a
+ *                                  non-space detaches and joins it)
+ *
+ * Alternation order is part of the contract; the alternatives are total,
+ * so the matches TILE the input — concatenation of the pieces is the
+ * original text (a partition, enforced loudly). Null -> null.
+ *
+ * `bpe_encode_gpt2(text, spec)`: [[BpeEncodeBytes]] applied WITHIN each
+ * pre-token, ids concatenated — the full production tokenizer path
+ * (pre-tokenize -> byte-level BPE per piece). Same spec contract;
+ * `bpe_decode_bytes` remains the exact inverse (the pieces partition
+ * the byte stream).
+ */
+case class PretokenizeGpt2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"pretokenize_gpt2 expects string, got $other")
+    }
+
+  override protected def nullSafeEval(text: Any): Any =
+    BpeByteKit.pretokenize(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.BpeByteKit.pretokenize($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): PretokenizeGpt2 =
+    copy(child = newChild)
+}
+
+case class BpeEncodeGpt2(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        BpeByteKit.checkSpecArg("bpe_encode_gpt2", right)
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"bpe_encode_gpt2 expects (string, string), got $other")
+    }
+
+  @transient private lazy val spec: BpeByteKit.Spec =
+    BpeByteKit.parse(right.eval(null).toString)
+
+  override protected def nullSafeEval(text: Any, specArg: Any): Any =
+    BpeByteKit.encodeGpt2(text.asInstanceOf[UTF8String], spec)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val specRef = ctx.addReferenceObj("bpeByteSpec", spec, classOf[BpeByteKit.Spec].getName)
+    defineCodeGen(ctx, ev, (t, _) => s"graft.functions.BpeByteKit.encodeGpt2($t, $specRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeEncodeGpt2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object BpeByteExpressions {
   private def builder2(
       name: String, mk: (Expression, Expression) => Expression): Seq[Expression] => Expression = {
@@ -331,10 +455,18 @@ object BpeByteExpressions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    val builder1: (String, Expression => Expression) => (Seq[Expression] => Expression) = {
+      (name, mk) => exprs => {
+        require(exprs.length == 1, s"$name takes 1 argument, got ${exprs.length}")
+        mk(exprs.head)
+      }
+    }
     Seq(
       ("bpe_encode_bytes", builder2("bpe_encode_bytes", BpeEncodeBytes.apply)),
       ("bpe_decode_bytes", builder2("bpe_decode_bytes", BpeDecodeBytes.apply)),
-      ("bpe_segment_bytes", builder2("bpe_segment_bytes", BpeSegmentBytes.apply))).foreach {
+      ("bpe_segment_bytes", builder2("bpe_segment_bytes", BpeSegmentBytes.apply)),
+      ("bpe_encode_gpt2", builder2("bpe_encode_gpt2", BpeEncodeGpt2.apply)),
+      ("pretokenize_gpt2", builder1("pretokenize_gpt2", PretokenizeGpt2.apply))).foreach {
       case (name, builder) =>
         val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
         if (!reg.functionExists(id)) {
