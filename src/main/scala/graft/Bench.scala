@@ -8,7 +8,7 @@ object Bench {
     * mask a regression between the correctness run and the bench run).
     */
   private def runSuite(spark: SparkSession, sfDir: String, reps: Int)
-      : (Seq[(String, Double)], Int, Seq[String]) = {
+      : (Seq[(String, Double)], Int, Seq[String], Int) = {
     var errors = 0
     val errNames = scala.collection.mutable.ArrayBuffer.empty[String]
     // dev-only subset filter (comma-separated name substrings); the official
@@ -18,9 +18,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
     // sorted order: stable timings across rounds (Map order is hash-random)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
-      .map { case (name, fn) =>
+    // skipped = queries the FILTER excluded, counted directly at selection
+    // time — never derived from results.size, which would conflate filter
+    // skips with any query that ran but failed to produce a result row
+    val skipped = SparkEntry.queries.size - selected.size
+    val results = selected.map { case (name, fn) =>
       // BEST of `reps` runs: host stalls and first-run codegen/JIT cost
       // inflate individual samples only — the minimum is the query's real
       // cost, so round-over-round deltas track the CODE (the r4 bench's
@@ -43,7 +47,7 @@ object Bench {
       val good = samples.collect { case (t, true) => t }
       name -> (if (good.nonEmpty) good.min else samples.map(_._1).max)
     }
-    (results, errors, errNames.toSeq)
+    (results, errors, errNames.toSeq, skipped)
   }
 
   // 3-decimal (ms) precision: full-precision doubles made the JSON line
@@ -69,7 +73,7 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
 
-    val (results, errors, errNames) = runSuite(spark, sfDir, reps)
+    val (results, errors, errNames, skipped) = runSuite(spark, sfDir, reps)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -78,7 +82,7 @@ object Bench {
     val filterJson = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
       .map { f =>
         val esc = f.replace("\\", "\\\\").replace("\"", "\\\"")
-        s""","filter":"$esc","skipped":${SparkEntry.queries.size - results.size}"""
+        s""","filter":"$esc","skipped":$skipped"""
       }
       .getOrElse("")
     // Full per-query detail FIRST (may be truncated by the driver's stdout
@@ -108,7 +112,7 @@ object Bench {
       .filter(_ >= 1).getOrElse(2)
     val sf2Total: Option[(Double, Int)] =
       if (sf2.nonEmpty && sf2 != sfDir && new java.io.File(sf2).isDirectory) {
-        val (r2, e2, _) = runSuite(spark, sf2, repsSf2)
+        val (r2, e2, _, _) = runSuite(spark, sf2, repsSf2)
         Some((r2.map(_._2).sum, e2))
       } else None
 

@@ -120,7 +120,11 @@ object BpeArtifact {
     mergesTxt.split("\n", -1).foreach { raw =>
       lineNo += 1
       val line = if (raw.endsWith("\r")) raw.dropRight(1) else raw
-      if (line.nonEmpty && !line.startsWith("#")) {
+      // Only the published header form is a comment: a first-line
+      // "#version ...". '#' (0x23) remaps to itself, so a merge whose left
+      // spelling starts with '#' is a legitimate data line — parse it.
+      val isHeader = lineNo == 1 && line.startsWith("#version")
+      if (line.nonEmpty && !isHeader) {
         val sp = line.indexOf(' ')
         require(sp > 0 && sp < line.length - 1 && line.indexOf(' ', sp + 1) < 0,
           s"BpeArtifact.importMerges: line $lineNo ('$line') is not " +

@@ -930,11 +930,12 @@ object MediaCodecs {
       }
     }
     def symbol(len: Int, code: Int): Int = {
-      require(len <= 16 && maxCode(len) >= 0 && code <= maxCode(len),
+      require(len <= 16 && has(len, code),
         s"JPEG: invalid Huffman code (len $len)")
       vals(valPtr(len) + (code - minCode(len))) & 0xff
     }
-    def has(len: Int, code: Int): Boolean = maxCode(len) >= 0 && code <= maxCode(len)
+    def has(len: Int, code: Int): Boolean =
+      maxCode(len) >= 0 && code >= minCode(len) && code <= maxCode(len)
   }
 
   /**
@@ -1236,9 +1237,12 @@ object MediaCodecs {
           bitCnt = 0
         case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => // APPn / COM
           i += u16(i)
-        case 0x01 | _ if marker >= 0xd0 && marker <= 0xd7 =>
+        case 0x01 =>
           throw new IllegalArgumentException(
-            f"JPEG: unexpected restart/TEM marker FF$marker%02x outside a scan")
+            "JPEG: unexpected TEM marker FF01 outside a scan")
+        case m if m >= 0xd0 && m <= 0xd7 =>
+          throw new IllegalArgumentException(
+            f"JPEG: unexpected restart marker FF$m%02x outside a scan")
         case other =>
           // unknown-but-lengthed segment: skip by its declared length
           i += u16(i)

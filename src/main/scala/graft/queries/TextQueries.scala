@@ -9408,15 +9408,22 @@ object TextQueries {
         // gram 32 times: measured 163 s at sf0.1; this shape is ~20x
         // cheaper and arithmetically identical)
         val h32 = graft.functions.HashConventions.md5long48("g")
+        // short-text guards (mirrored in the oracle): texts under 3 chars
+        // have NO char-3-grams — Spark's sequence(1, len-2) would DESCEND
+        // ([1,0], step defaults to -1 when start > stop) and fabricate
+        // grams where DuckDB's range(1, len-1) is empty; the empty-array
+        // case-when plus nullif/coalesce on the divisions pin both engines
+        // to rate/r_j = 0 for gram-less rows
         val raw = table(s, dir, "documents").select(
           col("doc_id"),
-          expr("cast(size(filter(tokenize_text(text), t -> t = 'spark')) as double) " +
-            "/ cast(size(tokenize_text(text)) as double)").as("rate"),
-          expr("transform(transform(sequence(1, length(text) - 2), " +
+          expr("coalesce(cast(size(filter(tokenize_text(text), t -> t = 'spark')) as double) " +
+            "/ cast(nullif(size(tokenize_text(text)), 0) as double), 0.0d)").as("rate"),
+          expr("transform(transform(case when length(text) >= 3 " +
+            "then sequence(1, length(text) - 2) else array() end, " +
             s"i -> substring(text, i, 3)), g -> $h32 % 32)").as("hs"))
           .selectExpr(Seq("doc_id", "rate") ++ (0 until 32).map(j =>
-            s"cast(size(filter(hs, h -> h = $j)) as double) " +
-              s"/ cast(size(hs) as double) as r${j + 1}"): _*)
+            s"coalesce(cast(size(filter(hs, h -> h = $j)) as double) " +
+              s"/ cast(nullif(size(hs), 0) as double), 0.0d) as r${j + 1}"): _*)
           // pinned: the interpreted-HOF md5 pass is the dominant cost and
           // BOTH stats and feats read this frame (one materialization,
           // not two — measured ~2x)
@@ -9443,18 +9450,22 @@ object TextQueries {
             expr("cast(floor(p * 1000000) as int)").as("spm"))
           .localCheckpoint(true) // median + confusion + AUC branches
         // train-median threshold: smallest train spm whose inclusive
-        // cumulative count reaches half the split (broadcast theta join
-        // on the split-sized distinct-score frame)
+        // cumulative count reaches half the split. Prefix sum over the
+        // AGGREGATED distinct-score frame (<= 10^6 rows by quantization,
+        // bounded regardless of corpus size) — the r9-flagged broadcast
+        // theta self-join was O(frame^2), ~10^12 comparisons at frame
+        // saturation; the ordered window is O(frame log frame) and the
+        // single task carries a few MB at most
         val tsc = scored.filter(col("train")).groupBy("spm")
           .agg(count(lit(1)).as("c"))
         val nTrain = scored.filter(col("train")).agg(count(lit(1)).as("n_train"))
-        val med = tsc.as("a")
-          .join(broadcast(tsc.as("b")), col("b.spm") <= col("a.spm"), "left")
-          .groupBy(col("a.spm").as("mspm"))
-          .agg(sum("b.c").as("cum"))
+        val wInc = Window.orderBy("spm")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val med = tsc
+          .withColumn("cum_tr", sum("c").over(wInc))
           .crossJoin(broadcast(nTrain))
-          .filter(col("cum") * 2 >= col("n_train"))
-          .agg(min("mspm").as("med"), max(col("n_train")).as("n_train"))
+          .filter(col("cum_tr") * 2 >= col("n_train"))
+          .agg(min("spm").as("med"), max(col("n_train")).as("n_train"))
         val held = scored.filter(!col("train"))
           .crossJoin(broadcast(med))
           .withColumn("pred", (col("spm") > col("med")).cast("int"))
@@ -9469,12 +9480,14 @@ object TextQueries {
         val sc = scored.filter(!col("train")).groupBy("spm").agg(
           sum(expr("case when y = 1.0d then 1 else 0 end")).as("np"),
           sum(expr("case when y = 0.0d then 1 else 0 end")).as("nn"))
-        val auc = sc.as("a")
-          .join(broadcast(sc.as("b")), col("b.spm") < col("a.spm"), "left")
-          .groupBy(col("a.spm"), col("a.np").as("np"), col("a.nn").as("nn"))
-          .agg(coalesce(sum("b.nn"), lit(0L)).as("cum_nn"))
+        // exclusive prefix sum of negatives below each score — same
+        // bounded-frame window spelling as the median (was a theta join)
+        val wExc = Window.orderBy("spm")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val auc = sc
+          .withColumn("cum_nn", sum("nn").over(wExc))
           .agg(sum("np").as("apos"), sum("nn").as("aneg"),
-            sum(expr("np * (2 * cum_nn + nn)")).as("u2"))
+            sum(expr("np * (2 * coalesce(cum_nn, 0L) + nn)")).as("u2"))
         conf.crossJoin(broadcast(auc))
           .selectExpr(
             Seq("round(" + w(0) + "d, 6) as b") ++
@@ -9709,11 +9722,12 @@ object TextQueries {
        |WITH raw AS MATERIALIZED (
        |  SELECT doc_id, rate,
        |         ${(0 until n).map(j =>
-             s"CAST(len(list_filter(hs, h -> h = $j)) AS DOUBLE) / CAST(len(hs) AS DOUBLE) AS r${j + 1}")
+             s"COALESCE(CAST(len(list_filter(hs, h -> h = $j)) AS DOUBLE) " +
+               s"/ CAST(NULLIF(len(hs), 0) AS DOUBLE), 0.0) AS r${j + 1}")
                .mkString(",\n         ")}
        |  FROM (SELECT doc_id,
-       |               CAST(len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS DOUBLE)
-       |                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS rate,
+       |               COALESCE(CAST(len(list_filter(string_split(text, ' '), t -> t = 'spark')) AS DOUBLE)
+       |                 / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE), 0.0) AS rate,
        |               list_transform(list_transform(range(1, length(text) - 1),
        |                 i -> substr(text, i, 3)), g -> $h32 % 32) AS hs
        |        FROM documents)),
@@ -9742,9 +9756,10 @@ object TextQueries {
        |trc AS (SELECT CAST(COUNT(1) AS BIGINT) AS n_train FROM scored WHERE train),
        |medt AS (
        |  SELECT MIN(mspm) AS med FROM (
-       |    SELECT a.spm AS mspm, SUM(b.c) AS cum
-       |    FROM tsc a LEFT JOIN tsc b ON b.spm <= a.spm
-       |    GROUP BY a.spm) CROSS JOIN trc
+       |    SELECT spm AS mspm,
+       |           SUM(c) OVER (ORDER BY spm ROWS BETWEEN UNBOUNDED PRECEDING
+       |                        AND CURRENT ROW) AS cum
+       |    FROM tsc) CROSS JOIN trc
        |  WHERE cum * 2 >= n_train),
        |held AS MATERIALIZED (
        |  SELECT y, spm, CASE WHEN spm > med THEN 1 ELSE 0 END AS pred
@@ -9762,9 +9777,10 @@ object TextQueries {
        |         SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS nn
        |  FROM held GROUP BY spm),
        |below AS (
-       |  SELECT a.spm, a.np, a.nn, COALESCE(SUM(b.nn), 0) AS cum_nn
-       |  FROM sc a LEFT JOIN sc b ON b.spm < a.spm
-       |  GROUP BY a.spm, a.np, a.nn),
+       |  SELECT spm, np, nn,
+       |         COALESCE(SUM(nn) OVER (ORDER BY spm ROWS BETWEEN UNBOUNDED
+       |                                PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+       |  FROM sc),
        |aucr AS (
        |  SELECT SUM(np) AS apos, SUM(nn) AS aneg,
        |         SUM(np * (2 * cum_nn + nn)) AS u2

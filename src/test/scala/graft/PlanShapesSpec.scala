@@ -329,9 +329,13 @@ class PlanShapesSpec extends AnyFunSuite {
     // cusum_t/cusum_ps: q257's rank + prefix sum over the pooled MONTHLY
     // aggregate (~80 rows at any corpus size — the frame is bounded by the
     // calendar, not the data)
+    // cum_tr/cum_nn: q283's prefix sums over the per-MILLION-quantized
+    // distinct-score AGGREGATE (<= 10^6 rows by quantization — bounded by
+    // the score codomain, not the corpus; replaced the r9-flagged
+    // O(frame^2) theta self-joins)
     val allowed = Seq("sum(cnt#", "sum(b_tot#",
       "AS cumw#", "AS cumcap#", "AS totw#", "AS satcap#", "AS unsatw#",
-      "AS cusum_t#", "AS cusum_ps#")
+      "AS cusum_t#", "AS cusum_ps#", "AS cum_tr#", "AS cum_nn#")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, Sf).queryExecution.executedPlan.toString
       plan.linesIterator.filter(_.contains("windowspecdefinition(")).flatMap { line =>

@@ -1069,6 +1069,19 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.decodeJpeg(Array(0xff, 0xd8, 0x12, 0x34).map(_.toByte))
     }
     assert(e4.getMessage.toLowerCase.contains("marker"))
+    // TEM (FF01) outside a scan: must fail loudly as a TEM, not be
+    // misparsed as a lengthed segment (the r9 `case 0x01 | _ if ...`
+    // guard bound to the whole alternation, so TEM fell to the default
+    // arm and read a bogus u16 length from the following bytes)
+    val e5 = intercept[IllegalArgumentException] {
+      MediaCodecs.decodeJpeg(Array(0xff, 0xd8, 0xff, 0x01, 0x00, 0x04).map(_.toByte))
+    }
+    assert(e5.getMessage.contains("TEM"))
+    // RSTn outside a scan: the restart arm, same loud contract
+    val e6 = intercept[IllegalArgumentException] {
+      MediaCodecs.decodeJpeg(Array(0xff, 0xd8, 0xff, 0xd3, 0x00, 0x04).map(_.toByte))
+    }
+    assert(e6.getMessage.contains("restart"))
   }
 
   test("JPEG: RealMediaDecoder dispatches magic FFD8 to format code 6") {
