@@ -28,6 +28,24 @@ object BpeByte {
   /** First merge id — [[graft.functions.BpeByteKit.IdBase]] (256). */
   val IdBase: Int = graft.functions.BpeByteKit.IdBase
 
+  /** GPT-2 pre-token unit counts — the trainer front production
+    * byte-level tokenizers use: units are `pretokenize_gpt2` pieces
+    * (space-prefixed words, digit runs, punctuation runs, contraction
+    * suffixes), so a model trained here agrees with `bpe_encode_gpt2`
+    * about which boundaries merges may cross — none. (The word-n-gram
+    * front ([[BpeInt.fourgramCounts]]) lets merges glue across spaces;
+    * applying such a model through the GPT-2 encoder silently forfeits
+    * its cross-word merges.) One row per distinct pre-token with its
+    * corpus occurrence count — aggregation is map-side combinable and
+    * the result is vocabulary-sized, never corpus-sized. */
+  def pretokenCounts(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.BpeByteExpressions.register(df.sparkSession)
+    df.select(explode(expr(s"pretokenize_gpt2(`$textCol`)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wcnt"))
+  }
+
   def fitBlocked(
       spark: SparkSession,
       words: DataFrame,

@@ -9564,7 +9564,77 @@ object TextQueries {
         "sharded hive write + per-shard manifest (rows, tokens, exact " +
         "order-free DECIMAL content hash mod 1e9+7) + read-back " +
         "verification; the oracle replays packing, sharding and hashes " +
-        "from the corpus, and readback_ok certifies the round trip.")
+        "from the corpus, and readback_ok certifies the round trip."),
+
+    // ---------------------------------------------------------------- q285
+    Q(
+      "q285_gpt2_tokenizer",
+      (s, dir) => {
+        // THE FULL PRODUCTION TOKENIZER CHAIN, id-exact: train byte-level
+        // BPE on GPT-2 PRE-TOKEN units (BpeByte.pretokenCounts — the
+        // trainer front production tokenizers use, so merges respect the
+        // exact boundaries bpe_encode_gpt2 enforces at apply time; the
+        // 4-gram front of q278 lets merges glue across spaces, and such
+        // a model silently forfeits those merges under the GPT-2
+        // encoder), then run every corpus doc through
+        // pretokenize_gpt2 -> per-piece byte-BPE -> token ids. Output is
+        // PER-DOC and CONTENT-CHECKED: pre-token/token/byte counts, the
+        // first 12 ids verbatim, an md5 over the full id sequence, and
+        // the byte-level decode round-trip bit. The oracle replays the
+        // pre-tokenizer (RE2 has no lookahead, so the published
+        // pattern's `\s+(?!\S)` trailing-space detach is reproduced by
+        // splitting each whitespace run before its last character with
+        // a chr(30) sentinel, then tiling each segment with the
+        // lookahead-free alternatives — equivalent by the run-splitting
+        // law; `\s` is spelled [\t-\r ] to pin Java's ASCII whitespace),
+        // replays EVERY training round over the pre-token unit table,
+        // and rebuilds each doc's id sequence by joining its pieces (in
+        // order) against the final replayed unit state — one wrong merge,
+        // boundary, or id anywhere breaks the md5 of some doc.
+        graft.functions.BpeByteExpressions.register(s)
+        val corpus = bpeGpt2Corpus(s, dir).localCheckpoint(true)
+        val units = graft.operators.BpeByte.pretokenCounts(corpus, "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+        val spec = graft.operators.BpeByte.specOf(m)
+        corpus
+          .withColumn("ids", expr(s"bpe_encode_gpt2(t, '$spec')"))
+          .selectExpr(
+            "doc_id",
+            "cast(size(pretokenize_gpt2(t)) as int) as n_pretok",
+            "cast(size(ids) as int) as n_tok",
+            "cast(octet_length(t) as int) as n_bytes",
+            "slice(ids, 1, 12) as ids_head",
+            "md5(array_join(transform(ids, i -> cast(i as string)), ',')) as ids_md5",
+            s"case when bpe_decode_bytes(ids, '$spec') = t then 1 else 0 end as rt_ok")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${duckGpt2ChainCtes},
+        enc AS MATERIALIZED (
+          SELECT p.doc_id, flatten(list(b.syms ORDER BY p.i)) AS ids
+          FROM (SELECT doc_id, unnest(ps) AS g, generate_subscripts(ps, 1) AS i
+                FROM pieces) p
+          JOIN bw$gpt2ChainRounds b ON b.g = p.g
+          GROUP BY p.doc_id)
+        SELECT d.doc_id,
+               CAST(len(p.ps) AS INTEGER) AS n_pretok,
+               CAST(len(e.ids) AS INTEGER) AS n_tok,
+               CAST(strlen(d.t) AS INTEGER) AS n_bytes,
+               e.ids[1:12] AS ids_head,
+               md5(array_to_string(e.ids, ',')) AS ids_md5,
+               1 AS rt_ok
+        FROM docs d
+        JOIN pieces p ON p.doc_id = d.doc_id
+        JOIN enc e ON e.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      "The production tokenizer path end to end: byte-BPE trained on " +
+        "GPT-2 pre-token units (merges can never cross an encode " +
+        "boundary), applied as pretokenize_gpt2 -> per-piece byte-BPE; " +
+        "per-doc id sequences content-checked (head ids + full-sequence " +
+        "md5 + decode round trip) against an oracle that replays the " +
+        "pre-tokenizer, all training rounds, and per-piece encode.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):
@@ -10116,6 +10186,79 @@ object TextQueries {
 
   /** All accepted merges of the generated byte-BPE chain, with counts. */
   private def duckBpeByteMerges: String = duckSymBpeMerges(bpeByteRounds)
+
+  /** q285 hyperparameters (defs — init-order gotcha): 256 merges over
+    * ~55 distinct pre-token units (total merge demand is ~280, so the
+    * budget leaves a multi-token tail — the sub-word regime), 16 rounds
+    * (the L/R rule exhausts the budget in ~5 on this unit table; the
+    * slack is the exhaustion margin). */
+  private def gpt2ChainMerges = 256
+  private def gpt2ChainRounds = 16
+  private def gpt2ChainCandCap = 512
+  private def gpt2ChainAcceptCap = 64
+
+  /** The q285 corpus: the q278 mixed-script construction WITH doc_id
+    * (per-doc output rows) — multibyte UTF-8 keeps byte-level merges
+    * honest, and `pretokenize_gpt2` sees the raw text. */
+  private def bpeGpt2Corpus(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    table(s, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" \u6f22\u5b57\u30c6\u30b9\u30c8"))
+          .when(col("doc_id") % 3 === 1, lit(" abc\u6f22\u5b57def"))
+          .otherwise(lit(""))).as("t"))
+
+  /** DuckDB replay of `pretokenize_gpt2` over column `c` -> ordered
+    * piece list. RE2 (DuckDB's engine) has no lookahead, so the
+    * published pattern's `\\s+(?!\\S)` (a whitespace run followed by
+    * non-space surrenders its LAST char to the next piece's ` ?` prefix)
+    * is reproduced by first splitting every such run before its last
+    * character with a chr(30) sentinel (one regexp_replace — runs are
+    * disjoint, one insertion each), then tiling each sentinel-delimited
+    * segment with the lookahead-free alternatives. `\\s` is spelled
+    * `[\\t-\\r ]` (tab..CR + space) to pin Java's whitespace set over
+    * the fixture's ASCII text; the contraction/letter/number/symbol
+    * alternatives and their order are verbatim from the published
+    * pattern. chr(30) itself never occurs in the corpus (letters,
+    * spaces, and the CJK tails only). */
+  private def duckGpt2PretokExpr(c: String): String =
+    s"""flatten(list_transform(
+          string_split(regexp_replace($c,
+            '([\\t-\\r ])([\\t-\\r ])([^\\t-\\r ])', '\\1' || chr(30) || '\\2\\3', 'g'),
+            chr(30)),
+          seg -> regexp_extract_all(seg,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|[\\t-\\r ]+')))"""
+
+  /** The q285 chain: docs (corpus with doc_id), pieces (the replayed
+    * pre-tokenization), bw0 (pre-token unit counts in UTF-8 byte
+    * symbols — the [[graft.operators.BpeByte.pretokenCounts]] twin),
+    * then the shared per-round election replay. */
+  private def duckGpt2ChainCtes: String = duckSymBpeCtes(
+    s"""docs AS MATERIALIZED (
+          SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN ' ' || chr(28450) || chr(23383) || chr(12486) || chr(12473) || chr(12488)
+            WHEN 1 THEN ' abc' || chr(28450) || chr(23383) || 'def'
+            ELSE '' END AS t
+          FROM documents WHERE doc_id < 500),
+        pieces AS MATERIALIZED (
+          SELECT doc_id, ${duckGpt2PretokExpr("t")} AS ps FROM docs),
+        bw0 AS MATERIALIZED (
+          SELECT g, CAST(COUNT(1) AS BIGINT) AS wcnt,
+                 flatten(list_transform(
+                   list_transform(range(1, length(g) + 1), i -> unicode(substring(g, i, 1))),
+                   cp -> CASE WHEN cp < 128 THEN [CAST(cp AS INTEGER)]
+                     WHEN cp < 2048 THEN [CAST(192 + cp // 64 AS INTEGER),
+                                          CAST(128 + cp % 64 AS INTEGER)]
+                     WHEN cp < 65536 THEN [CAST(224 + cp // 4096 AS INTEGER),
+                                           CAST(128 + (cp // 64) % 64 AS INTEGER),
+                                           CAST(128 + cp % 64 AS INTEGER)]
+                     ELSE [CAST(240 + cp // 262144 AS INTEGER),
+                           CAST(128 + (cp // 4096) % 64 AS INTEGER),
+                           CAST(128 + (cp // 64) % 64 AS INTEGER),
+                           CAST(128 + cp % 64 AS INTEGER)] END)) AS syms
+          FROM (SELECT unnest(ps) AS g FROM pieces)
+          GROUP BY g)""",
+    255, gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
 
   /** q247/q248 hyperparameters (defs — init-order gotcha): 512 merges,
     * 24 generated rounds (all three SFs converge in ~8 under the L/R

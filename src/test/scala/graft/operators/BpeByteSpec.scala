@@ -328,6 +328,39 @@ class BpeByteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown spelling"))
   }
 
+  test("pretokenCounts: units are pre-tokens; trained merges respect encode boundaries") {
+    import spark.implicits._
+    val docs = Seq("the cat sat", "the cat ran fast", "a cat the end").toDF("t")
+    val units = BpeByte.pretokenCounts(docs, "t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pre-token units: bare first words + space-prefixed continuations
+    assert(units("the") === 2L && units(" cat") === 3L && units("a") === 1L)
+    assert(units(" the") === 1L) // "a cat the end": mid-doc 'the' carries its space
+    // no unit ever has an INTERIOR space (the GPT-2 pattern attaches at
+    // most ONE LEADING space) — so no trained merge can cross a word
+    // boundary, which is exactly the agreement bpe_encode_gpt2 needs
+    assert(units.keys.forall(w => !w.drop(1).contains(' ')))
+    val m = BpeByte.fitBlocked(spark, BpeByte.pretokenCounts(docs, "t"), "w", "wcnt",
+      64, maxRounds = 16, candCap = 128, acceptCap = 32).collect()
+    assert(m.nonEmpty)
+    val spec = m.sortBy(_.getAs[Int]("midx"))
+      .map(r => s"${r.getAs[Int]("a")}:${r.getAs[Int]("b")}").mkString(";")
+    val parsed = BpeByteKit.parse(spec)
+    (IdBase until IdBase + m.length).foreach { id =>
+      val sp = new String(parsed.spellBytes(id), "UTF-8")
+      assert(!sp.drop(1).contains(' '),
+        s"merge $id spells '$sp' — an interior space crosses a pre-token " +
+          "boundary the GPT-2 encoder never lets it act on")
+    }
+    // and the model applies cleanly through the production path: encode
+    // within pieces == whole-text encodeGpt2 (ids concatenate in order)
+    val chk = docs.selectExpr(
+      s"bpe_encode_gpt2(t, '$spec') as whole",
+      s"flatten(transform(pretokenize_gpt2(t), p -> bpe_encode_bytes(p, '$spec'))) as pieced")
+      .collect()
+    chk.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+  }
+
   // ------------------------------------------------------- GPT-2 pre-tokenizer
 
   test("pretokenize_gpt2: the published pattern's goldens, partition law, unicode") {
