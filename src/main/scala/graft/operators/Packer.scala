@@ -119,4 +119,65 @@ object Packer {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
       .drop("bucket", "b_off", "loc_off")
   }
+
+  /**
+   * TENSOR-READY sequence materialization — the artifact a trainer
+   * actually consumes: every document's token ids concatenate in
+   * `orderCol` order with ONE `eosId` separator appended per document
+   * (the GPT-2 `<|endoftext|>` convention), and the global id stream
+   * slices into `ctxLen`-id context windows. Output: one row per window
+   * — `seq` (window index), `n_ids`, `ids` (the window's exact id
+   * array). Every window carries exactly `ctxLen` ids except the final
+   * partial tail, which is KEPT and detectable by `n_ids < ctxLen` —
+   * the caller decides to drop or pad it; nothing truncates silently.
+   *
+   * Scale shape: offsets come from [[withSequenceOffsets]]'s two-phase
+   * bucketed cumsum (no global window, no collect); each document then
+   * explodes into ONLY the windows it overlaps (`n/ctxLen + 1` rows),
+   * carrying the exact slice of its id array for each window; windows
+   * reassemble by an equi-shuffle on `seq` with a bounded per-window
+   * fragment sort (a window holds at most `ctxLen + 1` fragments,
+   * `ctxLen` ids). Each id crosses the wire once — the minimum any
+   * delivery job can move — and no task ever holds more than one
+   * window's ids plus its own input split.
+   *
+   * Contract: `orderCol` non-null unique numeric total order (enforced
+   * by [[withSequenceOffsets]]); `idsCol` a non-null `array<int>` of
+   * non-null ids (a null array fails loudly via the null-count check);
+   * `eosId` is the separator id — by convention the trained model's
+   * vocabulary size (one past the last merge id), never a data id.
+   */
+  def packTokenIds(
+      df: DataFrame,
+      orderCol: String,
+      idsCol: String,
+      ctxLen: Int,
+      eosId: Int,
+      nBuckets: Int = 32,
+      recoverable: Boolean = false): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen ($ctxLen) must be at least 1")
+    require(eosId >= 0, s"eosId ($eosId) must be non-negative")
+    val withEos = df.select(
+      col(orderCol),
+      expr(s"concat($idsCol, array($eosId))").as("__ids"))
+      .withColumn("__n", size(col("__ids")))
+    val off = withSequenceOffsets(
+      withEos, orderCol, "__n", ctxLen, nBuckets, recoverable)
+    off
+      .withColumn("seq", explode(expr("sequence(first_seq, last_seq)")))
+      // the slice of THIS doc's ids that lands in window `seq`:
+      // [max(windowStart, docStart), min(windowEnd, docEnd)) in global
+      // stream coordinates, rebased to the doc's array (1-based)
+      .withColumn("frag", expr(
+        s"""slice(__ids,
+              cast(greatest(seq * ${ctxLen}L - tok_offset, 0L) + 1L as int),
+              cast(least((seq + 1L) * ${ctxLen}L, tok_offset + size(__ids))
+                   - greatest(seq * ${ctxLen}L, tok_offset) as int))"""))
+      .groupBy("seq")
+      // fragments reassemble in stream order: tok_offset is unique per
+      // doc, so the struct sort is total and the flatten deterministic
+      .agg(expr("flatten(transform(array_sort(collect_list(" +
+        "struct(tok_offset, frag))), x -> x.frag))").as("ids"))
+      .select(col("seq"), size(col("ids")).as("n_ids"), col("ids"))
+  }
 }

@@ -9634,7 +9634,138 @@ object TextQueries {
         "boundary), applied as pretokenize_gpt2 -> per-piece byte-BPE; " +
         "per-doc id sequences content-checked (head ids + full-sequence " +
         "md5 + decode round trip) against an oracle that replays the " +
-        "pre-tokenizer, all training rounds, and per-piece encode.")
+        "pre-tokenizer, all training rounds, and per-piece encode."),
+
+    // ---------------------------------------------------------------- q286
+    Q(
+      "q286_token_contexts",
+      (s, dir) => {
+        // TENSOR-READY CONTEXTS — the last mile the r9 verdict flagged:
+        // not token COUNTS packed into offsets (q105/q281) but the
+        // actual id arrays a trainer consumes. The q285 chain produces
+        // per-doc ids; Packer.packTokenIds concatenates them in doc_id
+        // order with ONE eos separator per doc (eos = the trained
+        // model's vocab size, one past the last merge id — the GPT-2
+        // <|endoftext|> convention) and slices the global stream into
+        // ctx-128 windows by two-phase offsets + overlap explode +
+        // equi-shuffle reassembly (each id crosses the wire once; the
+        // partial tail window is kept, flagged by is_full = 0). Output
+        // is PER-WINDOW and id-exact: head ids verbatim plus a full-
+        // window md5. The oracle rebuilds the whole id stream from its
+        // replayed chain and re-slices it arithmetically — any boundary
+        // or separator error shifts every later window's hash.
+        graft.functions.BpeByteExpressions.register(s)
+        val corpus = bpeGpt2Corpus(s, dir).localCheckpoint(true)
+        val units = graft.operators.BpeByte.pretokenCounts(corpus, "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+        val spec = graft.operators.BpeByte.specOf(m)
+        val eos = graft.functions.BpeByteKit.IdBase +
+          (if (spec.isEmpty) 0 else spec.split(";", -1).length)
+        val docs = corpus
+          .withColumn("ids", expr(s"bpe_encode_gpt2(t, '$spec')"))
+          .select("doc_id", "ids")
+        graft.operators.Packer.packTokenIds(docs, "doc_id", "ids",
+          ctxLen = 128, eosId = eos)
+          .selectExpr(
+            "seq", "n_ids",
+            "slice(ids, 1, 8) as ids_head",
+            "md5(array_join(transform(ids, i -> cast(i as string)), ',')) as ids_md5",
+            "case when n_ids = 128 then 1 else 0 end as is_full")
+          .orderBy("seq")
+      },
+      Some(s"""
+        WITH ${duckGpt2ChainCtes},
+        enc AS MATERIALIZED (
+          SELECT p.doc_id, flatten(list(b.syms ORDER BY p.i)) AS ids
+          FROM (SELECT doc_id, unnest(ps) AS g, generate_subscripts(ps, 1) AS i
+                FROM pieces) p
+          JOIN bw$gpt2ChainRounds b ON b.g = p.g
+          GROUP BY p.doc_id),
+        vocab AS (SELECT CAST(256 + COUNT(*) AS INTEGER) AS eos FROM (
+          ${duckSymBpeMerges(gpt2ChainRounds)})),
+        stream AS MATERIALIZED (
+          SELECT flatten(list(list_append(ids, eos) ORDER BY doc_id)) AS st
+          FROM enc, vocab GROUP BY ALL),
+        ctx AS (
+          SELECT CAST(i AS BIGINT) AS seq,
+                 st[CAST(i * 128 + 1 AS BIGINT):CAST(LEAST((i + 1) * 128, len(st)) AS BIGINT)] AS ids
+          FROM stream, unnest(range(0, CAST(ceil(len(st) / 128.0) AS BIGINT))) t(i))
+        SELECT seq, CAST(len(ids) AS INTEGER) AS n_ids,
+               ids[1:8] AS ids_head,
+               md5(array_to_string(ids, ',')) AS ids_md5,
+               CASE WHEN len(ids) = 128 THEN 1 ELSE 0 END AS is_full
+        FROM ctx ORDER BY seq"""),
+      "Tensor-ready ctx-128 windows of the trained tokenizer's id " +
+        "stream (one EOS per doc, vocab-size id): two-phase offsets + " +
+        "overlap explode + equi-shuffle reassembly, partial tail kept " +
+        "and flagged; per-window head ids and full-window md5 against " +
+        "an oracle that rebuilds and re-slices the whole stream."),
+
+    // ---------------------------------------------------------------- q287
+    Q(
+      "q287_token_delivery",
+      (s, dir) => {
+        // THE VERIFIED TENSOR HANDOFF: q286's windows through
+        // Sinks.writeTokenContexts — seq%8-sharded hive write whose
+        // per-shard manifest hashes the actual ID CONTENT of every
+        // window (q284's manifest hashed packing accounting tuples; a
+        // flipped id was invisible there, here it fails the shard), then
+        // a read-back re-manifest; readback_ok certifies the round trip.
+        // The oracle replays windows, shards, counts, and content hashes
+        // from its own replayed id stream.
+        graft.functions.BpeByteExpressions.register(s)
+        val corpus = bpeGpt2Corpus(s, dir).localCheckpoint(true)
+        val units = graft.operators.BpeByte.pretokenCounts(corpus, "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+        val spec = graft.operators.BpeByte.specOf(m)
+        val eos = graft.functions.BpeByteKit.IdBase +
+          (if (spec.isEmpty) 0 else spec.split(";", -1).length)
+        val docs = corpus
+          .withColumn("ids", expr(s"bpe_encode_gpt2(t, '$spec')"))
+          .select("doc_id", "ids")
+        val ctxs = graft.operators.Packer.packTokenIds(docs, "doc_id", "ids",
+          ctxLen = 128, eosId = eos)
+        // fresh dir per invocation: parallel suites run this lambda
+        // concurrently and an Overwrite race would corrupt the read-back
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_tokctx_").toString
+        graft.sources.Sinks.writeTokenContexts(ctxs, out, 8)
+          .orderBy("shard")
+      },
+      Some(s"""
+        WITH ${duckGpt2ChainCtes},
+        enc AS MATERIALIZED (
+          SELECT p.doc_id, flatten(list(b.syms ORDER BY p.i)) AS ids
+          FROM (SELECT doc_id, unnest(ps) AS g, generate_subscripts(ps, 1) AS i
+                FROM pieces) p
+          JOIN bw$gpt2ChainRounds b ON b.g = p.g
+          GROUP BY p.doc_id),
+        vocab AS (SELECT CAST(256 + COUNT(*) AS INTEGER) AS eos FROM (
+          ${duckSymBpeMerges(gpt2ChainRounds)})),
+        stream AS MATERIALIZED (
+          SELECT flatten(list(list_append(ids, eos) ORDER BY doc_id)) AS st
+          FROM enc, vocab GROUP BY ALL),
+        ctx AS (
+          SELECT CAST(i AS BIGINT) AS seq,
+                 st[CAST(i * 128 + 1 AS BIGINT):CAST(LEAST((i + 1) * 128, len(st)) AS BIGINT)] AS ids
+          FROM stream, unnest(range(0, CAST(ceil(len(st) / 128.0) AS BIGINT))) t(i))
+        SELECT CAST(seq % 8 AS INTEGER) AS shard,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               CAST(SUM(len(ids)) AS BIGINT) AS n_ids,
+               CAST(CAST(SUM(CAST(${graft.functions.HashConventions.duckMd5long48(
+                 "CAST(seq AS VARCHAR) || ':' || array_to_string(ids, ',')")}
+                 AS DECIMAL(38,0))) % 1000000007 AS DECIMAL(38,0)) AS BIGINT) AS content_hash,
+               TRUE AS readback_ok
+        FROM ctx GROUP BY 1 ORDER BY shard"""),
+      "Verified tensor delivery: seq%8-sharded write of the ctx-128 id " +
+        "windows with a per-shard manifest hashing every window's FULL " +
+        "id content (48-bit md5 summed in exact DECIMAL, mod 1e9+7) and " +
+        "a read-back re-manifest; the oracle replays windows, shards, " +
+        "and content hashes, and readback_ok certifies the round trip.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):

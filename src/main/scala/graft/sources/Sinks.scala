@@ -108,6 +108,61 @@ object Sinks {
   }
 
   /**
+   * TOKEN-CONTEXT DELIVERY: the id-content-verified handoff of
+   * [[graft.operators.Packer.packTokenIds]] windows — where
+   * [[writePackedManifest]] certifies packing ACCOUNTING (offsets and
+   * counts), this certifies the actual TENSOR PAYLOAD: the per-shard
+   * content hash covers every window's full id sequence
+   * (`seq:id,id,...` through the exact 48-bit md5, summed in
+   * DECIMAL(38) — order-free, collect-free, exact at any scale — mod
+   * 1e9+7), so a single flipped id anywhere in a shard fails the
+   * delivery. Shard = `seq % nShards` (dense window indices — balanced
+   * by construction); each shard lands hive-partitioned and sorted by
+   * `seq`. After the write the data is READ BACK and re-manifested;
+   * `readback_ok` is the per-shard equality of rows, id count, and
+   * content hash. The manifest is also written as JSON beside the data
+   * (`<path>/_manifest`). Returns the verified manifest.
+   */
+  def writeTokenContexts(
+      contexts: DataFrame,
+      path: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards ($nShards) must be positive")
+    Seq("seq", "ids").foreach(c =>
+      require(contexts.columns.contains(c),
+        s"contexts must carry $c — run Packer.packTokenIds first"))
+    val h = graft.functions.HashConventions.md5long48(
+      "concat(cast(seq as string), ':', " +
+        "array_join(transform(ids, i -> cast(i as string)), ','))")
+    def manifestOf(df: DataFrame): DataFrame = df
+      .withColumn("shard", expr(s"cast(seq % $nShards as int)"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(expr("cast(size(ids) as long)")).as("n_ids"),
+        expr(s"cast(sum(cast($h as decimal(38,0))) % 1000000007 as bigint)")
+          .as("content_hash"))
+    contexts.withColumn("shard", expr(s"cast(seq % $nShards as int)"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("seq"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+    val expect = manifestOf(contexts)
+    val back = manifestOf(contexts.sparkSession.read.parquet(path))
+      .withColumnRenamed("n_rows", "rb_rows")
+      .withColumnRenamed("n_ids", "rb_ids")
+      .withColumnRenamed("content_hash", "rb_hash")
+    val manifest = expect.join(back, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_rows"), col("n_ids"), col("content_hash"),
+        (col("n_rows") === col("rb_rows") &&
+          col("n_ids") === col("rb_ids") &&
+          col("content_hash") === col("rb_hash")).as("readback_ok"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/_manifest")
+    manifest
+  }
+
+  /**
    * Bucketed + sorted managed table: joins/aggregations keyed on
    * `bucketCols` read it with no Exchange (and no Sort, when `sortCols`
    * covers the join key). Bucketing requires the table-catalog write path

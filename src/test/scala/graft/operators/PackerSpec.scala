@@ -111,4 +111,47 @@ class PackerSpec extends AnyFunSuite {
       "recoverable mode must produce bit-identical offsets")
     spark.catalog.clearCache() // the documented unpersist point for recoverable pins
   }
+
+  test("packTokenIds: windows reassemble the exact eos-separated id stream") {
+    val eos = 9999
+    // real per-doc id arrays (word lengths — deterministic, multi-window)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), w -> cast(length(w) as int))").as("ids"))
+    val got = Packer.packTokenIds(docs, "doc_id", "ids", ctxLen = 32, eosId = eos)
+    val win = got.orderBy("seq").collect()
+    // THE STREAM LAW: windows concatenated in seq order == every doc's
+    // ids + one eos, concatenated in doc order — boundaries, separators,
+    // and fragment reassembly all verified at id granularity
+    val stream = win.flatMap(_.getSeq[Int](2)).toSeq
+    val expect = docs.orderBy("doc_id").collect()
+      .flatMap(r => r.getSeq[Int](1) :+ eos).toSeq
+    assert(stream === expect)
+    // shape: seq dense from 0; every window full except the kept tail
+    assert(win.map(_.getLong(0)).toSeq === win.indices.map(_.toLong))
+    assert(win.dropRight(1).forall(_.getInt(1) === 32))
+    assert(win.last.getInt(1) === (expect.length - 1) % 32 + 1)
+    // at least one document must SPAN windows for this test to bite
+    assert(docs.selectExpr("max(size(ids))").head().getInt(0) > 32)
+    // partition-count independence: the offsets and reassembly are
+    // deterministic in the data, not the physical layout
+    val re = Packer.packTokenIds(docs.repartition(7), "doc_id", "ids", 32, eos)
+    assert(re.exceptAll(got).count() === 0 && got.exceptAll(re).count() === 0)
+    // scale shape: no data-sized global window (same audit as offsets)
+    val plan = got.queryExecution.executedPlan.toString
+    val globals = plan.linesIterator.filter(_.contains("Window ["))
+      .filter(l => "\\], \\[[^\\]]*\\], \\[".r.findFirstIn(l).isEmpty).toSeq
+    assert(globals.forall(_.contains("b_tot#")),
+      s"global windows may only touch the tiny aggregate frame, got:\n${globals.mkString("\n")}")
+  }
+
+  test("packTokenIds: null id arrays fail loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, Seq(1, 2)), (2L, null.asInstanceOf[Seq[Int]]))
+      .toDF("doc_id", "ids")
+    val e = intercept[Exception] {
+      Packer.packTokenIds(bad, "doc_id", "ids", 8, 99).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

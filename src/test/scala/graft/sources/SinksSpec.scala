@@ -181,4 +181,45 @@ class SinksSpec extends AnyFunSuite {
       disk(k)._1 == manifest(k)._1 && disk(k)._2 == manifest(k)._3),
       "untampered shards still match the stored manifest")
   }
+
+  test("writeTokenContexts: verified tensor delivery; one flipped id fails its shard") {
+    val eos = 7777
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .selectExpr("doc_id",
+        "transform(split(text, ' '), w -> cast(length(w) as int)) as ids")
+    val ctxs = graft.operators.Packer
+      .packTokenIds(docs, "doc_id", "ids", ctxLen = 64, eosId = eos)
+    val out = Files.createTempDirectory("tokctx_manifest").toString
+    val man = Sinks.writeTokenContexts(ctxs, out, 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(man.keySet === Set(0, 1, 2, 3))
+    assert(man.values.forall(_._4), "every shard must verify on read-back")
+    assert(man.values.map(_._1).sum === ctxs.count(), "manifest covers every window")
+    // the id count is the FULL stream: every doc's ids plus one eos each
+    val streamLen = docs.selectExpr("sum(size(ids) + 1)").head().getLong(0)
+    assert(man.values.map(_._2).sum === streamLen)
+    assert(new java.io.File(out, "_manifest").isDirectory, "JSON manifest sidecar")
+    // ID-LEVEL sensitivity — the property writePackedManifest (accounting
+    // tuples only) cannot offer: flip ONE id in ONE window and the
+    // affected shard's content hash must change, all others must not
+    val h = graft.functions.HashConventions.md5long48(
+      "concat(cast(seq as string), ':', " +
+        "array_join(transform(ids, i -> cast(i as string)), ','))")
+    def hashes(df: org.apache.spark.sql.DataFrame): Map[Int, Long] = df
+      .withColumn("shard", expr("cast(seq % 4 as int)"))
+      .groupBy("shard")
+      .agg(expr(s"cast(sum(cast($h as decimal(38,0))) % 1000000007 as bigint)").as("ch"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val back = spark.read.parquet(out).select("seq", "n_ids", "ids")
+    val flipped = back.withColumn("ids", expr(
+      "case when seq = 5 then concat(array(element_at(ids, 1) + 1), " +
+        "slice(ids, 2, size(ids) - 1)) else ids end"))
+    val ok = hashes(back)
+    val bad = hashes(flipped)
+    assert(ok(1) !== bad(1), "shard 1 (seq 5) must fail on a single flipped id")
+    assert((0 to 3).filter(_ != 1).forall(k => ok(k) == bad(k)),
+      "other shards are untouched")
+    assert(ok === man.view.mapValues(_._3).toMap, "disk hashes match the manifest")
+  }
 }
