@@ -938,6 +938,54 @@ object MediaCodecs {
       maxCode(len) >= 0 && code >= minCode(len) && code <= maxCode(len)
   }
 
+  /** Dequantize one ZIGZAG-ordered quantized coefficient block (`coefs`
+    * from `off`, 64 entries) with table `q` and IDCT into natural-order
+    * level-shifted clamped pixels in `blk` — shared by the baseline
+    * per-block decode and the progressive at-EOI finisher. DC-only
+    * blocks short-circuit to the (bit-identical) DC term. */
+  private def jpegIdctBlock(
+      coefs: Array[Int], off: Int, q: Array[Int], blk: Array[Int]): Unit = {
+    val f = new Array[Double](64)
+    var anyAc = false
+    var z = 0
+    while (z < 64) {
+      f(JpegZigzag(z)) = (coefs(off + z) * q(z)).toDouble
+      if (z > 0 && coefs(off + z) != 0) anyAc = true
+      z += 1
+    }
+    if (!anyAc) {
+      // DC-only block: every AC term of the IDCT sum is exactly 0.0, so
+      // the full loop reduces BIT-IDENTICALLY to the DC term — C(0)^2/4
+      // * F00 — flat-filled (the dominant case in flat regions; ~64x
+      // less arithmetic per block)
+      val sum = JpegIdctCos(0)(0) * JpegIdctCos(0)(0) * f(0)
+      val px0 = StrictMath.round(sum / 4.0 + 128.0).toInt
+      val px = if (px0 < 0) 0 else if (px0 > 255) 255 else px0
+      java.util.Arrays.fill(blk, px)
+    } else {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              sum += JpegIdctCos(v)(y) * JpegIdctCos(u)(x) * f(v * 8 + u)
+              v += 1
+            }
+            u += 1
+          }
+          val px = StrictMath.round(sum / 4.0 + 128.0).toInt
+          blk(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
   /**
    * Baseline-sequential JPEG decode (SOF0: 8-bit Huffman DCT, the format
    * the overwhelming majority of web images use): marker walk (APPn/COM
@@ -947,8 +995,13 @@ object MediaCodecs {
    * unstuffing, dequantize + dezigzag, naive double IDCT (StrictMath —
    * deterministic across JVMs), level shift, sample-replication chroma
    * upsampling for any h/v factors, and JFIF YCbCr -> RGB (1-component
-   * images replicate Y). Progressive (SOF2) and every other frame type
-   * fail loudly — skip-corrupt belongs to the CALLER's dispatch, a
+   * images replicate Y). PROGRESSIVE (SOF2) decodes too — the format the
+   * majority of large web JPEGs use: spectral selection (interleaved or
+   * single-component DC scans, single-component AC band scans) and
+   * successive approximation (DC bit refinement; the G.1.2.3 AC
+   * correction-bit algorithm with EOB runs), coefficients accumulated
+   * across scans and IDCT'd once at EOI. Every other frame type fails
+   * loudly — skip-corrupt belongs to the CALLER's dispatch, a
    * half-decoded image must never become features. Output rows are
    * row-major RGB triplets.
    */
@@ -960,6 +1013,46 @@ object MediaCodecs {
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     require(bytes.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8,
       s"not JPEG: magic ${bytes.take(2).map(b => f"${b & 0xff}%02x").mkString(" ")}")
+
+    var i = 2
+    // entropy bit reader (FF00 unstuffing) — shared by the baseline scan
+    // and every progressive scan; reset (bitCnt = 0) at each scan start
+    // and at restart markers
+    var bitBuf = 0
+    var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        var b = u8(i); i += 1
+        if (b == 0xff) {
+          val b2 = u8(i); i += 1
+          require(b2 == 0x00,
+            f"JPEG: marker FF$b2%02x inside entropy data (truncated scan?)")
+          b = 0xff
+        }
+        bitBuf = b
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+      v
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    def decodeHuff(tab: JpegHuff): Int = {
+      var code = nextBit()
+      var len = 1
+      while (!tab.has(len, code)) {
+        code = (code << 1) | nextBit()
+        len += 1
+        require(len <= 16, "JPEG: Huffman code longer than 16 bits")
+      }
+      tab.symbol(len, code)
+    }
 
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[JpegHuff](4)
@@ -978,8 +1071,15 @@ object MediaCodecs {
     var planeH: Array[Int] = null
     var sawFrame = false
     var sawScan = false
+    // progressive (SOF2) state: coefficients ACCUMULATE across scans in
+    // zigzag order per block; IDCT runs once at EOI
+    var progressive = false
+    var coefArr: Array[Array[Int]] = null // per comp: padded block grid * 64
+    var blocksW: Array[Int] = null // padded grid width in blocks (mcusX * h)
+    var blocksH: Array[Int] = null
+    var cBlocksX: Array[Int] = null // the comp's OWN block dims (non-interleaved scans)
+    var cBlocksY: Array[Int] = null
 
-    var i = 2
     var done = false
     while (!done) {
       // marker: skip fill bytes (FF FF ... xx)
@@ -1027,9 +1127,10 @@ object MediaCodecs {
         case 0xdd => // DRI
           dri = u16(i + 2)
           i += u16(i)
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
           require(!sawFrame, "JPEG: multiple frame headers")
           sawFrame = true
+          progressive = marker == 0xc2
           require(u8(i + 2) == 8, s"JPEG: only 8-bit precision supported (${u8(i + 2)})")
           height = u16(i + 3)
           width = u16(i + 5)
@@ -1050,11 +1151,228 @@ object MediaCodecs {
               s"JPEG: bad sampling factors ${compH(c)}x${compV(c)}")
             c += 1
           }
+          if (progressive) {
+            // coefficient planes: padded MCU block grid per component
+            // (interleaved DC scans walk the padding too); AC scans walk
+            // only the component's own ceil-dims
+            val hMax = compH.max
+            val vMax = compV.max
+            val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            blocksW = Array.tabulate(nComp)(c0 => mcusX * compH(c0))
+            blocksH = Array.tabulate(nComp)(c0 => mcusY * compV(c0))
+            cBlocksX = Array.tabulate(nComp)(c0 =>
+              ((width * compH(c0) + hMax - 1) / hMax + 7) / 8)
+            cBlocksY = Array.tabulate(nComp)(c0 =>
+              ((height * compV(c0) + vMax - 1) / vMax + 7) / 8)
+            coefArr = Array.tabulate(nComp)(c0 =>
+              new Array[Int](blocksW(c0) * blocksH(c0) * 64))
+            planeW = Array.tabulate(nComp)(c0 => blocksW(c0) * 8)
+            planeH = Array.tabulate(nComp)(c0 => blocksH(c0) * 8)
+            planes = Array.tabulate(nComp)(c0 => new Array[Int](planeW(c0) * planeH(c0)))
+          }
           i += u16(i)
-        case m if m == 0xc2 || (m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) =>
+        case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
           throw new IllegalArgumentException(
-            f"JPEG: frame type SOF${m - 0xc0} unsupported (baseline SOF0 only)")
-        case 0xda => // SOS
+            f"JPEG: frame type SOF${m - 0xc0} unsupported (baseline SOF0 and progressive SOF2 only)")
+        case 0xda if progressive => // SOS (progressive: one of many scans)
+          require(sawFrame, "JPEG: scan before frame header")
+          sawScan = true
+          val ns = u8(i + 2)
+          require(ns >= 1 && ns <= nComp,
+            s"JPEG: progressive scan names $ns components (frame has $nComp)")
+          val scomp = new Array[Int](ns)
+          val sdc = new Array[JpegHuff](ns)
+          val sac = new Array[JpegHuff](ns)
+          var c = 0
+          while (c < ns) {
+            val cs = u8(i + 3 + 2 * c)
+            val idx = compId.indexOf(cs)
+            require(idx >= 0, s"JPEG: scan names unknown component $cs")
+            scomp(c) = idx
+            sdc(c) = dcTabs(u8(i + 4 + 2 * c) >> 4)
+            sac(c) = acTabs(u8(i + 4 + 2 * c) & 0x0f)
+            c += 1
+          }
+          val ss = u8(i + 3 + 2 * ns)
+          val se = u8(i + 4 + 2 * ns)
+          val ah = u8(i + 5 + 2 * ns) >> 4
+          val al = u8(i + 5 + 2 * ns) & 0x0f
+          require(al <= 13 && ah <= 13, s"JPEG: successive approximation $ah/$al out of range")
+          i += u16(i)
+          bitBuf = 0; bitCnt = 0
+          var eobrun = 0
+          var rstIdx = 0
+          var unit = 0 // MCU (interleaved) or block (single-comp) counter
+          def restartCheck(): Unit = {
+            if (dri > 0 && unit > 0 && unit % dri == 0) {
+              bitCnt = 0
+              require(u8(i) == 0xff && u8(i + 1) == 0xd0 + rstIdx,
+                f"JPEG: expected RST$rstIdx at byte $i")
+              i += 2
+              rstIdx = (rstIdx + 1) % 8
+              eobrun = 0
+            }
+          }
+          if (ss == 0) {
+            // ---- DC scan (first or refinement); interleaved when ns > 1
+            require(se == 0,
+              "JPEG: progressive DC scan must have Se = 0 (no combined DC+AC scans)")
+            if (ah == 0) (0 until ns).foreach(ci => require(sdc(ci) != null,
+              "JPEG: DC scan references undefined Huffman table"))
+            val pred = new Array[Int](ns)
+            def dcBlock(ci: Int, base: Int): Unit = {
+              val arr = coefArr(scomp(ci))
+              if (ah == 0) {
+                val t = decodeHuff(sdc(ci))
+                require(t <= 11, s"JPEG: DC category $t out of range")
+                pred(ci) += extend(receive(t), t)
+                arr(base) = pred(ci) << al
+              } else if (nextBit() == 1) {
+                arr(base) |= (1 << al)
+              }
+            }
+            if (ns == 1) {
+              val c0 = scomp(0)
+              val total = cBlocksX(c0) * cBlocksY(c0)
+              while (unit < total) {
+                restartCheck()
+                if (dri > 0 && unit % dri == 0) java.util.Arrays.fill(pred, 0)
+                val bx = unit % cBlocksX(c0)
+                val by = unit / cBlocksX(c0)
+                dcBlock(0, (by * blocksW(c0) + bx) * 64)
+                unit += 1
+              }
+            } else {
+              val hMax = compH.max
+              val vMax = compV.max
+              val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+              val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+              val nMcus = mcusX * mcusY
+              while (unit < nMcus) {
+                restartCheck()
+                if (dri > 0 && unit % dri == 0) java.util.Arrays.fill(pred, 0)
+                val mx = unit % mcusX
+                val my = unit / mcusX
+                var ci = 0
+                while (ci < ns) {
+                  val c0 = scomp(ci)
+                  var v0 = 0
+                  while (v0 < compV(c0)) {
+                    var h0 = 0
+                    while (h0 < compH(c0)) {
+                      val bx = mx * compH(c0) + h0
+                      val by = my * compV(c0) + v0
+                      dcBlock(ci, (by * blocksW(c0) + bx) * 64)
+                      h0 += 1
+                    }
+                    v0 += 1
+                  }
+                  ci += 1
+                }
+                unit += 1
+              }
+            }
+          } else {
+            // ---- AC scan: always single-component, over ITS block grid
+            require(ns == 1, "JPEG: progressive AC scans are single-component")
+            require(ss <= se && se <= 63, s"JPEG: bad spectral band $ss..$se")
+            val c0 = scomp(0)
+            val arr = coefArr(c0)
+            val ac = sac(0)
+            require(ac != null, "JPEG: AC scan references undefined Huffman table")
+            val p1 = 1 << al
+            def acFirst(base: Int): Unit = {
+              if (eobrun > 0) { eobrun -= 1 }
+              else {
+                var k = ss
+                var stop = false
+                while (k <= se && !stop) {
+                  val rs = decodeHuff(ac)
+                  val r = rs >> 4
+                  val s = rs & 0x0f
+                  if (s == 0) {
+                    if (r < 15) {
+                      eobrun = (1 << r) - 1
+                      if (r > 0) eobrun += receive(r)
+                      stop = true
+                    } else k += 16 // ZRL
+                  } else {
+                    k += r
+                    require(k <= se, "JPEG: AC coefficient index past Se")
+                    arr(base + k) = extend(receive(s), s) << al
+                    k += 1
+                  }
+                }
+              }
+            }
+            // refinement: the spec G.1.2.3 correction-bit walk — nonzero-
+            // history coefficients read one correction bit each; a run of
+            // r ZERO-history coefficients precedes each newly-significant
+            // +-1; EOB runs correct the remaining nonzeros of each block
+            def refineStep(idx: Int): Unit = {
+              if (nextBit() == 1 && (arr(idx) & p1) == 0)
+                arr(idx) += (if (arr(idx) >= 0) p1 else -p1)
+            }
+            def acRefine(base: Int): Unit = {
+              var k = ss
+              if (eobrun == 0) {
+                var stop = false
+                while (k <= se && !stop) {
+                  val rs = decodeHuff(ac)
+                  var r = rs >> 4
+                  val s = rs & 0x0f
+                  var newval = 0
+                  if (s == 0) {
+                    if (r < 15) {
+                      eobrun = 1 << r
+                      if (r > 0) eobrun += receive(r)
+                      stop = true
+                    }
+                    // r == 15 (ZRL): skip 16 zero-history coefficients
+                  } else {
+                    require(s == 1, s"JPEG: refinement magnitude must be 1, got $s")
+                    newval = if (nextBit() == 1) p1 else -p1
+                  }
+                  if (!stop) {
+                    var placed = false
+                    while (k <= se && !placed) {
+                      val idx = base + k
+                      if (arr(idx) != 0) refineStep(idx)
+                      else if (r == 0) {
+                        if (newval != 0) { arr(idx) = newval; placed = true }
+                        else placed = true // ZRL's 16th zero
+                      } else r -= 1
+                      k += 1
+                    }
+                    require(placed || newval == 0,
+                      "JPEG: refinement run past Se without placing its coefficient")
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                while (k <= se) {
+                  val idx = base + k
+                  if (arr(idx) != 0) refineStep(idx)
+                  k += 1
+                }
+                eobrun -= 1
+              }
+            }
+            val total = cBlocksX(c0) * cBlocksY(c0)
+            while (unit < total) {
+              restartCheck()
+              val bx = unit % cBlocksX(c0)
+              val by = unit / cBlocksX(c0)
+              val base = (by * blocksW(c0) + bx) * 64
+              if (ah == 0) acFirst(base) else acRefine(base)
+              unit += 1
+            }
+            require(eobrun == 0, "JPEG: EOB run extends past the last block of the scan")
+          }
+          bitCnt = 0 // byte-align for the trailing marker
+
+        case 0xda => // SOS (baseline: the single scan)
           require(sawFrame, "JPEG: scan before frame header")
           require(!sawScan, "JPEG: multiple scans unsupported (baseline has one)")
           sawScan = true
@@ -1090,41 +1408,8 @@ object MediaCodecs {
               s"JPEG: component $c references undefined quant table ${compTq(c)}")
             c += 1
           }
-          var bitBuf = 0
-          var bitCnt = 0
-          def nextBit(): Int = {
-            if (bitCnt == 0) {
-              var b = u8(i); i += 1
-              if (b == 0xff) {
-                val b2 = u8(i); i += 1
-                require(b2 == 0x00,
-                  f"JPEG: marker FF$b2%02x inside entropy data (truncated scan?)")
-                b = 0xff
-              }
-              bitBuf = b
-              bitCnt = 8
-            }
-            bitCnt -= 1
-            (bitBuf >> bitCnt) & 1
-          }
-          def receive(n: Int): Int = {
-            var v = 0
-            var k = 0
-            while (k < n) { v = (v << 1) | nextBit(); k += 1 }
-            v
-          }
-          def extend(v: Int, t: Int): Int =
-            if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
-          def decodeHuff(tab: JpegHuff): Int = {
-            var code = nextBit()
-            var len = 1
-            while (!tab.has(len, code)) {
-              code = (code << 1) | nextBit()
-              len += 1
-              require(len <= 16, "JPEG: Huffman code longer than 16 bits")
-            }
-            tab.symbol(len, code)
-          }
+          bitBuf = 0
+          bitCnt = 0
           val pred = new Array[Int](nComp)
           val coef = new Array[Int](64)
           val blk = new Array[Int](64)
@@ -1151,46 +1436,7 @@ object MediaCodecs {
               }
             }
             // dequantize (zigzag-ordered) + IDCT into blk
-            val q = quant(compTq(c0))
-            val f = new Array[Double](64)
-            var anyAc = false
-            var z = 0
-            while (z < 64) {
-              f(JpegZigzag(z)) = (coef(z) * q(z)).toDouble
-              if (z > 0 && coef(z) != 0) anyAc = true
-              z += 1
-            }
-            if (!anyAc) {
-              // DC-only block: every AC term of the IDCT sum is exactly
-              // 0.0, so the full loop reduces BIT-IDENTICALLY to the DC
-              // term — C(0)^2/4 * F00 — flat-filled (the dominant case
-              // in flat regions; ~64x less arithmetic per block)
-              val sum = JpegIdctCos(0)(0) * JpegIdctCos(0)(0) * f(0)
-              val px0 = StrictMath.round(sum / 4.0 + 128.0).toInt
-              val px = if (px0 < 0) 0 else if (px0 > 255) 255 else px0
-              java.util.Arrays.fill(blk, px)
-            } else {
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var sum = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    var v = 0
-                    while (v < 8) {
-                      sum += JpegIdctCos(v)(y) * JpegIdctCos(u)(x) * f(v * 8 + u)
-                      v += 1
-                    }
-                    u += 1
-                  }
-                  val px = StrictMath.round(sum / 4.0 + 128.0).toInt
-                  blk(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
-                  x += 1
-                }
-                y += 1
-              }
-            }
+            jpegIdctBlock(coef, 0, quant(compTq(c0)), blk)
           }
           var mcu = 0
           val nMcus = mcusX * mcusY
@@ -1249,6 +1495,41 @@ object MediaCodecs {
       }
     }
     require(sawScan, "JPEG: no scan data before EOI")
+    if (progressive) {
+      // coefficients are complete only at EOI: dequantize + IDCT every
+      // block of every component into its plane (blocks the scans never
+      // touched stay all-zero and render as flat 128 — the partial-
+      // render semantics every progressive decoder shares)
+      val blk = new Array[Int](64)
+      var c0 = 0
+      while (c0 < nComp) {
+        val q = quant(compTq(c0))
+        require(q != null,
+          s"JPEG: component $c0 references undefined quant table ${compTq(c0)}")
+        val arr = coefArr(c0)
+        var by = 0
+        while (by < blocksH(c0)) {
+          var bx = 0
+          while (bx < blocksW(c0)) {
+            jpegIdctBlock(arr, (by * blocksW(c0) + bx) * 64, q, blk)
+            val ox = bx * 8
+            val oy = by * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(c0)((oy + yy) * planeW(c0) + ox + xx) = blk(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c0 += 1
+      }
+    }
     // color convert with sample-replication upsampling
     val hMax = compH.max
     val vMax = compV.max
@@ -1437,6 +1718,434 @@ object MediaCodecs {
     out.write(scan.toByteArray)
     w(0xff, 0xd9) // EOI
     out.toByteArray
+  }
+
+  /** Canonical (code,len) per symbol from a DHT BITS/HUFFVAL pair — the
+    * encoder-side mirror of [[JpegHuff]]'s decode structure. */
+  private def jpegCanonicalCodes(bits: Array[Int], vals: Array[Byte]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var c = 0
+      while (c < bits(l - 1)) {
+        out(vals(k) & 0xff) = (code, l)
+        code += 1; k += 1; c += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out
+  }
+
+  /** Magnitude category (SSSS) of a coefficient value. */
+  private def jpegCat(v: Int): Int = {
+    var m = if (v < 0) -v else v
+    var c = 0
+    while (m > 0) { c += 1; m >>= 1 }
+    c
+  }
+
+  /** FF00-stuffing entropy bit writer (1-padded flush — the spec's
+    * marker-alignment fill). */
+  private final class JpegBitWriter(scan: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var k = len - 1
+      while (k >= 0) {
+        buf = (buf << 1) | ((code >> k) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          scan.write(buf & 0xff)
+          if ((buf & 0xff) == 0xff) scan.write(0x00)
+          buf = 0; cnt = 0
+        }
+        k -= 1
+      }
+    }
+    def putSym(codes: Array[(Int, Int)], sym: Int): Unit = {
+      val c = codes(sym)
+      require(c != null, f"JPEG encode: symbol $sym%02x not in the table")
+      putBits(c._1, c._2)
+    }
+    /** Extra bits of a coefficient in category `cat` (spec F.1.2.2.1). */
+    def putExtra(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
+    def flush(): Unit = if (cnt > 0) {
+      val pad = (buf << (8 - cnt)) | ((1 << (8 - cnt)) - 1)
+      scan.write(pad & 0xff)
+      if ((pad & 0xff) == 0xff) scan.write(0x00)
+      buf = 0; cnt = 0
+    }
+    /** Byte-align and emit RSTn (restart markers ride unstuffed). */
+    def restart(n: Int): Unit = {
+      flush()
+      scan.write(0xff)
+      scan.write(0xd0 + (n % 8))
+    }
+  }
+
+  /** AC table for the PROGRESSIVE encoder's scans: the Annex K tables
+    * carry no EOB-run symbols (EOBn = n<<4, n >= 1 — baseline never
+    * emits them), so progressive scans use this flat 8-bit canonical
+    * table over every symbol they can emit: EOB0..EOB14, ZRL, and
+    * (run,size) for run 0-15 / size 1-10 (176 symbols, all length 8 —
+    * valid canonical: 176 <= 2^8). */
+  private val JpegProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegProgAcVals: Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    (0 to 14).foreach(n => buf += (n << 4).toByte)
+    buf += 0xf0.toByte
+    for (r <- 0 to 15; s <- 1 to 10) buf += ((r << 4) | s).toByte
+    buf.toArray
+  }
+
+  /**
+   * General BASELINE grayscale encoder over QUANTIZED zigzag-ordered
+   * 64-coefficient blocks (all-8s quant table, Annex K tables): DC diff
+   * coding + the full (run,size) AC grammar with ZRL and EOB. The
+   * coefficient-level twin of [[encodeJpegProgressive]] — encoding the
+   * SAME blocks both ways must decode to identical pixels, which is the
+   * progressive decoder's ground-truth test.
+   */
+  def encodeJpegGrayCoefs(blocks: Array[Array[Int]], blocksWide: Int): Array[Byte] = {
+    require(blocksWide >= 1 && blocks.nonEmpty && blocks.length % blocksWide == 0,
+      s"blocks (${blocks.length}) must fill a rectangle $blocksWide wide")
+    require(blocks.forall(_.length == 64), "each block carries 64 zigzag coefficients")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def seg(marker: Int, body: Int*): Unit = {
+      w(0xff, marker)
+      w((body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    w(0xff, 0xd8)
+    seg(0xdb, (Seq(0x00) ++ Seq.fill(64)(8)): _*)
+    val h = 8 * (blocks.length / blocksWide)
+    val wdt = 8 * blocksWide
+    seg(0xc0, 8, h >> 8, h & 0xff, wdt >> 8, wdt & 0xff, 1, 1, 0x11, 0)
+    seg(0xc4, (Seq(0x00) ++ JpegK3DcBits ++ JpegK3DcVals.map(_.toInt)
+      ++ Seq(0x10) ++ JpegK5AcBits ++ JpegK5AcVals.map(_ & 0xff)): _*)
+    seg(0xda, 1, 1, 0x00, 0, 63, 0)
+    val dcCodes = jpegCanonicalCodes(JpegK3DcBits, JpegK3DcVals)
+    val acCodes = jpegCanonicalCodes(JpegK5AcBits, JpegK5AcVals)
+    val scan = new java.io.ByteArrayOutputStream()
+    val bw = new JpegBitWriter(scan)
+    var pred = 0
+    blocks.foreach { b =>
+      val diff = b(0) - pred
+      pred = b(0)
+      val cat = jpegCat(diff)
+      require(cat <= 11, s"JPEG encode: DC diff $diff out of range")
+      bw.putSym(dcCodes, cat)
+      bw.putExtra(diff, cat)
+      var k = 1
+      var r = 0
+      while (k < 64) {
+        if (b(k) == 0) r += 1
+        else {
+          while (r > 15) { bw.putSym(acCodes, 0xf0); r -= 16 }
+          val s = jpegCat(b(k))
+          require(s <= 10, s"JPEG encode: AC coefficient ${b(k)} out of range")
+          bw.putSym(acCodes, (r << 4) | s)
+          bw.putExtra(b(k), s)
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0) bw.putSym(acCodes, 0x00) // EOB
+    }
+    bw.flush()
+    out.write(scan.toByteArray)
+    w(0xff, 0xd9)
+    out.toByteArray
+  }
+
+  /**
+   * PROGRESSIVE (SOF2) encoder over QUANTIZED zigzag-ordered coefficient
+   * blocks, grayscale or multi-component with sampling factors. Scan
+   * script (the classic spectral-selection + successive-approximation
+   * ladder):
+   *
+   *   1. DC first, ALL components interleaved (Ah=0, Al=dcAl)
+   *   2. dcAl refinement DC scans (Al = dcAl-1 .. 0, one bit per block)
+   *   3. per component: AC first (Ss=1, Se=63, Ah=0, Al=acAl) with
+   *      EOB-run coding, then acAl refinement AC scans (the G.1.2.3
+   *      correction-bit algorithm with buffered bits and EOB runs)
+   *
+   * `comps`: per component `(h, v, blocks)` with blocks in PADDED
+   * MCU-grid raster order (mcusX*h across, mcusY*v down — the caller
+   * pads edge blocks), each 64 zigzag coefficients quantized under the
+   * all-8s table this encoder writes. Produces exactly the pixels of
+   * the baseline encoding of the same blocks.
+   */
+  def encodeJpegProgressive(
+      width: Int,
+      height: Int,
+      comps: Array[(Int, Int, Array[Array[Int]])],
+      dcAl: Int = 1,
+      acAl: Int = 1,
+      driEvery: Int = 0): Array[Byte] = {
+    require(comps.length == 1 || comps.length == 3,
+      s"JPEG encode: ${comps.length} components unsupported")
+    require(dcAl >= 0 && acAl >= 0, "point transforms must be non-negative")
+    require(driEvery >= 0, "driEvery must be non-negative")
+    val nComp = comps.length
+    val hMax = comps.map(_._1).max
+    val vMax = comps.map(_._2).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    comps.zipWithIndex.foreach { case ((h, v, blocks), c) =>
+      require(h >= 1 && h <= 4 && v >= 1 && v <= 4, s"bad sampling ${h}x$v")
+      require(blocks.length == mcusX * h * mcusY * v,
+        s"component $c: ${blocks.length} blocks != padded grid ${mcusX * h}x${mcusY * v}")
+      require(blocks.forall(_.length == 64), "each block carries 64 zigzag coefficients")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def seg(marker: Int, body: Int*): Unit = {
+      w(0xff, marker)
+      w((body.length + 2) >> 8, (body.length + 2) & 0xff)
+      body.foreach(v => out.write(v & 0xff))
+    }
+    w(0xff, 0xd8)
+    seg(0xdb, (Seq(0x00) ++ Seq.fill(64)(8)): _*)
+    val sof = Seq(8, height >> 8, height & 0xff, width >> 8, width & 0xff, nComp) ++
+      comps.zipWithIndex.flatMap { case ((h, v, _), c) => Seq(c + 1, (h << 4) | v, 0) }
+    seg(0xc2, sof: _*)
+    seg(0xc4, (Seq(0x00) ++ JpegK3DcBits ++ JpegK3DcVals.map(_.toInt)
+      ++ Seq(0x10) ++ JpegProgAcBits ++ JpegProgAcVals.map(_ & 0xff)): _*)
+    if (driEvery > 0) seg(0xdd, driEvery >> 8, driEvery & 0xff)
+    val dcCodes = jpegCanonicalCodes(JpegK3DcBits, JpegK3DcVals)
+    val acCodes = jpegCanonicalCodes(JpegProgAcBits, JpegProgAcVals)
+    def sos(compIds: Seq[Int], tables: Int, ss: Int, se: Int, ah: Int, al: Int)(
+        body: JpegBitWriter => Unit): Unit = {
+      seg(0xda, (Seq(compIds.length) ++
+        compIds.flatMap(c => Seq(c, tables)) ++ Seq(ss, se, (ah << 4) | al)): _*)
+      val scan = new java.io.ByteArrayOutputStream()
+      val bw = new JpegBitWriter(scan)
+      body(bw)
+      bw.flush()
+      out.write(scan.toByteArray)
+    }
+    // ---- scan 1: DC first, interleaved, point transform dcAl
+    sos((1 to nComp), 0x00, 0, 0, 0, dcAl) { bw =>
+      val pred = new Array[Int](nComp)
+      var rst = 0
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        if (driEvery > 0 && mcu > 0 && mcu % driEvery == 0) {
+          bw.restart(rst); rst += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var c = 0
+        while (c < nComp) {
+          val (ch, cv, blocks) = comps(c)
+          var v0 = 0
+          while (v0 < cv) {
+            var h0 = 0
+            while (h0 < ch) {
+              val bi = (my * cv + v0) * (mcusX * ch) + mx * ch + h0
+              val dc = blocks(bi)(0) >> dcAl // DC point transform: arithmetic shift
+              val diff = dc - pred(c)
+              pred(c) = dc
+              val cat = jpegCat(diff)
+              require(cat <= 11, s"JPEG encode: DC diff $diff out of range")
+              bw.putSym(dcCodes, cat)
+              bw.putExtra(diff, cat)
+              h0 += 1
+            }
+            v0 += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    }
+    // ---- DC refinement ladder: one raw bit per block per level
+    var al = dcAl - 1
+    while (al >= 0) {
+      val lvl = al
+      sos((1 to nComp), 0x00, 0, 0, lvl + 1, lvl) { bw =>
+        var rst = 0
+        var mcu = 0
+        while (mcu < mcusX * mcusY) {
+          if (driEvery > 0 && mcu > 0 && mcu % driEvery == 0) {
+            bw.restart(rst); rst += 1
+          }
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var c = 0
+          while (c < nComp) {
+            val (ch, cv, blocks) = comps(c)
+            var v0 = 0
+            while (v0 < cv) {
+              var h0 = 0
+              while (h0 < ch) {
+                val bi = (my * cv + v0) * (mcusX * ch) + mx * ch + h0
+                bw.putBits((blocks(bi)(0) >> lvl) & 1, 1)
+                h0 += 1
+              }
+              v0 += 1
+            }
+            c += 1
+          }
+          mcu += 1
+        }
+      }
+      al -= 1
+    }
+    // ---- per-component AC scans over the component's OWN block grid
+    var c = 0
+    while (c < nComp) {
+      val (ch, cv, blocks) = comps(c)
+      val cbx = ((width * ch + hMax - 1) / hMax + 7) / 8
+      val cby = ((height * cv + vMax - 1) / vMax + 7) / 8
+      def blockAt(bx: Int, by: Int): Array[Int] = blocks(by * (mcusX * ch) + bx)
+      // AC first: EOB-run grammar at point transform acAl (divide toward 0)
+      sos(Seq(c + 1), 0x00, 1, 63, 0, acAl) { bw =>
+        var eobrun = 0
+        def emitEobrun(): Unit = if (eobrun > 0) {
+          val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+          bw.putSym(acCodes, nbits << 4)
+          if (nbits > 0) bw.putBits(eobrun & ((1 << nbits) - 1), nbits)
+          eobrun = 0
+        }
+        var rst = 0
+        var bi = 0
+        while (bi < cbx * cby) {
+          if (driEvery > 0 && bi > 0 && bi % driEvery == 0) {
+            emitEobrun()
+            bw.restart(rst); rst += 1
+          }
+          val b = blockAt(bi % cbx, bi / cbx)
+          var r = 0
+          var any = false
+          var k = 1
+          while (k < 64) {
+            val t0 = b(k)
+            val t = if (t0 >= 0) t0 >> acAl else -((-t0) >> acAl)
+            if (t == 0) r += 1
+            else {
+              emitEobrun()
+              while (r > 15) { bw.putSym(acCodes, 0xf0); r -= 16 }
+              val s = jpegCat(t)
+              require(s <= 10, s"JPEG encode: AC coefficient $t out of range")
+              bw.putSym(acCodes, (r << 4) | s)
+              bw.putExtra(t, s)
+              r = 0
+              any = true
+            }
+            k += 1
+          }
+          if (r > 0 || !any) {
+            eobrun += 1
+            if (eobrun == 0x7fff) emitEobrun()
+          }
+          bi += 1
+        }
+        emitEobrun()
+      }
+      // AC refinement ladder: spec G.1.2.3 (buffered correction bits,
+      // EOB runs carrying them, ZRL only when foldable history remains)
+      var aal = acAl - 1
+      while (aal >= 0) {
+        val lvl = aal
+        sos(Seq(c + 1), 0x00, 1, 63, lvl + 1, lvl) { bw =>
+          var eobrun = 0
+          val beBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+          def emitEobrun(): Unit = if (eobrun > 0 || beBits.nonEmpty) {
+            require(eobrun > 0, "refinement correction bits without an EOB run")
+            val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+            bw.putSym(acCodes, nbits << 4)
+            if (nbits > 0) bw.putBits(eobrun & ((1 << nbits) - 1), nbits)
+            beBits.foreach(bit => bw.putBits(bit, 1))
+            beBits.clear()
+            eobrun = 0
+          }
+          var rst = 0
+          var bi = 0
+          while (bi < cbx * cby) {
+            if (driEvery > 0 && bi > 0 && bi % driEvery == 0) {
+              emitEobrun()
+              bw.restart(rst); rst += 1
+            }
+            val b = blockAt(bi % cbx, bi / cbx)
+            // history magnitude at THIS scan's precision
+            val abs = new Array[Int](64)
+            var eob = 0
+            var k = 1
+            while (k < 64) {
+              abs(k) = (if (b(k) < 0) -b(k) else b(k)) >> lvl
+              if (abs(k) == 1) eob = k
+              k += 1
+            }
+            var r = 0
+            val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+            k = 1
+            while (k < 64) {
+              val t = abs(k)
+              if (t == 0) r += 1
+              else {
+                // ZRLs are emitted on reaching ANY nonzero coefficient
+                // (history included) while a newly-significant one still
+                // lies ahead (k <= eob) — the decoder's ZRL walk corrects
+                // only the nonzeros among its 16 zero-history positions,
+                // so bits buffered for LATER history positions must ride
+                // a later symbol, never this ZRL (spec G.1.2.3 order)
+                while (r > 15 && k <= eob) {
+                  emitEobrun()
+                  bw.putSym(acCodes, 0xf0)
+                  r -= 16
+                  brBits.foreach(bit => bw.putBits(bit, 1))
+                  brBits.clear()
+                }
+                if (t > 1) {
+                  // history-nonzero: buffer its correction bit
+                  brBits += (t & 1)
+                } else {
+                  // newly significant under this point transform
+                  emitEobrun()
+                  bw.putSym(acCodes, (r << 4) | 1)
+                  bw.putBits(if (b(k) < 0) 0 else 1, 1)
+                  brBits.foreach(bit => bw.putBits(bit, 1))
+                  brBits.clear()
+                  r = 0
+                }
+              }
+              k += 1
+            }
+            if (r > 0 || brBits.nonEmpty) {
+              eobrun += 1
+              beBits ++= brBits
+              if (eobrun == 0x7fff || beBits.length > 900) emitEobrun()
+            }
+            bi += 1
+          }
+          emitEobrun()
+        }
+        aal -= 1
+      }
+      c += 1
+    }
+    w(0xff, 0xd9)
+    out.toByteArray
+  }
+
+  /** [[encodeJpegProgressive]] for the grayscale block-grid shape
+    * [[encodeJpegGrayCoefs]] takes. */
+  def encodeJpegGrayProgressive(
+      blocks: Array[Array[Int]], blocksWide: Int,
+      dcAl: Int = 1, acAl: Int = 1, driEvery: Int = 0): Array[Byte] = {
+    require(blocksWide >= 1 && blocks.nonEmpty && blocks.length % blocksWide == 0,
+      s"blocks (${blocks.length}) must fill a rectangle $blocksWide wide")
+    encodeJpegProgressive(blocksWide * 8, (blocks.length / blocksWide) * 8,
+      Array((1, 1, blocks)), dcAl, acAl, driEvery)
   }
 
   private def putAscii(out: Array[Byte], off: Int, s: String): Unit = {

@@ -1025,6 +1025,99 @@ object MediaQueries {
         "encoded with the Annex K tables, decoded back through marker " +
         "walk + canonical Huffman + DC prediction + dequant + IDCT + " +
         "level shift, dispatched via RealMediaDecoder magic (code 6); " +
+        "the oracle re-derives every stat arithmetically from text."),
+
+    // ---------------------------------------------------------------- q288
+    Q(
+      "q288_jpeg_progressive_stats",
+      (s, dir) => {
+        // PROGRESSIVE (SOF2) JPEG decode through the full pipeline — the
+        // format the majority of large web JPEGs actually use (the r9
+        // verdict's gap: a crawl's image stats skipped it). Each doc's
+        // text bytes become quantized DC coefficients of a 6-blocks-wide
+        // grayscale image encoded as a REAL multi-scan progressive
+        // stream: DC first (Al=1), DC refinement, AC first over the
+        // empty band (pure EOB-run coding), AC refinement, restart
+        // markers every 3 blocks — then decoded back through the SOF2
+        // path (coefficient accumulation across scans, successive-
+        // approximation bit assembly, EOB runs, restarts, at-EOI IDCT)
+        // and dispatched through RealMediaDecoder. Blocks stay DC-only
+        // so the oracle re-derives every stat arithmetically from text
+        // (the q282 discipline; AC-content progressive correctness is
+        // locked by the baseline-equality property specs). Map-only;
+        // payloads die in-stage.
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("fmt_code", IntegerType, nullable = false),
+          StructField("width", IntegerType, nullable = false),
+          StructField("height", IntegerType, nullable = false),
+          StructField("px_sum", LongType, nullable = false),
+          StructField("px_min", IntegerType, nullable = false),
+          StructField("px_max", IntegerType, nullable = false),
+          StructField("mean_px", DoubleType, nullable = false)))
+        implicit val enc = RowEncoder.encoderFor(outSchema)
+        val idIdx = docs.schema.fieldIndex("doc_id")
+        val textIdx = docs.schema.fieldIndex("text")
+        docs.mapPartitions { rows =>
+          val dec = new graft.operators.Multimodal.RealMediaDecoder(5)
+          rows.map { r =>
+            val id = r.getLong(idIdx)
+            val bytes = r.getString(textIdx).getBytes("UTF-8")
+            val pad = (6 - bytes.length % 6) % 6
+            val blocks = Array.tabulate(bytes.length + pad) { i =>
+              val b = new Array[Int](64)
+              b(0) = if (i < bytes.length) (bytes(i) & 0x3f) - 32 else 0
+              b
+            }
+            val payload = graft.operators.MediaCodecs
+              .encodeJpegGrayProgressive(blocks, 6, dcAl = 1, acAl = 1, driEvery = 3)
+            val img = graft.operators.MediaCodecs.decodeJpeg(payload)
+            val code = dec.decode(payload)(0).toInt
+            var sum = 0L
+            var mn = 255
+            var mx = 0
+            var k = 0
+            while (k < img.rgb.length) {
+              val v = img.rgb(k) & 0xff
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              k += 1
+            }
+            Row(id, code, img.width, img.height, sum, mn, mx,
+              BigDecimal(sum.toDouble / img.rgb.length)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }.orderBy("doc_id")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n,
+                 list_transform($duckBytes, v -> v % 64 + 96) AS px
+          FROM documents),
+        g AS (
+          SELECT doc_id, n, px,
+                 CAST((6 - n % 6) % 6 AS INTEGER) AS pad,
+                 CAST(8 * ((n + (6 - n % 6) % 6) / 6) AS INTEGER) AS h
+          FROM b),
+        st AS (
+          SELECT doc_id, pad, h,
+                 CAST(3 * 64 * (list_sum(px) + 128 * pad) AS BIGINT) AS px_sum,
+                 CAST(CASE WHEN pad > 0 THEN least(list_min(px), 128)
+                           ELSE list_min(px) END AS INTEGER) AS px_min,
+                 CAST(CASE WHEN pad > 0 THEN greatest(list_max(px), 128)
+                           ELSE list_max(px) END AS INTEGER) AS px_max
+          FROM g)
+        SELECT doc_id, CAST(6 AS INTEGER) AS fmt_code,
+               CAST(48 AS INTEGER) AS width, h AS height,
+               px_sum, px_min, px_max,
+               round(CAST(px_sum AS DOUBLE) / (48 * h * 3), 6) AS mean_px
+        FROM st ORDER BY doc_id"""),
+      "Progressive (SOF2) JPEG end to end: multi-scan successive-" +
+        "approximation streams (DC first + refine, EOB-run AC band " +
+        "scans, restart markers) decoded through coefficient " +
+        "accumulation and at-EOI IDCT, dispatched via RealMediaDecoder; " +
         "the oracle re-derives every stat arithmetically from text.")
   )
 

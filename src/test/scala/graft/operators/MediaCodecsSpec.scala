@@ -1054,7 +1054,9 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.decodeJpeg(good.dropRight(4))
     }
     assert(e2.getMessage.contains("unexpected end") || e2.getMessage.contains("JPEG"))
-    // progressive (SOF2) rejected by frame type
+    // a baseline stream PATCHED to SOF2 is invalid progressive: its one
+    // combined scan declares Ss=0, Se=63, which a progressive DC scan
+    // must reject (SOF2 itself now DECODES — see the progressive tests)
     val prog = good.clone()
     val sofAt = {
       var k = 2
@@ -1063,7 +1065,12 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
     prog(sofAt + 1) = 0xc2.toByte
     val e3 = intercept[IllegalArgumentException] { MediaCodecs.decodeJpeg(prog) }
-    assert(e3.getMessage.contains("SOF2"))
+    assert(e3.getMessage.contains("Se = 0"))
+    // progressive-but-actually-lossless etc. frame types still fail loudly
+    val sof3 = good.clone()
+    sof3(sofAt + 1) = 0xc3.toByte
+    val e3b = intercept[IllegalArgumentException] { MediaCodecs.decodeJpeg(sof3) }
+    assert(e3b.getMessage.contains("SOF3"))
     // garbage after SOI: marker expected
     val e4 = intercept[IllegalArgumentException] {
       MediaCodecs.decodeJpeg(Array(0xff, 0xd8, 0x12, 0x34).map(_.toByte))
@@ -1082,6 +1089,129 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.decodeJpeg(Array(0xff, 0xd8, 0xff, 0xd3, 0x00, 0x04).map(_.toByte))
     }
     assert(e6.getMessage.contains("restart"))
+  }
+
+  // ------------------------------------------------------------ progressive
+
+  private def dcBlock(dc: Int): Array[Int] = {
+    val b = new Array[Int](64); b(0) = dc; b
+  }
+
+  test("progressive JPEG decodes identically to baseline on random coefficient grids") {
+    // the ground truth: the SAME quantized coefficient blocks encoded
+    // baseline (one combined scan) and progressive (spectral selection +
+    // successive approximation) must decode to IDENTICAL pixels — the
+    // coefficient arrays reconstruct bit-exactly, and the IDCT is shared
+    val rnd = new scala.util.Random(42)
+    def randBlocks(n: Int): Array[Array[Int]] = Array.fill(n) {
+      val b = new Array[Int](64)
+      b(0) = rnd.nextInt(401) - 200
+      (0 until 8).foreach(_ => b(1 + rnd.nextInt(63)) = rnd.nextInt(61) - 30)
+      b
+    }
+    for ((dcAl, acAl) <- Seq((0, 0), (1, 1), (2, 2), (0, 2), (3, 1))) {
+      val blocks = randBlocks(12)
+      val base = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegGrayCoefs(blocks, 4))
+      val prog = MediaCodecs.decodeJpeg(
+        MediaCodecs.encodeJpegGrayProgressive(blocks, 4, dcAl, acAl))
+      assert(prog.width === base.width && prog.height === base.height)
+      assert(prog.rgb.sameElements(base.rgb),
+        s"progressive (dcAl=$dcAl, acAl=$acAl) diverged from baseline")
+    }
+  }
+
+  test("progressive JPEG: EOB runs, ZRL, and refinement-scan corner cases") {
+    // long runs of AC-empty blocks force EOBn > 0 with extra bits; a
+    // coefficient after 30+ zeros forces ZRL in the first scan AND the
+    // refinement scan (newly-significant |v| = 1 beyond 16 zero-history
+    // positions); mixed magnitudes exercise correction bits buffered
+    // across EOB runs
+    val blocks = Array.tabulate(18) { bi =>
+      val b = new Array[Int](64)
+      b(0) = (bi % 5) * 16 - 32
+      if (bi == 7) { b(40) = 5; b(63) = -3 }
+      if (bi == 9) { b(1) = -7; b(2) = 2 }
+      if (bi == 13) { b(35) = 1 } // newly significant only at the last refine
+      if (bi == 16) { b(63) = -1 }
+      b
+    }
+    for ((dcAl, acAl) <- Seq((0, 0), (1, 1), (2, 2))) {
+      val base = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegGrayCoefs(blocks, 6))
+      val prog = MediaCodecs.decodeJpeg(
+        MediaCodecs.encodeJpegGrayProgressive(blocks, 6, dcAl, acAl))
+      assert(prog.rgb.sameElements(base.rgb), s"diverged at (dcAl=$dcAl, acAl=$acAl)")
+    }
+  }
+
+  test("progressive JPEG: restart intervals reset prediction and EOB runs") {
+    val rnd = new scala.util.Random(7)
+    val blocks = Array.fill(12) {
+      val b = new Array[Int](64)
+      b(0) = rnd.nextInt(201) - 100
+      if (rnd.nextBoolean()) b(1 + rnd.nextInt(10)) = rnd.nextInt(21) - 10
+      b
+    }
+    val plain = MediaCodecs.decodeJpeg(
+      MediaCodecs.encodeJpegGrayProgressive(blocks, 4, 1, 1))
+    val withRst = MediaCodecs.encodeJpegGrayProgressive(blocks, 4, 1, 1, driEvery = 2)
+    // the restarted stream really carries RSTn markers
+    assert((0 until withRst.length - 1).exists(k =>
+      (withRst(k) & 0xff) == 0xff && (withRst(k + 1) & 0xff) >= 0xd0
+        && (withRst(k + 1) & 0xff) <= 0xd7))
+    val rst = MediaCodecs.decodeJpeg(withRst)
+    assert(rst.rgb.sameElements(plain.rgb))
+  }
+
+  test("progressive JPEG: 4:2:0 color with DC-only planes decodes to exact flat colors") {
+    // one MCU, 16x16: Y carries 4 blocks (2x2 sampling), Cb/Cr one each;
+    // DC-only blocks make every plane flat, so the expected RGB is exact
+    // arithmetic (plane value = dc + 128 under the all-8s quant table)
+    val yb = Array(dcBlock(16), dcBlock(16), dcBlock(16), dcBlock(16))
+    val img = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegProgressive(
+      16, 16, Array((2, 2, yb), (1, 1, Array(dcBlock(-8))), (1, 1, Array(dcBlock(24)))),
+      dcAl = 1, acAl = 1))
+    assert(img.width === 16 && img.height === 16)
+    val (yy, cb, cr) = (144.0, 120.0 - 128.0, 152.0 - 128.0)
+    def cl(d: Double): Int = {
+      val v = StrictMath.round(d).toInt
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    val (er, eg, eb) =
+      (cl(yy + 1.402 * cr), cl(yy - 0.344136 * cb - 0.714136 * cr), cl(yy + 1.772 * cb))
+    (0 until 16 * 16).foreach { p =>
+      assert((img.rgb(3 * p) & 0xff) === er)
+      assert((img.rgb(3 * p + 1) & 0xff) === eg)
+      assert((img.rgb(3 * p + 2) & 0xff) === eb)
+    }
+  }
+
+  test("progressive JPEG: gray DC-only equals the baseline DC encoder's decode") {
+    val vals = Array(16, -64, 128, 0, 8, -1024, 1016, 40)
+    val base = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegGrayDc(vals, 4))
+    val prog = MediaCodecs.decodeJpeg(MediaCodecs.encodeJpegGrayProgressive(
+      vals.map(v => dcBlock(v / 8)), 4, dcAl = 1, acAl = 1))
+    assert(prog.rgb.sameElements(base.rgb))
+  }
+
+  test("progressive JPEG: corrupt streams fail loudly") {
+    val blocks = Array(dcBlock(16), dcBlock(-16))
+    val good = MediaCodecs.encodeJpegGrayProgressive(blocks, 2, 1, 1)
+    // truncated mid-scan
+    val e1 = intercept[IllegalArgumentException] {
+      MediaCodecs.decodeJpeg(good.dropRight(6))
+    }
+    assert(e1.getMessage.contains("JPEG"))
+    // an AC scan naming 3 components is malformed (progressive AC scans
+    // are single-component by spec): splice an SOS with ns=3, Ss=1
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write(good, 0, good.length - 2) // keep everything up to EOI
+    bad.write(Array(0xff, 0xda, 0x00, 0x0a, 0x03, 1, 0, 2, 0, 3, 0, 1, 63, 0)
+      .map(_.toByte))
+    bad.write(Array(0xff, 0xd9).map(_.toByte))
+    val e2 = intercept[IllegalArgumentException] {
+      MediaCodecs.decodeJpeg(bad.toByteArray)
+    }
+    assert(e2.getMessage.contains("single-component") || e2.getMessage.contains("components"))
   }
 
   test("JPEG: RealMediaDecoder dispatches magic FFD8 to format code 6") {
