@@ -155,6 +155,65 @@ object Packer {
       eosId: Int,
       nBuckets: Int = 32,
       recoverable: Boolean = false): DataFrame = {
+    val fr = fragments(df, orderCol, idsCol, ctxLen, eosId, nBuckets, recoverable)
+    fr.groupBy("seq")
+      // fragments reassemble in stream order: tok_offset is unique per
+      // doc, so the struct sort is total and the flatten deterministic
+      .agg(expr("flatten(transform(array_sort(collect_list(" +
+        "struct(tok_offset, frag))), x -> x.frag))").as("ids"))
+      .select(col("seq"), size(col("ids")).as("n_ids"), col("ids"))
+  }
+
+  /**
+   * [[packTokenIds]] plus the DOCUMENT-SPAN metadata a trainer's
+   * attention mask needs: packed windows mix documents, and causal
+   * attention must not cross document boundaries (block-diagonal
+   * masking), so each window also carries `spans` — one
+   * `(doc, a, b)` struct per document fragment, `doc` the order-column
+   * value, `[a, b)` the 0-based id positions it occupies (its EOS
+   * included in the owning doc's span). Spans tile the window exactly:
+   * a_0 = 0, b_i = a_{i+1}, b_last = n_ids. Same scale shape as
+   * [[packTokenIds]] — the span offsets fold per window over at most
+   * ctxLen + 1 fragments, never over data.
+   */
+  def packTokenIdsWithSpans(
+      df: DataFrame,
+      orderCol: String,
+      idsCol: String,
+      ctxLen: Int,
+      eosId: Int,
+      nBuckets: Int = 32,
+      recoverable: Boolean = false): DataFrame = {
+    val fr = fragments(df, orderCol, idsCol, ctxLen, eosId, nBuckets, recoverable)
+    fr.groupBy("seq")
+      .agg(expr("array_sort(collect_list(struct(tok_offset, ord, frag)))").as("fr"))
+      .select(
+        col("seq"),
+        expr("flatten(transform(fr, x -> x.frag))").as("ids"),
+        // window-local running offset: bounded fold (<= ctxLen + 1
+        // fragments), emitted as (doc, a, b) in stream order
+        expr("""aggregate(fr,
+                  struct(0 as pos, cast(array() as array<struct<doc: bigint, a: int, b: int>>) as sp),
+                  (acc, x) -> struct(
+                    acc.pos + size(x.frag) as pos,
+                    concat(acc.sp, array(struct(
+                      x.ord as doc, acc.pos as a, acc.pos + size(x.frag) as b))) as sp),
+                  acc -> acc.sp)""").as("spans"))
+      .select(col("seq"), size(col("ids")).as("n_ids"), col("ids"), col("spans"))
+  }
+
+  /** Shared core of [[packTokenIds]]/[[packTokenIdsWithSpans]]: append
+    * the per-doc EOS, compute two-phase stream offsets, and explode each
+    * doc into (seq, tok_offset, ord, frag) — the exact slice of its ids
+    * landing in each window it overlaps. */
+  private def fragments(
+      df: DataFrame,
+      orderCol: String,
+      idsCol: String,
+      ctxLen: Int,
+      eosId: Int,
+      nBuckets: Int,
+      recoverable: Boolean): DataFrame = {
     require(ctxLen >= 1, s"ctxLen ($ctxLen) must be at least 1")
     require(eosId >= 0, s"eosId ($eosId) must be non-negative")
     val withEos = df.select(
@@ -173,11 +232,7 @@ object Packer {
               cast(greatest(seq * ${ctxLen}L - tok_offset, 0L) + 1L as int),
               cast(least((seq + 1L) * ${ctxLen}L, tok_offset + size(__ids))
                    - greatest(seq * ${ctxLen}L, tok_offset) as int))"""))
-      .groupBy("seq")
-      // fragments reassemble in stream order: tok_offset is unique per
-      // doc, so the struct sort is total and the flatten deterministic
-      .agg(expr("flatten(transform(array_sort(collect_list(" +
-        "struct(tok_offset, frag))), x -> x.frag))").as("ids"))
-      .select(col("seq"), size(col("ids")).as("n_ids"), col("ids"))
+      .select(col("seq"), col("tok_offset"),
+        col(orderCol).cast("long").as("ord"), col("frag"))
   }
 }

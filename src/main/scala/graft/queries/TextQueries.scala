@@ -9765,7 +9765,261 @@ object TextQueries {
         "windows with a per-shard manifest hashing every window's FULL " +
         "id content (48-bit md5 summed in exact DECIMAL, mod 1e9+7) and " +
         "a read-back re-manifest; the oracle replays windows, shards, " +
-        "and content hashes, and readback_ok certifies the round trip.")
+        "and content hashes, and readback_ok certifies the round trip."),
+
+    // ---------------------------------------------------------------- q289
+    Q(
+      "q289_attention_spans",
+      (s, dir) => {
+        // DOCUMENT-SPAN METADATA for packed windows — what a trainer's
+        // attention mask actually consumes: concat-and-chunk packing
+        // mixes documents inside one window, and causal attention must
+        // not cross document boundaries (block-diagonal masking), so
+        // each ctx-128 window carries (doc, a, b) spans: doc = the
+        // owning doc_id, [a, b) its 0-based id positions (EOS owned by
+        // its doc). Output is span-exact: the full span list as a
+        // string, the span count, the window EOS count, and the TILING
+        // law bit (min a = 0 AND span lengths sum to n_ids — no gaps,
+        // no overlaps). The oracle re-derives every span arithmetically
+        // from per-doc offsets: a = max(0, off - w*128),
+        // b = min(128, off + n - w*128).
+        graft.functions.BpeByteExpressions.register(s)
+        val corpus = bpeGpt2Corpus(s, dir).localCheckpoint(true)
+        val units = graft.operators.BpeByte.pretokenCounts(corpus, "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+        val spec = graft.operators.BpeByte.specOf(m)
+        val eos = graft.functions.BpeByteKit.IdBase +
+          (if (spec.isEmpty) 0 else spec.split(";", -1).length)
+        val docs = corpus
+          .withColumn("ids", expr(s"bpe_encode_gpt2(t, '$spec')"))
+          .select("doc_id", "ids")
+        graft.operators.Packer.packTokenIdsWithSpans(docs, "doc_id", "ids",
+          ctxLen = 128, eosId = eos)
+          .selectExpr(
+            "seq", "n_ids",
+            "cast(size(spans) as int) as n_spans",
+            "array_join(transform(spans, x -> concat(cast(x.doc as string), ':', " +
+              "cast(x.a as string), ':', cast(x.b as string))), ';') as spans_str",
+            s"cast(size(filter(ids, i -> i = $eos)) as int) as eos_cnt",
+            "case when element_at(spans, 1).a = 0 " +
+              "and aggregate(spans, 0, (acc, x) -> acc + (x.b - x.a)) = n_ids " +
+              "then 1 else 0 end as tiled")
+          .orderBy("seq")
+      },
+      Some(s"""
+        WITH ${duckGpt2ChainCtes},
+        enc AS MATERIALIZED (
+          SELECT p.doc_id, flatten(list(b.syms ORDER BY p.i)) AS ids
+          FROM (SELECT doc_id, unnest(ps) AS g, generate_subscripts(ps, 1) AS i
+                FROM pieces) p
+          JOIN bw$gpt2ChainRounds b ON b.g = p.g
+          GROUP BY p.doc_id),
+        offs AS MATERIALIZED (
+          SELECT doc_id, CAST(len(ids) + 1 AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(len(ids) + 1) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+          FROM enc),
+        sp AS (
+          SELECT w AS seq, doc_id,
+                 CAST(GREATEST(0, o - w * 128) AS INTEGER) AS a,
+                 CAST(LEAST(128, o + n - w * 128) AS INTEGER) AS b,
+                 ((o + n - 1) // 128 = w) AS eos_here
+          FROM offs, unnest(range(o // 128, (o + n - 1) // 128 + 1)) t(w))
+        SELECT seq, CAST(MAX(b) AS INTEGER) AS n_ids,
+               CAST(COUNT(1) AS INTEGER) AS n_spans,
+               string_agg(concat(CAST(doc_id AS VARCHAR), ':', CAST(a AS VARCHAR),
+                 ':', CAST(b AS VARCHAR)), ';' ORDER BY a) AS spans_str,
+               CAST(SUM(CASE WHEN eos_here THEN 1 ELSE 0 END) AS INTEGER) AS eos_cnt,
+               CASE WHEN MIN(a) = 0 AND SUM(b - a) = MAX(b) THEN 1 ELSE 0 END AS tiled
+        FROM sp GROUP BY seq ORDER BY seq"""),
+      "Block-diagonal attention metadata: every packed ctx-128 window " +
+        "carries its (doc, a, b) spans (EOS owned by its doc), the " +
+        "window EOS count, and the tiling-law bit; the oracle re-derives " +
+        "every span from per-doc stream offsets."),
+
+    // ---------------------------------------------------------------- q290
+    Q(
+      "q290_epoch_plan",
+      (s, dir) => {
+        // RANK-SHARDED EPOCH PLAN — deterministic, resumable data order
+        // for multi-epoch data-parallel training: per epoch a SEEDED
+        // permutation of the packed windows (48-bit md5 of
+        // 'q290_perm|epoch|seq' — a different order every epoch, the
+        // same order every run), dealt round-robin to 4 ranks by
+        // two-phase GlobalRank position (exact balance, no global
+        // window, no collect). Output per (epoch, rank): window count,
+        // token sum, an order-free exact-DECIMAL multiset hash of the
+        // assigned window ids (coverage: each epoch's 4 hashes account
+        // for every window exactly once), and the first 3 windows in
+        // training order (locks the ORDER, not just the set). The
+        // oracle replays the permutation keys, the rank deal, and every
+        // aggregate.
+        graft.functions.BpeByteExpressions.register(s)
+        val corpus = bpeGpt2Corpus(s, dir).localCheckpoint(true)
+        val units = graft.operators.BpeByte.pretokenCounts(corpus, "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+        val spec = graft.operators.BpeByte.specOf(m)
+        val eos = graft.functions.BpeByteKit.IdBase +
+          (if (spec.isEmpty) 0 else spec.split(";", -1).length)
+        val docs = corpus
+          .withColumn("ids", expr(s"bpe_encode_gpt2(t, '$spec')"))
+          .select("doc_id", "ids")
+        val ctxs = graft.operators.Packer
+          .packTokenIds(docs, "doc_id", "ids", ctxLen = 128, eosId = eos)
+          .select("seq", "n_ids")
+          .localCheckpoint(true) // 3 epochs scan the same window frame
+        val permKey = graft.functions.HashConventions.md5long48(
+          "concat('q290_perm|', cast(epoch as string), '|', cast(seq as string))")
+        val keyed = ctxs
+          .withColumn("epoch", explode(expr("sequence(0, 2)")))
+          .withColumn("k", expr(permKey))
+        val winHash = graft.functions.HashConventions.md5long48(
+          "concat('q290_w|', cast(seq as string))")
+        graft.operators.GlobalRank.withGlobalRank(keyed, "epoch", "k", "seq")
+          .withColumn("rk", expr("cast((rn - 1) % 4 as int)"))
+          .groupBy(col("epoch").cast("int").as("epoch"), col("rk"))
+          .agg(
+            count(lit(1)).as("n_windows"),
+            sum("n_ids").cast("long").as("n_tok"),
+            expr(s"cast(sum(cast($winHash as decimal(38,0))) % 1000000007 as bigint)")
+              .as("set_hash"),
+            expr("array_join(transform(slice(array_sort(collect_list(struct(rn, seq))), " +
+              "1, 3), x -> cast(x.seq as string)), ',')").as("head3"))
+          .orderBy("epoch", "rk")
+      },
+      Some(s"""
+        WITH ${duckGpt2ChainCtes},
+        enc AS MATERIALIZED (
+          SELECT p.doc_id, flatten(list(b.syms ORDER BY p.i)) AS ids
+          FROM (SELECT doc_id, unnest(ps) AS g, generate_subscripts(ps, 1) AS i
+                FROM pieces) p
+          JOIN bw$gpt2ChainRounds b ON b.g = p.g
+          GROUP BY p.doc_id),
+        vocab AS (SELECT CAST(256 + COUNT(*) AS INTEGER) AS eos FROM (
+          ${duckSymBpeMerges(gpt2ChainRounds)})),
+        stream AS MATERIALIZED (
+          SELECT flatten(list(list_append(ids, eos) ORDER BY doc_id)) AS st
+          FROM enc, vocab GROUP BY ALL),
+        ctx AS (
+          SELECT CAST(i AS BIGINT) AS seq,
+                 CAST(LEAST((i + 1) * 128, len(st)) - i * 128 AS INTEGER) AS n_ids
+          FROM stream, unnest(range(0, CAST(ceil(len(st) / 128.0) AS BIGINT))) t(i)),
+        keyed AS (
+          SELECT seq, n_ids, CAST(e AS INTEGER) AS epoch,
+                 ${graft.functions.HashConventions.duckMd5long48(
+                   "'q290_perm|' || CAST(e AS VARCHAR) || '|' || CAST(seq AS VARCHAR)")} AS k
+          FROM ctx, unnest(range(0, 3)) t(e)),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY epoch ORDER BY k, seq) AS rn
+          FROM keyed)
+        SELECT epoch, CAST((rn - 1) % 4 AS INTEGER) AS rk,
+               CAST(COUNT(1) AS BIGINT) AS n_windows,
+               CAST(SUM(n_ids) AS BIGINT) AS n_tok,
+               CAST(CAST(SUM(CAST(${graft.functions.HashConventions.duckMd5long48(
+                 "'q290_w|' || CAST(seq AS VARCHAR)")} AS DECIMAL(38,0)))
+                 % 1000000007 AS DECIMAL(38,0)) AS BIGINT) AS set_hash,
+               string_agg(CASE WHEN prn <= 3 THEN CAST(seq AS VARCHAR) END, ','
+                 ORDER BY prn) AS head3
+        FROM (SELECT *, row_number() OVER (PARTITION BY epoch, (rn - 1) % 4
+                ORDER BY rn) AS prn FROM ranked)
+        GROUP BY 1, 2 ORDER BY epoch, rk"""),
+      "Deterministic rank-sharded epoch plan: per epoch a seeded md5 " +
+        "permutation of the packed windows dealt round-robin to 4 ranks " +
+        "via two-phase GlobalRank; per (epoch, rank) counts, token sums, " +
+        "an exact multiset hash (coverage law), and the first 3 windows " +
+        "in training order; the oracle replays keys, deal, and hashes."),
+
+    // ---------------------------------------------------------------- q291
+    Q(
+      "q291_causal_labels",
+      (s, dir) => {
+        // CAUSAL-LM LABELS with cross-document loss masking — the third
+        // tensor a trainer consumes beside input ids (q286) and the
+        // attention spans (q289): label(p) = ids(p+1) (next-token
+        // prediction), with -100 (the ignore index convention) at the
+        // window's last position and at every position whose TARGET is
+        // the first token of a DIFFERENT document (predicting an
+        // unrelated doc's opening token from EOS is pure noise; the EOS
+        // itself stays predicted — it belongs to its doc). Per window:
+        // the label md5 (content-exact), the masked count, and the
+        // first 8 labels verbatim. The oracle rebuilds labels from its
+        // replayed id stream and span starts.
+        graft.functions.BpeByteExpressions.register(s)
+        val corpus = bpeGpt2Corpus(s, dir).localCheckpoint(true)
+        val units = graft.operators.BpeByte.pretokenCounts(corpus, "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+        val spec = graft.operators.BpeByte.specOf(m)
+        val eos = graft.functions.BpeByteKit.IdBase +
+          (if (spec.isEmpty) 0 else spec.split(";", -1).length)
+        val docs = corpus
+          .withColumn("ids", expr(s"bpe_encode_gpt2(t, '$spec')"))
+          .select("doc_id", "ids")
+        graft.operators.Packer.packTokenIdsWithSpans(docs, "doc_id", "ids",
+          ctxLen = 128, eosId = eos)
+          .withColumn("labels", expr(
+            """transform(sequence(0, n_ids - 1), p -> case
+                 when p = n_ids - 1 then -100
+                 when array_contains(transform(spans, x -> x.a), p + 1) then -100
+                 else element_at(ids, p + 2) end)"""))
+          .selectExpr(
+            "seq", "n_ids",
+            "md5(array_join(transform(labels, l -> cast(l as string)), ',')) as labels_md5",
+            "cast(size(filter(labels, l -> l = -100)) as int) as n_masked",
+            "slice(labels, 1, 8) as labels_head")
+          .orderBy("seq")
+      },
+      Some(s"""
+        WITH ${duckGpt2ChainCtes},
+        enc AS MATERIALIZED (
+          SELECT p.doc_id, flatten(list(b.syms ORDER BY p.i)) AS ids
+          FROM (SELECT doc_id, unnest(ps) AS g, generate_subscripts(ps, 1) AS i
+                FROM pieces) p
+          JOIN bw$gpt2ChainRounds b ON b.g = p.g
+          GROUP BY p.doc_id),
+        vocab AS (SELECT CAST(256 + COUNT(*) AS INTEGER) AS eos FROM (
+          ${duckSymBpeMerges(gpt2ChainRounds)})),
+        stream AS MATERIALIZED (
+          SELECT flatten(list(list_append(ids, eos) ORDER BY doc_id)) AS st
+          FROM enc, vocab GROUP BY ALL),
+        ctx AS (
+          SELECT CAST(i AS BIGINT) AS seq,
+                 st[CAST(i * 128 + 1 AS BIGINT):CAST(LEAST((i + 1) * 128, len(st)) AS BIGINT)] AS ids
+          FROM stream, unnest(range(0, CAST(ceil(len(st) / 128.0) AS BIGINT))) t(i)),
+        offs AS MATERIALIZED (
+          SELECT doc_id, CAST(len(ids) + 1 AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(len(ids) + 1) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+          FROM enc),
+        starts AS (
+          SELECT seq, COALESCE(list(a ORDER BY a) FILTER (WHERE a > 0),
+                   CAST([] AS INTEGER[])) AS sts
+          FROM (
+            SELECT w AS seq, CAST(GREATEST(0, o - w * 128) AS INTEGER) AS a
+            FROM offs, unnest(range(o // 128, (o + n - 1) // 128 + 1)) t(w))
+          GROUP BY seq),
+        lbl AS (
+          SELECT c.seq, len(c.ids) AS n,
+                 list_transform(range(0, CAST(len(c.ids) AS BIGINT)), p -> CASE
+                   WHEN p = len(c.ids) - 1 THEN -100
+                   WHEN list_contains(s.sts, CAST(p + 1 AS INTEGER)) THEN -100
+                   ELSE c.ids[CAST(p + 2 AS BIGINT)] END) AS labels
+          FROM ctx c JOIN starts s ON s.seq = c.seq)
+        SELECT seq, CAST(n AS INTEGER) AS n_ids,
+               md5(array_to_string(labels, ',')) AS labels_md5,
+               CAST(len(list_filter(labels, l -> l = -100)) AS INTEGER) AS n_masked,
+               labels[1:8] AS labels_head
+        FROM lbl ORDER BY seq"""),
+      "Causal-LM label tensors with cross-document loss masking: " +
+        "next-token shift, -100 at window tails and wherever the target " +
+        "opens a different document (EOS itself stays predicted); " +
+        "per-window label md5, masked count, and head labels against an " +
+        "oracle that rebuilds labels from the replayed stream and spans.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):

@@ -145,6 +145,42 @@ class PackerSpec extends AnyFunSuite {
       s"global windows may only touch the tiny aggregate frame, got:\n${globals.mkString("\n")}")
   }
 
+  test("packTokenIdsWithSpans: spans tile every window and attribute ids to docs") {
+    val eos = 9999
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), w -> cast(length(w) as int))").as("ids"))
+    val plain = Packer.packTokenIds(docs, "doc_id", "ids", ctxLen = 32, eosId = eos)
+    val got = Packer.packTokenIdsWithSpans(docs, "doc_id", "ids", ctxLen = 32, eosId = eos)
+    // ids agree EXACTLY with packTokenIds (shared core, different agg)
+    assert(got.select("seq", "n_ids", "ids").exceptAll(
+      plain.select("seq", "n_ids", "ids")).count() === 0)
+    assert(plain.count() === got.count())
+    val rows = got.orderBy("seq").collect()
+    val expectDocs = docs.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1) :+ eos)).toSeq
+    // global attribution law: reading every window's spans in order and
+    // slicing its ids reconstructs each doc's ids + eos, in doc order
+    val byDoc = scala.collection.mutable.LinkedHashMap.empty[Long, Vector[Int]]
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](2)
+      val spans = r.getSeq[org.apache.spark.sql.Row](3)
+      // tiling: a_0 = 0, contiguous, b_last = n_ids
+      assert(spans.head.getInt(1) === 0)
+      assert(spans.last.getInt(2) === r.getInt(1))
+      spans.sliding(2).foreach {
+        case Seq(x, y) => assert(x.getInt(2) === y.getInt(1), "gap/overlap")
+        case _ =>
+      }
+      spans.foreach { sp =>
+        val d = sp.getLong(0)
+        byDoc(d) = byDoc.getOrElse(d, Vector.empty) ++
+          ids.slice(sp.getInt(1), sp.getInt(2))
+      }
+    }
+    assert(byDoc.toSeq === expectDocs.map { case (d, v) => d -> v.toVector })
+  }
+
   test("packTokenIds: null id arrays fail loudly") {
     import spark.implicits._
     val bad = Seq((1L, Seq(1, 2)), (2L, null.asInstanceOf[Seq[Int]]))
