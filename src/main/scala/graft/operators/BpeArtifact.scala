@@ -97,6 +97,33 @@ object BpeArtifact {
     sb.append('}').toString
   }
 
+  /** [[exportVocab]] plus SPECIAL TOKENS appended after the merges at
+    * the next free ids — the GPT-2 convention (`<|endoftext|>` is the
+    * LAST vocab id, 50256 = 256 + 50000 merges), and exactly the id
+    * [[Packer.packTokenIds]] callers pass as `eosId` (vocab size of the
+    * plain model + offset). Special spellings are used verbatim (they
+    * are not remap-space byte spellings — runtimes match them as whole
+    * strings before byte-level BPE runs); a special that collides with
+    * a model spelling fails loudly. */
+  def exportVocabWithSpecials(merges: DataFrame, specials: Seq[String]): String = {
+    require(specials.nonEmpty, "BpeArtifact.exportVocabWithSpecials: no specials " +
+      "given — use exportVocab")
+    require(specials.distinct.length == specials.length,
+      "BpeArtifact.exportVocabWithSpecials: duplicate special tokens")
+    val sp = allSpellings(mergeTriples(merges))
+    specials.foreach(s => require(!sp.contains(s),
+      s"BpeArtifact.exportVocabWithSpecials: special '$s' collides with a " +
+        "model spelling"))
+    val base = exportVocab(merges)
+    val sb = new java.lang.StringBuilder(base.substring(0, base.length - 1))
+    var id = sp.length
+    specials.foreach { s =>
+      sb.append(",\"").append(escapeJson(s)).append("\":").append(id)
+      id += 1
+    }
+    sb.append('}').toString
+  }
+
   /** Remap space carries no control characters (bytes 0x00–0x20 all remap
     * above U+00FF), so JSON escaping is just the two structural chars. */
   private def escapeJson(s: String): String =

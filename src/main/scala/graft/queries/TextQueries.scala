@@ -10020,6 +10020,88 @@ object TextQueries {
         "opens a different document (EOS itself stays predicted); " +
         "per-window label md5, masked count, and head labels against an " +
         "oracle that rebuilds labels from the replayed stream and spans.")
+
+    // ---------------------------------------------------------------- q292
+    , Q(
+      "q292_production_artifact",
+      (s, dir) => {
+        // THE PRODUCTION-FRONT PORTABLE ARTIFACT: q279 proved the
+        // merges.txt/vocab.json round trip on the 4-gram-front model;
+        // this closes the loop on the model the PIPELINE actually ships
+        // — trained on GPT-2 pre-tokens (q285) — and pins the
+        // SPECIAL-TOKEN contract: vocab.json carries <|endoftext|> at
+        // the next free id (the GPT-2 convention: the LAST vocab id),
+        // and that id is EXACTLY the eosId the packer writes between
+        // documents (q286/q287's separator) — artifact and delivery can
+        // never disagree about EOS. Stats run under the RE-IMPORTED
+        // spec: unit compression, the weighted byte-level decode
+        // round-trip law, artifact shape, spec==reimport.
+        graft.functions.BpeByteExpressions.register(s)
+        val corpus = bpeGpt2Corpus(s, dir)
+        val units = graft.operators.BpeByte.pretokenCounts(corpus, "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+          .localCheckpoint(true)
+        val spec = graft.operators.BpeByte.specOf(m)
+        val nMerges = if (spec.isEmpty) 0 else spec.split(";", -1).length
+        val packerEos = graft.functions.BpeByteKit.IdBase + nMerges
+        val mergesTxt = graft.operators.BpeArtifact.exportMerges(m)
+        val vocabJson = graft.operators.BpeArtifact
+          .exportVocabWithSpecials(m, Seq("<|endoftext|>"))
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(vocabJson)
+        val eosFromVocab = node.get("<|endoftext|>").asInt()
+        val vocabSize = node.size()
+        val imported = graft.operators.BpeArtifact.importMerges(mergesTxt)
+        val specRoundtrip = imported == spec
+        val artifactLines = mergesTxt.split("\n").length
+        units
+          .withColumn("syms", expr(s"bpe_encode_bytes(w, '$imported')"))
+          .agg(
+            count(lit(1)).as("n_units"),
+            sum(expr("wcnt * octet_length(w)")).as("base_bytes"),
+            sum(expr("wcnt * size(syms)")).as("enc_syms"),
+            sum(expr(s"case when bpe_decode_bytes(syms, '$imported') = w then 1 else 0 end"))
+              .as("decode_ok_units"))
+          .selectExpr("n_units", "base_bytes", "enc_syms",
+            "round(cast(enc_syms as double) / cast(base_bytes as double), 6) as ratio",
+            s"$nMerges as merges",
+            s"$artifactLines as artifact_lines",
+            s"$vocabSize as vocab_size",
+            s"$eosFromVocab as eos_id",
+            s"${eosFromVocab == packerEos} as eos_matches_packer",
+            s"$specRoundtrip as spec_roundtrip",
+            "decode_ok_units")
+      },
+      Some(s"""
+        WITH ${duckGpt2ChainCtes},
+        stats AS (
+          SELECT CAST(COUNT(*) AS INTEGER) AS merges FROM (
+            ${duckSymBpeMerges(gpt2ChainRounds)})),
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                 CAST(SUM(wcnt * strlen(g)) AS BIGINT) AS base_bytes
+          FROM bw0),
+        enc AS (
+          SELECT CAST(SUM(wcnt * len(syms)) AS BIGINT) AS enc_syms
+          FROM bw$gpt2ChainRounds)
+        SELECT n_units, base_bytes, enc_syms,
+               round(CAST(enc_syms AS DOUBLE) / CAST(base_bytes AS DOUBLE), 6) AS ratio,
+               merges,
+               CAST(merges + 1 AS INTEGER) AS artifact_lines,
+               CAST(256 + merges + 1 AS INTEGER) AS vocab_size,
+               CAST(256 + merges AS INTEGER) AS eos_id,
+               TRUE AS eos_matches_packer,
+               TRUE AS spec_roundtrip,
+               n_units AS decode_ok_units
+        FROM base, enc, stats"""),
+      "The shipped model's portable artifact: merges.txt + vocab.json " +
+        "WITH <|endoftext|> at the next free id on the GPT-2 pre-token-" +
+        "front model, re-imported and applied; pins the EOS contract " +
+        "(vocab special id == the packer's separator id), compression, " +
+        "the decode round-trip law, and spec==reimport; the oracle " +
+        "replays training and recomputes every stat.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):

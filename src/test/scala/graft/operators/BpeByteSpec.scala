@@ -309,6 +309,33 @@ class BpeByteSpec extends AnyFunSuite {
     assert(BpeArtifact.importMerges("#version: 0.2\r\na b\r\n") === "97:98")
   }
 
+  test("exportVocabWithSpecials appends specials at the next free ids, loudly on collision") {
+    import spark.implicits._
+    val units = Seq(("ab", 3L), ("abc", 2L)).toDF("w", "wcnt")
+    val m = BpeByte.fitBlocked(spark, units, "w", "wcnt", 8, 8, 32, 8)
+    val nM = m.count().toInt
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v = mapper.readTree(
+      BpeArtifact.exportVocabWithSpecials(m, Seq("<|endoftext|>", "<|pad|>")))
+    assert(v.size() === 256 + nM + 2)
+    // specials land AFTER the merges, in order — the GPT-2 layout, and
+    // exactly the eosId convention Packer callers use (IdBase + nMerges)
+    assert(v.get("<|endoftext|>").asInt() === 256 + nM)
+    assert(v.get("<|pad|>").asInt() === 256 + nM + 1)
+    // model spellings keep their plain-vocab ids
+    assert(v.get("a").asInt() === 97)
+    // a special colliding with a model spelling fails loudly ('ab' is a
+    // trained merge's surface spelling here)
+    val e = intercept[IllegalArgumentException] {
+      BpeArtifact.exportVocabWithSpecials(m, Seq("ab"))
+    }
+    assert(e.getMessage.contains("collides"))
+    val e2 = intercept[IllegalArgumentException] {
+      BpeArtifact.exportVocabWithSpecials(m, Seq("<|x|>", "<|x|>"))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("import keeps merge lines whose left spelling starts with '#'") {
     // '#' (0x23) remaps to itself, so a trained merge like ('#','a')
     // yields a legitimate "#a ..." data line — only a FIRST-line
