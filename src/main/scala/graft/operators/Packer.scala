@@ -216,6 +216,20 @@ object Packer {
       recoverable: Boolean): DataFrame = {
     require(ctxLen >= 1, s"ctxLen ($ctxLen) must be at least 1")
     require(eosId >= 0, s"eosId ($eosId) must be non-negative")
+    // spans attribute fragments to docs through `ord = orderCol cast to
+    // long`; a fractional order key (doubles 1.2 and 1.9) would silently
+    // truncate and alias two documents under one span doc id, so the
+    // packers tighten withSequenceOffsets' "numeric" contract to INTEGRAL
+    df.schema(orderCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"packTokenIds/packTokenIdsWithSpans need an INTEGRAL order column " +
+          s"(doc ids attribute spans through a lossless cast to long); " +
+          s"$orderCol is $other")
+    }
     val withEos = df.select(
       col(orderCol),
       expr(s"concat($idsCol, array($eosId))").as("__ids"))

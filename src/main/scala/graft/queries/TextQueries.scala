@@ -24,6 +24,24 @@ object TextQueries {
   private def md5long(e: String) = graft.functions.HashConventions.md5long48(e)
   private def duckMd5long(e: String) = graft.functions.HashConventions.duckMd5long48(e)
 
+  /** Fresh scratch directory for delivery-manifest queries (q284/q287/…):
+    * per-invocation (parallel suites run the same lambda concurrently, so
+    * an Overwrite race on a shared path would corrupt the read-back), but
+    * REGISTERED FOR DELETION at JVM exit — the returned DataFrame is lazy,
+    * so the dir cannot be removed before the driver executes it; without
+    * the hook every bench rep and correctness run leaked a full sharded
+    * parquet dataset in /tmp. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: java.io.IOException => () } // best-effort at exit
+    }))
+    p.toString
+  }
+
   // Word-3-gram shingles over the whitespace tokenization — the native
   // expression (graft.functions.WordNgrams): one compiled loop per row
   // instead of one interpreted lambda dispatch per shingle (~10x).
@@ -9529,10 +9547,8 @@ object TextQueries {
           .selectExpr("doc_id", "cast(size(tokenize_text(text)) as long) as n_tok")
         val packed = graft.operators.Packer
           .withSequenceOffsets(docs, "doc_id", "n_tok", ctxLen = 256)
-        // fresh dir per invocation: parallel suites run this lambda
-        // concurrently and an Overwrite race would corrupt the read-back
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_packed_").toString
+        // fresh dir per invocation, deleted at JVM exit (scratchDir)
+        val out = scratchDir("graft_packed_")
         graft.sources.Sinks
           .writePackedManifest(packed, "doc_id", "n_tok", out, 8)
           .orderBy("shard")
@@ -9605,7 +9621,10 @@ object TextQueries {
             "cast(size(pretokenize_gpt2(t)) as int) as n_pretok",
             "cast(size(ids) as int) as n_tok",
             "cast(octet_length(t) as int) as n_bytes",
-            "slice(ids, 1, 12) as ids_head",
+            // joined string, not a raw array: every query output column
+            // must be scalar (driver comparator contract — QueriesSpec
+            // locks the law library-wide)
+            "array_join(transform(slice(ids, 1, 12), i -> cast(i as string)), ',') as ids_head",
             "md5(array_join(transform(ids, i -> cast(i as string)), ',')) as ids_md5",
             s"case when bpe_decode_bytes(ids, '$spec') = t then 1 else 0 end as rt_ok")
           .orderBy("doc_id")
@@ -9622,7 +9641,7 @@ object TextQueries {
                CAST(len(p.ps) AS INTEGER) AS n_pretok,
                CAST(len(e.ids) AS INTEGER) AS n_tok,
                CAST(strlen(d.t) AS INTEGER) AS n_bytes,
-               e.ids[1:12] AS ids_head,
+               array_to_string(e.ids[1:12], ',') AS ids_head,
                md5(array_to_string(e.ids, ',')) AS ids_md5,
                1 AS rt_ok
         FROM docs d
@@ -9670,7 +9689,7 @@ object TextQueries {
           ctxLen = 128, eosId = eos)
           .selectExpr(
             "seq", "n_ids",
-            "slice(ids, 1, 8) as ids_head",
+            "array_join(transform(slice(ids, 1, 8), i -> cast(i as string)), ',') as ids_head",
             "md5(array_join(transform(ids, i -> cast(i as string)), ',')) as ids_md5",
             "case when n_ids = 128 then 1 else 0 end as is_full")
           .orderBy("seq")
@@ -9693,7 +9712,7 @@ object TextQueries {
                  st[CAST(i * 128 + 1 AS BIGINT):CAST(LEAST((i + 1) * 128, len(st)) AS BIGINT)] AS ids
           FROM stream, unnest(range(0, CAST(ceil(len(st) / 128.0) AS BIGINT))) t(i))
         SELECT seq, CAST(len(ids) AS INTEGER) AS n_ids,
-               ids[1:8] AS ids_head,
+               array_to_string(ids[1:8], ',') AS ids_head,
                md5(array_to_string(ids, ',')) AS ids_md5,
                CASE WHEN len(ids) = 128 THEN 1 ELSE 0 END AS is_full
         FROM ctx ORDER BY seq"""),
@@ -9729,10 +9748,8 @@ object TextQueries {
           .select("doc_id", "ids")
         val ctxs = graft.operators.Packer.packTokenIds(docs, "doc_id", "ids",
           ctxLen = 128, eosId = eos)
-        // fresh dir per invocation: parallel suites run this lambda
-        // concurrently and an Overwrite race would corrupt the read-back
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_tokctx_").toString
+        // fresh dir per invocation, deleted at JVM exit (scratchDir)
+        val out = scratchDir("graft_tokctx_")
         graft.sources.Sinks.writeTokenContexts(ctxs, out, 8)
           .orderBy("shard")
       },
@@ -9887,7 +9904,15 @@ object TextQueries {
             sum("n_ids").cast("long").as("n_tok"),
             expr(s"cast(sum(cast($winHash as decimal(38,0))) % 1000000007 as bigint)")
               .as("set_hash"),
-            expr("array_join(transform(slice(array_sort(collect_list(struct(rn, seq))), " +
+            // BOUNDED head collect: the round-robin deal puts rank rk's
+            // first 3 windows at rn in {rk+1, rk+5, rk+9}, so filtering
+            // rn <= 12 (= 3 * nRanks) BEFORE the collect caps the
+            // aggregation buffer at 3 structs per group — collect_list
+            // skips the nulls the CASE emits for every other row. The
+            // unconditional spelling collected the whole corpus-sized
+            // group to slice 3 (the r10 verdict's OOM-at-scale flag).
+            expr("array_join(transform(slice(array_sort(collect_list(" +
+              "case when rn <= 12 then struct(rn, seq) end)), " +
               "1, 3), x -> cast(x.seq as string)), ',')").as("head3"))
           .orderBy("epoch", "rk")
       },
@@ -9971,7 +9996,7 @@ object TextQueries {
             "seq", "n_ids",
             "md5(array_join(transform(labels, l -> cast(l as string)), ',')) as labels_md5",
             "cast(size(filter(labels, l -> l = -100)) as int) as n_masked",
-            "slice(labels, 1, 8) as labels_head")
+            "array_join(transform(slice(labels, 1, 8), l -> cast(l as string)), ',') as labels_head")
           .orderBy("seq")
       },
       Some(s"""
@@ -10013,7 +10038,7 @@ object TextQueries {
         SELECT seq, CAST(n AS INTEGER) AS n_ids,
                md5(array_to_string(labels, ',')) AS labels_md5,
                CAST(len(list_filter(labels, l -> l = -100)) AS INTEGER) AS n_masked,
-               labels[1:8] AS labels_head
+               array_to_string(labels[1:8], ',') AS labels_head
         FROM lbl ORDER BY seq"""),
       "Causal-LM label tensors with cross-document loss masking: " +
         "next-token shift, -100 at window tails and wherever the target " +

@@ -100,9 +100,14 @@ object Sinks {
       .withColumnRenamed("content_hash", "rb_hash")
     val manifest = expect.join(back, Seq("shard"), "full_outer")
       .select(col("shard"), col("n_rows"), col("n_tokens"), col("content_hash"),
-        (col("n_rows") === col("rb_rows") &&
-          col("n_tokens") === col("rb_tokens") &&
-          col("content_hash") === col("rb_hash")).as("readback_ok"))
+        // coalesce: a shard entirely missing on read-back (or written but
+        // never expected) null-propagates through ===; it must read as a
+        // FAILED verification, not a NULL a `= false` filter would skip
+        coalesce(
+          col("n_rows") === col("rb_rows") &&
+            col("n_tokens") === col("rb_tokens") &&
+            col("content_hash") === col("rb_hash"),
+          lit(false)).as("readback_ok"))
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/_manifest")
     manifest
   }
@@ -155,9 +160,13 @@ object Sinks {
       .withColumnRenamed("content_hash", "rb_hash")
     val manifest = expect.join(back, Seq("shard"), "full_outer")
       .select(col("shard"), col("n_rows"), col("n_ids"), col("content_hash"),
-        (col("n_rows") === col("rb_rows") &&
-          col("n_ids") === col("rb_ids") &&
-          col("content_hash") === col("rb_hash")).as("readback_ok"))
+        // coalesce: missing-shard NULL must read as failed (see
+        // writePackedManifest)
+        coalesce(
+          col("n_rows") === col("rb_rows") &&
+            col("n_ids") === col("rb_ids") &&
+            col("content_hash") === col("rb_hash"),
+          lit(false)).as("readback_ok"))
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/_manifest")
     manifest
   }

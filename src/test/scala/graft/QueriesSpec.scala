@@ -42,6 +42,20 @@ class QueriesSpec extends AnyFunSuite {
     test(s"$name runs and returns a schema'd result") {
       val df = SparkEntry.queries(name)(spark, Sf)
       assert(df.schema.fields.nonEmpty)
+      // THE SCALAR-ONLY OUTPUT LAW: the driver's oracle comparator sorts
+      // result frames with pandas, which cannot hash array/map/struct
+      // cells (q285/q286/q291 shipped raw id heads in r10 and all three
+      // read `err` at the gate despite exact values). Serialize nested
+      // values to strings (array_join / spans_str convention) instead.
+      val nested = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(nested.isEmpty,
+        s"query outputs must be scalar-only (driver comparator contract); " +
+          s"nested columns: ${nested.mkString(", ")}")
       assert(df.count() >= 0)
     }
   }
