@@ -10126,7 +10126,117 @@ object TextQueries {
         "front model, re-imported and applied; pins the EOS contract " +
         "(vocab special id == the packer's separator id), compression, " +
         "the decode round-trip law, and spec==reimport; the oracle " +
-        "replays training and recomputes every stat.")
+        "replays training and recomputes every stat."),
+
+    // ---------------------------------------------------------------- q294
+    Q(
+      "q294_tensor_triplet_delivery",
+      (s, dir) => {
+        // THE FULL TRAINER HANDOFF IN ONE DELIVERY: q287 shipped input
+        // ids alone; a trainer step consumes THREE tensors per window —
+        // ids (q286), attention spans (q289), causal labels (q291) —
+        // and a delivery that verifies only one family would pass a
+        // corrupted attention mask or label tensor silently.
+        // Sinks.writeTokenTensors shards all three together (seq%8) with
+        // a PER-FAMILY per-shard content hash (exact DECIMAL multiset
+        // sum of each row's canonical serialization), read back and
+        // re-manifested; readback_ok certifies rows, id count, and all
+        // three hashes. The oracle replays windows, spans, and labels
+        // from its own replayed id stream and recomputes every family
+        // hash — a flipped id, a shifted span bound, or one wrong label
+        // anywhere fails exactly its family's column on its shard.
+        graft.functions.BpeByteExpressions.register(s)
+        val corpus = bpeGpt2Corpus(s, dir).localCheckpoint(true)
+        val units = graft.operators.BpeByte.pretokenCounts(corpus, "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+        val spec = graft.operators.BpeByte.specOf(m)
+        val eos = graft.functions.BpeByteKit.IdBase +
+          (if (spec.isEmpty) 0 else spec.split(";", -1).length)
+        val docs = corpus
+          .withColumn("ids", expr(s"bpe_encode_gpt2(t, '$spec')"))
+          .select("doc_id", "ids")
+        val tensors = graft.operators.Packer
+          .packTokenIdsWithSpans(docs, "doc_id", "ids", ctxLen = 128, eosId = eos)
+          .withColumn("labels", expr(
+            """transform(sequence(0, n_ids - 1), p -> case
+                 when p = n_ids - 1 then -100
+                 when array_contains(transform(spans, x -> x.a), p + 1) then -100
+                 else element_at(ids, p + 2) end)"""))
+        // fresh dir per invocation, deleted at JVM exit (scratchDir)
+        val out = scratchDir("graft_tensors_")
+        graft.sources.Sinks.writeTokenTensors(tensors, out, 8)
+          .orderBy("shard")
+      },
+      Some(s"""
+        WITH ${duckGpt2ChainCtes},
+        enc AS MATERIALIZED (
+          SELECT p.doc_id, flatten(list(b.syms ORDER BY p.i)) AS ids
+          FROM (SELECT doc_id, unnest(ps) AS g, generate_subscripts(ps, 1) AS i
+                FROM pieces) p
+          JOIN bw$gpt2ChainRounds b ON b.g = p.g
+          GROUP BY p.doc_id),
+        vocab AS (SELECT CAST(256 + COUNT(*) AS INTEGER) AS eos FROM (
+          ${duckSymBpeMerges(gpt2ChainRounds)})),
+        stream AS MATERIALIZED (
+          SELECT flatten(list(list_append(ids, eos) ORDER BY doc_id)) AS st
+          FROM enc, vocab GROUP BY ALL),
+        ctx AS MATERIALIZED (
+          SELECT CAST(i AS BIGINT) AS seq,
+                 st[CAST(i * 128 + 1 AS BIGINT):CAST(LEAST((i + 1) * 128, len(st)) AS BIGINT)] AS ids
+          FROM stream, unnest(range(0, CAST(ceil(len(st) / 128.0) AS BIGINT))) t(i)),
+        offs AS MATERIALIZED (
+          SELECT doc_id, CAST(len(ids) + 1 AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(len(ids) + 1) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+          FROM enc),
+        sp AS MATERIALIZED (
+          SELECT w AS seq, doc_id,
+                 CAST(GREATEST(0, o - w * 128) AS INTEGER) AS a,
+                 CAST(LEAST(128, o + n - w * 128) AS INTEGER) AS b
+          FROM offs, unnest(range(o // 128, (o + n - 1) // 128 + 1)) t(w)),
+        spstr AS (
+          SELECT seq, string_agg(concat(CAST(doc_id AS VARCHAR), ':',
+                   CAST(a AS VARCHAR), ':', CAST(b AS VARCHAR)), ';' ORDER BY a) AS ss
+          FROM sp GROUP BY seq),
+        starts AS (
+          SELECT seq, COALESCE(list(a ORDER BY a) FILTER (WHERE a > 0),
+                   CAST([] AS INTEGER[])) AS sts
+          FROM sp GROUP BY seq),
+        lbl AS (
+          SELECT c.seq,
+                 list_transform(range(0, CAST(len(c.ids) AS BIGINT)), p -> CASE
+                   WHEN p = len(c.ids) - 1 THEN -100
+                   WHEN list_contains(s.sts, CAST(p + 1 AS INTEGER)) THEN -100
+                   ELSE c.ids[CAST(p + 2 AS BIGINT)] END) AS labels
+          FROM ctx c JOIN starts s ON s.seq = c.seq),
+        fam AS (
+          SELECT c.seq, CAST(len(c.ids) AS BIGINT) AS n_ids,
+                 ${graft.functions.HashConventions.duckMd5long48(
+                   "CAST(c.seq AS VARCHAR) || ':' || array_to_string(c.ids, ',')")} AS ih,
+                 ${graft.functions.HashConventions.duckMd5long48(
+                   "CAST(c.seq AS VARCHAR) || ':' || s.ss")} AS sh2,
+                 ${graft.functions.HashConventions.duckMd5long48(
+                   "CAST(c.seq AS VARCHAR) || ':' || array_to_string(l.labels, ',')")} AS lh
+          FROM ctx c JOIN spstr s ON s.seq = c.seq JOIN lbl l ON l.seq = c.seq)
+        SELECT CAST(seq % 8 AS INTEGER) AS shard,
+               CAST(COUNT(1) AS BIGINT) AS n_rows,
+               CAST(SUM(n_ids) AS BIGINT) AS n_ids,
+               CAST(CAST(SUM(CAST(ih AS DECIMAL(38,0))) % 1000000007
+                 AS DECIMAL(38,0)) AS BIGINT) AS ids_hash,
+               CAST(CAST(SUM(CAST(sh2 AS DECIMAL(38,0))) % 1000000007
+                 AS DECIMAL(38,0)) AS BIGINT) AS spans_hash,
+               CAST(CAST(SUM(CAST(lh AS DECIMAL(38,0))) % 1000000007
+                 AS DECIMAL(38,0)) AS BIGINT) AS labels_hash,
+               TRUE AS readback_ok
+        FROM fam GROUP BY 1 ORDER BY shard"""),
+      "The complete trainer handoff: ids + attention spans + causal " +
+        "labels sharded together with a per-family per-shard content " +
+        "hash (exact DECIMAL multiset sums) and read-back verification; " +
+        "the oracle replays all three tensor families from the id " +
+        "stream and recomputes every hash — corruption localizes to " +
+        "its family and shard.")
   )
 
   /** q272/q273 per-variant appended sentence tails (doc_id % 4):

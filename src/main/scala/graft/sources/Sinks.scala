@@ -172,6 +172,81 @@ object Sinks {
   }
 
   /**
+   * FULL TENSOR-TRIPLET DELIVERY: [[writeTokenContexts]] generalized to
+   * everything a trainer step consumes — input `ids`
+   * ([[graft.operators.Packer.packTokenIds]]), the block-diagonal
+   * attention `spans` ([[graft.operators.Packer.packTokenIdsWithSpans]]),
+   * and the causal-LM `labels` — with a per-shard content hash PER COLUMN
+   * FAMILY, so the manifest localizes corruption to the family that
+   * actually broke (a flipped label fails `labels_hash` alone; an id flip
+   * fails `ids_hash` alone). Hash discipline is the library convention
+   * throughout: each row's family serializes canonically
+   * (`seq:v1,v2,...` for int arrays, `seq:doc:a:b;doc:a:b` for spans —
+   * the q289 `spans_str` spelling), 48-bit md5, summed in DECIMAL(38)
+   * (exact, order-free, collect-free) mod 1e9+7. Shard = `seq % nShards`;
+   * hive-partitioned, seq-sorted, read back and re-manifested;
+   * `readback_ok` is the per-shard equality of rows, id count, and ALL
+   * THREE family hashes (coalesced — a missing shard reads as failed).
+   * Returns the verified manifest, also written as JSON at
+   * `<path>/_manifest`.
+   */
+  def writeTokenTensors(
+      tensors: DataFrame,
+      path: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards ($nShards) must be positive")
+    Seq("seq", "ids", "spans", "labels").foreach(c =>
+      require(tensors.columns.contains(c),
+        s"tensors must carry $c — compose Packer.packTokenIdsWithSpans " +
+          "with a label builder first"))
+    def intCsvHash(c: String) = graft.functions.HashConventions.md5long48(
+      s"concat(cast(seq as string), ':', " +
+        s"array_join(transform($c, i -> cast(i as string)), ','))")
+    val spansHash = graft.functions.HashConventions.md5long48(
+      "concat(cast(seq as string), ':', " +
+        "array_join(transform(spans, x -> concat(cast(x.doc as string), ':', " +
+        "cast(x.a as string), ':', cast(x.b as string))), ';'))")
+    def familySum(h: String, as: String) =
+      expr(s"cast(sum(cast($h as decimal(38,0))) % 1000000007 as bigint)").as(as)
+    def manifestOf(df: DataFrame): DataFrame = df
+      .withColumn("shard", expr(s"cast(seq % $nShards as int)"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(expr("cast(size(ids) as long)")).as("n_ids"),
+        familySum(intCsvHash("ids"), "ids_hash"),
+        familySum(spansHash, "spans_hash"),
+        familySum(intCsvHash("labels"), "labels_hash"))
+    tensors.withColumn("shard", expr(s"cast(seq % $nShards as int)"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("seq"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+    val expect = manifestOf(tensors)
+    val back = manifestOf(tensors.sparkSession.read.parquet(path))
+      .withColumnRenamed("n_rows", "rb_rows")
+      .withColumnRenamed("n_ids", "rb_ids")
+      .withColumnRenamed("ids_hash", "rb_ids_hash")
+      .withColumnRenamed("spans_hash", "rb_spans_hash")
+      .withColumnRenamed("labels_hash", "rb_labels_hash")
+    val manifest = expect.join(back, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_rows"), col("n_ids"),
+        col("ids_hash"), col("spans_hash"), col("labels_hash"),
+        // coalesce: missing-shard NULL must read as failed (see
+        // writePackedManifest)
+        coalesce(
+          col("n_rows") === col("rb_rows") &&
+            col("n_ids") === col("rb_ids") &&
+            col("ids_hash") === col("rb_ids_hash") &&
+            col("spans_hash") === col("rb_spans_hash") &&
+            col("labels_hash") === col("rb_labels_hash"),
+          lit(false)).as("readback_ok"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).json(s"$path/_manifest")
+    manifest
+  }
+
+  /**
    * Bucketed + sorted managed table: joins/aggregations keyed on
    * `bucketCols` read it with no Exchange (and no Sort, when `sortCols`
    * covers the join key). Bucketing requires the table-catalog write path

@@ -222,4 +222,64 @@ class SinksSpec extends AnyFunSuite {
       "other shards are untouched")
     assert(ok === man.view.mapValues(_._3).toMap, "disk hashes match the manifest")
   }
+
+  test("writeTokenTensors: one flipped label fails ONLY labels_hash on its shard") {
+    val eos = 7777
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .selectExpr("doc_id",
+        "transform(split(text, ' '), w -> cast(length(w) as int)) as ids")
+    val tensors = graft.operators.Packer
+      .packTokenIdsWithSpans(docs, "doc_id", "ids", ctxLen = 64, eosId = eos)
+      .withColumn("labels", expr(
+        """transform(sequence(0, n_ids - 1), p -> case
+             when p = n_ids - 1 then -100
+             when array_contains(transform(spans, x -> x.a), p + 1) then -100
+             else element_at(ids, p + 2) end)"""))
+    val out = Files.createTempDirectory("toktensors").toString
+    val man = Sinks.writeTokenTensors(tensors, out, 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(man.keySet === Set(0, 1, 2, 3))
+    assert(man.values.forall(_._6), "every shard must verify on read-back")
+    assert(man.values.map(_._1).sum === tensors.count(), "manifest covers every window")
+    // all three families land in the shard files and round-trip
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet === Set("seq", "n_ids", "ids", "spans", "labels", "shard"))
+    // FAMILY-LEVEL localization: flip ONE label in ONE window; re-derive
+    // the three family hashes from disk — labels_hash must change on that
+    // window's shard ALONE, ids/spans hashes everywhere and labels
+    // hashes elsewhere must not
+    def h(e: String) = graft.functions.HashConventions.md5long48(e)
+    val ih = h("concat(cast(seq as string), ':', " +
+      "array_join(transform(ids, i -> cast(i as string)), ','))")
+    val sh = h("concat(cast(seq as string), ':', " +
+      "array_join(transform(spans, x -> concat(cast(x.doc as string), ':', " +
+      "cast(x.a as string), ':', cast(x.b as string))), ';'))")
+    val lh = h("concat(cast(seq as string), ':', " +
+      "array_join(transform(labels, i -> cast(i as string)), ','))")
+    def fams(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long, Long)] = df
+      .withColumn("shard", expr("cast(seq % 4 as int)"))
+      .groupBy("shard")
+      .agg(
+        expr(s"cast(sum(cast($ih as decimal(38,0))) % 1000000007 as bigint)").as("i"),
+        expr(s"cast(sum(cast($sh as decimal(38,0))) % 1000000007 as bigint)").as("s"),
+        expr(s"cast(sum(cast($lh as decimal(38,0))) % 1000000007 as bigint)").as("l"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val clean = fams(back)
+    assert(clean.view.mapValues(v => (v._1, v._2, v._3)).toMap ===
+      man.view.mapValues(v => (v._3, v._4, v._5)).toMap,
+      "disk family hashes match the manifest")
+    val tampered = back.withColumn("labels", expr(
+      "case when seq = 6 then concat(array(element_at(labels, 1) + 1), " +
+        "slice(labels, 2, size(labels) - 1)) else labels end"))
+    val dirty = fams(tampered)
+    assert(clean(2)._3 !== dirty(2)._3,
+      "shard 2 (seq 6) labels_hash must fail on a single flipped label")
+    assert(clean(2)._1 === dirty(2)._1 && clean(2)._2 === dirty(2)._2,
+      "ids/spans hashes on the tampered shard stay clean — corruption localizes")
+    assert((0 to 3).filter(_ != 2).forall(k => clean(k) == dirty(k)),
+      "other shards are untouched entirely")
+  }
 }
