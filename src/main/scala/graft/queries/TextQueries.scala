@@ -9196,64 +9196,13 @@ object TextQueries {
         // sentence boundary, election key, hash threshold or packing
         // offset anywhere shifts a later stage's counts and fails the
         // row.
-        graft.functions.HttpExpressions.register(s)
-        graft.functions.HtmlExpressions.register(s)
-        graft.functions.UnicodeExpressions.register(s)
-        graft.functions.UrlExpressions.register(s)
-        val warcDir = capstoneWarcFixture(s, dir)
-        val all = s.read.format("warc").load(warcDir)
-        val resp = all.filter(col("record_type") === "response")
-          .selectExpr("record_id", "target_uri", "payload", "content_length")
-          .withColumn("d", expr(
-            "cast(regexp_extract(record_id, 'cap-([0-9]+)-', 1) as bigint)"))
-          .withColumn("kind", expr(
-            "cast(regexp_extract(record_id, '-([0-9]+)>', 1) as int)"))
-          .withColumn("rid", expr("d * 3 + kind"))
-        val extracted = resp
-          .withColumn("html", expr(
-            "http_body(decode_payload(payload, cast(null as string)))"))
-          .withColumn("article", expr("extract_main(html)"))
-          .select("rid", "target_uri", "content_length", "html", "article")
-          .localCheckpoint(true) // read by 3 accounting branches + the scrub
-        val sent = extracted
-          .select(col("rid"), col("target_uri"),
-            posexplode(expr("split_sentences(article)")).as(Seq("pos", "sent")))
-        val boiler = sent.groupBy("sent")
-          .agg(countDistinct(col("rid")).as("sdf")).filter(col("sdf") >= 5)
-        val scrubbed = sent.join(broadcast(boiler), Seq("sent"), "left")
-          .filter(col("sdf").isNull)
-          .groupBy("rid", "target_uri")
-          .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, sent))), " +
-            "x -> x.sent), ' ')").as("scrubbed"))
-          .withColumn("toks", split(col("scrubbed"), " "))
-          .withColumn("n_tok", size(col("toks")).cast("long"))
-          .localCheckpoint(true)
-        // exact screen: canonical-URL election (min rid per canonical key)
-        val urlKept = scrubbed
-          .withColumn("curl", expr("canonical_url(target_uri)"))
-          .withColumn("rk", expr(
-            "row_number() over (partition by curl order by rid)"))
-          .filter(col("rk") === 1).drop("rk")
-          .localCheckpoint(true)
-        // near-dup screen: LSH candidates, exact-Jaccard verify >= 0.5,
-        // min-id election (drop the larger side of every verified pair)
-        val cand = graft.operators.Dedup
-          .minhashLshCandidates(s, urlKept, "rid", "scrubbed")
-        val sh = urlKept.filter(size(col("toks")) >= 3)
-          .selectExpr("rid", "word_ngrams(toks, 3) as sh")
-        val dropB = cand
-          .join(sh.select(col("rid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(sh.select(col("rid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .filter(expr("cast(size(array_intersect(sh_a, sh_b)) as double) " +
-            "/ size(array_union(sh_a, sh_b)) >= 0.5"))
-          .select(col("id_b").as("rid")).distinct()
-        val nearKept = urlKept.join(dropB, Seq("rid"), "left_anti")
-          .withColumn("src", expr("url_host(target_uri)"))
-          .select("src", "rid", "n_tok")
-          .localCheckpoint(true)
-        val mixed = graft.operators.Mixture.sampleByRates(
-          nearKept, "src", "rid", Map.empty, defaultRate = 0.8, salt = "cap_mix")
-          .localCheckpoint(true)
+        val st = capstoneStages(s, dir)
+        val all = st.all
+        val extracted = st.extracted
+        val scrubbed = st.scrubbed
+        val urlKept = st.urlKept
+        val nearKept = st.nearKept
+        val mixed = st.mixed
         val nCtx = graft.operators.Packer
           .withSequenceOffsets(mixed, "rid", "n_tok", ctxLen = 128)
           .agg(coalesce(max(col("last_seq")) + 1, lit(0L)).as("n_rows"),
@@ -9277,79 +9226,7 @@ object TextQueries {
           .orderBy("ord")
       },
       Some(s"""
-        WITH base AS (
-          SELECT doc_id, source,
-                 replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'o', 'ø') AS acc
-          FROM documents),
-        recs AS (
-          SELECT doc_id, source, acc, 3 * doc_id AS rid, 0 AS kind FROM base
-          UNION ALL
-          SELECT doc_id, source, acc, 3 * doc_id + 1, 1 FROM base WHERE doc_id % 7 = 3
-          UNION ALL
-          SELECT doc_id, source, acc, 3 * doc_id + 2, 2 FROM base WHERE doc_id % 11 = 5),
-        pg AS (
-          SELECT rid, doc_id, kind,
-                 acc || CASE WHEN kind = 2 THEN ' zx' || CAST(doc_id AS VARCHAR)
-                             ELSE '' END || '.' AS p1
-          FROM recs),
-        doc2 AS (
-          SELECT rid, kind, p1,
-                 '$capHtmlPre' || p1 || '$capHtmlMid' AS html,
-                 CASE WHEN length(replace(p1, ' ', '')) >= 25
-                      THEN p1 || chr(10) || '$capBoiler'
-                      ELSE '$capBoiler' END AS article
-          FROM pg),
-        lens AS (
-          SELECT rid,
-                 CAST(length('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
-                     'Content-Type: text/html; charset=iso-8859-1' ||
-                     chr(13) || chr(10) || chr(13) || chr(10))
-                   + length(html) AS BIGINT) AS clen,
-                 CAST(length(html) AS BIGINT) AS hlen,
-                 CAST(length(article) AS BIGINT) AS alen
-          FROM doc2),
-        reqlens AS (
-          SELECT CAST(length('GET /p/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1' ||
-                     chr(13) || chr(10) || chr(13) || chr(10)) AS BIGINT) AS clen
-          FROM base WHERE doc_id % 5 = 0),
-        se AS (
-          SELECT rid, kind, unnest(sents) AS sent, generate_subscripts(sents, 1) AS pos
-          FROM (SELECT rid, kind, ${duckSplitSentences("article")} AS sents FROM doc2)),
-        bl AS (
-          SELECT sent FROM se GROUP BY sent HAVING COUNT(DISTINCT rid) >= 5),
-        scr AS (
-          SELECT rid, kind,
-                 array_to_string(list(s.sent ORDER BY s.pos), ' ') AS scrubbed
-          FROM se s LEFT JOIN bl ON bl.sent = s.sent
-          WHERE bl.sent IS NULL
-          GROUP BY rid, kind),
-        scrt AS (
-          SELECT rid, kind, scrubbed, string_split(scrubbed, ' ') AS toks,
-                 CAST(len(string_split(scrubbed, ' ')) AS BIGINT) AS n_tok
-          FROM scr),
-        uk AS (SELECT * FROM scrt WHERE kind <> 1),
-        sigs AS (
-          SELECT rid, ${duckMinhashSelect.mkString(", ")}
-          FROM uk WHERE len(toks) >= 3),
-        banded AS (
-          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, rid FROM sigs
-          UNION ALL
-          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, rid FROM sigs),
-        pairs AS (
-          SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
-          FROM banded a JOIN banded b
-            ON a.band_no = b.band_no AND a.band_key = b.band_key
-          WHERE a.rid < b.rid),
-        shv AS (SELECT rid, $duckShingles AS sh FROM uk WHERE len(toks) >= 3),
-        dropb AS (
-          SELECT DISTINCT p.id_b AS rid
-          FROM pairs p JOIN shv a ON p.id_a = a.rid JOIN shv b ON p.id_b = b.rid
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-        nk AS (SELECT * FROM uk WHERE rid NOT IN (SELECT rid FROM dropb)),
-        mixd AS (
-          SELECT * FROM nk
-          WHERE ${duckMd5long("'cap_mix|' || CAST(rid AS VARCHAR)")} % 1000000 < 800000),
+        WITH $duckCapstoneCtes,
         packt AS (
           SELECT rid, n_tok,
                  COALESCE(SUM(n_tok) OVER (ORDER BY rid
@@ -10128,6 +10005,125 @@ object TextQueries {
         "the decode round-trip law, and spec==reimport; the oracle " +
         "replays training and recomputes every stat."),
 
+    // ---------------------------------------------------------------- q293
+    Q(
+      "q293_capstone_tensors",
+      (s, dir) => {
+        // CRAWL BYTES TO DELIVERED TENSORS — capstone v3, closing the
+        // id-level last mile q281 stopped short of (its final stage
+        // counted ctx windows from token COUNTS): the same WARC fixture
+        // flows through the shared crawl front (decode -> extract ->
+        // scrub -> URL screen -> near-dup screen -> mixture), then a
+        // GPT-2-pre-token-front byte-BPE trains ON THE SURVIVORS'
+        // scrubbed text (the tokenizer-training sample: survivors of
+        // the first 500 crawl docs — production trains the tokenizer on
+        // a sample of the cleaned corpus, and the oracle's encode
+        // replay joins pieces against the trained unit table, so train
+        // corpus == encode corpus by construction), every sample doc
+        // encodes to ids, Packer.packTokenIds slices the EOS-separated
+        // stream into ctx-128 windows, and writeTokenContexts delivers
+        // them seq%8-sharded with id-content manifests. Output: one
+        // accounting row per stage (survivors / sample / trained /
+        // encoded / packed) plus one row per delivered shard carrying
+        // its CONTENT HASH and read-back bit. The oracle replays the
+        // crawl front, the full training, the per-doc encode, the
+        // packing arithmetic, and every shard hash from the parquet
+        // corpus — one wrong byte anywhere in the chain shifts a hash.
+        graft.functions.BpeByteExpressions.register(s)
+        val st = capstoneStages(s, dir)
+        val mixed = st.mixed
+        val sample = mixed.filter(col("rid") < 1500)
+          .select(col("rid"), col("n_tok"), col("scrubbed").as("t"))
+          .localCheckpoint(true) // read by training, encode, and accounting
+        val units = graft.operators.BpeByte.pretokenCounts(sample, "t")
+          .localCheckpoint(true)
+        val m = graft.operators.BpeByte.fitBlocked(s, units, "w", "wcnt",
+          gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+        val spec = graft.operators.BpeByte.specOf(m)
+        val nMerges = if (spec.isEmpty) 0 else spec.split(";", -1).length
+        val eos = graft.functions.BpeByteKit.IdBase + nMerges
+        val encoded = sample
+          .withColumn("ids", expr(s"bpe_encode_gpt2(t, '$spec')"))
+          .select("rid", "ids")
+          .localCheckpoint(true)
+        val ctxs = graft.operators.Packer.packTokenIds(encoded, "rid", "ids",
+          ctxLen = 128, eosId = eos)
+          .localCheckpoint(true) // delivered AND accounted
+        // fresh dir per invocation, deleted at JVM exit (scratchDir)
+        val out = scratchDir("graft_cap_tensors_")
+        val man = graft.sources.Sinks.writeTokenContexts(ctxs, out, 8)
+        def acct(ord: Int, name: String, df: org.apache.spark.sql.DataFrame,
+            metric: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).as("n_rows"),
+              coalesce(metric.cast("long"), lit(0L)).as("metric"))
+            .select(lit(ord).as("ord"), lit(name).as("stage"),
+              col("n_rows"), col("metric"), lit(1).as("ok"))
+        acct(0, "survivors", mixed, sum(col("n_tok")))
+          .unionAll(acct(1, "sample", sample, sum(col("n_tok"))))
+          .unionAll(s.range(1).select(lit(2).as("ord"), lit("trained").as("stage"),
+            lit(nMerges.toLong).as("n_rows"), lit(eos.toLong).as("metric"),
+            lit(1).as("ok")))
+          .unionAll(acct(3, "encoded", encoded, sum(expr("cast(size(ids) as long)"))))
+          .unionAll(acct(4, "packed", ctxs, sum(col("n_ids"))))
+          .unionAll(man.select((lit(5) + col("shard")).cast("int").as("ord"),
+            concat(lit("shard_"), col("shard").cast("string")).as("stage"),
+            col("n_rows"), col("content_hash").as("metric"),
+            col("readback_ok").cast("int").as("ok")))
+          .orderBy("ord")
+      },
+      Some(s"""
+        WITH ${duckCapstoneChainCtes},
+        enc AS MATERIALIZED (
+          SELECT p.doc_id, flatten(list(b.syms ORDER BY p.i)) AS ids
+          FROM (SELECT doc_id, unnest(ps) AS g, generate_subscripts(ps, 1) AS i
+                FROM pieces) p
+          JOIN bw$gpt2ChainRounds b ON b.g = p.g
+          GROUP BY p.doc_id),
+        nmg AS (SELECT CAST(COUNT(*) AS BIGINT) AS merges FROM (
+          ${duckSymBpeMerges(gpt2ChainRounds)})),
+        vocab AS (SELECT CAST(256 + merges AS INTEGER) AS eos FROM nmg),
+        stream AS MATERIALIZED (
+          SELECT flatten(list(list_append(ids, eos) ORDER BY doc_id)) AS st
+          FROM enc, vocab GROUP BY ALL),
+        ctx AS MATERIALIZED (
+          SELECT CAST(i AS BIGINT) AS seq,
+                 st[CAST(i * 128 + 1 AS BIGINT):CAST(LEAST((i + 1) * 128, len(st)) AS BIGINT)] AS ids
+          FROM stream, unnest(range(0, CAST(ceil(len(st) / 128.0) AS BIGINT))) t(i)),
+        shards AS (
+          SELECT CAST(seq % 8 AS INTEGER) AS shard,
+                 CAST(COUNT(1) AS BIGINT) AS n_rows,
+                 CAST(CAST(SUM(CAST(${duckMd5long(
+                   "CAST(seq AS VARCHAR) || ':' || array_to_string(ids, ',')")}
+                   AS DECIMAL(38,0))) % 1000000007 AS DECIMAL(38,0)) AS BIGINT) AS ch
+          FROM ctx GROUP BY 1)
+        SELECT ord, stage, n_rows, metric, ok FROM (
+          SELECT CAST(0 AS INTEGER) AS ord, 'survivors' AS stage,
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM mixd) AS n_rows,
+                 (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM mixd) AS metric,
+                 CAST(1 AS INTEGER) AS ok
+          UNION ALL SELECT 1, 'sample',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM docs),
+                 (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM mixd
+                  WHERE rid < 1500), 1
+          UNION ALL SELECT 2, 'trained',
+                 (SELECT merges FROM nmg),
+                 (SELECT CAST(eos AS BIGINT) FROM vocab), 1
+          UNION ALL SELECT 3, 'encoded',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM enc),
+                 (SELECT CAST(COALESCE(SUM(len(ids)), 0) AS BIGINT) FROM enc), 1
+          UNION ALL SELECT 4, 'packed',
+                 (SELECT CAST(COUNT(1) AS BIGINT) FROM ctx),
+                 (SELECT CAST(COALESCE(SUM(len(ids)), 0) AS BIGINT) FROM ctx), 1
+          UNION ALL SELECT CAST(5 + shard AS INTEGER),
+                 'shard_' || CAST(shard AS VARCHAR), n_rows, ch, 1 FROM shards
+        ) ORDER BY ord"""),
+      "Capstone v3, crawl bytes to delivered tensors: the shared WARC " +
+        "front feeds a GPT-2-front byte-BPE trained on the survivors' " +
+        "scrubbed text, every sample doc encodes to ids, the " +
+        "EOS-separated stream packs into ctx-128 windows and ships " +
+        "seq%8-sharded with id-content manifests; the oracle replays " +
+        "crawl, training, encode, packing, and every shard hash."),
+
     // ---------------------------------------------------------------- q294
     Q(
       "q294_tensor_triplet_delivery",
@@ -10677,6 +10673,166 @@ object TextQueries {
     * doc_id % 4. The collect is FIXTURE GENERATION over the bounded
     * test corpus (500-5000 rows), not a data-path collect — the
     * pipeline itself reads the bytes back through format("warc"). */
+  /** DuckDB replay of the shared crawl front ([[capstoneStages]]): the
+    * fixture construction (base/recs/pg/doc2 + envelope lengths), the
+    * sentence scrub (se/bl/scr/scrt), the canonical-URL screen (uk —
+    * kind 1 is the planted utm re-crawl, always the losing side), the
+    * MinHash near-dup screen (sigs/banded/pairs/shv/dropb -> nk), and
+    * the hash mixture (mixd). q281 accounts these stages; q293 trains
+    * and encodes over mixd's scrubbed text. */
+  private def duckCapstoneCtes: String = s"""base AS (
+          SELECT doc_id, source,
+                 replace(replace(replace(text, 'a', 'á'), 'e', 'é'), 'o', 'ø') AS acc
+          FROM documents),
+        recs AS (
+          SELECT doc_id, source, acc, 3 * doc_id AS rid, 0 AS kind FROM base
+          UNION ALL
+          SELECT doc_id, source, acc, 3 * doc_id + 1, 1 FROM base WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id, source, acc, 3 * doc_id + 2, 2 FROM base WHERE doc_id % 11 = 5),
+        pg AS (
+          SELECT rid, doc_id, kind,
+                 acc || CASE WHEN kind = 2 THEN ' zx' || CAST(doc_id AS VARCHAR)
+                             ELSE '' END || '.' AS p1
+          FROM recs),
+        doc2 AS (
+          SELECT rid, kind, p1,
+                 '$capHtmlPre' || p1 || '$capHtmlMid' AS html,
+                 CASE WHEN length(replace(p1, ' ', '')) >= 25
+                      THEN p1 || chr(10) || '$capBoiler'
+                      ELSE '$capBoiler' END AS article
+          FROM pg),
+        lens AS (
+          SELECT rid,
+                 CAST(length('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                     'Content-Type: text/html; charset=iso-8859-1' ||
+                     chr(13) || chr(10) || chr(13) || chr(10))
+                   + length(html) AS BIGINT) AS clen,
+                 CAST(length(html) AS BIGINT) AS hlen,
+                 CAST(length(article) AS BIGINT) AS alen
+          FROM doc2),
+        reqlens AS (
+          SELECT CAST(length('GET /p/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1' ||
+                     chr(13) || chr(10) || chr(13) || chr(10)) AS BIGINT) AS clen
+          FROM base WHERE doc_id % 5 = 0),
+        se AS (
+          SELECT rid, kind, unnest(sents) AS sent, generate_subscripts(sents, 1) AS pos
+          FROM (SELECT rid, kind, ${duckSplitSentences("article")} AS sents FROM doc2)),
+        bl AS (
+          SELECT sent FROM se GROUP BY sent HAVING COUNT(DISTINCT rid) >= 5),
+        scr AS (
+          SELECT rid, kind,
+                 array_to_string(list(s.sent ORDER BY s.pos), ' ') AS scrubbed
+          FROM se s LEFT JOIN bl ON bl.sent = s.sent
+          WHERE bl.sent IS NULL
+          GROUP BY rid, kind),
+        scrt AS (
+          SELECT rid, kind, scrubbed, string_split(scrubbed, ' ') AS toks,
+                 CAST(len(string_split(scrubbed, ' ')) AS BIGINT) AS n_tok
+          FROM scr),
+        uk AS (SELECT * FROM scrt WHERE kind <> 1),
+        sigs AS (
+          SELECT rid, ${duckMinhashSelect.mkString(", ")}
+          FROM uk WHERE len(toks) >= 3),
+        banded AS (
+          SELECT 0 AS band_no, minh0::VARCHAR || '_' || minh1::VARCHAR AS band_key, rid FROM sigs
+          UNION ALL
+          SELECT 1 AS band_no, minh2::VARCHAR || '_' || minh3::VARCHAR AS band_key, rid FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_no = b.band_no AND a.band_key = b.band_key
+          WHERE a.rid < b.rid),
+        shv AS (SELECT rid, $duckShingles AS sh FROM uk WHERE len(toks) >= 3),
+        dropb AS (
+          SELECT DISTINCT p.id_b AS rid
+          FROM pairs p JOIN shv a ON p.id_a = a.rid JOIN shv b ON p.id_b = b.rid
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        nk AS (SELECT * FROM uk WHERE rid NOT IN (SELECT rid FROM dropb)),
+        mixd AS (
+          SELECT * FROM nk
+          WHERE ${duckMd5long("'cap_mix|' || CAST(rid AS VARCHAR)")} % 1000000 < 800000)"""
+
+  /** The crawl front shared by q281 (stage accounting) and q293 (tensor
+    * delivery): WARC scan (record_type pushdown) -> charset-aware
+    * decode_payload + http_body peel -> extract_main -> sentence
+    * boilerplate scrub -> canonical-URL exact screen -> MinHash-LSH +
+    * exact-Jaccard near-dup screen -> hash-threshold mixture. Every
+    * stage frame is returned so q281 can account each; `nearKept` and
+    * `mixed` RETAIN the scrubbed text so q293 can tokenize the
+    * survivors. */
+  private case class CapstoneStages(
+      all: org.apache.spark.sql.DataFrame,
+      extracted: org.apache.spark.sql.DataFrame,
+      scrubbed: org.apache.spark.sql.DataFrame,
+      urlKept: org.apache.spark.sql.DataFrame,
+      nearKept: org.apache.spark.sql.DataFrame,
+      mixed: org.apache.spark.sql.DataFrame)
+
+  private def capstoneStages(
+      s: org.apache.spark.sql.SparkSession, dir: String): CapstoneStages = {
+    graft.functions.HttpExpressions.register(s)
+    graft.functions.HtmlExpressions.register(s)
+    graft.functions.UnicodeExpressions.register(s)
+    graft.functions.UrlExpressions.register(s)
+    val warcDir = capstoneWarcFixture(s, dir)
+    val all = s.read.format("warc").load(warcDir)
+    val resp = all.filter(col("record_type") === "response")
+      .selectExpr("record_id", "target_uri", "payload", "content_length")
+      .withColumn("d", expr(
+        "cast(regexp_extract(record_id, 'cap-([0-9]+)-', 1) as bigint)"))
+      .withColumn("kind", expr(
+        "cast(regexp_extract(record_id, '-([0-9]+)>', 1) as int)"))
+      .withColumn("rid", expr("d * 3 + kind"))
+    val extracted = resp
+      .withColumn("html", expr(
+        "http_body(decode_payload(payload, cast(null as string)))"))
+      .withColumn("article", expr("extract_main(html)"))
+      .select("rid", "target_uri", "content_length", "html", "article")
+      .localCheckpoint(true) // read by 3 accounting branches + the scrub
+    val sent = extracted
+      .select(col("rid"), col("target_uri"),
+        posexplode(expr("split_sentences(article)")).as(Seq("pos", "sent")))
+    val boiler = sent.groupBy("sent")
+      .agg(countDistinct(col("rid")).as("sdf")).filter(col("sdf") >= 5)
+    val scrubbed = sent.join(broadcast(boiler), Seq("sent"), "left")
+      .filter(col("sdf").isNull)
+      .groupBy("rid", "target_uri")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, sent))), " +
+        "x -> x.sent), ' ')").as("scrubbed"))
+      .withColumn("toks", split(col("scrubbed"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
+    // exact screen: canonical-URL election (min rid per canonical key)
+    val urlKept = scrubbed
+      .withColumn("curl", expr("canonical_url(target_uri)"))
+      .withColumn("rk", expr(
+        "row_number() over (partition by curl order by rid)"))
+      .filter(col("rk") === 1).drop("rk")
+      .localCheckpoint(true)
+    // near-dup screen: LSH candidates, exact-Jaccard verify >= 0.5,
+    // min-id election (drop the larger side of every verified pair)
+    val cand = graft.operators.Dedup
+      .minhashLshCandidates(s, urlKept, "rid", "scrubbed")
+    val sh = urlKept.filter(size(col("toks")) >= 3)
+      .selectExpr("rid", "word_ngrams(toks, 3) as sh")
+    val dropB = cand
+      .join(sh.select(col("rid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("rid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(expr("cast(size(array_intersect(sh_a, sh_b)) as double) " +
+        "/ size(array_union(sh_a, sh_b)) >= 0.5"))
+      .select(col("id_b").as("rid")).distinct()
+    val nearKept = urlKept.join(dropB, Seq("rid"), "left_anti")
+      .withColumn("src", expr("url_host(target_uri)"))
+      .select("src", "rid", "n_tok", "scrubbed")
+      .localCheckpoint(true)
+    val mixed = graft.operators.Mixture.sampleByRates(
+      nearKept, "src", "rid", Map.empty, defaultRate = 0.8, salt = "cap_mix")
+      .localCheckpoint(true)
+    CapstoneStages(all, extracted, scrubbed, urlKept, nearKept, mixed)
+  }
+
   /** Fixture-build lock: parallel test suites may hit the same qNNN
     * lambda concurrently (sbt runs suites in parallel in one JVM) — the
     * build must be once-and-atomic per path. */
@@ -10831,20 +10987,12 @@ object TextQueries {
           seg -> regexp_extract_all(seg,
             '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|[\\t-\\r ]+')))"""
 
-  /** The q285 chain: docs (corpus with doc_id), pieces (the replayed
-    * pre-tokenization), bw0 (pre-token unit counts in UTF-8 byte
-    * symbols — the [[graft.operators.BpeByte.pretokenCounts]] twin),
-    * then the shared per-round election replay. */
-  private def duckGpt2ChainCtes: String = duckSymBpeCtes(
-    s"""docs AS MATERIALIZED (
-          SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
-            WHEN 0 THEN ' ' || chr(28450) || chr(23383) || chr(12486) || chr(12473) || chr(12488)
-            WHEN 1 THEN ' abc' || chr(28450) || chr(23383) || 'def'
-            ELSE '' END AS t
-          FROM documents WHERE doc_id < 500),
-        pieces AS MATERIALIZED (
-          SELECT doc_id, ${duckGpt2PretokExpr("t")} AS ps FROM docs),
-        bw0 AS MATERIALIZED (
+  /** The byte-level unit table twin of
+    * [[graft.operators.BpeByte.pretokenCounts]]: pre-token strings from
+    * a `pieces` CTE expanded to UTF-8 byte symbol lists with counts —
+    * shared by the q285 chain and the q293 capstone chain. */
+  private def duckByteBw0: String =
+    """bw0 AS MATERIALIZED (
           SELECT g, CAST(COUNT(1) AS BIGINT) AS wcnt,
                  flatten(list_transform(
                    list_transform(range(1, length(g) + 1), i -> unicode(substring(g, i, 1))),
@@ -10859,7 +11007,36 @@ object TextQueries {
                            CAST(128 + (cp // 64) % 64 AS INTEGER),
                            CAST(128 + cp % 64 AS INTEGER)] END)) AS syms
           FROM (SELECT unnest(ps) AS g FROM pieces)
-          GROUP BY g)""",
+          GROUP BY g)"""
+
+  /** The q285 chain: docs (corpus with doc_id), pieces (the replayed
+    * pre-tokenization), bw0 (pre-token unit counts in UTF-8 byte
+    * symbols — the [[graft.operators.BpeByte.pretokenCounts]] twin),
+    * then the shared per-round election replay. */
+  private def duckGpt2ChainCtes: String = duckSymBpeCtes(
+    s"""docs AS MATERIALIZED (
+          SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN ' ' || chr(28450) || chr(23383) || chr(12486) || chr(12473) || chr(12488)
+            WHEN 1 THEN ' abc' || chr(28450) || chr(23383) || 'def'
+            ELSE '' END AS t
+          FROM documents WHERE doc_id < 500),
+        pieces AS MATERIALIZED (
+          SELECT doc_id, ${duckGpt2PretokExpr("t")} AS ps FROM docs),
+        $duckByteBw0""",
+    255, gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
+
+  /** The q293 capstone chain: the crawl front ([[duckCapstoneCtes]]),
+    * the tokenizer-training sample (survivors from the first 500 crawl
+    * docs — production trains the tokenizer on a sample of the cleaned
+    * corpus), the replayed GPT-2 pre-tokenization of the SCRUBBED text,
+    * and the shared election replay over its byte unit table. */
+  private def duckCapstoneChainCtes: String = duckSymBpeCtes(
+    s"""$duckCapstoneCtes,
+        docs AS MATERIALIZED (
+          SELECT rid AS doc_id, scrubbed AS t FROM mixd WHERE rid < 1500),
+        pieces AS MATERIALIZED (
+          SELECT doc_id, ${duckGpt2PretokExpr("t")} AS ps FROM docs),
+        $duckByteBw0""",
     255, gpt2ChainMerges, gpt2ChainRounds, gpt2ChainCandCap, gpt2ChainAcceptCap)
 
   /** q247/q248 hyperparameters (defs — init-order gotcha): 512 merges,
