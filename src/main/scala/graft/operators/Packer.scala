@@ -202,10 +202,61 @@ object Packer {
       .select(col("seq"), size(col("ids")).as("n_ids"), col("ids"), col("spans"))
   }
 
+  /**
+   * [[packTokenIds]] CONTINUED from a committed stream position — the
+   * streaming spelling ([[graft.streaming.PackStreams]]): the global id
+   * stream already holds `startSeq` full windows plus `carry`
+   * (the committed partial tail, `carry.length < ctxLen`), and `df` is
+   * the next closed slice of documents in `orderCol` order. Windows
+   * emerge with globally-continuous `seq` numbers (`startSeq`,
+   * `startSeq + 1`, ...), the carry occupying the head of window
+   * `startSeq`. Same distributed shape as [[packTokenIds]] — the batch
+   * still flows through the two-phase offsets and the equi-shuffle
+   * reassembly; the carry is ONE extra bounded fragment row. The final
+   * window is partial unless the stream lands on a boundary; the caller
+   * carries it forward. `orderCol` keys must all be NEW (greater than
+   * every previously packed key) — that contract is the caller's
+   * ([[graft.streaming.PackStreams.PackPosition]] tracks it).
+   */
+  def packTokenIdsContinued(
+      df: DataFrame,
+      orderCol: String,
+      idsCol: String,
+      ctxLen: Int,
+      eosId: Int,
+      startSeq: Long,
+      carry: Seq[Int],
+      nBuckets: Int = 32,
+      recoverable: Boolean = false): DataFrame = {
+    require(startSeq >= 0, s"startSeq ($startSeq) must be non-negative")
+    require(carry.length < ctxLen,
+      s"carry (${carry.length} ids) must be shorter than ctxLen ($ctxLen) — " +
+        "a full carry would already be a committed window")
+    val base = startSeq * ctxLen + carry.length
+    val fr = fragments(df, orderCol, idsCol, ctxLen, eosId, nBuckets,
+      recoverable, base)
+    val withCarry =
+      if (carry.isEmpty) fr
+      else {
+        val s = df.sparkSession
+        import s.implicits._
+        // the committed partial tail heads window `startSeq`; its
+        // tok_offset (the window start) sorts it before every batch
+        // fragment in that window (whose offsets are >= base > this)
+        fr.unionByName(Seq((startSeq, startSeq * ctxLen, -1L, carry))
+          .toDF("seq", "tok_offset", "ord", "frag"))
+      }
+    withCarry.groupBy("seq")
+      .agg(expr("flatten(transform(array_sort(collect_list(" +
+        "struct(tok_offset, frag))), x -> x.frag))").as("ids"))
+      .select(col("seq"), size(col("ids")).as("n_ids"), col("ids"))
+  }
+
   /** Shared core of [[packTokenIds]]/[[packTokenIdsWithSpans]]: append
     * the per-doc EOS, compute two-phase stream offsets, and explode each
     * doc into (seq, tok_offset, ord, frag) — the exact slice of its ids
-    * landing in each window it overlaps. */
+    * landing in each window it overlaps. `base` shifts every offset
+    * (and re-derives the window span) for continuation packing. */
   private def fragments(
       df: DataFrame,
       orderCol: String,
@@ -213,7 +264,8 @@ object Packer {
       ctxLen: Int,
       eosId: Int,
       nBuckets: Int,
-      recoverable: Boolean): DataFrame = {
+      recoverable: Boolean,
+      base: Long = 0L): DataFrame = {
     require(ctxLen >= 1, s"ctxLen ($ctxLen) must be at least 1")
     require(eosId >= 0, s"eosId ($eosId) must be non-negative")
     // spans attribute fragments to docs through `ord = orderCol cast to
@@ -234,8 +286,17 @@ object Packer {
       col(orderCol),
       expr(s"concat($idsCol, array($eosId))").as("__ids"))
       .withColumn("__n", size(col("__ids")))
-    val off = withSequenceOffsets(
+    val off0 = withSequenceOffsets(
       withEos, orderCol, "__n", ctxLen, nBuckets, recoverable)
+    // continuation shift: offsets move by `base` and the per-doc window
+    // span re-derives from the shifted offset (every doc has __n >= 1 —
+    // the appended EOS — so last_seq needs no empty-doc guard here)
+    val off =
+      if (base == 0L) off0
+      else off0
+        .withColumn("tok_offset", col("tok_offset") + lit(base))
+        .withColumn("first_seq", expr(s"tok_offset div ${ctxLen}L"))
+        .withColumn("last_seq", expr(s"(tok_offset + __n - 1) div ${ctxLen}L"))
     off
       .withColumn("seq", explode(expr("sequence(first_seq, last_seq)")))
       // the slice of THIS doc's ids that lands in window `seq`:
