@@ -2778,7 +2778,7 @@ object CoreQueries {
           .filter(expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 1.0d"))
           .selectExpr("id_a", "id_b",
             "round(sqrt((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)), 6) as dist")
-          .orderBy("id_a", "id_b")
+          .transform(d => SortOut.sortedOut(d, "id_a", "id_b"))
       },
       Some(s"""
         WITH pts AS (
@@ -3063,7 +3063,7 @@ object CoreQueries {
           .selectExpr("doc_id", "size(toks) as n_orig", "size(kept) as n_kept",
             "size(toks) - size(kept) as n_dropped",
             "substr(md5(array_join(transform(kept, p -> p.t), ' ')), 1, 12) as aug_fp")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some("""
         WITH d AS (

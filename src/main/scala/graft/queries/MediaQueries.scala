@@ -606,7 +606,7 @@ object MediaQueries {
         val docs = table(s, dir, "documents").select("doc_id", "text")
         graft.operators.Multimodal
           .ppmVideoStats(videoPayloads(docs), "doc_id", "payload", stride = 2)
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some(s"""
         WITH b AS (
@@ -842,7 +842,7 @@ object MediaQueries {
         val docs = table(s, dir, "documents").select("doc_id", "text")
         graft.operators.Multimodal
           .pngStats(pngPayloads(docs), "doc_id", "payload")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some(s"""
         WITH b AS (
@@ -899,7 +899,7 @@ object MediaQueries {
         val docs = table(s, dir, "documents").select("doc_id", "text")
         graft.operators.Multimodal
           .gifStats(gifPayloads(docs), "doc_id", "payload")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some(s"""
         WITH b AS (
@@ -996,7 +996,7 @@ object MediaQueries {
               BigDecimal(sum.toDouble / img.rgb.length)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
-        }.orderBy("doc_id")
+        }.transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some(s"""
         WITH b AS (
@@ -1089,7 +1089,7 @@ object MediaQueries {
               BigDecimal(sum.toDouble / img.rgb.length)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
-        }.orderBy("doc_id")
+        }.transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some(s"""
         WITH b AS (

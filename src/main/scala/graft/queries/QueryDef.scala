@@ -27,6 +27,44 @@ final case class Q(
     oracle: Option[String],
     doc: String = "")
 
+/**
+ * Final global sort whose child computes ONCE (optimization round r11).
+ *
+ * A bare `df.orderBy(...)` plans as `Sort <- Exchange(rangepartitioning)`,
+ * and building the range partitioner runs a SAMPLING JOB over the sort's
+ * child plan. When no other exchange sits between the child's work and the
+ * sort, that sample job re-executes the ENTIRE child (scan, decode,
+ * per-row codecs, ...) and the main job then executes it a second time —
+ * a measured ~2x on map-only queries (q282: 9.8 s -> 5.7 s at sf0.1 with a
+ * hash exchange interposed; guide §2.4 "remove shuffles outright" dual:
+ * here we ADD a cheap exchange of the narrow result rows so the heavy
+ * subtree is computed once and the sampler re-reads shuffle files).
+ *
+ * `sortedOut(df, cols...)` = hash-repartition on the sort keys (an
+ * exchange of the final, already-narrow result rows; partition count from
+ * spark.sql.shuffle.partitions, AQE-coalesced) followed by the same global
+ * sort — row set, values and final total order are IDENTICAL to
+ * `df.orderBy(cols...)`; only the physical plan differs.
+ *
+ * Use it ONLY where the final sort's child is not already behind a
+ * shuffle: aggregate/join-rooted queries pay the extra exchange without
+ * the recompute saving.
+ */
+object SortOut {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.col
+
+  /** Ascending-keys form — covers the common `orderBy("a", "b")` tail. */
+  def sortedOut(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(cols.map(col): _*).orderBy(cols.map(col): _*)
+
+  /** General form: `keys` are the plain repartition expressions, `sort`
+    * the (possibly desc/asc-qualified) sort order — same total order as
+    * `df.orderBy(sort: _*)`. */
+  def sortedOut(df: DataFrame, keys: Seq[Column], sort: Seq[Column]): DataFrame =
+    df.repartition(keys: _*).orderBy(sort: _*)
+}
+
 object Tables {
   /**
    * Load one driver test table. `events.ts` is TIMESTAMP(NANOS) parquet,

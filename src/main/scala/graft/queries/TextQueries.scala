@@ -251,7 +251,7 @@ object TextQueries {
     // ---------------------------------------------------------------- q24
     Q(
       "q24_minhash_signatures",
-      (s, dir) => minhashSigs(s, dir).orderBy("doc_id"),
+      (s, dir) => minhashSigs(s, dir).transform(d => SortOut.sortedOut(d, "doc_id")),
       Some(s"""
         SELECT doc_id, ${duckMinhashSelect.mkString(", ")},
                minh0::VARCHAR || '_' || minh1::VARCHAR AS band0,
@@ -326,7 +326,7 @@ object TextQueries {
             "size(array_intersect(sh_a, sh_b)) as n_common",
             "size(array_union(sh_a, sh_b)) as n_union",
             "cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b)) as jaccard")
-          .orderBy("doc_a")
+          .transform(d => SortOut.sortedOut(d, "doc_a"))
       },
       Some(s"""
         WITH d AS (
@@ -360,7 +360,7 @@ object TextQueries {
             "doc_id", "lang", "s_de", "s_en", "s_es", "s_fr", "s_zh",
             s"case $caseChain end as predicted")
           .withColumn("hit", col("predicted") === col("lang"))
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some {
         val scores = langWords.map { case (l, ws) =>
@@ -403,7 +403,7 @@ object TextQueries {
           .withColumn(
             "quality",
             expr("case when n_tokens >= 20 and avg_token_len between 2.0 and 8.0 then 'ok' else 'low' end"))
-          .orderBy("doc_id"),
+          .transform(d => SortOut.sortedOut(d, "doc_id")),
       Some("""
         SELECT doc_id,
                LENGTH(text) AS n_chars_actual,
@@ -430,7 +430,7 @@ object TextQueries {
             "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) as n_re_tokens",
             "size(filter(tokenize_text(text), t -> length(t) > 5)) as n_long_tokens",
             "size(array_distinct(tokenize_text(text))) as n_distinct_tokens")
-          .orderBy("doc_id"),
+          .transform(d => SortOut.sortedOut(d, "doc_id")),
       Some("""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_ws_tokens,
@@ -456,7 +456,7 @@ object TextQueries {
             "array_max(hs) as fp_max",
             "size(array_distinct(hs)) as n_distinct_shingles",
             "size(hs) as n_shingles")
-          .orderBy("doc_id"),
+          .transform(d => SortOut.sortedOut(d, "doc_id")),
       Some {
         val hs = s"list_transform($duckShingles, s -> ${duckMd5long("s")})"
         s"""
@@ -511,7 +511,7 @@ object TextQueries {
           .selectExpr(
             "doc_a", "doc_b", "sh_a", "sh_b",
             "cast(bit_count(sh_a ^ sh_b) as integer) as hamming")
-          .orderBy("doc_a")
+          .transform(d => SortOut.sortedOut(d, "doc_a"))
       },
       Some {
         val hs = s"list_transform(toks, s -> ${duckMd5long("s")})"
@@ -724,7 +724,7 @@ object TextQueries {
             size(array_distinct(col("g5"))).as("n_distinct"),
             // shared signal definition (also drives the Curation operator)
             graft.operators.TextSignals.dupFrac5(col("g5")).as("dup_frac"))
-          .orderBy("doc_id"),
+          .transform(d => SortOut.sortedOut(d, "doc_id")),
       Some("""
         WITH g AS (
           SELECT doc_id,
@@ -3650,7 +3650,7 @@ object TextQueries {
             "round(token_entropy(toks), 6) as entropy",
             "round(cast(size(array_distinct(toks)) as double) / size(toks), 6) as uniq_frac")
           .withColumn("low_entropy", col("entropy") < 4.0)
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some("""
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -4636,7 +4636,7 @@ object TextQueries {
           .select("doc_id", "n_tokens", "avg_token_len", "n_stop", "run_cap3",
             "diversity", "r1_wordcount", "r2_meanlen", "r3_stopwords",
             "r4_norun", "r5_diversity", "pass_all", "first_fail")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some("""
         WITH d AS (
@@ -7847,7 +7847,7 @@ object TextQueries {
             "doc_id",
             "scrub_pii(dirty) = expected as scrub_ok",
             "cast(length(scrub_pii(dirty)) as int) as n_chars")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some("""
         SELECT doc_id,
@@ -8064,7 +8064,7 @@ object TextQueries {
           .selectExpr("doc_id", "length(t) as len_raw", "length(nfc) as len_nfc",
             "length(nfkc) as len_nfkc", "md5(nfkc) as nfkc_hash",
             "nfc <> t as changed_nfc")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some("""
         WITH raw AS (
@@ -8117,7 +8117,7 @@ object TextQueries {
           .selectExpr("doc_id", "size(toks) as n_toks",
             "element_at(toks, -1) as last_tok",
             "md5(array_join(toks, chr(30))) as tok_hash")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some("""
         WITH dt AS (
@@ -8555,7 +8555,7 @@ object TextQueries {
           .selectExpr("doc_id", "n_cp", "n_cjk", "n_digit", "n_latin",
             "round(cast(n_cjk as double) / cast(n_cp as double), 6) as cjk_frac",
             "case when 20 * n_cjk >= n_cp then 'mixed-cjk' else 'latin' end as route")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some("""
         WITH d AS (
@@ -8605,7 +8605,7 @@ object TextQueries {
             "cast(length(element_at(sents, 1)) as int) as first_len",
             "element_at(sents, -1) as last_sent",
             "md5(array_join(sents, chr(30))) as sent_hash")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some(s"""
         WITH d AS (
@@ -9152,7 +9152,7 @@ object TextQueries {
             "doc_id",
             "extract_main(html) as main_text",
             "cast(length(extract_main(html)) as int) as n_chars")
-          .orderBy("doc_id")
+          .transform(d => SortOut.sortedOut(d, "doc_id"))
       },
       Some("""
         WITH k AS (

@@ -300,7 +300,7 @@ object VectorQueries {
           .selectExpr("bucket", "id_a", "id_b",
             "vec_dot(ea, eb) / (sqrt(n2a) * sqrt(n2b)) as sim")
           .withColumn("near_dup", col("sim") >= 0.95)
-          .orderBy("id_a", "id_b")
+          .transform(d => SortOut.sortedOut(d, "id_a", "id_b"))
       },
       Some {
         val planeDot =

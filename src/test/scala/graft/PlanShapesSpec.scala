@@ -538,4 +538,30 @@ class PlanShapesSpec extends AnyFunSuite {
     // top-20 by lift must not globally sort the pair frame
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  // ------------------------------------------------------------ SortOut (r11)
+
+  test("sortedOut returns exactly orderBy's rows in orderBy's order") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000)
+      .select((col("id") * 37 % 101).as("k"), col("id").as("v"))
+    val plain = df.orderBy("k", "v").collect().toSeq
+    val once = graft.queries.SortOut.sortedOut(df, "k", "v").collect().toSeq
+    assert(once == plain)
+    val desc = df.orderBy(col("k").desc, col("v")).collect().toSeq
+    val onceDesc = graft.queries.SortOut
+      .sortedOut(df, Seq(col("k"), col("v")), Seq(col("k").desc, col("v")))
+      .collect().toSeq
+    assert(onceDesc == desc)
+  }
+
+  test("map-only decode computes once: hash exchange below the final sort (q282)") {
+    // A bare orderBy over an unshuffled child plans Sort <- Exchange(range)
+    // whose range sampling re-executes the whole decode chain; the
+    // interposed hash exchange makes the sampler re-read shuffle files
+    // instead (measured 9.8 s -> 5.4 s at sf0.1). Lock the shape.
+    val p = plan("q282_jpeg_stats")
+    assert(p.contains("hashpartitioning"), p)
+    assert(p.contains("rangepartitioning"), p)
+  }
 }
