@@ -262,7 +262,7 @@ object BpeIntKit {
     * id `idBase + r - 1`. Shared by the code-point ([[BpeEncode]]) and
     * byte-level ([[BpeEncodeBytes]]) kits — pair keys pack as
     * `a * SymLimit + b` in both. */
-  private[functions] def replayMinRank(
+  private[graft] def replayMinRank(
       syms: Array[Int], n0: Int,
       rank: java.util.HashMap[Long, Integer], idBase: Int): Int = {
     var n = n0

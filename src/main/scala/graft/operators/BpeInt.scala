@@ -123,6 +123,27 @@ object BpeInt {
     val wc = words
       .select(guarded.as("w"), col(countCol).cast("long").as("wcnt"))
       .localCheckpoint(true)
+    // Size-adaptive dispatch (optimization round r11, guide §1.2 step 1):
+    // the unit table is model-class data (distinct pre-tokens / n-gram
+    // vocabulary with counts), and when it fits the driver the WHOLE
+    // election can run locally over one collect — the per-round
+    // Spark-job loop (one full re-encode + explode + aggregate + top-K
+    // job per round, 16-52 rounds) collapses into one job plus a
+    // driver-side incremental pair-count election producing the
+    // IDENTICAL merge table (same counts, same (n desc, a, b) ranking,
+    // same L/R acceptance — locked by BpeLocalFitSpec). The threshold is
+    // the broadcast-join discipline: configurable, char-volume-based, and
+    // at 100 TB a corpus whose unit table outgrows it takes the existing
+    // distributed per-round path unchanged.
+    val maxChars = spark.conf.getOption("spark.graft.bpe.localFitMaxChars")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val szRow = wc.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("w"))), lit(0L)).as("chars")).collect()(0)
+    if (szRow.getLong(1) <= maxChars) {
+      val units = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+      return fitLocal(spark, units, nMerges, maxRounds, candCap, acceptCap,
+        idBase, encodeFn == "bpe_encode_bytes", who)
+    }
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Int, Long)]
     val specSb = new java.lang.StringBuilder
     var merged = 0
@@ -164,6 +185,172 @@ object BpeInt {
             specSb.append(a).append(':').append(b)
           }
           j += 1
+        }
+        merged += taken
+      }
+    }
+    require(rows.nonEmpty,
+      s"$who: vocabulary has no adjacent pairs — nothing to train on")
+    import spark.implicits._
+    rows.toSeq.toDF("midx", "rnd", "a", "b", "id", "n")
+  }
+
+  /** Driver-local election over a collected unit table — the IDENTICAL
+    * election [[fitCore]]'s distributed loop runs (same positional
+    * adjacent-pair counts weighted by `wcnt`, same (n desc, a asc, b asc)
+    * candidate ranking and `candCap` truncation, same L/R batch
+    * acceptance, same per-round ids), computed incrementally: pair counts
+    * are maintained under merge application (subtract an affected unit's
+    * adjacencies, apply the round's accepted batch min-rank-first via the
+    * shared [[graft.functions.BpeIntKit.replayMinRank]] kernel, re-add),
+    * so each round touches only units containing an accepted pair. A
+    * merge never makes two PRE-EXISTING symbols adjacent (it replaces two
+    * symbols by one), so new pairs always involve a new id and the
+    * pair->units index stays complete by construction; stale entries
+    * (unit no longer carries the pair) are harmless — the
+    * subtract/apply/re-add cycle is a no-op on them. */
+  private[operators] def fitLocal(
+      spark: SparkSession,
+      units: Array[(String, Long)],
+      nMerges: Int,
+      maxRounds: Int,
+      candCap: Int,
+      acceptCap: Int,
+      idBase: Int,
+      byteLevel: Boolean,
+      who: String): DataFrame = {
+    val nU = units.length
+    val syms = new Array[Array[Int]](nU)
+    val lens = new Array[Int](nU)
+    val wcnts = new Array[Long](nU)
+    var i = 0
+    while (i < nU) {
+      val (w, c) = units(i)
+      syms(i) =
+        if (byteLevel) {
+          val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val a = new Array[Int](b.length)
+          var k = 0
+          while (k < b.length) { a(k) = b(k) & 0xff; k += 1 }
+          a
+        } else {
+          val a = new Array[Int](w.length)
+          var n = 0
+          var j = 0
+          while (j < w.length) {
+            val cp = w.codePointAt(j)
+            a(n) = cp; n += 1
+            j += Character.charCount(cp)
+          }
+          if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+        }
+      lens(i) = syms(i).length
+      wcnts(i) = c
+      i += 1
+    }
+    val Lim = graft.functions.BpeIntKit.SymLimit
+    def key(a: Int, b: Int): Long = a.toLong * Lim + b
+    val counts = new java.util.HashMap[Long, Long]()
+    val index = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    // indexFloor: index only pairs with a symbol >= indexFloor — on
+    // re-add after a round's merges, pairs of two OLDER symbols can never
+    // be new (a merge replaces two symbols by one; it never makes two
+    // pre-existing symbols adjacent), so they are already indexed.
+    def addPairs(u: Int, indexFloor: Int): Unit = {
+      val s = syms(u); val n = lens(u); val c = wcnts(u)
+      var j = 0
+      while (j < n - 1) {
+        val k = key(s(j), s(j + 1))
+        counts.merge(k, c, (x, y) => x + y)
+        if (s(j) >= indexFloor || s(j + 1) >= indexFloor) {
+          val lst = index.computeIfAbsent(k, _ => scala.collection.mutable.ArrayBuffer.empty[Int])
+          if (lst.isEmpty || lst(lst.length - 1) != u) lst += u
+        }
+        j += 1
+      }
+    }
+    def subPairs(u: Int): Unit = {
+      val s = syms(u); val n = lens(u); val c = wcnts(u)
+      var j = 0
+      while (j < n - 1) {
+        val k = key(s(j), s(j + 1))
+        val left = counts.get(k) - c
+        if (left == 0L) counts.remove(k) else counts.put(k, left)
+        j += 1
+      }
+    }
+    i = 0
+    while (i < nU) { addPairs(i, indexFloor = 0); i += 1 }
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Int, Long)]
+    val specSb = new java.lang.StringBuilder
+    val stamp = new Array[Int](nU) // round-visited marks for affected dedup
+    var merged = 0
+    var round = 0
+    var exhausted = false
+    while (merged < nMerges && round < maxRounds && !exhausted) {
+      round += 1
+      if (counts.isEmpty) exhausted = true
+      else {
+        // candidate frame: every live pair, ranked (n desc, a asc, b asc),
+        // truncated to candCap — the distributed loop's orderBy + limit
+        val it = counts.entrySet().iterator()
+        val cand = new Array[(Int, Int, Long)](counts.size())
+        var m = 0
+        while (it.hasNext) {
+          val e = it.next()
+          cand(m) = ((e.getKey / Lim).toInt, (e.getKey % Lim).toInt, e.getValue)
+          m += 1
+        }
+        java.util.Arrays.sort(cand, new java.util.Comparator[(Int, Int, Long)] {
+          def compare(x: (Int, Int, Long), y: (Int, Int, Long)): Int = {
+            if (x._3 != y._3) java.lang.Long.compare(y._3, x._3)
+            else if (x._1 != y._1) Integer.compare(x._1, y._1)
+            else Integer.compare(x._2, y._2)
+          }
+        })
+        val lim = math.min(candCap, cand.length)
+        val cap = math.min(acceptCap, nMerges - merged)
+        val usedL = scala.collection.mutable.Set.empty[Int]
+        val usedR = scala.collection.mutable.Set.empty[Int]
+        val batch = new java.util.HashMap[Long, Integer]()
+        var taken = 0
+        var j = 0
+        while (j < lim && taken < cap) {
+          val (a, b, n) = cand(j)
+          if (!usedR.contains(a) && !usedL.contains(b)) {
+            taken += 1
+            val midx = merged + taken
+            rows += ((midx, round, a, b, idBase + midx - 1, n))
+            usedL += a; usedR += b
+            // replayMinRank reads GLOBAL ranks: id = idBase + rank - 1
+            batch.put(key(a, b), Integer.valueOf(midx))
+            if (specSb.length > 0) specSb.append(';')
+            specSb.append(a).append(':').append(b)
+          }
+          j += 1
+        }
+        // apply the batch to every unit listed under an accepted pair
+        val affected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val bit = batch.keySet().iterator()
+        while (bit.hasNext) {
+          val lst = index.get(bit.next())
+          if (lst != null) {
+            var p = 0
+            while (p < lst.length) {
+              val u = lst(p)
+              if (stamp(u) != round) { stamp(u) = round; affected += u }
+              p += 1
+            }
+          }
+        }
+        var q = 0
+        while (q < affected.length) {
+          val u = affected(q)
+          subPairs(u)
+          lens(u) = graft.functions.BpeIntKit.replayMinRank(syms(u), lens(u), batch, idBase)
+          addPairs(u, indexFloor = idBase + merged)
+          q += 1
         }
         merged += taken
       }
