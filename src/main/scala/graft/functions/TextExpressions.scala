@@ -195,6 +195,102 @@ object WordNgramHash48 {
  * size(hs) counts all elements); an empty array yields all bits set
  * (2*0 >= 0); a null array yields null.
  */
+/**
+ * Fused hashed-char-3-gram bucket rates:
+ * `char3_bucket_rates(text, nBuckets)` returns the length-`nBuckets`
+ * `array<double>` whose element j is the fraction of the text's
+ * char-3-grams (code-point windows, the `substring(text, i, 3)` grams)
+ * hashing to bucket j under the library's 48-bit md5 convention
+ * ([[HashConventions.md5long48]] `% nBuckets`) — semantically identical
+ * to hashing every gram through an interpreted `transform` and counting
+ * each bucket with its own `filter` lambda (spec-locked equal), but in
+ * ONE compiled pass with no gram strings, no hex text, and no per-bucket
+ * array copies. This is q283's feature extractor — the measured dominant
+ * cost of the quality-model query (grams 1.5 s + md5 1.1 s + 32
+ * interpreted filters 0.9 s at sf0.1 before fusing).
+ *
+ * Semantics: fewer than 3 code points -> all-zero rates (the HOF
+ * spelling's empty-gram-array `coalesce(..., 0.0)`); otherwise
+ * rate_j = count_j / nGrams in IEEE double division. Null text -> null
+ * (callers `coalesce` with a zero array for exact HOF parity).
+ */
+case class Char3BucketRates(child: Expression, nBuckets: Int) extends UnaryExpression {
+
+  require(nBuckets >= 1, "char3_bucket_rates bucket count must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char3_bucket_rates expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Char3BucketRates.build(input.asInstanceOf[UTF8String], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Char3BucketRates.build($c, $nBuckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): Char3BucketRates =
+    copy(child = newChild)
+}
+
+object Char3BucketRates {
+
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** One compiled pass: text -> md5long48(gram) % nBuckets histogram ->
+    * rates. Grams are 3-code-point windows; each gram's UTF-8 bytes are a
+    * slice of the text's bytes, so no strings are materialized. */
+  def build(u: UTF8String, nBuckets: Int): ArrayData = {
+    val bytes = u.getBytes
+    // code-point start offsets (UTF-8: starts are bytes not matching 10xxxxxx)
+    var nCp = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) nCp += 1
+      i += 1
+    }
+    val out = new Array[Any](nBuckets)
+    if (nCp < 3) {
+      var j = 0
+      while (j < nBuckets) { out(j) = 0.0d; j += 1 }
+      return new GenericArrayData(out)
+    }
+    val starts = new Array[Int](nCp + 1)
+    var k = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(k) = i; k += 1 }
+      i += 1
+    }
+    starts(nCp) = bytes.length
+    val nGrams = nCp - 2
+    val counts = new Array[Long](nBuckets)
+    val md = digest.get()
+    var g = 0
+    while (g < nGrams) {
+      md.reset()
+      md.update(bytes, starts(g), starts(g + 3) - starts(g))
+      val d = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 6) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      counts((v % nBuckets).toInt) += 1L
+      g += 1
+    }
+    var j = 0
+    while (j < nBuckets) { out(j) = counts(j).toDouble / nGrams.toDouble; j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 case class SimHashBits(child: Expression, nBits: Int) extends UnaryExpression {
 
   require(nBits >= 1 && nBits <= 64, s"simhash_bits width ($nBits) must be in [1, 64]")
@@ -665,6 +761,25 @@ object TextExpressions {
     WindowMins(exprs(0), w)
   }
 
+  /** Shared builder for `char3_bucket_rates` (foldable bucket-count
+    * contract, the `window_mins` spelling). */
+  val char3BucketRatesBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"char3_bucket_rates expects 2 arguments, got ${exprs.length}")
+    require(exprs(1).foldable,
+      s"char3_bucket_rates bucket count must be a foldable (literal) integer, got ${exprs(1).sql}")
+    val n = exprs(1).eval(null) match {
+      case i: Int  => i
+      case l: Long => math.toIntExact(l)
+      case null =>
+        throw new IllegalArgumentException("char3_bucket_rates bucket count must not be null")
+      case other =>
+        throw new IllegalArgumentException(
+          s"char3_bucket_rates bucket count must be a foldable integer, got $other")
+    }
+    Char3BucketRates(exprs(0), n)
+  }
+
   /** Register `word_ngrams` + `word_ngram_hash48` + `simhash_bits` +
     * `max_token_run` in the session's function registry (idempotent,
     * skip-if-present), so they are usable from selectExpr / spark.sql. */
@@ -698,6 +813,11 @@ object TextExpressions {
     val idW = org.apache.spark.sql.catalyst.FunctionIdentifier("window_mins")
     if (!reg.functionExists(idW)) {
       reg.createOrReplaceTempFunction("window_mins", windowMinsBuilder, "built-in")
+    }
+    val idB = org.apache.spark.sql.catalyst.FunctionIdentifier("char3_bucket_rates")
+    if (!reg.functionExists(idB)) {
+      reg.createOrReplaceTempFunction(
+        "char3_bucket_rates", char3BucketRatesBuilder, "built-in")
     }
   }
 }

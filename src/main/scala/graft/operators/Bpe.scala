@@ -140,6 +140,17 @@ object Bpe {
     var wc = words
       .select(guarded.as("w"), col(countCol).cast("long").as("wcnt"))
       .localCheckpoint(true)
+    // Size-adaptive dispatch (optimization round r11 — the BpeInt.fitLocal
+    // discipline): a vocab-sized word table runs the IDENTICAL election
+    // locally over one collect instead of 2 Spark jobs per merge round
+    // (the guard already executed during the checkpoint). Same counts
+    // (adjacent code-point pairs, overlap-inclusive, wcnt-weighted), same
+    // (n desc, pair asc in UTF-8 byte order) top-1, same replace
+    // semantics — locked by BpeLocalFitSpec.
+    if (localFitFits(spark, wc)) {
+      val units = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+      return fitLocalSeq(spark, units, nMerges, baseCp)
+    }
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 1
     var exhausted = false
@@ -242,6 +253,13 @@ object Bpe {
     var wc = words
       .select(guarded.as("w"), col(countCol).cast("long").as("wcnt"))
       .localCheckpoint(true)
+    // Size-adaptive dispatch (r11): identical batched election locally
+    // when the word table is vocab-sized — see [[fit]]'s dispatch note.
+    if (localFitFits(spark, wc)) {
+      val units = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+      return fitBlockedLocal(spark, units, nMerges, maxRounds, candCap,
+        acceptCap, baseCp)
+    }
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var merged = 0
     var round = 0
@@ -282,6 +300,161 @@ object Bpe {
         wc = batch.foldLeft(wc) { case (df, (_, p, sym, _)) =>
           df.withColumn("w", replace(col("w"), lit(p), lit(sym)))
         }.select("w", "wcnt").localCheckpoint(true)
+        merged += batch.size
+      }
+    }
+    require(rows.nonEmpty,
+      "Bpe.fitBlocked: vocabulary has no adjacent pairs — nothing to train on")
+    import spark.implicits._
+    rows.toSeq.toDF("round", "pair", "sym", "n")
+  }
+
+  /** r11 dispatch probe: true when the (already-checkpointed) word table's
+    * char volume fits `spark.graft.bpe.localFitMaxChars` (default 32M —
+    * the BpeInt.fitLocal threshold; 0 forces the distributed path). */
+  private def localFitFits(spark: SparkSession, wc: DataFrame): Boolean = {
+    val maxChars = spark.conf.getOption("spark.graft.bpe.localFitMaxChars")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val szRow = wc.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("w"))), lit(0L)).as("chars")).collect()(0)
+    szRow.getLong(1) <= maxChars
+  }
+
+  /** Spark's string ORDER BY is UTF-8 byte order; Java's compareTo is
+    * UTF-16 unit order — they differ for supplementary characters, so the
+    * local elections compare encoded bytes. */
+  private val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  /** Adjacent 2-code-point pair counts (overlap-inclusive, wcnt-weighted)
+    * over the current local words — the distributed round's
+    * `explode(substring(w, i, 2)) groupBy sum(wcnt)` exactly. */
+  private def localPairCounts(
+      ws: Array[String], cs: Array[Long]): java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long]()
+    var u = 0
+    while (u < ws.length) {
+      val w = ws(u)
+      val c = cs(u)
+      if (w.codePointCount(0, w.length) >= 2) {
+        var i = 0 // UTF-16 index of the pair's first code point
+        var next = w.offsetByCodePoints(0, 1)
+        while (next < w.length) {
+          val end = w.offsetByCodePoints(next, 1)
+          m.merge(w.substring(i, end), c, (x, y) => x + y)
+          i = next
+          next = end
+        }
+      }
+      u += 1
+    }
+    m
+  }
+
+  /** Driver-local [[fit]]: one top-1 election per merge round over the
+    * collected vocab-sized table — identical output rows. */
+  private def fitLocalSeq(
+      spark: SparkSession,
+      units: Array[(String, Long)],
+      nMerges: Int,
+      baseCp: Int): DataFrame = {
+    val ws = units.map(_._1)
+    val cs = units.map(_._2)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val m = localPairCounts(ws, cs)
+      if (m.isEmpty) exhausted = true
+      else {
+        var bestP: String = null
+        var bestN = Long.MinValue
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > bestN ||
+            (e.getValue == bestN && utf8Order.compare(e.getKey, bestP) < 0)) {
+            bestP = e.getKey; bestN = e.getValue
+          }
+        }
+        val sym = placeholderSym(baseCp, r)
+        rows += ((r, bestP, sym, bestN))
+        var u = 0
+        while (u < ws.length) { ws(u) = ws(u).replace(bestP, sym); u += 1 }
+        r += 1
+      }
+    }
+    require(rows.nonEmpty,
+      "Bpe.fit: vocabulary has no adjacent pairs — nothing to train on")
+    import spark.implicits._
+    rows.toSeq.toDF("round", "pair", "sym", "n")
+  }
+
+  /** Driver-local [[fitBlocked]]: the identical L/R batched election over
+    * the collected vocab-sized table — identical output rows. */
+  private def fitBlockedLocal(
+      spark: SparkSession,
+      units: Array[(String, Long)],
+      nMerges: Int,
+      maxRounds: Int,
+      candCap: Int,
+      acceptCap: Int,
+      baseCp: Int): DataFrame = {
+    val ws = units.map(_._1)
+    val cs = units.map(_._2)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var merged = 0
+    var round = 0
+    var exhausted = false
+    while (merged < nMerges && round < maxRounds && !exhausted) {
+      round += 1
+      val m = localPairCounts(ws, cs)
+      if (m.isEmpty) exhausted = true
+      else {
+        val cand = new Array[(String, Long)](m.size())
+        val it = m.entrySet().iterator()
+        var k = 0
+        while (it.hasNext) { val e = it.next(); cand(k) = (e.getKey, e.getValue); k += 1 }
+        // (n desc, pair asc in UTF-8 byte order), truncated to candCap —
+        // the distributed round's orderBy + limit
+        java.util.Arrays.sort(cand, new java.util.Comparator[(String, Long)] {
+          def compare(x: (String, Long), y: (String, Long)): Int =
+            if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+            else utf8Order.compare(x._1, y._1)
+        })
+        val lim = math.min(candCap, cand.length)
+        val cap = math.min(acceptCap, nMerges - merged)
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val usedL = scala.collection.mutable.Set.empty[Char]
+        val usedR = scala.collection.mutable.Set.empty[Char]
+        var j = 0
+        while (j < lim && accepted.length < cap) {
+          val (p, n) = cand(j)
+          if (!usedR.contains(p.charAt(0)) && !usedL.contains(p.charAt(1))) {
+            accepted += ((p, n)); usedL += p.charAt(0); usedR += p.charAt(1)
+          }
+          j += 1
+        }
+        val batch = accepted.toSeq.zipWithIndex.map { case ((p, n), i) =>
+          (merged + i + 1, p, placeholderSym(baseCp, merged + i + 1), n)
+        }
+        rows ++= batch
+        batch.foreach { case (_, p, sym, _) =>
+          var u = 0
+          while (u < ws.length) { ws(u) = ws(u).replace(p, sym); u += 1 }
+        }
         merged += batch.size
       }
     }

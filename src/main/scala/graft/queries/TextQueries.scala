@@ -9297,28 +9297,21 @@ object TextQueries {
         // split-sized, no data-sized global window). The oracle replays
         // the full unrolled descent over its own train split plus the
         // threshold election and audit.
-        // hash each 3-gram ONCE into a bucket array (the BpeInt/minhash
-        // discipline — Catalyst does not share subexpressions across
-        // lambda bodies, so 32 filter(cg, md5...) lambdas would md5 every
-        // gram 32 times: measured 163 s at sf0.1; this shape is ~20x
-        // cheaper and arithmetically identical)
-        val h32 = graft.functions.HashConventions.md5long48("g")
-        // short-text guards (mirrored in the oracle): texts under 3 chars
-        // have NO char-3-grams — Spark's sequence(1, len-2) would DESCEND
-        // ([1,0], step defaults to -1 when start > stop) and fabricate
-        // grams where DuckDB's range(1, len-1) is empty; the empty-array
-        // case-when plus nullif/coalesce on the divisions pin both engines
-        // to rate/r_j = 0 for gram-less rows
+        // hash each 3-gram ONCE into bucket RATES via the fused native
+        // expression (r11; formerly an interpreted transform(md5) pass +
+        // 32 interpreted filter lambdas — measured 3.5 s of the query's
+        // 11.4 s at sf0.1; the original 32x-md5 spelling was 163 s).
+        // char3_bucket_rates == the HOF spelling exactly (spec-locked,
+        // Char3BucketRatesSpec), including the short-text all-zero-rate
+        // guard mirrored in the oracle; the outer coalesce keeps the
+        // HOF's null-text -> zero-rates behavior
         val raw = table(s, dir, "documents").select(
           col("doc_id"),
           expr("coalesce(cast(size(filter(tokenize_text(text), t -> t = 'spark')) as double) " +
             "/ cast(nullif(size(tokenize_text(text)), 0) as double), 0.0d)").as("rate"),
-          expr("transform(transform(case when length(text) >= 3 " +
-            "then sequence(1, length(text) - 2) else array() end, " +
-            s"i -> substring(text, i, 3)), g -> $h32 % 32)").as("hs"))
+          expr("coalesce(char3_bucket_rates(text, 32), array_repeat(0.0d, 32))").as("rs"))
           .selectExpr(Seq("doc_id", "rate") ++ (0 until 32).map(j =>
-            s"coalesce(cast(size(filter(hs, h -> h = $j)) as double) " +
-              s"/ cast(nullif(size(hs), 0) as double), 0.0d) as r${j + 1}"): _*)
+            s"element_at(rs, ${j + 1}) as r${j + 1}"): _*)
           // pinned: the interpreted-HOF md5 pass is the dominant cost and
           // BOTH stats and feats read this frame (one materialization,
           // not two — measured ~2x)

@@ -389,4 +389,53 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
     spark.conf.unset("spark.sql.codegen.factoryMode")
   }
+
+  // ---------------------------------------------------------- r11 additions
+
+
+  test("char3_bucket_rates equals the transform+md5+filter HOF spelling on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hof = {
+      val h32 = graft.functions.HashConventions.md5long48("g")
+      (0 until 32).map(j =>
+        s"coalesce(cast(size(filter(hs, h -> h = $j)) as double) " +
+          s"/ cast(nullif(size(hs), 0) as double), 0.0d)").mkString("array(", ", ", ")")
+    }
+    val h32 = graft.functions.HashConventions.md5long48("g")
+    val diff = docs
+      .selectExpr("doc_id", "text",
+        "coalesce(char3_bucket_rates(text, 32), array_repeat(0.0d, 32)) as a",
+        "transform(transform(case when length(text) >= 3 " +
+          "then sequence(1, length(text) - 2) else array() end, " +
+          s"i -> substring(text, i, 3)), g -> $h32 % 32) as hs")
+      .selectExpr("doc_id", "a", s"$hof as b")
+      .filter("a != b")
+    assert(diff.count() === 0)
+  }
+
+  test("char3_bucket_rates edge cases: short, empty, null, CJK, emoji; interpreted == codegen") {
+    import spark.implicits._
+    val rows = Seq("", "a", "ab", "abc", "abcd", null,
+      "\u6f22\u5b57\u3067\u3059\u3002\u6b21", "a\ud83d\ude00b\ud83d\ude00c", "aaa aaa aaa")
+    val df = rows.toDF("text")
+    val h32 = graft.functions.HashConventions.md5long48("g")
+    val hof = (0 until 32).map(j =>
+      s"coalesce(cast(size(filter(hs, h -> h = $j)) as double) " +
+        s"/ cast(nullif(size(hs), 0) as double), 0.0d)").mkString("array(", ", ", ")")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      val got = df
+        .selectExpr("text",
+          "coalesce(char3_bucket_rates(text, 32), array_repeat(0.0d, 32)) as a",
+          "transform(transform(case when length(text) >= 3 " +
+            "then sequence(1, length(text) - 2) else array() end, " +
+            s"i -> substring(text, i, 3)), g -> $h32 % 32) as hs")
+        .selectExpr("a", s"$hof as b")
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Double](0) == r.getSeq[Double](1), s"mode=$codegen row=$r")
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }

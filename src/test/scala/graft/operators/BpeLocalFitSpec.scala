@@ -61,6 +61,32 @@ class BpeLocalFitSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  private def strRowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, String, Long)] =
+    df.orderBy("round").collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("string trainer fit: local election == distributed election (word units)") {
+    val units = Bpe.wordCounts(docs, "text").localCheckpoint(true)
+    spark.conf.set("spark.graft.bpe.localFitMaxChars", "0")
+    val dist = strRowsOf(Bpe.fit(spark, units, "w", "wcnt", nMerges = 24))
+    spark.conf.set("spark.graft.bpe.localFitMaxChars", Long.MaxValue.toString)
+    val local = strRowsOf(Bpe.fit(spark, units, "w", "wcnt", nMerges = 24))
+    spark.conf.unset("spark.graft.bpe.localFitMaxChars")
+    assert(local == dist)
+  }
+
+  test("string trainer fitBlocked: local election == distributed election (bigram units)") {
+    val units = Bpe.bigramCounts(docs, "text").localCheckpoint(true)
+    spark.conf.set("spark.graft.bpe.localFitMaxChars", "0")
+    val dist = strRowsOf(Bpe.fitBlocked(spark, units, "w", "wcnt",
+      nMerges = 96, maxRounds = 12, candCap = 256, acceptCap = 24))
+    spark.conf.set("spark.graft.bpe.localFitMaxChars", Long.MaxValue.toString)
+    val local = strRowsOf(Bpe.fitBlocked(spark, units, "w", "wcnt",
+      nMerges = 96, maxRounds = 12, candCap = 256, acceptCap = 24))
+    spark.conf.unset("spark.graft.bpe.localFitMaxChars")
+    assert(local == dist)
+  }
+
   test("multi-codepoint and self-pair units elect identically on both paths") {
     import spark.implicits._
     // surrogate pairs (emoji), CJK, an (a,a) run corpus, and skewed counts
