@@ -55,25 +55,37 @@ object Multimodal {
   final class RealMediaDecoder(val dim: Int) extends MediaDecoder {
     require(dim >= 5, s"dim ($dim) must be at least 5: 4 metadata slots + >=1 band")
 
+    /** Unsigned byte array -> double array in one primitive loop — the
+      * `.map(b => (b & 0xff).toDouble)` spelling boxes every element
+      * (Function1 is not specialized on Byte arguments), and this
+      * conversion runs over every decoded pixel of every payload
+      * (measured ~3x of the whole dispatch pass at sf0.1, r11). */
+    private def unsignedToDoubles(bytes: Array[Byte]): Array[Double] = {
+      val out = new Array[Double](bytes.length)
+      var i = 0
+      while (i < bytes.length) { out(i) = (bytes(i) & 0xff).toDouble; i += 1 }
+      out
+    }
+
     def decode(payload: Array[Byte]): Array[Float] = {
       if (payload.length >= 12 &&
         payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
         val wav = MediaCodecs.decodeWav(payload)
-        val sig = wav.samples.map(_.toDouble)
+        val sig = new Array[Double](wav.samples.length)
+        var i = 0
+        while (i < wav.samples.length) { sig(i) = wav.samples(i).toDouble; i += 1 }
         build(1f, wav.sampleRate.toFloat, wav.channels.toFloat, wav.nFrames.toFloat, sig)
       } else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
         val bmp = MediaCodecs.decodeBmp(payload)
-        build(2f, bmp.width.toFloat, bmp.height.toFloat, 3f,
-          bmp.rgb.map(b => (b & 0xff).toDouble))
+        build(2f, bmp.width.toFloat, bmp.height.toFloat, 3f, unsignedToDoubles(bmp.rgb))
       } else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') {
         val ppm = MediaCodecs.decodePpm(payload)
-        build(3f, ppm.width.toFloat, ppm.height.toFloat, 3f,
-          ppm.rgb.map(b => (b & 0xff).toDouble))
+        build(3f, ppm.width.toFloat, ppm.height.toFloat, 3f, unsignedToDoubles(ppm.rgb))
       } else if (payload.length >= 4 && (payload(0) & 0xff) == 0x89 &&
         payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') {
         val png = MediaCodecs.decodePng(payload)
         build(4f, png.width.toFloat, png.height.toFloat, png.channels.toFloat,
-          png.pix.map(b => (b & 0xff).toDouble))
+          unsignedToDoubles(png.pix))
       } else if (payload.length >= 4 &&
         payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == '8') {
         val gif = MediaCodecs.decodeGif(payload)
@@ -89,8 +101,7 @@ object Multimodal {
       } else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
         (payload(1) & 0xff) == 0xd8) {
         val jpg = MediaCodecs.decodeJpeg(payload)
-        build(6f, jpg.width.toFloat, jpg.height.toFloat, 3f,
-          jpg.rgb.map(b => (b & 0xff).toDouble))
+        build(6f, jpg.width.toFloat, jpg.height.toFloat, 3f, unsignedToDoubles(jpg.rgb))
       } else {
         throw new IllegalArgumentException(
           s"unknown media magic (first bytes: ${payload.take(4).map(b => f"$b%02x").mkString(" ")})")

@@ -953,7 +953,8 @@ object MediaQueries {
         // text alone — any slip in either the encoder or decoder (a
         // Huffman code, a predictor, one IDCT constant) shifts a block
         // value and breaks the row. Map-only, payloads die in-stage.
-        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val docs = Tables.spreadSmall(s, dir, "documents",
+          table(s, dir, "documents").select("doc_id", "text"))
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType, nullable = false),
           StructField("fmt_code", IntegerType, nullable = false),
@@ -1046,7 +1047,8 @@ object MediaQueries {
         // (the q282 discipline; AC-content progressive correctness is
         // locked by the baseline-equality property specs). Map-only;
         // payloads die in-stage.
-        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val docs = Tables.spreadSmall(s, dir, "documents",
+          table(s, dir, "documents").select("doc_id", "text"))
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType, nullable = false),
           StructField("fmt_code", IntegerType, nullable = false),

@@ -73,6 +73,38 @@ object Tables {
    * TimestampType column — the same truncation DuckDB's `ts::TIMESTAMP`
    * performs, so oracle comparisons agree.
    */
+  /** r11: spread a SMALL single-split scan across the cores. Parquet scan
+    * tasks split at row-group boundaries, and a table below
+    * `spark.sql.files.maxPartitionBytes` (or written as one row group —
+    * the driver fixtures) plans a ONE-TASK scan, serializing the query's
+    * map side onto one core. When the file is that small, a round-robin
+    * exchange of its rows costs microseconds and un-serializes everything
+    * above it; at production scale the condition is false (the scan
+    * already has many splits) and the spread is a no-op. Threshold conf'd
+    * (`spark.graft.scan.spreadMaxBytes`, default maxPartitionBytes;
+    * 0 disables).
+    *
+    * Applied PER QUERY, only above heavy per-row compute (the JPEG codec
+    * map stages, IVF assignment): a library-wide spread in [[table]] was
+    * measured and REJECTED — queries whose first real operator is an
+    * aggregation or window lost more to the extra raw-row exchange than
+    * the parallel map side returned (36-query sample: codec queries -9 s
+    * each, but q189 +9.4 s, q196 +5.2 s, q99 +4.8 s; net +28.6 s). */
+  def spreadSmall(spark: SparkSession, dir: String, name: String,
+      df: DataFrame): DataFrame = {
+    val maxB = spark.conf.getOption("spark.graft.scan.spreadMaxBytes")
+      .map(_.toLong)
+      .getOrElse(spark.conf.get("spark.sql.files.maxPartitionBytes",
+        (128L * 1024 * 1024).toString).toLong)
+    if (maxB <= 0) return df
+    val bytes =
+      try new java.io.File(s"$dir/$name.parquet").length()
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    if (bytes > 0 && bytes <= maxB)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Library-wide native functions: any query may reach them via selectExpr.
     graft.functions.TextExpressions.register(spark)
@@ -82,7 +114,7 @@ object Tables {
     // tokenizes through the script-aware grammar everywhere (the r8
     // split-debt retirement), so the registration is library-wide too
     graft.functions.UnicodeExpressions.register(spark)
-    if (name == "events") {
+    val loaded = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
@@ -100,5 +132,6 @@ object Tables {
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
+    loaded
   }
 }

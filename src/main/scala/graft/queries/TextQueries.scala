@@ -4703,7 +4703,10 @@ object TextQueries {
         // Pure content-defined cuts (no min/max clamp): every boundary is
         // position-independent, which is also what keeps the per-position
         // recompute oracle-able.
-        val docs = table(s, dir, "documents")
+        // spread the single-split scan: the rolling-hash cut pass + chunk
+        // explode is per-row CPU that otherwise runs on one core
+        val docs = Tables.spreadSmall(s, dir, "documents",
+          table(s, dir, "documents"))
         val ch = docs
           .withColumn("n", length(col("text")))
           .withColumn("cuts", expr("cdc_cuts(text, 8, 64)"))
