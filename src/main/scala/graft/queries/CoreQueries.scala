@@ -2912,7 +2912,9 @@ object CoreQueries {
         // q182): no broadcast loop, one map-side-combinable aggregate at
         // any scale, coefficients bit-identical across partitionings.
         def m(e: String) = s"sum(cast(round($e, 9) as decimal(28,12)))"
-        table(s, dir, "lineitem")
+        // spread the single-split scan: 9 decimal moment sums per row are
+        // map-side CPU that otherwise runs on one core (r11, measured)
+        Tables.spreadSmall(s, dir, "lineitem", table(s, dir, "lineitem"))
           .selectExpr("l_quantity as q", "l_discount as d", "l_extendedprice as y")
           .agg(
             count(lit(1)).as("n"),
@@ -3426,7 +3428,8 @@ object CoreQueries {
         // hyperparameter.
         def m(e: String) = s"sum(cast(round($e, 9) as decimal(28,12)))"
         val lam = "100.0d"
-        table(s, dir, "lineitem")
+        // spread the single-split scan (the q204 evidence)
+        Tables.spreadSmall(s, dir, "lineitem", table(s, dir, "lineitem"))
           .selectExpr("l_quantity as q", "l_discount as d", "l_extendedprice as y")
           .agg(
             count(lit(1)).as("n"),
