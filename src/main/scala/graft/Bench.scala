@@ -126,7 +126,14 @@ object Bench {
       .map { case (t, e) =>
         s""","sf2":"$sf2","total_sf2":${fmt(t)},"errors_sf2":$e,"reps_sf2":$repsSf2""" }
       .getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errors,"reps":$reps,"error_queries":$errJson,"sf":"$sfDir"$sf2Json$filterJson}""")
+    // r12 (the r11 verdict's "Next round" #2, additions-only): the official
+    // line now carries the per-query map too, so the driver's PERF can
+    // compute per-query deltas and scaling ratios. Everything the old line
+    // had (metric/value/n/errors/reps/error_queries/sf/sf2) is untouched;
+    // "queries" is an added key. 3-decimal values keep the line ~9 KB at
+    // 294 queries — and the detail line + file artifact above remain as
+    // fallbacks if a tail capture ever clips this line.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errors,"reps":$reps,"error_queries":$errJson,"queries":$qs,"sf":"$sfDir"$sf2Json$filterJson}""")
     spark.stop()
   }
 }

@@ -20,6 +20,12 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional 5th arg: comma-separated k=v session confs (dev-only, lets a
+    // plan dump pin a size-adaptive dispatch to its distributed path)
+    args.lift(4).filter(_.contains('=')).foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split('=');
+      spark.conf.set(k, v)
+    })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -274,7 +274,12 @@ object BpeInt {
       var j = 0
       while (j < n - 1) {
         val k = key(s(j), s(j + 1))
-        val left = counts.get(k) - c
+        // r12 (ADVICE): the counts/index completeness invariant is
+        // load-bearing — fail loudly (not as an unboxing NPE) if a future
+        // change ever breaks it
+        val left = counts.getOrDefault(k, 0L) - c
+        require(left >= 0L,
+          s"BpeInt.fitLocal: pair-count invariant broken for key $k (count went negative)")
         if (left == 0L) counts.remove(k) else counts.put(k, left)
         j += 1
       }

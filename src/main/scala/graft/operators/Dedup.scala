@@ -182,6 +182,44 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Size-adaptive dispatch (optimization round r12, guide §1.2 step 1 —
+    // same discipline as the r11 BPE local fit): the near-dup pair GRAPH is
+    // model-class data (pairwise evidence, not corpus rows). When the
+    // de-duplicated directed edge list fits the driver, the whole label
+    // propagation runs locally over one collect — the per-round Spark-job
+    // loop (one localCheckpoint + one convergence aggregate per round, 2-10
+    // rounds) collapses into one job plus a driver-side replica of the
+    // IDENTICAL iteration (same propagate/double updates, same
+    // sum-unchanged stopping rule, same maxIters bound — locked by
+    // CcLocalSpec). Threshold conf'd (`spark.graft.cc.localMaxEdges`,
+    // 0 forces distributed); at 100 TB a graph that outgrows it takes the
+    // existing distributed loop unchanged. Integral ids only: the local
+    // min() must reproduce Spark's ordering bit-for-bit, which is trivially
+    // true for longs and not worth proving for strings/decimals.
+    val longIds = {
+      import org.apache.spark.sql.types._
+      edges.schema("src").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val localMaxEdges = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
+      .getOrElse(4L * 1024 * 1024)
+    if (longIds && localMaxEdges > 0) {
+      // limit(max+1): on an over-threshold graph this short-circuits after
+      // max+1 rows instead of paying a full count of a huge edge list
+      val head = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(math.min(localMaxEdges, (Int.MaxValue - 2).toLong).toInt + 1)
+        .collect()
+      if (head.length <= localMaxEdges) {
+        val srcType = edges.schema("src").dataType
+        return localClusters(
+          pairs.sparkSession,
+          head.map(r => (r.getLong(0), r.getLong(1))), maxIters, srcType)
+      }
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     // Convergence test, cheapest available for the id type:
@@ -246,6 +284,67 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Driver-local replica of [[clusters]]'s distributed iteration — the
+    * IDENTICAL update rule (per round: every node adopts the minimum label
+    * in its 1-hop neighborhood, then follows the label one more step), the
+    * IDENTICAL stopping rule (stop when no label changed — the distributed
+    * loop's label-sum test, which is equivalent because min-propagation
+    * only ever lowers labels — or after `maxIters` rounds), so the returned
+    * (id, cluster_id) rows are exactly the distributed loop's, including
+    * the partially-converged labels of a pathological > 2^maxIters-hop
+    * chain. Locked by CcLocalSpec (local == distributed on real LSH pair
+    * graphs + edge cases). */
+  private[operators] def localClusters(
+      spark: SparkSession,
+      edges: Array[(Long, Long)],
+      maxIters: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val index = new java.util.HashMap[Long, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    edges.foreach { case (s, _) =>
+      if (!index.containsKey(s)) { index.put(s, ids.length); ids += s }
+    }
+    val n = ids.length
+    var label = Array.tabulate(n)(i => ids(i))
+    var converged = n == 0
+    var it = 0
+    while (!converged && it < maxIters) {
+      // propagate: min over self + 1-hop neighbor labels
+      val prop = label.clone()
+      edges.foreach { case (s, d) =>
+        val si = index.get(s)
+        val dl = label(index.get(d))
+        if (dl < prop(si)) prop(si) = dl
+      }
+      // pointer doubling: adopt the label OF the label where it is a node
+      val next = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val p = prop(i)
+        val j = index.getOrDefault(p, -1)
+        next(i) = if (j >= 0 && prop(j) < p) prop(j) else p
+        i += 1
+      }
+      converged = java.util.Arrays.equals(next, label)
+      label = next
+      it += 1
+    }
+    def boxed(v: Long): Any = idType match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case _ => v
+    }
+    val rows = (0 until n).map(i =>
+      org.apache.spark.sql.Row(boxed(ids(i)), boxed(label(i))))
+    val schema = StructType(Seq(
+      StructField("id", idType), StructField("cluster_id", idType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /**

@@ -92,13 +92,28 @@ object Tables {
     * each, but q189 +9.4 s, q196 +5.2 s, q99 +4.8 s; net +28.6 s). */
   def spreadSmall(spark: SparkSession, dir: String, name: String,
       df: DataFrame): DataFrame = {
+    // r12 (ADVICE): byte confs are suffixed strings ("128MB") — parse with
+    // the same byte-string rules Spark uses, not String.toLong
+    def asBytes(v: String): Long =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     val maxB = spark.conf.getOption("spark.graft.scan.spreadMaxBytes")
-      .map(_.toLong)
-      .getOrElse(spark.conf.get("spark.sql.files.maxPartitionBytes",
-        (128L * 1024 * 1024).toString).toLong)
+      .map(asBytes)
+      .getOrElse(asBytes(spark.conf.get("spark.sql.files.maxPartitionBytes",
+        (128L * 1024 * 1024).toString)))
     if (maxB <= 0) return df
+    // r12 (ADVICE): size via the Hadoop FileSystem, not java.io.File — a
+    // directory-shaped parquet dataset sums its data files (File.length on
+    // a directory returns the ~4 KB inode size, misclassifying any large
+    // table as "small"), and hdfs:// / s3:// paths resolve instead of
+    // silently returning 0. The threshold now means the same thing on
+    // every filesystem and layout.
     val bytes =
-      try new java.io.File(s"$dir/$name.parquet").length()
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      }
       catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     if (bytes > 0 && bytes <= maxB)
       df.repartition(spark.sparkContext.defaultParallelism)
