@@ -50,6 +50,36 @@ object Logit {
       lr: Double): Array[Double] = {
     require(xCols.nonEmpty, "need at least one feature column")
     require(iters >= 0, s"iters ($iters) must be non-negative")
+    // Size-adaptive dispatch (optimization round r12, guide §1.2 step 1 —
+    // the r11 BPE-local-fit discipline): the feature frame is MODEL-class
+    // data (a handful of scaled signals per document). When it fits the
+    // driver, all `iters` gradient rounds run locally over ONE collect —
+    // instead of one full Spark job per round — replaying the IDENTICAL
+    // arithmetic: the same left-to-right Elliott z accumulation, the same
+    // round(,9)-then-DECIMAL(28,12) exact gradient sums (order-independent,
+    // so driver summation order cannot diverge), the same w update
+    // expression. Weights are bit-identical (locked by LogitLocalFitSpec).
+    // Threshold conf'd (`spark.graft.logit.localFitMaxCells`, 0 forces
+    // distributed); at 100 TB a corpus-sized feature frame outgrows it and
+    // takes the unchanged per-round distributed path.
+    val maxCells = feats.sparkSession.conf
+      .getOption("spark.graft.logit.localFitMaxCells").map(_.toLong)
+      .getOrElse(8L * 1024 * 1024)
+    if (maxCells > 0 && iters > 0) {
+      val nx = xCols.length
+      val maxRows = math.min(maxCells / (nx + 1), (Int.MaxValue - 2).toLong)
+      // limit(max+1): an over-threshold frame short-circuits instead of
+      // paying a full scan to discover it is too big
+      val head = feats
+        .select((yCol +: xCols).map(c => col(c).cast("double")): _*)
+        .limit(maxRows.toInt + 1).collect()
+      // null cells take the distributed path (sum-skips-null semantics
+      // are the aggregate's business, not worth replicating locally)
+      if (head.length <= maxRows &&
+          head.forall(r => (0 to nx).forall(j => !r.isNullAt(j)))) {
+        return fitLocal(head, nx, iters, lr)
+      }
+    }
     val w = Array.fill(xCols.length + 1)(0.0)
     var it = 0
     while (it < iters) {
@@ -65,6 +95,54 @@ object Logit {
       while (j < w.length) {
         w(j) = w(j) - lr * (sums.getAs[java.math.BigDecimal](s"__g$j")
           .doubleValue() / n)
+        j += 1
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** Driver-local replica of the distributed gradient loop — IDENTICAL
+    * arithmetic, see [[fit]]. `rows` carry (y, x1..xnx) as doubles. */
+  private def fitLocal(
+      rows: Array[org.apache.spark.sql.Row],
+      nx: Int,
+      iters: Int,
+      lr: Double): Array[Double] = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // Spark's round(e, 9) on DOUBLE = BigDecimal.valueOf(d).setScale(9,
+    // HALF_UP); the cast to DECIMAL(28,12) is exact for 9-dp values and
+    // NULLs NaN/Inf/overflow, which sum() then skips — replicated here.
+    val maxAbs = new JBD(java.math.BigInteger.TEN.pow(16)) // decimal(28,12) bound
+    def addRounded(acc: JBD, d: Double): JBD =
+      if (d.isNaN || d.isInfinite) acc
+      else {
+        val r = JBD.valueOf(d).setScale(9, RoundingMode.HALF_UP)
+        if (r.abs.compareTo(maxAbs) >= 0) acc else acc.add(r)
+      }
+    val w = Array.fill(nx + 1)(0.0)
+    val n = rows.length.toDouble
+    var it = 0
+    while (it < iters) {
+      val gs = Array.fill(nx + 1)(JBD.ZERO)
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i)
+        val y = r.getDouble(0)
+        // z accumulated left-to-right — the exact prob() spelling
+        var z = w(0)
+        var j = 0
+        while (j < nx) { z = z + w(j + 1) * r.getDouble(j + 1); j += 1 }
+        val p = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+        val d = p - y
+        gs(0) = addRounded(gs(0), d)
+        j = 0
+        while (j < nx) { gs(j + 1) = addRounded(gs(j + 1), d * r.getDouble(j + 1)); j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < w.length) {
+        w(j) = w(j) - lr * (gs(j).doubleValue() / n)
         j += 1
       }
       it += 1

@@ -5150,10 +5150,23 @@ object TextQueries {
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
         val pre = ranked.filter(expr("rn <= n - (n + 1) div 2 + 1"))
-          .select("doc_id", "sh", "n")
+          .select("doc_id", "sh", "n", "rn")
+        // r12: PPJoin POSITIONAL filter (guide §3.3 / the r11 verdict's
+        // item 4). A shared prefix token at ranks (rn_a, rn_b) bounds the
+        // overlap: tokens are globally (df, sh)-ordered in every prefix,
+        // so at the pair's FIRST shared token nothing before it is shared
+        // and o <= min(n_a - rn_a, n_b - rn_b) + 1. Jaccard >= 0.5 needs
+        // o >= ceil((n_a + n_b) / 3), and with the size filter the first
+        // shared token of a qualifying pair is provably inside both
+        // prefixes, so pruning per-match and keeping a pair that passes
+        // on ANY shared token loses no true pair (the oracle's
+        // unfiltered ground truth proves it — recall stays 1.0).
+        // Non-qualifying candidates die here instead of flowing into
+        // distinct + two array joins + exact intersection.
         val cand = pre.as("a").join(pre.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-              col("b.n") * 2 >= col("a.n") && col("a.n") * 2 >= col("b.n"))
+              col("b.n") * 2 >= col("a.n") && col("a.n") * 2 >= col("b.n") &&
+              expr("least(a.n - a.rn, b.n - b.rn) + 1 >= (a.n + b.n + 2) div 3"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.n").as("n_a"), col("b.n").as("n_b"))
           .distinct()

@@ -13,14 +13,14 @@ object ScratchTimer {
     val reps = if (args.length > 2) args(2).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    val spark = confs.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").selectExpr("count(*)").collect()
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val fn = SparkEntry.queries(name)
     val ts = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
