@@ -335,13 +335,38 @@ object Ann {
           else $vecCol end""").as(vecCol))
     // ---- farthest-first seeding over the deterministic hash-order sample
     val sampleSize = math.max(8 * k, 64)
-    val sample = corpus
+    val sampleQ = corpus
       .select(col(idCol), col(vecCol),
         expr(graft.functions.HashConventions
           .md5long48(s"concat('kmpp|', cast($idCol as string))")).as("__hk"))
       .orderBy(col("__hk"), col(idCol))
       .limit(sampleSize)
       .select(col(idCol), col(vecCol))
+    // r12 (guide §1.2 step 1): the seeding sample (<= max(8k, 64) rows) and
+    // the per-round mean sums (k x dims rows) are MODEL-class data BY
+    // CONSTRUCTION at any corpus size — the whole training control plane
+    // runs driver-side over one collect per step: the k-1 per-seed Spark
+    // jobs (each a sample scan + broadcast build + checkpoint) collapse to
+    // one sample collect, and each Lloyd's round is ONE job (assignment +
+    // k x dims aggregate, collected) instead of a job plus a checkpointed
+    // codebook join. The arithmetic is replayed EXACTLY (same left-fold
+    // double dot, same max/tie ordering, same DECIMAL sums, double divide,
+    // float narrowing) — locked bit-identical by KmeansLocalControlSpec.
+    // `spark.graft.kmeans.localControl=false` keeps the legacy distributed
+    // control plane (spec A/B hook; the per-round corpus work is identical
+    // in both).
+    val localControl = spark.conf
+      .getOption("spark.graft.kmeans.localControl").forall(_.toBoolean)
+    val integralId = {
+      import org.apache.spark.sql.types._
+      corpus.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (localControl && integralId) return kmeansFitLocalControl(
+      spark, corpus, idCol, vecCol, k, iters, dims, sampleQ)
+    val sample = sampleQ
       .localCheckpoint(true) // scanned k-1 times below; S rows, never the corpus
     var cents = sample
       .orderBy(col(idCol))
@@ -384,5 +409,101 @@ object Ann {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Driver-local control plane for [[kmeansFit]] — IDENTICAL elections and
+    * arithmetic, see the dispatch comment there. Corpus-sized work (the
+    * per-round assignment + k x dims aggregate) stays distributed. */
+  private def kmeansFitLocalControl(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      dims: Int,
+      sampleQ: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = corpus.schema(idCol).dataType
+    def idLong(r: org.apache.spark.sql.Row, i: Int): Long = idType match {
+      case ByteType => r.getByte(i).toLong
+      case ShortType => r.getShort(i).toLong
+      case IntegerType => r.getInt(i).toLong
+      case _ => r.getLong(i)
+    }
+    val sample: Array[(Long, Array[Float])] = sampleQ.collect()
+      .map(r => (idLong(r, 0), r.getSeq[Float](1).toArray))
+    // the exact vec_dot fold: double accumulation, left to right
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    // seed 1: smallest sample id; seeds 2..k: the remaining sample point
+    // with the LEAST max-dot to the chosen set, ties to the lowest id —
+    // the same (md asc, id asc) election the distributed loop runs
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    if (sample.nonEmpty) chosen += sample.minBy(_._1)
+    val chosenIds = scala.collection.mutable.Set.empty[Long]
+    chosen.foreach(c => chosenIds += c._1)
+    for (_ <- 2 to k if chosen.nonEmpty) {
+      var best: (Double, Long, Array[Float]) = null
+      sample.foreach { case (id, v) =>
+        if (!chosenIds.contains(id)) {
+          var md = java.lang.Double.NEGATIVE_INFINITY
+          chosen.foreach { case (_, ce) =>
+            val d = dot(v, ce)
+            if (java.lang.Double.compare(d, md) > 0) md = d
+          }
+          if (best == null || java.lang.Double.compare(md, best._1) < 0 ||
+              (java.lang.Double.compare(md, best._1) == 0 && id < best._2))
+            best = (md, id, v)
+        }
+      }
+      if (best != null) { chosen += ((best._2, best._3)); chosenIds += best._2 }
+    }
+    var cents: Array[(Long, Array[Float])] = chosen.toArray
+    def centsDf(cs: Array[(Long, Array[Float])]): DataFrame = {
+      def boxId(v: Long): Any = idType match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType => v.toInt
+        case _ => v
+      }
+      val rows = cs.map { case (cid, ce) =>
+        org.apache.spark.sql.Row(boxId(cid), ce.toSeq)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("centroid_id", idType),
+          StructField("ce", ArrayType(FloatType)))))
+    }
+    for (_ <- 1 to iters if cents.nonEmpty) {
+      val assigned = ivfAssign(spark, corpus, idCol, vecCol, centsDf(cents))
+        .select(col("cluster_id"), col(vecCol))
+      // exact per-dimension mean: DECIMAL sum (partition-order independent),
+      // IEEE double division, float narrowing — the cross-engine spelling,
+      // with the k x dims sums collected and the divide/narrow replayed
+      // driver-side
+      val sums = assigned
+        .select(col("cluster_id"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+        .groupBy(col("cluster_id"), col("__dim"))
+        .agg(
+          sum(col("__x").cast("double").cast("decimal(28,12)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val byCluster = sums.groupBy(r => idLong(r, 0))
+      val newce = byCluster.map { case (cid, rows) =>
+        val arr = new Array[Float](dims)
+        rows.foreach { r =>
+          arr(r.getInt(1)) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+        }
+        cid -> arr
+      }
+      cents = cents.map { case (cid, ce) => (cid, newce.getOrElse(cid, ce)) }
+    }
+    centsDf(cents)
   }
 }

@@ -55,7 +55,8 @@ object GlobalRank {
       valCol: String,
       tieCol: String,
       nBuckets: Int = 32,
-      recoverable: Boolean = false): DataFrame = {
+      recoverable: Boolean = false,
+      precomputedBounds: Option[DataFrame] = None): DataFrame = {
     require(nBuckets >= 2, s"nBuckets ($nBuckets) must be at least 2")
     // fail fast instead of silently overwriting (withColumn) and then
     // deleting (drop) a caller column that shares an internal name
@@ -69,10 +70,18 @@ object GlobalRank {
     // input — pinning holds it to exactly one corpus scan (mode per the
     // object doc: checkpoint by default, lineage-kept persist when
     // recoverable)
-    val bounds = Pinned.pin(
+    // r12: a caller chaining SEVERAL rank passes over the same frame can
+    // sketch every pass's boundaries in ONE aggregate and pass each slice
+    // in as `precomputedBounds` ((segCol, bnds) with nBuckets-1 ascending
+    // boundaries, pinned by the caller) — otherwise each pass's eager
+    // sketch job re-executes the whole upstream chain (q196's three
+    // chained quintile cuts re-ran it 1+2+3 times; measured 5.5 -> 2.6 s).
+    // Sketch values only steer bucket BALANCE, so any monotone boundary
+    // set yields the identical exact ranks.
+    val bounds = precomputedBounds.getOrElse(Pinned.pin(
       df.groupBy(segCol).agg(
         expr(s"approx_percentile($valCol, array($qs), 1000)").as("bnds")),
-      recoverable)
+      recoverable))
     // The null check lives INSIDE the bucket expression so pruning can
     // never remove it: a null value would otherwise land in bucket 0 /
     // null and then be silently DROPPED by the (segCol, bucket) equi-joins
