@@ -49,6 +49,20 @@ object GlobalRank {
    * cume_dist = rn/n_seg (ties impossible under a unique tie-break),
    * ntile(k) via the shared larger-first-groups rule.
    */
+  /** The (segCol, bnds) boundary sketch [[withGlobalRank]] pins by default.
+    * Exposed for two caller patterns (both r12): batching several passes'
+    * sketches into one aggregate (q196), and passing it UNPINNED so the
+    * sketch rides inside the main job's broadcast builds (deduplicated by
+    * broadcast-exchange reuse) instead of re-executing a heavy input in a
+    * separate eager job (q99/q118 measured ~30-40% faster; cheap-input
+    * sites like q98/q43 measured WORSE lazy and keep the eager pin). */
+  def boundsOf(df: DataFrame, segCol: String, valCol: String,
+      nBuckets: Int = 32): DataFrame = {
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
+    df.groupBy(segCol).agg(
+      expr(s"approx_percentile($valCol, array($qs), 1000)").as("bnds"))
+  }
+
   def withGlobalRank(
       df: DataFrame,
       segCol: String,
@@ -63,7 +77,6 @@ object GlobalRank {
     val reserved = Set("bnds", "bucket", "cnt", "local_rn", "offset", "rn", "n_seg", "__gr_seg", "__gr_bucket")
     val clash = df.columns.toSet.intersect(reserved)
     require(clash.isEmpty, s"input columns collide with reserved names: $clash")
-    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
     // pinned (tiny segments-row frame): the bounds sketch feeds BOTH the
     // offsets branch and the main ranking branch, and each broadcast
     // build would otherwise re-run the full percentile pass over the
@@ -79,9 +92,7 @@ object GlobalRank {
     // Sketch values only steer bucket BALANCE, so any monotone boundary
     // set yields the identical exact ranks.
     val bounds = precomputedBounds.getOrElse(Pinned.pin(
-      df.groupBy(segCol).agg(
-        expr(s"approx_percentile($valCol, array($qs), 1000)").as("bnds")),
-      recoverable))
+      boundsOf(df, segCol, valCol, nBuckets), recoverable))
     // The null check lives INSIDE the bucket expression so pruning can
     // never remove it: a null value would otherwise land in bucket 0 /
     // null and then be silently DROPPED by the (segCol, bucket) equi-joins

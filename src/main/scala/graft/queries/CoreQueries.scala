@@ -1940,7 +1940,11 @@ object CoreQueries {
         import graft.operators.GlobalRank
         val ev = table(s, dir, "events")
           .select(col("event_type").as("seg"), col("event_id"), col("value"))
-        val ranked = GlobalRank.withGlobalRank(ev, "seg", "value", "event_id")
+        // r12: lazy bounds (see q99) — the eager sketch job re-ran the
+        // events scan; lazily the sketch dedups into the main job's
+        // broadcast builds (measured 3.11 -> 2.03 s isolated)
+        val ranked = GlobalRank.withGlobalRank(ev, "seg", "value", "event_id",
+            precomputedBounds = Some(GlobalRank.boundsOf(ev, "seg", "value")))
           .withColumn("k_trim", expr("n_seg div 20"))
         // tiny (segments)-row frame: the two boundary order statistics
         val bounds = ranked
@@ -3556,9 +3560,12 @@ object CoreQueries {
         val tagged = ev.crossJoin(broadcast(d0))
           .withColumn("is_ref", expr("day < d0 + 15"))
         val ref = tagged.filter(col("is_ref")).withColumn("seg", lit(0))
+        // r12: lazy bounds (the q99 pattern) — measured 3.45 -> 2.74 s
+        val refIn = ref.select("seg", "event_id", "value")
         val bounds = graft.operators.GlobalRank
-          .withGlobalRank(ref.select("seg", "event_id", "value"),
-            "seg", "value", "event_id")
+          .withGlobalRank(refIn, "seg", "value", "event_id",
+            precomputedBounds = Some(
+              graft.operators.GlobalRank.boundsOf(refIn, "seg", "value")))
           .withColumn("k", explode(expr("sequence(1, 9)")))
           .filter(expr("rn = (n_seg * k + 9) div 10"))
           .groupBy("seg")

@@ -1827,25 +1827,35 @@ object TextQueries {
         graft.functions.VectorExpressions.register(s)
         // GlobalRank orders ascending; negating the score (exact IEEE)
         // gives the DESC ranking with the same doc_id tie-break
+        // r12: LAZY bounds for both rank passes (GlobalRank.boundsOf
+        // unpinned) — the default eager sketch job re-executed the heavy
+        // bm25/cosine chain once per pass; passed lazily, the sketch rides
+        // inside the main job's broadcast builds where broadcast-exchange
+        // reuse dedups it (measured 7.09 -> 4.17 s isolated). Sketch
+        // values only steer bucket balance; ranks are exact either way.
+        val lexIn = bm25Frame(s, dir)
+          .filter(col("doc_id") =!= 0)
+          .withColumn("seg", lit(1))
+          .withColumn("neg_bm25", -col("bm25"))
         val lex = graft.operators.GlobalRank.withGlobalRank(
-          bm25Frame(s, dir)
-            .filter(col("doc_id") =!= 0)
-            .withColumn("seg", lit(1))
-            .withColumn("neg_bm25", -col("bm25")),
-          "seg", "neg_bm25", "doc_id")
+          lexIn, "seg", "neg_bm25", "doc_id",
+          precomputedBounds = Some(
+            graft.operators.GlobalRank.boundsOf(lexIn, "seg", "neg_bm25")))
           .select(col("doc_id"), col("rn").cast("int").as("rank_lex"))
         val e = table(s, dir, "embeddings")
           .selectExpr("vec_id", "embedding", s"${VectorSql.dot("embedding", "embedding")} as n2")
         val probe = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("pe"), col("n2").as("pn2"))
+        val semIn = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .selectExpr("vec_id as doc_id",
+            s"${VectorSql.dot("pe", "embedding")} / (sqrt(pn2) * sqrt(n2)) as sim")
+          .withColumn("seg", lit(1))
+          .withColumn("neg_sim", -col("sim"))
         val sem = graft.operators.GlobalRank.withGlobalRank(
-          e.filter(col("vec_id") =!= 0)
-            .crossJoin(broadcast(probe))
-            .selectExpr("vec_id as doc_id",
-              s"${VectorSql.dot("pe", "embedding")} / (sqrt(pn2) * sqrt(n2)) as sim")
-            .withColumn("seg", lit(1))
-            .withColumn("neg_sim", -col("sim")),
-          "seg", "neg_sim", "doc_id")
+          semIn, "seg", "neg_sim", "doc_id",
+          precomputedBounds = Some(
+            graft.operators.GlobalRank.boundsOf(semIn, "seg", "neg_sim")))
           .select(col("doc_id"), col("rn").cast("int").as("rank_sem"))
         lex.join(sem, Seq("doc_id"), "full_outer")
           .withColumn("rrf",
@@ -4282,8 +4292,11 @@ object TextQueries {
           .withColumn("ttr", expr(
             "round(cast(size(array_distinct(toks)) as double) / cast(dl as double), 9)"))
           .select(col("doc_id"), col("dl"), col("ttr"), lit(1).as("seg"))
+        // r12: lazy bounds (the q99 pattern) — measured 3.00 -> 1.27 s
         graft.operators.GlobalRank
-          .withGlobalRank(d, "seg", "ttr", "doc_id")
+          .withGlobalRank(d, "seg", "ttr", "doc_id",
+            precomputedBounds = Some(
+              graft.operators.GlobalRank.boundsOf(d, "seg", "ttr")))
           .withColumn("stage", expr("cast(1 + (rn - 1) * 4 div n_seg as int)"))
           .groupBy("stage")
           .agg(
@@ -9782,7 +9795,10 @@ object TextQueries {
           .withColumn("k", expr(permKey))
         val winHash = graft.functions.HashConventions.md5long48(
           "concat('q290_w|', cast(seq as string))")
-        graft.operators.GlobalRank.withGlobalRank(keyed, "epoch", "k", "seq")
+        // r12: lazy bounds (the q99 pattern) — measured 7.69 -> 5.29 s
+        graft.operators.GlobalRank.withGlobalRank(keyed, "epoch", "k", "seq",
+          precomputedBounds = Some(
+            graft.operators.GlobalRank.boundsOf(keyed, "epoch", "k")))
           .withColumn("rk", expr("cast((rn - 1) % 4 as int)"))
           .groupBy(col("epoch").cast("int").as("epoch"), col("rk"))
           .agg(

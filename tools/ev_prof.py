@@ -3,7 +3,8 @@
 per-query job descriptions. Usage: ev_prof.py [evdir] [--rep N]"""
 import json, glob, os, subprocess, sys, collections
 
-evdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/spark-events'
+pos = [a for a in sys.argv[1:] if not a.startswith('--')]
+evdir = pos[0] if pos else '/tmp/spark-events'
 rep = None
 for a in sys.argv:
     if a.startswith('--rep'):
